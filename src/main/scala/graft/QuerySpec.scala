@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator-parity query (SURVEY.md §2 inventory).
+  *
+  * @param name   the `q:` tag from SURVEY.md §2
+  * @param run    Spark-side implementation; `dir` is the scale-factor dir
+  * @param oracle equivalent DuckDB SQL over the same parquet tables; None for
+  *               ops with no SQL-expressible oracle (driver records a weaker
+  *               rows-only check)
+  *
+  * Determinism contract (BASELINE.md): every query ends in a total-order
+  * `ORDER BY`; double aggregation goes through DECIMAL(38,4) so partial-agg
+  * order can't change the result; NULL ordering is spelled out on both sides
+  * (Spark defaults NULLS FIRST, DuckDB NULLS LAST); `events.ts` is nanosecond
+  * parquet that Spark truncates to micros on read, so oracles read it through
+  * `CAST(ts AS TIMESTAMP)` (DuckDB truncates identically).
+  */
+final case class QuerySpec(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Aggregates every module's declared queries for SparkEntry. */
+object Registry {
+  def all: Seq[QuerySpec] =
+    operators.RelationalQueries.specs ++
+      operators.DedupQueries.specs ++
+      operators.SimilarityQueries.specs ++
+      operators.TextQueries.specs ++
+      operators.StreamingQueries.specs ++
+      operators.GeoQueries.specs
+
+  lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
+}

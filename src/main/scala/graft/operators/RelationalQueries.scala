@@ -1,0 +1,600 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+/** Relational core parity set (SURVEY.md §2.1-2.8, M2).
+  *
+  * Everything here is declarative DataFrame API — scans, filters, projections,
+  * joins, aggregations, windows, sorts, set ops, scalar function families —
+  * so Catalyst handles pushdown, pruning, partial aggregation, join selection
+  * and AQE re-planning. The reference delegated all of this to DuckDB
+  * (reference: core_processor.rs:391-428 CTAS dispatch); we delegate to
+  * Catalyst + Tungsten.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins broadcast explicitly (region/nation/customer);
+  *    fact-fact joins shuffle on their keys and AQE picks SMJ/skew handling;
+  *  - no query collects to the driver; all outputs are bounded either by
+  *    aggregation, selective filters, or explicit LIMIT;
+  *  - double sums go through DECIMAL(38,4): exact, associative, and therefore
+  *    both deterministic under any partitioning AND oracle-matchable.
+  */
+object RelationalQueries {
+
+  private val Dec = DecimalType(38, 4)
+  private def dec(c: Column): Column = c.cast(Dec)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Oracle-side view of `events` with ts truncated to micros like Spark's
+    * parquet reader does for nanosecond timestamps. */
+  private val EventsUs =
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------- scans
+    QuerySpec(
+      "scan_parquet",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // CSV round-trip: written from `nation`, read back with header +
+    // schema inference + DROPMALFORMED (reference: core_processor.rs:413-418
+    // read_csv(ignore_errors=true, header=true)). Oracle reads the same table.
+    QuerySpec(
+      "scan_csv",
+      (s, dir) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_csv"
+        t(s, dir, "nation").coalesce(1)
+          .write.mode("overwrite").option("header", true).csv(tmp)
+        s.read
+          .option("header", true).option("inferSchema", true)
+          .option("mode", "DROPMALFORMED").csv(tmp)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------- filters / projections
+    QuerySpec(
+      "filter_notnull", // reference: geo_strategy.rs:96,143 (null-guarded probe)
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").isNotNull)
+          .select("l_orderkey", "l_linenumber", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+              WHERE l_shipdate IS NOT NULL ORDER BY l_orderkey, l_linenumber""")),
+
+    QuerySpec(
+      "filter_conj", // reference: geo_strategy.rs:385-386 (NOT NULL AND != '')
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("props").isNotNull && col("props") =!= "" && col("event_type") === "purchase")
+          .select("event_id", "event_type")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, event_type FROM events
+              WHERE props IS NOT NULL AND props != '' AND event_type = 'purchase'
+              ORDER BY event_id""")),
+
+    QuerySpec(
+      "filter_pred",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_quantity >= 45 AND l_returnflag = 'R'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QuerySpec(
+      "project_exclude", // reference: geo_strategy.rs:271-297 (EXCLUDE + computed col)
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1 - l_discount) AS revenue
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----------------------------------------------------------------- joins
+    QuerySpec(
+      "join_bhj", // star-schema enrich; dims broadcast explicitly
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") <= 2)
+        val o  = t(s, dir, "orders")
+        val c  = broadcast(t(s, dir, "customer"))
+        val n  = broadcast(t(s, dir, "nation"))
+        val r  = broadcast(t(s, dir, "region")).filter(col("r_name") === "EUROPE")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
+            col("n_name"), col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, c_custkey, n_name, l_extendedprice
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE l_quantity <= 2 AND r_name = 'EUROPE'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QuerySpec(
+      "join_smj", // fact-fact: shuffle on the join key, SMJ
+      (s, dir) =>
+        t(s, dir, "lineitem").hint("merge")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderstatus") === "F")
+          .select("l_orderkey", "l_linenumber", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QuerySpec(
+      "join_left",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("l_linenumber"))
+          .orderBy(col("o_orderkey").asc, col("l_linenumber").asc_nulls_first)
+      },
+      Some("""SELECT o_orderkey, l_linenumber
+              FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+                ON o_orderkey = l_orderkey
+              ORDER BY o_orderkey, l_linenumber NULLS FIRST""")),
+
+    QuerySpec(
+      "join_semi",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    QuerySpec(
+      "join_anti",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    // Range join with an equi component: the user_id equality keys the shuffle,
+    // the time-band predicate filters inside each key group — scales as an
+    // equi-join, not a cartesian product.
+    QuerySpec(
+      "join_range",
+      (s, dir) => {
+        val e = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+        val a = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+        val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+        a.join(b,
+            col("a_user") === col("b_user") &&
+              col("b_ts") > col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+          .select("a_id", "b_id")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH e AS ($EventsUs)
+               SELECT a.event_id AS a_id, b.event_id AS b_id
+               FROM e a JOIN e b
+                 ON a.user_id = b.user_id
+                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+               WHERE a.event_type = 'error'
+               ORDER BY a_id, b_id""")),
+
+    // As-of join via the union+window trick (SURVEY.md §2.3): for each
+    // purchase, the latest error by the same user at ts <= purchase ts.
+    // Scales: one shuffle on user_id, one sort — no n² candidate pairs.
+    QuerySpec(
+      "join_asof",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        errs.union(purch)
+          .withColumn("asof_error_id",
+            last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id").as("purchase_id"), col("asof_error_id"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               u AS (
+                 SELECT user_id, ts, 0 AS tag, event_id FROM e WHERE event_type = 'error'
+                 UNION ALL
+                 SELECT user_id, ts, 1 AS tag, event_id FROM e WHERE event_type = 'purchase'
+               ),
+               w AS (
+                 SELECT tag, event_id,
+                        LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_id
+                 FROM u
+               )
+               SELECT event_id AS purchase_id, asof_error_id
+               FROM w WHERE tag = 1 ORDER BY purchase_id""")),
+
+    QuerySpec(
+      "join_cross", // bounded cross join (both sides tiny dims)
+      (s, dir) =>
+        t(s, dir, "region").select(col("r_name").as("a_name"))
+          .crossJoin(t(s, dir, "region").select(col("r_name").as("b_name")))
+          .orderBy("a_name", "b_name"),
+      Some("""SELECT a.r_name AS a_name, b.r_name AS b_name
+              FROM region a CROSS JOIN region b ORDER BY a_name, b_name""")),
+
+    // ---------------------------------------------------------- aggregations
+    QuerySpec(
+      "agg_group", // flagship TPC-H Q1 shape; partial+final hash agg
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+                     SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
+                     SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+                     COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    QuerySpec(
+      "agg_minmax", // min/max are order-insensitive on doubles: exact
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
+                     MAX(o_totalprice) AS max_price, COUNT(*) AS n
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QuerySpec(
+      "agg_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // HLL sketch — engine-specific estimate, no cross-engine oracle
+    // (rows-only check; see SURVEY.md §2.4).
+    QuerySpec(
+      "agg_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy("l_returnflag"),
+      None),
+
+    QuerySpec(
+      "agg_rollup",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    QuerySpec(
+      "agg_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+          .orderBy(
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // --------------------------------------------------------------- windows
+    QuerySpec(
+      "win_rank",
+      (s, dir) => {
+        val byDate = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val byStatus = Window.partitionBy("o_custkey").orderBy(col("o_orderstatus"))
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(byDate).as("rn"),
+            rank().over(byStatus).as("rk"),
+            dense_rank().over(byStatus).as("drk"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS INT) AS rn,
+                     CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS rk,
+                     CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS drk
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    QuerySpec(
+      "win_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"),
+            lead(col("event_id"), 1).over(w).as("next_event_id"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS ($EventsUs)
+               SELECT event_id,
+                      LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+                      LEAD(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+               FROM e ORDER BY event_id""")),
+
+    QuerySpec(
+      "win_running", // rows frame, exact decimal running sum
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            sum(dec(col("o_totalprice"))).over(w).as("running_total"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+              FROM orders ORDER BY o_orderkey""")),
+
+    QuerySpec(
+      "win_range", // range frame keyed on a numeric column
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_orderkey"))
+          .rangeBetween(-100, 0)
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            sum(dec(col("o_totalprice"))).over(w).as("band_total"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                       OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS band_total
+              FROM orders ORDER BY o_orderkey""")),
+
+    QuerySpec(
+      "win_topk", // top-3 per group via row_number filter
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("l_orderkey", "rn")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, CAST(rn AS INT) AS rn FROM (
+                SELECT l_orderkey, l_linenumber,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+                FROM lineitem) WHERE rn <= 3
+              ORDER BY l_orderkey, rn""")),
+
+    // ---------------------------------------------------- sort / limit / topk
+    QuerySpec(
+      "sort",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey""")),
+
+    QuerySpec(
+      "topk", // TakeOrderedAndProject: no global sort materialized
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    QuerySpec(
+      "limit", // reference: core_processor.rs:432 (LIMIT 10 schema peek)
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey")
+          .limit(10),
+      Some("SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10")),
+
+    // ----------------------------------------------------------------- setops
+    QuerySpec(
+      "set_union",
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(
+            t(s, dir, "customer").filter(col("c_acctbal") > 9000).select("c_custkey"))
+          .distinct()
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+              ORDER BY c_custkey""")),
+
+    QuerySpec(
+      "set_intersect",
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(
+            t(s, dir, "customer").filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+              ORDER BY c_custkey""")),
+
+    QuerySpec(
+      "set_except",
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .except(
+            t(s, dir, "customer").filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+              ORDER BY c_custkey""")),
+
+    // --------------------------------------------------- scalar fn families
+    QuerySpec(
+      "fn_string",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            lower(col("c_mktsegment")).as("seg_lower"),
+            substring(col("c_name"), 1, 8).as("name_prefix"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+            levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+            length(col("c_name")).as("name_len"),
+            concat(col("c_mktsegment"), lit("_"), col("c_name")).as("seg_name"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     LOWER(c_mktsegment) AS seg_lower,
+                     SUBSTR(c_name, 1, 8) AS name_prefix,
+                     REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+                     CAST(LEVENSHTEIN(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+                     CAST(LENGTH(c_name) AS INT) AS name_len,
+                     c_mktsegment || '_' || c_name AS seg_name
+              FROM customer ORDER BY c_custkey""")),
+
+    QuerySpec(
+      "fn_date",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                     CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+                     CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+                     DATE_TRUNC('month', o_orderdate) AS month_start,
+                     CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+              FROM orders ORDER BY o_orderkey""")),
+
+    QuerySpec(
+      "fn_json", // events.props is JSON text like {"k": 87}
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+              FROM events ORDER BY event_id""")),
+
+    QuerySpec(
+      "fn_array",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+            element_at(split(trim(col("text")), "\\s+"), 1).as("first_token"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT) AS n_tokens,
+                     STRING_SPLIT_REGEX(TRIM(text), '\s+')[1] AS first_token
+              FROM documents ORDER BY doc_id""")),
+
+    QuerySpec(
+      "fn_math", // libm last-ulp differences absorbed by round(…, 6)
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+            round(log(col("l_extendedprice")), 6).as("ln_price"),
+            abs(col("l_discount") - 0.05).as("abs_disc"),
+            floor(col("l_quantity")).as("qty_floor"),
+            ceil(col("l_quantity")).as("qty_ceil"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+                     ROUND(LN(l_extendedprice), 6) AS ln_price,
+                     ABS(l_discount - 0.05) AS abs_disc,
+                     CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+                     CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil
+              FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (array<float>, dim 64)
+  * (SURVEY.md §2.12).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the IVF variant
+  * prunes the candidate set to the query's partition (here the `label`
+  * column stands in for a cluster assignment), which is the 100 TB shape:
+  * a partition-pruned equi-join instead of a full cross product.
+  *
+  * Determinism: dot products are computed in double with a left-to-right
+  * fold on both engines and rounded to 6 decimals BEFORE thresholding /
+  * ranking, so last-ulp float noise cannot flip a comparison.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Left-fold dot product of two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Oracle-side per-pair cosine via zipped UNNEST (DuckDB zips parallel
+    * unnests positionally); norms folded the same way. */
+  private val CosineSql =
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e,
+             SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+      FROM v
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+                   / (q.nrm * c.nrm), 6) AS sim
+      FROM n q JOIN n c ON q.vec_id != c.vec_id %s
+      WHERE q.vec_id < 16
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    ORDER BY query_id, sim DESC, neighbor_id
+    """
+
+  /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
+  private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("e").as("q_e"), col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("c_label"),
+      col("e").as("c_e"), col("nrm").as("c_nrm"))
+    val joined =
+      if (sameLabelOnly)
+        q.join(c, col("q_label") === col("c_label") && col("query_id") =!= col("neighbor_id"))
+      else
+        q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("sim", round(dot(col("q_e"), col("c_e")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id", "sim")
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Brute-force cosine top-5: candidates broadcast, queries stay
+    // partitioned — at scale this is the block-nested-loop baseline.
+    QuerySpec(
+      "topk_similarity",
+      (s, dir) => topk(s, dir, sameLabelOnly = false),
+      Some(CosineSql.format(""))),
+
+    // IVF-style ANN: search only the query's cluster (label = assigned
+    // centroid id). At 100 TB: partition embeddings by cluster id, prune
+    // to the probed partitions — shuffle-free when pre-partitioned.
+    QuerySpec(
+      "topk_similarity_ivf",
+      (s, dir) => topk(s, dir, sameLabelOnly = true),
+      Some(CosineSql.format("AND q.label = c.label")))
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time windowing over `events` (SURVEY.md §2.11).
+  *
+  * These run the window semantics in BATCH mode so the DuckDB oracle can
+  * check them (DuckDB has no streams); `graft.streaming.EventStreams` runs
+  * the same transforms through readStream/writeStream with watermarks and
+  * is exercised by ScalaTest.
+  *
+  * events.ts is nanosecond parquet; Spark reads it truncated to micros, so
+  * every oracle goes through CAST(ts AS TIMESTAMP) (same truncation).
+  */
+object StreamingQueries {
+
+  private val Dec = DecimalType(38, 4)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Tumbling 10-minute windows: count + exact decimal sum per window.
+    QuerySpec(
+      "stream_tumble",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("sum_value"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("ws", "event_type"),
+      Some("""SELECT make_timestamp((epoch_ns(ts) // 1000) // 600000000 * 600000000) AS ws,
+                     event_type, COUNT(*) AS n,
+                     SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")),
+
+    // Session windows (30-minute gap) per user. Spark session_window is
+    // half-open [start, end): a gap of exactly 30m starts a new session —
+    // the oracle breaks on `>= INTERVAL 30 MINUTE` to match.
+    QuerySpec(
+      "stream_session",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+              g AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g)
+              SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+              FROM sess GROUP BY user_id, sid
+              ORDER BY user_id, session_start""")),
+
+    // Stateful-dedup batch shape: first event id per (user, type) group —
+    // streaming twin is dropDuplicatesWithinWatermark in EventStreams.
+    QuerySpec(
+      "stream_dedup",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(min(col("event_id")).as("first_event_id"))
+          .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, MIN(event_id) AS first_event_id
+              FROM events GROUP BY user_id, event_type
+              ORDER BY user_id, event_type"""))
+  )
+}
