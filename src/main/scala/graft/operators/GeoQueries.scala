@@ -1,13 +1,144 @@
 package graft.operators
 
-import graft.QuerySpec
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{CrsInference, GeoFunctions}
 
-/** Geospatial parity queries (SURVEY.md §2.8) — filled in with the geo
-  * kernel milestone (M4). DuckDB's spatial extension is not loadable
-  * offline, so geo oracles are expressed as arithmetic identities (e.g.
-  * point roundtrips, closed-form Web-Mercator formulas); full geometry
-  * correctness lives in ScalaTest golden fixtures.
+/** Geospatial parity queries (SURVEY.md §2.8, milestone M4).
+  *
+  * DuckDB's spatial extension cannot load offline, so each oracle is the
+  * *arithmetic identity* of the geometry operation: coordinates are derived
+  * deterministically from `customer` keys, the Spark side routes them
+  * through the real JTS/CrsTransform kernel (WKT build → parse → centroid →
+  * reproject), and the oracle computes what the answer must be in plain
+  * SQL. Byte-level WKB/hex-WKB parsing and BNG numerical accuracy are
+  * covered by ScalaTest golden fixtures (GeoKernelSpec) instead.
+  *
+  * Scale notes: every function here is a per-row scalar kernel — no
+  * shuffle except the final presentation sort; a 100 TB table maps through
+  * unchanged. UDF calls are the only non-codegen links (SURVEY.md §7.5
+  * reserves Expression promotion for when bench data demands it).
   */
 object GeoQueries {
-  def specs: Seq[QuerySpec] = Seq.empty
+
+  private def cust(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+
+  // Integral synthetic lon/lat from the key — exact in double, exact in SQL.
+  private val lonI = (col("c_custkey") % 360) - 180
+  private val latI = (col("c_custkey") % 180) - 90
+  // Offset variant for trig-heavy paths: keeps |lat| ≤ 80.5 (Mercator-safe).
+  private val lonF = ((col("c_custkey") % 340) - 170).cast("double") + 0.5
+  private val latF = ((col("c_custkey") % 160) - 80).cast("double") + 0.5
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ST_Point + ST_AsText: build a point from (x, y), write 2D WKT.
+    // Exercises geo_strategy.rs:322-331's coordinate-pair path.
+    QuerySpec(
+      "geo_point_wkt",
+      (s, dir) =>
+        cust(s, dir)
+          .select(col("c_custkey"),
+            GeoFunctions.stPointWkt(lonI.cast("double"), latI.cast("double")).as("wkt"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     'POINT (' || CAST((c_custkey % 360) - 180 AS BIGINT)
+                       || ' ' || CAST((c_custkey % 180) - 90 AS BIGINT) || ')' AS wkt
+              FROM customer ORDER BY c_custkey""")),
+
+    // WKT parse → centroid X/Y roundtrip: both sides build the same WKT
+    // text; Spark re-parses it through JTS (geo_strategy.rs:174-183's text
+    // probe) and must recover the inputs exactly.
+    QuerySpec(
+      "geo_wkt_centroid",
+      (s, dir) => {
+        val wkt = concat(lit("POINT ("), lonI.cast("string"), lit(" "),
+          latI.cast("string"), lit(")"))
+        cust(s, dir)
+          .select(col("c_custkey"), wkt.as("wkt"))
+          .select(col("c_custkey"),
+            GeoFunctions.centroidXFromWkt(col("wkt")).as("cx"),
+            GeoFunctions.centroidYFromWkt(col("wkt")).as("cy"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                     CAST((c_custkey % 360) - 180 AS DOUBLE) AS cx,
+                     CAST((c_custkey % 180) - 90 AS DOUBLE) AS cy
+              FROM customer ORDER BY c_custkey""")),
+
+    // ST_Transform 4326→3857 (spherical Web Mercator, closed form) —
+    // oracle recomputes the published formula; cm-rounding absorbs libm
+    // last-ulp skew between JVM and DuckDB.
+    QuerySpec(
+      "geo_webmercator",
+      (s, dir) =>
+        cust(s, dir)
+          .select(col("c_custkey"),
+            round(GeoFunctions.toMercX(lonF, latF), 2).as("mx"),
+            round(GeoFunctions.toMercY(lonF, latF), 2).as("my"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     ROUND(6378137.0 * RADIANS(CAST((c_custkey % 340) - 170 AS DOUBLE) + 0.5), 2) AS mx,
+                     ROUND(6378137.0 * LN(TAN(PI()/4.0
+                           + RADIANS(CAST((c_custkey % 160) - 80 AS DOUBLE) + 0.5)/2.0)), 2) AS my
+              FROM customer ORDER BY c_custkey""")),
+
+    // Transform roundtrip 4326→3857→4326: must restore the input to 1e-6
+    // degree (the SURVEY §7 tolerance); oracle emits the inputs directly.
+    QuerySpec(
+      "geo_transform_roundtrip",
+      (s, dir) => {
+        val mx = GeoFunctions.toMercX(lonF, latF)
+        val my = GeoFunctions.toMercY(lonF, latF)
+        val backLon = udf((x: Double) => graft.functions.CrsTransform.webMercatorToLonLat(x, 0.0)._1)
+        val backLat = udf((y: Double) => graft.functions.CrsTransform.webMercatorToLonLat(0.0, y)._2)
+        cust(s, dir)
+          .select(col("c_custkey"),
+            round(backLon(mx), 6).as("lon"),
+            round(backLat(my), 6).as("lat"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                     ROUND(CAST((c_custkey % 340) - 170 AS DOUBLE) + 0.5, 6) AS lon,
+                     ROUND(CAST((c_custkey % 160) - 80 AS DOUBLE) + 0.5, 6) AS lat
+              FROM customer ORDER BY c_custkey""")),
+
+    // CRS range inference (geo_strategy.rs:228-253) as a distributed agg:
+    // bucket rows, min/max the synthetic coords per bucket, classify. The
+    // aggregate runs on executors; classification is a scalar kernel.
+    QuerySpec(
+      "geo_crs_infer",
+      (s, dir) => {
+        val inferU = udf((xmn: Double, xmx: Double, ymn: Double, ymx: Double) =>
+          CrsInference.inferCrsFromRanges(xmn, xmx, ymn, ymx))
+        cust(s, dir)
+          .groupBy((col("c_custkey") % 7).as("bucket"))
+          .agg(
+            min(lonI.cast("double")).as("xmn"), max(lonI.cast("double")).as("xmx"),
+            min(latI.cast("double")).as("ymn"), max(latI.cast("double")).as("ymx"))
+          .select(col("bucket"), inferU(col("xmn"), col("xmx"), col("ymn"), col("ymx")).as("crs"))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (
+                SELECT c_custkey % 7 AS bucket,
+                       MIN(CAST((c_custkey % 360) - 180 AS DOUBLE)) AS xmn,
+                       MAX(CAST((c_custkey % 360) - 180 AS DOUBLE)) AS xmx,
+                       MIN(CAST((c_custkey % 180) - 90 AS DOUBLE)) AS ymn,
+                       MAX(CAST((c_custkey % 180) - 90 AS DOUBLE)) AS ymx
+                FROM customer GROUP BY 1)
+              SELECT bucket,
+                     CASE
+                       WHEN xmn >= -180 AND xmx <= 180 AND ymn >= -90 AND ymx <= 90
+                            AND (xmx - xmn) < 10 AND (ymx - ymn) < 10 THEN '4326'
+                       WHEN xmn >= 0 AND xmx <= 800000 AND ymn >= 0 AND ymx <= 1400000
+                            AND xmn > 1000 AND ymn > 1000 THEN '27700'
+                       WHEN xmn >= -20037508 AND xmx <= 20037508
+                            AND ymn >= -20037508 AND ymx <= 20037508
+                            AND ((xmx - xmn) > 10000 OR (ymx - ymn) > 10000) THEN '3857'
+                       ELSE '4326'
+                     END AS crs
+              FROM r ORDER BY bucket"""))
+  )
 }
