@@ -1,0 +1,174 @@
+package graft.plans
+
+import graft.functions.{CrsInference, GeoFunctions}
+import graft.sources.{FileType, FileTypeDetector, SchemaHeuristics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** Immutable job parameters — the reference's `CoreProcessor` fields minus
+  * the live connection (core_processor.rs:40-48). */
+final case class IngestJob(
+    filePath: String,
+    tableName: String,
+    schemaName: String)
+
+/** The end-to-end ingest pipeline — the Spark re-expression of
+  * `launch_core_processor` (reference: core_processor.rs:97-117):
+  * detect → read (lazy) → discover geometry → strategy dispatch →
+  * transform (still lazy) → sink write.
+  *
+  * Where the reference materializes staging tables (`data`,
+  * `transformed_data`) inside DuckDB, everything here stays a single lazy
+  * Catalyst plan until the sink action: at 100 TB that is the difference
+  * between two full materializations and zero. The only driver-side data
+  * movement is the bounded ≤10-row CRS probe (CrsInference).
+  */
+object IngestPipeline {
+
+  final case class Result(
+      fileType: FileType,
+      tableName: String,
+      geometry: SchemaHeuristics.GeometryColumns,
+      crs: Option[String],
+      transformed: DataFrame)
+
+  val TargetCrs = "4326" // geo_strategy.rs:259 — everything lands as WGS84
+
+  /** `process_file` equivalent (core_processor.rs:463-476). */
+  def run(spark: SparkSession, job: IngestJob, sink: Sink): Result = {
+    val prepared = plan(spark, job)
+    sink.createSchema(job.schemaName)
+    sink.dropTable(job.schemaName, prepared.tableName)
+    if (prepared.geometry.names.isEmpty)
+      sink.write(prepared.transformed, job.schemaName, prepared.tableName)
+    else
+      sink.writeGeo(prepared.transformed, job.schemaName, prepared.tableName,
+        prepared.geometry.names)
+    prepared
+  }
+
+  /** Pure planning half: everything up to (not including) the sink action —
+    * separately testable without any writable target. */
+  def plan(spark: SparkSession, job: IngestJob): Result = {
+    val fileType = FileTypeDetector.detect(job.filePath)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val tableName = FileTypeDetector.cleanTableName(job.tableName)
+    val df = read(spark, job.filePath, fileType)
+    val geometry = SchemaHeuristics.findGeometryColumns(df.schema, fileType)
+    if (geometry.names.isEmpty)
+      Result(fileType, tableName, geometry, None, df) // NonGeoStrategy: identity
+    else {
+      val crs = currentCrs(df, fileType, geometry, job.filePath)
+      Result(fileType, tableName, geometry, Some(crs),
+        GeoTransform(df, fileType, geometry, crs, TargetCrs))
+    }
+  }
+
+  /** Format-dispatched lazy read — the `create_duckb_table` CTAS switch
+    * (core_processor.rs:391-428), as `DataFrameReader` calls. */
+  def read(spark: SparkSession, path: String, fileType: FileType): DataFrame =
+    fileType match {
+      case FileType.Parquet =>
+        spark.read.parquet(path)
+      case FileType.Csv =>
+        // header+infer+tolerate mirrors read_csv(ignore_errors, header)
+        spark.read.option("header", true).option("inferSchema", true)
+          .option("mode", "DROPMALFORMED").csv(path)
+      case FileType.Geojson =>
+        graft.sources.GeoJsonReader.read(spark, path)
+      case FileType.Excel =>
+        graft.sources.XlsxReader.read(spark, path)
+      case FileType.Shapefile =>
+        graft.sources.ShapefileReader.read(spark, path)
+      case FileType.Geopackage =>
+        graft.sources.GeoPackageReader.read(spark, path)
+    }
+
+  /** `get_crs_number` (geo_strategy.rs:21-72): per-format CRS source. */
+  def currentCrs(
+      df: DataFrame,
+      fileType: FileType,
+      geometry: SchemaHeuristics.GeometryColumns,
+      sourcePath: String): String = fileType match {
+    case FileType.Shapefile =>
+      prjCrs(sourcePath).getOrElse("4326")
+    case FileType.Parquet =>
+      CrsInference.inferCrs(df, geometry.names)
+    case FileType.Csv | FileType.Excel =>
+      "4326" // geo_strategy.rs:48-54 — hard default for tabular sources
+    case FileType.Geojson =>
+      "4326" // GeoJSON spec (RFC 7946) mandates CRS84 == lon/lat WGS84
+    case FileType.Geopackage =>
+      graft.sources.GeoPackageReader.srsId(sourcePath).getOrElse("4326")
+  }
+
+  /** `.prj` member sniff inside the shapefile zip (geo_strategy.rs:23-44):
+    * OSGB/27700 marker → BNG, else WGS84. */
+  def prjCrs(zipPath: String): Option[String] =
+    FileTypeDetector.findShapefilePath(zipPath).toOption.flatMap { shpPath =>
+      val prjPath = shpPath.replace(".shp", ".prj")
+      scala.util.Try {
+        Using.resource(new ZipFile(zipPath)) { zf =>
+          zf.entries.asScala.find(_.getName == prjPath).map { entry =>
+            val text = new String(zf.getInputStream(entry).readAllBytes(), "UTF-8")
+            if (text.contains("OSGB") || text.contains("27700")) "27700" else "4326"
+          }
+        }
+      }.toOption.flatten
+    }
+}
+
+/** `GeoStrategy::transform_geom_columns` (geo_strategy.rs:256-347) as a
+  * lazy column rewrite: drop the raw geometry columns, append `<col>_wkt`
+  * reprojected 2D WKT — or, for coordinate-pair tables, build the point
+  * from (x, y) and keep all original columns, filtering null coordinates.
+  */
+object GeoTransform {
+
+  def apply(
+      df: DataFrame,
+      fileType: FileType,
+      geometry: SchemaHeuristics.GeometryColumns,
+      currentCrs: String,
+      targetCrs: String): DataFrame = fileType match {
+
+    case FileType.Csv | FileType.Excel =>
+      val (xCol, yCol) = geometry.coordinatePair.getOrElse(
+        throw new IllegalStateException("No coordinate columns detected"))
+      val geomName = geometry.names.head
+      val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      val wkt =
+        if (currentCrs == targetCrs)
+          GeoFunctions.stPointWkt(col(xCol).cast("double"), col(yCol).cast("double"))
+        else
+          GeoFunctions.stPointTransformWkt(
+            col(xCol).cast("double"), col(yCol).cast("double"),
+            org.apache.spark.sql.functions.lit(currentCrs.toInt),
+            org.apache.spark.sql.functions.lit(targetCrs.toInt))
+      base.withColumn(s"${geomName}_wkt", wkt)
+
+    case _ =>
+      // SELECT * EXCLUDE (geoms), ST_AsText(...) per column (:271-300)
+      geometry.names.foldLeft(df) { (acc, g) =>
+        val src = df.schema(g).dataType
+        val wkt = (src, currentCrs == targetCrs) match {
+          case (BinaryType, true)  => GeoFunctions.stAsTextFromWkb(col(g))
+          case (BinaryType, false) => GeoFunctions.stTransformWkbToWkt(col(g),
+            org.apache.spark.sql.functions.lit(currentCrs.toInt),
+            org.apache.spark.sql.functions.lit(targetCrs.toInt))
+          case (StringType, true)  => GeoFunctions.stAsTextFromWkt(col(g))
+          case (StringType, false) => GeoFunctions.stTransformWktToWkt(col(g),
+            org.apache.spark.sql.functions.lit(currentCrs.toInt),
+            org.apache.spark.sql.functions.lit(targetCrs.toInt))
+          case (other, _) => throw new IllegalArgumentException(
+            s"geometry column '$g' has unsupported type $other")
+        }
+        acc.withColumn(s"${g}_wkt", wkt)
+      }.drop(geometry.names: _*)
+  }
+}

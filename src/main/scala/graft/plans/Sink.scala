@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Output strategy — the reference's `PostgisProcessor` trait generalized
+  * over targets (postgis_processor.rs:7-10). `writeGeo` is the 2-phase
+  * geometry write (WKT columns in, typed geometry out); `write` is the
+  * plain CTAS (non_geo_strategy.rs:16-20). */
+trait Sink {
+  def createSchema(schemaName: String): Unit
+  def dropTable(schemaName: String, tableName: String): Unit
+  def write(df: DataFrame, schemaName: String, tableName: String): Unit
+  def writeGeo(df: DataFrame, schemaName: String, tableName: String,
+      geomColumns: Seq[String]): Unit
+}
+
+/** Test/bench sink: one parquet dataset per table under `rootDir`. Geometry
+  * arrives as the `_wkt` columns the transform produced — parquet has no
+  * geometry type, so phase 2 is a no-op by design. */
+final class ParquetSink(rootDir: String) extends Sink {
+  private def path(schemaName: String, tableName: String) =
+    s"$rootDir/$schemaName/$tableName"
+
+  override def createSchema(schemaName: String): Unit =
+    new java.io.File(s"$rootDir/$schemaName").mkdirs()
+
+  override def dropTable(schemaName: String, tableName: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    val f = new java.io.File(path(schemaName, tableName))
+    if (f.exists()) rm(f)
+  }
+
+  override def write(df: DataFrame, schemaName: String, tableName: String): Unit =
+    df.write.mode("overwrite").parquet(path(schemaName, tableName))
+
+  override def writeGeo(df: DataFrame, schemaName: String, tableName: String,
+      geomColumns: Seq[String]): Unit =
+    write(df, schemaName, tableName)
+}
+
+/** PostGIS sink: reproduces the reference's DDL + 2-phase geometry write
+  * byte-for-byte at the SQL level (geo_strategy.rs:350-421,
+  * core_processor.rs:134-162). The bulk row transfer is a distributed JDBC
+  * write (`df.write.format("jdbc")` — one connection per partition, so a
+  * 1000-executor cluster streams in parallel, unlike the reference's
+  * single-socket CTAS); the transactional PL/pgSQL block then converts
+  * `_wkt` text to typed geometry *inside Postgres*, preserving the
+  * invalid-WKT→NULL semantics of `safe_geom_from_text`.
+  *
+  * No PostgreSQL driver jar ships in this offline image, so `execute` is
+  * left to the caller's environment; all SQL generation is pure and
+  * unit-tested (SURVEY.md §5.5).
+  */
+final class JdbcPostgisSink(jdbcUrl: String, execute: String => Unit)
+    extends Sink {
+
+  import JdbcPostgisSink._
+
+  override def createSchema(schemaName: String): Unit =
+    execute(createSchemaSql(schemaName))
+
+  override def dropTable(schemaName: String, tableName: String): Unit =
+    execute(dropTableSql(schemaName, tableName))
+
+  override def write(df: DataFrame, schemaName: String, tableName: String): Unit =
+    df.write.format("jdbc")
+      .option("url", jdbcUrl)
+      .option("dbtable", qualified(schemaName, tableName))
+      .save()
+
+  override def writeGeo(df: DataFrame, schemaName: String, tableName: String,
+      geomColumns: Seq[String]): Unit = {
+    write(df, schemaName, tableName) // phase 1: WKT columns land as text
+    execute(geometryConversionSql(qualified(schemaName, tableName), geomColumns))
+  }
+}
+
+object JdbcPostgisSink {
+
+  /** `"schema"."table"` quoting (core_processor.rs:147-149). */
+  def qualified(schemaName: String, tableName: String): String =
+    "\"" + schemaName + "\".\"" + tableName + "\""
+
+  def createSchemaSql(schemaName: String): String =
+    s"""CREATE SCHEMA IF NOT EXISTS "$schemaName";"""
+
+  def dropTableSql(schemaName: String, tableName: String): String =
+    s"DROP TABLE IF EXISTS ${qualified(schemaName, tableName)};"
+
+  /** Phase 2, per geometry column, inside one transaction — the exact
+    * template of geo_strategy.rs:370-400 (safe_geom_from_text exception →
+    * NULL; empty/null WKT rows skipped; `_wkt` scaffolding dropped). */
+  def geometryConversionSql(qualifiedTable: String, geomColumns: Seq[String]): String = {
+    val blocks = geomColumns.map { g =>
+      s"""ALTER TABLE $qualifiedTable ADD COLUMN "$g" geometry;
+         |
+         |CREATE OR REPLACE FUNCTION safe_geom_from_text(wkt_text TEXT, srid INTEGER)
+         |RETURNS geometry AS $$$$
+         |BEGIN
+         |    RETURN ST_GeomFromText(wkt_text, srid);
+         |EXCEPTION
+         |    WHEN OTHERS THEN
+         |        RETURN NULL;
+         |END;
+         |$$$$ LANGUAGE plpgsql;
+         |
+         |UPDATE $qualifiedTable
+         |SET "$g" = safe_geom_from_text("${g}_wkt", 4326)
+         |WHERE "${g}_wkt" IS NOT NULL
+         |  AND "${g}_wkt" != '';
+         |
+         |DROP FUNCTION safe_geom_from_text(TEXT, INTEGER);
+         |ALTER TABLE $qualifiedTable DROP COLUMN "${g}_wkt";""".stripMargin
+    }
+    s"BEGIN TRANSACTION;\n${blocks.mkString("\n")}\nCOMMIT;"
+  }
+}

@@ -33,6 +33,19 @@ object FileTypeDetector {
   /** ≤150-byte header magic match → full-body GeoJSON sniff → `.csv`
     * extension fallback (reference: core_processor.rs:286-317). */
   def detect(filePath: String): Either[String, FileType] = {
+    // A Spark-written parquet dataset is a DIRECTORY of part files; detect
+    // on the first data file inside (the reference only ever saw single
+    // files — this is the Spark-native generalization).
+    val f = new java.io.File(filePath)
+    if (f.isDirectory) {
+      val inner = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile && !c.getName.startsWith("_") && !c.getName.startsWith("."))
+        .sortBy(_.getName)
+      return inner.headOption match {
+        case Some(c) => detect(c.getPath)
+        case None => Left(s"directory '$filePath' contains no data files")
+      }
+    }
     val header =
       try Using.resource(new FileInputStream(filePath)) { in =>
         val buf = new Array[Byte](150)

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** GeoPackage → DataFrame, replacing the reference's `st_read('x.gpkg')`
+  * (core_processor.rs:393-398). A .gpkg is an SQLite database (OGC
+  * GeoPackage spec): `gpkg_geometry_columns` names the feature tables and
+  * their geometry column + SRS; feature rows carry geometry as a GPB
+  * (GeoPackage binary) blob = 8-byte header + optional envelope + standard
+  * WKB. We walk the SQLite B-trees with [[SqliteReader]], strip the GPB
+  * envelope, and emit the WKB as a BinaryType column under its original
+  * name (so SchemaHeuristics finds it by the same rules the reference's
+  * information_schema query would).
+  */
+object GeoPackageReader {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val db = new SqliteReader(path)
+    val featureTable = firstFeatureTable(db)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$path' has no feature table in gpkg_geometry_columns/gpkg_contents"))
+    val (geomCol, _) = geometryColumn(db, featureTable)
+    val (cols, rows) = db.readTable(featureTable)
+
+    val geomIdx = cols.indexWhere(_.equalsIgnoreCase(geomCol))
+    val converted = rows.map { r =>
+      if (geomIdx >= 0) r(geomIdx) match {
+        case b: Array[Byte] => r.updated(geomIdx, gpbToWkb(b))
+        case _ => r
+      } else r
+    }
+
+    val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
+      StructField(c, inferType(converted.iterator.map(r => r(i))))
+    })
+    val data = converted.map(r => Row.fromSeq(r.zip(schema.fields).map {
+      case (v, f) => coerce(v, f.dataType)
+    }))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, data.length / 50000)), schema)
+  }
+
+  /** First feature table: gpkg_geometry_columns, falling back to
+    * gpkg_contents rows with data_type='features'. */
+  private def firstFeatureTable(db: SqliteReader): Option[String] =
+    db.tableRoot("gpkg_geometry_columns").flatMap { _ =>
+      val (cols, rows) = db.readTable("gpkg_geometry_columns")
+      val ti = cols.indexWhere(_.equalsIgnoreCase("table_name"))
+      rows.headOption.map(_(ti).asInstanceOf[String])
+    }.orElse {
+      db.tableRoot("gpkg_contents").flatMap { _ =>
+        val (cols, rows) = db.readTable("gpkg_contents")
+        val ti = cols.indexWhere(_.equalsIgnoreCase("table_name"))
+        val di = cols.indexWhere(_.equalsIgnoreCase("data_type"))
+        rows.find(r => r(di) == "features").map(_(ti).asInstanceOf[String])
+      }
+    }
+
+  /** (geometry column name, srs_id) for a feature table. */
+  def geometryColumn(db: SqliteReader, table: String): (String, Int) = {
+    val (cols, rows) = db.readTable("gpkg_geometry_columns")
+    val ti = cols.indexWhere(_.equalsIgnoreCase("table_name"))
+    val ci = cols.indexWhere(_.equalsIgnoreCase("column_name"))
+    val si = cols.indexWhere(_.equalsIgnoreCase("srs_id"))
+    rows.find(_(ti) == table)
+      .map(r => (r(ci).asInstanceOf[String], r(si) match {
+        case l: java.lang.Long => l.toInt; case l: Long => l.toInt; case _ => 4326
+      }))
+      .getOrElse(("geom", 4326))
+  }
+
+  /** The declared SRS of the first feature table — the `st_read_meta` CRS
+    * lookup (reference: geo_strategy.rs:55-70). */
+  def srsId(path: String): Option[String] =
+    scala.util.Try {
+      val db = new SqliteReader(path)
+      firstFeatureTable(db).map(t => geometryColumn(db, t)._2.toString)
+    }.toOption.flatten
+
+  /** GPB header (GeoPackage spec §2.1.3): magic "GP", version, flags
+    * (bit 0 = little-endian srs_id, bits 1-3 = envelope kind), srs_id,
+    * envelope doubles, then plain WKB. */
+  def gpbToWkb(gpb: Array[Byte]): Array[Byte] = {
+    if (gpb.length < 8 || gpb(0) != 'G' || gpb(1) != 'P') return gpb // already WKB
+    val flags = gpb(3) & 0xFF
+    val envelopeKind = (flags >> 1) & 0x07
+    val envelopeDoubles = envelopeKind match {
+      case 0 => 0
+      case 1 => 4
+      case 2 | 3 => 6
+      case 4 => 8
+      case _ => return null // invalid envelope contents indicator
+    }
+    val off = 8 + envelopeDoubles * 8
+    if (off >= gpb.length) null else gpb.drop(off)
+  }
+
+  private def inferType(values: Iterator[Any]): DataType = {
+    val present = values.filter(_ != null).take(1000).toSeq
+    present.headOption match {
+      case Some(_: Long) | Some(_: java.lang.Long) => LongType
+      case Some(_: Double) | Some(_: java.lang.Double) =>
+        DoubleType
+      case Some(_: Array[Byte]) => BinaryType
+      case _ => StringType
+    }
+  }
+
+  private def coerce(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _) => null
+    case (l: Long, DoubleType) => l.toDouble
+    case (d: Double, LongType) => d.toLong
+    case (x, StringType) if !x.isInstanceOf[String] && !x.isInstanceOf[Array[Byte]] => x.toString
+    case (x, _) => x
+  }
+}

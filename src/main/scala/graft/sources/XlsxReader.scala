@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+import scala.util.{Try, Using}
+import scala.xml.XML
+
+/** XLSX → DataFrame, replacing the reference's `read_xlsx(path)` CTAS
+  * (core_processor.rs:407-412). An .xlsx is a zip of XML parts
+  * (ECMA-376): `xl/worksheets/sheet1.xml` holds cells,
+  * `xl/sharedStrings.xml` the string pool. First row = header (the
+  * reference reads with header=true semantics); column types are inferred
+  * per column (BIGINT ⊂ DOUBLE ⊂ VARCHAR) like DuckDB's reader.
+  *
+  * The workbook is parsed on the DRIVER and parallelized from memory:
+  * spreadsheets are a human-authored ingest format (MBs, not TBs), and
+  * this matches the reference, where DuckDB's read_xlsx is equally
+  * single-node. The resulting DataFrame distributes normally.
+  */
+object XlsxReader {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (header, rows) = parse(path)
+    val types = inferTypes(header.length, rows)
+    val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t) })
+    val data = rows.map { r =>
+      Row.fromSeq(header.indices.map { i =>
+        val v = if (i < r.length) r(i) else None
+        v.map(coerce(_, types(i))).orNull
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, math.max(1, data.length / 10000)), schema)
+  }
+
+  /** Raw cells: header row + data rows, each cell an Option[String] in
+    * sheet order. Legacy `.xls` (CFBF container) is detected upstream but
+    * unsupported here, with a clear error (SURVEY.md §2.1). */
+  def parse(path: String): (Seq[String], Seq[Array[Option[String]]]) =
+    Using.resource(new ZipFile(path)) { zf =>
+      def entryBytes(name: String): Option[Array[Byte]] =
+        Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())
+
+      if (zf.getEntry("xl/workbook.xml") == null)
+        throw new IllegalArgumentException(
+          s"'$path' is not an xlsx workbook (legacy .xls is not supported; re-save as .xlsx)")
+
+      val shared: IndexedSeq[String] = entryBytes("xl/sharedStrings.xml").map { b =>
+        val x = XML.loadString(new String(b, "UTF-8"))
+        // each <si> concatenates its <t> descendants (covers rich-text runs)
+        (x \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+      }.getOrElse(IndexedSeq.empty)
+
+      val sheetName = (1 to 20).map(i => s"xl/worksheets/sheet$i.xml")
+        .find(zf.getEntry(_) != null)
+        .getOrElse(throw new IllegalArgumentException(s"no worksheet found in '$path'"))
+      val sheet = XML.loadString(new String(entryBytes(sheetName).get, "UTF-8"))
+
+      val parsedRows: Seq[(Int, Map[Int, String])] = (sheet \\ "row").map { row =>
+        val rowIdx = (row \ "@r").text.toIntOption.getOrElse(0)
+        val cells = (row \ "c").flatMap { c =>
+          val ref = (c \ "@r").text       // e.g. "B3"
+          val colIdx = colIndex(ref)
+          val t = (c \ "@t").text
+          val value: Option[String] = t match {
+            case "s" => (c \ "v").headOption.map(_.text.trim)
+              .flatMap(_.toIntOption).flatMap(shared.lift)
+            case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
+            case "b" => (c \ "v").headOption.map(v => if (v.text.trim == "1") "true" else "false")
+            case _ => (c \ "v").headOption.map(_.text)
+          }
+          value.map(colIdx -> _)
+        }.toMap
+        (rowIdx, cells)
+      }
+
+      val nonEmpty = parsedRows.filter(_._2.nonEmpty).sortBy(_._1)
+      if (nonEmpty.isEmpty) return (Seq.empty, Seq.empty)
+
+      val width = nonEmpty.iterator.flatMap(_._2.keys).max + 1
+      def toArray(cells: Map[Int, String]): Array[Option[String]] =
+        Array.tabulate(width)(i => cells.get(i))
+
+      val header = toArray(nonEmpty.head._2).zipWithIndex
+        .map { case (v, i) => v.getOrElse(s"col$i") }.toSeq
+      (header, nonEmpty.tail.map(r => toArray(r._2)))
+    }
+
+  /** "BC12" → 54 (0-based column index from the A1-style reference). */
+  def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+  }
+
+  /** Narrowest type that fits every non-null value in the column. */
+  private def inferTypes(width: Int, rows: Seq[Array[Option[String]]]): Seq[DataType] =
+    (0 until width).map { i =>
+      val values = rows.iterator.flatMap(r => if (i < r.length) r(i) else None).toSeq
+      if (values.isEmpty) StringType
+      else if (values.forall(_.toLongOption.isDefined)) LongType
+      else if (values.forall(v => Try(v.toDouble).isSuccess)) DoubleType
+      else StringType
+    }
+
+  private def coerce(v: String, t: DataType): Any = t match {
+    case LongType   => v.toLong
+    case DoubleType => v.toDouble
+    case _          => v
+  }
+}

@@ -1,0 +1,341 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** End-to-end pipeline fixtures (FIXTURES.md §B): detect → read → discover
+  * → infer → transform, checked without any live Postgres via ParquetSink
+  * and direct plan() assertions. */
+class IngestPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir: Path = {
+    val d = Files.createTempDirectory("graft-pipe")
+    d.toFile.deleteOnExit(); d
+  }
+
+  private def writeFile(dir: Path, name: String, bytes: Array[Byte]): String = {
+    val p = dir.resolve(name); Files.write(p, bytes); p.toString
+  }
+
+  // ------------------------------------------------------- CSV coordinate path
+
+  test("coords_wgs84.csv: pair detect, ST_Point WKT, null-pair filter, CRS 4326") {
+    val csv = "id,name,longitude,latitude\n1,a,-0.1,51.5\n2,b,,\n3,c,1.25,52.0\n"
+    val path = writeFile(tmpDir, "coords_wgs84.csv", csv.getBytes("UTF-8"))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "coords_wgs84.csv", "s"))
+    assert(res.fileType == FileType.Csv && res.tableName == "coords_wgs84")
+    assert(res.geometry.coordinatePair.contains(("longitude", "latitude")))
+    assert(res.crs.contains("4326"))
+    val rows = res.transformed.orderBy("id").collect()
+    assert(rows.length == 2) // null pair dropped (geo_strategy.rs:328-337)
+    val wktCol = "geom_from_longitude_latitude_wkt"
+    assert(rows(0).getAs[String](wktCol) == "POINT (-0.1 51.5)")
+    assert(rows(1).getAs[String](wktCol) == "POINT (1.25 52)")
+  }
+
+  test("coords_bng.csv: easting/northing pattern; CSV hard-defaults to 4326 (geo_strategy.rs:48-54)") {
+    val csv = "id,easting,northing\n1,530000,180000\n"
+    val path = writeFile(tmpDir, "coords_bng.csv", csv.getBytes("UTF-8"))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "bng", "s"))
+    assert(res.geometry.coordinatePair.contains(("easting", "northing")))
+    // Reference behavior: CSV never infers — the BNG values pass through as
+    // "already 4326" (its own documented TODO). We preserve that faithfully.
+    assert(res.crs.contains("4326"))
+    val wkt = res.transformed.collect()(0)
+      .getAs[String]("geom_from_easting_northing_wkt")
+    assert(wkt == "POINT (530000 180000)")
+  }
+
+  test("nogeom.csv: NonGeoStrategy — identity passthrough") {
+    val csv = "id,name,value\n1,test,100\n"
+    val path = writeFile(tmpDir, "nogeom.csv", csv.getBytes("UTF-8"))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "nogeom.csv", "s"))
+    assert(res.geometry.names.isEmpty && res.crs.isEmpty)
+    assert(res.transformed.columns.toSeq == Seq("id", "name", "value"))
+  }
+
+  // ------------------------------------------------------- parquet WKB path
+
+  test("geoms_wkb.parquet: BLOB heuristic, WKB probe → 4326, WKT out; gdb_geomattr_data excluded") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("geo", BinaryType),
+      StructField("gdb_geomattr_data", BinaryType)))
+    val wkb = (x: Double, y: Double) =>
+      graft.functions.GeoFunctions.toWkb(graft.functions.GeoFunctions.point(x, y))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, wkb(-0.5, 51.0), Array[Byte](9)),
+      org.apache.spark.sql.Row(2L, wkb(0.5, 52.0), null))
+    val pqt = dir.resolve("geoms_wkb.parquet").toString
+    spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(pqt)
+
+    val res = IngestPipeline.plan(spark, IngestJob(pqt, "g.parquet", "s"))
+    assert(res.fileType == FileType.Parquet)
+    assert(res.geometry.names == Seq("geo")) // gdb_geomattr_data excluded
+    assert(res.crs.contains("4326"))         // probe ranges are tight lon/lat
+    val out = res.transformed.orderBy("id").collect()
+    assert(!res.transformed.columns.contains("geo"))
+    assert(out(0).getAs[String]("geo_wkt") == "POINT (-0.5 51)")
+  }
+
+  test("geoms_wkt.parquet: text probe; invalid WKT → NULL (safe_geom semantics)") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("geom", StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "POINT (1 2)"),
+      org.apache.spark.sql.Row(2L, "POINT (oops)"),
+      org.apache.spark.sql.Row(3L, null))
+    val pqt = tmpDir.resolve("geoms_wkt.parquet").toString
+    val df = spark.createDataFrame(rows.asJava, schema)
+    df.coalesce(1).write.parquet(pqt)
+    // Reference parity: VARCHAR geom-named columns are EXCLUDED by the
+    // information_schema heuristic (core_processor.rs:179 `data_type !=
+    // 'VARCHAR'`) — a WKT-text parquet is non-geo to the reference too.
+    val res = IngestPipeline.plan(spark, IngestJob(pqt, "t", "s"))
+    assert(res.geometry.names.isEmpty)
+    // The WKT kernel itself (used when a caller DECLARES the column, and by
+    // the probe chain) still honors invalid→NULL:
+    val declared = SchemaHeuristics.GeometryColumns(Seq("geom"), None)
+    val out = GeoTransform(spark.read.parquet(pqt), FileType.Parquet,
+      declared, "4326", "4326").orderBy("id").collect()
+    assert(out(0).getAs[String]("geom_wkt") == "POINT (1 2)")
+    assert(out(1).getAs[String]("geom_wkt") == null)
+    assert(out(2).getAs[String]("geom_wkt") == null)
+  }
+
+  // ------------------------------------------------------- shapefile zip path
+
+  private def pointShp(x: Double, y: Double): Array[Byte] = {
+    val buf = ByteBuffer.allocate(128)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994); buf.putInt(24, 64) // file length in 16-bit words
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(28, 1000); buf.putInt(32, 1) // version, shape type Point
+    buf.putDouble(36, x); buf.putDouble(44, y); buf.putDouble(52, x); buf.putDouble(60, y)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(100, 1); buf.putInt(104, 10) // rec 1, content 10 words
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(108, 1); buf.putDouble(112, x); buf.putDouble(120, y)
+    buf.array()
+  }
+
+  private def simpleDbf(names: Seq[String]): Array[Byte] = {
+    val recordSize = 1 + 10
+    val headerSize = 32 + 32 + 1
+    val buf = ByteBuffer.allocate(headerSize + names.length * recordSize + 1)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0, 3.toByte)
+    buf.putInt(4, names.length)
+    buf.putShort(8, headerSize.toShort); buf.putShort(10, recordSize.toShort)
+    val fname = "name".getBytes("US-ASCII")
+    for (i <- fname.indices) buf.put(32 + i, fname(i))
+    buf.put(43, 'C'.toByte); buf.put(48, 10.toByte)
+    buf.put(64, 0x0D.toByte)
+    var off = headerSize
+    for (n <- names) {
+      buf.put(off, ' '.toByte)
+      val padded = n.padTo(10, ' ').getBytes("US-ASCII")
+      for (i <- 0 until 10) buf.put(off + 1 + i, padded(i))
+      off += recordSize
+    }
+    buf.array()
+  }
+
+  private def zipOf(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    for ((name, bytes) <- entries) {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(bytes); zos.closeEntry()
+    }
+    zos.close(); bos.toByteArray
+  }
+
+  test("bng_shapes.zip: detect, .prj sniff → 27700, reproject to 4326 WKT") {
+    // London ~ BNG (530062, 180380)
+    val (e, n) = graft.functions.CrsTransform.lonLatToOsgb(-0.1275, 51.5072)
+    val zip = zipOf(
+      "test.shp" -> pointShp(e, n),
+      "test.dbf" -> simpleDbf(Seq("London")),
+      "test.prj" -> """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936"]]""".getBytes("UTF-8"))
+    val path = writeFile(tmpDir, "bng_shapes.zip", zip)
+    assert(FileTypeDetector.detect(path) == Right(FileType.Shapefile))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "bng_shapes.zip", "s"))
+    assert(res.crs.contains("27700"))
+    assert(res.geometry.names == Seq("geom"))
+    val row = res.transformed.collect()(0)
+    assert(row.getAs[String]("name") == "London")
+    val wkt = row.getAs[String]("geom_wkt")
+    val g = graft.functions.GeoFunctions.parseWkt(wkt).get
+    assert(math.abs(g.getCentroid.getX - -0.1275) < 1e-5)
+    assert(math.abs(g.getCentroid.getY - 51.5072) < 1e-5)
+  }
+
+  test("shapefile polygon with hole assembles shell + interior ring") {
+    // shell CW, hole CCW per shapefile convention
+    val shell = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val hole = Array((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))
+    val nPts = shell.length + hole.length
+    val content = 4 + 32 + 8 + 8 * 2 + nPts * 16 // type+box+counts+parts+pts
+    val buf = ByteBuffer.allocate(100 + 8 + content)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994); buf.putInt(24, (100 + 8 + content) / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN); buf.putInt(28, 1000); buf.putInt(32, 5)
+    buf.order(ByteOrder.BIG_ENDIAN); buf.putInt(100, 1); buf.putInt(104, content / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    var o = 108
+    buf.putInt(o, 5); o += 4         // polygon
+    o += 32                          // bbox (zeros fine)
+    buf.putInt(o, 2); o += 4         // numParts
+    buf.putInt(o, nPts); o += 4      // numPoints
+    buf.putInt(o, 0); o += 4; buf.putInt(o, shell.length); o += 4
+    for ((x, y) <- shell ++ hole) { buf.putDouble(o, x); o += 8; buf.putDouble(o, y); o += 8 }
+    val geoms = ShapefileReader.parseShp(buf.array())
+    assert(geoms.length == 1)
+    val poly = geoms.head.get.asInstanceOf[org.locationtech.jts.geom.Polygon]
+    assert(poly.getNumInteriorRing == 1)
+    assert(poly.getArea == 100.0 - 4.0)
+  }
+
+  // ------------------------------------------------------- geojson path
+
+  test("point.geojson end-to-end: properties + geometry WKB → 4326 WKT") {
+    val body =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[-0.1,51.5]},
+        | "properties":{"name":"Test","pop":42}}]}""".stripMargin
+    val path = writeFile(tmpDir, "point.geojson", body.getBytes("UTF-8"))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "point.geojson", "s"))
+    assert(res.fileType == FileType.Geojson)
+    assert(res.geometry.names == Seq("geometry"))
+    assert(res.crs.contains("4326"))
+    val row = res.transformed.collect()(0)
+    assert(row.getAs[String]("name") == "Test")
+    assert(row.getAs[Long]("pop") == 42L)
+    assert(row.getAs[String]("geometry_wkt") == "POINT (-0.1 51.5)")
+  }
+
+  test("geojson polygon + multilinestring geometries decode") {
+    val body =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[0,2],[2,2],[2,0],[0,0]]]},"properties":{"id":1}},
+        |{"type":"Feature","geometry":{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[2,2],[3,3]]]},"properties":{"id":2}}]}""".stripMargin
+    val path = writeFile(tmpDir, "shapes.geojson", body.getBytes("UTF-8"))
+    val df = GeoJsonReader.read(spark, path)
+    val wkbs = df.orderBy("id").collect().map(_.getAs[Array[Byte]]("geometry"))
+    val g0 = graft.functions.GeoFunctions.parseWkb(wkbs(0)).get
+    assert(g0.getGeometryType == "Polygon" && g0.getArea == 4.0)
+    val g1 = graft.functions.GeoFunctions.parseWkb(wkbs(1)).get
+    assert(g1.getGeometryType == "MultiLineString" && g1.getNumGeometries == 2)
+  }
+
+  // ------------------------------------------------------- xlsx path
+
+  private def minimalXlsx(): Array[Byte] = {
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="inlineStr"><is><t>inline!</t></is></c><c r="C3"><v>2.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val strings =
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>id</t></si><si><t>name</t></si><si><t>score</t></si><si><r><t>Al</t></r><r><t>ice</t></r></si>
+        |</sst>""".stripMargin
+    zipOf(
+      "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+      "xl/workbook.xml" -> "<workbook/>".getBytes("UTF-8"),
+      "xl/sharedStrings.xml" -> strings.getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes("UTF-8"))
+  }
+
+  test("book.xlsx: detect → header + typed columns; rich-text shared string") {
+    val path = writeFile(tmpDir, "book.xlsx", minimalXlsx())
+    assert(FileTypeDetector.detect(path) == Right(FileType.Excel))
+    val df = XlsxReader.read(spark, path)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("score").dataType == DoubleType)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("name") == "Alice") // rich-text runs concat
+    assert(rows(1).getAs[String]("name") == "inline!")
+  }
+
+  test("xlsx colIndex decodes A1-style refs") {
+    assert(XlsxReader.colIndex("A1") == 0)
+    assert(XlsxReader.colIndex("Z9") == 25)
+    assert(XlsxReader.colIndex("AA3") == 26)
+    assert(XlsxReader.colIndex("BC12") == 54)
+  }
+
+  // ------------------------------------------------------- geopackage path
+
+  test("minimal.gpkg: sqlite walk, GPB strip, srs lookup, pipeline WKT") {
+    val path = "src/test/resources/fixtures/minimal.gpkg"
+    assert(FileTypeDetector.detect(path) == Right(FileType.Geopackage))
+    assert(GeoPackageReader.srsId(path).contains("4326"))
+    val df = GeoPackageReader.read(spark, path)
+    assert(df.columns.toSeq == Seq("fid", "name", "pop", "geom"))
+    val rows = df.orderBy("fid").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[String]("name") == "London")
+    val g = graft.functions.GeoFunctions.parseWkb(rows(0).getAs[Array[Byte]]("geom")).get
+    assert(g.getCentroid.getX == -0.1275 && g.getCentroid.getY == 51.5072)
+    // overflow-page row (8000-char name) survives intact
+    assert(rows(3).getAs[String]("name").length == 8000)
+    // full pipeline over the gpkg
+    val res = IngestPipeline.plan(spark, IngestJob(path, "minimal.gpkg", "s"))
+    assert(res.geometry.names == Seq("geom"))
+    assert(res.transformed.orderBy("fid").collect()(0)
+      .getAs[String]("geom_wkt") == "POINT (-0.1275 51.5072)")
+  }
+
+  // ------------------------------------------------------- sinks
+
+  test("ParquetSink end-to-end run() writes transformed table") {
+    val dir = tmpDir
+    val csv = "id,lon,lat\n1,-0.1,51.5\n"
+    val path = writeFile(dir, "pts.csv", csv.getBytes("UTF-8"))
+    val sinkRoot = dir.resolve("out").toString
+    val res = IngestPipeline.run(spark, IngestJob(path, "pts.csv", "myschema"),
+      new ParquetSink(sinkRoot))
+    assert(res.geometry.coordinatePair.contains(("lon", "lat")))
+    val written = spark.read.parquet(s"$sinkRoot/myschema/pts")
+    assert(written.count() == 1)
+    assert(written.columns.contains("geom_from_lon_lat_wkt"))
+  }
+
+  test("JdbcPostgisSink SQL templates match the reference byte-for-byte semantics") {
+    import JdbcPostgisSink._
+    assert(qualified("s", "t") == "\"s\".\"t\"")
+    assert(createSchemaSql("my schema") == "CREATE SCHEMA IF NOT EXISTS \"my schema\";")
+    assert(dropTableSql("s", "t") == "DROP TABLE IF EXISTS \"s\".\"t\";")
+    val sql = geometryConversionSql("\"s\".\"t\"", Seq("geom"))
+    // the exact clauses of geo_strategy.rs:370-400
+    assert(sql.contains("BEGIN TRANSACTION;"))
+    assert(sql.contains("ALTER TABLE \"s\".\"t\" ADD COLUMN \"geom\" geometry;"))
+    assert(sql.contains("CREATE OR REPLACE FUNCTION safe_geom_from_text(wkt_text TEXT, srid INTEGER)"))
+    assert(sql.contains("EXCEPTION"))
+    assert(sql.contains("RETURN NULL;"))
+    assert(sql.contains("SET \"geom\" = safe_geom_from_text(\"geom_wkt\", 4326)"))
+    assert(sql.contains("WHERE \"geom_wkt\" IS NOT NULL"))
+    assert(sql.contains("AND \"geom_wkt\" != '';"))
+    assert(sql.contains("DROP FUNCTION safe_geom_from_text(TEXT, INTEGER);"))
+    assert(sql.contains("ALTER TABLE \"s\".\"t\" DROP COLUMN \"geom_wkt\";"))
+    // two geometry columns → two blocks, one transaction
+    val sql2 = geometryConversionSql("\"s\".\"t\"", Seq("g1", "g2"))
+    assert("ALTER TABLE .* ADD COLUMN".r.findAllIn(sql2).length == 2)
+    assert("BEGIN TRANSACTION;".r.findAllIn(sql2).length == 1)
+  }
+}
