@@ -29,6 +29,7 @@ object Registry {
       operators.DedupQueries.specs ++
       operators.SimilarityQueries.specs ++
       operators.TextQueries.specs ++
+      operators.MultimodalQueries.specs ++
       operators.StreamingQueries.specs ++
       operators.GeoQueries.specs
 

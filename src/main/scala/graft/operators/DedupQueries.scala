@@ -1,25 +1,46 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (SURVEY.md §2.12, extension
-  * surface for LLM training-data pipelines).
+  * surface for LLM training-data pipelines): exact, MinHash+LSH, SimHash,
+  * and windowed n-gram Jaccard. Embedding-cosine near-dup lives in
+  * SimilarityQueries (same kernel as top-k search).
   *
-  * Scale design: every variant shuffles compact keys (md5 digests / minhash
-  * signatures), never full document text. Exact dedup groups by content hash;
-  * near-dup variants generate bounded candidate pairs (LSH band buckets)
+  * Scale design: every variant shuffles compact keys (md5 digests, 32-bit
+  * token hashes, minhash signatures), never full document text; near-dup
+  * candidate generation is bounded (LSH band buckets / fixed windows)
   * before any pairwise verification, so work is O(candidates), not O(n²).
+  * The cross-engine hash primitive is the first 8 hex chars of md5 —
+  * identical on Spark (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,8))::BIGINT`), making every stage
+  * oracle-checkable with deterministic seeds.
   */
 object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Tokens of the trimmed text, whitespace-split (matches DuckDB
-    * string_split_regex(trim(text), '\s+')). */
-  private val toks = split(trim(col("text")), "\\s+")
+  /** First-8-hex-of-md5 → uint32-in-long: the shared Spark/DuckDB hash. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // MinHash constants — deterministic, reproduced literally in the oracle.
+  private val P = 4294967311L // smallest prime > 2^32
+  private val K = 16          // permutations
+  private val Bands = 8       // bands of 2 rows each
+
+  /** Distinct (doc_id, shingle-hash) pairs; 3-token shingles. */
+  private def shingleHashes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 3,
+          expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("h"))
+      .distinct()
 
   def specs: Seq[QuerySpec] = Seq(
 
@@ -34,6 +55,154 @@ object DedupQueries {
           .select("keep_id", "n_copies")
           .orderBy("keep_id"),
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-              FROM documents GROUP BY MD5(text) ORDER BY keep_id"""))
+              FROM documents GROUP BY MD5(text) ORDER BY keep_id""")),
+
+    // MinHash + LSH near-dup: shingle → 16-perm signature → 8 band buckets
+    // → candidate pairs → exact-Jaccard verify ≥ 0.2. At 100 TB the band
+    // self-join is the only shuffle that grows with corpus size, and it
+    // carries (doc_id, 2-long band key) rows only.
+    QuerySpec(
+      "dedup_minhash",
+      (s, dir) => {
+        val sh = shingleHashes(docs(s, dir)).cache()
+        val mins = (0 until K).map(i =>
+          min((col("h") * (2 * i + 1) + lit(7919L * i)) % P).as(s"s$i"))
+        val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(j =>
+          struct(lit(j).as("b"),
+            concat_ws("_", col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("key"))): _*)).as("bd"))
+          .select(col("doc_id"), col("bd.b").as("b"), col("bd.key").as("key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        val inter = cand
+          .join(sh.as("sa"), col("sa.doc_id") === col("da"))
+          .join(sh.as("sb"),
+            col("sb.doc_id") === col("db") && col("sb.h") === col("sa.h"))
+          .groupBy("da", "db").agg(count(lit(1)).as("ic"))
+        inter
+          .join(broadcast(sizes.as("ca")), col("ca.doc_id") === col("da"))
+          .join(broadcast(sizes.as("cb")), col("cb.doc_id") === col("db"))
+          .withColumn("jaccard",
+            col("ic").cast("double") / (col("ca.c") + col("cb.c") - col("ic")))
+          .filter(col("jaccard") >= 0.2)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(MinHashOracle)),
+
+    // SimHash fingerprints via the typed Aggregator (partial-aggregating:
+    // constant shuffle bytes per doc regardless of text length).
+    QuerySpec(
+      "dedup_simhash",
+      (s, dir) => {
+        val simhash = udaf(graft.functions.SimHash)
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .select(col("doc_id"), h32(col("tok")).as("h"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(simhash(col("h")).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT DISTINCT doc_id,
+                       ('0x'||SUBSTR(MD5(UNNEST(STRING_SPLIT_REGEX(TRIM(text),'\s+'))),1,8))::BIGINT AS h
+                FROM documents),
+              bits AS (
+                SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM tk, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS b)
+                GROUP BY doc_id, b)
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Blocked word-bigram Jaccard: candidates are pairs sharing a blocking
+    // key (their first two tokens) — the classic prefix-blocking scheme.
+    // At 100 TB the block groupBy is one shuffle on a short string key and
+    // pair volume is Σ|block|², bounded when blocks stay small.
+    QuerySpec(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val grams = d
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 2,
+              expr("transform(sequence(0, size(t)-2), i -> concat(t[i],' ',t[i+1]))"))
+              .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+          .distinct()
+        val keyed = d
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), concat_ws(" ", col("t")(0), col("t")(1)).as("blk"))
+        val cand = keyed.as("a").join(keyed.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        cand
+          .join(grams.as("ga"), col("ga.doc_id") === col("da"))
+          .join(grams.as("gb"),
+            col("gb.doc_id") === col("db") && col("gb.g") === col("ga.g"))
+          .groupBy("da", "db").agg(count(lit(1)).as("ic"))
+          .join(broadcast(sizes.as("ca")), col("ca.doc_id") === col("da"))
+          .join(broadcast(sizes.as("cb")), col("cb.doc_id") === col("db"))
+          .withColumn("jaccard",
+            col("ic").cast("double") / (col("ca.c") + col("cb.c") - col("ic")))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
+              grams AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i FROM t WHERE LEN(t) >= 2)),
+              keyed AS (
+                SELECT doc_id, t[1] || ' ' || t[2] AS blk FROM t WHERE LEN(t) >= 2),
+              cand AS (
+                SELECT a.doc_id AS da, b.doc_id AS db FROM keyed a
+                JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+              inter AS (
+                SELECT da, db, COUNT(*) AS ic FROM cand
+                JOIN grams ga ON ga.doc_id = da
+                JOIN grams gb ON gb.doc_id = db AND gb.g = ga.g
+                GROUP BY da, db),
+              sizes AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id)
+              SELECT da AS doc_a, db AS doc_b,
+                     ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
+              FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
+              WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3
+              ORDER BY doc_a, doc_b"""))
   )
+
+  /** DuckDB reimplementation of the exact MinHash+LSH pipeline — same
+    * hash, same (2i+1, 7919i) permutation seeds, same band layout. */
+  private lazy val MinHashOracle: String = {
+    val mins = (0 until K).map(i => s"MIN((${2 * i + 1}*h+${7919L * i}) % $P) AS s$i").mkString(", ")
+    val bands = (0 until Bands).map(j =>
+      s"SELECT doc_id, $j AS b, s${2 * j}::VARCHAR || '_' || s${2 * j + 1}::VARCHAR AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\\s+') AS t FROM documents),
+       |idx AS (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i FROM toks WHERE LEN(t) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h FROM idx),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (SELECT da, db, COUNT(*) AS ic FROM cand
+       |          JOIN sh sa ON sa.doc_id = da JOIN sh sb ON sb.doc_id = db AND sb.h = sa.h
+       |          GROUP BY da, db),
+       |sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
+       |FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
+       |WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

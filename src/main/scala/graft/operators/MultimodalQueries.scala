@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (SURVEY.md §2.12): media as opaque
+  * `binary` columns with typed metadata, joined to text + embeddings.
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * deterministic fake (parse synthetic header fields out of the bytes) —
+  * clearly marked below — while everything Spark-side is real and tested:
+  * the binary column plumbing, the doc↔embedding join, the
+  * `mapPartitions` batch shape a Pandas-UDF/mapInPandas decode would use
+  * on a real cluster, and the partition-preserving schema handoff.
+  */
+object MultimodalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Text ⋈ embedding bundling: one row per document with its vector and
+    // typed metadata. documents.doc_id ↔ embeddings.vec_id (FIXTURES.md).
+    // Equi-join on the shared key — sort-merge at scale, broadcast when
+    // one side is a sampled subset.
+    QuerySpec(
+      "multimodal_join",
+      (s, dir) =>
+        docs(s, dir).join(emb(s, dir),
+            col("doc_id") === col("vec_id"))
+          .select(
+            col("doc_id"), col("lang"), col("label"),
+            col("n_chars"),
+            size(col("embedding")).as("dim"),
+            round(sqrt(aggregate(col("embedding").cast("array<double>"),
+              lit(0.0), (acc, x) => acc + x * x)), 6).as("emb_norm"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, label, n_chars,
+                     CAST(LEN(embedding) AS INT) AS dim,
+                     ROUND(SQRT((SELECT SUM(x*x) FROM
+                       (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS emb_norm
+              FROM documents JOIN embeddings ON doc_id = vec_id
+              ORDER BY doc_id""")),
+
+    // Binary decode via mapPartitions — the media path. The 16-byte blob
+    // is a STUBBED "image": md5(text) standing in for real bytes (no
+    // codecs in this container); the decode kernel parses big-endian
+    // header fields exactly as a real one would parse a PNG/JPEG header.
+    // Batch shape is the real one: one partition in, one iterator out, no
+    // driver collect — swap `fakeDecode` for an actual codec and the plan
+    // is unchanged at 100 TB.
+    QuerySpec(
+      "multimodal_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val withBlob = docs(s, dir)
+          .select(col("doc_id"), unhex(md5(col("text"))).as("media"))
+          .as[(Long, Array[Byte])]
+        withBlob.mapPartitions { iter =>
+          iter.map { case (id, bytes) =>
+            // STUB decode: real codec would go here (mapInPandas twin:
+            // pandas batches of bytes → feature frames).
+            val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian default
+            val width = bb.getShort(0) & 0xFFFF
+            val height = bb.getShort(2) & 0xFFFF
+            val channels = (bytes(4) & 0xFF) % 4 + 1
+            (id, width, height, channels, bytes.length)
+          }
+        }.toDF("doc_id", "width", "height", "channels", "n_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     ('0x'||SUBSTR(MD5(text),1,4))::INT AS width,
+                     ('0x'||SUBSTR(MD5(text),5,4))::INT AS height,
+                     ('0x'||SUBSTR(MD5(text),9,2))::INT % 4 + 1 AS channels,
+                     16 AS n_bytes
+              FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -94,6 +94,38 @@ object SimilarityQueries {
     QuerySpec(
       "topk_similarity_ivf",
       (s, dir) => topk(s, dir, sameLabelOnly = true),
-      Some(CosineSql.format("AND q.label = c.label")))
+      Some(CosineSql.format("AND q.label = c.label"))),
+
+    // Embedding-cosine near-dup (SURVEY.md §2.12): same-cluster pairs with
+    // cosine ≥ 0.4 (the synthetic corpus has no true dup vectors; the threshold sits in the observed upper tail). The label equi-join prunes the quadratic blowup the
+    // same way the IVF search does — at 100 TB this is a shuffle on
+    // cluster id, never an all-pairs cross product.
+    QuerySpec(
+      "dedup_embedding",
+      (s, dir) => {
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("sim",
+            round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6))
+          .filter(col("sim") >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              n AS (
+                SELECT vec_id, label, e,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                FROM v),
+              pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(a.e) * UNNEST(b.e) AS p))
+                             / (a.nrm * b.nrm), 6) AS sim
+                FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
+              ORDER BY vec_a, vec_b"""))
   )
 }

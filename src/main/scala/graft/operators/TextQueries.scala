@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis over `documents` (SURVEY.md §2.12): quality stats, token
@@ -61,6 +61,70 @@ object TextQueries {
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
                      MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+              FROM documents ORDER BY doc_id""")),
+
+    // Language-ID heuristic (SURVEY.md §2.12): CJK charset detection, then
+    // per-language stopword marker counts with a fixed decision chain. A
+    // pure per-row kernel — linear scan at any scale, no shuffle.
+    QuerySpec(
+      "text_langid",
+      (s, dir) => {
+        def markers(ws: Seq[String]): Column =
+          size(expr(s"filter(split(trim(lower(text)), '\\\\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))"))
+        val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+        val en = markers(Seq("the", "a", "of", "and", "to", "in"))
+        val es = markers(Seq("el", "la", "de", "que", "y", "los"))
+        val de = markers(Seq("der", "die", "und", "das", "ist"))
+        val fr = markers(Seq("le", "les", "et", "des", "un"))
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            when(cjk, "zh")
+              .when(es > en && es >= de && es >= fr, "es")
+              .when(de > en && de >= fr, "de")
+              .when(fr > en, "fr")
+              .otherwise("en").as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id, lang,
+                       LENGTH(REGEXP_REPLACE(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS cjk,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('the','a','of','and','to','in'))) AS en,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('el','la','de','que','y','los'))) AS es,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('der','die','und','das','ist'))) AS de,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('le','les','et','des','un'))) AS fr
+                FROM documents)
+              SELECT doc_id, lang,
+                     CASE WHEN cjk THEN 'zh'
+                          WHEN es > en AND es >= de AND es >= fr THEN 'es'
+                          WHEN de > en AND de >= fr THEN 'de'
+                          WHEN fr > en THEN 'fr'
+                          ELSE 'en' END AS lang_pred
+              FROM m ORDER BY doc_id""")),
+
+    // Rolling polynomial fingerprint over tokens (base 31 mod 2^31-1):
+    // order-sensitive unlike the md5 fingerprint; same arithmetic on both
+    // engines via left-fold.
+    QuerySpec(
+      "text_rollhash",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr("""aggregate(
+                      split(trim(text), '\\s+'),
+                      CAST(0 AS BIGINT),
+                      (acc, t) -> (acc * 31 + CAST(CONV(SUBSTRING(MD5(t),1,8),16,10) AS BIGINT)) % 2147483647
+                    )""").as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     LIST_REDUCE(
+                       LIST_PREPEND(CAST(0 AS BIGINT),
+                         LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(text),'\s+'),
+                           t -> ('0x'||SUBSTR(MD5(t),1,8))::BIGINT)),
+                       (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
               FROM documents ORDER BY doc_id""")),
 
     // tf-idf: explode → tf per (doc, term); df per term over a broadcastable

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.11).
+  *
+  * The batch twins of these transforms are oracle-checked in
+  * `operators.StreamingQueries` (DuckDB can't oracle a stream); here the
+  * SAME logical transforms run through readStream/writeStream with event-
+  * time watermarks — the production shape for an unbounded source. Each
+  * builder returns a streaming DataFrame; callers pick trigger + sink
+  * (tests use Trigger.AvailableNow + memory sink).
+  *
+  * Scale: all aggregations are keyed by (window, low-cardinality key), so
+  * state size is bounded by windows retained under the watermark, not by
+  * input volume; dropDuplicatesWithinWatermark keeps only `event_id` keys
+  * inside the 1-hour horizon.
+  */
+object EventStreams {
+
+  /** Streaming read of the events parquet dir with the same ns→µs
+    * truncation as the batch `Tables` loader. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The corpus stores events as a single file; the streaming file source
+    // wants a directory, so stream the parent with a glob filter.
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Tumbling 10-minute counts per event type, 1-hour watermark: late rows
+    * beyond the horizon are dropped instead of growing state forever. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** 30-minute-gap session windows per user (same gap as the batch twin). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+
+  /** Stateful dedup on event_id bounded by the watermark horizon. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

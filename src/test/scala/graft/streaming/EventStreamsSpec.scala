@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch equivalence: each streaming transform, run to
+  * completion with AvailableNow, must agree with its batch twin on the
+  * same data (the property that lets the DuckDB oracle vouch for the
+  * batch side only). */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      outputMode: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .start()
+    q.awaitTermination(120000)
+    ()
+  }
+
+  test("streaming tumbling counts match batch when stream is drained") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.tumblingCounts(events), "tumble", "complete")
+    val streamed = spark.table("tumble")
+      .orderBy("ws", "event_type").collect()
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming session windows match batch session_window") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.sessionCounts(events), "sess", "complete")
+    val streamed = spark.table("sess").orderBy("user_id", "session_start").collect()
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.dedupedEvents(events), "dedup", "append")
+    val n = spark.table("dedup").count()
+    val distinctIds = graft.Tables(spark, dir, "events")
+      .select("event_id").distinct().count()
+    assert(n == distinctIds)
+  }
+}
