@@ -348,6 +348,52 @@ object RelationalQueries {
               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    QuerySpec(
+      "agg_grouping_sets", // explicit grouping-set list (distinct from rollup/cube)
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(sum(dec(col("o_totalprice"))).as("sum_price"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+              FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    QuerySpec(
+      "agg_percentile", // exact percentiles (Spark percentile == DuckDB quantile_cont)
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50,
+                     ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90,
+                     ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS price_p25
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QuerySpec(
+      "agg_pivot", // pivot = groupBy + per-bucket conditional aggregation
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(dec(col("o_totalprice"))))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "F",
+                     SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "O",
+                     SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "P"
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // --------------------------------------------------------------- windows
     QuerySpec(
       "win_rank",
@@ -369,6 +415,27 @@ object RelationalQueries {
                      CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS rk,
                      CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS drk
               FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    QuerySpec(
+      "win_dist", // distribution rankers: ntile / percent_rank / cume_dist
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                     NTILE(4) OVER w AS quartile,
+                     ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                     ROUND(CUME_DIST() OVER w, 6) AS cume
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")),
 
     QuerySpec(
       "win_lag",
