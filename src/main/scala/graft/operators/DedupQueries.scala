@@ -64,7 +64,11 @@ object DedupQueries {
     QuerySpec(
       "dedup_minhash",
       (s, dir) => {
-        val sh = shingleHashes(docs(s, dir)).cache()
+        // NOTE: deliberately not .cache()d — a per-invocation cache leaks
+        // storage memory across repeated runs (long-lived sessions), and
+        // Catalyst's ReuseExchange already dedupes the identical scan
+        // subtrees within the one job.
+        val sh = shingleHashes(docs(s, dir))
         val mins = (0 until K).map(i =>
           min((col("h") * (2 * i + 1) + lit(7919L * i)) % P).as(s"s$i"))
         val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)

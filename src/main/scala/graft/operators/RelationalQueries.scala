@@ -162,6 +162,23 @@ object RelationalQueries {
               ORDER BY o_orderkey, l_linenumber NULLS FIRST""")),
 
     QuerySpec(
+      "join_full", // full outer: unmatched rows survive from BOTH sides
+      (s, dir) => {
+        val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey"), col("o_orderkey"))
+        val richCust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"))
+        richCust.join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+              FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+              FULL JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000) o
+                ON c_custkey = o_custkey
+              ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""")),
+
+    QuerySpec(
       "join_semi",
       (s, dir) =>
         t(s, dir, "customer")
@@ -537,6 +554,17 @@ object RelationalQueries {
           .orderBy("o_orderkey")
           .limit(10),
       Some("SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10")),
+
+    QuerySpec(
+      "limit_offset", // pagination: LIMIT + OFFSET over a total order
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+          .offset(20)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_orderkey LIMIT 10 OFFSET 20""")),
 
     // ----------------------------------------------------------------- setops
     QuerySpec(

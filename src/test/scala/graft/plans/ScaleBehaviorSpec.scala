@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable evidence for the 100 TB design claims (SURVEY.md §2/§8):
+  * bucketing eliminates the join shuffle, AQE handles skew, and broadcast
+  * hints remove the dimension-side exchange. These run tiny but assert on
+  * PLAN SHAPE, which is scale-invariant. */
+class ScaleBehaviorSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("bucketed co-located join plans with zero Exchange") {
+    // stale managed-table locations from prior runs
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    for (d <- Seq("li_bucketed", "o_bucketed")) {
+      val f = new java.io.File(s"spark-warehouse/$d")
+      if (f.exists()) { def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles.foreach(rm); x.delete(): Unit }; rm(f) }
+    }
+    val li = graft.Tables(spark, dir, "lineitem")
+    val o = graft.Tables(spark, dir, "orders")
+    // Pre-bucket both fact tables on the join key: at 100 TB this is the
+    // one-off cost that makes every later fact-fact join shuffle-free.
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    // disable auto-broadcast: at 100 TB neither fact side broadcasts, and
+    // the point is that bucketing makes the SORT-MERGE join exchange-free
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    try joined.collect()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not shuffle: the only Exchange allowed is the
+    // one feeding the final single-key aggregation
+    assert(plan.contains("SortMergeJoin"), plan)
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!exchanges.exists(_.contains("orderkey")),
+      s"join keys were shuffled: $exchanges\n$plan")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+  }
+
+  test("AQE skew-join config is active and salting fallback computes correctly") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // Manual salting — the pre-AQE fallback for pathological keys: salt the
+    // hot side, replicate the small side across salts, join, unsalt.
+    val salts = 4
+    val hot = spark.range(1000).select(lit(1L).as("k"), col("id").as("v"))
+      .withColumn("salt", (rand(7) * salts).cast("int"))
+    val dim = spark.range(2).select(col("id").as("k"), (col("id") * 100).as("w"))
+      .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
+    val joined = hot.join(dim, Seq("k", "salt")).groupBy("k").agg(count(lit(1)).as("n"))
+    val n = joined.collect()
+    assert(n.length == 1 && n(0).getAs[Long]("n") == 1000)
+  }
+
+  test("broadcast hint eliminates the dimension-side shuffle") {
+    val li = graft.Tables(spark, dir, "lineitem")
+    val nation = graft.Tables(spark, dir, "nation")
+    val joined = li.join(broadcast(nation), col("l_suppkey") % 25 === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val df = graft.Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 49)
+      .select("l_orderkey", "l_quantity")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+}
