@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    // aggregate(zip_with(a,b,*),0d,+) → native DotProduct, transparently
+    ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }
 }

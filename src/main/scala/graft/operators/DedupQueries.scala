@@ -99,6 +99,32 @@ object DedupQueries {
       },
       Some(MinHashOracle)),
 
+    // Per-source MinHash signature via the MinHashSig UDAF (q:agg_minhash,
+    // SURVEY.md §2.4): one 16-long signature per corpus source, computed
+    // with map-side combine. Output stringified so the hash-compare is
+    // representation-stable across engines.
+    QuerySpec(
+      "agg_minhash",
+      (s, dir) => {
+        val minhashSig = udaf(graft.functions.MinHashSig)
+        shingleHashes(docs(s, dir))
+          .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(minhashSig(col("h")).as("sig"))
+          .select(col("source"), concat_ws("_", col("sig")).as("signature"))
+          .orderBy("source")
+      },
+      Some {
+        val mins = (0 until K).map(i => s"MIN((${2 * i + 1}*h+${7919L * i}) % $P)").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, source, STRING_SPLIT_REGEX(TRIM(text),'\\s+') AS t FROM documents),
+           |idx AS (SELECT doc_id, source, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
+           |        FROM toks WHERE LEN(t) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, source,
+           |       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h FROM idx)
+           |SELECT source, CONCAT_WS('_', $mins) AS signature
+           |FROM sh GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // SimHash fingerprints via the typed Aggregator (partial-aggregating:
     // constant shuffle bytes per doc regardless of text length).
     QuerySpec(

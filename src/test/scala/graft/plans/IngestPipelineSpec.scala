@@ -54,6 +54,20 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(wkt == "POINT (530000 180000)")
   }
 
+  test("mixed_invalid.csv: error tolerance — anomalous rows survive, never crash") {
+    // reference: read_csv(ignore_errors=true) (core_processor.rs:415).
+    // Parity: a mixed-TYPE value widens the column (both sniffers → text,
+    // row kept); a wrong-ARITY row is structurally malformed and dropped
+    // (ignore_errors ↔ DROPMALFORMED). Neither engine ever throws.
+    val csv = "id,price\n1,10.5\n2,notanumber\n3,30.25,extra\n"
+    val path = writeFile(tmpDir, "mixed_invalid.csv", csv.getBytes("UTF-8"))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "mixed", "s"))
+    val rows = res.transformed.orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2)) // arity-broken row 3 dropped
+    assert(res.transformed.schema("price").dataType ==
+      org.apache.spark.sql.types.StringType) // widened, like DuckDB's sniffer
+  }
+
   test("nogeom.csv: NonGeoStrategy — identity passthrough") {
     val csv = "id,name,value\n1,test,100\n"
     val path = writeFile(tmpDir, "nogeom.csv", csv.getBytes("UTF-8"))
