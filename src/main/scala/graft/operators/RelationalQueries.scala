@@ -411,6 +411,20 @@ object RelationalQueries {
                      SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "P"
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    QuerySpec(
+      "agg_unpivot", // wide→long reshape (inverse of pivot)
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+            col("p_retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_size"), col("p_retailprice")), "metric", "value")
+          .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, value FROM (
+                UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+                ON p_size, p_retailprice INTO NAME metric VALUE value)
+              ORDER BY p_partkey, metric""")),
+
     // --------------------------------------------------------------- windows
     QuerySpec(
       "win_rank",
