@@ -687,6 +687,26 @@ object RelationalQueries {
               FROM documents ORDER BY doc_id""")),
 
     QuerySpec(
+      "fn_struct", // struct build/access + map lookup survive the round-trip
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("info"),
+            map_from_arrays(
+              array(lit("seg")), array(col("c_mktsegment"))).as("attrs"))
+          .select(col("c_custkey"),
+            col("info.name").as("name"),
+            col("info.bal").as("bal"),
+            element_at(col("attrs"), "seg").as("segment"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, s.info.name AS name, s.info.bal AS bal,
+                     MAP(['seg'], [c_mktsegment])['seg'][1] AS segment
+              FROM (SELECT c_custkey, c_mktsegment,
+                           {'name': c_name, 'bal': c_acctbal} AS info
+                    FROM customer) s
+              ORDER BY c_custkey""")),
+
+    QuerySpec(
       "fn_math", // libm last-ulp differences absorbed by round(…, 6)
       (s, dir) =>
         t(s, dir, "lineitem")
