@@ -57,4 +57,35 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running aggregate via mapGroupsWithState — the custom-state
+    * primitive (KeyValueGroupedDataset) for logic the built-in windows
+    * can't express. State per key is one [[UserStats]] (constant bytes per
+    * user regardless of event volume); the state store shards by key hash,
+    * so a 1000-executor cluster splits the keyspace evenly. */
+  def statefulUserStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .selectExpr("user_id", "event_type", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[UserStats]) => {
+          val prev = state.getOption.getOrElse(UserStats(0L, 0L, 0.0))
+          var n = prev.nEvents; var p = prev.nPurchases; var v = prev.totalValue
+          rows.foreach { case (_, typ, value) =>
+            n += 1
+            if (typ == "purchase") { p += 1; v += value }
+          }
+          val next = UserStats(n, p, v)
+          state.update(next)
+          (userId, next.nEvents, next.nPurchases, next.totalValue)
+        })
+      .toDF("user_id", "n_events", "n_purchases", "total_purchase_value")
+  }
 }
+
+/** mapGroupsWithState state record: fixed-size per user. */
+final case class UserStats(nEvents: Long, nPurchases: Long, totalValue: Double)

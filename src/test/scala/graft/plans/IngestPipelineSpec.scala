@@ -315,6 +315,17 @@ class IngestPipelineSpec extends AnyFunSuite {
       .getAs[String]("geom_wkt") == "POINT (-0.1275 51.5072)")
   }
 
+  test("sqlite reader walks interior B-tree pages (3000-row table)") {
+    val db = new SqliteReader("src/test/resources/fixtures/minimal.gpkg")
+    val (cols, rows) = db.readTable("many")
+    assert(cols == Seq("id", "label", "x"))
+    assert(rows.length == 3000)
+    // INTEGER PRIMARY KEY column materializes from the rowid
+    assert(rows.map(_(0).asInstanceOf[Long]).sorted == (0L until 3000L))
+    assert(rows.find(_(0) == 1234L).get(1) == "row1234")
+    assert(rows.find(_(0) == 1234L).get(2) == 617.0)
+  }
+
   // ------------------------------------------------------- sinks
 
   test("ParquetSink end-to-end run() writes transformed table") {

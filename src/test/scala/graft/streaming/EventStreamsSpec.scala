@@ -53,6 +53,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("mapGroupsWithState running user stats match batch aggregation") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.statefulUserStats(spark, events), "ustats", "update")
+    val streamed = spark.table("ustats").orderBy("user_id").collect()
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          .as("total_purchase_value"))
+      .orderBy("user_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+        s.getLong(2) == b.getLong(2) &&
+        math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.dedupedEvents(events), "dedup", "append")

@@ -50,3 +50,13 @@ cur.execute("INSERT INTO places (name, pop, geom) VALUES (?,?,?)",
 con.commit()
 con.close()
 print("wrote", out, os.path.getsize(out), "bytes")
+
+# regenerate with an extra big table that forces interior B-tree pages
+con = sqlite3.connect(out)
+cur = con.cursor()
+cur.execute("CREATE TABLE many (id INTEGER PRIMARY KEY, label TEXT, x DOUBLE)")
+for i in range(3000):
+    cur.execute("INSERT INTO many VALUES (?,?,?)", (i, f"row{i}", i * 0.5))
+con.commit()
+con.close()
+print("appended 'many' table:", os.path.getsize(out), "bytes")
