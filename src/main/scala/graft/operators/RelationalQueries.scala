@@ -425,6 +425,29 @@ object RelationalQueries {
                 ON p_size, p_retailprice INTO NAME metric VALUE value)
               ORDER BY p_partkey, metric""")),
 
+    // Salted two-phase aggregation — the manual skew-mitigation shape for
+    // pathological hot keys (l_returnflag has only 3 values over the whole
+    // fact table). Phase 1 aggregates (key, salt) so the hot key's rows
+    // spread over 16 reducers; phase 2 merges the 16 partials per key.
+    // Decimal sums are associative, so the result is bit-identical to the
+    // plain GROUP BY the oracle runs. At 100 TB the phase-1 shuffle is the
+    // only one that scales with data volume, and it is perfectly balanced.
+    QuerySpec(
+      "agg_salted",
+      (s, dir) => {
+        val partial = t(s, dir, "lineitem")
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+        partial.groupBy("l_returnflag")
+          .agg(sum(col("sq")).cast(Dec).as("sum_qty"), sum(col("cnt")).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+                     COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // --------------------------------------------------------------- windows
     QuerySpec(
       "win_rank",

@@ -58,6 +58,24 @@ object SimilarityQueries {
     ORDER BY query_id, sim DESC, neighbor_id
     """
 
+  // ---- LSH (random-hyperplane / signed-random-projection) constants ----
+  // 16 hyperplanes grouped into 4 bands of 4 sign bits; vectors sharing any
+  // band key become candidates. Hyperplane coefficients derive from md5 so
+  // the DuckDB oracle can rebuild them bit-for-bit; embeddings are quantized
+  // to integers (round(x*1000)) before projecting, making every sign bit
+  // exact integer arithmetic on both engines — no float-order ambiguity.
+  private val Planes = 4 * 4
+  private val Dim = 64
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** coef(j,i) = first-8-hex-of-md5("j_i") % 2001 - 1000 ∈ [-1000, 1000]. */
+  private lazy val hyperplanes: Array[Array[Long]] =
+    Array.tabulate(Planes, Dim)((j, i) =>
+      java.lang.Long.parseLong(md5hex(s"${j}_${i}").substring(0, 8), 16) % 2001L - 1000L)
+
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
   private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
     val e = emb(s, dir)
@@ -98,6 +116,85 @@ object SimilarityQueries {
       "topk_similarity_ivf",
       (s, dir) => topk(s, dir, sameLabelOnly = true),
       Some(CosineSql.format("AND q.label = c.label"))),
+
+    // LSH-bucketed ANN (SURVEY.md §2.12 scale path): 16 signed-random-
+    // projection bits → 4 band keys; candidate neighbors share ≥1 band;
+    // exact cosine reranks the survivors. At 100 TB the band self-join
+    // shuffles only (vec_id, 4-char key) rows — candidate volume is
+    // Σ|bucket|², tunable via bands×rows — while the quadratic cross
+    // product never materializes. Matches the DuckDB oracle exactly
+    // because the sign bits are integer arithmetic (see constants above).
+    QuerySpec(
+      "topk_similarity_lsh",
+      (s, dir) => {
+        val base = emb(s, dir)
+          .select(col("vec_id"), asD(col("embedding")).as("e"))
+          .withColumn("qe", expr("transform(e, x -> CAST(round(x * 1000) AS BIGINT))"))
+        def sigBit(j: Int): Column = {
+          val prod = zip_with(col("qe"), typedlit(hyperplanes(j).toSeq), (a, b) => a * b)
+          when(aggregate(prod, lit(0L), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0))
+        }
+        val bands = base.select(col("vec_id"),
+          explode(array((0 until Planes / 4).map(b =>
+            struct(lit(b).as("b"),
+              concat((4 * b until 4 * b + 4).map(j => sigBit(j).cast("string")): _*).as("key"))): _*)).as("bd"))
+          .select(col("vec_id"), col("bd.b").as("b"), col("bd.key").as("key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+              col("a.vec_id") =!= col("b.vec_id") && col("a.vec_id") < 16)
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+          .distinct()
+        val n = emb(s, dir)
+          .select(col("vec_id"), asD(col("embedding")).as("e"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        cand
+          .join(n.as("q"), col("q.vec_id") === col("query_id"))
+          .join(broadcast(n.as("c")), col("c.vec_id") === col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              qv AS (
+                SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qe FROM v),
+              hp AS (
+                SELECT j, i,
+                       ('0x'||SUBSTR(MD5(j::VARCHAR||'_'||i::VARCHAR),1,8))::BIGINT % 2001 - 1000 AS coef
+                FROM (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS j),
+                     (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)),
+              bits AS (
+                SELECT vec_id, j,
+                       CASE WHEN SUM(qe[i+1] * coef) >= 0 THEN 1 ELSE 0 END AS bit
+                FROM qv, hp GROUP BY vec_id, j),
+              bands AS (
+                SELECT vec_id, j // 4 AS b, STRING_AGG(bit::VARCHAR, '' ORDER BY j) AS key
+                FROM bits GROUP BY vec_id, j // 4),
+              n AS (
+                SELECT vec_id, e,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                FROM v),
+              cand AS (
+                SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+                FROM bands a JOIN bands b
+                  ON a.b = b.b AND a.key = b.key AND a.vec_id != b.vec_id
+                WHERE a.vec_id < 16),
+              pairs AS (
+                SELECT query_id, neighbor_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+                             / (q.nrm * c.nrm), 6) AS sim
+                FROM cand JOIN n q ON q.vec_id = query_id
+                          JOIN n c ON c.vec_id = neighbor_id)
+              SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rn
+                FROM pairs) WHERE rn <= 5
+              ORDER BY query_id, sim DESC, neighbor_id""")),
 
     // Embedding-cosine near-dup (SURVEY.md §2.12): same-cluster pairs with
     // cosine ≥ 0.4 (the synthetic corpus has no true dup vectors; the threshold sits in the observed upper tail). The label equi-join prunes the quadratic blowup the
