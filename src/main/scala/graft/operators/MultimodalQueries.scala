@@ -79,6 +79,49 @@ object MultimodalQueries {
                      ('0x'||SUBSTR(MD5(text),5,4))::INT AS height,
                      ('0x'||SUBSTR(MD5(text),9,2))::INT % 4 + 1 AS channels,
                      16 AS n_bytes
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Frame sampling — the video path: media as a fixed-layout binary
+    // column of 16 4-byte "frames" (STUB bytes: an md5 chain over the
+    // text, since no codecs ship in this container), stride-4 sampled
+    // down to 4 frames/doc, then a per-frame feature (the frame word as
+    // uint32) + an 8-bit "luma" stub. The plumbing is the real shape:
+    // binary slicing + generator explode inside codegen, one row per
+    // sampled frame, no driver collect — swap the slice arithmetic for a
+    // real frame decoder and the plan (scan → project → generate) is
+    // unchanged at 100 TB. Resize would be one more per-frame kernel in
+    // the same projection.
+    QuerySpec(
+      "multimodal_framesample",
+      (s, dir) => {
+        val media = unhex(concat(
+          md5(col("text")),
+          md5(concat(col("text"), lit("_1"))),
+          md5(concat(col("text"), lit("_2"))),
+          md5(concat(col("text"), lit("_3"))))) // 64 bytes = 16 frames x 4B
+        docs(s, dir)
+          .select(col("doc_id"), media.as("media"))
+          .select(col("doc_id"),
+            posexplode(expr("transform(sequence(0, 3), k -> substring(media, k*16+1, 4))"))
+              .as(Seq("k", "frame")))
+          .select(
+            col("doc_id"),
+            (col("k") * 4).cast("int").as("frame_no"),
+            conv(hex(col("frame")), 16, 10).cast("long").as("feature"))
+          .withColumn("luma", (col("feature") % 256).cast("int"))
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       MD5(text)||MD5(text||'_1')||MD5(text||'_2')||MD5(text||'_3') AS hexmedia
+                FROM documents),
+              f AS (
+                SELECT doc_id, k FROM m, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k)),
+              s AS (
+                SELECT f.doc_id, CAST(k * 4 AS INT) AS frame_no,
+                       ('0x'||SUBSTR(m.hexmedia, k*32+1, 8))::BIGINT AS feature
+                FROM f JOIN m ON f.doc_id = m.doc_id)
+              SELECT doc_id, frame_no, feature, CAST(feature % 256 AS INT) AS luma
+              FROM s ORDER BY doc_id, frame_no"""))
   )
 }

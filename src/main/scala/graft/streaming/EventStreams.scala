@@ -85,7 +85,55 @@ object EventStreams {
         })
       .toDF("user_id", "n_events", "n_purchases", "total_purchase_value")
   }
+
+  /** Per-user sessionizer via flatMapGroupsWithState — the multi-row-
+    * output custom-state primitive: CLOSED sessions are emitted as soon
+    * as a 30-minute gap (or event-time timeout) seals them, while the
+    * open session rides in state. Emits zero-or-more rows per group per
+    * trigger, which mapGroupsWithState cannot express. State per user is
+    * one [[OpenSession]] regardless of event volume; the in-group sort
+    * is bounded by one user's events per micro-batch, not the corpus. */
+  def sessionizedEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000 * 1000
+    events
+      .withWatermark("ts", "1 hour")
+      // the watermarked `ts` column must reach the stateful operator, so it
+      // rides along unused next to the micros value the kernel works in
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[OpenSession]) => {
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session's horizon: seal and emit it
+            val s = state.get; state.remove()
+            Iterator((userId, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = rows.map(_._2).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = Array.newBuilder[(Long, Long, Long, Int)]
+            sorted.foreach { t =>
+              open match {
+                case null => open = OpenSession(t, t, 1)
+                case o if t - o.endUs <= gapUs => open = OpenSession(o.startUs, t, o.n + 1)
+                case o => closed += ((userId, o.startUs, o.endUs, o.n)); open = OpenSession(t, t, 1)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.endUs / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
+          }
+        })
+      .toDF("user_id", "start_us", "end_us", "n")
+  }
 }
 
 /** mapGroupsWithState state record: fixed-size per user. */
 final case class UserStats(nEvents: Long, nPurchases: Long, totalValue: Double)
+
+/** flatMapGroupsWithState state record: the one in-flight session. */
+final case class OpenSession(startUs: Long, endUs: Long, n: Int)

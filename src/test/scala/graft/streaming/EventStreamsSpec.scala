@@ -73,6 +73,27 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState sessionizer emits sessions that match batch session_window") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.sessionizedEvents(spark, events), "fsess", "append")
+    val streamed = spark.table("fsess")
+      .select(col("user_id"), col("start_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    // Closed sessions (all but possibly each user's last) must appear in the
+    // batch session set with identical (user, start, count); open tails may
+    // be withheld by the final watermark, so subset — but non-trivially so.
+    assert(streamed.nonEmpty, "sessionizer emitted nothing")
+    val missing = streamed -- batch
+    assert(missing.isEmpty, s"streamed sessions not in batch set: ${missing.take(5)}")
+    // and it must have closed the overwhelming majority of batch sessions
+    assert(streamed.size >= batch.size / 2, s"${streamed.size} of ${batch.size} closed")
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.dedupedEvents(events), "dedup", "append")
