@@ -64,14 +64,23 @@ object DedupQueries {
     QuerySpec(
       "dedup_minhash",
       (s, dir) => {
-        // NOTE: deliberately not .cache()d — a per-invocation cache leaks
-        // storage memory across repeated runs (long-lived sessions), and
-        // Catalyst's ReuseExchange already dedupes the identical scan
-        // subtrees within the one job.
-        val sh = shingleHashes(docs(s, dir))
-        val mins = (0 until K).map(i =>
-          min((col("h") * (2 * i + 1) + lit(7919L * i)) % P).as(s"s$i"))
-        val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        // One shuffle builds each doc's shingle-hash SET as an array row;
+        // the 16-permutation signature folds over that array in-place (no
+        // second keyed shuffle), and candidate verification intersects the
+        // two arrays directly (array_intersect) instead of re-exploding the
+        // corpus into a 3-way join. Shuffle volume is unchanged — the same
+        // (doc_id, h) pairs flow into the set build that previously flowed
+        // into distinct() — but the exploded relation is computed once,
+        // not four times. Results and oracle are identical: min-fold and
+        // intersection size are order-insensitive, so collect_set's
+        // nondeterministic order cannot surface.
+        val sets = shingleHashes(docs(s, dir))
+          .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+          .withColumn("c", size(col("hs")))
+        val sigCols = (0 until K).map(i =>
+          aggregate(col("hs"), lit(P),
+            (acc, h) => least(acc, (h * (2 * i + 1) + lit(7919L * i)) % P)).as(s"s$i"))
+        val sig = sets.select(col("doc_id") +: sigCols: _*)
         val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(j =>
           struct(lit(j).as("b"),
             concat_ws("_", col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("key"))): _*)).as("bd"))
@@ -81,17 +90,12 @@ object DedupQueries {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        val inter = cand
-          .join(sh.as("sa"), col("sa.doc_id") === col("da"))
-          .join(sh.as("sb"),
-            col("sb.doc_id") === col("db") && col("sb.h") === col("sa.h"))
-          .groupBy("da", "db").agg(count(lit(1)).as("ic"))
-        inter
-          .join(broadcast(sizes.as("ca")), col("ca.doc_id") === col("da"))
-          .join(broadcast(sizes.as("cb")), col("cb.doc_id") === col("db"))
+        cand
+          .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("c").as("ca")), "da")
+          .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("c").as("cb")), "db")
+          .withColumn("ic", size(array_intersect(col("ha"), col("hb"))))
           .withColumn("jaccard",
-            col("ic").cast("double") / (col("ca.c") + col("cb.c") - col("ic")))
+            col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
           .filter(col("jaccard") >= 0.2)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(col("jaccard"), 6).as("jaccard"))
@@ -106,9 +110,19 @@ object DedupQueries {
     QuerySpec(
       "agg_minhash",
       (s, dir) => {
+        // Min-folds are duplicate-insensitive, so the per-doc DISTINCT the
+        // oracle spells out is skipped here: shingle hashes flow straight
+        // into ONE partial-aggregating groupBy(source) — map-side combine
+        // reduces each partition to 5 signature buffers before the only
+        // shuffle, the ideal 100 TB profile (constant bytes per partition).
         val minhashSig = udaf(graft.functions.MinHashSig)
-        shingleHashes(docs(s, dir))
-          .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        docs(s, dir)
+          .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
+          .select(col("source"),
+            explode(when(size(col("t")) >= 3,
+              expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))"))
+              .otherwise(expr("CAST(array() AS array<string>)"))).as("sh"))
+          .select(col("source"), h32(col("sh")).as("h"))
           .groupBy("source")
           .agg(minhashSig(col("h")).as("sig"))
           .select(col("source"), concat_ws("_", col("sig")).as("signature"))
@@ -158,31 +172,35 @@ object DedupQueries {
     QuerySpec(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val d = docs(s, dir)
-        val grams = d
+        // Set-as-array restructure (cf. dedup_minhash): bigrams explode to
+        // ROWS once (a Generate materializes the token array — crucial:
+        // higher-order-function lambdas are interpreted, so an inlined
+        // split() would re-run per element access), then ONE collect_set
+        // shuffle builds each doc's distinct gram set. Candidates come from
+        // the slim blocking-key self-join; verification joins the two gram
+        // sets per pair and intersects in-place (array_intersect) instead
+        // of re-exploding the corpus into a 3-way join + pair groupBy.
+        val grams = docs(s, dir)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .select(col("doc_id"),
             explode(when(size(col("t")) >= 2,
               expr("transform(sequence(0, size(t)-2), i -> concat(t[i],' ',t[i+1]))"))
               .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
-          .distinct()
-        val keyed = d
+        val sets = grams.groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+          .withColumn("c", size(col("gs")))
+        val keyed = docs(s, dir)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("doc_id"), concat_ws(" ", col("t")(0), col("t")(1)).as("blk"))
         val cand = keyed.as("a").join(keyed.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("c"))
         cand
-          .join(grams.as("ga"), col("ga.doc_id") === col("da"))
-          .join(grams.as("gb"),
-            col("gb.doc_id") === col("db") && col("gb.g") === col("ga.g"))
-          .groupBy("da", "db").agg(count(lit(1)).as("ic"))
-          .join(broadcast(sizes.as("ca")), col("ca.doc_id") === col("da"))
-          .join(broadcast(sizes.as("cb")), col("cb.doc_id") === col("db"))
+          .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("c").as("ca")), "da")
+          .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("c").as("cb")), "db")
+          .withColumn("ic", size(array_intersect(col("ga"), col("gb"))))
           .withColumn("jaccard",
-            col("ic").cast("double") / (col("ca.c") + col("cb.c") - col("ic")))
+            col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
           .filter(col("jaccard") >= 0.3)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(col("jaccard"), 6).as("jaccard"))
