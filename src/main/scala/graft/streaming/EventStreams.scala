@@ -86,6 +86,28 @@ object EventStreams {
       .toDF("user_id", "n_events", "n_purchases", "total_purchase_value")
   }
 
+  /** Stream-stream interval join: each error event joined to the same
+    * user's purchases in the following hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so each side's
+    * buffered state is evictable once the other side's watermark passes
+    * the interval horizon — state is O(events per horizon), not O(stream).
+    * The batch twin is `join_range`'s shape (oracle-checked there). */
+  def errorPurchaseJoins(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") > col("e_ts") &&
+        col("p_ts") <= col("e_ts") + expr("INTERVAL 1 HOUR"))
+      .select("error_id", "purchase_id")
+  }
+
   /** Per-user sessionizer via flatMapGroupsWithState — the multi-row-
     * output custom-state primitive: CLOSED sessions are emitted as soon
     * as a 30-minute gap (or event-time timeout) seals them, while the

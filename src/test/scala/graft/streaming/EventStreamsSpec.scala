@@ -94,6 +94,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.size >= batch.size / 2, s"${streamed.size} of ${batch.size} closed")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.errorPurchaseJoins(events), "ssjoin", "append")
+    val streamed = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.Tables(spark, dir, "events")
+    val batch = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id")),
+        col("e_user") === col("p_user") &&
+          col("p_ts") > col("e_ts") &&
+          col("p_ts") <= col("e_ts") + expr("INTERVAL 1 HOUR"))
+      .select("error_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch twin found no pairs — fixture too small")
+    assert(streamed == batch)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.dedupedEvents(events), "dedup", "append")
