@@ -563,6 +563,29 @@ object RelationalQueries {
                 FROM lineitem) WHERE rn <= 3
               ORDER BY l_orderkey, rn""")),
 
+    // Same result as win_topk via the bounded TopKLines Aggregator
+    // (functions/TopK.scala): map-side partial top-3 per key, no sort —
+    // the formulation that survives groups too large to window-sort.
+    QuerySpec(
+      "topk_grouped",
+      (s, dir) => {
+        val topk = udaf(graft.functions.TopKLines,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Int)]())
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(topk(col("l_extendedprice"), col("l_linenumber")).as("lines"))
+          .select(col("l_orderkey"), posexplode(col("lines")).as(Seq("pos", "l_linenumber")))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("pos") + 1).cast("int").as("rn"))
+          .orderBy("l_orderkey", "rn")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, CAST(rn AS INT) AS rn FROM (
+                SELECT l_orderkey, l_linenumber,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+                FROM lineitem) WHERE rn <= 3
+              ORDER BY l_orderkey, rn""")),
+
     // ---------------------------------------------------- sort / limit / topk
     QuerySpec(
       "sort",
