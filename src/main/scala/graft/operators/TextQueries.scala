@@ -127,6 +127,57 @@ object TextQueries {
                        (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
               FROM documents ORDER BY doc_id""")),
 
+    // Composed corpus-cleaning gate — the keep/drop decision a pretraining
+    // pipeline applies before dedup: token-count window AND stopword-density
+    // floor AND language gate (the text_langid decision chain = 'en').
+    // Pure per-row predicates over one scan: at 100 TB this is a single
+    // pushdown-friendly filter pass with no shuffle at all (the orderBy is
+    // presentation-only for the oracle hash).
+    QuerySpec(
+      "text_quality_filter",
+      (s, dir) => {
+        def markers(ws: Seq[String]): Column =
+          size(expr(s"filter(split(trim(lower(text)), '\\\\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))"))
+        val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+        val en = markers(Seq("the", "a", "of", "and", "to", "in"))
+        val es = markers(Seq("el", "la", "de", "que", "y", "los"))
+        val de = markers(Seq("der", "die", "und", "das", "ist"))
+        val fr = markers(Seq("le", "les", "et", "des", "un"))
+        val isEn = !cjk && !(es > en && es >= de && es >= fr) &&
+          !(de > en && de >= fr) && !(fr > en)
+        docs(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("sw_ratio",
+            round(en.cast("double") / col("n_tokens"), 6))
+          .filter(col("n_tokens").between(30, 1000) &&
+            col("sw_ratio") >= 0.04 && isEn)
+          .select("doc_id", "n_tokens", "sw_ratio")
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT) AS n_tokens,
+                       LENGTH(REGEXP_REPLACE(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS cjk,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('the','a','of','and','to','in'))) AS en,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('el','la','de','que','y','los'))) AS es,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('der','die','und','das','ist'))) AS de,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('le','les','et','des','un'))) AS fr
+                FROM documents)
+              SELECT doc_id, n_tokens,
+                     ROUND(CAST(en AS DOUBLE) / n_tokens, 6) AS sw_ratio
+              FROM m
+              WHERE n_tokens BETWEEN 30 AND 1000
+                AND ROUND(CAST(en AS DOUBLE) / n_tokens, 6) >= 0.04
+                AND NOT cjk
+                AND NOT (es > en AND es >= de AND es >= fr)
+                AND NOT (de > en AND de >= fr)
+                AND NOT (fr > en)
+              ORDER BY doc_id""")),
+
     // tf-idf: explode → tf per (doc, term); df per term over a broadcastable
     // term dictionary; idf = ln((N+1)/(df+1)). Rounded before output.
     QuerySpec(
