@@ -62,6 +62,25 @@ object RelationalQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Deterministic 5% sample by key-hash modulus — the reproducible-
+    // sampling idiom for data pipelines. Seeded df.sample() is engine-
+    // specific RNG and can't be oracle-matched (or re-run stably across
+    // cluster topologies); hashing the row key is stable across engines,
+    // runs, partitionings, and retries, and pushes down as an ordinary
+    // filter (one scan, no shuffle, no driver involvement).
+    QuerySpec(
+      "scan_sample",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(conv(substring(md5(
+            concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+            .cast("long") % 20 === 0)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE ('0x'||SUBSTR(MD5(l_orderkey::VARCHAR||'_'||l_linenumber::VARCHAR),1,8))::BIGINT % 20 = 0
+              ORDER BY l_orderkey, l_linenumber""")),
+
     // ------------------------------------------------- filters / projections
     QuerySpec(
       "filter_notnull", // reference: geo_strategy.rs:96,143 (null-guarded probe)
