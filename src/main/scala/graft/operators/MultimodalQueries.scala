@@ -122,6 +122,42 @@ object MultimodalQueries {
                        ('0x'||SUBSTR(m.hexmedia, k*32+1, 8))::BIGINT AS feature
                 FROM f JOIN m ON f.doc_id = m.doc_id)
               SELECT doc_id, frame_no, feature, CAST(feature % 256 AS INT) AS luma
-              FROM s ORDER BY doc_id, frame_no"""))
+              FROM s ORDER BY doc_id, frame_no""")),
+
+    // Resize planning — aspect-preserving fit into a 224×224 training
+    // budget, computed from the stub-decoded header dims entirely inside
+    // whole-stage codegen (a real resize swaps the arithmetic for a pixel
+    // kernel over the binary column; the plan — scan → project — and the
+    // integer-exact contract are what matter). floor() on an exact
+    // integer-over-integer double ratio is deterministic on both engines;
+    // GREATEST(..,1) guards the zero-dim degenerate stub values.
+    QuerySpec(
+      "multimodal_resize",
+      (s, dir) => {
+        val w = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int")
+        val h = conv(substring(md5(col("text")), 5, 4), 16, 10).cast("int")
+        val longest = greatest(col("width"), col("height"), lit(1))
+        docs(s, dir)
+          .select(col("doc_id"), w.as("width"), h.as("height"))
+          .select(col("doc_id"), col("width"), col("height"),
+            when(longest <= 224, col("width"))
+              .otherwise(floor(col("width") * 224.0 / longest)).cast("int").as("out_w"),
+            when(longest <= 224, col("height"))
+              .otherwise(floor(col("height") * 224.0 / longest)).cast("int").as("out_h"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       ('0x'||SUBSTR(MD5(text),1,4))::INT AS width,
+                       ('0x'||SUBSTR(MD5(text),5,4))::INT AS height
+                FROM documents),
+              g AS (SELECT doc_id, width, height,
+                           GREATEST(width, height, 1) AS longest FROM d)
+              SELECT doc_id, width, height,
+                     CAST(CASE WHEN longest <= 224 THEN width
+                          ELSE FLOOR(width * 224.0 / longest) END AS INT) AS out_w,
+                     CAST(CASE WHEN longest <= 224 THEN height
+                          ELSE FLOOR(height * 224.0 / longest) END AS INT) AS out_h
+              FROM g ORDER BY doc_id"""))
   )
 }
