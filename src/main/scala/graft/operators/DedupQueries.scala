@@ -32,7 +32,9 @@ object DedupQueries {
   private val K = 16          // permutations
   private val Bands = 8       // bands of 2 rows each
 
-  /** Distinct (doc_id, shingle-hash) pairs; 3-token shingles. */
+  /** (doc_id, shingle-hash) pairs (3-token shingles), duplicates included:
+    * the one consumer builds a SET via collect_set, so a pre-`distinct`
+    * would only add a second full shuffle of the same relation. */
   private def shingleHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"),
@@ -40,7 +42,6 @@ object DedupQueries {
           expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))"))
           .otherwise(expr("CAST(array() AS array<string>)"))).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))
-      .distinct()
 
   def specs: Seq[QuerySpec] = Seq(
 

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aggregator laws for TopKLines: partial aggregation is only correct if
+  * any split of the input into reduce/merge trees yields the same buffer
+  * — Spark chooses the split (partitions, map-side combines) at runtime,
+  * so the law must hold for every cut and both merge orders. Ties on
+  * price are exercised deliberately (small value ranges).
+  */
+class TopKSpec extends AnyFunSuite {
+
+  private def naive(xs: Seq[(Double, Int)]): Seq[Int] =
+    xs.sortBy(p => (-p._1, p._2)).take(TopKLines.K).map(_._2)
+
+  test("reduce/merge agree with naive sort-take-k under arbitrary splits") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(12)
+      val xs = Vector.fill(n)((rnd.nextInt(5).toDouble, rnd.nextInt(100)))
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (a, b) = xs.splitAt(cut)
+      val bufA = a.foldLeft(TopKLines.zero)(TopKLines.reduce)
+      val bufB = b.foldLeft(TopKLines.zero)(TopKLines.reduce)
+      val expected = naive(xs)
+      assert(TopKLines.finish(TopKLines.merge(bufA, bufB)) == expected)
+      assert(TopKLines.finish(TopKLines.merge(bufB, bufA)) == expected)
+    }
+  }
+
+  test("buffer never exceeds K entries") {
+    val xs = (1 to 100).map(i => (i.toDouble, i))
+    val buf = xs.foldLeft(TopKLines.zero)(TopKLines.reduce)
+    assert(buf.size == TopKLines.K)
+    assert(TopKLines.finish(buf) == Seq(100, 99, 98))
+  }
+}
