@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforced version of the PlanAudit checks: plan SHAPE is the scale-
+  * invariant property (a quadratic join is quadratic at any SF), so
+  * regressions that would melt down at 100 TB fail here at sf0.001.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  // the only two declared quadratic plans: the cross-join parity query and
+  // the brute-force similarity baseline (broadcast block-nested-loop)
+  private val allowedQuadratic = Set("join_cross", "topk_similarity")
+
+  test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
+    val offenders = Registry.all.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val quad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      if (quad && !allowedQuadratic(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"quadratic plans appeared in: $offenders")
+  }
+
+  test("every declared query runs under whole-stage codegen") {
+    // AQE finalizes the physical plan lazily: execute first, then read the
+    // formatted explain, whose "codegen id" tags mark codegen stages
+    val offenders = Registry.all.flatMap { q =>
+      val df = q.run(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      if (!plan.contains("codegen id")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"no codegen span in: $offenders")
+  }
+}
