@@ -148,9 +148,12 @@ object SimilarityQueries {
           .select(col("vec_id"), asD(col("embedding")).as("e"))
           .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
         val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        // no broadcast hint on the vector fetches: the SMALL side here is
+        // the candidate list, not the corpus — at 100 TB these are shuffle
+        // equi-joins on vec_id (AQE broadcasts cand when it fits)
         cand
           .join(n.as("q"), col("q.vec_id") === col("query_id"))
-          .join(broadcast(n.as("c")), col("c.vec_id") === col("neighbor_id"))
+          .join(n.as("c"), col("c.vec_id") === col("neighbor_id"))
           .withColumn("sim",
             round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 6))
           .withColumn("rn", row_number().over(w))
