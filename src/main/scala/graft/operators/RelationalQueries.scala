@@ -128,11 +128,14 @@ object RelationalQueries {
 
     // ----------------------------------------------------------------- joins
     QuerySpec(
-      "join_bhj", // star-schema enrich; dims broadcast explicitly
+      "join_bhj", // star-schema enrich; FIXED-SIZE dims broadcast explicitly
       (s, dir) => {
         val li = t(s, dir, "lineitem").filter(col("l_quantity") <= 2)
         val o  = t(s, dir, "orders")
-        val c  = broadcast(t(s, dir, "customer"))
+        // customer gets NO hint: it scales with the corpus (unlike nation/
+        // region, fixed 25/5 rows forever) — AQE broadcasts it while it
+        // fits and falls back to a shuffle join at 100 TB
+        val c  = t(s, dir, "customer")
         val n  = broadcast(t(s, dir, "nation"))
         val r  = broadcast(t(s, dir, "region")).filter(col("r_name") === "EUROPE")
         li.join(o, col("l_orderkey") === col("o_orderkey"))

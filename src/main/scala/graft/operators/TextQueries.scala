@@ -178,8 +178,8 @@ object TextQueries {
                 AND NOT (fr > en)
               ORDER BY doc_id""")),
 
-    // tf-idf: explode → tf per (doc, term); df per term over a broadcastable
-    // term dictionary; idf = ln((N+1)/(df+1)). Rounded before output.
+    // tf-idf: explode → tf per (doc, term); df per term; join on term;
+    // idf = ln((N+1)/(df+1)). Rounded before output.
     QuerySpec(
       "text_tfidf",
       (s, dir) => {
@@ -190,7 +190,10 @@ object TextQueries {
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = terms.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df), "term")
+        // no broadcast hint: the term dictionary scales with the corpus;
+        // tf and df are both keyed by term, so this is a clean shuffle
+        // equi-join at any scale (AQE still broadcasts small vocabularies)
+        tf.join(df, "term")
           .select(
             col("doc_id"), col("term"), col("tf"),
             round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
