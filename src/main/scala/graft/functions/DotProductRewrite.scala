@@ -18,12 +18,13 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case agg @ ArrayAggregate(
-            zip @ ZipWith(left, right, LambdaFunction(mul: Multiply, _, _)),
-            zero: Literal, LambdaFunction(add: Add, _, _), _)
+      case ArrayAggregate(
+            ZipWith(left, right, mulFn @ LambdaFunction(mul: Multiply, _, _)),
+            zero: Literal, addFn @ LambdaFunction(add: Add, _, _), finish)
           if isDoubleArray(left) && isDoubleArray(right) &&
             zero.value == 0.0 && zero.dataType == DoubleType &&
-            isElementwise(mul, zip) && isElementwise(add, agg) =>
+            isElementwise(mul, mulFn) && isElementwise(add, addFn) &&
+            isIdentity(finish) =>
         DotProduct(left, right)
     }
 
@@ -32,11 +33,24 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The lambda body must be exactly `arg0 op arg1` over the lambda's own
-    * variables (no captures, no extra math). */
-  private def isElementwise(op: BinaryOperator, owner: HigherOrderFunction): Boolean =
+  /** The lambda body must be exactly `arg0 op arg1` over the lambda's OWN
+    * two variables (matched by exprId, so a variable captured from an
+    * enclosing higher-order function — same-name or not — is rejected;
+    * any extra math is rejected by the Multiply/Add pattern above). */
+  private def isElementwise(op: BinaryOperator, fn: LambdaFunction): Boolean = {
+    val own = fn.arguments.collect { case v: NamedLambdaVariable => v.exprId }.toSet
     (op.left, op.right) match {
-      case (l: NamedLambdaVariable, r: NamedLambdaVariable) => l.name != r.name
+      case (l: NamedLambdaVariable, r: NamedLambdaVariable) =>
+        own.size == 2 && l.exprId != r.exprId && Set(l.exprId, r.exprId) == own
       case _ => false
     }
+  }
+
+  /** Only the implicit identity finish lambda of 3-argument `aggregate`
+    * may be dropped; `aggregate(..., acc -> f(acc))` must keep f. */
+  private def isIdentity(finish: Expression): Boolean = finish match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      v.exprId == a.exprId
+    case _ => false
+  }
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   * Catalyst + Tungsten.
   *
   * Scale notes (100 TB design):
-  *  - dimension joins broadcast explicitly (region/nation/customer);
+  *  - fixed-size dimension joins broadcast explicitly (region/nation);
+  *    corpus-scaling relations (customer) carry no hint — AQE broadcasts
+  *    them while they fit and falls back to a shuffle join beyond that;
   *    fact-fact joins shuffle on their keys and AQE picks SMJ/skew handling;
   *  - no query collects to the driver; all outputs are bounded either by
   *    aggregation, selective filters, or explicit LIMIT;

@@ -49,12 +49,16 @@ object GeoJsonReader {
     features.select(propCols :+ geoJsonToWkb(to_json(col("f.geometry"))).as("geometry"): _*)
   }
 
+  // one mapper per JVM: ObjectMapper construction is heavyweight and
+  // readTree is thread-safe — a per-row instance would dominate the scan
+  @transient private lazy val mapper = new ObjectMapper()
+
   /** GeoJSON geometry JSON text → WKB bytes (null on any malformation —
     * the pipeline-wide invalid→NULL contract). */
   val geoJsonToWkb = udf { (geojson: String) =>
     if (geojson == null) null
     else
-      try GeoFunctionsBridge.toWkb(parseGeometry(new ObjectMapper().readTree(geojson)))
+      try GeoFunctionsBridge.toWkb(parseGeometry(mapper.readTree(geojson)))
       catch { case _: Exception => null }
   }
 

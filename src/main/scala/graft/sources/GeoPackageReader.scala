@@ -32,11 +32,23 @@ object GeoPackageReader {
         case _ => r
       } else r
     }
+    toDataFrame(spark, cols, converted)
+  }
 
+  /** Any SQLite table in the container → DataFrame with the widened
+    * inferred schema (no geometry handling) — for gpkg attribute/side
+    * tables alongside the feature table. */
+  def readAttributeTable(spark: SparkSession, path: String, table: String): DataFrame = {
+    val (cols, rows) = new SqliteReader(path).readTable(table)
+    toDataFrame(spark, cols, rows)
+  }
+
+  private def toDataFrame(
+      spark: SparkSession, cols: Seq[String], rows: Seq[IndexedSeq[Any]]): DataFrame = {
     val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
-      StructField(c, inferType(converted.iterator.map(r => r(i))))
+      StructField(c, inferType(rows.iterator.map(r => r(i))))
     })
-    val data = converted.map(r => Row.fromSeq(r.zip(schema.fields).map {
+    val data = rows.map(r => Row.fromSeq(r.zip(schema.fields).map {
       case (v, f) => coerce(v, f.dataType)
     }))
     spark.createDataFrame(
@@ -98,20 +110,25 @@ object GeoPackageReader {
     if (off >= gpb.length) null else gpb.drop(off)
   }
 
+  // SQLite columns are dynamically typed: widen over the whole sample
+  // (NUMERIC affinity stores 1 as INTEGER next to 2.5 as REAL), never
+  // decide from the first value alone
   private def inferType(values: Iterator[Any]): DataType = {
+    def isLong(v: Any) = v.isInstanceOf[Long] || v.isInstanceOf[java.lang.Long]
+    def isDouble(v: Any) = v.isInstanceOf[Double] || v.isInstanceOf[java.lang.Double]
     val present = values.filter(_ != null).take(1000).toSeq
-    present.headOption match {
-      case Some(_: Long) | Some(_: java.lang.Long) => LongType
-      case Some(_: Double) | Some(_: java.lang.Double) =>
-        DoubleType
-      case Some(_: Array[Byte]) => BinaryType
-      case _ => StringType
-    }
+    if (present.isEmpty) StringType
+    else if (present.forall(_.isInstanceOf[Array[Byte]])) BinaryType
+    else if (present.forall(isLong)) LongType
+    else if (present.forall(v => isLong(v) || isDouble(v))) DoubleType
+    else StringType
   }
 
   private def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
     case (l: Long, DoubleType) => l.toDouble
+    // a Double in a Long-typed column can only appear past the 1000-row
+    // inference sample; truncation is the documented lossy fallback there
     case (d: Double, LongType) => d.toLong
     case (x, StringType) if !x.isInstanceOf[String] && !x.isInstanceOf[Array[Byte]] => x.toString
     case (x, _) => x

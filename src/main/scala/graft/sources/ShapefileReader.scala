@@ -38,13 +38,18 @@ object ShapefileReader {
         .getOrElse(throw new IllegalArgumentException(s"zip member '$shpName' unreadable")))
       val (fields, attrs) = bytesOf(dbfName) match {
         case Some(b) => parseDbf(b)
-        case None    => (Seq.empty[StructField], Seq.fill(geoms.length)(Seq.empty[Any]))
+        case None    => (Seq.empty[StructField],
+          Seq.fill(geoms.length)(Some(Seq.empty[Any]): Option[Seq[Any]]))
       }
 
       val schema = StructType(fields :+ StructField("geom", BinaryType))
-      val rows = geoms.zipWithIndex.map { case (g, i) =>
-        val a = if (i < attrs.length) attrs(i) else Seq.fill(fields.length)(null)
-        Row.fromSeq(a :+ g.map(graft.functions.GeoFunctions.toWkb).orNull)
+      // .dbf record slots align positionally with .shp records; a deleted
+      // ('*') slot keeps its position (None) and drops the WHOLE feature,
+      // so later features keep their own attributes
+      val rows = geoms.zipWithIndex.flatMap { case (g, i) =>
+        val slot: Option[Seq[Any]] =
+          if (i < attrs.length) attrs(i) else Some(Seq.fill(fields.length)(null))
+        slot.map(a => Row.fromSeq(a :+ g.map(graft.functions.GeoFunctions.toWkb).orNull))
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000)), schema)
@@ -132,8 +137,10 @@ object ShapefileReader {
   // ------------------------------------------------------------------ .dbf
 
   /** dBase III table: header (record count, sizes), 32-byte field
-    * descriptors to 0x0D, then fixed-width records ('*' = deleted). */
-  def parseDbf(bytes: Array[Byte]): (Seq[StructField], Seq[Seq[Any]]) = {
+    * descriptors to 0x0D, then fixed-width records. Returns one entry per
+    * record slot; a deleted record ('*' flag) is None, preserving the
+    * positional alignment with .shp records. */
+  def parseDbf(bytes: Array[Byte]): (Seq[StructField], Seq[Option[Seq[Any]]]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nRecords = buf.getInt(4)
     val headerSize = buf.getShort(8) & 0xFFFF
@@ -160,7 +167,9 @@ object ShapefileReader {
       StructField(f.name, t)
     }
 
-    val rows = (0 until nRecords).flatMap { r =>
+    // one entry per record SLOT (deleted → None) so the caller's positional
+    // geometry pairing never shifts
+    val rows = (0 until nRecords).map { r =>
       val base = headerSize + r * recordSize
       if (base + recordSize > bytes.length || bytes(base) == '*') None
       else {

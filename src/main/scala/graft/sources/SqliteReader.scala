@@ -182,14 +182,31 @@ final class SqliteReader(path: String) {
       case c => cur += c
     }
     parts += cur.toString
-    parts.result().map(_.trim).filter(_.nonEmpty)
+    val all = parts.result().map(_.trim).filter(_.nonEmpty)
+    def unquote(s: String): String =
+      s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
+        .stripPrefix("[").stripSuffix("]")
+    // a single-column table-level `PRIMARY KEY(col)` on an INTEGER column
+    // also aliases rowid (values stored NULL), same as the inline form
+    val tablePk: Option[String] = all
+      .find(p => p.toUpperCase.replaceAll("^CONSTRAINT\\s+\\S+\\s+", "")
+        .matches("(?s)PRIMARY\\s*KEY\\s*\\(.*"))
+      .flatMap { p =>
+        val inner = p.substring(p.indexOf('(') + 1, p.lastIndexOf(')'))
+        inner.split(',').map(c => unquote(c.trim)).toList match {
+          case one :: Nil => Some(one)
+          case _ => None // composite PK never aliases rowid
+        }
+      }
+    all
       .filterNot(p => Seq("PRIMARY", "FOREIGN", "UNIQUE", "CHECK", "CONSTRAINT")
         .exists(k => p.toUpperCase.startsWith(k + " ") || p.toUpperCase.startsWith(k + "(")))
       .map { colDef =>
-        val colName = colDef.takeWhile(c => !c.isWhitespace)
-          .stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
-          .stripPrefix("[").stripSuffix("]")
-        (colName, colDef.toUpperCase.contains("INTEGER PRIMARY KEY"))
+        val colName = unquote(colDef.takeWhile(c => !c.isWhitespace))
+        val upperDef = colDef.toUpperCase
+        val isAlias = upperDef.contains("INTEGER PRIMARY KEY") ||
+          (tablePk.exists(_.equalsIgnoreCase(colName)) && upperDef.contains("INTEGER"))
+        (colName, isAlias)
       }
   }
 

@@ -60,9 +60,13 @@ object XlsxReader {
 
       val parsedRows: Seq[(Int, Map[Int, String])] = (sheet \\ "row").map { row =>
         val rowIdx = (row \ "@r").text.toIntOption.getOrElse(0)
+        // the cell reference attribute is OPTIONAL (ECMA-376): when absent,
+        // the cell sits one column after the previous cell in the row
+        var nextCol = 0
         val cells = (row \ "c").flatMap { c =>
           val ref = (c \ "@r").text       // e.g. "B3"
-          val colIdx = colIndex(ref)
+          val colIdx = if (ref.nonEmpty) colIndex(ref) else nextCol
+          nextCol = colIdx + 1
           val t = (c \ "@t").text
           val value: Option[String] = t match {
             case "s" => (c \ "v").headOption.map(_.text.trim)

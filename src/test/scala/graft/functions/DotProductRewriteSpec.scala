@@ -29,6 +29,45 @@ class DotProductRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a non-identity finish lambda blocks the rewrite") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      val df = spark.range(5)
+        .select(array(col("id").cast("double")).as("a"), array(lit(2.0)).as("b"))
+        .select(
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x, acc => acc / 10.0).as("v"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("dot_product"))
+      assert(df.collect()(3).getDouble(0) == (3.0 * 2.0) / 10.0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+    }
+  }
+
+  test("a variable captured from an enclosing lambda blocks the rewrite") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      // inner multiply uses outer `t`, not zip_with's own second variable:
+      // sum(a_i * t) per t — NOT a dot product of a and b
+      val df = spark.range(5)
+        .select(array(col("id").cast("double"), lit(1.0)).as("a"),
+          array(lit(2.0), lit(3.0)).as("b"))
+        .select(transform(col("b"), t =>
+          aggregate(zip_with(col("a"), col("b"), (x, _) => x * t),
+            lit(0.0), (acc, v) => acc + v)).as("sums"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("dot_product"))
+      val row = df.collect()(4).getSeq[Double](0)
+      // a = [4,1]; per t in b=[2,3]: (4+1)*t
+      assert(row == Seq(10.0, 15.0))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+    }
+  }
+
   test("non-matching folds are left alone") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ DotProductRewrite

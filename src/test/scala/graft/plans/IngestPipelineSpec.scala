@@ -194,6 +194,21 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(math.abs(g.getCentroid.getY - 51.5072) < 1e-5)
   }
 
+  test("deleted .dbf records keep their slot so attributes never shift") {
+    // record 2 of 3 flagged deleted ('*'): parseDbf must return
+    // [Some, None, Some] — positional alignment with .shp is the contract
+    val bytes = simpleDbf(Seq("first", "gone", "third"))
+    val recordSize = 1 + 10
+    val headerSize = 32 + 32 + 1
+    bytes(headerSize + recordSize) = '*'.toByte
+    val (fields, slots) = graft.sources.ShapefileReader.parseDbf(bytes)
+    assert(fields.map(_.name) == Seq("name"))
+    assert(slots.length == 3)
+    assert(slots(0).map(_.head) == Some("first"))
+    assert(slots(1).isEmpty)
+    assert(slots(2).map(_.head) == Some("third"))
+  }
+
   test("shapefile polygon with hole assembles shell + interior ring") {
     // shell CW, hole CCW per shapefile convention
     val shell = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
@@ -286,6 +301,26 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("name") == "inline!")
   }
 
+  test("xlsx cells without the optional r= attribute take sequential positions") {
+    // ECMA-376 makes c/@r optional: position is implied by document order
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c><v>10</v></c><c><v>20</v></c><c><v>30</v></c></row>
+        |<row r="2"><c><v>1</v></c><c r="B2"><v>2</v></c><c><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zip = zipOf(
+      "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+      "xl/workbook.xml" -> "<workbook/>".getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes("UTF-8"))
+    val path = writeFile(tmpDir, "noref.xlsx", zip)
+    val df = XlsxReader.read(spark, path)
+    // header row: 10, 20, 30; data row: 1, 2 (explicit B2), 3 (follows B2)
+    assert(df.columns.toSeq == Seq("10", "20", "30"))
+    val r = df.collect()(0)
+    assert(Seq(r.get(0), r.get(1), r.get(2)).map(_.toString) == Seq("1", "2", "3"))
+  }
+
   test("xlsx colIndex decodes A1-style refs") {
     assert(XlsxReader.colIndex("A1") == 0)
     assert(XlsxReader.colIndex("Z9") == 25)
@@ -324,6 +359,21 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(rows.map(_(0).asInstanceOf[Long]).sorted == (0L until 3000L))
     assert(rows.find(_(0) == 1234L).get(1) == "row1234")
     assert(rows.find(_(0) == 1234L).get(2) == 617.0)
+  }
+
+  test("table-level PRIMARY KEY(col) aliases rowid; NUMERIC column widens to double") {
+    val db = new SqliteReader("src/test/resources/fixtures/minimal.gpkg")
+    val (cols, rows) = db.readTable("tablepk")
+    assert(cols == Seq("tid", "val", "num"))
+    // tid values are stored as NULL in the records; the reader must
+    // substitute the rowid, same as the inline INTEGER PRIMARY KEY form
+    assert(rows.map(_(0)).toSet == Set(1L, 2L, 3L))
+    // SQLite NUMERIC affinity stores 1 as INTEGER and 2.5 as REAL in the
+    // same column: the DataFrame schema must widen, not truncate
+    val df = GeoPackageReader.readAttributeTable(spark, "src/test/resources/fixtures/minimal.gpkg", "tablepk")
+    val byTid = df.orderBy("tid").collect()
+    assert(df.schema("num").dataType.typeName == "double")
+    assert(byTid.map(_.getAs[Double]("num")).toSeq == Seq(1.0, 2.5, 4.0))
   }
 
   // ------------------------------------------------------- sinks

@@ -60,3 +60,16 @@ for i in range(3000):
 con.commit()
 con.close()
 print("appended 'many' table:", os.path.getsize(out), "bytes")
+
+# table-level PRIMARY KEY(col) also aliases rowid (stored NULLs), and a
+# NUMERIC-affinity column mixing INTEGER and REAL storage classes —
+# regression coverage for SqliteReader pk detection + GeoPackageReader
+# type widening
+con = sqlite3.connect(out)
+cur = con.cursor()
+cur.execute("CREATE TABLE tablepk (tid INTEGER, val TEXT, num NUMERIC, PRIMARY KEY(tid))")
+cur.executemany("INSERT INTO tablepk VALUES (?,?,?)",
+                [(1, "a", 1), (2, "b", 2.5), (3, "c", 4)])
+con.commit()
+con.close()
+print("appended 'tablepk' table:", os.path.getsize(out), "bytes")
