@@ -23,25 +23,25 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** First-8-hex-of-md5 → uint32-in-long: the shared Spark/DuckDB hash. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def h32(c: Column): Column = graft.functions.HashBridge.h32(c)
 
-  // MinHash constants — deterministic, reproduced literally in the oracle.
-  private val P = 4294967311L // smallest prime > 2^32
-  private val K = 16          // permutations
-  private val Bands = 8       // bands of 2 rows each
+  // MinHash permutation family: THE single source of truth is MinHashSig
+  // (the UDAF the Spark side of agg_minhash executes); the oracle strings
+  // below are generated from the same constants so they cannot drift.
+  private val P = graft.functions.MinHashSig.P
+  private val K = graft.functions.MinHashSig.K
+  private val Bands = K / 2 // bands of 2 rows each
 
-  /** (doc_id, shingle-hash) pairs (3-token shingles), duplicates included:
-    * the one consumer builds a SET via collect_set, so a pre-`distinct`
+  /** (key, shingle-hash) pairs (3-token shingles), duplicates included:
+    * consumers build SETs (collect_set) or min-fold, so a pre-`distinct`
     * would only add a second full shuffle of the same relation. */
-  private def shingleHashes(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .select(col("doc_id"),
+  private def shingleHashes(d: DataFrame, keyCol: String): DataFrame =
+    d.select(col(keyCol), split(trim(col("text")), "\\s+").as("t"))
+      .select(col(keyCol),
         explode(when(size(col("t")) >= 3,
           expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))"))
           .otherwise(expr("CAST(array() AS array<string>)"))).as("s"))
-      .select(col("doc_id"), h32(col("s")).as("h"))
+      .select(col(keyCol), h32(col("s")).as("h"))
 
   def specs: Seq[QuerySpec] = Seq(
 
@@ -75,7 +75,7 @@ object DedupQueries {
         // not four times. Results and oracle are identical: min-fold and
         // intersection size are order-insensitive, so collect_set's
         // nondeterministic order cannot surface.
-        val sets = shingleHashes(docs(s, dir))
+        val sets = shingleHashes(docs(s, dir), "doc_id")
           .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
           .withColumn("c", size(col("hs")))
         val sigCols = (0 until K).map(i =>
@@ -117,13 +117,7 @@ object DedupQueries {
         // reduces each partition to 5 signature buffers before the only
         // shuffle, the ideal 100 TB profile (constant bytes per partition).
         val minhashSig = udaf(graft.functions.MinHashSig)
-        docs(s, dir)
-          .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
-          .select(col("source"),
-            explode(when(size(col("t")) >= 3,
-              expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))"))
-              .otherwise(expr("CAST(array() AS array<string>)"))).as("sh"))
-          .select(col("source"), h32(col("sh")).as("h"))
+        shingleHashes(docs(s, dir), "source")
           .groupBy("source")
           .agg(minhashSig(col("h")).as("sig"))
           .select(col("source"), concat_ws("_", col("sig")).as("signature"))

@@ -54,7 +54,10 @@ object RelationalQueries {
     QuerySpec(
       "scan_csv",
       (s, dir) => {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_csv"
+        // path keyed by the source dir: a bench at sf0.1 and a verify at
+        // sf0.01 running concurrently must not overwrite each other's copy
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_csv_" +
+          java.lang.Integer.toHexString(dir.hashCode)
         t(s, dir, "nation").coalesce(1)
           .write.mode("overwrite").option("header", true).csv(tmp)
         s.read
@@ -74,9 +77,8 @@ object RelationalQueries {
       "scan_sample",
       (s, dir) =>
         t(s, dir, "lineitem")
-          .filter(conv(substring(md5(
-            concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
-            .cast("long") % 20 === 0)
+          .filter(graft.functions.HashBridge.h32(
+            concat_ws("_", col("l_orderkey"), col("l_linenumber"))) % 20 === 0)
           .select("l_orderkey", "l_linenumber", "l_quantity")
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

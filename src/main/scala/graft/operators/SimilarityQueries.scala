@@ -90,7 +90,9 @@ object SimilarityQueries {
       if (sameLabelOnly)
         q.join(c, col("q_label") === col("c_label") && col("query_id") =!= col("neighbor_id"))
       else
-        q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+        // non-equi ⇒ nested-loop regardless; NO hint so the planner builds
+        // on the bounded query side (16 rows), never the scaling corpus
+        q.join(c, col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     joined
       .withColumn("sim", round(dot(col("q_e"), col("c_e")) / (col("q_nrm") * col("c_nrm")), 6))

