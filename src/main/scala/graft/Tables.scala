@@ -19,12 +19,17 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
-    // a long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
-    // test sessions). Truncate to micros with exact integer division — the
-    // same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
+    * a long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
+    * test sessions). Truncate to micros with exact integer division — the
+    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    * Shared by the batch loader above and the streaming reader
+    * (EventStreams.readEvents) so batch/stream twins can never diverge. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
-  }
 }

@@ -40,8 +40,13 @@ object TopKLines extends Aggregator[(Double, Int), Seq[(Double, Int)], Seq[Int]]
     }
   }
 
-  private def before(a: (Double, Int), p: (Double, Int)): Boolean =
-    a._1 > p._1 || (a._1 == p._1 && a._2 < p._2)
+  // java.lang.Double.compare is Spark's sort order for doubles (NaN ranks
+  // ABOVE +Inf in a DESC window, -0.0 below 0.0): IEEE `>` would sink NaN
+  // entries instead, diverging from the row_number() twin
+  private def before(a: (Double, Int), p: (Double, Int)): Boolean = {
+    val c = java.lang.Double.compare(a._1, p._1)
+    c > 0 || (c == 0 && a._2 < p._2)
+  }
 
   override def bufferEncoder: Encoder[Seq[(Double, Int)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()

@@ -64,6 +64,14 @@ object IngestPipeline {
       Result(fileType, tableName, geometry, None, df) // NonGeoStrategy: identity
     else {
       val crs = currentCrs(df, fileType, geometry, job.filePath)
+      // fail FAST on a CRS our closed-form math can't reproject (e.g. a
+      // gpkg declaring EPSG:25832): proceeding would Try-swallow the
+      // per-row transform error into NULL for 100% of geometries — silent
+      // total data loss reported as success
+      if (!crs.toIntOption.exists(graft.functions.CrsTransform.SupportedEpsg.contains))
+        throw new IllegalArgumentException(
+          s"unsupported source CRS EPSG:$crs for '${job.filePath}' — " +
+            s"supported: ${graft.functions.CrsTransform.SupportedEpsg.toSeq.sorted.mkString(", ")}")
       Result(fileType, tableName, geometry, Some(crs),
         GeoTransform(df, fileType, geometry, crs, TargetCrs))
     }

@@ -25,12 +25,24 @@ final class ParquetSink(rootDir: String) extends Sink {
     new java.io.File(s"$rootDir/$schemaName").mkdirs()
 
   override def dropTable(schemaName: String, tableName: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(): Unit
+    // walkFileTree: no NPE when a dir vanishes mid-walk, and symlinked
+    // directories are deleted as LINKS (walk does not follow them), so a
+    // link inside the table dir can never delete data outside the sink
+    val root = java.nio.file.Paths.get(path(schemaName, tableName))
+    if (java.nio.file.Files.exists(root,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
+      ()
     }
-    val f = new java.io.File(path(schemaName, tableName))
-    if (f.exists()) rm(f)
   }
 
   override def write(df: DataFrame, schemaName: String, tableName: String): Unit =
@@ -80,12 +92,20 @@ final class JdbcPostgisSink(jdbcUrl: String, execute: String => Unit)
 
 object JdbcPostgisSink {
 
-  /** `"schema"."table"` quoting (core_processor.rs:147-149). */
+  /** Postgres identifier quoting: embedded `"` doubles. (The reference
+    * quotes without escaping, core_processor.rs:147-149 — a file named
+    * `my"tbl.csv` would break or inject into its generated DDL; escaping
+    * here is a deliberate hardening, not a parity deviation for any
+    * well-formed name.) */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** `"schema"."table"` qualification (core_processor.rs:147-149). */
   def qualified(schemaName: String, tableName: String): String =
-    "\"" + schemaName + "\".\"" + tableName + "\""
+    quoteIdent(schemaName) + "." + quoteIdent(tableName)
 
   def createSchemaSql(schemaName: String): String =
-    s"""CREATE SCHEMA IF NOT EXISTS "$schemaName";"""
+    s"CREATE SCHEMA IF NOT EXISTS ${quoteIdent(schemaName)};"
 
   def dropTableSql(schemaName: String, tableName: String): String =
     s"DROP TABLE IF EXISTS ${qualified(schemaName, tableName)};"
@@ -95,7 +115,9 @@ object JdbcPostgisSink {
     * NULL; empty/null WKT rows skipped; `_wkt` scaffolding dropped). */
   def geometryConversionSql(qualifiedTable: String, geomColumns: Seq[String]): String = {
     val blocks = geomColumns.map { g =>
-      s"""ALTER TABLE $qualifiedTable ADD COLUMN "$g" geometry;
+      val gq = quoteIdent(g)
+      val wktQ = quoteIdent(g + "_wkt")
+      s"""ALTER TABLE $qualifiedTable ADD COLUMN $gq geometry;
          |
          |CREATE OR REPLACE FUNCTION safe_geom_from_text(wkt_text TEXT, srid INTEGER)
          |RETURNS geometry AS $$$$
@@ -108,12 +130,12 @@ object JdbcPostgisSink {
          |$$$$ LANGUAGE plpgsql;
          |
          |UPDATE $qualifiedTable
-         |SET "$g" = safe_geom_from_text("${g}_wkt", 4326)
-         |WHERE "${g}_wkt" IS NOT NULL
-         |  AND "${g}_wkt" != '';
+         |SET $gq = safe_geom_from_text($wktQ, 4326)
+         |WHERE $wktQ IS NOT NULL
+         |  AND $wktQ != '';
          |
          |DROP FUNCTION safe_geom_from_text(TEXT, INTEGER);
-         |ALTER TABLE $qualifiedTable DROP COLUMN "${g}_wkt";""".stripMargin
+         |ALTER TABLE $qualifiedTable DROP COLUMN $wktQ;""".stripMargin
     }
     s"BEGIN TRANSACTION;\n${blocks.mkString("\n")}\nCOMMIT;"
   }

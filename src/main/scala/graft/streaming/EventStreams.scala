@@ -30,9 +30,7 @@ object EventStreams {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (batchSchema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** Tumbling 10-minute counts per event type, 1-hour watermark: late rows
@@ -133,21 +131,26 @@ object EventStreams {
             val s = state.get; state.remove()
             Iterator((userId, s.startUs, s.endUs, s.n))
           } else {
-            val sorted = rows.map(_._2).toArray.sorted
-            var open = state.getOption.orNull
-            val closed = Array.newBuilder[(Long, Long, Long, Int)]
-            sorted.foreach { t =>
-              open match {
-                case null => open = OpenSession(t, t, 1)
-                case o if t - o.endUs <= gapUs => open = OpenSession(o.startUs, t, o.n + 1)
-                case o => closed += ((userId, o.startUs, o.endUs, o.n)); open = OpenSession(t, t, 1)
+            // interval merge of (open session ++ this batch's events): late
+            // but within-watermark arrivals land in their correct session
+            // regardless of arrival order. Strict < on the gap: a separation
+            // of EXACTLY the window starts a new session (session_window is
+            // half-open — see StreamingQueries' oracle note).
+            val candidates =
+              (state.getOption.toVector ++ rows.map(r => OpenSession(r._2, r._2, 1)))
+                .sortBy(s => (s.startUs, s.endUs))
+            val merged = candidates.foldLeft(Vector.empty[OpenSession]) { (acc, s) =>
+              acc.lastOption match {
+                case Some(p) if s.startUs - p.endUs < gapUs =>
+                  acc.init :+ OpenSession(p.startUs, math.max(p.endUs, s.endUs), p.n + s.n)
+                case _ => acc :+ s
               }
             }
-            if (open != null) {
-              state.update(open)
-              state.setTimeoutTimestamp(open.endUs / 1000 + gapUs / 1000)
-            }
-            closed.result().iterator
+            // merged sessions are ≥ gap apart, so every one but the last is
+            // sealed by a later in-state event; the last rides in state
+            state.update(merged.last)
+            state.setTimeoutTimestamp(merged.last.endUs / 1000 + gapUs / 1000)
+            merged.init.iterator.map(s => (userId, s.startUs, s.endUs, s.n))
           }
         })
       .toDF("user_id", "start_us", "end_us", "n")

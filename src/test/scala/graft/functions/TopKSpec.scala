@@ -28,6 +28,12 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN prices rank first, matching Spark's DESC double ordering") {
+    val xs = Seq((Double.NaN, 1), (5.0, 2), (4.0, 3), (3.0, 4))
+    val buf = xs.foldLeft(TopKLines.zero)(TopKLines.reduce)
+    assert(TopKLines.finish(buf) == Seq(1, 2, 3))
+  }
+
   test("buffer never exceeds K entries") {
     val xs = (1 to 100).map(i => (i.toDouble, i))
     val buf = xs.foldLeft(TopKLines.zero)(TopKLines.reduce)

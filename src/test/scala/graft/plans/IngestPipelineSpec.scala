@@ -361,6 +361,21 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(rows.find(_(0) == 1234L).get(2) == 617.0)
   }
 
+  test("unsupported gpkg CRS fails fast instead of NULLing every geometry") {
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.plan(spark,
+        IngestJob("src/test/resources/fixtures/utm25832.gpkg", "utm.gpkg", "s"))
+    }
+    assert(e.getMessage.contains("25832") && e.getMessage.contains("unsupported"))
+  }
+
+  test("identifier quoting doubles embedded quotes in generated DDL") {
+    assert(JdbcPostgisSink.quoteIdent("plain") == "\"plain\"")
+    assert(JdbcPostgisSink.quoteIdent("my\"tbl") == "\"my\"\"tbl\"")
+    assert(JdbcPostgisSink.qualified("s", "x\";DROP TABLE y;--")
+      == "\"s\".\"x\"\";DROP TABLE y;--\"")
+  }
+
   test("table-level PRIMARY KEY(col) aliases rowid; NUMERIC column widens to double") {
     val db = new SqliteReader("src/test/resources/fixtures/minimal.gpkg")
     val (cols, rows) = db.readTable("tablepk")

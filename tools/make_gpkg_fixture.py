@@ -73,3 +73,33 @@ cur.executemany("INSERT INTO tablepk VALUES (?,?,?)",
 con.commit()
 con.close()
 print("appended 'tablepk' table:", os.path.getsize(out), "bytes")
+
+# second container declaring an UNSUPPORTED CRS (EPSG:25832) — regression
+# coverage for IngestPipeline's fail-fast guard against silent NULL-out
+out2 = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/fixtures/utm25832.gpkg")
+if os.path.exists(out2):
+    os.remove(out2)
+con = sqlite3.connect(out2)
+cur = con.cursor()
+cur.execute("PRAGMA application_id = 1196444487")
+cur.execute("""CREATE TABLE gpkg_spatial_ref_sys (
+  srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+  organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+  definition TEXT NOT NULL, description TEXT)""")
+cur.execute("INSERT INTO gpkg_spatial_ref_sys VALUES ('ETRS89 / UTM 32N', 25832, 'EPSG', 25832, 'PROJCS[...]', NULL)")
+cur.execute("""CREATE TABLE gpkg_contents (
+  table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+  identifier TEXT UNIQUE, description TEXT DEFAULT '',
+  last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+  srs_id INTEGER)""")
+cur.execute("INSERT INTO gpkg_contents VALUES ('pts','features','pts','', '2024-01-01', 0, 0, 1, 1, 25832)")
+cur.execute("""CREATE TABLE gpkg_geometry_columns (
+  table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+  geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+  z TINYINT NOT NULL, m TINYINT NOT NULL)""")
+cur.execute("INSERT INTO gpkg_geometry_columns VALUES ('pts','geom','POINT',25832,0,0)")
+cur.execute("CREATE TABLE pts (fid INTEGER PRIMARY KEY, geom BLOB)")
+cur.execute("INSERT INTO pts (geom) VALUES (?)", (gpb_point(500000.0, 5400000.0, srs=25832),))
+con.commit()
+con.close()
+print("wrote", out2, os.path.getsize(out2), "bytes")
