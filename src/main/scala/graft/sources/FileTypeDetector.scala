@@ -56,10 +56,18 @@ object FileTypeDetector {
     matchMagicNumbers(header) match {
       case Some(ft) => Right(ft)
       case None =>
+        // GeoJSON REQUIRES a '{' as the first non-whitespace byte
+        // (reference: core_processor.rs:378-380) — gate the full-body read
+        // on that one-byte check so a multi-GB CSV is never slurped into
+        // driver memory just to fall through to the extension fallback
+        val startsJsonObject =
+          new String(header, StandardCharsets.UTF_8).trim.startsWith("{")
         val body =
-          try Files.readAllBytes(Paths.get(filePath))
-          catch { case e: IOException => return Left(s"cannot read '$filePath': ${e.getMessage}") }
-        if (detectGeoJson(body)) Right(FileType.Geojson)
+          if (!startsJsonObject) Array.empty[Byte]
+          else
+            try Files.readAllBytes(Paths.get(filePath))
+            catch { case e: IOException => return Left(s"cannot read '$filePath': ${e.getMessage}") }
+        if (startsJsonObject && detectGeoJson(body)) Right(FileType.Geojson)
         else {
           // Extension fallback for CSV (reference's own "hack", :305-314).
           val name = Paths.get(filePath).getFileName.toString

@@ -32,7 +32,9 @@ object GeoPackageReader {
         case _ => r
       } else r
     }
-    toDataFrame(spark, cols, converted)
+    // tag the authoritative geometry column (from gpkg_geometry_columns)
+    // so downstream discovery finds it regardless of its name
+    toDataFrame(spark, cols, converted, geomCol = Some(geomCol))
   }
 
   /** Any SQLite table in the container → DataFrame with the widened
@@ -44,9 +46,15 @@ object GeoPackageReader {
   }
 
   private def toDataFrame(
-      spark: SparkSession, cols: Seq[String], rows: Seq[IndexedSeq[Any]]): DataFrame = {
+      spark: SparkSession, cols: Seq[String], rows: Seq[IndexedSeq[Any]],
+      geomCol: Option[String] = None): DataFrame = {
     val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
-      StructField(c, inferType(rows.iterator.map(r => r(i))))
+      val md =
+        if (geomCol.exists(_.equalsIgnoreCase(c)))
+          new MetadataBuilder()
+            .putBoolean(SchemaHeuristics.GeometryTag, true).build()
+        else Metadata.empty
+      StructField(c, inferType(rows.iterator.map(r => r(i))), metadata = md)
     })
     val data = rows.map(r => Row.fromSeq(r.zip(schema.fields).map {
       case (v, f) => coerce(v, f.dataType)
@@ -71,8 +79,15 @@ object GeoPackageReader {
       }
     }
 
-  /** (geometry column name, srs_id) for a feature table. */
-  def geometryColumn(db: SqliteReader, table: String): (String, Int) = {
+  /** (geometry column name, srs_id) for a feature table. Tolerates a
+    * missing gpkg_geometry_columns table — the gpkg_contents fallback in
+    * [[firstFeatureTable]] exists precisely for such containers, and this
+    * lookup must not crash where that fallback succeeded. */
+  def geometryColumn(db: SqliteReader, table: String): (String, Int) =
+    if (db.tableRoot("gpkg_geometry_columns").isEmpty) ("geom", 4326)
+    else geometryColumnFromCatalog(db, table)
+
+  private def geometryColumnFromCatalog(db: SqliteReader, table: String): (String, Int) = {
     val (cols, rows) = db.readTable("gpkg_geometry_columns")
     val ti = cols.indexWhere(_.equalsIgnoreCase("table_name"))
     val ci = cols.indexWhere(_.equalsIgnoreCase("column_name"))
@@ -124,13 +139,25 @@ object GeoPackageReader {
     else StringType
   }
 
+  // total: every SQLite storage class maps to SOMETHING valid for the
+  // target type (worst case null) — a value that slipped past the 1000-row
+  // inference sample must never produce a Row that violates the schema
+  // (Spark would throw "[B is not a valid external type..." at action time)
   private def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
+    case (l: Long, LongType) => l
     case (l: Long, DoubleType) => l.toDouble
+    case (d: Double, DoubleType) => d
     // a Double in a Long-typed column can only appear past the 1000-row
     // inference sample; truncation is the documented lossy fallback there
     case (d: Double, LongType) => d.toLong
-    case (x, StringType) if !x.isInstanceOf[String] && !x.isInstanceOf[Array[Byte]] => x.toString
+    case (_, LongType) => null // non-numeric past the sample
+    case (_, DoubleType) => null
+    case (b: Array[Byte], StringType) => // BLOB in a text column: hex, like SQLite's quote()
+      b.map("%02X".format(_)).mkString
+    case (x, StringType) => x.toString
+    case (b: Array[Byte], BinaryType) => b
+    case (_, BinaryType) => null // non-blob past the sample in a blob column
     case (x, _) => x
   }
 }

@@ -33,8 +33,15 @@ object SchemaHeuristics {
     *  - non-(DOUBLE|INTEGER|VARCHAR) types named like geom or exactly
     *    'geometry'                               (the catch-all arm)
     * `gdb_geomattr_data` (an ESRI FileGDB internal) is excluded (:189). */
-  def geometryColumnsByType(schema: StructType): Seq[String] =
-    schema.fields.iterator.filter { f =>
+  def geometryColumnsByType(schema: StructType): Seq[String] = {
+    // Reader-authoritative arm — the Spark stand-in for DuckDB's GEOMETRY
+    // data type: readers that KNOW their geometry column (GeoPackage's
+    // gpkg_geometry_columns) tag the field with metadata, catching columns
+    // the name heuristic cannot (e.g. ArcGIS's default 'Shape').
+    val tagged = schema.fields.iterator.filter(f =>
+      f.metadata.contains(GeometryTag) && f.metadata.getBoolean(GeometryTag))
+      .map(_.name).toSeq
+    val heuristic = schema.fields.iterator.filter { f =>
       val n = f.name
       val isBlob = f.dataType == BinaryType
       val isExcludedScalar = f.dataType match {
@@ -43,7 +50,12 @@ object SchemaHeuristics {
       }
       (isBlob && (n.contains("geo") || n.contains("geom"))) ||
       (!isExcludedScalar && (n.contains("geom") || n == "geometry"))
-    }.map(_.name).filterNot(_ == "gdb_geomattr_data").toSeq
+    }.map(_.name).toSeq
+    (tagged ++ heuristic).distinct.filterNot(_ == "gdb_geomattr_data")
+  }
+
+  /** Field-metadata key readers use to mark a known geometry column. */
+  val GeometryTag = "graft.geometry"
 
   // The 14 (x, y) name patterns, in priority order; generic ("x","y") is
   // deliberately last (core_processor.rs:213-232).

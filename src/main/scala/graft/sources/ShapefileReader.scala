@@ -120,16 +120,26 @@ object ShapefileReader {
 
   /** Shapefile ring convention: clockwise = shell, counter-clockwise =
     * hole; holes belong to the shell that contains them. */
-  private def assemblePolygons(rings: Seq[Array[Coordinate]]): Geometry = {
+  private[graft] def assemblePolygons(rings: Seq[Array[Coordinate]]): Geometry = {
     val closed = rings.filter(_.length >= 4).map(gf.createLinearRing)
     val (shells, holes) = closed.partition(r => !Orientation.isCCW(r.getCoordinateSequence))
     if (shells.isEmpty)
       return if (closed.isEmpty) gf.createPolygon()
       else gf.createPolygon(closed.head) // degenerate: treat lone CCW ring as shell
-    val polys: Seq[Polygon] = shells.map { shell =>
-      val shellPoly = gf.createPolygon(shell)
-      val mine = holes.filter(h => shellPoly.contains(gf.createPoint(h.getCoordinateN(0))))
-      gf.createPolygon(shell, mine.toArray)
+    // covers(), not contains(): a hole may legally TOUCH its shell at the
+    // probe vertex (contains() is false on the boundary and would drop the
+    // hole, silently filling it). With nested shells, each hole goes to
+    // the SMALLEST covering shell — the innermost one it punches.
+    val shellPolys = shells.map(s => (s, gf.createPolygon(s)))
+    val assignment: Map[Int, Seq[org.locationtech.jts.geom.LinearRing]] =
+      holes.flatMap { h =>
+        val p = gf.createPoint(h.getCoordinateN(0))
+        val covering = shellPolys.zipWithIndex.filter(_._1._2.covers(p))
+        if (covering.isEmpty) None
+        else Some(covering.minBy(_._1._2.getArea)._2 -> h)
+      }.groupBy(_._1).map { case (i, hs) => i -> hs.map(_._2) }
+    val polys: Seq[Polygon] = shellPolys.zipWithIndex.map { case ((shell, _), i) =>
+      gf.createPolygon(shell, assignment.getOrElse(i, Seq.empty).toArray)
     }
     if (polys.length == 1) polys.head else gf.createMultiPolygon(polys.toArray)
   }

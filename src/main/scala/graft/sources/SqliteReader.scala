@@ -172,20 +172,39 @@ final class SqliteReader(path: String) {
       .map(_.sql).getOrElse(return Seq.empty)
     val open = sql.indexOf('(')
     val body = sql.substring(open + 1, sql.lastIndexOf(')'))
-    // split on commas at nesting depth 0
+    // split on commas at nesting depth 0, OUTSIDE quoted identifiers and
+    // string literals — `"station name" TEXT` or `DEFAULT 'a,b'` must not
+    // split mid-token ('' / "" escapes stay inside their token)
     val parts = Seq.newBuilder[String]
-    var depth = 0; val cur = new StringBuilder
-    body.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.toString; cur.clear()
-      case c => cur += c
+    var depth = 0; var quote: Char = 0; val cur = new StringBuilder
+    body.foreach { c =>
+      if (quote != 0) {
+        cur += c
+        if (c == quote) quote = 0
+      } else c match {
+        case '"' | '\'' | '`' => quote = c; cur += c
+        case '[' => quote = ']'; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => parts += cur.toString; cur.clear(): Unit
+        case other => cur += other
+      }
     }
     parts += cur.toString
     val all = parts.result().map(_.trim).filter(_.nonEmpty)
     def unquote(s: String): String =
       s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
         .stripPrefix("[").stripSuffix("]")
+    // column name = first token, honoring quoted identifiers w/ spaces
+    def colNameOf(colDef: String): String = colDef.headOption match {
+      case Some(q @ ('"' | '`' | '\'')) =>
+        val end = colDef.indexOf(q, 1)
+        if (end > 0) colDef.substring(1, end) else unquote(colDef)
+      case Some('[') =>
+        val end = colDef.indexOf(']', 1)
+        if (end > 0) colDef.substring(1, end) else unquote(colDef)
+      case _ => colDef.takeWhile(c => !c.isWhitespace)
+    }
     // a single-column table-level `PRIMARY KEY(col)` on an INTEGER column
     // also aliases rowid (values stored NULL), same as the inline form
     val tablePk: Option[String] = all
@@ -202,7 +221,7 @@ final class SqliteReader(path: String) {
       .filterNot(p => Seq("PRIMARY", "FOREIGN", "UNIQUE", "CHECK", "CONSTRAINT")
         .exists(k => p.toUpperCase.startsWith(k + " ") || p.toUpperCase.startsWith(k + "(")))
       .map { colDef =>
-        val colName = unquote(colDef.takeWhile(c => !c.isWhitespace))
+        val colName = colNameOf(colDef)
         val upperDef = colDef.toUpperCase
         val isAlias = upperDef.contains("INTEGER PRIMARY KEY") ||
           (tablePk.exists(_.equalsIgnoreCase(colName)) && upperDef.contains("INTEGER"))

@@ -49,13 +49,37 @@ object XlsxReader {
 
       val shared: IndexedSeq[String] = entryBytes("xl/sharedStrings.xml").map { b =>
         val x = XML.loadString(new String(b, "UTF-8"))
-        // each <si> concatenates its <t> descendants (covers rich-text runs)
-        (x \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+        // each <si> concatenates its direct <t> plus rich-text run <r><t>
+        // children — NOT <rPh> phonetic-ruby runs, whose readings would
+        // corrupt the value ("東京" must not become "東京トウキョウ")
+        (x \ "si").map(si =>
+          ((si \ "t") ++ (si \ "r" \ "t")).map(_.text).mkString).toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
 
-      val sheetName = (1 to 20).map(i => s"xl/worksheets/sheet$i.xml")
-        .find(zf.getEntry(_) != null)
-        .getOrElse(throw new IllegalArgumentException(s"no worksheet found in '$path'"))
+      // FIRST sheet in workbook.xml order (the user-visible order), resolved
+      // through the workbook rels — a reordered workbook stores Sheet3 as
+      // the first <sheet> entry, and sheet parts need not be named sheetN
+      val sheetName: String = {
+        val fromWorkbook =
+          for {
+            wb <- entryBytes("xl/workbook.xml")
+            rels <- entryBytes("xl/_rels/workbook.xml.rels")
+            wbXml = XML.loadString(new String(wb, "UTF-8"))
+            firstSheet <- (wbXml \ "sheets" \ "sheet").headOption
+            rid = firstSheet.attributes.asAttrMap.collectFirst {
+              case (k, v) if k == "r:id" || k.endsWith(":id") || k == "id" => v
+            }.getOrElse("")
+            relsXml = XML.loadString(new String(rels, "UTF-8"))
+            target <- (relsXml \ "Relationship")
+              .find(r => (r \ "@Id").text == rid)
+              .map(r => (r \ "@Target").text)
+          } yield if (target.startsWith("/")) target.stripPrefix("/")
+                  else s"xl/${target.stripPrefix("./")}"
+        fromWorkbook.filter(zf.getEntry(_) != null)
+          .orElse((1 to 20).map(i => s"xl/worksheets/sheet$i.xml")
+            .find(zf.getEntry(_) != null))
+          .getOrElse(throw new IllegalArgumentException(s"no worksheet found in '$path'"))
+      }
       val sheet = XML.loadString(new String(entryBytes(sheetName).get, "UTF-8"))
 
       val parsedRows: Seq[(Int, Map[Int, String])] = (sheet \\ "row").map { row =>

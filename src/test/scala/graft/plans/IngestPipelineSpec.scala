@@ -391,6 +391,67 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(byTid.map(_.getAs[Double]("num")).toSeq == Seq(1.0, 2.5, 4.0))
   }
 
+  test("polygon hole touching its shell at the probe vertex survives assembly") {
+    import org.locationtech.jts.geom.Coordinate
+    // shell CW, hole CCW, both starting at the SHARED vertex (0,0):
+    // boundary-exclusive contains() would drop the hole entirely
+    val shell = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+      .map { case (x, y) => new Coordinate(x, y) }
+    val hole = Array((0.0, 0.0), (4.0, 2.0), (2.0, 4.0), (0.0, 0.0))
+      .map { case (x, y) => new Coordinate(x, y) }
+    val g = graft.sources.ShapefileReader.assemblePolygons(Seq(shell, hole))
+    assert(g.getGeometryType == "Polygon")
+    assert(g.asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing == 1)
+    assert(math.abs(g.getArea - (100.0 - 6.0)) < 1e-9)
+  }
+
+  test("gpkg without gpkg_geometry_columns falls back to gpkg_contents + default geom") {
+    val path = "src/test/resources/fixtures/contents_only.gpkg"
+    val df = GeoPackageReader.read(spark, path)
+    assert(df.columns.toSeq == Seq("fid", "geom", "name"))
+    val g = graft.functions.GeoFunctions.parseWkb(
+      df.collect()(0).getAs[Array[Byte]]("geom")).get
+    assert(g.getCentroid.getX == 1.0 && g.getCentroid.getY == 2.0)
+  }
+
+  test("sqlite CREATE parser honors quoted identifiers and comma-in-default") {
+    val db = new SqliteReader("src/test/resources/fixtures/contents_only.gpkg")
+    val cols = db.tableColumns("weird").map(_._1)
+    assert(cols == Seq("station name", "num", "txt"))
+    val (names, rows) = db.readTable("weird")
+    assert(names == cols && rows.head(0) == "x" && rows.head(1) == 1L && rows.head(2) == "y")
+  }
+
+  test("xlsx reads the FIRST sheet in workbook order, not the lowest-numbered part") {
+    val wb =
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="5" r:id="rId9"/></sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet5.xml"/>
+        |</Relationships>""".stripMargin
+    def sheetXml(v: Int) =
+      s"""<?xml version="1.0"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1"><v>$v</v></c></row>
+         |<row r="2"><c r="A2"><v>${v * 10}</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val zip = zipOf(
+      "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+      "xl/workbook.xml" -> wb.getBytes("UTF-8"),
+      "xl/_rels/workbook.xml.rels" -> rels.getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" -> sheetXml(111).getBytes("UTF-8"),
+      "xl/worksheets/sheet5.xml" -> sheetXml(555).getBytes("UTF-8"))
+    val path = writeFile(tmpDir, "reordered.xlsx", zip)
+    val df = XlsxReader.read(spark, path)
+    // header from sheet5 (the workbook's first sheet), not sheet1
+    assert(df.columns.toSeq == Seq("555"))
+    assert(df.collect()(0).get(0).toString == "5550")
+  }
+
   // ------------------------------------------------------- sinks
 
   test("ParquetSink end-to-end run() writes transformed table") {

@@ -103,3 +103,26 @@ cur.execute("INSERT INTO pts (geom) VALUES (?)", (gpb_point(500000.0, 5400000.0,
 con.commit()
 con.close()
 print("wrote", out2, os.path.getsize(out2), "bytes")
+
+# third container: gpkg_contents ONLY (no gpkg_geometry_columns) — the
+# fallback discovery path must not crash; plus a table exercising quoted
+# identifiers / comma-in-default in the CREATE TABLE parser
+out3 = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/fixtures/contents_only.gpkg")
+if os.path.exists(out3):
+    os.remove(out3)
+con = sqlite3.connect(out3)
+cur = con.cursor()
+cur.execute("PRAGMA application_id = 1196444487")
+cur.execute("""CREATE TABLE gpkg_contents (
+  table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+  identifier TEXT UNIQUE, description TEXT DEFAULT '',
+  last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+  srs_id INTEGER)""")
+cur.execute("INSERT INTO gpkg_contents VALUES ('feats','features','feats','', '2024-01-01', 0, 0, 1, 1, 4326)")
+cur.execute("CREATE TABLE feats (fid INTEGER PRIMARY KEY, geom BLOB, name TEXT)")
+cur.execute("INSERT INTO feats (geom, name) VALUES (?,?)", (gpb_point(1.0, 2.0), "a"))
+cur.execute("""CREATE TABLE "weird" ("station name" TEXT, num INTEGER DEFAULT 7, txt TEXT DEFAULT 'a,b')""")
+cur.execute('INSERT INTO "weird" VALUES (?,?,?)', ("x", 1, "y"))
+con.commit()
+con.close()
+print("wrote", out3, os.path.getsize(out3), "bytes")
