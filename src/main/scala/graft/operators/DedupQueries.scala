@@ -75,16 +75,18 @@ object DedupQueries {
         // not four times. Results and oracle are identical: min-fold and
         // intersection size are order-insensitive, so collect_set's
         // nondeterministic order cannot surface.
+        // ONE shuffle computes both per-doc artifacts: the 16-min signature
+        // (via the compiled MinHashSig UDAF — min-folds are duplicate-
+        // insensitive, so no pre-distinct; 16 interpreted HOF folds per doc
+        // would cost ~5× more) and the shingle SET for exact verification.
+        val minhashSig = udaf(graft.functions.MinHashSig)
         val sets = shingleHashes(docs(s, dir), "doc_id")
-          .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+          .groupBy("doc_id")
+          .agg(minhashSig(col("h")).as("sig"), collect_set(col("h")).as("hs"))
           .withColumn("c", size(col("hs")))
-        val sigCols = (0 until K).map(i =>
-          aggregate(col("hs"), lit(P),
-            (acc, h) => least(acc, (h * (2 * i + 1) + lit(7919L * i)) % P)).as(s"s$i"))
-        val sig = sets.select(col("doc_id") +: sigCols: _*)
-        val bands = sig.select(col("doc_id"), explode(array((0 until Bands).map(j =>
+        val bands = sets.select(col("doc_id"), explode(array((0 until Bands).map(j =>
           struct(lit(j).as("b"),
-            concat_ws("_", col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("key"))): _*)).as("bd"))
+            concat_ws("_", col("sig")(2 * j), col("sig")(2 * j + 1)).as("key"))): _*)).as("bd"))
           .select(col("doc_id"), col("bd.b").as("b"), col("bd.key").as("key"))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
