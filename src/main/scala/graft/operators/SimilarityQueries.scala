@@ -129,13 +129,16 @@ object SimilarityQueries {
     QuerySpec(
       "topk_similarity_lsh",
       (s, dir) => {
+        // quantized coords and ±1000 coefs are integers — exactly
+        // representable in double — so the native codegen'd DotProduct
+        // computes each projection with integer-exact signs (16 interpreted
+        // zip_with/aggregate folds per row would be ~5× slower)
         val base = emb(s, dir)
           .select(col("vec_id"), asD(col("embedding")).as("e"))
-          .withColumn("qe", expr("transform(e, x -> CAST(round(x * 1000) AS BIGINT))"))
-        def sigBit(j: Int): Column = {
-          val prod = zip_with(col("qe"), typedlit(hyperplanes(j).toSeq), (a, b) => a * b)
-          when(aggregate(prod, lit(0L), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0))
-        }
+          .withColumn("qe", expr("transform(e, x -> CAST(CAST(round(x * 1000) AS BIGINT) AS DOUBLE))"))
+        def sigBit(j: Int): Column =
+          when(dot(col("qe"), typedlit(hyperplanes(j).map(_.toDouble).toSeq)) >= 0, lit(1))
+            .otherwise(lit(0))
         val bands = base.select(col("vec_id"),
           explode(array((0 until Planes / 4).map(b =>
             struct(lit(b).as("b"),
