@@ -94,6 +94,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.size >= batch.size / 2, s"${streamed.size} of ${batch.size} closed")
   }
 
+  test("sessionizer merges state across micro-batches incl. late in-watermark arrivals") {
+    import java.sql.Timestamp
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-sess-batches")
+    def writeBatch(name: String, modTime: Long, rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      val df = rows.toDF("user_id", "tss")
+        .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+      val f = dirPath.resolve(name)
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(modTime))
+      f.toFile.setLastModified(modTime): Unit
+    }
+    // batch 1: open session 10:00-10:05; batch 2: a LATE 10:02 (within the
+    // 1h watermark) must merge INTO it, and 11:30 must seal it; batch 3:
+    // 12:30 seals the 11:30 singleton. The 12:30 tail stays open (withheld).
+    writeBatch("b1", 1000000L, Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:05:00")))
+    writeBatch("b2", 2000000L, Seq((1L, "2024-01-01 10:02:00"), (1L, "2024-01-01 11:30:00")))
+    writeBatch("b3", 3000000L, Seq((1L, "2024-01-01 12:30:00")))
+    val schema = spark.read.parquet(dirPath.resolve("b1").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirPath.toString + "/*")
+    runToMemory(EventStreams.sessionizedEvents(spark, stream), "msess", "append")
+    val out = spark.table("msess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000
+    assert(out == Set(
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:05:00"), 3),
+      (1L, us("2024-01-01 11:30:00"), us("2024-01-01 11:30:00"), 1)))
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.errorPurchaseJoins(events), "ssjoin", "append")
