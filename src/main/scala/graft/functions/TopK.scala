@@ -40,11 +40,11 @@ object TopKLines extends Aggregator[(Double, Int), Seq[(Double, Int)], Seq[Int]]
     }
   }
 
-  // java.lang.Double.compare is Spark's sort order for doubles (NaN ranks
-  // ABOVE +Inf in a DESC window, -0.0 below 0.0): IEEE `>` would sink NaN
-  // entries instead, diverging from the row_number() twin
+  // Spark's double sort order (nanSafeCompareDoubles): primitive == first
+  // (so -0.0 ties 0.0, unlike raw Double.compare), then Double.compare
+  // (so NaN ranks ABOVE +Inf in a DESC window, unlike IEEE `>`)
   private def before(a: (Double, Int), p: (Double, Int)): Boolean = {
-    val c = java.lang.Double.compare(a._1, p._1)
+    val c = if (a._1 == p._1) 0 else java.lang.Double.compare(a._1, p._1)
     c > 0 || (c == 0 && a._2 < p._2)
   }
 

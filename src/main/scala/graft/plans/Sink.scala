@@ -33,12 +33,17 @@ final class ParquetSink(rootDir: String) extends Sink {
         java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
       import java.nio.file.attribute.BasicFileAttributes
+      // best-effort like the File#delete() it replaces: a single
+      // undeletable/concurrently-vanished entry must not abort the
+      // pipeline — the subsequent overwrite-mode write still proceeds
       Files.walkFileTree(root, new SimpleFileVisitor[Path] {
         override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
-          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+          scala.util.Try(Files.deleteIfExists(f)); FileVisitResult.CONTINUE
         }
+        override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+          FileVisitResult.CONTINUE
         override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
-          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+          scala.util.Try(Files.deleteIfExists(d)); FileVisitResult.CONTINUE
         }
       })
       ()

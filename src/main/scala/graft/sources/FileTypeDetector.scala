@@ -56,12 +56,20 @@ object FileTypeDetector {
     matchMagicNumbers(header) match {
       case Some(ft) => Right(ft)
       case None =>
-        // GeoJSON REQUIRES a '{' as the first non-whitespace byte
+        // GeoJSON REQUIRES a '{' as the first non-whitespace char
         // (reference: core_processor.rs:378-380) — gate the full-body read
-        // on that one-byte check so a multi-GB CSV is never slurped into
-        // driver memory just to fall through to the extension fallback
+        // on a bounded 4 KB prefix so a multi-GB CSV is never slurped into
+        // driver memory just to fall through to the extension fallback.
+        // Same whitespace definition as detectGeoJson (Character
+        // .isWhitespace covers U+2028 etc. that String.trim would miss).
+        val prefix =
+          try Using.resource(new FileInputStream(filePath)) { in =>
+            val buf = new Array[Byte](4096)
+            val n = math.max(in.read(buf), 0)
+            new String(buf.take(n), StandardCharsets.UTF_8)
+          } catch { case e: IOException => return Left(s"cannot read '$filePath': ${e.getMessage}") }
         val startsJsonObject =
-          new String(header, StandardCharsets.UTF_8).trim.startsWith("{")
+          prefix.dropWhile(Character.isWhitespace).startsWith("{")
         val body =
           if (!startsJsonObject) Array.empty[Byte]
           else

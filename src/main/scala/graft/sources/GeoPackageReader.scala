@@ -25,16 +25,25 @@ object GeoPackageReader {
     val (geomCol, _) = geometryColumn(db, featureTable)
     val (cols, rows) = db.readTable(featureTable)
 
-    val geomIdx = cols.indexWhere(_.equalsIgnoreCase(geomCol))
+    // when the declared/default name isn't a column (contents-only files),
+    // sniff the first column whose values carry the GPB magic "GP"
+    val declaredIdx = cols.indexWhere(_.equalsIgnoreCase(geomCol))
+    val geomIdx =
+      if (declaredIdx >= 0) declaredIdx
+      else cols.indices.find { i =>
+        rows.iterator.map(_(i)).collectFirst { case b: Array[Byte] => b }
+          .exists(b => b.length >= 2 && b(0) == 'G' && b(1) == 'P')
+      }.getOrElse(-1)
+    val effectiveGeomCol = if (geomIdx >= 0) cols(geomIdx) else geomCol
     val converted = rows.map { r =>
       if (geomIdx >= 0) r(geomIdx) match {
         case b: Array[Byte] => r.updated(geomIdx, gpbToWkb(b))
         case _ => r
       } else r
     }
-    // tag the authoritative geometry column (from gpkg_geometry_columns)
-    // so downstream discovery finds it regardless of its name
-    toDataFrame(spark, cols, converted, geomCol = Some(geomCol))
+    // tag the authoritative geometry column (from gpkg_geometry_columns,
+    // or GPB-sniffed) so downstream discovery finds it regardless of name
+    toDataFrame(spark, cols, converted, geomCol = Some(effectiveGeomCol))
   }
 
   /** Any SQLite table in the container → DataFrame with the widened
@@ -81,11 +90,28 @@ object GeoPackageReader {
 
   /** (geometry column name, srs_id) for a feature table. Tolerates a
     * missing gpkg_geometry_columns table — the gpkg_contents fallback in
-    * [[firstFeatureTable]] exists precisely for such containers, and this
-    * lookup must not crash where that fallback succeeded. */
+    * [[firstFeatureTable]] exists precisely for such containers: the SRS
+    * then comes from gpkg_contents' own srs_id column (NOT a hardcoded
+    * 4326, which would sneak meter-grid coordinates past the pipeline's
+    * unsupported-CRS fail-fast), and the geometry column is GPB-sniffed
+    * by the caller when 'geom' doesn't exist. */
   def geometryColumn(db: SqliteReader, table: String): (String, Int) =
-    if (db.tableRoot("gpkg_geometry_columns").isEmpty) ("geom", 4326)
+    if (db.tableRoot("gpkg_geometry_columns").isEmpty)
+      ("geom", contentsSrsId(db, table).getOrElse(4326))
     else geometryColumnFromCatalog(db, table)
+
+  private def contentsSrsId(db: SqliteReader, table: String): Option[Int] =
+    db.tableRoot("gpkg_contents").flatMap { _ =>
+      val (cols, rows) = db.readTable("gpkg_contents")
+      val ti = cols.indexWhere(_.equalsIgnoreCase("table_name"))
+      val si = cols.indexWhere(_.equalsIgnoreCase("srs_id"))
+      if (si < 0) None
+      else rows.find(_(ti) == table).flatMap(_(si) match {
+        case l: java.lang.Long => Some(l.toInt)
+        case l: Long => Some(l.toInt)
+        case _ => None
+      })
+    }
 
   private def geometryColumnFromCatalog(db: SqliteReader, table: String): (String, Int) = {
     val (cols, rows) = db.readTable("gpkg_geometry_columns")

@@ -195,11 +195,18 @@ final class SqliteReader(path: String) {
     def unquote(s: String): String =
       s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
         .stripPrefix("[").stripSuffix("]")
-    // column name = first token, honoring quoted identifiers w/ spaces
+    // column name = first token, honoring quoted identifiers w/ spaces and
+    // doubled-quote escapes ("my""col" → my"col)
     def colNameOf(colDef: String): String = colDef.headOption match {
       case Some(q @ ('"' | '`' | '\'')) =>
-        val end = colDef.indexOf(q, 1)
-        if (end > 0) colDef.substring(1, end) else unquote(colDef)
+        val sb = new StringBuilder; var i = 1; var closed = false
+        while (i < colDef.length && !closed) {
+          if (colDef(i) == q) {
+            if (i + 1 < colDef.length && colDef(i + 1) == q) { sb += q; i += 2 }
+            else closed = true
+          } else { sb += colDef(i); i += 1 }
+        }
+        if (closed) sb.toString else unquote(colDef)
       case Some('[') =>
         val end = colDef.indexOf(']', 1)
         if (end > 0) colDef.substring(1, end) else unquote(colDef)

@@ -112,7 +112,21 @@ object EventStreams {
     * open session rides in state. Emits zero-or-more rows per group per
     * trigger, which mapGroupsWithState cannot express. State per user is
     * one [[OpenSession]] regardless of event volume; the in-group sort
-    * is bounded by one user's events per micro-batch, not the corpus. */
+    * is bounded by one user's events per micro-batch, not the corpus.
+    *
+    * Emission contract (append mode cannot retract): a session is sealed
+    * by GAP EVIDENCE — a later event of the same user ≥ gap after it —
+    * not by the watermark. Within a micro-batch arrival order is
+    * irrelevant (events are interval-merged), and a late-but-in-watermark
+    * event arriving before its session is sealed merges correctly across
+    * batches; but an event arriving AFTER its session was already sealed
+    * and emitted starts a fresh session instead of retroactively merging.
+    * This matches session_window exactly whenever each user's events
+    * arrive in event-time order across batches (the per-key-ordered
+    * delivery Kafka-style sources provide); Spark's own append-mode
+    * session_window avoids the edge by withholding ALL output until the
+    * watermark passes — a latency trade this operator deliberately makes
+    * the other way. */
   def sessionizedEvents(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -131,11 +145,12 @@ object EventStreams {
             val s = state.get; state.remove()
             Iterator((userId, s.startUs, s.endUs, s.n))
           } else {
-            // interval merge of (open session ++ this batch's events): late
-            // but within-watermark arrivals land in their correct session
-            // regardless of arrival order. Strict < on the gap: a separation
-            // of EXACTLY the window starts a new session (session_window is
-            // half-open — see StreamingQueries' oracle note).
+            // interval merge of (open session ++ this batch's events): any
+            // arrival order within the batch — and late arrivals into the
+            // still-open session — land correctly (see emission contract
+            // above for the post-seal edge). Strict < on the gap: a
+            // separation of EXACTLY the window starts a new session
+            // (session_window is half-open — see StreamingQueries' note).
             val candidates =
               (state.getOption.toVector ++ rows.map(r => OpenSession(r._2, r._2, 1)))
                 .sortBy(s => (s.startUs, s.endUs))

@@ -34,6 +34,13 @@ class TopKSpec extends AnyFunSuite {
     assert(TopKLines.finish(buf) == Seq(1, 2, 3))
   }
 
+  test("signed zeros tie (like Spark's sort), line breaks the tie") {
+    val xs = Seq((0.0, 5), (-0.0, 2), (1.0, 9))
+    val buf = xs.foldLeft(TopKLines.zero)(TopKLines.reduce)
+    // -0.0 == 0.0 in Spark's ordering, so line ASC decides: 2 before 5
+    assert(TopKLines.finish(buf) == Seq(9, 2, 5))
+  }
+
   test("buffer never exceeds K entries") {
     val xs = (1 to 100).map(i => (i.toDouble, i))
     val buf = xs.foldLeft(TopKLines.zero)(TopKLines.reduce)
