@@ -85,6 +85,30 @@ object RelationalQueries {
               WHERE ('0x'||SUBSTR(MD5(l_orderkey::VARCHAR||'_'||l_linenumber::VARCHAR),1,8))::BIGINT % 20 = 0
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // Stratified mixture sampling — the domain-weighting idiom for
+    // training-data mixtures: each source keeps a different deterministic
+    // hash-mod fraction (50% / 20% / 5%), so re-runs, retries, and any
+    // partitioning reproduce the same mixture exactly. Still a pure
+    // pushdown filter: one scan, no shuffle, no RNG state.
+    QuerySpec(
+      "scan_sample_stratified",
+      (s, dir) => {
+        val rate = when(col("source").isin("src1", "src2", "src3"), 50)
+          .when(col("source").isin("src4", "src5"), 20)
+          .otherwise(5)
+        t(s, dir, "documents")
+          .filter(graft.functions.HashBridge.h32(
+            concat_ws("_", col("source"), col("doc_id"))) % 100 < rate)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM documents
+              WHERE ('0x'||SUBSTR(MD5(source||'_'||doc_id::VARCHAR),1,8))::BIGINT % 100 <
+                    CASE WHEN source IN ('src1','src2','src3') THEN 50
+                         WHEN source IN ('src4','src5') THEN 20
+                         ELSE 5 END
+              ORDER BY doc_id""")),
+
     // ------------------------------------------------- filters / projections
     QuerySpec(
       "filter_notnull", // reference: geo_strategy.rs:96,143 (null-guarded probe)

@@ -175,6 +175,73 @@ object TextQueries {
                 AND NOT (fr > en)
               ORDER BY doc_id""")),
 
+    // PII/URL scrubbing — the redaction pass a pretraining pipeline runs
+    // before tokenization. The synthetic corpus is clean, so both engines
+    // first INJECT identical doc-keyed dirt (an email + a URL), then the
+    // scrub kernel must provably remove it for the hash to match. Pure
+    // per-row regexp work in codegen: one scan, no shuffle, linear at any
+    // scale. URL pattern runs first so an address inside a URL never
+    // half-redacts.
+    QuerySpec(
+      "text_scrub",
+      (s, dir) => {
+        val dirty = concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com via "),
+          lit("https://ex.com/d/"), col("doc_id"), lit("?ref=mail"))
+        val urlRe = "https?://[^\\s]+"
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        docs(s, dir)
+          .withColumn("dirty", dirty)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("dirty"), lit(urlRe), lit(0))).as("n_urls"),
+            size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).as("n_emails"),
+            regexp_replace(regexp_replace(col("dirty"), urlRe, "<URL>"),
+              emailRe, "<EMAIL>").as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       text || ' contact: user' || doc_id || '@example.com via '
+                            || 'https://ex.com/d/' || doc_id || '?ref=mail' AS dirty
+                FROM documents)
+              SELECT doc_id,
+                     CAST(LEN(REGEXP_EXTRACT_ALL(dirty, 'https?://[^\s]+')) AS INT) AS n_urls,
+                     CAST(LEN(REGEXP_EXTRACT_ALL(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                     REGEXP_REPLACE(REGEXP_REPLACE(dirty, 'https?://[^\s]+', '<URL>', 'g'),
+                                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+              FROM d ORDER BY doc_id""")),
+
+    // Repetition ratio (Gopher-style quality signal): share of all bigram
+    // occurrences taken by the single most frequent bigram. One explode +
+    // two keyed aggregations — the same shuffle profile as tf-idf's tf
+    // stage, linear in corpus size.
+    QuerySpec(
+      "text_repetition",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(t)-2), i -> concat(t[i],' ',t[i+1]))")).as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("max_c"), sum(col("c")).as("total"))
+          .select(col("doc_id"),
+            round(col("max_c").cast("double") / col("total"), 6).as("top_bigram_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t
+                         FROM documents),
+              grams AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i
+                      FROM t WHERE LEN(t) >= 2)),
+              counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+              SELECT doc_id,
+                     ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_ratio
+              FROM counts GROUP BY doc_id ORDER BY doc_id""")),
+
     // tf-idf: explode → tf per (doc, term); df per term; join on term;
     // idf = ln((N+1)/(df+1)). Rounded before output.
     QuerySpec(
