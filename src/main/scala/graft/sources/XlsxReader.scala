@@ -38,7 +38,16 @@ object XlsxReader {
   /** Raw cells: header row + data rows, each cell an Option[String] in
     * sheet order. Legacy `.xls` (CFBF container) is detected upstream but
     * unsupported here, with a clear error (SURVEY.md §2.1). */
-  def parse(path: String): (Seq[String], Seq[Array[Option[String]]]) =
+  def parse(path: String): (Seq[String], Seq[Array[Option[String]]]) = {
+    // legacy .xls is a CFBF container, not a zip: check the magic BEFORE
+    // ZipFile so the user gets the documented guidance instead of an
+    // opaque "error in opening zip file"
+    val magic = Using.resource(new java.io.FileInputStream(path)) { in =>
+      val b = new Array[Byte](8); in.read(b); b
+    }
+    if (magic.take(4).sameElements(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte)))
+      throw new IllegalArgumentException(
+        s"'$path' is a legacy .xls (CFBF) workbook, which is not supported; re-save as .xlsx")
     Using.resource(new ZipFile(path)) { zf =>
       def entryBytes(name: String): Option[Array[Byte]] =
         Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())
@@ -115,6 +124,7 @@ object XlsxReader {
         .map { case (v, i) => v.getOrElse(s"col$i") }.toSeq
       (header, nonEmpty.tail.map(r => toArray(r._2)))
     }
+  }
 
   /** "BC12" → 54 (0-based column index from the A1-style reference). */
   def colIndex(ref: String): Int = {

@@ -321,6 +321,15 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(Seq(r.get(0), r.get(1), r.get(2)).map(_.toString) == Seq("1", "2", "3"))
   }
 
+  test("legacy .xls (CFBF) detects as Excel and errors with re-save guidance") {
+    val bytes = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
+      Array.fill(600)(0.toByte)
+    val path = writeFile(tmpDir, "old.xls", bytes)
+    assert(FileTypeDetector.detect(path) == Right(FileType.Excel))
+    val e = intercept[IllegalArgumentException] { XlsxReader.read(spark, path) }
+    assert(e.getMessage.contains("legacy .xls") && e.getMessage.contains(".xlsx"))
+  }
+
   test("xlsx colIndex decodes A1-style refs") {
     assert(XlsxReader.colIndex("A1") == 0)
     assert(XlsxReader.colIndex("Z9") == 25)
