@@ -24,6 +24,14 @@ object XlsxReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val (header, rows) = parse(path)
+    toDataFrame(spark, header, rows)
+  }
+
+  /** Shared tail of both Excel generations ([[XlsReader]] produces the
+    * same header+cells shape): per-column type inference + coercion. */
+  private[sources] def toDataFrame(
+      spark: SparkSession, header: Seq[String],
+      rows: Seq[Array[Option[String]]]): DataFrame = {
     val types = inferTypes(header.length, rows)
     val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t) })
     val data = rows.map { r =>

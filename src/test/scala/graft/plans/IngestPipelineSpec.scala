@@ -321,6 +321,25 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(Seq(r.get(0), r.get(1), r.get(2)).map(_.toString) == Seq("1", "2", "3"))
   }
 
+  test("legacy .xls (BIFF8) reads through the CFBF walker with typed columns") {
+    val path = "src/test/resources/fixtures/legacy.xls"
+    assert(FileTypeDetector.detect(path) == Right(FileType.Excel))
+    val df = IngestPipeline.read(spark, path, FileType.Excel)
+    assert(df.columns.toSeq == Seq("city", "pop_m", "coastal", "score"))
+    val rows = df.orderBy("city").collect()
+    assert(rows.length == 2)
+    // SST string, NUMBER, BOOLERR, RK-div-100
+    assert(rows(0).getAs[String]("city") == "London")
+    assert(rows(0).getAs[Double]("pop_m") == 8.9)
+    assert(rows(0).getAs[String]("coastal") == "false")
+    assert(rows(0).getAs[Double]("score") == 4.25)
+    // inline LABEL, MULRK pair, RK int
+    assert(rows(1).getAs[String]("city") == "Paris")
+    assert(rows(1).getAs[Double]("pop_m") == 2.0)
+    assert(rows(1).getAs[String]("coastal") == "1")
+    assert(rows(1).getAs[Double]("score") == 7.0)
+  }
+
   test("legacy .xls (CFBF) detects as Excel and errors with re-save guidance") {
     val bytes = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
       Array.fill(600)(0.toByte)
