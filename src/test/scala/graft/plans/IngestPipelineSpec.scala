@@ -340,6 +340,18 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("score") == 7.0)
   }
 
+  test("BIFF8 SST spanning a CONTINUE record decodes across the boundary") {
+    val (header, rows) = graft.sources.XlsReader.parse(
+      "src/test/resources/fixtures/legacy_bigsst.xls")
+    // header = SST string 0; rows reference strings 1..3 — all 100 chars,
+    // with the SST split mid-string at byte 8000 (grbit restated)
+    assert(header == Seq("s000_" + "x" * 94))
+    assert(rows.length == 3)
+    assert(rows.zipWithIndex.forall { case (r, i) =>
+      r(0).contains(f"s${i + 1}%03d_" + "x" * 94)
+    })
+  }
+
   test("legacy .xls (CFBF) detects as Excel and errors with re-save guidance") {
     val bytes = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
       Array.fill(600)(0.toByte)

@@ -137,3 +137,61 @@ if len(body) % SECT:
 with open(out, "wb") as f:
     f.write(header + body)
 print("wrote", out, os.path.getsize(out), "bytes")
+
+# ---- second fixture: SST spanning a CONTINUE record, split MID-STRING ----
+# (the continued fragment restates the grbit byte, per MS-XLS 2.5.293)
+out2 = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/fixtures/legacy_bigsst.xls")
+
+n_strings = 120
+strs = ["s%03d_" % i + "x" * 94 for i in range(n_strings)]  # 100 chars each
+full = b"".join(unistr(s) for s in strs)
+split_at = 8000
+# find which string the split lands in and where
+acc = 0
+for i, s in enumerate(strs):
+    entry = unistr(s)
+    if acc + len(entry) > split_at:
+        # split inside string i's character data (past its 3-byte header)
+        inner = split_at - acc
+        assert inner > 3, "split must land in character data"
+        first = full[:split_at]
+        # continued fragment restates grbit (0 = compressed)
+        second = b"\x00" + full[split_at:]
+        break
+    acc += len(entry)
+
+sst_head = struct.pack("<II", n_strings, n_strings)
+records = [
+    bof(0x0005),
+    rec(0x00FC, sst_head + first),
+    rec(0x003C, second),            # CONTINUE
+    None,                           # boundsheet placeholder
+    rec(0x000A, b""),
+]
+glen = sum(len(r) for r in records if r is not None)
+bs2 = boundsheet(0)
+records[3] = boundsheet(glen + len(bs2))
+sheet2 = [bof(0x0010)] + \
+    [labelsst(r, 0, r) for r in range(4)] + \
+    [rec(0x000A, b"")]
+stream2 = b"".join(records[:4]) + records[4] + b"".join(sheet2)
+if len(stream2) < 4096:
+    stream2 += b"\x00" * (4608 - len(stream2))
+
+n2 = (len(stream2) + SECT - 1) // SECT
+fat2 = [0xFFFFFFFD, 0xFFFFFFFE]
+for i in range(n2):
+    fat2.append(2 + i + 1 if i + 1 < n2 else 0xFFFFFFFE)
+fat2 += [0xFFFFFFFF] * (SECT // 4 - len(fat2))
+fat_sector2 = struct.pack("<%dI" % (SECT // 4), *fat2)
+directory2 = (
+    direntry("Root Entry", 5, 0xFFFFFFFE, 0, child=1) +
+    direntry("Workbook", 2, 2, len(stream2)) +
+    direntry("", 0, 0xFFFFFFFF, 0) +
+    direntry("", 0, 0xFFFFFFFF, 0))
+body2 = fat_sector2 + directory2 + stream2
+if len(body2) % SECT:
+    body2 += b"\x00" * (SECT - len(body2) % SECT)
+with open(out2, "wb") as f:
+    f.write(header + body2)
+print("wrote", out2, os.path.getsize(out2), "bytes")
