@@ -494,6 +494,28 @@ class IngestPipelineSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- sinks
 
+  test("Graft.processFile facade mirrors the reference's one-call API") {
+    val dir = tmpDir
+    val csv = "id,lon,lat\n1,-0.1,51.5\n2,2.35,48.85\n"
+    val path = writeFile(dir, "cities.csv", csv.getBytes("UTF-8"))
+    // parquet variant end-to-end
+    val res = graft.Graft.processFileToParquet(spark, path, "cities.csv",
+      dir.resolve("out").toString, "geo")
+    assert(res.geometry.coordinatePair.contains(("lon", "lat")))
+    assert(spark.read.parquet(dir.resolve("out").toString + "/geo/cities").count() == 2)
+    // postgis variant: the schema/drop DDL is generated and dispatched
+    // BEFORE the bulk write, which then fails fast here because no
+    // PostgreSQL driver ships in this offline build
+    val ddl = Seq.newBuilder[String]
+    intercept[java.sql.SQLException] {
+      graft.Graft.processFile(spark, path, "cities.csv",
+        "jdbc:postgresql://example/db", "geo", sql => { ddl += sql; () })
+    }
+    val statements = ddl.result()
+    assert(statements.exists(_.contains("CREATE SCHEMA IF NOT EXISTS \"geo\"")))
+    assert(statements.exists(_.contains("DROP TABLE IF EXISTS \"geo\".\"cities\"")))
+  }
+
   test("ParquetSink end-to-end run() writes transformed table") {
     val dir = tmpDir
     val csv = "id,lon,lat\n1,-0.1,51.5\n"
