@@ -92,21 +92,13 @@ object IngestPipeline {
       case FileType.Excel =>
         // both Excel generations: CFBF magic → BIFF8 reader (beyond the
         // reference, whose read_xlsx fails on legacy files); else OOXML
-        if (isCfbf(path)) graft.sources.XlsReader.read(spark, path)
+        if (FileTypeDetector.isCfbf(path)) graft.sources.XlsReader.read(spark, path)
         else graft.sources.XlsxReader.read(spark, path)
       case FileType.Shapefile =>
         graft.sources.ShapefileReader.read(spark, path)
       case FileType.Geopackage =>
         graft.sources.GeoPackageReader.read(spark, path)
     }
-
-  private def isCfbf(path: String): Boolean =
-    scala.util.Try {
-      Using.resource(new java.io.FileInputStream(path)) { in =>
-        val b = new Array[Byte](4); in.read(b)
-        b.sameElements(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte))
-      }
-    }.getOrElse(false)
 
   /** `get_crs_number` (geo_strategy.rs:21-72): per-format CRS source. */
   def currentCrs(

@@ -156,6 +156,17 @@ object FileTypeDetector {
   }
 
   /** Strip everything from the last '.' and trim (core_processor.rs:87-94). */
+  /** CFBF (legacy Office compound file) magic sniff — the one shared
+    * check behind legacy-.xls routing (IngestPipeline) and XlsxReader's
+    * early rejection. */
+  def isCfbf(path: String): Boolean =
+    scala.util.Try {
+      Using.resource(new FileInputStream(path)) { in =>
+        val b = new Array[Byte](4); in.read(b)
+        b.sameElements(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte))
+      }
+    }.getOrElse(false)
+
   def cleanTableName(tableName: String): String = {
     val base = tableName.lastIndexOf('.') match {
       case -1 => tableName

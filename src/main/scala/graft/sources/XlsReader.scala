@@ -84,6 +84,10 @@ object XlsReader {
         val out = Seq.newBuilder[Int]
         var s = start; var guard = 0
         while (s != EndOfChain && s != FreeSect && s >= 0 && guard < fat.length + 1) {
+          if (s >= fat.length)
+            throw new IllegalArgumentException(
+              s"corrupt CFBF: sector $s beyond FAT (${fat.length} entries; " +
+                "files needing DIFAT-overflow FATs, ~7 MB+, are unsupported)")
           out += s; s = fat(s); guard += 1
         }
         out.result()
@@ -120,6 +124,9 @@ object XlsReader {
           val out = Array.newBuilder[Byte]
           var s = en.start; var guard = 0
           while (s != EndOfChain && s != FreeSect && s >= 0 && guard < miniFat.length + 1) {
+            if (s >= miniFat.length)
+              throw new IllegalArgumentException(
+                s"corrupt CFBF: mini sector $s beyond MiniFAT (${miniFat.length})")
             out ++= miniStream.slice(s * miniSize, (s + 1) * miniSize)
             s = miniFat(s); guard += 1
           }
@@ -145,7 +152,8 @@ object XlsReader {
     private val BOOLERR = 0x0205
     private val FORMULA = 0x0006
 
-    /** (row, col, value) for every populated cell of the FIRST sheet. */
+    /** (row, col, value) for every populated cell of the first WORKSHEET
+      * substream (chart/macro substreams are skipped by their BOF dt). */
     def cells(wb: Array[Byte]): Seq[(Int, Int, String)] = {
       val buf = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
       var pos = 0
@@ -162,10 +170,16 @@ object XlsReader {
           val body = pos + 4
           id match {
             case BOF =>
+              val vers = buf.getShort(body) & 0xFFFF
+              val dt = buf.getShort(body + 2) & 0xFFFF
+              if (bofDepth == 0 && vers != 0x0600)
+                throw new IllegalArgumentException(
+                  f"BIFF version 0x$vers%04X is not BIFF8 — pre-Excel-97 " +
+                    "(BIFF5/7) workbooks are unsupported; re-save in a newer format")
               bofDepth += 1
-              if (bofDepth >= 2) inSheet = true // first sheet substream
+              if (bofDepth >= 2 && dt == 0x0010) inSheet = true // worksheet only
             case EOF =>
-              if (inSheet) { pos = wb.length } // done with the first sheet
+              if (inSheet) { pos = wb.length } // done with the first worksheet
             case SST if bofDepth == 1 =>
               sst = readSst(wb, pos)
             case LABELSST if inSheet =>
@@ -229,7 +243,12 @@ object XlsReader {
       val segments = segs.result()
       var (segIdx, cur) = (0, segments.head._1)
       def remaining: Int = segments(segIdx)._2 - cur
-      def nextSeg(): Unit = { segIdx += 1; cur = segments(segIdx)._1 }
+      def nextSeg(): Unit = {
+        if (segIdx + 1 >= segments.length)
+          throw new IllegalArgumentException(
+            "corrupt SST: declared string count exceeds record data")
+        segIdx += 1; cur = segments(segIdx)._1
+      }
       def u8(): Int = { if (remaining == 0) nextSeg(); val v = wb(cur) & 0xFF; cur += 1; v }
       def u16(): Int = u8() | (u8() << 8)
       def u32(): Int = u16() | (u16() << 16)
@@ -255,15 +274,19 @@ object XlsReader {
       }
     }
 
-    /** XLUnicodeString at offset: cch(2) grbit(1) chars. */
+    /** XLUnicodeRichExtendedString at offset:
+      * cch(2) grbit(1) [cRun(2) if rich] [cbExt(4) if ext] chars … */
     private def readUnicodeString(wb: Array[Byte], off: Int): (String, Int) = {
       val buf = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
       val cch = buf.getShort(off) & 0xFFFF
       val grbit = wb(off + 2) & 0xFF
+      var p = off + 3
+      if ((grbit & 0x08) != 0) p += 2 // rich-run count header
+      if ((grbit & 0x04) != 0) p += 4 // extended (phonetic) size header
       if ((grbit & 0x01) != 0)
-        (new String(wb, off + 3, cch * 2, "UTF-16LE"), 3 + cch * 2)
+        (new String(wb, p, cch * 2, "UTF-16LE"), p - off + cch * 2)
       else
-        (new String(wb, off + 3, cch, "ISO-8859-1"), 3 + cch)
+        (new String(wb, p, cch, "ISO-8859-1"), p - off + cch)
     }
 
     /** RK number: bit0 = ÷100, bit1 = 30-bit int vs high-30-bits double. */

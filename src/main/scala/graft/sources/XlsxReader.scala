@@ -48,14 +48,12 @@ object XlsxReader {
     * unsupported here, with a clear error (SURVEY.md §2.1). */
   def parse(path: String): (Seq[String], Seq[Array[Option[String]]]) = {
     // legacy .xls is a CFBF container, not a zip: check the magic BEFORE
-    // ZipFile so the user gets the documented guidance instead of an
-    // opaque "error in opening zip file"
-    val magic = Using.resource(new java.io.FileInputStream(path)) { in =>
-      val b = new Array[Byte](8); in.read(b); b
-    }
-    if (magic.take(4).sameElements(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte)))
+    // ZipFile so the caller gets routed instead of an opaque "error in
+    // opening zip file"
+    if (FileTypeDetector.isCfbf(path))
       throw new IllegalArgumentException(
-        s"'$path' is a legacy .xls (CFBF) workbook, which is not supported; re-save as .xlsx")
+        s"'$path' is a legacy .xls (CFBF) workbook — read it with " +
+          "graft.sources.XlsReader (IngestPipeline routes there automatically)")
     Using.resource(new ZipFile(path)) { zf =>
       def entryBytes(name: String): Option[Array[Byte]] =
         Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())

@@ -352,13 +352,20 @@ class IngestPipelineSpec extends AnyFunSuite {
     })
   }
 
-  test("legacy .xls (CFBF) detects as Excel and errors with re-save guidance") {
+  test("legacy .xls: XlsxReader routes the caller; a corrupt CFBF errors clearly") {
     val bytes = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
       Array.fill(600)(0.toByte)
     val path = writeFile(tmpDir, "old.xls", bytes)
     assert(FileTypeDetector.detect(path) == Right(FileType.Excel))
+    // the OOXML reader refuses with a pointer at the legacy reader
     val e = intercept[IllegalArgumentException] { XlsxReader.read(spark, path) }
-    assert(e.getMessage.contains("legacy .xls") && e.getMessage.contains(".xlsx"))
+    assert(e.getMessage.contains("legacy .xls") && e.getMessage.contains("XlsReader"))
+    // the legacy reader rejects the truncated container with guidance,
+    // not an ArrayIndexOutOfBoundsException
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.XlsReader.parse(path)
+    }
+    assert(e2.getMessage.toLowerCase.contains("corrupt"))
   }
 
   test("xlsx colIndex decodes A1-style refs") {
