@@ -76,6 +76,29 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective fact-fact join") {
+    // at 100 TB: a selective dimension-side predicate turns into a bloom
+    // filter evaluated inside the fact scan, killing most probe rows
+    // before the shuffle — Spark's row-level runtime filtering
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables(spark, dir, "lineitem")
+      val o = graft.Tables(spark, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"), s"no runtime bloom filter in:\n$plan")
+    } finally olds.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("filter and projection push into the parquet scan") {
     val df = graft.Tables(spark, dir, "lineitem")
       .filter(col("l_quantity") > 49)
