@@ -115,14 +115,20 @@ object IngestPipeline {
     case FileType.Geojson =>
       "4326" // GeoJSON spec (RFC 7946) mandates CRS84 == lon/lat WGS84
     case FileType.Geopackage =>
-      graft.sources.GeoPackageReader.srsId(sourcePath).getOrElse("4326")
+      // the reader stamped the SRS into the geometry field's metadata —
+      // read it from the schema instead of re-walking the whole container
+      df.schema.fields
+        .find(f => f.metadata.contains(graft.sources.GeoPackageReader.CrsTag))
+        .map(_.metadata.getString(graft.sources.GeoPackageReader.CrsTag))
+        .orElse(graft.sources.GeoPackageReader.srsId(sourcePath))
+        .getOrElse("4326")
   }
 
   /** `.prj` member sniff inside the shapefile zip (geo_strategy.rs:23-44):
     * OSGB/27700 marker → BNG, else WGS84. */
   def prjCrs(zipPath: String): Option[String] =
     FileTypeDetector.findShapefilePath(zipPath).toOption.flatMap { shpPath =>
-      val prjPath = shpPath.replace(".shp", ".prj")
+      val prjPath = shpPath.replaceAll("\\.shp$", ".prj")
       scala.util.Try {
         Using.resource(new ZipFile(zipPath)) { zf =>
           zf.entries.asScala.find(_.getName == prjPath).map { entry =>

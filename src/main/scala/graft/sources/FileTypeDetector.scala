@@ -38,10 +38,12 @@ object FileTypeDetector {
     // files — this is the Spark-native generalization).
     val f = new java.io.File(filePath)
     if (f.isDirectory) {
-      val inner = Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(c => c.isFile && !c.getName.startsWith("_") && !c.getName.startsWith("."))
+      val children = Option(f.listFiles()).getOrElse(Array.empty)
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
         .sortBy(_.getName)
-      return inner.headOption match {
+      // no direct data file → recurse into the first partition directory
+      // (partitionBy output holds only key=... subdirs + _SUCCESS)
+      return children.find(_.isFile).orElse(children.find(_.isDirectory)) match {
         case Some(c) => detect(c.getPath)
         case None => Left(s"directory '$filePath' contains no data files")
       }

@@ -1,65 +1,91 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
 
 import scala.jdk.CollectionConverters._
 
-/** GeoJSON → DataFrame, the Spark composite for the reference's
-  * `st_read('file.geojson')` CTAS (core_processor.rs:393-398): flatten the
-  * FeatureCollection into one row per feature with its properties as
-  * columns plus the geometry as WKB `BinaryType` (column name `geometry`,
-  * matching what GDAL/st_read exposes).
+/** GeoJSON → DataFrame, replacing the reference's `st_read('f.geojson')`
+  * CTAS (core_processor.rs:393-398): one row per feature, properties as
+  * typed columns plus the geometry as WKB `BinaryType` (column name
+  * `geometry`, matching what GDAL/st_read exposes).
   *
-  * Plan shape: `spark.read.json(multiLine)` → `explode(features)` →
-  * `properties.*` + a geometry-decode kernel over the feature's geometry
-  * JSON. The JSON scan and explode distribute normally; only the per-row
-  * geometry decode is a UDF. GeoJSON coordinate nesting is heterogeneous
-  * across geometry types, so the decoder works from the raw JSON text of
-  * the geometry node (via `to_json`) rather than a Spark-inferred struct —
-  * inference over mixed-depth arrays is lossy.
+  * Parsed with Jackson on the DRIVER like the other container readers:
+  * a multiLine JSON document is unsplittable for Spark's JSON source
+  * anyway (one task reads the whole file), and Spark schema inference
+  * over GeoJSON is actively lossy — `coordinates` nesting differs per
+  * geometry type, so a FeatureCollection mixing Polygon with MultiPolygon
+  * collapses to strings and silently NULLs the deeper geometries. Direct
+  * parsing handles every RFC 7946 mix. The resulting DataFrame
+  * distributes normally.
   */
 object GeoJsonReader {
 
+  // one mapper per JVM: ObjectMapper construction is heavyweight
+  private lazy val mapper = new ObjectMapper()
+
   def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("multiLine", true).json(path)
-    val cols = raw.columns.toSet
+    val root = mapper.readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val feats: Seq[JsonNode] =
+      if (root.has("features")) root.get("features").elements().asScala.toSeq
+      else if (root.has("geometry")) Seq(root) // single Feature
+      else throw new IllegalArgumentException(
+        s"'$path' is not Feature/FeatureCollection GeoJSON")
 
-    val features =
-      if (cols.contains("features"))
-        raw.select(explode(col("features")).as("f")) // FeatureCollection
-      else if (cols.contains("geometry"))
-        raw.select(struct(raw.columns.map(col): _*).as("f")) // single Feature
-      else
-        throw new IllegalArgumentException(s"'$path' is not Feature/FeatureCollection GeoJSON")
+    // property keys in first-seen document order
+    val keys: Seq[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      feats.foreach { f =>
+        Option(f.get("properties")).filter(_.isObject)
+          .foreach(_.fieldNames().asScala.foreach(seen.add))
+      }
+      seen.toSeq
+    }
 
-    val fSchema = features.schema("f").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val propCols: Seq[org.apache.spark.sql.Column] =
-      if (fSchema.fieldNames.contains("properties"))
-        fSchema("properties").dataType match {
-          case s: org.apache.spark.sql.types.StructType if s.nonEmpty =>
-            Seq(col("f.properties.*"))
-          case _ => Seq.empty
-        }
-      else Seq.empty
+    def propVal(f: JsonNode, k: String): Any = {
+      val n = Option(f.get("properties")).map(_.get(k)).orNull
+      if (n == null || n.isNull) null
+      else if (n.isIntegralNumber) n.asLong()
+      else if (n.isNumber) n.asDouble()
+      else if (n.isBoolean) java.lang.Boolean.valueOf(n.asBoolean())
+      else if (n.isTextual) n.asText()
+      else n.toString // nested object/array → compact JSON text
+    }
 
-    features.select(propCols :+ geoJsonToWkb(to_json(col("f.geometry"))).as("geometry"): _*)
-  }
+    val cells: Seq[IndexedSeq[Any]] = feats.map { f =>
+      val geom: Any = Option(f.get("geometry")).filterNot(_.isNull)
+        .flatMap(g => scala.util.Try(parseGeometry(g)).toOption) // invalid → NULL
+        .map(graft.functions.GeoFunctions.toWkb).orNull
+      (keys.map(k => propVal(f, k)) :+ geom).toIndexedSeq
+    }
 
-  // one mapper per JVM: ObjectMapper construction is heavyweight and
-  // readTree is thread-safe — a per-row instance would dominate the scan
-  @transient private lazy val mapper = new ObjectMapper()
-
-  /** GeoJSON geometry JSON text → WKB bytes (null on any malformation —
-    * the pipeline-wide invalid→NULL contract). */
-  val geoJsonToWkb = udf { (geojson: String) =>
-    if (geojson == null) null
-    else
-      try GeoFunctionsBridge.toWkb(parseGeometry(mapper.readTree(geojson)))
-      catch { case _: Exception => null }
+    // per-property type: widen over all values (Long ⊂ Double; else text)
+    def typeOf(i: Int): DataType = {
+      val vs = cells.iterator.map(_(i)).filter(_ != null).toSeq
+      if (vs.isEmpty) StringType
+      else if (vs.forall(_.isInstanceOf[Long])) LongType
+      else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
+      else if (vs.forall(_.isInstanceOf[java.lang.Boolean])) BooleanType
+      else StringType
+    }
+    val propTypes = keys.indices.map(typeOf)
+    val schema = StructType(
+      keys.zip(propTypes).map { case (k, t) => StructField(k, t) } :+
+        StructField("geometry", BinaryType))
+    val rows = cells.map { c =>
+      Row.fromSeq(c.zipWithIndex.map {
+        case (null, _) => null
+        case (v, i) if i >= keys.length => v // geometry bytes
+        case (v: Long, i) if propTypes(i) == DoubleType => v.toDouble
+        case (v, i) if propTypes(i) == StringType && !v.isInstanceOf[String] => v.toString
+        case (v, _) => v
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000)), schema)
   }
 
   private val gf = new GeometryFactory()
@@ -93,9 +119,4 @@ object GeoJsonReader {
     if (all.isEmpty) gf.createPolygon()
     else gf.createPolygon(all.head, all.tail)
   }
-}
-
-/** Indirection so the UDF closure doesn't capture GeoJsonReader itself. */
-private object GeoFunctionsBridge {
-  def toWkb(g: Geometry): Array[Byte] = graft.functions.GeoFunctions.toWkb(g)
 }

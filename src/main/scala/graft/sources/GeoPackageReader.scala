@@ -22,7 +22,7 @@ object GeoPackageReader {
     val featureTable = firstFeatureTable(db)
       .getOrElse(throw new IllegalArgumentException(
         s"'$path' has no feature table in gpkg_geometry_columns/gpkg_contents"))
-    val (geomCol, _) = geometryColumn(db, featureTable)
+    val (geomCol, srs) = geometryColumn(db, featureTable)
     val (cols, rows) = db.readTable(featureTable)
 
     // when the declared/default name isn't a column (contents-only files),
@@ -42,8 +42,10 @@ object GeoPackageReader {
       } else r
     }
     // tag the authoritative geometry column (from gpkg_geometry_columns,
-    // or GPB-sniffed) so downstream discovery finds it regardless of name
-    toDataFrame(spark, cols, converted, geomCol = Some(effectiveGeomCol))
+    // or GPB-sniffed) so downstream discovery finds it regardless of name,
+    // and carry the SRS in the same metadata so the pipeline's CRS lookup
+    // doesn't re-read and re-walk the whole container
+    toDataFrame(spark, cols, converted, geomCol = Some(effectiveGeomCol), srs = Some(srs))
   }
 
   /** Any SQLite table in the container → DataFrame with the widened
@@ -54,15 +56,19 @@ object GeoPackageReader {
     toDataFrame(spark, cols, rows)
   }
 
+  /** Field-metadata key carrying the declared SRS of a geometry column. */
+  val CrsTag = "graft.crs"
+
   private def toDataFrame(
       spark: SparkSession, cols: Seq[String], rows: Seq[IndexedSeq[Any]],
-      geomCol: Option[String] = None): DataFrame = {
+      geomCol: Option[String] = None, srs: Option[Int] = None): DataFrame = {
     val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
       val md =
-        if (geomCol.exists(_.equalsIgnoreCase(c)))
-          new MetadataBuilder()
-            .putBoolean(SchemaHeuristics.GeometryTag, true).build()
-        else Metadata.empty
+        if (geomCol.exists(_.equalsIgnoreCase(c))) {
+          val b = new MetadataBuilder().putBoolean(SchemaHeuristics.GeometryTag, true)
+          srs.foreach(s => b.putString(CrsTag, s.toString))
+          b.build()
+        } else Metadata.empty
       StructField(c, inferType(rows.iterator.map(r => r(i))), metadata = md)
     })
     val data = rows.map(r => Row.fromSeq(r.zip(schema.fields).map {

@@ -97,8 +97,11 @@ object XlsxReader {
       }
       val sheet = XML.loadString(new String(entryBytes(sheetName).get, "UTF-8"))
 
+      // row r is optional too: absent means "previous row + 1" (ECMA-376)
+      var lastRow = 0
       val parsedRows: Seq[(Int, Map[Int, String])] = (sheet \\ "row").map { row =>
-        val rowIdx = (row \ "@r").text.toIntOption.getOrElse(0)
+        val rowIdx = (row \ "@r").text.toIntOption.getOrElse(lastRow + 1)
+        lastRow = rowIdx
         // the cell reference attribute is OPTIONAL (ECMA-376): when absent,
         // the cell sits one column after the previous cell in the row
         var nextCol = 0
@@ -110,7 +113,8 @@ object XlsxReader {
           val value: Option[String] = t match {
             case "s" => (c \ "v").headOption.map(_.text.trim)
               .flatMap(_.toIntOption).flatMap(shared.lift)
-            case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
+            case "inlineStr" => // direct + rich-run <t> only, NOT <rPh> ruby
+              Some(((c \ "is" \ "t") ++ (c \ "is" \ "r" \ "t")).map(_.text).mkString)
             case "b" => (c \ "v").headOption.map(v => if (v.text.trim == "1") "true" else "false")
             case _ => (c \ "v").headOption.map(_.text)
           }

@@ -267,6 +267,30 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(g1.getGeometryType == "MultiLineString" && g1.getNumGeometries == 2)
   }
 
+  test("geojson mixing coordinate nesting depths keeps every geometry") {
+    // Polygon (depth 3) + MultiPolygon (depth 4) + Point (depth 1) in one
+    // collection: Spark JSON inference collapses these to strings and
+    // silently NULLs the deeper ones — the Jackson path must not
+    val body =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[0,2],[2,2],[2,0],[0,0]]]},"properties":{"id":1,"name":"sq"}},
+        |{"type":"Feature","geometry":{"type":"MultiPolygon","coordinates":[[[[10,10],[10,12],[12,12],[12,10],[10,10]]],[[[20,20],[20,21],[21,21],[21,20],[20,20]]]]},"properties":{"id":2,"name":"mp"}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[5,6]},"properties":{"id":3,"name":"pt","extra":1.5}}]}""".stripMargin
+    val path = writeFile(tmpDir, "mixed.geojson", body.getBytes("UTF-8"))
+    val df = GeoJsonReader.read(spark, path)
+    assert(df.count() == 3)
+    val byId = df.orderBy("id").collect()
+    def geom(i: Int) = graft.functions.GeoFunctions.parseWkb(
+      byId(i).getAs[Array[Byte]]("geometry")).get
+    assert(geom(0).getGeometryType == "Polygon" && geom(0).getArea == 4.0)
+    assert(geom(1).getGeometryType == "MultiPolygon" && geom(1).getNumGeometries == 2)
+    assert(geom(2).getGeometryType == "Point")
+    // sparse property ('extra' only on the last feature) widens to a
+    // nullable double column
+    assert(byId(0).isNullAt(byId(0).fieldIndex("extra")))
+    assert(byId(2).getAs[Double]("extra") == 1.5)
+  }
+
   // ------------------------------------------------------- xlsx path
 
   private def minimalXlsx(): Array[Byte] = {
