@@ -53,7 +53,12 @@ final class SqliteReader(path: String) {
   /** Walk a table B-tree from `rootPage`, yielding (rowid, payload). */
   def scanTable(rootPage: Int): Seq[(Long, Array[Byte])] = {
     val out = Seq.newBuilder[(Long, Array[Byte])]
+    val visited = scala.collection.mutable.Set[Int]()
     def walk(pageNo: Int): Unit = {
+      // corrupt files can point pages at themselves/ancestors: without
+      // this guard the recursion never terminates
+      if (!visited.add(pageNo))
+        throw new IllegalArgumentException(s"corrupt sqlite: page cycle at $pageNo")
       val base = pageOffset(pageNo)
       val hdr = base + (if (pageNo == 1) 100 else 0)
       val pageType = bytes(hdr) & 0xFF
