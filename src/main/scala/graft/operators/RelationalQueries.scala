@@ -636,6 +636,52 @@ object RelationalQueries {
                 FROM lineitem) WHERE rn <= 3
               ORDER BY l_orderkey, rn""")),
 
+    // Analytic value functions over an explicit frame: first/last/nth of
+    // the partition's shipdate-ordered rows — per-row window reads with a
+    // running frame, not aggregation.
+    QuerySpec(
+      "win_firstlast",
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_shipdate"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            first(col("l_linenumber")).over(w).as("first_line"),
+            last(col("l_linenumber")).over(w).as("last_line"),
+            nth_value(col("l_linenumber"), 2).over(w).as("second_line"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     FIRST_VALUE(l_linenumber) OVER w AS first_line,
+                     LAST_VALUE(l_linenumber) OVER w AS last_line,
+                     NTH_VALUE(l_linenumber, 2) OVER w AS second_line
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_orderkey
+                           ORDER BY l_shipdate, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // Statistical aggregates (corr / covariance / stddev): rounded to 6
+    // decimals on both engines — these are genuinely float-order-sensitive,
+    // but at 6dp over ~thousands of rows the partial-agg error (~1e-10
+    // relative) cannot reach the rounding boundary.
+    QuerySpec(
+      "agg_stats",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+            round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+                     ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qd,
+                     ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------- sort / limit / topk
     QuerySpec(
       "sort",
@@ -820,6 +866,27 @@ object RelationalQueries {
                      ABS(l_discount - 0.05) AS abs_disc,
                      CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
                      CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // Bitwise family over integer keys — exact on both engines.
+    QuerySpec(
+      "fn_bitwise",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_orderkey").bitwiseAND(255)).as("and8"),
+            (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_ln"),
+            (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
+            shiftleft(col("l_linenumber"), 4).cast("long").as("shl4"),
+            shiftright(col("l_orderkey"), 2).as("shr2"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_orderkey & 255 AS and8,
+                     l_orderkey | l_linenumber AS or_ln,
+                     xor(l_orderkey, l_partkey) AS xor_pk,
+                     CAST(l_linenumber::BIGINT << 4 AS BIGINT) AS shl4,
+                     l_orderkey >> 2 AS shr2
               FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
   )
 }
