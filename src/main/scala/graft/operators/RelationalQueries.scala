@@ -154,6 +154,36 @@ object RelationalQueries {
                      l_extendedprice * (1 - l_discount) AS revenue
               FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
+    // The SQL entry point (`spark.sql` over temp views) — same Catalyst
+    // plans as the DataFrame API, proven by running a TPC-H Q3-shaped
+    // query as SQL TEXT and hash-matching it like everything else. The
+    // oracle is the same statement (modulo the decimal cast dialect).
+    QuerySpec(
+      "sql_star_join",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem").foreach(n =>
+          Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT o_orderkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                 o_orderdate
+          FROM customer JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey
+          LIMIT 20""")
+      },
+      Some("""SELECT o_orderkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                     o_orderdate
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY revenue DESC, o_orderkey
+              LIMIT 20""")),
+
     // ----------------------------------------------------------------- joins
     QuerySpec(
       "join_bhj", // star-schema enrich; FIXED-SIZE dims broadcast explicitly
