@@ -712,6 +712,44 @@ object RelationalQueries {
                      ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Boolean aggregates: per-user event predicates folded with AND/OR.
+    QuerySpec(
+      "agg_bool",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            bool_and(col("value") > 10).as("all_gt10"),
+            bool_or(col("event_type") === "purchase").as("any_purchase"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     BOOL_AND(value > 10) AS all_gt10,
+                     BOOL_OR(event_type = 'purchase') AS any_purchase,
+                     COUNT(*) AS n
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Conditional scalar family: coalesce / nullif / greatest / least /
+    // case — the null-plumbing every ETL expression tree leans on.
+    QuerySpec(
+      "fn_cond",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            coalesce(nullif(col("props"), lit("")), lit("{}")).as("props_or_empty"),
+            greatest(col("value"), lit(0.0)).as("value_floor0"),
+            least(col("value"), lit(100.0)).as("value_cap100"),
+            when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0)).as("purchase_value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     COALESCE(NULLIF(props, ''), '{}') AS props_or_empty,
+                     GREATEST(value, 0.0) AS value_floor0,
+                     LEAST(value, 100.0) AS value_cap100,
+                     CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
+              FROM events ORDER BY event_id""")),
+
     // ---------------------------------------------------- sort / limit / topk
     QuerySpec(
       "sort",
