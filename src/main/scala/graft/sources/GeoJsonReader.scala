@@ -26,14 +26,28 @@ object GeoJsonReader {
   // one mapper per JVM: ObjectMapper construction is heavyweight
   private lazy val mapper = new ObjectMapper()
 
+  private val GeometryTypes = Set("Point", "MultiPoint", "LineString",
+    "MultiLineString", "Polygon", "MultiPolygon", "GeometryCollection")
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val root = mapper.readTree(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-    val feats: Seq[JsonNode] =
-      if (root.has("features")) root.get("features").elements().asScala.toSeq
-      else if (root.has("geometry")) Seq(root) // single Feature
-      else throw new IllegalArgumentException(
-        s"'$path' is not Feature/FeatureCollection GeoJSON")
+    // document kind by the RFC 7946 `type` member (presence checks alone
+    // would misroute a Feature carrying a foreign member named "features",
+    // and miss bare Geometry documents that GDAL/st_read ingests)
+    val rootType = Option(root.get("type")).map(_.asText()).getOrElse("")
+    val feats: Seq[JsonNode] = rootType match {
+      case "FeatureCollection"
+          if root.has("features") && root.get("features").isArray =>
+        root.get("features").elements().asScala.toSeq
+      case "Feature" => Seq(root)
+      case t if GeometryTypes(t) => // bare geometry: one row, no properties
+        val wrapper = mapper.createObjectNode()
+        wrapper.set[JsonNode]("geometry", root)
+        Seq(wrapper)
+      case _ => throw new IllegalArgumentException(
+        s"'$path' is not Feature/FeatureCollection/Geometry GeoJSON")
+    }
 
     // property keys in first-seen document order
     val keys: Seq[String] = {
@@ -45,22 +59,35 @@ object GeoJsonReader {
       seen.toSeq
     }
 
-    def propVal(f: JsonNode, k: String): Any = {
-      val n = Option(f.get("properties")).map(_.get(k)).orNull
+    def propVal(props: JsonNode, k: String): Any = {
+      val n = if (props == null) null else props.get(k)
       if (n == null || n.isNull) null
-      else if (n.isIntegralNumber) n.asLong()
+      else if (n.isIntegralNumber && n.canConvertToLong) n.asLong()
+      else if (n.isIntegralNumber) n.asText() // beyond Long: keep exact text
       else if (n.isNumber) n.asDouble()
       else if (n.isBoolean) java.lang.Boolean.valueOf(n.asBoolean())
       else if (n.isTextual) n.asText()
       else n.toString // nested object/array → compact JSON text
     }
 
+    var geomPresent = 0
+    var geomParsed = 0
     val cells: Seq[IndexedSeq[Any]] = feats.map { f =>
-      val geom: Any = Option(f.get("geometry")).filterNot(_.isNull)
+      val props = Option(f.get("properties")).filter(_.isObject).orNull
+      val geomNode = Option(f.get("geometry")).filterNot(_.isNull)
+      geomPresent += geomNode.size
+      val geom: Any = geomNode
         .flatMap(g => scala.util.Try(parseGeometry(g)).toOption) // invalid → NULL
-        .map(graft.functions.GeoFunctions.toWkb).orNull
-      (keys.map(k => propVal(f, k)) :+ geom).toIndexedSeq
+        .map { g => geomParsed += 1; graft.functions.GeoFunctions.toWkb(g) }
+        .orNull
+      (keys.map(k => propVal(props, k)) :+ geom).toIndexedSeq
     }
+    // per-row invalid→NULL mirrors the reference's error tolerance, but
+    // EVERY geometry failing means the file (or this parser) is broken —
+    // fail fast rather than report an all-NULL ingest as success
+    if (geomPresent > 0 && geomParsed == 0)
+      throw new IllegalArgumentException(
+        s"'$path': none of $geomPresent geometries parsed — malformed GeoJSON")
 
     // per-property type: widen over all values (Long ⊂ Double; else text)
     def typeOf(i: Int): DataType = {
@@ -72,8 +99,11 @@ object GeoJsonReader {
       else StringType
     }
     val propTypes = keys.indices.map(typeOf)
+    // a property literally named "geometry" must not collide with the
+    // geometry column (duplicate names break downstream resolution)
+    def propName(k: String) = if (k == "geometry") "geometry_prop" else k
     val schema = StructType(
-      keys.zip(propTypes).map { case (k, t) => StructField(k, t) } :+
+      keys.zip(propTypes).map { case (k, t) => StructField(propName(k), t) } :+
         StructField("geometry", BinaryType))
     val rows = cells.map { c =>
       Row.fromSeq(c.zipWithIndex.map {

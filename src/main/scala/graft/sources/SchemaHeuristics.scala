@@ -44,8 +44,13 @@ object SchemaHeuristics {
     val heuristic = schema.fields.iterator.filter { f =>
       val n = f.name
       val isBlob = f.dataType == BinaryType
+      // the reference excludes DOUBLE|INTEGER|VARCHAR (core_processor.rs:
+      // 179); Spark readers additionally surface BIGINT/BOOLEAN/FLOAT
+      // scalars (e.g. JSON integers become LongType) — excluding those too
+      // is the faithful translation of "plain scalars are never geometry"
       val isExcludedScalar = f.dataType match {
-        case DoubleType | IntegerType | StringType => true
+        case DoubleType | IntegerType | StringType |
+             LongType | BooleanType | FloatType | ShortType => true
         case _ => false
       }
       (isBlob && (n.contains("geo") || n.contains("geom"))) ||

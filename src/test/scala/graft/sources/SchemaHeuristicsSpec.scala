@@ -14,7 +14,9 @@ class SchemaHeuristicsSpec extends AnyFunSuite {
       "name" -> StringType,
       "geom" -> BinaryType,          // BLOB named like geom
       "the_geometry" -> ArrayType(DoubleType), // non-scalar named like geom
-      "geometry" -> LongType,        // exactly 'geometry', non-excluded type
+      "geometry" -> DecimalType(10, 2), // exactly 'geometry', non-excluded type
+      "geom_count" -> LongType,      // plain scalar: excluded (JSON ints)
+      "is_geometric" -> BooleanType, // plain scalar: excluded
       "price" -> DoubleType)
     val found = SchemaHeuristics.geometryColumnsByType(s)
     assert(found == Seq("geom", "the_geometry", "geometry"))
