@@ -165,7 +165,7 @@ object RelationalQueries {
           Tables(s, dir, n).createOrReplaceTempView(n))
         s.sql("""
           SELECT o_orderkey,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                 ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue,
                  o_orderdate
           FROM customer JOIN orders ON c_custkey = o_custkey
                         JOIN lineitem ON l_orderkey = o_orderkey
@@ -175,7 +175,7 @@ object RelationalQueries {
           LIMIT 20""")
       },
       Some("""SELECT o_orderkey,
-                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue,
                      o_orderdate
               FROM customer JOIN orders ON c_custkey = o_custkey
                             JOIN lineitem ON l_orderkey = o_orderkey
@@ -365,15 +365,18 @@ object RelationalQueries {
           .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+            // DECIMAL(38,4) internally (associative, order-insensitive);
+            // final output rounds through double so both engines serialize
+            // the identical representation (decimal stringification differs).
+            round(sum(dec(col("l_quantity"))).cast("double"), 4).as("sum_qty"),
+            round(sum(dec(col("l_extendedprice"))).cast("double"), 4).as("sum_base_price"),
+            round(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double"), 4).as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-                     SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-                     SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
-                     SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_qty,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_base_price,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_disc_price,
                      COUNT(*) AS count_order
               FROM lineitem
               WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -407,16 +410,22 @@ object RelationalQueries {
                      COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // HLL sketch — engine-specific estimate, no cross-engine oracle
-    // (rows-only check; see SURVEY.md §2.4).
+    // HLL sketch — the estimate itself is engine-specific, so the oracle
+    // checks an ACCURACY CONTRACT instead: round(approx/exact, 1) == 1.0
+    // whenever the estimate is within 5% (HLL default rsd = 0.05, and the
+    // sketch is deterministic for a fixed input). DuckDB's side is the
+    // constant, computed against its own exact COUNT(DISTINCT).
     QuerySpec(
       "agg_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(round(
+            approx_count_distinct(col("l_partkey")).cast("double") /
+              countDistinct(col("l_partkey")).cast("double"), 1).as("approx_ratio"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, CAST(1.0 AS DOUBLE) AS approx_ratio
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QuerySpec(
       "agg_rollup",
@@ -436,12 +445,12 @@ object RelationalQueries {
       (s, dir) =>
         t(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
-          .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+          .agg(round(sum(dec(col("l_quantity"))).cast("double"), 4).as("sum_qty"))
           .orderBy(
             col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-                     SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_qty
               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
@@ -452,12 +461,12 @@ object RelationalQueries {
           .groupingSets(
             Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
             col("o_orderstatus"), col("o_orderpriority"))
-          .agg(sum(dec(col("o_totalprice"))).as("sum_price"))
+          .agg(round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("sum_price"))
           .orderBy(
             col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority,
-                     SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_price
               FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
@@ -483,12 +492,12 @@ object RelationalQueries {
         t(s, dir, "orders")
           .groupBy("o_orderpriority")
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(sum(dec(col("o_totalprice"))))
+          .agg(round(sum(dec(col("o_totalprice"))).cast("double"), 4))
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
-                     SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "F",
-                     SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "O",
-                     SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS "P"
+                     ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE), 4) AS "F",
+                     ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE), 4) AS "O",
+                     ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE), 4) AS "P"
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     QuerySpec(
@@ -520,11 +529,12 @@ object RelationalQueries {
           .groupBy(col("l_returnflag"), col("salt"))
           .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
         partial.groupBy("l_returnflag")
-          .agg(sum(col("sq")).cast(Dec).as("sum_qty"), sum(col("cnt")).as("n_rows"))
+          .agg(round(sum(col("sq")).cast(Dec).cast("double"), 4).as("sum_qty"),
+            sum(col("cnt")).as("n_rows"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
-                     SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_qty,
                      COUNT(*) AS n_rows
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -597,14 +607,14 @@ object RelationalQueries {
         t(s, dir, "orders")
           .select(
             col("o_orderkey"),
-            sum(dec(col("o_totalprice"))).over(w).as("running_total"))
+            round(sum(dec(col("o_totalprice"))).over(w).cast("double"), 4).as("running_total"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
-                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
                        OVER (PARTITION BY o_custkey
                              ORDER BY o_orderdate, o_orderkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_total
               FROM orders ORDER BY o_orderkey""")),
 
     QuerySpec(
@@ -616,13 +626,13 @@ object RelationalQueries {
         t(s, dir, "orders")
           .select(
             col("o_orderkey"),
-            sum(dec(col("o_totalprice"))).over(w).as("band_total"))
+            round(sum(dec(col("o_totalprice"))).over(w).cast("double"), 4).as("band_total"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
-                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
                        OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
-                             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS band_total
+                             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS band_total
               FROM orders ORDER BY o_orderkey""")),
 
     QuerySpec(

@@ -30,12 +30,13 @@ object StreamingQueries {
       (s, dir) =>
         events(s, dir)
           .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast(Dec)).cast("double"), 4).as("sum_value"))
           .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
           .orderBy("ws", "event_type"),
       Some("""SELECT make_timestamp((epoch_ns(ts) // 1000) // 600000000 * 600000000) AS ws,
                      event_type, COUNT(*) AS n,
-                     SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")),
 
     // Session windows (30-minute gap) per user. Spark session_window is
