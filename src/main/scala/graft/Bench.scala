@@ -14,6 +14,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local small-SF files are single-row-group parquet, so scans are
+      // 1 task; without this AQE also coalesces every small shuffle to 1
+      // partition and the whole run serializes on one core. 64k floor
+      // sizes post-shuffle parallelism to the SF (default 1m is tuned
+      // for cluster-scale shuffles).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -41,10 +47,23 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp floats keep the line short enough that log-tail capture never
+    // truncates it mid-JSON; java.util.Locale.ROOT guards against comma
+    // decimal separators under a non-C default locale.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy for the driver regardless of stdout capture quirks.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Stop Spark BEFORE printing so the JSON is the process's last stdout
+    // line (shutdown INFO noise goes to stderr at WARN level anyway).
     spark.stop()
+    println(json)
   }
 }

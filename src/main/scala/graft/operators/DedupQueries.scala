@@ -32,6 +32,66 @@ object DedupQueries {
   private val K = graft.functions.MinHashSig.K
   private val Bands = K / 2 // bands of 2 rows each
 
+  /** Rarest-gram blocking keys (`doc_id`, `blk`, `sub`), from the per-doc
+    * distinct hashed-gram sets (`doc_id`, `gs` array<long>).
+    *
+    * The per-doc argmin over (df, h) is a plain `MIN` over a sortable
+    * fixed-width packed key (zero-padded df ++ zero-padded h, 20 chars) —
+    * a partial-aggregating shuffle, not a window sort over the full
+    * (doc, gram) relation — and the packed min IS the block key.
+    *
+    * Blocks larger than 64 docs (duplicate FAMILIES — heavy dup corpora
+    * produce them by construction) are split into ⌈|B|/64⌉ deterministic
+    * hash sub-blocks rather than dropped: every doc still participates,
+    * pair volume stays ≤ ~64·n, and within a dup family the members of
+    * each sub-block still pair up (transitively marking the family)
+    * while cross-sub-block pairs are the sacrificed recall.
+    *
+    * Exposed for the NgramBlockingSpec volume assertion. */
+  private[operators] def ngramBlocks(sets: DataFrame): DataFrame = {
+    val dg = sets.select(col("doc_id"), explode(col("gs")).as("h"))
+    val dfreq = dg.groupBy("h").agg(count(lit(1)).as("df"))
+    val keyed = dg.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(min(concat(lpad(col("df").cast("string"), 10, "0"),
+        lpad(col("h").cast("string"), 10, "0"))).as("blk"))
+    // block sizes via an unordered window over the 1-row-per-doc keyed
+    // relation — one shuffle on blk, no groupBy+join-back that would
+    // re-execute the expensive (doc, gram) ⋈ df subtree a second time
+    val bn = count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("blk"))
+    keyed
+      .withColumn("sub",
+        when(bn <= 64, lit(0L))
+          .otherwise(h32(col("doc_id").cast("string")) % ceil(bn / lit(64.0)).cast("long")))
+      .select(col("doc_id"), col("blk"), col("sub"))
+  }
+
+  /** Per-doc distinct word-bigram sets, 32-bit-HASHED (`doc_id`, `gs`
+    * array<long>, `c`): long shuffles and long-array intersections
+    * instead of carrying bigram TEXT through every stage (the
+    * shingleHashes design). md5-based h32 is engine-identical, so the
+    * oracle reproduces every hash; collisions (~|grams|/2³²) are
+    * deterministic and shared by both sides. */
+  private[operators] def bigramSets(s: SparkSession, dir: String): DataFrame = {
+    // repartition on the aggregation key BEFORE the gram explosion: the
+    // groupBy(doc_id) below would shuffle anyway, so this moves that
+    // exchange ahead of the heavy flatMap (shuffling ~2 KB compressed
+    // docs instead of their ~200 exploded gram rows) and parallelizes
+    // the explode+md5 work even when the scan is a single task
+    // (single-row-group local files).
+    val grams = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 2,
+          expr("transform(sequence(0, size(t)-2), i -> concat(t[i],' ',t[i+1]))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+    grams.select(col("doc_id"), h32(col("g")).as("h"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("gs"))
+      .withColumn("c", size(col("gs")))
+  }
+
   /** (key, shingle-hash) pairs (3-token shingles), duplicates included:
     * consumers build SETs (collect_set) or min-fold, so a pre-`distinct`
     * would only add a second full shuffle of the same relation. */
@@ -80,7 +140,11 @@ object DedupQueries {
         // insensitive, so no pre-distinct; 16 interpreted HOF folds per doc
         // would cost ~5× more) and the shingle SET for exact verification.
         val minhashSig = udaf(graft.functions.MinHashSig)
-        val sets = shingleHashes(docs(s, dir), "doc_id")
+        // pre-partition on doc_id: the signature/set groupBy shuffles on
+        // it anyway — moving the exchange before the shingle explosion
+        // shuffles compact docs, not shingle rows, and parallelizes the
+        // single-task local scan (cf. bigramSets)
+        val sets = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
           .groupBy("doc_id")
           .agg(minhashSig(col("h")).as("sig"), collect_set(col("h")).as("hs"))
           .withColumn("c", size(col("hs")))
@@ -143,6 +207,7 @@ object DedupQueries {
       (s, dir) => {
         val simhash = udaf(graft.functions.SimHash)
         docs(s, dir)
+          .repartition(col("doc_id")) // cf. bigramSets: exchange before the explode
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
           .select(col("doc_id"), h32(col("tok")).as("h"))
           .distinct()
@@ -162,10 +227,14 @@ object DedupQueries {
                      CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
-    // Blocked word-bigram Jaccard: candidates are pairs sharing a blocking
-    // key (their first two tokens) — the classic prefix-blocking scheme.
-    // At 100 TB the block groupBy is one shuffle on a short string key and
-    // pair volume is Σ|block|², bounded when blocks stay small.
+    // Blocked word-bigram Jaccard: each doc's blocking key is its RAREST
+    // bigram (globally lowest document frequency, ties broken
+    // lexicographically) — near-dups share most grams, so their rarest
+    // grams coincide, while natural-text mass never concentrates on
+    // stopword blocks the way first-two-tokens prefix blocking does.
+    // Oversized blocks split into ≤64-doc hash sub-blocks (see
+    // ngramBlocks), bounding the self-join at Σ|block|² ≈ 64·n pairs at
+    // any corpus size.
     QuerySpec(
       "dedup_ngram_jaccard",
       (s, dir) => {
@@ -173,24 +242,17 @@ object DedupQueries {
         // ROWS once (a Generate materializes the token array — crucial:
         // higher-order-function lambdas are interpreted, so an inlined
         // split() would re-run per element access), then ONE collect_set
-        // shuffle builds each doc's distinct gram set. Candidates come from
-        // the slim blocking-key self-join; verification joins the two gram
-        // sets per pair and intersects in-place (array_intersect) instead
-        // of re-exploding the corpus into a 3-way join + pair groupBy.
-        val grams = docs(s, dir)
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-          .select(col("doc_id"),
-            explode(when(size(col("t")) >= 2,
-              expr("transform(sequence(0, size(t)-2), i -> concat(t[i],' ',t[i+1]))"))
-              .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
-        val sets = grams.groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
-          .withColumn("c", size(col("gs")))
-        val keyed = docs(s, dir)
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), concat_ws(" ", col("t")(0), col("t")(1)).as("blk"))
-        val cand = keyed.as("a").join(keyed.as("b"),
-            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        // shuffle builds each doc's distinct gram set. The distinct
+        // (doc, gram) relation for df-counting re-explodes the SETS —
+        // no second pass over raw text. Candidates come from the slim
+        // blocking-key self-join; verification joins the two gram sets
+        // per pair and intersects in-place (array_intersect) instead of
+        // re-exploding the corpus into a 3-way join + pair groupBy.
+        val sets = bigramSets(s, dir)
+        val capped = ngramBlocks(sets)
+        val cand = capped.as("a").join(capped.as("b"),
+            col("a.blk") === col("b.blk") && col("a.sub") === col("b.sub") &&
+              col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         cand
           .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("c").as("ca")), "da")
@@ -205,17 +267,27 @@ object DedupQueries {
       },
       Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
               grams AS (
-                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+                SELECT DISTINCT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i] || ' ' || t[i+1]),1,8))::BIGINT AS h
                 FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i FROM t WHERE LEN(t) >= 2)),
+              dfreq AS (SELECT h, COUNT(*) AS df FROM grams GROUP BY h),
               keyed AS (
-                SELECT doc_id, t[1] || ' ' || t[2] AS blk FROM t WHERE LEN(t) >= 2),
+                SELECT doc_id,
+                       MIN(LPAD(df::VARCHAR, 10, '0') || LPAD(h::VARCHAR, 10, '0')) AS blk
+                FROM grams JOIN dfreq USING (h) GROUP BY doc_id),
+              capped AS (
+                SELECT doc_id, blk,
+                       CASE WHEN COUNT(*) OVER (PARTITION BY blk) <= 64 THEN 0
+                            ELSE ('0x'||SUBSTR(MD5(doc_id::VARCHAR),1,8))::BIGINT
+                                 % CAST(CEIL(COUNT(*) OVER (PARTITION BY blk)/64.0) AS BIGINT) END AS sub
+                FROM keyed),
               cand AS (
-                SELECT a.doc_id AS da, b.doc_id AS db FROM keyed a
-                JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+                SELECT a.doc_id AS da, b.doc_id AS db FROM capped a
+                JOIN capped b ON a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id),
               inter AS (
                 SELECT da, db, COUNT(*) AS ic FROM cand
                 JOIN grams ga ON ga.doc_id = da
-                JOIN grams gb ON gb.doc_id = db AND gb.g = ga.g
+                JOIN grams gb ON gb.doc_id = db AND gb.h = ga.h
                 GROUP BY da, db),
               sizes AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id)
               SELECT da AS doc_a, db AS doc_b,

@@ -59,22 +59,33 @@ object SimilarityQueries {
     """
 
   // ---- LSH (random-hyperplane / signed-random-projection) constants ----
-  // 16 hyperplanes grouped into 4 bands of 4 sign bits; vectors sharing any
-  // band key become candidates. Hyperplane coefficients derive from md5 so
-  // the DuckDB oracle can rebuild them bit-for-bit; embeddings are quantized
-  // to integers (round(x*1000)) before projecting, making every sign bit
-  // exact integer arithmetic on both engines — no float-order ambiguity.
-  private val Planes = 4 * 4
-  private val Dim = 64
+  // 128 hyperplanes grouped into 16 bands of 8 sign bits; vectors sharing
+  // any band key become candidates. 8-bit keys give 256 buckets per band
+  // (4096 total) — unlike the earlier 4-bit geometry (16 buckets/band ⇒
+  // Σ|bucket|² ≈ n²/16, no real prune), a random pair now collides in a
+  // band with p = 2⁻⁸ while a cosine-0.5 true neighbor collides at ~4%
+  // per band and ~47% over 16 bands: selectivity scales, recall survives.
+  // At larger n, widen `bits` toward log₂(n) (the library knob below);
+  // the declared query pins (16, 8) so the oracle can rebuild it exactly.
+  // Hyperplane coefficients derive from md5 so the DuckDB oracle can
+  // rebuild them bit-for-bit; embeddings are quantized to integers
+  // (round(x*1000)) before projecting, making every sign bit exact
+  // integer arithmetic on both engines — no float-order ambiguity.
+  private val Bands = 16
+  private val BandBits = 8
+  private val Planes = Bands * BandBits
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  /** coef(j,i) = first-8-hex-of-md5("j_i") % 2001 - 1000 ∈ [-1000, 1000]. */
-  private lazy val hyperplanes: Array[Array[Long]] =
-    Array.tabulate(Planes, Dim)((j, i) =>
-      java.lang.Long.parseLong(md5hex(s"${j}_${i}").substring(0, 8), 16) % 2001L - 1000L)
+  /** (vec_id, band index b, band key) rows — one per vector per band,
+    * via the native one-pass [[graft.functions.LshBandKeys]] kernel
+    * (quantize once, all 128 sign bits in compiled long arithmetic; see
+    * its Scaladoc for why the composed-from-built-ins version lost 5×).
+    *
+    * Exposed for SimilarityLshSpec's bucket-volume assertion. */
+  private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.LshBandKeys(asD(col("embedding")), Bands, BandBits)))
+      .select(col("vec_id"), col("pos").as("b"), col("col").as("key"))
 
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
   private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
@@ -119,31 +130,22 @@ object SimilarityQueries {
       (s, dir) => topk(s, dir, sameLabelOnly = true),
       Some(CosineSql.format("AND q.label = c.label"))),
 
-    // LSH-bucketed ANN (SURVEY.md §2.12 scale path): 16 signed-random-
-    // projection bits → 4 band keys; candidate neighbors share ≥1 band;
-    // exact cosine reranks the survivors. At 100 TB the band self-join
-    // shuffles only (vec_id, 4-char key) rows — candidate volume is
-    // Σ|bucket|², tunable via bands×rows — while the quadratic cross
-    // product never materializes. Matches the DuckDB oracle exactly
-    // because the sign bits are integer arithmetic (see constants above).
+    // LSH-bucketed ANN (SURVEY.md §2.12 scale path): 128 signed-random-
+    // projection bits → 16 band keys of 8 bits; candidate neighbors share
+    // ≥1 band; exact cosine reranks the survivors. At 100 TB the band
+    // self-join shuffles only (vec_id, 8-char key) rows — candidate
+    // volume is Σ|bucket|² over 256 buckets/band, tunable via bands×bits
+    // — while the quadratic cross product never materializes. Matches
+    // the DuckDB oracle exactly because the sign bits are integer
+    // arithmetic (see constants above).
     QuerySpec(
       "topk_similarity_lsh",
       (s, dir) => {
         // quantized coords and ±1000 coefs are integers — exactly
         // representable in double — so the native codegen'd DotProduct
-        // computes each projection with integer-exact signs (16 interpreted
-        // zip_with/aggregate folds per row would be ~5× slower)
-        val base = emb(s, dir)
-          .select(col("vec_id"), asD(col("embedding")).as("e"))
-          .withColumn("qe", expr("transform(e, x -> CAST(CAST(round(x * 1000) AS BIGINT) AS DOUBLE))"))
-        def sigBit(j: Int): Column =
-          when(dot(col("qe"), typedlit(hyperplanes(j).map(_.toDouble).toSeq)) >= 0, lit(1))
-            .otherwise(lit(0))
-        val bands = base.select(col("vec_id"),
-          explode(array((0 until Planes / 4).map(b =>
-            struct(lit(b).as("b"),
-              concat((4 * b until 4 * b + 4).map(j => sigBit(j).cast("string")): _*).as("key"))): _*)).as("bd"))
-          .select(col("vec_id"), col("bd.b").as("b"), col("bd.key").as("key"))
+        // computes each projection with integer-exact signs (see
+        // lshBands for the HOF-materialization barrier).
+        val bands = lshBands(s, dir)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
               col("a.vec_id") =!= col("b.vec_id") && col("a.vec_id") < 16)
@@ -173,15 +175,15 @@ object SimilarityQueries {
               hp AS (
                 SELECT j, i,
                        ('0x'||SUBSTR(MD5(j::VARCHAR||'_'||i::VARCHAR),1,8))::BIGINT % 2001 - 1000 AS coef
-                FROM (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS j),
+                FROM (SELECT UNNEST(GENERATE_SERIES(0, 127)) AS j),
                      (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i)),
               bits AS (
                 SELECT vec_id, j,
                        CASE WHEN SUM(qe[i+1] * coef) >= 0 THEN 1 ELSE 0 END AS bit
                 FROM qv, hp GROUP BY vec_id, j),
               bands AS (
-                SELECT vec_id, j // 4 AS b, STRING_AGG(bit::VARCHAR, '' ORDER BY j) AS key
-                FROM bits GROUP BY vec_id, j // 4),
+                SELECT vec_id, j // 8 AS b, STRING_AGG(bit::VARCHAR, '' ORDER BY j) AS key
+                FROM bits GROUP BY vec_id, j // 8),
               n AS (
                 SELECT vec_id, e,
                        SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm

@@ -37,4 +37,17 @@ class SimilarityLshSpec extends AnyFunSuite {
     // saw the quadratic pair space (plan-shape proof: no BNLJ, PlanAudit)
     assert(lsh.size <= queries.size * 5)
   }
+
+  test("band buckets actually prune: candidate volume far below n-squared") {
+    import org.apache.spark.sql.functions._
+    val bands = SimilarityQueries.lshBands(spark, dir)
+    val n = bands.select("vec_id").distinct().count()
+    // Σ|bucket|² across all (band, key) buckets = the pair volume the band
+    // self-join materializes. The 4-bit geometry this replaced measured
+    // ≈ n²/16 here — effectively no prune. 8-bit keys must do far better.
+    val pairVolume = bands.groupBy("b", "key").count()
+      .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+    assert(pairVolume < n * n / 8,
+      s"pair volume $pairVolume vs n²=${n * n}: bands are not pruning")
+  }
 }
