@@ -25,7 +25,8 @@ final case class QuerySpec(
 /** Aggregates every module's declared queries for SparkEntry. */
 object Registry {
   def all: Seq[QuerySpec] =
-    operators.RelationalQueries.specs ++
+    operators.ReaderQueries.specs ++
+      operators.RelationalQueries.specs ++
       operators.DedupQueries.specs ++
       operators.SimilarityQueries.specs ++
       operators.TextQueries.specs ++

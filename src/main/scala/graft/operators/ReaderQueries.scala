@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked round-trips through the custom binary/text readers —
+  * the reference's core ingest surface (`st_read` dispatch,
+  * core_processor.rs:391-428).
+  *
+  * Pattern (the `scan_csv` idiom): at query time, compose a deterministic
+  * fixture file from `nation` rows via [[graft.sources.FormatWriters]],
+  * read it back through the REAL reader, and emit attributes + WKT. The
+  * DuckDB oracle composes the identical values in SQL over the same
+  * parquet rows — so a parsing bug anywhere in the GeoJSON / xlsx /
+  * shapefile / GeoPackage-SQLite decoders breaks a hash, not just a
+  * fixture assertion.
+  *
+  * Synthetic geometry: POINT(n_nationkey, n_regionkey * 10) — integer
+  * coordinates, so JTS WKT output ("POINT (13 20)") is reproducible with
+  * string concatenation in SQL.
+  */
+object ReaderQueries {
+
+  /** nation rows sorted by key: (n_nationkey, n_name, n_regionkey).
+    * 25 rows forever (TPC-H fixed dim) — a bounded driver collect, same
+    * class as the reference reading the source file on one node. */
+  private def nationRows(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  private def geoRows(s: SparkSession, dir: String): Seq[(Long, String, Double, Double)] =
+    nationRows(s, dir).map { case (k, n, r) => (k, n, k.toDouble, r.toDouble * 10) }
+
+  /** Fixture path keyed by the sf dir (concurrent sf0.01/sf0.1 runs must
+    * not clobber each other) — the scan_csv convention. */
+  private def fixturePath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + name
+
+  private val wktSql =
+    "'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || ' ' || " +
+      "(CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || ')'"
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // GeoJSON: RFC 7946 FeatureCollection → Jackson reader → properties
+    // + WKB geometry (reference: core_processor.rs:407-412 st_read on
+    // .geojson). WKT composed from the WKB the reader produced.
+    QuerySpec(
+      "scan_geojson",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.geojson")
+        graft.sources.FormatWriters.writeGeoJson(
+          path, geoRows(s, dir), "n_nationkey", "n_name")
+        graft.sources.GeoJsonReader.read(s, path)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geometry")).as("wkt"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                      $wktSql AS wkt
+               FROM nation ORDER BY n_nationkey""")),
+
+    // xlsx: zip + sheet XML + inline strings → XlsxReader (reference:
+    // core_processor.rs:419-424 st_read xlsx). Header row becomes column
+    // names; numeric cells infer to long.
+    QuerySpec(
+      "scan_xlsx",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.xlsx")
+        graft.sources.FormatWriters.writeXlsx(
+          path, ("n_nationkey", "n_name", "n_regionkey"),
+          nationRows(s, dir))
+        graft.sources.XlsxReader.read(s, path)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
+    // Zipped shapefile: .shp point records + .dbf attributes, joined
+    // positionally by the reader (reference: core_processor.rs:399-406
+    // st_read /vsizip/). DBF names are capped at 10 chars, hence the
+    // short aliases on both sides.
+    QuerySpec(
+      "scan_shapefile",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_shp.zip")
+        graft.sources.FormatWriters.writeShapefileZip(
+          path, "nation", "nkey", "nname", geoRows(s, dir))
+        graft.sources.ShapefileReader.read(s, path)
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
+    // GeoPackage: from-scratch SQLite container (master/contents/
+    // geometry_columns/feature B-tree pages) + GPB-wrapped WKB, read
+    // back through the SqliteReader walk + GPB strip (reference:
+    // core_processor.rs:393-398 st_read gpkg).
+    QuerySpec(
+      "scan_gpkg",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.gpkg")
+        graft.sources.FormatWriters.writeGeoPackage(
+          path, "nation_geo", "nkey", "nname", 4326, geoRows(s, dir))
+        graft.sources.GeoPackageReader.read(s, path)
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey"""))
+  )
+}

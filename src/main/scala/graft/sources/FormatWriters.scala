@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Single-file writers for the ingest formats the readers parse —
+  * GeoJSON (RFC 7946), xlsx (ECMA-376 minimal), zipped ESRI shapefile,
+  * and GeoPackage (OGC spec on a from-scratch SQLite file, the write-side
+  * twin of [[SqliteReader]]).
+  *
+  * Primary role: generate deterministic reader-oracle fixtures from
+  * corpus rows at query time (ReaderQueries), which makes every custom
+  * binary reader verifiable against DuckDB SQL that composes the same
+  * rows. They are driver-side single-file emitters by design — the same
+  * position as the readers (an ingest container has no split to
+  * distribute).
+  */
+object FormatWriters {
+
+  /** (key, name, x, y) rows → FeatureCollection of Points with two
+    * properties. Keys/coords emitted as JSON numbers. */
+  def writeGeoJson(path: String, rows: Seq[(Long, String, Double, Double)],
+      keyName: String, nameName: String): Unit = {
+    def num(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    val features = rows.map { case (k, n, x, y) =>
+      s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${num(x)},${num(y)}]},""" +
+        s""""properties":{"$keyName":$k,"$nameName":${jsonString(n)}}}"""
+    }
+    val body = s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}"""
+    Files.write(Paths.get(path), body.getBytes(UTF_8)): Unit
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One-sheet xlsx: header row + (long, string, long) data rows.
+    * Strings go inline (no sharedStrings part needed). */
+  def writeXlsx(path: String, header: (String, String, String),
+      rows: Seq[(Long, String, Long)]): Unit = {
+    def inline(s: String): String =
+      s"""<c t="inlineStr"><is><t>${xmlEscape(s)}</t></is></c>"""
+    def num(v: Long): String = s"<c><v>$v</v></c>"
+    val headerXml = s"<row r=\"1\">${inline(header._1)}${inline(header._2)}${inline(header._3)}</row>"
+    val dataXml = rows.zipWithIndex.map { case ((k, n, r), i) =>
+      s"""<row r="${i + 2}">${num(k)}${inline(n)}${num(r)}</row>"""
+    }.mkString
+    val sheet =
+      s"""<?xml version="1.0"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |$headerXml$dataXml
+         |</sheetData></worksheet>""".stripMargin
+    val zip = zipOf(
+      "[Content_Types].xml" -> "<Types/>".getBytes(UTF_8),
+      "xl/workbook.xml" -> "<workbook/>".getBytes(UTF_8),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes(UTF_8))
+    Files.write(Paths.get(path), zip): Unit
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  def zipOf(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Zipped point shapefile (.shp + .dbf): attribute columns are a
+    * numeric key N(10,0) and a text name C(32). */
+  def writeShapefileZip(path: String, baseName: String,
+      keyField: String, nameField: String,
+      rows: Seq[(Long, String, Double, Double)]): Unit = {
+    // ---- .shp: 100-byte header + per-record (BE header, LE point body)
+    val recBytes = 8 + 4 + 16 // record header + shape type + x,y
+    val shp = ByteBuffer.allocate(100 + rows.length * recBytes)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)                      // file code
+    shp.putInt(24, shp.capacity() / 2)       // file length in 16-bit words
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000)                     // version
+    shp.putInt(32, 1)                        // shape type: Point
+    if (rows.nonEmpty) {                     // bbox (readers may ignore it)
+      shp.putDouble(36, rows.map(_._3).min); shp.putDouble(44, rows.map(_._4).min)
+      shp.putDouble(52, rows.map(_._3).max); shp.putDouble(60, rows.map(_._4).max)
+    }
+    rows.zipWithIndex.foreach { case ((_, _, x, y), i) =>
+      val off = 100 + i * recBytes
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1)                 // record number, 1-based
+      shp.putInt(off + 4, (recBytes - 8) / 2) // content length in words
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(off + 8, 1)                 // Point
+      shp.putDouble(off + 12, x)
+      shp.putDouble(off + 20, y)
+    }
+
+    // ---- .dbf: dBASE III header + fixed-width records
+    val fields = Seq((keyField, 'N', 10), (nameField, 'C', 32))
+    val headerSize = 32 + fields.length * 32 + 1
+    val recordSize = 1 + fields.map(_._3).sum
+    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+    dbf.order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.putInt(4, rows.length)
+    dbf.putShort(8, headerSize.toShort)
+    dbf.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((fname, ftype, flen), i) =>
+      val off = 32 + i * 32
+      val nb = fname.getBytes("US-ASCII").take(10)
+      dbf.put(off, nb, 0, nb.length)
+      dbf.put(off + 11, ftype.toByte)
+      dbf.put(off + 16, flen.toByte)
+      dbf.put(off + 17, 0.toByte)
+    }
+    dbf.put(32 + fields.length * 32, 0x0D.toByte)
+    rows.zipWithIndex.foreach { case ((k, n, _, _), i) =>
+      var off = headerSize + i * recordSize
+      dbf.put(off, ' '.toByte); off += 1     // not deleted
+      val ks = k.toString.reverse.padTo(10, ' ').reverse // right-justified N
+      dbf.put(off, ks.getBytes("US-ASCII"), 0, 10); off += 10
+      val ns = n.padTo(32, ' ').take(32)     // left-justified C
+      dbf.put(off, ns.getBytes("US-ASCII"), 0, 32)
+    }
+    dbf.put(dbf.capacity() - 1, 0x1A.toByte) // EOF marker
+
+    Files.write(Paths.get(path), zipOf(
+      s"$baseName.shp" -> shp.array(),
+      s"$baseName.dbf" -> dbf.array())): Unit
+  }
+
+  // ------------------------------------------------------------ GeoPackage
+
+  /** Point-feature GeoPackage written from scratch (SQLite file format +
+    * OGC GeoPackage spec): sqlite_master on page 1, gpkg_contents,
+    * gpkg_geometry_columns, and one feature table, each a single leaf
+    * B-tree page. Geometry rows carry a GPB (magic + flags + srs + WKB).
+    * Small-table writer by design: each table must fit one 4096-byte
+    * page (enforced), which a fixture always does. */
+  def writeGeoPackage(path: String, table: String, keyField: String,
+      nameField: String, srsId: Int,
+      rows: Seq[(Long, String, Double, Double)]): Unit = {
+    val featureSql =
+      s"CREATE TABLE $table ($keyField INTEGER, $nameField TEXT, geom BLOB)"
+    val contentsSql =
+      "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT, srs_id INTEGER)"
+    val geomColsSql =
+      "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, " +
+        "geometry_type_name TEXT, srs_id INTEGER, z INTEGER, m INTEGER)"
+
+    val masterCells = Seq(
+      masterRecord(1, "gpkg_contents", 2, contentsSql),
+      masterRecord(2, "gpkg_geometry_columns", 3, geomColsSql),
+      masterRecord(3, table, 4, featureSql))
+    val contentsCells = Seq(
+      cell(1, record(Seq(table, "features", srsId.toLong))))
+    val geomColsCells = Seq(
+      cell(1, record(Seq(table, "geom", "POINT", srsId.toLong, 0L, 0L))))
+    val featureCells = rows.zipWithIndex.map { case ((k, n, x, y), i) =>
+      cell(i + 1, record(Seq(k, n, gpb(srsId, x, y))))
+    }
+
+    val pages = Array(
+      leafPage(masterCells, reservedPrefix = 100),
+      leafPage(contentsCells),
+      leafPage(geomColsCells),
+      leafPage(featureCells))
+    val out = new Array[Byte](PageSize * pages.length)
+    pages.zipWithIndex.foreach { case (p, i) =>
+      System.arraycopy(p, 0, out, i * PageSize, PageSize)
+    }
+    writeSqliteHeader(out, pages.length)
+    Files.write(Paths.get(path), out): Unit
+  }
+
+  private val PageSize = 4096
+
+  private def writeSqliteHeader(file: Array[Byte], pageCount: Int): Unit = {
+    val magic = "SQLite format 3 ".getBytes("US-ASCII")
+    System.arraycopy(magic, 0, file, 0, 16)
+    val b = ByteBuffer.wrap(file).order(ByteOrder.BIG_ENDIAN)
+    b.putShort(16, PageSize.toShort)
+    file(18) = 1; file(19) = 1                  // file format r/w versions
+    file(20) = 0                                // reserved bytes per page
+    file(21) = 64; file(22) = 32; file(23) = 32 // payload fractions (fixed)
+    b.putInt(28, pageCount)
+    b.putInt(40, 1)                             // schema cookie
+    b.putInt(44, 1)                             // schema format
+    b.putInt(56, 1)                             // text encoding: UTF-8
+  }
+
+  /** sqlite_master row: (type, name, tbl_name, rootpage, sql). */
+  private def masterRecord(rowid: Long, name: String, rootPage: Long,
+      sql: String): Array[Byte] =
+    cell(rowid, record(Seq("table", name, name, rootPage, sql)))
+
+  /** Record format: header (self-inclusive length varint + serial types)
+    * then value bodies. Longs use the smallest integer serial type. */
+  private def record(values: Seq[Any]): Array[Byte] = {
+    val parts = values.map {
+      case null => (0L, Array.empty[Byte])
+      case l: Long =>
+        if (l >= -128 && l <= 127)
+          (1L, Array(l.toByte))
+        else if (l >= Short.MinValue && l <= Short.MaxValue)
+          (2L, ByteBuffer.allocate(2).order(ByteOrder.BIG_ENDIAN).putShort(l.toShort).array())
+        else if (l >= Int.MinValue && l <= Int.MaxValue)
+          (4L, ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(l.toInt).array())
+        else
+          (6L, ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(l).array())
+      case d: Double =>
+        (7L, ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d).array())
+      case s: String =>
+        val b = s.getBytes(UTF_8); (13L + 2 * b.length, b)
+      case b: Array[Byte] => (12L + 2 * b.length, b)
+      case other => throw new IllegalArgumentException(s"unsupported value: $other")
+    }
+    val serials = parts.flatMap(p => varint(p._1)).toArray
+    // header length varint includes itself; serial types here are small
+    // enough that the length always fits one or two varint bytes
+    val hdrLen =
+      if (serials.length + 1 < 128) serials.length + 1 else serials.length + 2
+    varint(hdrLen.toLong) ++ serials ++ parts.flatMap(_._2)
+  }
+
+  /** Leaf table cell: payload-length varint, rowid varint, payload.
+    * Payloads must fit the page (no overflow chains in the writer). */
+  private def cell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= PageSize - 35,
+      s"record of ${payload.length} bytes needs overflow pages (unsupported)")
+    varint(payload.length.toLong) ++ varint(rowid) ++ payload
+  }
+
+  /** Pack cells into one leaf table B-tree page (type 0x0D): 8-byte page
+    * header, cell pointer array, cells packed from the page end. */
+  private def leafPage(cells: Seq[Array[Byte]], reservedPrefix: Int = 0): Array[Byte] = {
+    val page = new Array[Byte](PageSize)
+    val hdr = reservedPrefix
+    require(hdr + 8 + 2 * cells.length + cells.map(_.length).sum <= PageSize,
+      s"${cells.length} cells (${cells.map(_.length).sum} bytes) overflow one page")
+    page(hdr) = 0x0D
+    page(hdr + 3) = ((cells.length >> 8) & 0xFF).toByte
+    page(hdr + 4) = (cells.length & 0xFF).toByte
+    var contentOff = PageSize
+    cells.zipWithIndex.foreach { case (c, i) =>
+      contentOff -= c.length
+      System.arraycopy(c, 0, page, contentOff, c.length)
+      page(hdr + 8 + 2 * i) = ((contentOff >> 8) & 0xFF).toByte
+      page(hdr + 8 + 2 * i + 1) = (contentOff & 0xFF).toByte
+    }
+    page(hdr + 5) = ((contentOff >> 8) & 0xFF).toByte
+    page(hdr + 6) = (contentOff & 0xFF).toByte
+    page
+  }
+
+  /** Big-endian base-128 varint (SQLite flavor). Values here are always
+    * non-negative and far below the 9-byte form. */
+  private def varint(v: Long): Array[Byte] = {
+    require(v >= 0, s"negative varint $v")
+    if (v < 0x80) Array(v.toByte)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      var rest = v
+      while (rest >= 0x80) { out.prepend((rest & 0x7F).toByte); rest >>= 7 }
+      out.prepend(rest.toByte)
+      // set continuation bits on all but the last byte
+      out.indices.dropRight(1).foreach(i => out(i) = (out(i) | 0x80).toByte)
+      out.toArray
+    }
+  }
+
+  /** GeoPackage binary blob: "GP", version 0, flags 0x01 (LE, no
+    * envelope), srs_id, then standard WKB for POINT(x y). */
+  private def gpb(srsId: Int, x: Double, y: Double): Array[Byte] = {
+    val wkb = graft.functions.GeoFunctions.toWkb(
+      graft.functions.GeoFunctions.point(x, y))
+    val b = ByteBuffer.allocate(8 + wkb.length)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte).put(0x01.toByte)
+    b.order(ByteOrder.LITTLE_ENDIAN).putInt(srsId)
+    b.put(wkb)
+    b.array()
+  }
+}
