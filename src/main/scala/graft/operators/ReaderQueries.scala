@@ -122,6 +122,35 @@ object ReaderQueries {
       },
       Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
                       $wktSql AS wkt
-               FROM nation ORDER BY nkey"""))
+               FROM nation ORDER BY nkey""")),
+
+    // Full ingest pipeline end-to-end (reference: process_file,
+    // core_processor.rs:463-476): a coordinate-pair CSV composed from
+    // nation rows runs detect → read → coordinate-pair discovery → CRS
+    // default (CSV hard-defaults to 4326, geo_strategy.rs:48-54) →
+    // ST_Point WKT transform → ParquetSink; the query reads the SINK
+    // OUTPUT back, so the whole path — including the 2-phase write — is
+    // hash-checked, not just fixture-asserted. Coordinates end in .5 so
+    // JTS WKT ("POINT (13.5 20.5)") is string-composable in SQL.
+    QuerySpec(
+      "pipeline_ingest",
+      (s, dir) => {
+        val base = fixturePath(dir, "pipe")
+        val csvPath = base + "_coords.csv"
+        val outRoot = base + "_sink"
+        val body = "id,name,longitude,latitude\n" + nationRows(s, dir)
+          .map { case (k, n, r) => s"$k,$n,$k.5,${r * 10}.5" }.mkString("\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get(csvPath),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.Graft.processFileToParquet(s, csvPath, "nation_coords.csv", outRoot)
+        s.read.parquet(s"$outRoot/public/nation_coords")
+          .select(col("id").cast("long").as("id"), col("name"),
+            col("geom_from_longitude_latitude_wkt").as("wkt"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+                     'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || '.5 ' ||
+                     (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
+              FROM nation ORDER BY id"""))
   )
 }
