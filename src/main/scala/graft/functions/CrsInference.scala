@@ -41,8 +41,8 @@ object CrsInference {
   private def probe(
       df: DataFrame,
       geomCol: String,
-      cx: org.apache.spark.sql.expressions.UserDefinedFunction,
-      cy: org.apache.spark.sql.expressions.UserDefinedFunction): Option[String] = {
+      cx: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      cy: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[String] = {
     val rows = Try {
       df.filter(col(geomCol).isNotNull)
         .limit(10)
@@ -72,10 +72,10 @@ object CrsInference {
     val dt = df.schema(geomCol).dataType
     val probes: Seq[() => Option[String]] = dt match {
       case BinaryType =>
-        Seq(() => probe(df, geomCol, centroidXFromWkb, centroidYFromWkb))
+        Seq(() => probe(df, geomCol, centroidXFromWkb(_), centroidYFromWkb(_)))
       case StringType =>
         Seq(
-          () => probe(df, geomCol, centroidXFromHex, centroidYFromHex),
+          () => probe(df, geomCol, centroidXFromHex(_), centroidYFromHex(_)),
           () => probe(df, geomCol, centroidXFromWkt, centroidYFromWkt))
       case _ => Seq.empty
     }

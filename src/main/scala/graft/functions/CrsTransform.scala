@@ -46,17 +46,21 @@ object CrsTransform {
 
   private val R3857 = 6378137.0 // WGS84 semi-major, spherical Mercator radius
 
-  def lonLatToWebMercator(lon: Double, lat: Double): (Double, Double) = {
-    val x = R3857 * math.toRadians(lon)
-    val y = R3857 * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0))
-    (x, y)
-  }
+  // per-axis scalar forms — the single source of truth shared by the
+  // tuple API below and the codegen'd GeoKernelExpressions (same double
+  // operation sequence ⇒ bit-identical results on every path)
+  def mercX(lon: Double): Double = R3857 * math.toRadians(lon)
+  def mercY(lat: Double): Double =
+    R3857 * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0))
+  def invMercLon(x: Double): Double = math.toDegrees(x / R3857)
+  def invMercLat(y: Double): Double =
+    math.toDegrees(2.0 * math.atan(math.exp(y / R3857)) - math.Pi / 2.0)
 
-  def webMercatorToLonLat(x: Double, y: Double): (Double, Double) = {
-    val lon = math.toDegrees(x / R3857)
-    val lat = math.toDegrees(2.0 * math.atan(math.exp(y / R3857)) - math.Pi / 2.0)
-    (lon, lat)
-  }
+  def lonLatToWebMercator(lon: Double, lat: Double): (Double, Double) =
+    (mercX(lon), mercY(lat))
+
+  def webMercatorToLonLat(x: Double, y: Double): (Double, Double) =
+    (invMercLon(x), invMercLat(y))
 
   // --------------------------------------------------------------- 27700
 

@@ -84,57 +84,82 @@ object GeoFunctions {
   }
 
   // --------------------------------------------------------------- columns
+  //
+  // Column API over the native codegen'd [[GeoKernelExpressions]] (SURVEY
+  // §7.5 promotion — same scalar kernels, no ScalaUDF converter layer, no
+  // codegen break in the surrounding operators).
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+  import GeoKernelExpressions._
 
   /** WKB bytes → 2D WKT (NULL on parse failure). */
-  val stAsTextFromWkb = udf((b: Array[Byte]) => parseWkb(b).map(g => toWkt2D(force2D(g))).orNull)
+  def stAsTextFromWkb(c: Column): Column = toCol(StAsTextFromWkb(toExpr(c)))
 
   /** hex-WKB text → 2D WKT. */
-  val stAsTextFromHexWkb = udf((s: String) => parseHexWkb(s).map(g => toWkt2D(force2D(g))).orNull)
+  def stAsTextFromHexWkb(c: Column): Column = toCol(StAsTextFromHexWkb(toExpr(c)))
 
   /** WKT → normalized 2D WKT (identity parse, invalid → NULL). */
-  val stAsTextFromWkt = udf((s: String) => parseWkt(s).map(g => toWkt2D(force2D(g))).orNull)
+  def stAsTextFromWkt(c: Column): Column = toCol(StAsTextFromWkt(toExpr(c)))
 
-  /** Centroid X/Y from any of the three encodings, used by the CRS probe
-    * chain (geo_strategy.rs:135-183). */
+  /** Centroid X/Y from the bounded CRS-probe encodings
+    * (geo_strategy.rs:135-183); the WKT pair is the hot declared-query
+    * path and runs native, the WKB/hex pair only ever feeds the ≤10-row
+    * driver probe and stays a plain UDF. */
   val centroidXFromWkb = udf((b: Array[Byte]) => parseWkb(b).map(_.getCentroid.getX))
   val centroidYFromWkb = udf((b: Array[Byte]) => parseWkb(b).map(_.getCentroid.getY))
   val centroidXFromHex = udf((s: String) => parseHexWkb(s).map(_.getCentroid.getX))
   val centroidYFromHex = udf((s: String) => parseHexWkb(s).map(_.getCentroid.getY))
-  val centroidXFromWkt = udf((s: String) => parseWkt(s).map(_.getCentroid.getX))
-  val centroidYFromWkt = udf((s: String) => parseWkt(s).map(_.getCentroid.getY))
+  def centroidXFromWkt(c: Column): Column = toCol(CentroidFromWkt(toExpr(c), axisX = true))
+  def centroidYFromWkt(c: Column): Column = toCol(CentroidFromWkt(toExpr(c), axisX = false))
 
   /** `ST_AsText(ST_Force2D(ST_Point(x, y)))` — the coordinate-pair path
     * (geo_strategy.rs:322-331). */
-  val stPointWkt = udf((x: Double, y: Double) => toWkt2D(point(x, y)))
+  def stPointWkt(x: Column, y: Column): Column = toCol(StPointWkt(toExpr(x), toExpr(y)))
 
   /** Coordinate-pair path WITH reprojection (geo_strategy.rs:333-340). */
-  val stPointTransformWkt = udf((x: Double, y: Double, src: Int, dst: Int) =>
-    Try {
-      val (tx, ty) = CrsTransform.transform(x, y, src, dst)
-      toWkt2D(point(tx, ty))
-    }.toOption.orNull)
+  def stPointTransformWkt(x: Column, y: Column, srcEpsg: Int, dstEpsg: Int): Column =
+    toCol(StPointTransformWkt(toExpr(x), toExpr(y), srcEpsg, dstEpsg))
 
   /** Full geometry-column path: WKB in, reproject, 2D WKT out
     * (geo_strategy.rs:286-291). */
-  val stTransformWkbToWkt = udf((b: Array[Byte], src: Int, dst: Int) =>
-    parseWkb(b).flatMap(g => Try(toWkt2D(force2D(transformGeom(g, src, dst)))).toOption).orNull)
+  def stTransformWkbToWkt(c: Column, srcEpsg: Int, dstEpsg: Int): Column =
+    toCol(StTransformWkbToWkt(toExpr(c), srcEpsg, dstEpsg))
 
-  val stTransformWktToWkt = udf((s: String, src: Int, dst: Int) =>
-    parseWkt(s).flatMap(g => Try(toWkt2D(force2D(transformGeom(g, src, dst)))).toOption).orNull)
+  def stTransformWktToWkt(c: Column, srcEpsg: Int, dstEpsg: Int): Column =
+    toCol(StTransformWktToWkt(toExpr(c), srcEpsg, dstEpsg))
 
-  /** Scalar lon/lat → Web-Mercator / BNG columns (each axis separately, so
-    * oracles can check them as plain doubles). */
-  val toMercX = udf((lon: Double, lat: Double) => CrsTransform.lonLatToWebMercator(lon, lat)._1)
-  val toMercY = udf((lon: Double, lat: Double) => CrsTransform.lonLatToWebMercator(lon, lat)._2)
+  /** Scalar lon/lat ⇄ Web-Mercator axes (each axis separately, so oracles
+    * can check them as plain doubles). */
+  def toMercX(lon: Column): Column = toCol(WebMercatorAxis(toExpr(lon), axisX = true, forward = true))
+  def toMercY(lat: Column): Column = toCol(WebMercatorAxis(toExpr(lat), axisX = false, forward = true))
+  def invMercLon(x: Column): Column = toCol(WebMercatorAxis(toExpr(x), axisX = true, forward = false))
+  def invMercLat(y: Column): Column = toCol(WebMercatorAxis(toExpr(y), axisX = false, forward = false))
 
-  /** Register the SQL-callable names (for `spark.sql` users). */
+  /** CRS classification from per-bucket coordinate ranges. */
+  def inferCrs(xmn: Column, xmx: Column, ymn: Column, ymx: Column): Column =
+    toCol(InferCrs(Seq(xmn, xmx, ymn, ymx).map(toExpr)))
+
+  /** Register the SQL-callable names (for `spark.sql` users) — UDF
+    * wrappers over the same scalar kernels. */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("st_astext_wkb", stAsTextFromWkb)
-    spark.udf.register("st_astext_hexwkb", stAsTextFromHexWkb)
-    spark.udf.register("st_astext_wkt", stAsTextFromWkt)
-    spark.udf.register("st_point_wkt", stPointWkt)
-    spark.udf.register("st_point_transform_wkt", stPointTransformWkt)
-    spark.udf.register("st_transform_wkb_wkt", stTransformWkbToWkt)
-    spark.udf.register("st_transform_wkt_wkt", stTransformWktToWkt)
+    spark.udf.register("st_astext_wkb",
+      udf((b: Array[Byte]) => parseWkb(b).map(g => toWkt2D(force2D(g))).orNull))
+    spark.udf.register("st_astext_hexwkb",
+      udf((s: String) => parseHexWkb(s).map(g => toWkt2D(force2D(g))).orNull))
+    spark.udf.register("st_astext_wkt",
+      udf((s: String) => parseWkt(s).map(g => toWkt2D(force2D(g))).orNull))
+    spark.udf.register("st_point_wkt",
+      udf((x: Double, y: Double) => toWkt2D(point(x, y))))
+    spark.udf.register("st_point_transform_wkt",
+      udf((x: Double, y: Double, src: Int, dst: Int) => Try {
+        val (tx, ty) = CrsTransform.transform(x, y, src, dst)
+        toWkt2D(point(tx, ty))
+      }.toOption.orNull))
+    spark.udf.register("st_transform_wkb_wkt",
+      udf((b: Array[Byte], src: Int, dst: Int) =>
+        parseWkb(b).flatMap(g => Try(toWkt2D(force2D(transformGeom(g, src, dst)))).toOption).orNull))
+    spark.udf.register("st_transform_wkt_wkt",
+      udf((s: String, src: Int, dst: Int) =>
+        parseWkt(s).flatMap(g => Try(toWkt2D(force2D(transformGeom(g, src, dst)))).toOption).orNull))
   }
 }

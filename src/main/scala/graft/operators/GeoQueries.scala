@@ -76,8 +76,8 @@ object GeoQueries {
       (s, dir) =>
         cust(s, dir)
           .select(col("c_custkey"),
-            round(GeoFunctions.toMercX(lonF, latF), 2).as("mx"),
-            round(GeoFunctions.toMercY(lonF, latF), 2).as("my"))
+            round(GeoFunctions.toMercX(lonF), 2).as("mx"),
+            round(GeoFunctions.toMercY(latF), 2).as("my"))
           .orderBy("c_custkey"),
       Some("""SELECT c_custkey,
                      ROUND(6378137.0 * RADIANS(CAST((c_custkey % 340) - 170 AS DOUBLE) + 0.5), 2) AS mx,
@@ -89,17 +89,12 @@ object GeoQueries {
     // degree (the SURVEY §7 tolerance); oracle emits the inputs directly.
     QuerySpec(
       "geo_transform_roundtrip",
-      (s, dir) => {
-        val mx = GeoFunctions.toMercX(lonF, latF)
-        val my = GeoFunctions.toMercY(lonF, latF)
-        val backLon = udf((x: Double) => graft.functions.CrsTransform.webMercatorToLonLat(x, 0.0)._1)
-        val backLat = udf((y: Double) => graft.functions.CrsTransform.webMercatorToLonLat(0.0, y)._2)
+      (s, dir) =>
         cust(s, dir)
           .select(col("c_custkey"),
-            round(backLon(mx), 6).as("lon"),
-            round(backLat(my), 6).as("lat"))
-          .orderBy("c_custkey")
-      },
+            round(GeoFunctions.invMercLon(GeoFunctions.toMercX(lonF)), 6).as("lon"),
+            round(GeoFunctions.invMercLat(GeoFunctions.toMercY(latF)), 6).as("lat"))
+          .orderBy("c_custkey"),
       Some("""SELECT c_custkey,
                      ROUND(CAST((c_custkey % 340) - 170 AS DOUBLE) + 0.5, 6) AS lon,
                      ROUND(CAST((c_custkey % 160) - 80 AS DOUBLE) + 0.5, 6) AS lat
@@ -110,17 +105,16 @@ object GeoQueries {
     // aggregate runs on executors; classification is a scalar kernel.
     QuerySpec(
       "geo_crs_infer",
-      (s, dir) => {
-        val inferU = udf((xmn: Double, xmx: Double, ymn: Double, ymx: Double) =>
-          CrsInference.inferCrsFromRanges(xmn, xmx, ymn, ymx))
+      (s, dir) =>
         cust(s, dir)
           .groupBy((col("c_custkey") % 7).as("bucket"))
           .agg(
             min(lonI.cast("double")).as("xmn"), max(lonI.cast("double")).as("xmx"),
             min(latI.cast("double")).as("ymn"), max(latI.cast("double")).as("ymx"))
-          .select(col("bucket"), inferU(col("xmn"), col("xmx"), col("ymn"), col("ymx")).as("crs"))
-          .orderBy("bucket")
-      },
+          .select(col("bucket"),
+            GeoFunctions.inferCrs(
+              col("xmn"), col("xmx"), col("ymn"), col("ymx")).as("crs"))
+          .orderBy("bucket"),
       Some("""WITH r AS (
                 SELECT c_custkey % 7 AS bucket,
                        MIN(CAST((c_custkey % 360) - 180 AS DOUBLE)) AS xmn,

@@ -165,8 +165,7 @@ object GeoTransform {
         else
           GeoFunctions.stPointTransformWkt(
             col(xCol).cast("double"), col(yCol).cast("double"),
-            org.apache.spark.sql.functions.lit(currentCrs.toInt),
-            org.apache.spark.sql.functions.lit(targetCrs.toInt))
+            currentCrs.toInt, targetCrs.toInt)
       base.withColumn(s"${geomName}_wkt", wkt)
 
     case _ =>
@@ -175,13 +174,11 @@ object GeoTransform {
         val src = df.schema(g).dataType
         val wkt = (src, currentCrs == targetCrs) match {
           case (BinaryType, true)  => GeoFunctions.stAsTextFromWkb(col(g))
-          case (BinaryType, false) => GeoFunctions.stTransformWkbToWkt(col(g),
-            org.apache.spark.sql.functions.lit(currentCrs.toInt),
-            org.apache.spark.sql.functions.lit(targetCrs.toInt))
+          case (BinaryType, false) =>
+            GeoFunctions.stTransformWkbToWkt(col(g), currentCrs.toInt, targetCrs.toInt)
           case (StringType, true)  => GeoFunctions.stAsTextFromWkt(col(g))
-          case (StringType, false) => GeoFunctions.stTransformWktToWkt(col(g),
-            org.apache.spark.sql.functions.lit(currentCrs.toInt),
-            org.apache.spark.sql.functions.lit(targetCrs.toInt))
+          case (StringType, false) =>
+            GeoFunctions.stTransformWktToWkt(col(g), currentCrs.toInt, targetCrs.toInt)
           case (other, _) => throw new IllegalArgumentException(
             s"geometry column '$g' has unsupported type $other")
         }

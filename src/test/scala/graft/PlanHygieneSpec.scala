@@ -26,6 +26,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"quadratic plans appeared in: $offenders")
   }
 
+  test("geo/reader/pipeline plans contain no scalar-UDF nodes (native kernels only)") {
+    // SURVEY §7.5 promotion, verified: the geo scalar chain runs as native
+    // expressions, so no ScalaUDF (printed as "UDF(") may appear in any
+    // geo, reader round-trip, or ingest-pipeline query plan
+    val scoped = Registry.all.filter(q =>
+      q.name.startsWith("geo_") || q.name.startsWith("scan_") || q.name == "pipeline_ingest")
+    assert(scoped.nonEmpty)
+    val offenders = scoped.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("UDF(")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"scalar UDF nodes remain in: $offenders")
+  }
+
   test("every declared query runs under whole-stage codegen") {
     // AQE finalizes the physical plan lazily: execute first, then read the
     // formatted explain, whose "codegen id" tags mark codegen stages
