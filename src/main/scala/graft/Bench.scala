@@ -20,6 +20,11 @@ object Bench {
       // sizes post-shuffle parallelism to the SF (default 1m is tuned
       // for cluster-scale shuffles).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // ~90 queries x several codegen units far exceeds the 100-entry
+      // default codegen cache: every timed pass would recompile every
+      // stage (janino 50-500ms each), burying real runtimes in compile
+      // jitter
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -30,13 +35,16 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       }
-    // two timed passes, best-of per query: single-run numbers at this scale
-    // are dominated by GC/JIT jitter (±30% run-to-run); the min is the
-    // stable steady-state cost a long-lived cluster session observes.
+    // three timed passes, best-of per query: single-run numbers at this
+    // scale are dominated by GC/JIT jitter (±30% run-to-run; a major GC
+    // inherited from a previous query's allocations can add seconds), so
+    // each query starts from a collected heap and the min is the stable
+    // steady-state cost a long-lived cluster session observes.
     // A FAILING query reports -1 (never its tiny time-to-exception, which
     // would silently improve the total) and is excluded from the sum.
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      System.gc()
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // ~90 queries x several codegen units far exceeds the 100-entry
+      // default codegen cache: every timed pass would recompile every
+      // stage (janino 50-500ms each), burying real runtimes in compile
+      // jitter
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
