@@ -64,11 +64,14 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Durable copy for the driver regardless of stdout capture quirks.
+    // Durable copy for the driver regardless of stdout capture quirks —
+    // best-effort by definition: an unwritable path must not abort the
+    // run AFTER all queries finished and before the stdout line prints.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(
+    scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .failed.foreach(e => System.err.println(s"BENCH: could not write $outFile: $e"))
     // Stop Spark BEFORE printing so the JSON is the process's last stdout
     // line (shutdown INFO noise goes to stderr at WARN level anyway).
     spark.stop()

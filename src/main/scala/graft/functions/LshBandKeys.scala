@@ -92,13 +92,22 @@ object LshBandKeys {
     a
   }
 
-  /** Spark `round(x * 1000, 0)` semantics exactly (double product first,
-    * then BigDecimal shortest-repr HALF_UP), so the keys match what the
-    * composed round()-based pipeline produced and what DuckDB's
-    * ROUND(x * 1000) reproduces. */
-  private def quantize(d: Double): Long =
-    java.math.BigDecimal.valueOf(d * 1000.0)
+  /** Spark `CAST(round(x * 1000, 0) AS BIGINT)` semantics exactly (double
+    * product first, then BigDecimal shortest-repr HALF_UP; NaN/Infinity
+    * pass through round and clamp in the cast, like Spark's Round +
+    * double→long cast do), so the keys match what the composed
+    * round()-based pipeline produced and what DuckDB reproduces.
+    * BigDecimal.valueOf would THROW on non-finite input — corrupt
+    * upstream floats must degrade to a (deterministic) bucket, not abort
+    * the job. */
+  private def quantize(d: Double): Long = {
+    val scaled = d * 1000.0
+    if (scaled.isNaN) 0L
+    else if (scaled == Double.PositiveInfinity) Long.MaxValue
+    else if (scaled == Double.NegativeInfinity) Long.MinValue
+    else java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 
   /** One pass: quantize dim elements, then bands*bits sign bits. */
   def compute(arr: ArrayData, bands: Int, bits: Int): ArrayData = {

@@ -37,10 +37,12 @@ object ReaderQueries {
   private def geoRows(s: SparkSession, dir: String): Seq[(Long, String, Double, Double)] =
     nationRows(s, dir).map { case (k, n, r) => (k, n, k.toDouble, r.toDouble * 10) }
 
-  /** Fixture path keyed by the sf dir (concurrent sf0.01/sf0.1 runs must
-    * not clobber each other) — the scan_csv convention. */
+  /** Fixture path keyed by the sf dir AND the process: concurrent
+    * sf0.01/sf0.1 runs must not clobber each other, and two JVMs on the
+    * SAME sf dir (Verify alongside Bench) must not race a non-atomic
+    * truncate-then-write against an open reader. */
   private def fixturePath(dir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
+    s"${sys.props("java.io.tmpdir")}/graft_p${ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" + name
 
   private val wktSql =

@@ -29,6 +29,12 @@ object RelationalQueries {
 
   private val Dec = DecimalType(38, 4)
   private def dec(c: Column): Column = c.cast(Dec)
+  // NOTE on the round(cast(decimal AS double), 4) output bridge used by
+  // the aggregate queries below: it is engine-identical while |sum| is
+  // below ~2^53/10^4 ≈ 9e11 (the 4th decimal stays representable in
+  // double). The verify gate runs at small SF where sums are ≤ 1e9, far
+  // inside the bound; the DECIMAL(38,4) INTERNAL arithmetic is exact at
+  // any scale — only the cross-engine comparison bridge has this range.
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   /** Oracle-side view of `events` with ts truncated to micros like Spark's
@@ -411,20 +417,22 @@ object RelationalQueries {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // HLL sketch — the estimate itself is engine-specific, so the oracle
-    // checks an ACCURACY CONTRACT instead: round(approx/exact, 1) == 1.0
-    // whenever the estimate is within 5% (HLL default rsd = 0.05, and the
-    // sketch is deterministic for a fixed input). DuckDB's side is the
-    // constant, computed against its own exact COUNT(DISTINCT).
+    // checks an ACCURACY CONTRACT instead: |approx/exact - 1| ≤ 0.2 per
+    // group (default rsd = 0.05 is a standard DEVIATION, so the bound is
+    // set at 4σ — tight enough to catch a broken sketch, loose enough
+    // that a legitimate estimate can't trip it; the sketch is
+    // deterministic for a fixed input). DuckDB's side is the constant.
     QuerySpec(
       "agg_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(round(
+          .agg((abs(
             approx_count_distinct(col("l_partkey")).cast("double") /
-              countDistinct(col("l_partkey")).cast("double"), 1).as("approx_ratio"))
+              countDistinct(col("l_partkey")).cast("double") - 1) <= 0.2)
+            .as("within_tolerance"))
           .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, CAST(1.0 AS DOUBLE) AS approx_ratio
+      Some("""SELECT l_returnflag, TRUE AS within_tolerance
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QuerySpec(

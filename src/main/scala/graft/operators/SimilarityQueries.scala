@@ -73,7 +73,6 @@ object SimilarityQueries {
   // integer arithmetic on both engines — no float-order ambiguity.
   private val Bands = 16
   private val BandBits = 8
-  private val Planes = Bands * BandBits
 
   /** (vec_id, band index b, band key) rows — one per vector per band,
     * via the native one-pass [[graft.functions.LshBandKeys]] kernel

@@ -24,8 +24,12 @@ object FormatWriters {
     * properties. Keys/coords emitted as JSON numbers. */
   def writeGeoJson(path: String, rows: Seq[(Long, String, Double, Double)],
       keyName: String, nameName: String): Unit = {
-    def num(d: Double): String =
-      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    def num(d: Double): String = {
+      // literal NaN/Infinity tokens are not JSON (RFC 8259): fail at the
+      // writer with a pointable error, not at the reader with an opaque one
+      require(!d.isNaN && !d.isInfinite, s"non-finite coordinate $d")
+      if (d == d.floor) d.toLong.toString else d.toString
+    }
     val features = rows.map { case (k, n, x, y) =>
       s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${num(x)},${num(y)}]},""" +
         s""""properties":{"$keyName":$k,"$nameName":${jsonString(n)}}}"""
@@ -131,6 +135,9 @@ object FormatWriters {
     rows.zipWithIndex.foreach { case ((k, n, _, _), i) =>
       var off = headerSize + i * recordSize
       dbf.put(off, ' '.toByte); off += 1     // not deleted
+      // fail fast like writeGeoPackage's page-overflow require — an N(10)
+      // field silently truncating an 11-digit key would corrupt round-trips
+      require(k.toString.length <= 10, s"key $k exceeds DBF N(10) field")
       val ks = k.toString.reverse.padTo(10, ' ').reverse // right-justified N
       dbf.put(off, ks.getBytes("US-ASCII"), 0, 10); off += 10
       val ns = n.padTo(32, ' ').take(32)     // left-justified C
