@@ -92,6 +92,44 @@ object DedupQueries {
       .withColumn("c", size(col("gs")))
   }
 
+  /** Verified near-dup pairs (da < db, jaccard ≥ 0.2) from the MinHash+LSH
+    * pipeline — shared by `dedup_minhash` (reports pairs) and
+    * `dedup_components` (clusters them).
+    *
+    * One shuffle builds each doc's shingle-hash SET as an array row; the
+    * 16-permutation signature folds over that array in-place via the
+    * compiled MinHashSig UDAF (min-folds are duplicate-insensitive, so no
+    * pre-distinct; 16 interpreted HOF folds per doc would cost ~5× more),
+    * and candidate verification intersects the two arrays directly
+    * (array_intersect) instead of re-exploding the corpus into a 3-way
+    * join. Pre-partitioning on doc_id moves the exchange before the
+    * shingle explosion — compact docs shuffle, not shingle rows — and
+    * parallelizes the single-task local scan (cf. bigramSets). */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val minhashSig = udaf(graft.functions.MinHashSig)
+    val sets = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
+      .groupBy("doc_id")
+      .agg(minhashSig(col("h")).as("sig"), collect_set(col("h")).as("hs"))
+      .withColumn("c", size(col("hs")))
+    val bands = sets.select(col("doc_id"), explode(array((0 until Bands).map(j =>
+      struct(lit(j).as("b"),
+        concat_ws("_", col("sig")(2 * j), col("sig")(2 * j + 1)).as("key"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.b").as("b"), col("bd.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("c").as("ca")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("c").as("cb")), "db")
+      .withColumn("ic", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** (key, shingle-hash) pairs (3-token shingles), duplicates included:
     * consumers build SETs (collect_set) or min-fold, so a pre-`distinct`
     * would only add a second full shuffle of the same relation. */
@@ -124,51 +162,57 @@ object DedupQueries {
     // carries (doc_id, 2-long band key) rows only.
     QuerySpec(
       "dedup_minhash",
-      (s, dir) => {
-        // One shuffle builds each doc's shingle-hash SET as an array row;
-        // the 16-permutation signature folds over that array in-place (no
-        // second keyed shuffle), and candidate verification intersects the
-        // two arrays directly (array_intersect) instead of re-exploding the
-        // corpus into a 3-way join. Shuffle volume is unchanged — the same
-        // (doc_id, h) pairs flow into the set build that previously flowed
-        // into distinct() — but the exploded relation is computed once,
-        // not four times. Results and oracle are identical: min-fold and
-        // intersection size are order-insensitive, so collect_set's
-        // nondeterministic order cannot surface.
-        // ONE shuffle computes both per-doc artifacts: the 16-min signature
-        // (via the compiled MinHashSig UDAF — min-folds are duplicate-
-        // insensitive, so no pre-distinct; 16 interpreted HOF folds per doc
-        // would cost ~5× more) and the shingle SET for exact verification.
-        val minhashSig = udaf(graft.functions.MinHashSig)
-        // pre-partition on doc_id: the signature/set groupBy shuffles on
-        // it anyway — moving the exchange before the shingle explosion
-        // shuffles compact docs, not shingle rows, and parallelizes the
-        // single-task local scan (cf. bigramSets)
-        val sets = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
-          .groupBy("doc_id")
-          .agg(minhashSig(col("h")).as("sig"), collect_set(col("h")).as("hs"))
-          .withColumn("c", size(col("hs")))
-        val bands = sets.select(col("doc_id"), explode(array((0 until Bands).map(j =>
-          struct(lit(j).as("b"),
-            concat_ws("_", col("sig")(2 * j), col("sig")(2 * j + 1)).as("key"))): _*)).as("bd"))
-          .select(col("doc_id"), col("bd.b").as("b"), col("bd.key").as("key"))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        cand
-          .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("c").as("ca")), "da")
-          .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("c").as("cb")), "db")
-          .withColumn("ic", size(array_intersect(col("ha"), col("hb"))))
-          .withColumn("jaccard",
-            col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
-          .filter(col("jaccard") >= 0.2)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) =>
+        minhashPairs(s, dir)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b"),
       Some(MinHashOracle)),
+
+    // Near-dup CLUSTERING — the step that makes pairwise dedup actionable
+    // at 100 TB: connected components over the verified MinHash pair
+    // graph, labeling every member of a duplicate family with the
+    // family's minimum doc_id (`component`); keep-the-canonical is then
+    // `doc_id == component`. Iterative min-label propagation: each round
+    // every vertex takes the min label among itself and its neighbors —
+    // converges in O(component diameter) rounds (dup families are
+    // near-cliques from band collisions, so 2-4 in practice), each round
+    // one shuffle of (vertex, label) longs. The result is the exact
+    // per-component minimum regardless of execution schedule, so the
+    // DuckDB recursive-CTE oracle reproduces it bit-for-bit.
+    QuerySpec(
+      "dedup_components",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select("da", "db")
+        // undirected: propagate both ways. Persisted because the loop
+        // below re-reads it once per round (iterative graph algorithms
+        // checkpoint their edge relation; GraphX does the same).
+        val edges = pairs
+          .union(pairs.select(col("db").as("da"), col("da").as("db")))
+          .persist()
+        var labels = edges.select(col("da").as("id")).distinct()
+          .withColumn("lbl", col("id")).persist()
+        // labels only ever decrease, so an unchanged sum ⇔ a fixed point
+        var prevSum = labels.agg(sum("lbl")).collect()(0).getLong(0)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 25) {
+          val next = labels
+            .union(edges.join(labels, col("db") === col("id"))
+              .select(col("da").as("id"), col("lbl")))
+            .groupBy("id").agg(min("lbl").as("lbl"))
+            .persist()
+          val s2 = next.agg(sum("lbl")).collect()(0).getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = s2 == prevSum
+          prevSum = s2
+          rounds += 1
+        }
+        require(converged, s"component propagation did not converge in $rounds rounds")
+        labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+          .orderBy("doc_id")
+      },
+      Some(ComponentsOracle)),
 
     // Per-source MinHash signature via the MinHashSig UDAF (q:agg_minhash,
     // SURVEY.md §2.4): one 16-long signature per corpus source, computed
@@ -297,14 +341,16 @@ object DedupQueries {
               ORDER BY doc_a, doc_b"""))
   )
 
-  /** DuckDB reimplementation of the exact MinHash+LSH pipeline — same
-    * hash, same (2i+1, 7919i) permutation seeds, same band layout. */
-  private lazy val MinHashOracle: String = {
+  /** Shared DuckDB CTE chain reimplementing the exact MinHash+LSH
+    * pipeline — same hash, same (2i+1, 7919i) permutation seeds, same
+    * band layout — ending in `jpairs(da, db, jaccard)`, the verified
+    * near-dup pair relation. */
+  private lazy val MinHashPairsCtes: String = {
     val mins = (0 until K).map(i => s"MIN((${2 * i + 1}*h+${7919L * i}) % $P) AS s$i").mkString(", ")
     val bands = (0 until Bands).map(j =>
       s"SELECT doc_id, $j AS b, s${2 * j}::VARCHAR || '_' || s${2 * j + 1}::VARCHAR AS key FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\\s+') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\\s+') AS t FROM documents),
        |idx AS (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i FROM toks WHERE LEN(t) >= 3),
        |sh AS (SELECT DISTINCT doc_id,
        |       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h FROM idx),
@@ -315,11 +361,30 @@ object DedupQueries {
        |inter AS (SELECT da, db, COUNT(*) AS ic FROM cand
        |          JOIN sh sa ON sa.doc_id = da JOIN sh sb ON sb.doc_id = db AND sb.h = sa.h
        |          GROUP BY da, db),
-       |sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id)
-       |SELECT da AS doc_a, db AS doc_b,
-       |       ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
-       |FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
-       |WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.2
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |jpairs AS (
+       |  SELECT da, db, ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
+       |  FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
+       |  WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.2)""".stripMargin
   }
+
+  private lazy val MinHashOracle: String =
+    s"""WITH $MinHashPairsCtes
+       |SELECT da AS doc_a, db AS doc_b, jaccard FROM jpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over `jpairs` via transitive closure (the
+    * recursive CTE is the declarative twin of the Spark side's min-label
+    * propagation loop — both compute the exact per-component minimum). */
+  private lazy val ComponentsOracle: String =
+    s"""WITH RECURSIVE $MinHashPairsCtes,
+       |e2 AS (SELECT da, db FROM jpairs UNION ALL SELECT db AS da, da AS db FROM jpairs),
+       |reach AS (
+       |  SELECT da AS src, db AS dst FROM e2
+       |  UNION
+       |  SELECT r.src, e.db AS dst FROM reach r JOIN e2 e ON e.da = r.dst),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 }

@@ -363,6 +363,39 @@ object RelationalQueries {
       Some("""SELECT a.r_name AS a_name, b.r_name AS b_name
               FROM region a CROSS JOIN region b ORDER BY a_name, b_name""")),
 
+    // Salted join — the manual skew-mitigation shape for a join whose
+    // build key distribution has pathological hot keys (the join twin of
+    // agg_salted): the probe/fact side gets a row-hash salt in [0, 8),
+    // the build/dim side is replicated once per salt, and the join key
+    // becomes (key, salt), spreading each hot key's rows over 8 reducers.
+    // The result set is identical to the plain join the oracle runs —
+    // every fact row still meets exactly one copy of its dim row. At
+    // 100 TB the fact-side shuffle is the only one that scales with data
+    // volume, and it is uniform by construction; the 8× dim replication
+    // is the bounded price. (AQE skew-join handles moderate skew
+    // automatically; this is the declarative form for the extreme case.)
+    QuerySpec(
+      "join_salted",
+      (s, dir) => {
+        val S = 8
+        val fact = t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
+          .as("f")
+        val dim = t(s, dir, "orders")
+          .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+          .as("d")
+        fact.join(dim,
+            col("f.l_orderkey") === col("d.o_orderkey") &&
+              col("f.salt") === col("d.salt"))
+          .select("l_orderkey", "l_linenumber", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_quantity >= 45
+              ORDER BY l_orderkey, l_linenumber""")),
+
     // ---------------------------------------------------------- aggregations
     QuerySpec(
       "agg_group", // flagship TPC-H Q1 shape; partial+final hash agg

@@ -83,6 +83,26 @@ object TextQueries {
                      MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
               FROM documents ORDER BY doc_id""")),
 
+    // Canonical text normalization (the pre-tokenization cleanup stage of
+    // a training pipeline): lowercase, strip non-alphanumerics to spaces,
+    // collapse runs of whitespace, trim. Pure per-row codegen kernel —
+    // linear at any scale, no shuffle.
+    QuerySpec(
+      "text_normalize",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            trim(regexp_replace(
+              regexp_replace(lower(trim(col("text"))), "[^a-z0-9\\s]", " "),
+              "\\s+", " ")).as("normalized"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     TRIM(REGEXP_REPLACE(
+                       REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9\s]', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS normalized
+              FROM documents ORDER BY doc_id""")),
+
     // Language-ID heuristic (SURVEY.md §2.12): CJK charset detection, then
     // per-language stopword marker counts with a fixed decision chain. A
     // pure per-row kernel — linear scan at any scale, no shuffle.
