@@ -69,6 +69,26 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY n_nationkey""")),
 
+    // JSON Lines: the de-facto LLM-corpus interchange format —
+    // `spark.read.json` (line-delimited, schema-inferred) over a fixture
+    // composed from nation rows. Splittable at scale (unlike multiLine
+    // JSON, each line is an independent record, so a 100 TB corpus scans
+    // with full parallelism).
+    QuerySpec(
+      "scan_jsonl",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.jsonl")
+        graft.sources.FormatWriters.writeJsonl(
+          path, nationRows(s, dir), "n_nationkey", "n_name", "n_regionkey")
+        s.read.json(path)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // xlsx: zip + sheet XML + inline strings → XlsxReader (reference:
     // core_processor.rs:419-424 st_read xlsx). Header row becomes column
     // names; numeric cells infer to long.

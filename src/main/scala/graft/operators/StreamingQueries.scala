@@ -39,6 +39,24 @@ object StreamingQueries {
                      ROUND(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")),
 
+    // Hopping (sliding) 10-minute windows every 5 minutes: each event
+    // lands in exactly two windows (10/5 = 2), both aligned to the epoch
+    // like Spark's window(). The oracle replays the same assignment by
+    // enumerating k ∈ {0, 1} window starts per event.
+    QuerySpec(
+      "stream_hopping",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+          .orderBy("ws", "event_type"),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+              w AS (SELECT event_type, us, UNNEST(GENERATE_SERIES(0, 1)) AS k FROM e)
+              SELECT make_timestamp((us // 300000000 - k) * 300000000) AS ws,
+                     event_type, COUNT(*) AS n
+              FROM w GROUP BY 1, 2 ORDER BY ws, event_type""")),
+
     // Session windows (30-minute gap) per user. Spark session_window is
     // half-open [start, end): a gap of exactly 30m starts a new session —
     // the oracle breaks on `>= INTERVAL 30 MINUTE` to match.

@@ -38,6 +38,16 @@ object FormatWriters {
     Files.write(Paths.get(path), body.getBytes(UTF_8)): Unit
   }
 
+  /** (key, name, region) rows → one JSON object per line (JSON Lines —
+    * the de-facto interchange format of LLM training corpora). */
+  def writeJsonl(path: String, rows: Seq[(Long, String, Long)],
+      keyName: String, nameName: String, regionName: String): Unit = {
+    val body = rows.map { case (k, n, r) =>
+      s"""{"$keyName":$k,"$nameName":${jsonString(n)},"$regionName":$r}"""
+    }.mkString("\n")
+    Files.write(Paths.get(path), body.getBytes(UTF_8)): Unit
+  }
+
   private def jsonString(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

@@ -42,6 +42,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Hopping 10-minute windows sliding every 5 (each event in two
+    * overlapping windows), 1-hour watermark — streaming twin of the
+    * `stream_hopping` batch oracle query. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
   /** 30-minute-gap session windows per user (same gap as the batch twin). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -41,6 +41,19 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming hopping counts match batch when stream is drained") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.hoppingCounts(events), "hopping", "complete")
+    val streamed = spark.table("hopping")
+      .orderBy("ws", "event_type").collect()
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming session windows match batch session_window") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.sessionCounts(events), "sess", "complete")
