@@ -677,6 +677,21 @@ object RelationalQueries {
               FROM orders ORDER BY o_orderkey""")),
 
     QuerySpec(
+      "win_ntile", // quartile assignment; tie-broken to a total order so
+      // both engines enumerate rows identically
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(NTILE(4) OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+              FROM orders ORDER BY o_orderkey""")),
+
+    QuerySpec(
       "win_topk", // top-3 per group via row_number filter
       (s, dir) => {
         val w = Window.partitionBy("l_orderkey")

@@ -205,6 +205,32 @@ object SimilarityQueries {
                 FROM pairs) WHERE rn <= 5
               ORDER BY query_id, sim DESC, neighbor_id""")),
 
+    // Embedding normalization (the stage before any cosine/ANN search:
+    // unit-length vectors make dot product == cosine): per-vector L2
+    // norm plus the first normalized component as the checkable scalar
+    // witness. Pure per-row kernel over the native DotProduct — linear
+    // at any scale, no shuffle.
+    QuerySpec(
+      "embedding_norm",
+      (s, dir) => {
+        val e = emb(s, dir)
+          .select(col("vec_id"), asD(col("embedding")).as("e"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        e.select(col("vec_id"),
+            round(col("nrm"), 6).as("l2_norm"),
+            round(col("e")(0) / col("nrm"), 6).as("first_unit"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              n AS (
+                SELECT vec_id, e,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                FROM v)
+              SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+                     ROUND(e[1] / nrm, 6) AS first_unit
+              FROM n ORDER BY vec_id""")),
+
     // Embedding-cosine near-dup (SURVEY.md §2.12): same-cluster pairs with
     // cosine ≥ 0.4 (the synthetic corpus has no true dup vectors; the threshold sits in the observed upper tail). The label equi-join prunes the quadratic blowup the
     // same way the IVF search does — at 100 TB this is a shuffle on
