@@ -130,6 +130,67 @@ object DedupQueries {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair relation `(da, db)` →
+    * `(id, lbl)` with `lbl` = the component's minimum vertex id.
+    *
+    * Each round propagates the min label across edges AND
+    * pointer-doubles (jump to the label's own label — labels are
+    * themselves vertex ids), so convergence takes O(log diameter)
+    * rounds; the 25-round cap covers a 2^25-hop diameter, far beyond
+    * any real dup-family graph. Every round shuffles only (vertex,
+    * label) longs. The fixed point is the exact per-component minimum
+    * regardless of execution schedule — deterministic, so a recursive
+    * transitive-closure oracle reproduces it. Exposed for the
+    * ComponentsSpec chain/empty-graph stress. */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // undirected: propagate both ways. Persisted because the loop
+    // re-reads it once per round (iterative graph algorithms checkpoint
+    // their edge relation; GraphX does the same).
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .persist()
+    // labels only ever decrease, so an unchanged sum ⇔ a fixed point;
+    // coalesce handles the empty graph (sum over zero rows is NULL),
+    // which converges immediately to an empty result.
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).collect()(0).getLong(0)
+    // localCheckpoint (not persist): each round references the previous
+    // labels several times (union + join + the doubling self-join), so
+    // carrying lineage would QUADRUPLE the logical plan per round until
+    // planning itself OOMs; checkpointing materializes the rows and
+    // truncates the plan to a leaf, keeping every round's plan constant
+    // size. Old checkpoint blocks are freed by the ContextCleaner.
+    var labels = edges.select(col("da").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var prevSum = lblSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val prop = labels
+        .union(edges.join(labels, col("db") === col("id"))
+          .select(col("da").as("id"), col("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // pointer doubling via a RENAMED checkpointed copy — a genuine
+      // second leaf relation, so the lookup is a plain join, not a
+      // self-join Catalyst has to disambiguate
+      val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
+      val next = prop.join(lookup, col("lbl") === col("lid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s2 = lblSum(next)
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      rounds += 1
+    }
+    require(converged, s"component propagation did not converge in $rounds rounds")
+    // edges is no longer needed (the final labels are checkpointed rows)
+    edges.unpersist()
+    labels
+  }
+
   /** (key, shingle-hash) pairs (3-token shingles), duplicates included:
     * consumers build SETs (collect_set) or min-fold, so a pre-`distinct`
     * would only add a second full shuffle of the same relation. */
@@ -172,46 +233,20 @@ object DedupQueries {
     // at 100 TB: connected components over the verified MinHash pair
     // graph, labeling every member of a duplicate family with the
     // family's minimum doc_id (`component`); keep-the-canonical is then
-    // `doc_id == component`. Iterative min-label propagation: each round
-    // every vertex takes the min label among itself and its neighbors —
-    // converges in O(component diameter) rounds (dup families are
-    // near-cliques from band collisions, so 2-4 in practice), each round
-    // one shuffle of (vertex, label) longs. The result is the exact
-    // per-component minimum regardless of execution schedule, so the
-    // DuckDB recursive-CTE oracle reproduces it bit-for-bit.
+    // `doc_id == component`. Each round propagates the min label across
+    // edges AND pointer-doubles (jump to the label's own label), so
+    // convergence takes O(log diameter) rounds — a 25-round cap covers
+    // any component a 2^25-diameter graph could produce, not just the
+    // near-clique families LSH usually emits. Every round shuffles only
+    // (vertex, label) longs. The fixed point is the exact per-component
+    // minimum regardless of execution schedule, so the DuckDB
+    // recursive-CTE oracle reproduces it bit-for-bit.
     QuerySpec(
       "dedup_components",
-      (s, dir) => {
-        val pairs = minhashPairs(s, dir).select("da", "db")
-        // undirected: propagate both ways. Persisted because the loop
-        // below re-reads it once per round (iterative graph algorithms
-        // checkpoint their edge relation; GraphX does the same).
-        val edges = pairs
-          .union(pairs.select(col("db").as("da"), col("da").as("db")))
-          .persist()
-        var labels = edges.select(col("da").as("id")).distinct()
-          .withColumn("lbl", col("id")).persist()
-        // labels only ever decrease, so an unchanged sum ⇔ a fixed point
-        var prevSum = labels.agg(sum("lbl")).collect()(0).getLong(0)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 25) {
-          val next = labels
-            .union(edges.join(labels, col("db") === col("id"))
-              .select(col("da").as("id"), col("lbl")))
-            .groupBy("id").agg(min("lbl").as("lbl"))
-            .persist()
-          val s2 = next.agg(sum("lbl")).collect()(0).getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = s2 == prevSum
-          prevSum = s2
-          rounds += 1
-        }
-        require(converged, s"component propagation did not converge in $rounds rounds")
-        labels.select(col("id").as("doc_id"), col("lbl").as("component"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        connectedComponents(minhashPairs(s, dir).select("da", "db"))
+          .select(col("id").as("doc_id"), col("lbl").as("component"))
+          .orderBy("doc_id"),
       Some(ComponentsOracle)),
 
     // Per-source MinHash signature via the MinHashSig UDAF (q:agg_minhash,
