@@ -34,6 +34,28 @@ object GeoQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // The geo kernel driven as SQL TEXT through the registered function
+    // names — the reference is a SQL-generating engine, so its users
+    // write exactly this shape (geo_strategy.rs:322-331 emits
+    // `ST_AsText(ST_Force2D(ST_Point(x, y)))` SQL). Proves the
+    // spark.sql surface of GeoFunctions.register, not just the Column
+    // API the other geo queries use.
+    QuerySpec(
+      "sql_geo_point",
+      (s, dir) => {
+        GeoFunctions.register(s)
+        cust(s, dir).createOrReplaceTempView("customer")
+        s.sql("""
+          SELECT c_custkey,
+                 st_point_wkt(CAST((c_custkey % 360) - 180 AS DOUBLE),
+                              CAST((c_custkey % 180) - 90 AS DOUBLE)) AS wkt
+          FROM customer ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey,
+                     'POINT (' || CAST((c_custkey % 360) - 180 AS BIGINT)
+                       || ' ' || CAST((c_custkey % 180) - 90 AS BIGINT) || ')' AS wkt
+              FROM customer ORDER BY c_custkey""")),
+
     // ST_Point + ST_AsText: build a point from (x, y), write 2D WKT.
     // Exercises geo_strategy.rs:322-331's coordinate-pair path.
     QuerySpec(
