@@ -11,6 +11,30 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.IntegerType
+  import graft.functions.GeoKernelExpressions
+  import graft.functions.GeoKernelExpressions._
+
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(GeoKernelExpressions.getClass.getName, name),
+    (children: Seq[Expression]) => {
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"$name requires exactly $n arguments, got ${children.length}")
+      b(children)
+    })
+
+  /** EPSG codes arrive from SQL text as literal ints — the expressions
+    * take them as constructor parameters, not children. */
+  private def epsg(e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"EPSG argument must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
@@ -23,5 +47,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate(zip_with(a,b,*),0d,+) → native DotProduct, transparently
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+
+    // The geo scalar kernel for SQL-text callers — the same native
+    // codegen expressions the Column API builds (GeoFunctions.register's
+    // UDF wrappers remain only as the no-extensions fallback).
+    ext.injectFunction(arity("st_point_wkt", 2)(c => StPointWkt(c(0), c(1))))
+    ext.injectFunction(arity("st_astext_wkb", 1)(c => StAsTextFromWkb(c(0))))
+    ext.injectFunction(arity("st_astext_wkt", 1)(c => StAsTextFromWkt(c(0))))
+    ext.injectFunction(arity("st_astext_hexwkb", 1)(c => StAsTextFromHexWkb(c(0))))
+    ext.injectFunction(arity("st_point_transform_wkt", 4)(c =>
+      StPointTransformWkt(c(0), c(1), epsg(c(2)), epsg(c(3)))))
+    ext.injectFunction(arity("st_transform_wkb_wkt", 3)(c =>
+      StTransformWkbToWkt(c(0), epsg(c(1)), epsg(c(2)))))
+    ext.injectFunction(arity("st_transform_wkt_wkt", 3)(c =>
+      StTransformWktToWkt(c(0), epsg(c(1)), epsg(c(2)))))
+    ext.injectFunction(arity("st_centroid_x_wkt", 1)(c => CentroidFromWkt(c(0), axisX = true)))
+    ext.injectFunction(arity("st_centroid_y_wkt", 1)(c => CentroidFromWkt(c(0), axisX = false)))
+    ext.injectFunction(arity("infer_crs", 4)(c => InferCrs(c)))
   }
 }

@@ -16,6 +16,7 @@ object Verify {
       // stage (janino 50-500ms each), burying real runtimes in compile
       // jitter
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -160,35 +160,43 @@ object DedupQueries {
     // planning itself OOMs; checkpointing materializes the rows and
     // truncates the plan to a leaf, keeping every round's plan constant
     // size. Old checkpoint blocks are freed by the ContextCleaner.
-    var labels = edges.select(col("da").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    var prevSum = lblSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 25) {
-      val prop = labels
-        .union(edges.join(labels, col("db") === col("id"))
-          .select(col("da").as("id"), col("lbl")))
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      // pointer doubling via a RENAMED checkpointed copy — a genuine
-      // second leaf relation, so the lookup is a plain join, not a
-      // self-join Catalyst has to disambiguate
-      val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
-      val next = prop.join(lookup, col("lbl") === col("lid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val s2 = lblSum(next)
-      labels = next
-      converged = s2 == prevSum
-      prevSum = s2
-      rounds += 1
+    try {
+      var labels = edges.select(col("da").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var prevSum = lblSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 25) {
+        val prop = labels
+          .union(edges.join(labels, col("db") === col("id"))
+            .select(col("da").as("id"), col("lbl")))
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        // pointer doubling via a RENAMED checkpointed copy — a genuine
+        // second leaf relation, so the lookup is a plain join, not a
+        // self-join Catalyst has to disambiguate
+        val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
+        val next = prop.join(lookup, col("lbl") === col("lid"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val s2 = lblSum(next)
+        labels = next
+        converged = s2 == prevSum
+        prevSum = s2
+        rounds += 1
+      }
+      require(converged, s"component propagation did not converge in $rounds rounds")
+      // Superseded round checkpoints are freed by the ContextCleaner as
+      // their frames drop out of scope (label sets are (long, long) rows,
+      // 2 live copies per round at worst); a reliable-checkpoint dir with
+      // explicit cleanup is the cluster-scale variant of this loop.
+      labels
+    } finally {
+      // also on the non-convergence path: never leak the edge cache into
+      // a long-lived session
+      edges.unpersist(): Unit
     }
-    require(converged, s"component propagation did not converge in $rounds rounds")
-    // edges is no longer needed (the final labels are checkpointed rows)
-    edges.unpersist()
-    labels
   }
 
   /** (key, shingle-hash) pairs (3-token shingles), duplicates included:

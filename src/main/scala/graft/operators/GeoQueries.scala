@@ -34,16 +34,17 @@ object GeoQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
-    // The geo kernel driven as SQL TEXT through the registered function
-    // names — the reference is a SQL-generating engine, so its users
-    // write exactly this shape (geo_strategy.rs:322-331 emits
-    // `ST_AsText(ST_Force2D(ST_Point(x, y)))` SQL). Proves the
-    // spark.sql surface of GeoFunctions.register, not just the Column
-    // API the other geo queries use.
+    // The geo kernel driven as SQL TEXT — the reference is a
+    // SQL-generating engine, so its users write exactly this shape
+    // (geo_strategy.rs:322-331 emits `ST_AsText(ST_Force2D(ST_Point(x,
+    // y)))` SQL). st_point_wkt resolves through GraftExtensions'
+    // injected NATIVE expression (the same codegen kernel the Column
+    // API builds — no scalar-UDF node in this plan either); sessions
+    // without the extension fall back to GeoFunctions.register's UDFs.
     QuerySpec(
       "sql_geo_point",
       (s, dir) => {
-        GeoFunctions.register(s)
+        if (!s.catalog.functionExists("st_point_wkt")) GeoFunctions.register(s)
         cust(s, dir).createOrReplaceTempView("customer")
         s.sql("""
           SELECT c_custkey,

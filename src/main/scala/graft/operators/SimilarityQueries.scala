@@ -31,18 +31,30 @@ object SimilarityQueries {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Oracle-side per-pair cosine via zipped UNNEST (DuckDB zips parallel
-    * unnests positionally); norms folded the same way. */
-  private val CosineSql =
-    """
-    WITH v AS (
+  /** (vec_id, label, e, nrm) — the shared L2-normalization stage every
+    * similarity query starts from (single definition, so the fold order
+    * the exact-float oracle depends on can never diverge). */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  /** Oracle twin of [[normed]]: `n(vec_id, label, e, nrm)` CTEs (DuckDB
+    * zips parallel unnests positionally; same left-to-right fold). */
+  private val NormCtes =
+    """v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     n AS (
       SELECT vec_id, label, e,
              SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
       FROM v
-    ),
+    )"""
+
+  /** Oracle-side per-pair cosine over [[NormCtes]]. */
+  private val CosineSql =
+    s"""
+    WITH $NormCtes,
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
              ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
@@ -88,9 +100,7 @@ object SimilarityQueries {
 
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
   private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
-    val e = emb(s, dir)
-      .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val e = normed(s, dir)
     val q = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("e").as("q_e"), col("nrm").as("q_nrm"))
@@ -212,21 +222,13 @@ object SimilarityQueries {
     // at any scale, no shuffle.
     QuerySpec(
       "embedding_norm",
-      (s, dir) => {
-        val e = emb(s, dir)
-          .select(col("vec_id"), asD(col("embedding")).as("e"))
-          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-        e.select(col("vec_id"),
+      (s, dir) =>
+        normed(s, dir)
+          .select(col("vec_id"),
             round(col("nrm"), 6).as("l2_norm"),
             round(col("e")(0) / col("nrm"), 6).as("first_unit"))
-          .orderBy("vec_id")
-      },
-      Some("""WITH v AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              n AS (
-                SELECT vec_id, e,
-                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
-                FROM v)
+          .orderBy("vec_id"),
+      Some(s"""WITH $NormCtes
               SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
                      ROUND(e[1] / nrm, 6) AS first_unit
               FROM n ORDER BY vec_id""")),
@@ -238,9 +240,7 @@ object SimilarityQueries {
     QuerySpec(
       "dedup_embedding",
       (s, dir) => {
-        val e = emb(s, dir)
-          .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
-          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val e = normed(s, dir)
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .withColumn("sim",
@@ -249,12 +249,7 @@ object SimilarityQueries {
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
           .orderBy("vec_a", "vec_b")
       },
-      Some("""WITH v AS (
-                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              n AS (
-                SELECT vec_id, label, e,
-                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
-                FROM v),
+      Some(s"""WITH $NormCtes,
               pairs AS (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                        ROUND((SELECT SUM(p) FROM (SELECT UNNEST(a.e) * UNNEST(b.e) AS p))

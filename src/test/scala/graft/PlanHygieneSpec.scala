@@ -31,7 +31,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // expressions, so no ScalaUDF (printed as "UDF(") may appear in any
     // geo, reader round-trip, or ingest-pipeline query plan
     val scoped = Registry.all.filter(q =>
-      q.name.startsWith("geo_") || q.name.startsWith("scan_") || q.name == "pipeline_ingest")
+      q.name.startsWith("geo_") || q.name.startsWith("sql_geo") ||
+        q.name.startsWith("scan_") || q.name == "pipeline_ingest")
     assert(scoped.nonEmpty)
     val offenders = scoped.flatMap { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
