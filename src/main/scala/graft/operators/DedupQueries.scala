@@ -174,12 +174,19 @@ object DedupQueries {
           .localCheckpoint()
         // pointer doubling via a RENAMED checkpointed copy — a genuine
         // second leaf relation, so the lookup is a plain join, not a
-        // self-join Catalyst has to disambiguate
-        val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
-        val next = prop.join(lookup, col("lbl") === col("lid"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+        // self-join Catalyst has to disambiguate. Round 1 skips it:
+        // near-clique dup families converge from propagation alone in
+        // 2 rounds, so the doubling join + checkpoint there is usually
+        // pure overhead; deep chains just take one extra (cheap) round.
+        val next =
+          if (rounds == 0) prop
+          else {
+            val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
+            prop.join(lookup, col("lbl") === col("lid"), "left")
+              .select(col("id"),
+                least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+              .localCheckpoint()
+          }
         val s2 = lblSum(next)
         labels = next
         converged = s2 == prevSum
