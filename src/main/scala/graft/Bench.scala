@@ -11,25 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // local small-SF files are single-row-group parquet, so scans are
-      // 1 task; without this AQE also coalesces every small shuffle to 1
-      // partition and the whole run serializes on one core. 64k floor
-      // sizes post-shuffle parallelism to the SF (default 1m is tuned
-      // for cluster-scale shuffles).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // ~90 queries x several codegen units far exceeds the 100-entry
-      // default codegen cache: every timed pass would recompile every
-      // stage (janino 50-500ms each), burying real runtimes in compile
-      // jitter
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE place graft session config lives — Bench, Verify, and the
+  * test harness all build from here, so a tuning change can never land
+  * in one entry point and skew behavior between them.
+  */
+object GraftSession {
+
+  /** @param cores             local[] worker threads
+    * @param shufflePartitions sized to the cores, not the 200 default */
+  def builder(cores: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // local small-SF files are single-row-group parquet, so scans are
+      // 1 task; without this AQE also coalesces every small shuffle to 1
+      // partition and runs serialize on one core. 64k floor sizes
+      // post-shuffle parallelism to the SF (default 1m is tuned for
+      // cluster-scale shuffles).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // ~96 queries × several codegen units exceed the 100-entry default
+      // generated-class cache; re-running freshly-built query objects
+      // would then recompile every stage (janino 50-500 ms each) — fatal
+      // to bench timings, pure waste in Verify/tests.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // native graft functions + optimizer rules for SQL-text callers
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries INT64 TIMESTAMP(NANOS); Tables converts
+      // the raw longs to micros explicitly
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

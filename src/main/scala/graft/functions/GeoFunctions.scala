@@ -139,27 +139,30 @@ object GeoFunctions {
   def inferCrs(xmn: Column, xmx: Column, ymn: Column, ymx: Column): Column =
     toCol(InferCrs(Seq(xmn, xmx, ymn, ymx).map(toExpr)))
 
-  /** Register the SQL-callable names (for `spark.sql` users) — UDF
-    * wrappers over the same scalar kernels. */
+  /** Register the SQL-callable names (for `spark.sql` users without
+    * [[graft.GraftExtensions]]) — thin UDF wrappers DELEGATING to the
+    * same GeoKernelExpressions helpers the native expressions call, so
+    * the two SQL surfaces cannot drift. */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def str(u: UTF8String): String = if (u == null) null else u.toString
+    def utf(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
     spark.udf.register("st_astext_wkb",
-      udf((b: Array[Byte]) => parseWkb(b).map(g => toWkt2D(force2D(g))).orNull))
+      udf((b: Array[Byte]) => str(asTextFromWkb(b))))
     spark.udf.register("st_astext_hexwkb",
-      udf((s: String) => parseHexWkb(s).map(g => toWkt2D(force2D(g))).orNull))
+      udf((s: String) => if (s == null) null else str(asTextFromHexWkb(utf(s)))))
     spark.udf.register("st_astext_wkt",
-      udf((s: String) => parseWkt(s).map(g => toWkt2D(force2D(g))).orNull))
+      udf((s: String) => if (s == null) null else str(asTextFromWkt(utf(s)))))
     spark.udf.register("st_point_wkt",
-      udf((x: Double, y: Double) => toWkt2D(point(x, y))))
+      udf((x: Double, y: Double) => str(pointWkt(x, y))))
     spark.udf.register("st_point_transform_wkt",
-      udf((x: Double, y: Double, src: Int, dst: Int) => Try {
-        val (tx, ty) = CrsTransform.transform(x, y, src, dst)
-        toWkt2D(point(tx, ty))
-      }.toOption.orNull))
+      udf((x: Double, y: Double, src: Int, dst: Int) =>
+        str(pointTransformWkt(x, y, src, dst))))
     spark.udf.register("st_transform_wkb_wkt",
       udf((b: Array[Byte], src: Int, dst: Int) =>
-        parseWkb(b).flatMap(g => Try(toWkt2D(force2D(transformGeom(g, src, dst)))).toOption).orNull))
+        str(transformWkbToWkt(b, src, dst))))
     spark.udf.register("st_transform_wkt_wkt",
       udf((s: String, src: Int, dst: Int) =>
-        parseWkt(s).flatMap(g => Try(toWkt2D(force2D(transformGeom(g, src, dst)))).toOption).orNull))
+        if (s == null) null else str(transformWktToWkt(utf(s), src, dst))))
   }
 }

@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   coef(j,i) = first-8-hex(md5("j_i")) % 2001 - 1000
   *   bit(j)  = Σ_i coef(j,i) * q[i] >= 0  ? '1' : '0'   (pure long math)
   *   key(b)  = bit(b*bits) .. bit(b*bits+bits-1) concatenated
-  * Returns array<string> of `bands` keys; NULL on null/oversized input
-  * (dim > 64 has no defined hyperplanes) or null elements.
+  * Returns array<string> of `bands` keys; NULL on null/empty input or
+  * null elements; dim > 64 (no defined hyperplanes) throws — a schema
+  * mismatch, not a per-row anomaly.
   */
 case class LshBandKeys(child: Expression, bands: Int, bits: Int)
     extends UnaryExpression {
@@ -109,10 +110,19 @@ object LshBandKeys {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
   }
 
-  /** One pass: quantize dim elements, then bands*bits sign bits. */
+  /** One pass: quantize dim elements, then bands*bits sign bits.
+    *
+    * dim > MaxDim FAILS FAST: dimensionality is a schema-level property
+    * of the whole column, and silently NULLing every row would make the
+    * vectors vanish from the LSH index (while the SQL oracle truncates
+    * to 64 dims — a divergence, not a detection). Per-row anomalies
+    * (null elements, empty arrays) degrade to NULL as documented. */
   def compute(arr: ArrayData, bands: Int, bits: Int): ArrayData = {
     val dim = arr.numElements()
-    if (dim > MaxDim) return null
+    if (dim > MaxDim)
+      throw new IllegalArgumentException(
+        s"lsh_band_keys: embedding dim $dim exceeds the $MaxDim-dim hyperplane family")
+    if (dim == 0) return null
     val q = new Array[Long](dim)
     var i = 0
     while (i < dim) {

@@ -151,9 +151,14 @@ object DedupQueries {
       .persist()
     // labels only ever decrease, so an unchanged sum ⇔ a fixed point;
     // coalesce handles the empty graph (sum over zero rows is NULL),
-    // which converges immediately to an empty result.
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).collect()(0).getLong(0)
+    // which converges immediately to an empty result. DECIMAL(38,0)
+    // accumulation: a long sum of 64-bit hash-derived vertex ids
+    // overflows (aborting under ANSI, or wrapping so equal checksums no
+    // longer prove an unchanged labeling).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(
+        sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO))).collect()(0).getDecimal(0)
     // localCheckpoint (not persist): each round references the previous
     // labels several times (union + join + the doubling self-join), so
     // carrying lineage would QUADRUPLE the logical plan per round until
@@ -189,7 +194,7 @@ object DedupQueries {
           }
         val s2 = lblSum(next)
         labels = next
-        converged = s2 == prevSum
+        converged = s2.compareTo(prevSum) == 0
         prevSum = s2
         rounds += 1
       }

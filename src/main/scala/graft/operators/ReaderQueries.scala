@@ -37,13 +37,35 @@ object ReaderQueries {
   private def geoRows(s: SparkSession, dir: String): Seq[(Long, String, Double, Double)] =
     nationRows(s, dir).map { case (k, n, r) => (k, n, k.toDouble, r.toDouble * 10) }
 
+  /** Per-process fixture root, recursively removed at JVM exit — repeated
+    * Bench/Verify/test runs must not strand fixture files and sink trees
+    * in the temp dir forever. */
+  private lazy val fixtureRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_p${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(root)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      scala.util.Try(Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          scala.util.Try(Files.deleteIfExists(f)); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          scala.util.Try(Files.deleteIfExists(d)); FileVisitResult.CONTINUE
+        }
+      })): Unit
+    }))
+    root
+  }
+
   /** Fixture path keyed by the sf dir AND the process: concurrent
     * sf0.01/sf0.1 runs must not clobber each other, and two JVMs on the
     * SAME sf dir (Verify alongside Bench) must not race a non-atomic
     * truncate-then-write against an open reader. */
   private def fixturePath(dir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_p${ProcessHandle.current().pid()}_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + name
+    fixtureRoot.resolve(
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + name).toString
 
   private val wktSql =
     "'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || ' ' || " +

@@ -28,7 +28,9 @@ object FormatWriters {
       // literal NaN/Infinity tokens are not JSON (RFC 8259): fail at the
       // writer with a pointable error, not at the reader with an opaque one
       require(!d.isNaN && !d.isInfinite, s"non-finite coordinate $d")
-      if (d == d.floor) d.toLong.toString else d.toString
+      // only take the integer form while toLong is exact (cf. XlsReader's
+      // guard) — 1e19 must print as 1.0E19, not clamp to Long.MaxValue
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
     }
     val features = rows.map { case (k, n, x, y) =>
       s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[${num(x)},${num(y)}]},""" +
@@ -146,11 +148,15 @@ object FormatWriters {
       var off = headerSize + i * recordSize
       dbf.put(off, ' '.toByte); off += 1     // not deleted
       // fail fast like writeGeoPackage's page-overflow require — an N(10)
-      // field silently truncating an 11-digit key would corrupt round-trips
+      // field silently truncating an 11-digit key would corrupt
+      // round-trips; ditto a C(32) field truncating or '?'-mangling a
+      // long/non-ASCII name (DBF text is single-byte)
       require(k.toString.length <= 10, s"key $k exceeds DBF N(10) field")
+      require(n.length <= 32 && n.forall(_ < 128),
+        s"name '$n' does not fit an ASCII DBF C(32) field")
       val ks = k.toString.reverse.padTo(10, ' ').reverse // right-justified N
       dbf.put(off, ks.getBytes("US-ASCII"), 0, 10); off += 10
-      val ns = n.padTo(32, ' ').take(32)     // left-justified C
+      val ns = n.padTo(32, ' ')              // left-justified C
       dbf.put(off, ns.getBytes("US-ASCII"), 0, 32)
     }
     dbf.put(dbf.capacity() - 1, 0x1A.toByte) // EOF marker
