@@ -13,7 +13,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries
+    // Same registry the driver's Verify checks, except a spec may declare
+    // a dedicated bench workload (QuerySpec.bench) when the verified
+    // query embeds oracle scaffolding that isn't the operator's real cost.
+    val queries = Registry.all.map(q => q.name -> q.bench.getOrElse(q.run)).toMap
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
@@ -38,26 +41,37 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    // 3-dp floats keep the line short enough that log-tail capture never
-    // truncates it mid-JSON; java.util.Locale.ROOT guards against comma
-    // decimal separators under a non-C default locale.
+    // java.util.Locale.ROOT guards against comma decimal separators under
+    // a non-C default locale.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val json =
+    def toJson(rs: Iterable[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Durable copy for the driver regardless of stdout capture quirks —
+    }
+    val total = results.values.filter(_ >= 0).sum
+    val fullJson = toJson(results, total)
+    // Durable full copy for the driver regardless of stdout capture quirks —
     // best-effort by definition: an unwritable path must not abort the
     // run AFTER all queries finished and before the stdout line prints.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       .failed.foreach(e => System.err.println(s"BENCH: could not write $outFile: $e"))
+    // The stdout line must survive a bounded log-tail capture that also
+    // swallows sbt's trailing "[success]" line: the round-2 full map
+    // (~2 kB, 96 queries) was truncated mid-JSON from the front. Print a
+    // compact line — total + the 30 slowest per-query timings (any failed
+    // -1 entries always included) ≈ 800 bytes — and leave the complete map
+    // in the file written above.
+    val slowest = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .takeRight(30)
+    val failed = results.toSeq.filter(_._2 < 0)
+    val stdoutJson = toJson((failed ++ slowest).distinct, total)
     // Stop Spark BEFORE printing so the JSON is the process's last stdout
     // line (shutdown INFO noise goes to stderr at WARN level anyway).
     spark.stop()
-    println(json)
+    println(stdoutJson)
   }
 }

@@ -9,6 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param oracle equivalent DuckDB SQL over the same parquet tables; None for
   *               ops with no SQL-expressible oracle (driver records a weaker
   *               rows-only check)
+  * @param bench  what Bench times when the VERIFIED query is not the
+  *               representative workload — e.g. `agg_approx_distinct`'s
+  *               tolerance contract runs an exact countDistinct alongside
+  *               the sketch, so timing `run` would measure the oracle
+  *               scaffolding, not the fast path the operator exists for.
+  *               Verify always checks `run`; None means Bench times `run`.
   *
   * Determinism contract (BASELINE.md): every query ends in a total-order
   * `ORDER BY`; double aggregation goes through DECIMAL(38,4) so partial-agg
@@ -20,7 +26,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QuerySpec(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    bench: Option[(SparkSession, String) => DataFrame] = None)
 
 /** Aggregates every module's declared queries for SparkEntry. */
 object Registry {

@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   coef(j,i) = first-8-hex(md5("j_i")) % 2001 - 1000
   *   bit(j)  = Σ_i coef(j,i) * q[i] >= 0  ? '1' : '0'   (pure long math)
   *   key(b)  = bit(b*bits) .. bit(b*bits+bits-1) concatenated
-  * Returns array<string> of `bands` keys; NULL on null/empty input or
-  * null elements; dim > 64 (no defined hyperplanes) throws — a schema
+  * Returns array<string> of `bands` keys; NULL on null/empty input, null
+  * elements, non-finite elements, or magnitudes that could overflow the
+  * long accumulator; dim > 64 (no defined hyperplanes) throws — a schema
   * mismatch, not a per-row anomaly.
   */
 case class LshBandKeys(child: Expression, bands: Int, bits: Int)
@@ -93,22 +94,20 @@ object LshBandKeys {
     a
   }
 
-  /** Spark `CAST(round(x * 1000, 0) AS BIGINT)` semantics exactly (double
-    * product first, then BigDecimal shortest-repr HALF_UP; NaN/Infinity
-    * pass through round and clamp in the cast, like Spark's Round +
-    * double→long cast do), so the keys match what the composed
-    * round()-based pipeline produced and what DuckDB reproduces.
-    * BigDecimal.valueOf would THROW on non-finite input — corrupt
-    * upstream floats must degrade to a (deterministic) bucket, not abort
-    * the job. */
-  private def quantize(d: Double): Long = {
-    val scaled = d * 1000.0
-    if (scaled.isNaN) 0L
-    else if (scaled == Double.PositiveInfinity) Long.MaxValue
-    else if (scaled == Double.NegativeInfinity) Long.MinValue
-    else java.math.BigDecimal.valueOf(scaled)
+  /** Largest |q| for which the 64-term accumulator cannot wrap: coef is
+    * bounded by 1000, so Σ|coef·q| ≤ 64·1000·MaxQuant = 6.4e16 ≪ 2^63.
+    * A quantized value beyond this (|x| > 1e9 — three orders past any
+    * normalized embedding) is a corrupt row, not a real vector. */
+  val MaxQuant: Long = 1000L * 1000L * 1000L * 1000L
+
+  /** Spark `CAST(round(x * 1000, 0) AS BIGINT)` semantics (double product
+    * first, then BigDecimal shortest-repr HALF_UP), so the keys match what
+    * the composed round()-based pipeline produced and what DuckDB
+    * reproduces. Callers must reject non-finite input first —
+    * BigDecimal.valueOf THROWS on NaN/Infinity. */
+  private def quantize(d: Double): Long =
+    java.math.BigDecimal.valueOf(d * 1000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-  }
 
   /** One pass: quantize dim elements, then bands*bits sign bits.
     *
@@ -127,7 +126,16 @@ object LshBandKeys {
     var i = 0
     while (i < dim) {
       if (arr.isNullAt(i)) return null
-      q(i) = quantize(arr.getDouble(i))
+      val d = arr.getDouble(i)
+      // Non-finite elements and magnitudes that could wrap the long
+      // accumulator (|q| > MaxQuant) are per-row anomalies → NULL, the
+      // same contract as null elements. Previously ±Inf clamped to
+      // Long.Max/Min and the accumulator wrapped silently — deterministic
+      // on the Spark side but divergent from the oracle's double sum.
+      if (!java.lang.Double.isFinite(d)) return null
+      val qi = quantize(d)
+      if (qi > MaxQuant || qi < -MaxQuant) return null
+      q(i) = qi
       i += 1
     }
     val p = planes

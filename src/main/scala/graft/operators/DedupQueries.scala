@@ -36,7 +36,11 @@ object DedupQueries {
     * distinct hashed-gram sets (`doc_id`, `gs` array<long>).
     *
     * The per-doc argmin over (df, h) is a plain `MIN` over a sortable
-    * fixed-width packed key (zero-padded df ++ zero-padded h, 20 chars) —
+    * fixed-width packed key (zero-padded df ++ zero-padded h, 23 chars;
+    * df padded to 13 digits because both engines' LPAD silently TRUNCATE
+    * overlong values — a 10-digit field corrupts the rarest-gram ordering
+    * once a hot gram's df passes 10^10, plausible at the 100 TB design
+    * point; h is a 32-bit hash, 10 digits always suffice) —
     * a partial-aggregating shuffle, not a window sort over the full
     * (doc, gram) relation — and the packed min IS the block key.
     *
@@ -53,7 +57,7 @@ object DedupQueries {
     val dfreq = dg.groupBy("h").agg(count(lit(1)).as("df"))
     val keyed = dg.join(dfreq, "h")
       .groupBy("doc_id")
-      .agg(min(concat(lpad(col("df").cast("string"), 10, "0"),
+      .agg(min(concat(lpad(col("df").cast("string"), 13, "0"),
         lpad(col("h").cast("string"), 10, "0"))).as("blk"))
     // block sizes via an unordered window over the 1-row-per-doc keyed
     // relation — one shuffle on blk, no groupBy+join-back that would
@@ -372,7 +376,7 @@ object DedupQueries {
               dfreq AS (SELECT h, COUNT(*) AS df FROM grams GROUP BY h),
               keyed AS (
                 SELECT doc_id,
-                       MIN(LPAD(df::VARCHAR, 10, '0') || LPAD(h::VARCHAR, 10, '0')) AS blk
+                       MIN(LPAD(df::VARCHAR, 13, '0') || LPAD(h::VARCHAR, 10, '0')) AS blk
                 FROM grams JOIN dfreq USING (h) GROUP BY doc_id),
               capped AS (
                 SELECT doc_id, blk,

@@ -466,7 +466,15 @@ object RelationalQueries {
             .as("within_tolerance"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, TRUE AS within_tolerance
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      // Bench times the sketch fast path alone: the tolerance contract
+      // above drags an exact countDistinct through the plan, so timing it
+      // would measure the oracle scaffolding, not the HLL aggregate.
+      bench = Some((s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy("l_returnflag"))),
 
     QuerySpec(
       "agg_rollup",

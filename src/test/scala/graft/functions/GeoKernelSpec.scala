@@ -101,6 +101,18 @@ class GeoKernelSpec extends AnyFunSuite {
     assert(inferCrsFromRanges(Double.NaN, 0, 0, 0) == "4326")       // NaN → default
   }
 
+  test("native SQL surface coerces argument types like the UDF fallback") {
+    val spark = graft.TestSpark.spark
+    // integer literals (and numeric strings) must analyze on the
+    // extensions-injected surface exactly as they do through the UDF
+    // registry — the builders insert explicit Casts (ADVICE round 2)
+    val wkt = spark.sql("SELECT st_point_wkt(1, 2) AS w").collect()(0).getString(0)
+    assert(wkt == spark.sql("SELECT st_point_wkt(1.0D, 2.0D) AS w").collect()(0).getString(0))
+    val cx = spark.sql("SELECT st_centroid_x_wkt('POINT (3 4)') AS x").collect()(0).getDouble(0)
+    assert(cx == 3.0)
+    assert(spark.sql("SELECT infer_crs(-1, 1, 51, 52) AS c").collect()(0).getString(0) == "4326")
+  }
+
   test("transformGeom reprojects every vertex of a linestring") {
     val g = GeoFunctions.parseWkt("LINESTRING (0 0, 10 10)").get
     val t = GeoFunctions.transformGeom(g, 4326, 3857)

@@ -50,4 +50,27 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(pairVolume < n * n / 8,
       s"pair volume $pairVolume vs n²=${n * n}: bands are not pruning")
   }
+
+  test("non-finite and accumulator-overflow vectors degrade to NULL keys") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def keysOf(v: Seq[Double]): Any = {
+      val df = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(v)).asJava, schema)
+      df.select(graft.functions.LshBandKeys(col("embedding"), 8, 8).as("k"))
+        .collect()(0).get(0)
+    }
+    // the per-row-anomaly contract: NULL, never a silently-wrapped bucket
+    assert(keysOf(Seq(1.0, Double.NaN)) == null)
+    assert(keysOf(Seq(Double.PositiveInfinity, 0.5)) == null)
+    assert(keysOf(Seq(Double.NegativeInfinity)) == null)
+    assert(keysOf(Seq(1e12)) == null) // quantizes past MaxQuant → could wrap
+    // a normal vector still produces bands×(bits-char) keys
+    val ok = keysOf(Seq(0.25, -0.75)).asInstanceOf[scala.collection.Seq[String]]
+    assert(ok.length == 8 && ok.forall(k => k.length == 8 && k.forall(c => c == '0' || c == '1')))
+  }
 }
