@@ -16,7 +16,13 @@ object Bench {
     // Same registry the driver's Verify checks, except a spec may declare
     // a dedicated bench workload (QuerySpec.bench) when the verified
     // query embeds oracle scaffolding that isn't the operator's real cost.
-    val queries = Registry.all.map(q => q.name -> q.bench.getOrElse(q.run)).toMap
+    // Optional comma-separated subset for local iteration (dev only; the
+    // driver never sets it, so its runs always time the full registry).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = Registry.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map(q => q.name -> q.bench.getOrElse(q.run)).toMap
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }

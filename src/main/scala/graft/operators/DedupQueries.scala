@@ -111,10 +111,20 @@ object DedupQueries {
     * parallelizes the single-task local scan (cf. bigramSets). */
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val minhashSig = udaf(graft.functions.MinHashSig)
+    // localCheckpoint: the signature+set relation feeds THREE consumers
+    // (band explosion, and both sides of the candidate verify join), and
+    // Spark physical plans never share subtrees — without the barrier the
+    // whole shingle pipeline (explode + md5 + set-agg shuffle) executes
+    // three times per query (six in dedup_components, whose edge union
+    // references the pair relation twice). Materializing once costs one
+    // pass plus (doc_id, 16-long sig, gram-set) rows — proportional to
+    // the corpus, the same trade a cluster job makes by checkpointing a
+    // reused stage — and gives AQE exact stats for the downstream joins.
     val sets = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
       .groupBy("doc_id")
       .agg(minhashSig(col("h")).as("sig"), collect_set(col("h")).as("hs"))
       .withColumn("c", size(col("hs")))
+      .localCheckpoint()
     val bands = sets.select(col("doc_id"), explode(array((0 until Bands).map(j =>
       struct(lit(j).as("b"),
         concat_ws("_", col("sig")(2 * j), col("sig")(2 * j + 1)).as("key"))): _*)).as("bd"))
@@ -147,11 +157,15 @@ object DedupQueries {
     * transitive-closure oracle reproduces it. Exposed for the
     * ComponentsSpec chain/empty-graph stress. */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // undirected: propagate both ways. Persisted because the loop
-    // re-reads it once per round (iterative graph algorithms checkpoint
-    // their edge relation; GraphX does the same).
-    val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+    // undirected: propagate both ways. The pair relation is materialized
+    // FIRST (localCheckpoint) because the union references it twice and a
+    // lazy persist() would still execute the upstream LSH pipeline once
+    // per branch on first materialization; the union of the checkpointed
+    // frame is then persisted for the per-round re-reads (iterative graph
+    // algorithms checkpoint their edge relation; GraphX does the same).
+    val p0 = pairs.localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("db").as("da"), col("da").as("db")))
       .persist()
     // labels only ever decrease, so an unchanged sum ⇔ a fixed point;
     // coalesce handles the empty graph (sum over zero rows is NULL),
@@ -351,7 +365,10 @@ object DedupQueries {
         // blocking-key self-join; verification joins the two gram sets
         // per pair and intersects in-place (array_intersect) instead of
         // re-exploding the corpus into a 3-way join + pair groupBy.
-        val sets = bigramSets(s, dir)
+        // localCheckpoint for the same reason as minhashPairs: three
+        // consumers (blocking + both verify sides) over an unshared plan
+        // subtree would re-run the explode+md5+collect_set pipeline 3×.
+        val sets = bigramSets(s, dir).localCheckpoint()
         val capped = ngramBlocks(sets)
         val cand = capped.as("a").join(capped.as("b"),
             col("a.blk") === col("b.blk") && col("a.sub") === col("b.sub") &&

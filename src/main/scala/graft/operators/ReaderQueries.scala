@@ -195,6 +195,29 @@ object ReaderQueries {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
                      'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || '.5 ' ||
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
-              FROM nation ORDER BY id"""))
+              FROM nation ORDER BY id""")),
+
+    // Hive-partitioned parquet sink — the layout every downstream 100 TB
+    // consumer expects (one directory per source, so a per-source read
+    // prunes at the FILE LISTING level, before any scan task launches).
+    // The query writes `documents` partitioned by `source`, reads the
+    // sink back through partition discovery, and aggregates per source —
+    // so partition-value round-tripping (column → directory → column) is
+    // hash-checked against the pre-sink table, not just fixture-asserted.
+    QuerySpec(
+      "sink_partitioned",
+      (s, dir) => {
+        val out = fixturePath(dir, "sink_part")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("source").parquet(out)
+        s.read.parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY source ORDER BY source"""))
   )
 }

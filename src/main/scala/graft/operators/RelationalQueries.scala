@@ -535,6 +535,38 @@ object RelationalQueries {
                      ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS price_p25
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Quantile sketch (GK/approx_percentile) — like the HLL row, the
+    // estimate is engine-specific, so the oracle checks an ACCURACY
+    // CONTRACT: the sketch value must land within 5% of the exact
+    // quantile per group (GK at accuracy 10000 bounds RANK error at
+    // 1e-4; over a dense price distribution that is far inside 5% of
+    // VALUE, while a broken sketch blows it immediately). The sketch is
+    // the 100 TB path: constant-size mergeable state per partition vs
+    // the exact percentile's full-sort per group.
+    QuerySpec(
+      "agg_approx_quantile",
+      (s, dir) => {
+        def within(p: Double) =
+          (abs(
+            percentile_approx(col("l_extendedprice"), lit(p), lit(10000)) /
+              expr(s"percentile(l_extendedprice, CAST($p AS DOUBLE))") - 1) <= 0.05)
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(within(0.5).as("p50_within"), within(0.9).as("p90_within"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, TRUE AS p50_within, TRUE AS p90_within
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      // Bench times the sketch alone — the contract drags an exact
+      // percentile (full sort per group) through the verified plan.
+      bench = Some((s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+            percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"))
+          .orderBy("l_returnflag"))),
+
     QuerySpec(
       "agg_pivot", // pivot = groupBy + per-bucket conditional aggregation
       (s, dir) =>

@@ -262,6 +262,47 @@ object TextQueries {
                      ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_ratio
               FROM counts GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Benchmark decontamination — the eval-overlap gate every pretraining
+    // pipeline runs before training: a document is contaminated if it
+    // shares any 4-token shingle with the held-out benchmark set (here the
+    // deterministic doc_id % 97 == 0 slice, so the oracle can rebuild it).
+    // Scale shape: the benchmark side is a real-world CONSTANT (eval
+    // suites are a few MB of text regardless of corpus size), so its
+    // distinct gram set broadcasts; the corpus side then streams past the
+    // broadcast hash set with NO shuffle of its own grams — only the
+    // matching (doc_id, h) rows ever reach the final groupBy. Gram
+    // duplicates are left in (no corpus-wide distinct shuffle) and
+    // collapsed by the countDistinct in that last bounded aggregation.
+    QuerySpec(
+      "text_decontaminate",
+      (s, dir) => {
+        def grams4(d: DataFrame): DataFrame = d
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 4)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(t)-4), i -> concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3]))")).as("g"))
+          .select(col("doc_id"), graft.functions.HashBridge.h32(col("g")).as("h"))
+        val ev = grams4(docs(s, dir).filter(col("doc_id") % 97 === 0))
+          .select("h").distinct()
+        grams4(docs(s, dir).filter(col("doc_id") % 97 =!= 0))
+          .join(broadcast(ev), "h")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
+              grams AS (
+                SELECT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]),1,8))::BIGINT AS h
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-3)) AS i
+                      FROM t WHERE LEN(t) >= 4)),
+              ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0)
+              SELECT g.doc_id, COUNT(DISTINCT g.h) AS n_shared
+              FROM grams g JOIN ev USING (h)
+              WHERE g.doc_id % 97 <> 0
+              GROUP BY g.doc_id ORDER BY doc_id""")),
+
     // tf-idf: explode → tf per (doc, term); df per term; join on term;
     // idf = ln((N+1)/(df+1)). Rounded before output.
     QuerySpec(
