@@ -98,6 +98,27 @@ object StreamingQueries {
           .orderBy("user_id", "event_type"),
       Some("""SELECT user_id, event_type, MIN(event_id) AS first_event_id
               FROM events GROUP BY user_id, event_type
-              ORDER BY user_id, event_type"""))
+              ORDER BY user_id, event_type""")),
+
+    // Stream-stream interval join, oracle-checked: this runs the EXACT
+    // transform EventStreams.errorPurchaseJoins executes under
+    // readStream — same function, same watermark declarations (the
+    // optimizer's EliminateEventTimeWatermark erases them in batch, they
+    // bound state eviction under a stream) — so the driver hash-checks
+    // the very code path the streaming fixture exercises. The join is an
+    // equi-join on user_id with the time interval as a residual
+    // predicate: per-user work, never a corpus-wide cross product.
+    QuerySpec(
+      "stream_interval_join",
+      (s, dir) =>
+        graft.streaming.EventStreams.errorPurchaseJoins(events(s, dir))
+          .orderBy("error_id", "purchase_id"),
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+              SELECT a.event_id AS error_id, b.event_id AS purchase_id
+              FROM e a JOIN e b
+                ON a.user_id = b.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+              WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+              ORDER BY error_id, purchase_id"""))
   )
 }

@@ -20,6 +20,26 @@ object TextQueries {
   /** BPE-ish word/number/punct tokenizer, shared Spark + DuckDB regex. */
   private val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Contamination kernel behind `text_decontaminate`, parameterized on
+    * the eval-set membership predicate so the spec can plant a synthetic
+    * benchmark. Returns (doc_id, n_shared) for every non-eval doc sharing
+    * ≥1 4-token shingle with the eval slice. */
+  private[operators] def contamination(d: DataFrame, isEval: Column): DataFrame = {
+    def grams4(x: DataFrame): DataFrame = x
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t)-4), i -> concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3]))")).as("g"))
+      .select(col("doc_id"), graft.functions.HashBridge.h32(col("g")).as("h"))
+    val ev = grams4(d.filter(isEval)).select("h").distinct()
+    grams4(d.filter(!isEval))
+      .join(broadcast(ev), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   // ---- language-ID decision chain, shared by text_langid (classifier
   // output) and text_quality_filter (en-gate) so the two can never drift —
   // each mirrors the same CTE in its own oracle.
@@ -275,22 +295,7 @@ object TextQueries {
     // collapsed by the countDistinct in that last bounded aggregation.
     QuerySpec(
       "text_decontaminate",
-      (s, dir) => {
-        def grams4(d: DataFrame): DataFrame = d
-          .select(col("doc_id"), toks.as("t"))
-          .filter(size(col("t")) >= 4)
-          .select(col("doc_id"),
-            explode(expr(
-              "transform(sequence(0, size(t)-4), i -> concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3]))")).as("g"))
-          .select(col("doc_id"), graft.functions.HashBridge.h32(col("g")).as("h"))
-        val ev = grams4(docs(s, dir).filter(col("doc_id") % 97 === 0))
-          .select("h").distinct()
-        grams4(docs(s, dir).filter(col("doc_id") % 97 =!= 0))
-          .join(broadcast(ev), "h")
-          .groupBy("doc_id")
-          .agg(countDistinct(col("h")).as("n_shared"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => contamination(docs(s, dir), col("doc_id") % 97 === 0),
       Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
               grams AS (
                 SELECT doc_id,
