@@ -115,6 +115,34 @@ object RelationalQueries {
                          ELSE 5 END
               ORDER BY doc_id""")),
 
+    // Per-source cap — the domain-balancing primitive of corpus assembly
+    // (no single source may contribute more than k=16 docs): keep the k
+    // docs with the smallest engine-bridged hash per source, ties broken
+    // by doc_id. Hash order is stable across engines, partitionings, and
+    // retries (unlike any RNG), so the kept set is reproducible. The
+    // window sort is per-source; the sort-free large-k formulation is
+    // the topk_grouped Aggregator pattern (same answer, law-spec'd).
+    QuerySpec(
+      "scan_sample_capped",
+      (s, dir) => {
+        val h = graft.functions.HashBridge.h32(
+          concat_ws("_", col("source"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 16)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY ('0x'||SUBSTR(MD5(source||'_'||doc_id::VARCHAR),1,8))::BIGINT, doc_id) AS rn
+                FROM documents)
+              SELECT doc_id, source FROM r WHERE rn <= 16 ORDER BY doc_id""")),
+
     // ------------------------------------------------- filters / projections
     QuerySpec(
       "filter_notnull", // reference: geo_strategy.rs:96,143 (null-guarded probe)

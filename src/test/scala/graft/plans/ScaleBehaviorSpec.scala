@@ -99,6 +99,34 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("hive-partitioned sink output prunes partitions at the file listing") {
+    // the sink_partitioned layout claim: a per-source read over the
+    // partitioned output must carry the predicate as a PartitionFilter
+    // (pruned before any scan task), not a post-scan row filter
+    val out = s"${sys.props("java.io.tmpdir")}/graft_scale_sinkpart"
+    graft.Tables(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    val df = spark.read.parquet(out).filter(col("source") === "src1")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*src1".r.findFirstIn(plan).isDefined,
+      s"source predicate did not become a partition filter:\n$plan")
+  }
+
+  test("decontamination joins the corpus against a BROADCAST eval gram set") {
+    // the text_decontaminate scale claim: the benchmark side broadcasts
+    // (eval suites are constant-size in practice), so the corpus side
+    // never shuffles its grams — only matched rows reach the aggregation
+    val q = graft.Registry.byName("text_decontaminate")
+    val df = q.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams were shuffle-joined:\n$plan")
+  }
+
   test("filter and projection push into the parquet scan") {
     val df = graft.Tables(spark, dir, "lineitem")
       .filter(col("l_quantity") > 49)
