@@ -73,6 +73,24 @@ object RelationalQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // ORC round-trip — the other major columnar warehouse format, same
+    // round-trip pattern as scan_csv: written from `nation`, read back
+    // through Spark's built-in vectorized ORC reader (predicate pushdown
+    // and column pruning work the same as parquet), oracle reads the
+    // source table.
+    QuerySpec(
+      "scan_orc",
+      (s, dir) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_orc_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        t(s, dir, "nation").coalesce(1)
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // Deterministic 5% sample by key-hash modulus — the reproducible-
     // sampling idiom for data pipelines. Seeded df.sample() is engine-
     // specific RNG and can't be oracle-matched (or re-run stably across
@@ -825,6 +843,63 @@ object RelationalQueries {
                            ORDER BY l_shipdate, l_linenumber
                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY l_orderkey, l_linenumber""")),
+
+    // Batch sessionization via lag + running sum — the window-function
+    // formulation of session assignment (vs stream_session's
+    // session_window aggregate): a row opens a new session when its gap
+    // to the previous event of the same user exceeds 30 min; the running
+    // sum of open-flags IS the session ordinal. Two stacked windows over
+    // ONE user-partitioned sort — Catalyst plans a single Exchange+Sort
+    // for both, so the shuffle profile matches any per-user window op.
+    QuerySpec(
+      "win_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val newSession = when(
+          lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+              1800L * 1000000L, 1L).otherwise(0L)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            sum(newSession).over(run).as("session_id"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               g AS (SELECT user_id, event_id, ts,
+                            CASE WHEN LAG(ts) OVER w IS NULL
+                                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+               SELECT user_id, event_id,
+                      CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM g ORDER BY user_id, event_id""")),
+
+    // Grouped mode with a DETERMINISTIC tie-break: max(struct(n, v))
+    // picks the highest count, then the lexicographically greatest value
+    // — a plain partial-aggregating max over (count, value) pairs, no
+    // window sort. (Built-in `mode()` breaks ties arbitrarily, which can
+    // never hash-match an oracle.)
+    QuerySpec(
+      "agg_mode",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("l_returnflag")
+          .agg(max(struct(col("n"), col("l_linestatus"))).as("m"))
+          .select(col("l_returnflag"),
+            col("m.l_linestatus").as("mode_status"), col("m.n").as("n"))
+          .orderBy("l_returnflag"),
+      Some("""WITH c AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                         FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_linestatus DESC) AS rn
+                    FROM c)
+              SELECT l_returnflag, l_linestatus AS mode_status, n
+              FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
 
     // Statistical aggregates (corr / covariance / stddev): rounded to 6
     // decimals on both engines — these are genuinely float-order-sensitive,
