@@ -100,6 +100,29 @@ object StreamingQueries {
               FROM events GROUP BY user_id, event_type
               ORDER BY user_id, event_type""")),
 
+    // mapGroupsWithState running stats, oracle-checked: runs the EXACT
+    // statefulUserStats transform the streaming fixture exercises —
+    // batch execution feeds each key's rows through the same state
+    // function as one micro-batch — so the custom-state primitive gets a
+    // hash oracle, not just a fixture. The converged state equals the
+    // per-user total aggregate, which DuckDB expresses directly. The
+    // double accumulator folds in group-iteration order, so the output
+    // rounds to 2dp on both sides (≈1e-12 fold-order skew vs 0.005
+    // boundary — the cross-engine bridge the decimal policy can't cover
+    // inside an opaque state function).
+    QuerySpec(
+      "stream_running_stats",
+      (s, dir) =>
+        graft.streaming.EventStreams.statefulUserStats(s, events(s, dir))
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            round(col("total_purchase_value"), 2).as("total_purchase_value"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+                     COUNT(*) FILTER (event_type = 'purchase') AS n_purchases,
+                     ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+                       AS total_purchase_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Stream-stream interval join, oracle-checked: this runs the EXACT
     // transform EventStreams.errorPurchaseJoins executes under
     // readStream — same function, same watermark declarations (the
