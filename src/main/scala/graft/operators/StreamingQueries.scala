@@ -123,6 +123,38 @@ object StreamingQueries {
                        AS total_purchase_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // flatMapGroupsWithState sessionizer, oracle-checked: runs the EXACT
+    // sessionizedEvents transform the streaming fixture exercises. In
+    // batch, every user's events arrive as one group invocation, so the
+    // kernel interval-merges them all and emits every session EXCEPT the
+    // still-open last one (sealed only by gap evidence, per the emission
+    // contract) — which the oracle reproduces as lag-gap sessionization
+    // minus each user's final session. Gap semantics are strict-< on
+    // merge, i.e. a new session at separation ≥ 30 min, matching the
+    // kernel exactly.
+    QuerySpec(
+      "stream_sessionizer",
+      (s, dir) =>
+        graft.streaming.EventStreams.sessionizedEvents(s, events(s, dir))
+          .orderBy("user_id", "start_us"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+              g AS (SELECT user_id, us,
+                           CASE WHEN LAG(us) OVER w IS NULL
+                                  OR us - LAG(us) OVER w >= 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+              sm AS (SELECT user_id, us,
+                            SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM g),
+              agg AS (SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+                             CAST(COUNT(*) AS INT) AS n
+                      FROM sm GROUP BY user_id, sid)
+              SELECT user_id, start_us, end_us, n
+              FROM agg
+              WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+              ORDER BY user_id, start_us""")),
+
     // Stream-stream interval join, oracle-checked: this runs the EXACT
     // transform EventStreams.errorPurchaseJoins executes under
     // readStream — same function, same watermark declarations (the
