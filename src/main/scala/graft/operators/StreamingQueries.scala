@@ -42,14 +42,13 @@ object StreamingQueries {
     // Hopping (sliding) 10-minute windows every 5 minutes: each event
     // lands in exactly two windows (10/5 = 2), both aligned to the epoch
     // like Spark's window(). The oracle replays the same assignment by
-    // enumerating k ∈ {0, 1} window starts per event.
+    // enumerating k ∈ {0, 1} window starts per event. Runs the SAME
+    // hoppingCounts function the streaming fixture exercises (the
+    // watermark node is eliminated by the optimizer in batch).
     QuerySpec(
       "stream_hopping",
       (s, dir) =>
-        events(s, dir)
-          .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        graft.streaming.EventStreams.hoppingCounts(events(s, dir))
           .orderBy("ws", "event_type"),
       Some("""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
               w AS (SELECT event_type, us, UNNEST(GENERATE_SERIES(0, 1)) AS k FROM e)
@@ -59,14 +58,12 @@ object StreamingQueries {
 
     // Session windows (30-minute gap) per user. Spark session_window is
     // half-open [start, end): a gap of exactly 30m starts a new session —
-    // the oracle breaks on `>= INTERVAL 30 MINUTE` to match.
+    // the oracle breaks on `>= INTERVAL 30 MINUTE` to match. Runs the
+    // SAME sessionCounts function the streaming fixture exercises.
     QuerySpec(
       "stream_session",
       (s, dir) =>
-        events(s, dir)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+        graft.streaming.EventStreams.sessionCounts(events(s, dir))
           .orderBy("user_id", "session_start"),
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
               g AS (
