@@ -184,8 +184,17 @@ object DedupQueries {
     // truncates the plan to a leaf, keeping every round's plan constant
     // size. Old checkpoint blocks are freed by the ContextCleaner.
     try {
-      var labels = edges.select(col("da").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
+      // initial labels = min over {self} ∪ direct neighbors — one
+      // aggregation over the (bidirectional) edge relation that fuses
+      // the old identity init WITH the first propagation round, saving a
+      // full loop iteration (propagate + checkpoint + convergence probe,
+      // ~3 Spark jobs) on every invocation: near-clique dup families are
+      // already at their fixed point here and exit after one confirming
+      // round. Label set and fixed point are unchanged — labels still
+      // only ever decrease toward the per-component minimum.
+      var labels = edges.groupBy(col("da").as("id"))
+        .agg(min(least(col("da"), col("db"))).as("lbl"))
+        .localCheckpoint()
       var prevSum = lblSum(labels)
       var converged = false
       var rounds = 0
