@@ -877,6 +877,25 @@ object RelationalQueries {
                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                FROM g ORDER BY user_id, event_id""")),
 
+    // Collection aggregates with a determinism policy: collect_list's
+    // accumulation order is partitioning-dependent, so the result is
+    // sorted before serialization (array_sort + array_join) — the only
+    // way a collected aggregate can ever hash-match across engines or
+    // even across two Spark runs.
+    QuerySpec(
+      "agg_collect",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("names"),
+            count(lit(1)).as("n"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey,
+                     ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS names,
+                     COUNT(*) AS n
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // Grouped mode with a DETERMINISTIC tie-break: max(struct(n, v))
     // picks the highest count, then the lexicographically greatest value
     // — a plain partial-aggregating max over (count, value) pairs, no

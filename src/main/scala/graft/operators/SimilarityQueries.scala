@@ -233,6 +233,43 @@ object SimilarityQueries {
                      ROUND(e[1] / nrm, 6) AS first_unit
               FROM n ORDER BY vec_id""")),
 
+    // Int8 embedding quantization — the storage-compression pass a vector
+    // store runs before indexing (float32 → uint8 cuts the corpus 4×):
+    // per-vector affine quantization q = round((x - min) * 255 / (max -
+    // min)). All arithmetic is float32-exactly-widened-to-double, which
+    // IEEE 754 specifies bit-identically on both engines, so the oracle
+    // hash-matches the quantized checksum exactly (no tolerance needed);
+    // constant vectors (max == min) quantize to all-zeros rather than
+    // dividing by zero. Pure per-row kernel: linear at any scale, no
+    // shuffle.
+    QuerySpec(
+      "embedding_quantize",
+      (s, dir) =>
+        emb(s, dir)
+          .withColumn("mn", array_min(col("embedding")).cast("double"))
+          .withColumn("mx", array_max(col("embedding")).cast("double"))
+          .withColumn("q", when(col("mx") === col("mn"),
+              expr("transform(embedding, x -> 0)"))
+            .otherwise(expr(
+              "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn), 0) AS INT))")))
+          .select(col("vec_id"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("qsum"),
+            col("q")(0).as("q_first"))
+          .orderBy("vec_id"),
+      Some("""WITH b AS (SELECT vec_id, embedding,
+                                CAST(LIST_MIN(embedding) AS DOUBLE) AS mn,
+                                CAST(LIST_MAX(embedding) AS DOUBLE) AS mx
+                         FROM embeddings),
+              q AS (SELECT vec_id,
+                           CASE WHEN mx = mn THEN LIST_TRANSFORM(embedding, x -> 0)
+                                ELSE LIST_TRANSFORM(embedding,
+                                       x -> CAST(ROUND((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn), 0) AS INT))
+                           END AS ql
+                    FROM b)
+              SELECT vec_id, CAST(LIST_SUM(ql) AS BIGINT) AS qsum,
+                     ql[1] AS q_first
+              FROM q ORDER BY vec_id""")),
+
     // Embedding-cosine near-dup (SURVEY.md §2.12): same-cluster pairs with
     // cosine ≥ 0.4 (the synthetic corpus has no true dup vectors; the threshold sits in the observed upper tail). The label equi-join prunes the quadratic blowup the
     // same way the IVF search does — at 100 TB this is a shuffle on
