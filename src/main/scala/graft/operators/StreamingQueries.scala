@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+
 
 /** Event-time windowing over `events` (SURVEY.md §2.11).
   *
@@ -17,7 +17,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamingQueries {
 
-  private val Dec = DecimalType(38, 4)
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
@@ -25,14 +24,12 @@ object StreamingQueries {
   def specs: Seq[QuerySpec] = Seq(
 
     // Tumbling 10-minute windows: count + exact decimal sum per window.
+    // Runs the SAME tumblingCounts function the streaming fixture
+    // exercises (the watermark node is eliminated in batch).
     QuerySpec(
       "stream_tumble",
       (s, dir) =>
-        events(s, dir)
-          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("value").cast(Dec)).cast("double"), 4).as("sum_value"))
-          .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        graft.streaming.EventStreams.tumblingCounts(events(s, dir))
           .orderBy("ws", "event_type"),
       Some("""SELECT make_timestamp((epoch_ns(ts) // 1000) // 600000000 * 600000000) AS ws,
                      event_type, COUNT(*) AS n,

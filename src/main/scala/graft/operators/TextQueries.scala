@@ -282,6 +282,30 @@ object TextQueries {
                      ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_ratio
               FROM counts GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Sequence-length histogram — the distribution every training
+    // pipeline computes before batch packing (how many docs land in each
+    // 16-token bucket, and what share of the corpus that is). One scan +
+    // a tiny bucket aggregation; the global share window runs over the
+    // ~dozens-of-buckets relation, not the corpus.
+    QuerySpec(
+      "text_token_histogram",
+      (s, dir) =>
+        docs(s, dir)
+          .select(floor(size(toks) / 16).cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("share", round(
+            col("n_docs").cast("double") /
+              sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+                .partitionBy()), 6))
+          .orderBy("bucket"),
+      Some("""WITH b AS (SELECT CAST(FLOOR(LEN(STRING_SPLIT_REGEX(TRIM(text),'\s+')) / 16) AS BIGINT) AS bucket
+                         FROM documents),
+              c AS (SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY bucket)
+              SELECT bucket, n_docs,
+                     ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
+              FROM c ORDER BY bucket""")),
+
     // Benchmark decontamination — the eval-overlap gate every pretraining
     // pipeline runs before training: a document is contaminated if it
     // shares any 4-token shingle with the held-out benchmark set (here the

@@ -33,14 +33,19 @@ object EventStreams {
     graft.Tables.normalizeEventTs(raw)
   }
 
-  /** Tumbling 10-minute counts per event type, 1-hour watermark: late rows
-    * beyond the horizon are dropped instead of growing state forever. */
+  /** Tumbling 10-minute counts + exact decimal value sums per event type,
+    * 1-hour watermark: late rows beyond the horizon are dropped instead
+    * of growing state forever. The DECIMAL(38,4) sum is associative, so
+    * incremental state merges produce the same result as one batch pass
+    * (the same policy the batch oracle queries rely on). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double"), 4).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
   /** Hopping 10-minute windows sliding every 5 (each event in two
     * overlapping windows), 1-hour watermark — streaming twin of the

@@ -35,8 +35,10 @@ class EventStreamsSpec extends AnyFunSuite {
       .orderBy("ws", "event_type").collect()
     val batch = graft.Tables(spark, dir, "events")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double"), 4).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("ws", "event_type").collect()
     assert(streamed.toSeq == batch.toSeq)
   }
