@@ -47,16 +47,8 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    // java.util.Locale.ROOT guards against comma decimal separators under
-    // a non-C default locale.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def toJson(rs: Iterable[(String, Double)], total: Double): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
     val total = results.values.filter(_ >= 0).sum
-    val fullJson = toJson(results, total)
+    val fullJson = toJson(results, total, sfDir)
     // Durable full copy for the driver regardless of stdout capture quirks —
     // best-effort by definition: an unwritable path must not abort the
     // run AFTER all queries finished and before the stdout line prints.
@@ -65,19 +57,35 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       .failed.foreach(e => System.err.println(s"BENCH: could not write $outFile: $e"))
-    // The stdout line must survive a bounded log-tail capture that also
-    // swallows sbt's trailing "[success]" line: the round-2 full map
-    // (~2 kB, 96 queries) was truncated mid-JSON from the front. Print a
-    // compact line — total + the 30 slowest per-query timings (any failed
-    // -1 entries always included) ≈ 800 bytes — and leave the complete map
-    // in the file written above.
-    val slowest = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      .takeRight(30)
-    val failed = results.toSeq.filter(_._2 < 0)
-    val stdoutJson = toJson((failed ++ slowest).distinct, total)
+    val stdoutJson = compactJson(results, total, sfDir)
     // Stop Spark BEFORE printing so the JSON is the process's last stdout
     // line (shutdown INFO noise goes to stderr at WARN level anyway).
     spark.stop()
     println(stdoutJson)
+  }
+
+  // java.util.Locale.ROOT guards against comma decimal separators under
+  // a non-C default locale.
+  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private[graft] def toJson(
+      rs: Iterable[(String, Double)], total: Double, sfDir: String): String = {
+    val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** The stdout line must survive a bounded log-tail capture that also
+    * swallows sbt's trailing "[success]" line: the round-2 full map
+    * (~2 kB, 96 queries) was truncated mid-JSON from the front. Compose a
+    * compact line — total + the 30 slowest per-query timings (any failed
+    * -1 entries always included) ≈ 1 kB — and leave the complete map to
+    * the file written above. Size-guarded by BenchOutputSpec. */
+  private[graft] def compactJson(
+      results: Map[String, Double], total: Double, sfDir: String): String = {
+    val slowest = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .takeRight(30)
+    val failed = results.toSeq.filter(_._2 < 0)
+    toJson((failed ++ slowest).distinct, total, sfDir)
   }
 }

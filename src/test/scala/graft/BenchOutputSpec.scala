@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-parseability contract of Bench's stdout line: the
+  * harness's bounded log-tail capture truncated the ~2 kB full-map JSON
+  * line in rounds 1-2 (front of the line cut off → `"parsed": null`), so
+  * the compact line must stay well under that window NO MATTER how many
+  * queries the registry grows to, while failed (-1) entries must never be
+  * dropped from it.
+  */
+class BenchOutputSpec extends AnyFunSuite {
+
+  private def fake(n: Int): Map[String, Double] =
+    (1 to n).map(i => f"query_with_a_long_name_$i%03d" -> i * 0.01).toMap
+
+  test("compact stdout line stays under 1.5 kB at 4x the current registry size") {
+    val results = fake(Registry.all.size * 4)
+    val line = Bench.compactJson(results, results.values.sum, "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"compact bench line grew to ${line.length} bytes")
+  }
+
+  test("failed queries always surface in the compact line") {
+    val results = fake(200) + ("exploded_query" -> -1.0)
+    val line = Bench.compactJson(results, 1.0, "sf")
+    assert(line.contains("\"exploded_query\":-1.000"))
+  }
+
+  test("compact line is valid JSON with the driver's expected fields") {
+    val line = Bench.compactJson(fake(50), 12.345, "/sf")
+    // minimal structural check without a JSON lib on the classpath
+    assert(line.startsWith("""{"metric":"total","value":12.345,"unit":"sec","queries":{"""))
+    assert(line.endsWith(""""sf":"/sf"}"""))
+  }
+
+  test("full-map JSON round-trips every entry") {
+    val results = fake(120)
+    val json = Bench.toJson(results, results.values.sum, "/sf")
+    assert(results.keys.forall(k => json.contains("\"" + k + "\":")))
+  }
+}
