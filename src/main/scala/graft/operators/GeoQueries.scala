@@ -156,6 +156,60 @@ object GeoQueries {
                             AND ((xmx - xmn) > 10000 OR (ymx - ymn) > 10000) THEN '3857'
                        ELSE '4326'
                      END AS crs
-              FROM r ORDER BY bucket"""))
+              FROM r ORDER BY bucket""")),
+
+    // Grid-bucketed spatial join (distance-within join, the scale-safe
+    // PostGIS `ST_DWithin` shape): each customer point hashes to a
+    // 2°×2° grid cell; each supplier point probes its own cell plus the
+    // 8 neighbors (a 9-cell explode of the SMALL side — the blow-up is
+    // 9×|suppliers|, never |customers|); candidates meet in an EQUI-join
+    // on the cell key and only survivors pay the exact distance test.
+    // Cell size 2 ≥ the 1-degree radius guarantees no pair is missed.
+    // At 100 TB this shuffles on compact (cx, cy) ints and the pair
+    // volume is Σ|cell|·|probe| — a spatial join that never degenerates
+    // to a cross product. The oracle checks the SEMANTIC result (plain
+    // distance predicate over all pairs); the grid is pure physical
+    // strategy and must not change the answer.
+    QuerySpec(
+      "geo_grid_join",
+      (s, dir) => {
+        val cu = cust(s, dir).select(
+            col("c_custkey"),
+            (((col("c_custkey") % 60) - 30).cast("double") + 0.5).as("clon"),
+            (((col("c_custkey") % 40) - 20).cast("double") + 0.5).as("clat"))
+          .withColumn("cx", floor(col("clon") / 2))
+          .withColumn("cy", floor(col("clat") / 2))
+        val su = Tables(s, dir, "supplier").select(
+            col("s_suppkey"),
+            ((col("s_suppkey") * 7 % 60) - 30).cast("double") + 0.25,
+            ((col("s_suppkey") * 13 % 40) - 20).cast("double") + 0.25)
+          .toDF("s_suppkey", "slon", "slat")
+          .withColumn("d", explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))")))
+          .select(col("s_suppkey"), col("slon"), col("slat"),
+            (floor(col("slon") / 2) + col("d.dx")).as("cx"),
+            (floor(col("slat") / 2) + col("d.dy")).as("cy"))
+        val d2 = (col("clon") - col("slon")) * (col("clon") - col("slon")) +
+          (col("clat") - col("slat")) * (col("clat") - col("slat"))
+        cu.join(su, Seq("cx", "cy"))
+          .filter(d2 <= 1.0)
+          .select(col("s_suppkey"), col("c_custkey"), round(d2, 6).as("dist2"))
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("""WITH c AS (
+                SELECT c_custkey,
+                       CAST((c_custkey % 60) - 30 AS DOUBLE) + 0.5 AS clon,
+                       CAST((c_custkey % 40) - 20 AS DOUBLE) + 0.5 AS clat
+                FROM customer),
+              s AS (
+                SELECT s_suppkey,
+                       CAST((s_suppkey * 7 % 60) - 30 AS DOUBLE) + 0.25 AS slon,
+                       CAST((s_suppkey * 13 % 40) - 20 AS DOUBLE) + 0.25 AS slat
+                FROM supplier)
+              SELECT s_suppkey, c_custkey,
+                     ROUND((clon-slon)*(clon-slon) + (clat-slat)*(clat-slat), 6) AS dist2
+              FROM s, c
+              WHERE (clon-slon)*(clon-slon) + (clat-slat)*(clat-slat) <= 1.0
+              ORDER BY s_suppkey, c_custkey"""))
   )
 }

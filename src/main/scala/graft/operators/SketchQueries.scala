@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch aggregates (SURVEY.md §2.4 scale path).
+  *
+  * At 100 TB the pattern that matters is not "estimate a distinct count in
+  * one query" (agg_approx_distinct already covers that) but MERGEABLE
+  * sketch state: build a constant-size sketch per partition / per day /
+  * per source, persist it, and union sketches later without touching the
+  * raw data again. Spark 4 ships DataSketches-backed aggregates for
+  * exactly this — `hll_sketch_agg` → binary sketch, `hll_union_agg` over
+  * sketches, `approx_top_k` for frequent items — and both are exercised
+  * here as two-level aggregation trees (partial sketch per group, union
+  * across groups), the shape a 1000-executor rollup actually runs.
+  *
+  * Oracle strategy: sketch binaries are engine-specific, so (like
+  * agg_approx_distinct / agg_approx_quantile) each query checks an
+  * ACCURACY CONTRACT the oracle can recompute exactly:
+  *  - HLL: the unioned estimate over per-group sketches must land within
+  *    5% of the exact global distinct (lgConfigK=14 bounds relative error
+  *    at ~0.8%, far inside the contract; a broken union blows it
+  *    immediately), asserted as `round(est/exact, 1) == 1.0`.
+  *  - approx_top_k: a frequent-items sketch whose capacity exceeds the
+  *    number of distinct keys is in the EXACT regime — Misra–Gries with
+  *    no evictions has zero error, and merging exact-regime sketches
+  *    stays exact — so over the bounded 31-word corpus vocabulary the
+  *    sketch must reproduce the exact top-10 histogram, hash-for-hash.
+  */
+object SketchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Per-returnflag HLL sketches of l_partkey — the "one sketch per
+    * shard" build stage; constant bytes per group over the shuffle. */
+  private def partkeySketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+
+  /** Union + estimate — the rollup stage that never re-reads raw data. */
+  private def sketchUnionEstimate(s: SparkSession, dir: String): DataFrame =
+    partkeySketches(s, dir)
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_sketches"))
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Two-level mergeable HLL: per-group sketches unioned into a global
+    // distinct estimate. Verified against the exact distinct (accuracy
+    // contract); Bench times the sketch path alone, not the exact
+    // countDistinct the contract needs for comparison.
+    QuerySpec(
+      "agg_sketch_union",
+      (s, dir) => {
+        val est = sketchUnionEstimate(s, dir)
+        val exact = t(s, dir, "lineitem")
+          .agg(countDistinct(col("l_partkey")).as("exact_cnt"))
+        est.crossJoin(exact)
+          .select(
+            round(col("est").cast("double") / col("exact_cnt"), 1).as("est_ratio"),
+            col("n_sketches"),
+            col("exact_cnt"))
+      },
+      Some("""SELECT 1.0 AS est_ratio,
+                     CAST(3 AS BIGINT) AS n_sketches,
+                     COUNT(DISTINCT l_partkey) AS exact_cnt
+              FROM lineitem"""),
+      bench = Some((s, dir) => sketchUnionEstimate(s, dir))),
+
+    // Frequent-items heavy hitters over the token stream. The sketch is
+    // built with capacity 4096 >> the corpus vocabulary, i.e. the exact
+    // regime (zero Misra–Gries error, merge-safe), then the top 10 words
+    // are taken with a deterministic (count DESC, word ASC) tie-break
+    // AFTER estimation so sketch-internal ordering can never leak into
+    // the result. At 100 TB: constant-size partial state per partition
+    // versus the exact word-count's full shuffle of the vocabulary.
+    QuerySpec(
+      "agg_approx_topk",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+          .agg(expr("approx_top_k(word, 50, 4096)").as("tk"))
+          .select(explode(col("tk")).as("x"))
+          .select(col("x.item").as("word"), col("x.count").as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(10),
+      Some("""SELECT word, cnt FROM (
+                SELECT t AS word, COUNT(*) AS cnt
+                FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t
+                      FROM documents)
+                GROUP BY 1)
+              ORDER BY cnt DESC, word LIMIT 10"""))
+  )
+}

@@ -168,6 +168,48 @@ object StreamingQueries {
                 ON a.user_id = b.user_id
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
               WHERE a.event_type = 'error' AND b.event_type = 'purchase'
-              ORDER BY error_id, purchase_id"""))
+              ORDER BY error_id, purchase_id""")),
+
+    // Watermark-delay audit: how out-of-order is the stream, and what
+    // would a given watermark drop? Per user (the stream's key), events
+    // replay in arrival order (event_id); each event's lateness is the
+    // gap to the max event-time already seen on that key. The aggregate
+    // reports, per event type, how many events a 10-minute watermark
+    // would have discarded plus the max / p95 lateness — exactly the
+    // numbers an operator reads before choosing withWatermark(). The
+    // running max is a per-user window (shuffle on user_id, no global
+    // single-partition window), and lateness seconds are microsecond-
+    // exact doubles on both engines.
+    QuerySpec(
+      "stream_late_audit",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts").cast("double").as("ts_s"))
+          .withColumn("lag_s", max(col("ts_s")).over(w) - col("ts_s"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("lag_s") > 600d, 1L).otherwise(0L)).as("n_dropped_10m"),
+            round(max(col("lag_s")), 6).as("max_lag_s"),
+            round(expr("percentile(lag_s, 0.95)"), 6).as("p95_lag_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+                SELECT event_id, user_id, event_type,
+                       EPOCH(CAST(ts AS TIMESTAMP)) AS ts_s
+                FROM events),
+              l AS (
+                SELECT event_type,
+                       MAX(ts_s) OVER (PARTITION BY user_id ORDER BY event_id) - ts_s AS lag_s
+                FROM e)
+              SELECT event_type,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_10m,
+                     ROUND(MAX(lag_s), 6) AS max_lag_s,
+                     ROUND(QUANTILE_CONT(lag_s, 0.95), 6) AS p95_lag_s
+              FROM l GROUP BY event_type ORDER BY event_type"""))
   )
 }

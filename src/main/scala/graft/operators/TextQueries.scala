@@ -366,6 +366,47 @@ object TextQueries {
               SELECT doc_id, term, tf,
                      ROUND(tf * LN((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
               FROM tf JOIN df USING (term) CROSS JOIN n
-              ORDER BY doc_id, term"""))
+              ORDER BY doc_id, term""")),
+
+    // Sequence packing (the batch-assembly stage of LLM training): docs
+    // are concatenated in stable (doc_id) order within their source shard
+    // and split into 512-token context windows; each doc is assigned the
+    // bin its FIRST token lands in (GPT-style greedy packing). The window
+    // cumsum is PARTITIONED BY source — each shard packs independently,
+    // which is both what real pipelines do (packing never crosses shard
+    // boundaries) and the property that keeps the running sum parallel at
+    // 100 TB: no global single-partition window anywhere.
+    QuerySpec(
+      "text_pack",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), size(toks).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(512)))
+          .groupBy("source", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source,
+                       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tok
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, n_tok,
+                       SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                FROM d)
+              SELECT source,
+                     CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+                     MIN(doc_id) AS first_doc,
+                     MAX(doc_id) AS last_doc
+              FROM c GROUP BY source, bin ORDER BY source, bin"""))
   )
 }

@@ -12,10 +12,15 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val dir = TestSpark.sfDir
 
   // declared exceptions: the cross-join parity query, the brute-force
-  // similarity baseline (non-equi ⇒ nested-loop by construction), and
-  // tf-idf's SCALAR cross join (one broadcast row carrying the corpus
-  // count — constant-size, not quadratic)
-  private val allowedQuadratic = Set("join_cross", "topk_similarity", "text_tfidf")
+  // similarity baseline (non-equi ⇒ nested-loop by construction), the
+  // SQ prefilter scan (same declared shape over 4×-narrower quantized
+  // codes, bounded 16-row broadcast side), and the SCALAR cross joins
+  // (one broadcast row carrying a corpus-wide constant — tf-idf's doc
+  // count, sketch-union's exact-distinct contract — constant-size, not
+  // quadratic)
+  private val allowedQuadratic =
+    Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
+      "agg_sketch_union")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
     val offenders = Registry.all.flatMap { q =>
