@@ -1183,6 +1183,151 @@ object RelationalQueries {
                      xor(l_orderkey, l_partkey) AS xor_pk,
                      CAST(l_linenumber::BIGINT << 4 AS BIGINT) AS shl4,
                      l_orderkey >> 2 AS shr2
-              FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // TPC-H Q5 shape: the canonical multi-dimension star join — region →
+    // nation → (customer ⋈ supplier on nationkey) → orders → lineitem.
+    // This is the join-reorder stress query: Catalyst must push the
+    // region filter through nation BEFORE the fact joins, broadcast the
+    // fixed-size dims (region 5 rows, nation 25 — forever), and leave
+    // the two fact joins (orders, lineitem) as shuffle joins keyed on
+    // order/supp keys. At 100 TB exactly that plan survives: dims stay
+    // broadcast, facts co-shuffle, and the c_nationkey = s_nationkey
+    // constraint is an attribute filter on the joined row, never a
+    // join-order trap. Decimal-internal sum, double-rounded final.
+    QuerySpec(
+      "sql_tpch_q5",
+      (s, dir) => {
+        Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT n_name,
+                 ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue
+          FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          WHERE r_name IN ('EUROPE', 'ASIA')
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""")
+      },
+      Some("""SELECT n_name,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue
+              FROM region
+                JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+              WHERE r_name IN ('EUROPE', 'ASIA')
+              GROUP BY n_name
+              ORDER BY revenue DESC, n_name""")),
+
+    // Distribution histogram (the profiling pass a pipeline runs before
+    // choosing filters/partitioning): 20 equal-width price buckets with
+    // identical clamp arithmetic spelled out on both engines — a single
+    // partial-aggregating groupBy on a computed int key, linear at any
+    // scale. Constants pin the range so the bucketing never depends on
+    // a separate min/max pass.
+    QuerySpec(
+      "agg_histogram",
+      (s, dir) => {
+        val lo = lit(900.0); val hi = lit(105000.0)
+        val b = least(greatest(
+          floor((col("l_extendedprice") - lo) * 20 / (hi - lo)), lit(0L)), lit(19L))
+        t(s, dir, "lineitem")
+          .groupBy(b.as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(min(col("l_extendedprice")), 2).as("lo_seen"),
+            round(max(col("l_extendedprice")), 2).as("hi_seen"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) * 20 / (105000.0 - 900.0)), 0), 19) AS BIGINT) AS bucket,
+                     COUNT(*) AS n,
+                     ROUND(MIN(l_extendedprice), 2) AS lo_seen,
+                     ROUND(MAX(l_extendedprice), 2) AS hi_seen
+              FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // Bucketed co-located join — the zero-exchange fact-fact join that
+    // bucketing buys at 100 TB: both sides are written bucketed (8
+    // buckets) and sorted on the join key, so the sort-merge join reads
+    // matching buckets directly — NO exchange on the join key, no sort
+    // (ScaleBehaviorSpec asserts the plan property; this query puts the
+    // RESULT under the driver's hash gate). `run` pays the one-off
+    // bucketed write each time for a deterministic fresh state; `bench`
+    // times the join against tables created once, which is the actual
+    // recurring cost the pattern exists to optimize.
+    QuerySpec(
+      "join_bucketed",
+      (s, dir) => { bucketedTables(s, dir); bucketedJoin(s) },
+      Some("""SELECT c_mktsegment,
+                     COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      bench = Some((s, dir) => {
+        if (!s.catalog.tableExists("graft_b_orders")) bucketedTables(s, dir)
+        bucketedJoin(s)
+      })),
+
+    // Key-skew profile (the diagnostic a pipeline runs before choosing
+    // salting / AQE skew thresholds / bucket counts): group sizes of the
+    // join key, then one bounded row of distribution stats. Two partial-
+    // aggregating shuffles on compact keys; the skew ratio (max/avg) is
+    // exactly the number that decides whether a key needs the salted-join
+    // path. Rounded to 6 so double division can't flip the hash.
+    QuerySpec(
+      "diag_skew",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            max(col("sz")).as("max_sz"),
+            round(avg(col("sz")), 6).as("avg_sz"),
+            round(expr("percentile(sz, 0.5)"), 6).as("p50_sz"),
+            round(expr("percentile(sz, 0.99)"), 6).as("p99_sz"),
+            round(max(col("sz")) / avg(col("sz")), 6).as("skew_ratio")),
+      Some("""WITH s AS (SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY l_orderkey)
+              SELECT COUNT(*) AS n_keys,
+                     MAX(sz) AS max_sz,
+                     ROUND(AVG(sz), 6) AS avg_sz,
+                     ROUND(QUANTILE_CONT(sz, 0.5), 6) AS p50_sz,
+                     ROUND(QUANTILE_CONT(sz, 0.99), 6) AS p99_sz,
+                     ROUND(MAX(sz) / AVG(sz), 6) AS skew_ratio
+              FROM s"""))
   )
+
+  /** Fresh bucketed+sorted twins of orders/customer (8 buckets on the
+    * join key) in the session warehouse — the one-off write that makes
+    * every later fact-fact join on this key exchange-free. */
+  private def bucketedTables(s: SparkSession, dir: String): Unit = {
+    Seq("graft_b_orders", "graft_b_customer").foreach { tn =>
+      s.sql(s"DROP TABLE IF EXISTS $tn")
+      val f = new java.io.File(s"spark-warehouse/$tn")
+      if (f.exists()) {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles.foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+    }
+    t(s, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_b_orders")
+    t(s, dir, "customer").write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_b_customer")
+  }
+
+  private def bucketedJoin(s: SparkSession): DataFrame =
+    s.table("graft_b_orders")
+      .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(38,4)")).cast("double"), 4).as("total"))
+      .orderBy("c_mktsegment")
 }

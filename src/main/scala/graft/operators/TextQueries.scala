@@ -25,15 +25,23 @@ object TextQueries {
     * benchmark. Returns (doc_id, n_shared) for every non-eval doc sharing
     * ≥1 4-token shingle with the eval slice. */
   private[operators] def contamination(d: DataFrame, isEval: Column): DataFrame = {
-    def grams4(x: DataFrame): DataFrame = x
-      .select(col("doc_id"), toks.as("t"))
+    // ONE pass over the corpus builds the hashed 4-gram relation with an
+    // eval flag; localCheckpoint because it feeds both join sides and
+    // Spark physical plans never share subtrees — without the barrier the
+    // tokenize+explode+md5 pipeline (the dominant cost) runs twice, once
+    // per side. At 100 TB the eval slice is the tiny side by construction
+    // (benchmark suites are ~10⁴ docs), so its distinct gram set
+    // broadcasts and the corpus side never shuffles at all.
+    val grams = d
+      .select(col("doc_id"), isEval.as("ev"), toks.as("t"))
       .filter(size(col("t")) >= 4)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ev"),
         explode(expr(
           "transform(sequence(0, size(t)-4), i -> concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3]))")).as("g"))
-      .select(col("doc_id"), graft.functions.HashBridge.h32(col("g")).as("h"))
-    val ev = grams4(d.filter(isEval)).select("h").distinct()
-    grams4(d.filter(!isEval))
+      .select(col("doc_id"), col("ev"), graft.functions.HashBridge.h32(col("g")).as("h"))
+      .localCheckpoint()
+    val ev = grams.filter(col("ev")).select("h").distinct()
+    grams.filter(!col("ev"))
       .join(broadcast(ev), "h")
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_shared"))
@@ -407,6 +415,36 @@ object TextQueries {
                      CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
                      MIN(doc_id) AS first_doc,
                      MAX(doc_id) AS last_doc
-              FROM c GROUP BY source, bin ORDER BY source, bin"""))
+              FROM c GROUP BY source, bin ORDER BY source, bin""")),
+
+    // URL parsing (the provenance-filter stage of web-corpus curation:
+    // block/allow by host, strip tracking params, bucket by path). URLs
+    // are synthesized deterministically from document attributes, pushed
+    // through Spark's real parse_url kernel, and the oracle composes
+    // what each component must be from the same attributes — so the
+    // parser is checked against ground truth, not against itself. Pure
+    // per-row codegen, linear at any scale.
+    QuerySpec(
+      "fn_url",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("url", concat(
+            lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+            lit("/"), col("doc_id"), lit("?q="), col("lang"), lit("&id="), col("doc_id")))
+          .select(
+            col("doc_id"),
+            parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY")).as("query"),
+            parse_url(col("url"), lit("QUERY"), lit("q")).as("q_param"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     'https' AS proto,
+                     source || '.example.com' AS host,
+                     '/' || lang || '/' || doc_id AS path,
+                     'q=' || lang || '&id=' || doc_id AS query,
+                     lang AS q_param
+              FROM documents ORDER BY doc_id"""))
   )
 }
