@@ -445,6 +445,46 @@ object TextQueries {
                      '/' || lang || '/' || doc_id AS path,
                      'q=' || lang || '&id=' || doc_id AS query,
                      lang AS q_param
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Unigram language-model scoring (the CCNet-style perplexity gate:
+    // score each doc by its average token log-probability under a model
+    // fit on the corpus itself; docs dominated by rare tokens score low
+    // and get filtered). Per-token ln p is rounded to 6 THEN summed as
+    // DECIMAL so partial-agg order can never move the hash; the corpus
+    // total rides a 1-row broadcast like tf-idf's doc count. Two shuffles
+    // on compact keys (term, doc_id) — linear at 100 TB, and the "model"
+    // (term → count) is itself a reusable mergeable aggregate.
+    QuerySpec(
+      "text_unigram_logprob",
+      (s, dir) => {
+        val terms = docs(s, dir).select(col("doc_id"), explode(toks).as("term"))
+        val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val tot = terms.agg(count(lit(1)).as("total"))
+        terms.join(freq, "term")
+          .crossJoin(broadcast(tot)) // 1 row, always broadcastable
+          .select(col("doc_id"),
+            round(log(col("cnt") / col("total")), 6)
+              .cast("decimal(18,6)").as("logp"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+          .withColumn("keep", col("avg_logprob") > -3.6)
+          .orderBy("doc_id")
+      },
+      Some("""WITH terms AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+                FROM documents),
+              freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+              tot AS (SELECT COUNT(*) AS total FROM terms)
+              SELECT doc_id,
+                     COUNT(*) AS n_tok,
+                     ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*), 6) AS avg_logprob,
+                     ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*), 6) > -3.6 AS keep
+              FROM terms JOIN freq USING (term) CROSS JOIN tot
+              GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
