@@ -1225,6 +1225,47 @@ object RelationalQueries {
               GROUP BY n_name
               ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q18 shape (large-volume orders): join against an AGGREGATED
+    // subquery — the semi-join-on-derived-keys pattern. The HAVING
+    // subquery reduces lineitem to a small key set FIRST (decimal sum, so
+    // the >300 boundary can't wobble with partial-agg order); at 100 TB
+    // that derived key set is tiny relative to the facts, so AQE turns
+    // the IN-join into a broadcast semi-join and the only full shuffles
+    // left are the o/l fact joins on orderkey — which co-shuffle on the
+    // same key and reuse the exchange. Catalyst plans the IN as a
+    // LeftSemi natively; no manual rewrite needed.
+    QuerySpec(
+      "sql_tpch_q18",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_qty
+          FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 100""")
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_qty
+              FROM customer
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+              GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 100""")),
+
     // Distribution histogram (the profiling pass a pipeline runs before
     // choosing filters/partitioning): 20 equal-width price buckets with
     // identical clamp arithmetic spelled out on both engines — a single

@@ -98,6 +98,59 @@ object SimilarityQueries {
         posexplode(graft.functions.LshBandKeys(asD(col("embedding")), Bands, BandBits)))
       .select(col("vec_id"), col("pos").as("b"), col("col").as("key"))
 
+  // ---- k-means (Lloyd) kernels, shared by `embedding_kmeans` and
+  // KmeansSpec's monotonicity law. Determinism: per-dimension distance
+  // terms and centroid sums are rounded to 6 THEN summed as DECIMAL, so
+  // fold/partial-agg order can never move a comparison on either engine.
+
+  /** Exact-decimal squared L2 distance between columns `e` and `c`. */
+  private val kmSqDist: Column = expr(
+    """aggregate(
+         zip_with(e, c, (x, y) -> CAST(round((x - y) * (x - y), 6) AS DECIMAL(18,6))),
+         CAST(0 AS DECIMAL(28,6)),
+         (acc, t) -> CAST(acc + t AS DECIMAL(28,6)))""")
+
+  private[operators] def kmVectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), asD(col("embedding")).as("e"))
+
+  /** Deterministic seeds: the k = 8 lowest vec_ids, components rounded
+    * to the same 6-decimal grid updated centroids live on. */
+  private[operators] def kmInit(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(e, x -> round(x, 6))").as("c"))
+
+  /** Assignment step: broadcast the k centroids, argmin over exact
+    * decimal distances, ties to the lowest cid. Only (vec_id, cid)
+    * pairs ever shuffle. */
+  private[operators] def kmAssign(v: DataFrame, cent: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), kmSqDist.as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** Update step: per-(cid, dimension) decimal-exact means via a
+    * partial-aggregating groupBy on the compact (cid, pos) key, then
+    * reassembled into centroid arrays (sorted by pos — collect_list
+    * order is not deterministic, the array_sort is load-bearing). */
+  private[operators] def kmUpdate(v: DataFrame, a: DataFrame): DataFrame =
+    v.join(a, "vec_id")
+      .select(col("cid"), posexplode(col("e")))
+      .groupBy("cid", "pos")
+      .agg(round(sum(round(col("col"), 6).cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("val"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, val))), p -> p.val)")
+        .as("c"))
+
+  /** Within-cluster sum of squared distances under (assignment, centroids)
+    * — the Lloyd objective, for the spec's monotonicity law. */
+  private[operators] def kmObjective(v: DataFrame, a: DataFrame, cent: DataFrame): Double =
+    v.join(a, "vec_id").join(broadcast(cent), "cid")
+      .select(kmSqDist.cast("double").as("d"))
+      .agg(sum(col("d"))).collect()(0).getDouble(0)
+
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
   private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
     val e = normed(s, dir)
@@ -376,6 +429,80 @@ object SimilarityQueries {
                              / (a.nrm * b.nrm), 6) AS sim
                 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
               SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
-              ORDER BY vec_a, vec_b"""))
+              ORDER BY vec_a, vec_b""")),
+
+    // K-means (Lloyd) training — the missing piece the IVF search above
+    // assumes: it prunes by a cluster assignment, and THIS is the job
+    // that produces one. Classic distributed Lloyd shape, per iteration:
+    //   (1) assign: broadcast the k centroids (k×dim doubles — tiny
+    //       forever), one pass over the corpus computes argmin distance;
+    //       NO shuffle of vectors, only (vec_id, cid) pairs move.
+    //   (2) update: posexplode to (cid, dim) terms, partial-aggregating
+    //       groupBy on the compact (cid, pos) key — map-side combine
+    //       reduces each partition to ≤ k×dim rows before the exchange.
+    // At 100 TB that is the canonical implementation: per-iteration cost
+    // is one corpus scan + one k×dim-sized aggregate, and the centroid
+    // relation never grows with n. Determinism bridge: per-dimension
+    // distance terms and centroid component sums are rounded to 6 THEN
+    // summed as DECIMAL (fold/partial order can't move them); argmin
+    // ties break on cid; centroid means divide exact decimals-as-doubles
+    // by exact counts. Two unrolled iterations from vec_id<8 seeds.
+    QuerySpec(
+      "embedding_kmeans",
+      (s, dir) => {
+        val v = kmVectors(s, dir)
+        val c0 = kmInit(v)
+        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1)
+        val a2 = kmAssign(v, c1); val c2 = kmUpdate(v, a2)
+        val counts = a2.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+        val checks = c2.select(col("cid"),
+          expr("""CAST(aggregate(
+                    transform(c, x -> CAST(round(x, 6) AS DECIMAL(18,6))),
+                    CAST(0 AS DECIMAL(28,6)),
+                    (acc, t) -> CAST(acc + t AS DECIMAL(28,6))) AS DOUBLE)""")
+            .as("centroid_sum"))
+        counts.join(checks, "cid").orderBy("cid")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              c0 AS (SELECT CAST(vec_id AS INT) AS cid, LIST_TRANSFORM(e, x -> ROUND(x, 6)) AS c
+                     FROM v WHERE vec_id < 8),
+              d1 AS (SELECT v.vec_id, c0.cid,
+                            (SELECT SUM(CAST(ROUND((x - y) * (x - y), 6) AS DECIMAL(18,6)))
+                             FROM (SELECT UNNEST(v.e) AS x, UNNEST(c0.c) AS y)) AS d
+                     FROM v CROSS JOIN c0),
+              a1 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM d1) WHERE rn = 1),
+              u1 AS (SELECT cid, pos,
+                            ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                                  / COUNT(*), 6) AS val
+                     FROM (SELECT a1.cid, UNNEST(v.e) AS x,
+                                  UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
+                           FROM a1 JOIN v USING (vec_id))
+                     GROUP BY cid, pos),
+              c1 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u1 GROUP BY cid),
+              d2 AS (SELECT v.vec_id, c1.cid,
+                            (SELECT SUM(CAST(ROUND((x - y) * (x - y), 6) AS DECIMAL(18,6)))
+                             FROM (SELECT UNNEST(v.e) AS x, UNNEST(c1.c) AS y)) AS d
+                     FROM v CROSS JOIN c1),
+              a2 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM d2) WHERE rn = 1),
+              u2 AS (SELECT cid, pos,
+                            ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                                  / COUNT(*), 6) AS val
+                     FROM (SELECT a2.cid, UNNEST(v.e) AS x,
+                                  UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
+                           FROM a2 JOIN v USING (vec_id))
+                     GROUP BY cid, pos),
+              c2 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u2 GROUP BY cid)
+              SELECT k.cid, k.n_vecs,
+                     CAST((SELECT SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
+                           FROM (SELECT UNNEST(c2.c) AS x)) AS DOUBLE) AS centroid_sum
+              FROM (SELECT cid, COUNT(*) AS n_vecs FROM a2 GROUP BY cid) k
+              JOIN c2 USING (cid)
+              ORDER BY k.cid"""))
   )
 }
