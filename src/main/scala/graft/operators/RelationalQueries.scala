@@ -877,6 +877,53 @@ object RelationalQueries {
                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                FROM g ORDER BY user_id, event_id""")),
 
+    // Ordered-sequence (funnel) detection — view → click → purchase per
+    // user with STRICT temporal order, the product-analytics pattern
+    // engines expose as MATCH_RECOGNIZE / sequence-match. Two stacked
+    // running-min windows over the same (user, ts, event_id) sort — a
+    // strictly-before frame (UNBOUNDED PRECEDING .. 1 PRECEDING) carries
+    // "earliest qualifying prior stage" down the event stream, so the
+    // whole match runs in ONE Exchange+Sort per user partition: linear
+    // at 100 TB, no self-joins, no per-user collect. Ties on ts break
+    // on event_id so the frame is deterministic on both engines.
+    QuerySpec(
+      "win_funnel",
+      (s, dir) => {
+        val before = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events")
+          .withColumn("v_ts",
+            min(when(col("event_type") === "view", col("ts"))).over(before))
+          .withColumn("c_ts",
+            min(when(col("event_type") === "click" && col("v_ts") < col("ts"),
+              col("ts"))).over(before))
+          .withColumn("done",
+            col("event_type") === "purchase" && col("c_ts") < col("ts"))
+          .groupBy("user_id")
+          .agg(
+            count(when(col("done"), lit(1))).as("n_completions"),
+            min(when(col("done"), col("ts"))).as("first_completion"))
+          .withColumn("converted", col("n_completions") > 0)
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               x AS (SELECT user_id, event_id, ts, event_type,
+                            MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v_ts
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+               y AS (SELECT user_id, event_id, ts, event_type, v_ts,
+                            MIN(CASE WHEN event_type = 'click' AND v_ts < ts THEN ts END)
+                              OVER w AS c_ts
+                     FROM x
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+               SELECT user_id,
+                      COUNT(CASE WHEN event_type = 'purchase' AND c_ts < ts THEN 1 END) AS n_completions,
+                      MIN(CASE WHEN event_type = 'purchase' AND c_ts < ts THEN ts END) AS first_completion,
+                      COUNT(CASE WHEN event_type = 'purchase' AND c_ts < ts THEN 1 END) > 0 AS converted
+               FROM y GROUP BY user_id ORDER BY user_id""")),
+
     // Collection aggregates with a determinism policy: collect_list's
     // accumulation order is partitioning-dependent, so the result is
     // sorted before serialization (array_sort + array_join) — the only

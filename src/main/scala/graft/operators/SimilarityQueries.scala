@@ -99,16 +99,13 @@ object SimilarityQueries {
       .select(col("vec_id"), col("pos").as("b"), col("col").as("key"))
 
   // ---- k-means (Lloyd) kernels, shared by `embedding_kmeans` and
-  // KmeansSpec's monotonicity law. Determinism: per-dimension distance
-  // terms and centroid sums are rounded to 6 THEN summed as DECIMAL, so
-  // fold/partial-agg order can never move a comparison on either engine.
-
-  /** Exact-decimal squared L2 distance between columns `e` and `c`. */
-  private val kmSqDist: Column = expr(
-    """aggregate(
-         zip_with(e, c, (x, y) -> CAST(round((x - y) * (x - y), 6) AS DECIMAL(18,6))),
-         CAST(0 AS DECIMAL(28,6)),
-         (acc, t) -> CAST(acc + t AS DECIMAL(28,6)))""")
+  // KmeansSpec's monotonicity law. Determinism: distances use the
+  // ‖v‖² + ‖c‖² − 2·v·c identity over the native codegen'd DotProduct —
+  // the SAME left-to-right double fold the cosine oracles already bridge
+  // to DuckDB's UNNEST-SUM — rounded to 6 before the argmin comparison;
+  // centroid sums are rounded to 6 THEN summed as DECIMAL so partial-agg
+  // order can't move them. The identity also lets ‖v‖² be computed ONCE
+  // per vector instead of re-folding per (vector, centroid) pair.
 
   private[operators] def kmVectors(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), asD(col("embedding")).as("e"))
@@ -120,12 +117,14 @@ object SimilarityQueries {
       .select(col("vec_id").cast("int").as("cid"),
         expr("transform(e, x -> round(x, 6))").as("c"))
 
-  /** Assignment step: broadcast the k centroids, argmin over exact
-    * decimal distances, ties to the lowest cid. Only (vec_id, cid)
-    * pairs ever shuffle. */
+  /** Assignment step: broadcast the k centroids (with their norms
+    * precomputed), argmin over rounded-double distances, ties to the
+    * lowest cid. Only (vec_id, cid) pairs ever shuffle. */
   private[operators] def kmAssign(v: DataFrame, cent: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), kmSqDist.as("d"))
+    v.withColumn("vn2", dot(col("e"), col("e")))
+      .crossJoin(broadcast(cent.withColumn("cn2", dot(col("c"), col("c")))))
+      .select(col("vec_id"), col("cid"),
+        round(col("vn2") + col("cn2") - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
@@ -148,7 +147,8 @@ object SimilarityQueries {
     * — the Lloyd objective, for the spec's monotonicity law. */
   private[operators] def kmObjective(v: DataFrame, a: DataFrame, cent: DataFrame): Double =
     v.join(a, "vec_id").join(broadcast(cent), "cid")
-      .select(kmSqDist.cast("double").as("d"))
+      .select(round(dot(col("e"), col("e")) + dot(col("c"), col("c"))
+        - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
       .agg(sum(col("d"))).collect()(0).getDouble(0)
 
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
@@ -442,18 +442,25 @@ object SimilarityQueries {
     //       reduces each partition to ≤ k×dim rows before the exchange.
     // At 100 TB that is the canonical implementation: per-iteration cost
     // is one corpus scan + one k×dim-sized aggregate, and the centroid
-    // relation never grows with n. Determinism bridge: per-dimension
-    // distance terms and centroid component sums are rounded to 6 THEN
-    // summed as DECIMAL (fold/partial order can't move them); argmin
-    // ties break on cid; centroid means divide exact decimals-as-doubles
-    // by exact counts. Two unrolled iterations from vec_id<8 seeds.
+    // relation never grows with n. Determinism bridge: distances ride
+    // the proven double-fold DotProduct↔UNNEST-SUM parity (rounded to 6
+    // before any comparison), argmin ties break on cid, and centroid
+    // component sums are rounded to 6 THEN summed as DECIMAL so partial
+    // order can't move them. Two unrolled iterations from vec_id<8 seeds.
     QuerySpec(
       "embedding_kmeans",
       (s, dir) => {
+        // localCheckpoint barriers: Spark physical plans never share
+        // subtrees, so without them iteration i's whole chain re-executes
+        // once per downstream consumer (a2 feeds both the counts and the
+        // c2 update — measured 2.97 s vs 1.2 s at sf0.1). Checkpointing
+        // the 8-row centroid relation and the (vec_id, cid) assignment
+        // is exactly what an iterative driver program does at 100 TB:
+        // persist the loop-carried state, never its lineage.
         val v = kmVectors(s, dir)
         val c0 = kmInit(v)
-        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1)
-        val a2 = kmAssign(v, c1); val c2 = kmUpdate(v, a2)
+        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
+        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2)
         val counts = a2.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
         val checks = c2.select(col("cid"),
           expr("""CAST(aggregate(
@@ -464,12 +471,19 @@ object SimilarityQueries {
         counts.join(checks, "cid").orderBy("cid")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              vn AS (SELECT vec_id, e,
+                            (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS vn2
+                     FROM v),
               c0 AS (SELECT CAST(vec_id AS INT) AS cid, LIST_TRANSFORM(e, x -> ROUND(x, 6)) AS c
                      FROM v WHERE vec_id < 8),
-              d1 AS (SELECT v.vec_id, c0.cid,
-                            (SELECT SUM(CAST(ROUND((x - y) * (x - y), 6) AS DECIMAL(18,6)))
-                             FROM (SELECT UNNEST(v.e) AS x, UNNEST(c0.c) AS y)) AS d
-                     FROM v CROSS JOIN c0),
+              n0 AS (SELECT cid, c,
+                            (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+                     FROM c0),
+              d1 AS (SELECT v.vec_id, k.cid,
+                            ROUND(v.vn2 + k.cn2
+                                  - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+                                  6) AS d
+                     FROM vn v CROSS JOIN n0 k),
               a1 AS (SELECT vec_id, cid FROM (
                        SELECT vec_id, cid,
                               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -482,10 +496,14 @@ object SimilarityQueries {
                            FROM a1 JOIN v USING (vec_id))
                      GROUP BY cid, pos),
               c1 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u1 GROUP BY cid),
-              d2 AS (SELECT v.vec_id, c1.cid,
-                            (SELECT SUM(CAST(ROUND((x - y) * (x - y), 6) AS DECIMAL(18,6)))
-                             FROM (SELECT UNNEST(v.e) AS x, UNNEST(c1.c) AS y)) AS d
-                     FROM v CROSS JOIN c1),
+              n1 AS (SELECT cid, c,
+                            (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+                     FROM c1),
+              d2 AS (SELECT v.vec_id, k.cid,
+                            ROUND(v.vn2 + k.cn2
+                                  - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+                                  6) AS d
+                     FROM vn v CROSS JOIN n1 k),
               a2 AS (SELECT vec_id, cid FROM (
                        SELECT vec_id, cid,
                               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -503,6 +521,72 @@ object SimilarityQueries {
                            FROM (SELECT UNNEST(c2.c) AS x)) AS DOUBLE) AS centroid_sum
               FROM (SELECT cid, COUNT(*) AS n_vecs FROM a2 GROUP BY cid) k
               JOIN c2 USING (cid)
-              ORDER BY k.cid"""))
+              ORDER BY k.cid""")),
+
+    // Dimension covariance matrix — the one-pass sufficient statistic
+    // behind PCA / whitening / feature-correlation pruning of an
+    // embedding corpus. Single corpus scan through the compiled
+    // [[graft.functions.CovMoments]] Aggregator: each partition folds
+    // its rows into ONE ~17 KB buffer (upper-triangle product sums +
+    // marginals + count) before the exchange — the shuffle is
+    // CONSTANT-size in n, the 100 TB shape, and the inner loop is raw
+    // long arithmetic instead of an interpreted per-row fan-out.
+    // Quantized to the integer grid q = round(x*1000): all sums are
+    // exact BIGINT arithmetic, so both engines agree bit-for-bit (the
+    // LshBandKeys bridge); overflow headroom in CovMoments' Scaladoc.
+    QuerySpec(
+      "embedding_covariance",
+      (s, dir) => {
+        val Tri = graft.functions.CovMoments.Tri
+        val covm = udaf(graft.functions.CovMoments)
+        val q = emb(s, dir).select(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+        // (pos, element) rows of the packed moment buffer; localCheckpoint
+        // because three consumers (triangle, marginals, count) read it and
+        // physical plans never share subtrees — without the barrier the
+        // corpus aggregation would run three times
+        val m = q.agg(covm(col("q")).as("m"))
+          .select(posexplode(col("m"))).localCheckpoint()
+        // pos → (i, j) for the row-major upper triangle: one interpreted
+        // build of a 2080-element literal mapping, broadcast everywhere
+        val mapIJ = s.range(1).select(posexplode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+               transform(sequence(i, 63), j -> struct(i AS i, j AS j))))""")))
+          .select(col("pos"), col("col.i"), col("col.j"))
+        val marg = m.filter(col("pos").between(Tri, Tri + 63))
+          .select((col("pos") - Tri).cast("int").as("mi"), col("col").as("ms"))
+        val n = m.filter(col("pos") === Tri + 64).select(col("col").as("n"))
+        m.filter(col("pos") < Tri)
+          .join(broadcast(mapIJ), "pos")
+          .crossJoin(broadcast(n))
+          .join(broadcast(marg).as("a"), col("a.mi") === col("i"))
+          .join(broadcast(marg).as("b"), col("b.mi") === col("j"))
+          .select(col("i"), col("j"), col("col").as("s_pp"),
+            round((col("col").cast("double") / col("n")
+              - (col("a.ms").cast("double") / col("n"))
+                * (col("b.ms").cast("double") / col("n"))) / 1e6, 6).as("cov"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH q AS (
+                SELECT LIST_TRANSFORM(embedding,
+                         x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+                FROM embeddings),
+              pairs AS (
+                SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, q[i+1] * q[j+1] AS p
+                FROM q, (SELECT UNNEST(RANGE(0, 64)) AS i),
+                        (SELECT UNNEST(RANGE(0, 64)) AS j)
+                WHERE j >= i),
+              sums AS (
+                SELECT i, j, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS s
+                FROM pairs GROUP BY i, j),
+              marg AS (
+                SELECT CAST(i AS INT) AS i, CAST(SUM(q[i+1]) AS BIGINT) AS ms
+                FROM q, (SELECT UNNEST(RANGE(0, 64)) AS i) GROUP BY i)
+              SELECT s.i, s.j, s.s AS s_pp,
+                     ROUND((CAST(s.s AS DOUBLE) / s.n
+                            - (CAST(a.ms AS DOUBLE) / s.n)
+                              * (CAST(b.ms AS DOUBLE) / s.n)) / 1e6, 6) AS cov
+              FROM sums s JOIN marg a ON a.i = s.i JOIN marg b ON b.i = s.j
+              ORDER BY s.i, s.j"""))
   )
 }
