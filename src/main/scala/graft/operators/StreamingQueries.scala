@@ -149,6 +149,35 @@ object StreamingQueries {
               WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
               ORDER BY user_id, start_us""")),
 
+    // mapGroupsWithState funnel, oracle-checked: runs the EXACT
+    // funnelProgress transform the streaming fixture exercises — in
+    // batch each user's events arrive as one sorted group fold, which
+    // the oracle reproduces as the win_funnel stacked strictly-before
+    // running-min windows over epoch micros.
+    QuerySpec(
+      "stream_funnel",
+      (s, dir) =>
+        graft.streaming.EventStreams.funnelProgress(s, events(s, dir))
+          .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id,
+                                epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                         FROM events),
+              x AS (SELECT user_id, event_id, us, event_type,
+                           MIN(CASE WHEN event_type = 'view' THEN us END) OVER w AS v_us
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              y AS (SELECT user_id, event_id, us, event_type, v_us,
+                           MIN(CASE WHEN event_type = 'click' AND v_us < us THEN us END)
+                             OVER w AS c_us
+                    FROM x
+                    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              SELECT user_id,
+                     COUNT(CASE WHEN event_type = 'purchase' AND c_us < us THEN 1 END) AS n_completions,
+                     MIN(CASE WHEN event_type = 'purchase' AND c_us < us THEN us END) AS first_completion_us
+              FROM y GROUP BY user_id ORDER BY user_id""")),
+
     // Stream-stream interval join, oracle-checked: this runs the EXACT
     // transform EventStreams.errorPurchaseJoins executes under
     // readStream — same function, same watermark declarations (the

@@ -485,6 +485,71 @@ object TextQueries {
                      ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
                            / COUNT(*), 6) > -3.6 AS keep
               FROM terms JOIN freq USING (term) CROSS JOIN tot
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // End-to-end curation pipeline as ONE declarative plan — the shape a
+    // real pretraining data job takes: quality gate (the text_quality_
+    // filter predicates, SAME Scala helpers so the stages cannot drift)
+    // → exact dedup (canonical doc = lowest doc_id per md5 digest) →
+    // per-source corpus-mix report. Composing in one plan is the point:
+    // Catalyst pushes the gate into the scan, the dedup groupBy shuffles
+    // 16-byte digests (never text), and the final rollup rides the
+    // partial-agg path — three pipeline stages, ONE pass over the
+    // corpus, two compact-key shuffles, linear at 100 TB.
+    QuerySpec(
+      "pipeline_curate",
+      (s, dir) => {
+        val gated = docs(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("sw_ratio",
+            round(enMarkers.cast("double") / col("n_tokens"), 6))
+          .filter(col("n_tokens").between(30, 1000) &&
+            col("sw_ratio") >= 0.04 && langPred === "en")
+        val canon = gated
+          .groupBy(md5(col("text")).as("dg"))
+          .agg(min(struct(col("doc_id"), col("source"),
+            col("n_tokens"), col("sw_ratio"))).as("k"))
+        canon
+          .groupBy(col("k.source").as("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("k.n_tokens")).cast("long").as("total_tokens"),
+            round(sum(col("k.sw_ratio").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("avg_sw_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT) AS n_tokens,
+                       LENGTH(REGEXP_REPLACE(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS cjk,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('the','a','of','and','to','in'))) AS en,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('el','la','de','que','y','los'))) AS es,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('der','die','und','das','ist'))) AS de,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),'\s+'),
+                           t -> t IN ('le','les','et','des','un'))) AS fr
+                FROM documents),
+              g AS (
+                SELECT d.doc_id, d.source, d.text, m.n_tokens,
+                       ROUND(CAST(m.en AS DOUBLE) / m.n_tokens, 6) AS sw_ratio
+                FROM documents d JOIN m USING (doc_id)
+                WHERE m.n_tokens BETWEEN 30 AND 1000
+                  AND ROUND(CAST(m.en AS DOUBLE) / m.n_tokens, 6) >= 0.04
+                  AND NOT m.cjk
+                  AND NOT (m.es > m.en AND m.es >= m.de AND m.es >= m.fr)
+                  AND NOT (m.de > m.en AND m.de >= m.fr)
+                  AND NOT (m.fr > m.en)),
+              c AS (
+                SELECT * FROM (
+                  SELECT g.*, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                                 ORDER BY doc_id) AS rn
+                  FROM g) WHERE rn = 1)
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                     ROUND(CAST(SUM(CAST(sw_ratio AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*), 6) AS avg_sw_ratio
+              FROM c GROUP BY source ORDER BY source"""))
   )
 }

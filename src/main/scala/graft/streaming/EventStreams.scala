@@ -185,10 +185,60 @@ object EventStreams {
         })
       .toDF("user_id", "start_us", "end_us", "n")
   }
+
+  /** Per-user funnel progression (view → click → purchase, strict
+    * event-time order) via mapGroupsWithState — the streaming twin of
+    * the `win_funnel` batch query. State per user is one fixed-size
+    * [[FunnelState]] (earliest view, earliest qualifying click,
+    * completion count, first completion) regardless of event volume.
+    * Within a micro-batch events are sorted by (ts, event_id) before
+    * folding, so arrival order inside a batch is irrelevant; across
+    * batches the kernel assumes per-key event-time-ordered delivery
+    * (the sessionizer's documented contract). Strictness matches the
+    * batch twin exactly: a click qualifies only against a view with a
+    * strictly smaller timestamp, a purchase only against a qualifying
+    * click with a strictly smaller timestamp. */
+  def funnelProgress(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) => {
+          val M = Long.MaxValue
+          var st = state.getOption.getOrElse(FunnelState(M, M, 0L, M))
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, typ) =>
+            typ match {
+              case "view" =>
+                if (ts < st.viewUs) st = st.copy(viewUs = ts)
+              case "click" =>
+                if (st.viewUs < ts && ts < st.clickUs) st = st.copy(clickUs = ts)
+              case "purchase" =>
+                if (st.clickUs < ts)
+                  st = st.copy(nCompletions = st.nCompletions + 1,
+                    firstUs = math.min(st.firstUs, ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          (userId, st.nCompletions,
+            if (st.firstUs == M) None else Some(st.firstUs))
+        })
+      .toDF("user_id", "n_completions", "first_completion_us")
+  }
 }
 
 /** mapGroupsWithState state record: fixed-size per user. */
 final case class UserStats(nEvents: Long, nPurchases: Long, totalValue: Double)
+
+/** Funnel-progress state record: fixed-size per user (sentinel
+  * Long.MaxValue = stage not yet reached). */
+final case class FunnelState(
+    viewUs: Long, clickUs: Long, nCompletions: Long, firstUs: Long)
 
 /** flatMapGroupsWithState state record: the one in-flight session. */
 final case class OpenSession(startUs: Long, endUs: Long, n: Int)

@@ -88,6 +88,18 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("mapGroupsWithState funnel matches the batch stream_funnel twin") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.funnelProgress(spark, events), "funnel", "update")
+    val streamed = spark.table("funnel").orderBy("user_id").collect()
+    val batch = EventStreams
+      .funnelProgress(spark, graft.Tables(spark, dir, "events"))
+      .orderBy("user_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    // and the funnel finds real conversions on this corpus
+    assert(streamed.exists(_.getLong(1) > 0))
+  }
+
   test("flatMapGroupsWithState sessionizer emits sessions that match batch session_window") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.sessionizedEvents(spark, events), "fsess", "append")
