@@ -94,6 +94,53 @@ object SketchQueries {
                 FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t
                       FROM documents)
                 GROUP BY 1)
-              ORDER BY cnt DESC, word LIMIT 10"""))
+              ORDER BY cnt DESC, word LIMIT 10""")),
+
+    // Sketch-algebra intersection: |A ∩ B| estimated as |A| + |B| − |A ∪ B|
+    // from the SAME mergeable per-group HLL sketches agg_sketch_union
+    // builds — the "overlap between two shards/sources without re-reading
+    // either" query (cross-source contamination checks at 100 TB run on
+    // persisted sketch state, never raw data). Inclusion–exclusion error
+    // compounds three ±0.8% estimates, still far inside the 5% contract
+    // asserted as round(est/exact, 1) == 1.0; the exact intersection the
+    // contract compares against is a partial-aggregating groupBy on
+    // l_partkey (Bench times the sketch path alone, cf. agg_sketch_union).
+    QuerySpec(
+      "agg_sketch_intersect",
+      (s, dir) => {
+        val est = sketchIntersectEstimate(s, dir)
+        val exact = t(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R"))
+          .groupBy("l_partkey")
+          .agg(countDistinct(col("l_returnflag")).as("nf"))
+          .filter(col("nf") === 2)
+          .agg(count(lit(1)).as("exact_i"))
+        est.crossJoin(exact)
+          .select(
+            round((col("sum_est") - col("est_u")).cast("double") / col("exact_i"), 1)
+              .as("est_ratio"),
+            col("n_sketches"),
+            col("exact_i"))
+      },
+      Some("""SELECT 1.0 AS est_ratio,
+                     CAST(2 AS BIGINT) AS n_sketches,
+                     (SELECT COUNT(*) FROM (
+                        SELECT l_partkey FROM lineitem
+                        WHERE l_returnflag IN ('A', 'R')
+                        GROUP BY l_partkey
+                        HAVING COUNT(DISTINCT l_returnflag) = 2)) AS exact_i"""),
+      bench = Some((s, dir) => sketchIntersectEstimate(s, dir)))
   )
+
+  /** Per-flag sketches → Σ individual estimates + union estimate, the
+    * inclusion–exclusion ingredients (constant-size state throughout). */
+  private def sketchIntersectEstimate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      .agg(
+        sum(expr("hll_sketch_estimate(sk)")).as("sum_est"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"),
+        count(lit(1)).as("n_sketches"))
 }

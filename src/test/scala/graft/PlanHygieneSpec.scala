@@ -20,8 +20,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // quadratic)
   private val allowedQuadratic =
     Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
-      "text_unigram_logprob", "agg_sketch_union", "embedding_kmeans",
-      "embedding_covariance")
+      "text_unigram_logprob", "agg_sketch_union", "agg_sketch_intersect",
+      "embedding_kmeans", "embedding_covariance")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
     val offenders = Registry.all.flatMap { q =>
