@@ -426,7 +426,73 @@ object DedupQueries {
                      ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
               FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
               WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    // PageRank over the verified near-dup graph — the numeric-propagation
+    // twin of dedup_components' label propagation (centrality over a link
+    // or duplicate graph is a standard corpus-quality signal). Same
+    // iterative shape as embedding_kmeans: loop-carried state is
+    // localCheckpoint'ed, each round is one edge join + one partial-
+    // aggregating groupBy on vertex ids — O(edges) per round at any
+    // scale, never O(n²). The symmetric dup graph has out-degree ≥ 1
+    // everywhere, so there is no dangling-mass term. Determinism bridge:
+    // per-edge contributions are rounded to 12 THEN decimal-summed; the
+    // damping mix re-rounds to 12 each round (identical double ops both
+    // engines); the oracle rebuilds the SAME graph via MinHashPairsCtes.
+    QuerySpec(
+      "graph_pagerank",
+      (s, dir) => {
+        val p0 = minhashPairs(s, dir).select("da", "db").localCheckpoint()
+        val edges = p0.union(p0.select(col("db").as("da"), col("da").as("db")))
+          .localCheckpoint()
+        val deg = edges.groupBy("da").agg(count(lit(1)).as("deg")).localCheckpoint()
+        val degN = deg.select(col("da").as("id"), col("deg"))
+        val nn = deg.agg(count(lit(1)).as("n"))
+        var pr = degN.crossJoin(broadcast(nn))
+          .select(col("id"), round(lit(1.0) / col("n"), 12).as("pr"))
+          .localCheckpoint()
+        for (_ <- 1 to 2) {
+          pr = edges
+            .join(pr.join(degN, "id"), col("da") === col("id"))
+            .select(col("db").as("dst"),
+              round(col("pr") * 0.85 / col("deg"), 12).cast("decimal(28,12)").as("c"))
+            .groupBy("dst")
+            .agg(sum(col("c")).as("sc"))
+            .crossJoin(broadcast(nn))
+            .select(col("dst").as("id"),
+              round(lit(0.15) / col("n") + col("sc").cast("double"), 12).as("pr"))
+            .localCheckpoint()
+        }
+        pr.join(degN, "id")
+          .select(col("id").as("doc_id"), col("deg"), round(col("pr"), 9).as("pagerank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $MinHashPairsCtes,
+              edges AS (SELECT da, db FROM jpairs
+                        UNION ALL SELECT db AS da, da AS db FROM jpairs),
+              deg AS (SELECT da AS id, COUNT(*) AS deg FROM edges GROUP BY da),
+              nn AS (SELECT COUNT(*) AS n FROM deg),
+              pr0 AS (SELECT id, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12) AS pr
+                      FROM deg),
+              c1 AS (SELECT e.db AS dst,
+                            CAST(ROUND(p.pr * CAST(0.85 AS DOUBLE) / d.deg, 12)
+                                 AS DECIMAL(28,12)) AS c
+                     FROM edges e JOIN pr0 p ON p.id = e.da JOIN deg d ON d.id = e.da),
+              pr1 AS (SELECT dst AS id,
+                             ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                                   + CAST(SUM(c) AS DOUBLE), 12) AS pr
+                      FROM c1 GROUP BY dst),
+              c2 AS (SELECT e.db AS dst,
+                            CAST(ROUND(p.pr * CAST(0.85 AS DOUBLE) / d.deg, 12)
+                                 AS DECIMAL(28,12)) AS c
+                     FROM edges e JOIN pr1 p ON p.id = e.da JOIN deg d ON d.id = e.da),
+              pr2 AS (SELECT dst AS id,
+                             ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                                   + CAST(SUM(c) AS DOUBLE), 12) AS pr
+                      FROM c2 GROUP BY dst)
+              SELECT p.id AS doc_id, d.deg, ROUND(p.pr, 9) AS pagerank
+              FROM pr2 p JOIN deg d ON d.id = p.id
+              ORDER BY doc_id"""))
   )
 
   /** Shared DuckDB CTE chain reimplementing the exact MinHash+LSH

@@ -21,7 +21,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val allowedQuadratic =
     Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
       "text_unigram_logprob", "agg_sketch_union", "agg_sketch_intersect",
-      "embedding_kmeans", "embedding_covariance")
+      "embedding_kmeans", "embedding_covariance", "graph_pagerank")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
     val offenders = Registry.all.flatMap { q =>

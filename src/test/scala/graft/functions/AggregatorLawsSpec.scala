@@ -56,4 +56,33 @@ class AggregatorLawsSpec extends AnyFunSuite {
     val tie = Seq(0xFFFFFFFFL, 0L).foldLeft(SimHash.zero)(SimHash.reduce)
     assert(SimHash.finish(tie) == 0L)
   }
+
+  test("CovMoments: any split+merge order equals the single-pass fold") {
+    def vec(): Seq[Long] = Seq.fill(CovMoments.Dim)((rnd.nextInt(1061) - 530).toLong)
+    for (_ <- 1 to 50) {
+      val xs = Vector.fill(rnd.nextInt(12))(vec())
+      val direct = xs.foldLeft(CovMoments.zero)(CovMoments.reduce).toSeq
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      val bufA = a.foldLeft(CovMoments.zero)(CovMoments.reduce)
+      val bufB = b.foldLeft(CovMoments.zero)(CovMoments.reduce)
+      assert(CovMoments.merge(bufA.clone(), bufB.clone()).toSeq == direct)
+      assert(CovMoments.merge(bufB.clone(), bufA.clone()).toSeq == direct)
+      assert(CovMoments.merge(bufA.clone(), CovMoments.zero).toSeq == bufA.toSeq)
+    }
+  }
+
+  test("CovMoments buffer layout: diagonal, marginals, and count are consistent") {
+    val q = (0 until CovMoments.Dim).map(i => (i - 32).toLong)
+    val b = CovMoments.reduce(CovMoments.zero, q)
+    // row-major upper-triangle: cell (i,i) sits at offset(i) = Σ_{k<i}(Dim-k)
+    var off = 0
+    for (i <- 0 until CovMoments.Dim) {
+      assert(b(off) == q(i) * q(i), s"diagonal cell $i")
+      off += CovMoments.Dim - i
+    }
+    for (i <- 0 until CovMoments.Dim)
+      assert(b(CovMoments.Tri + i) == q(i), s"marginal $i")
+    assert(b(CovMoments.Tri + CovMoments.Dim) == 1L)
+  }
 }
