@@ -376,6 +376,74 @@ object TextQueries {
               FROM tf JOIN df USING (term) CROSS JOIN n
               ORDER BY doc_id, term""")),
 
+    // BM25 ranked retrieval (Okapi, k1=1.2 b=0.75) for a fixed 3-term
+    // query — the relevance scoring a corpus-curation stack uses to FIND
+    // data (targeted subset mining, eval-neighbor retrieval), one step
+    // past tf-idf: per-term saturation + length normalization. The query
+    // terms filter the exploded token stream FIRST, so the per-(doc,term)
+    // tf relation is tiny (≤ |query| rows per doc) while dl/avgdl come
+    // from one partial-aggregating pass over the full stream — at 100 TB
+    // the heavy relation never joins anything bigger than itself.
+    // Determinism: every score input (tf, df, dl, N) is an exact integer;
+    // avgdl and idf are rounded to 6; per-term scores are rounded to 6
+    // THEN decimal-summed; ties break on doc_id.
+    QuerySpec(
+      "text_bm25",
+      (s, dir) => {
+        val (k1, b) = (1.2, 0.75)
+        val terms = docs(s, dir).select(col("doc_id"), explode(toks).as("term"))
+        val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+        val tf = terms.filter(col("term").isin("table", "scan", "fast"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // double arithmetic mirrored operation-for-operation in the
+        // oracle (same literals, same parenthesization) so each
+        // IEEE-754 step is bit-identical before the round(…, 6)
+        val idf = round(log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
+        val comp = round(
+          (idf * (col("tf") * lit(k1 + 1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+        tf.join(df, "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats)) // 1 row, always broadcastable
+          .select(col("doc_id"), comp.cast("decimal(18,6)").as("c"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("c")).cast("double"), 6).as("score"),
+            count(lit(1)).as("n_matched"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH terms AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+                FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+              stats AS (SELECT COUNT(*) AS n_docs,
+                               ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+                        FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+                     WHERE term IN ('table', 'scan', 'fast')
+                     GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              comp AS (
+                SELECT tf.doc_id,
+                       CAST(ROUND(
+                         (ROUND(LN(CAST(n_docs - df.df + 0.5 AS DOUBLE)
+                                   / CAST(df.df + 0.5 AS DOUBLE)
+                                   + CAST(1.0 AS DOUBLE)), 6)
+                          * (tf.tf * CAST(2.2 AS DOUBLE)))
+                         / (tf.tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)), 6)
+                       AS DECIMAL(18,6)) AS c
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score,
+                     COUNT(*) AS n_matched
+              FROM comp GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // Sequence packing (the batch-assembly stage of LLM training): docs
     // are concatenated in stable (doc_id) order within their source shard
     // and split into 512-token context windows; each doc is assigned the

@@ -20,7 +20,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   // quadratic)
   private val allowedQuadratic =
     Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
-      "text_unigram_logprob", "agg_sketch_union", "agg_sketch_intersect",
+      "text_unigram_logprob", "text_bm25", "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
