@@ -73,6 +73,41 @@ object ReaderQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // binaryFile: Spark's built-in opaque-blob source — THE ingest shape
+    // for multimodal corpora (images/audio on an object store, one file
+    // per asset). Partition-parallel listing + per-file rows of (path,
+    // length, content); selecting only path/length prunes the content
+    // column so a metadata census never reads the bytes. Fixture files
+    // carry deterministic ASCII content composed from nation rows, so
+    // the oracle reproduces length AND md5 digest with pure SQL string
+    // composition — a byte lost anywhere in the read path breaks the
+    // hash.
+    QuerySpec(
+      "scan_binaryfile",
+      (s, dir) => {
+        val d = fixturePath(dir, "bindir")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        nationRows(s, dir).foreach { case (k, n, _) =>
+          val content = ("blob:" + n + ":" + k + "\n") * ((k % 4) + 1).toInt
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, s"bf_$k.bin"),
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+          .select(
+            regexp_extract(col("path"), "bf_(\\d+)\\.bin$", 1).cast("long")
+              .as("n_nationkey"),
+            col("length"),
+            md5(col("content")).as("digest"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                     CAST(LENGTH(REPEAT('blob:' || n_name || ':' || n_nationkey || CHR(10),
+                                        CAST(n_nationkey % 4 + 1 AS INT))) AS BIGINT) AS length,
+                     MD5(REPEAT('blob:' || n_name || ':' || n_nationkey || CHR(10),
+                                CAST(n_nationkey % 4 + 1 AS INT))) AS digest
+              FROM nation ORDER BY n_nationkey""")),
+
     // GeoJSON: RFC 7946 FeatureCollection → Jackson reader → properties
     // + WKB geometry (reference: core_processor.rs:407-412 st_read on
     // .geojson). WKT composed from the WKB the reader produced.
