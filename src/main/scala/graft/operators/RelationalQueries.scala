@@ -924,6 +924,45 @@ object RelationalQueries {
                       COUNT(CASE WHEN event_type = 'purchase' AND c_ts < ts THEN 1 END) > 0 AS converted
                FROM y GROUP BY user_id ORDER BY user_id""")),
 
+    // Cohort retention matrix — users bucketed by first-seen week, then
+    // counted per (cohort, weeks-since-cohort) activity cell: the other
+    // canonical product-analytics rollup next to the funnel. Three
+    // partial-aggregating shuffles on compact keys (user, user×week,
+    // cohort×offset), all linear; the week offset is exact integer
+    // arithmetic on epoch micros (both engines truncate weeks to Monday
+    // 00:00 UTC, and every difference is an exact multiple of a week).
+    QuerySpec(
+      "agg_retention",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+        val cohort = e.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cw"))
+        val active = e
+          .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+          .distinct()
+        active.join(cohort, "user_id")
+          .withColumn("week_offset",
+            ((unix_micros(col("aw")) - unix_micros(col("cw"))) / 604800000000L)
+              .cast("long"))
+          .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              f AS (SELECT user_id,
+                           CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cw
+                    FROM e GROUP BY user_id),
+              a AS (SELECT DISTINCT user_id,
+                           CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS aw
+                    FROM e)
+              SELECT cw AS cohort_week,
+                     CAST((epoch_us(aw) - epoch_us(cw)) / 604800000000 AS BIGINT)
+                       AS week_offset,
+                     COUNT(DISTINCT user_id) AS n_users
+              FROM a JOIN f USING (user_id)
+              GROUP BY cohort_week, week_offset
+              ORDER BY cohort_week, week_offset""")),
+
     // Collection aggregates with a determinism policy: collect_list's
     // accumulation order is partitioning-dependent, so the result is
     // sorted before serialization (array_sort + array_join) — the only
