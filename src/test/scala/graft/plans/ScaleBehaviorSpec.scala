@@ -136,4 +136,19 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"), plan)
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
   }
+
+  test("binaryFile metadata census prunes the content column at the scan") {
+    // the scan_binaryfile scale claim: a (path, length) census over a
+    // 100 TB blob store must never read the bytes — the content column
+    // has to be pruned OUT of the scan schema, not dropped afterwards
+    val d = s"${sys.props("java.io.tmpdir")}/graft_scale_bf"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "a.bin"),
+      Array.fill[Byte](4096)(7))
+    val df = spark.read.format("binaryFile").load(d).select("path", "length")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("content"),
+      s"metadata projection still reads blob bytes:\n$plan")
+  }
 }
