@@ -91,6 +91,38 @@ object RelationalQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Schema-evolution scan — the data-lake reality at 100 TB: years of
+    // parquet parts whose schemas drifted (columns added/dropped). Two
+    // hive-partitioned parts are written with DIFFERENT column subsets;
+    // mergeSchema reconciles them into the union schema, missing columns
+    // surface as NULLs, and the partition column materializes from the
+    // directory layout (no file reads row-data it doesn't have). The
+    // oracle recomposes both generations from `nation` with explicit
+    // NULL columns.
+    QuerySpec(
+      "scan_schema_merge",
+      (s, dir) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_merge_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        t(s, dir, "nation").select("n_nationkey", "n_name").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        t(s, dir, "nation").select("n_nationkey", "n_regionkey").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .select(col("gen").cast("int").as("gen"), col("n_nationkey"),
+            col("n_name"), col("n_regionkey"))
+          .orderBy("gen", "n_nationkey")
+      },
+      Some("""SELECT * FROM (
+                SELECT 1 AS gen, n_nationkey, n_name,
+                       CAST(NULL AS BIGINT) AS n_regionkey
+                FROM nation
+                UNION ALL
+                SELECT 2 AS gen, n_nationkey, CAST(NULL AS VARCHAR) AS n_name,
+                       n_regionkey
+                FROM nation)
+              ORDER BY gen, n_nationkey""")),
+
     // Deterministic 5% sample by key-hash modulus — the reproducible-
     // sampling idiom for data pipelines. Seeded df.sample() is engine-
     // specific RNG and can't be oracle-matched (or re-run stably across
