@@ -80,6 +80,40 @@ object DedupQueries {
     * shingleHashes design). md5-based h32 is engine-identical, so the
     * oracle reproduces every hash; collisions (~|grams|/2³²) are
     * deterministic and shared by both sides. */
+  /** Verified near-dup pairs (da < db, jaccard ≥ 0.3, rounded) from the
+    * rarest-gram-blocked bigram pipeline — shared by `dedup_ngram_jaccard`
+    * (reports pairs) and `dedup_editdistance` (refines them).
+    *
+    * Set-as-array restructure (cf. dedup_minhash): bigrams explode to
+    * ROWS once (a Generate materializes the token array — crucial:
+    * higher-order-function lambdas are interpreted, so an inlined
+    * split() would re-run per element access), then ONE collect_set
+    * shuffle builds each doc's distinct gram set. The distinct
+    * (doc, gram) relation for df-counting re-explodes the SETS —
+    * no second pass over raw text. Candidates come from the slim
+    * blocking-key self-join; verification joins the two gram sets
+    * per pair and intersects in-place (array_intersect) instead of
+    * re-exploding the corpus into a 3-way join + pair groupBy.
+    * localCheckpoint for the same reason as minhashPairs: three
+    * consumers (blocking + both verify sides) over an unshared plan
+    * subtree would re-run the explode+md5+collect_set pipeline 3×. */
+  private[operators] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = bigramSets(s, dir).localCheckpoint()
+    val capped = ngramBlocks(sets)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("c").as("ca")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("c").as("cb")), "db")
+      .withColumn("ic", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   private[operators] def bigramSets(s: SparkSession, dir: String): DataFrame = {
     // repartition on the aggregation key BEFORE the gram explosion: the
     // groupBy(doc_id) below would shuffle anyway, so this moves that
@@ -366,66 +400,45 @@ object DedupQueries {
     // any corpus size.
     QuerySpec(
       "dedup_ngram_jaccard",
+      (s, dir) =>
+        ngramJaccardPairs(s, dir)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $NgramPairsCtes
+              SELECT da AS doc_a, db AS doc_b, jaccard FROM npairs
+              ORDER BY doc_a, doc_b""")),
+
+    // Edit-distance near-dup refinement — the character-level verifier
+    // layered on the token-level candidates: every ngram-Jaccard pair is
+    // re-scored with full Levenshtein distance (both engines implement
+    // the identical standard insert/delete/substitute DP) plus a
+    // normalized similarity. Running edit distance ONLY on verified
+    // candidates is the point at scale: Levenshtein is O(|a|·|b|) per
+    // pair, affordable on the bounded near-dup pair set, never on the
+    // corpus cross product. One extra equi-join per side fetches texts
+    // by doc_id — wide rows move only for the candidate pairs.
+    QuerySpec(
+      "dedup_editdistance",
       (s, dir) => {
-        // Set-as-array restructure (cf. dedup_minhash): bigrams explode to
-        // ROWS once (a Generate materializes the token array — crucial:
-        // higher-order-function lambdas are interpreted, so an inlined
-        // split() would re-run per element access), then ONE collect_set
-        // shuffle builds each doc's distinct gram set. The distinct
-        // (doc, gram) relation for df-counting re-explodes the SETS —
-        // no second pass over raw text. Candidates come from the slim
-        // blocking-key self-join; verification joins the two gram sets
-        // per pair and intersects in-place (array_intersect) instead of
-        // re-exploding the corpus into a 3-way join + pair groupBy.
-        // localCheckpoint for the same reason as minhashPairs: three
-        // consumers (blocking + both verify sides) over an unshared plan
-        // subtree would re-run the explode+md5+collect_set pipeline 3×.
-        val sets = bigramSets(s, dir).localCheckpoint()
-        val capped = ngramBlocks(sets)
-        val cand = capped.as("a").join(capped.as("b"),
-            col("a.blk") === col("b.blk") && col("a.sub") === col("b.sub") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        cand
-          .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("c").as("ca")), "da")
-          .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("c").as("cb")), "db")
-          .withColumn("ic", size(array_intersect(col("ga"), col("gb"))))
-          .withColumn("jaccard",
-            col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
-          .filter(col("jaccard") >= 0.3)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(col("jaccard"), 6).as("jaccard"))
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        ngramJaccardPairs(s, dir)
+          .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+          .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+          .withColumn("lev", levenshtein(col("ta"), col("tb")))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("lev"),
+            round(lit(1.0) - col("lev") / greatest(length(col("ta")), length(col("tb"))), 6)
+              .as("sim"))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
-              grams AS (
-                SELECT DISTINCT doc_id,
-                       ('0x'||SUBSTR(MD5(t[i] || ' ' || t[i+1]),1,8))::BIGINT AS h
-                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i FROM t WHERE LEN(t) >= 2)),
-              dfreq AS (SELECT h, COUNT(*) AS df FROM grams GROUP BY h),
-              keyed AS (
-                SELECT doc_id,
-                       MIN(LPAD(df::VARCHAR, 13, '0') || LPAD(h::VARCHAR, 10, '0')) AS blk
-                FROM grams JOIN dfreq USING (h) GROUP BY doc_id),
-              capped AS (
-                SELECT doc_id, blk,
-                       CASE WHEN COUNT(*) OVER (PARTITION BY blk) <= 64 THEN 0
-                            ELSE ('0x'||SUBSTR(MD5(doc_id::VARCHAR),1,8))::BIGINT
-                                 % CAST(CEIL(COUNT(*) OVER (PARTITION BY blk)/64.0) AS BIGINT) END AS sub
-                FROM keyed),
-              cand AS (
-                SELECT a.doc_id AS da, b.doc_id AS db FROM capped a
-                JOIN capped b ON a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id),
-              inter AS (
-                SELECT da, db, COUNT(*) AS ic FROM cand
-                JOIN grams ga ON ga.doc_id = da
-                JOIN grams gb ON gb.doc_id = db AND gb.h = ga.h
-                GROUP BY da, db),
-              sizes AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id)
-              SELECT da AS doc_a, db AS doc_b,
-                     ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
-              FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
-              WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3
+      Some(s"""WITH $NgramPairsCtes
+              SELECT p.da AS doc_a, p.db AS doc_b,
+                     CAST(LEVENSHTEIN(a.text, b.text) AS INT) AS lev,
+                     ROUND(CAST(1.0 AS DOUBLE)
+                           - LEVENSHTEIN(a.text, b.text)
+                             / GREATEST(LENGTH(a.text), LENGTH(b.text)), 6) AS sim
+              FROM npairs p
+              JOIN documents a ON a.doc_id = p.da
+              JOIN documents b ON b.doc_id = p.db
               ORDER BY doc_a, doc_b""")),
 
     // PageRank over the verified near-dup graph — the numeric-propagation
@@ -499,6 +512,42 @@ object DedupQueries {
     * pipeline — same hash, same (2i+1, 7919i) permutation seeds, same
     * band layout — ending in `jpairs(da, db, jaccard)`, the verified
     * near-dup pair relation. */
+  /** Shared DuckDB CTE chain reimplementing the rarest-gram-blocked
+    * bigram-Jaccard pipeline exactly (same hash, same 13+10 packed
+    * argmin key, same 64-doc sub-block cap), ending in
+    * `npairs(da, db, jaccard)` — the verified near-dup pair relation of
+    * `dedup_ngram_jaccard`, reused by `dedup_editdistance`. */
+  private lazy val NgramPairsCtes: String =
+    s"""t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\\s+') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x'||SUBSTR(MD5(t[i] || ' ' || t[i+1]),1,8))::BIGINT AS h
+       |  FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i FROM t WHERE LEN(t) >= 2)),
+       |dfreq AS (SELECT h, COUNT(*) AS df FROM grams GROUP BY h),
+       |keyed AS (
+       |  SELECT doc_id,
+       |         MIN(LPAD(df::VARCHAR, 13, '0') || LPAD(h::VARCHAR, 10, '0')) AS blk
+       |  FROM grams JOIN dfreq USING (h) GROUP BY doc_id),
+       |capped AS (
+       |  SELECT doc_id, blk,
+       |         CASE WHEN COUNT(*) OVER (PARTITION BY blk) <= 64 THEN 0
+       |              ELSE ('0x'||SUBSTR(MD5(doc_id::VARCHAR),1,8))::BIGINT
+       |                   % CAST(CEIL(COUNT(*) OVER (PARTITION BY blk)/64.0) AS BIGINT) END AS sub
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db FROM capped a
+       |  JOIN capped b ON a.blk = b.blk AND a.sub = b.sub AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT da, db, COUNT(*) AS ic FROM cand
+       |  JOIN grams ga ON ga.doc_id = da
+       |  JOIN grams gb ON gb.doc_id = db AND gb.h = ga.h
+       |  GROUP BY da, db),
+       |sizes AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id),
+       |npairs AS (
+       |  SELECT da, db, ROUND(CAST(ic AS DOUBLE) / (ca.c + cb.c - ic), 6) AS jaccard
+       |  FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
+       |  WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3)""".stripMargin
+
   private lazy val MinHashPairsCtes: String = {
     val mins = (0 until K).map(i => s"MIN((${2 * i + 1}*h+${7919L * i}) % $P) AS s$i").mkString(", ")
     val bands = (0 until Bands).map(j =>
