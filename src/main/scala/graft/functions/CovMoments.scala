@@ -29,6 +29,10 @@ object CovMoments extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
   override def zero: Array[Long] = new Array[Long](Tri + Dim + 1)
 
   override def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
+    // fail fast with a diagnosable message (the LshBandKeys convention)
+    // instead of an opaque iterator crash / silent truncation
+    require(q.length == Dim,
+      s"CovMoments expects $Dim-dim vectors, got ${q.length}")
     val a = new Array[Long](Dim)
     val it = q.iterator
     var i = 0

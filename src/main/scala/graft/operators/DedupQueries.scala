@@ -74,12 +74,6 @@ object DedupQueries {
       .select(col("doc_id"), col("blk"), col("sub"))
   }
 
-  /** Per-doc distinct word-bigram sets, 32-bit-HASHED (`doc_id`, `gs`
-    * array<long>, `c`): long shuffles and long-array intersections
-    * instead of carrying bigram TEXT through every stage (the
-    * shingleHashes design). md5-based h32 is engine-identical, so the
-    * oracle reproduces every hash; collisions (~|grams|/2³²) are
-    * deterministic and shared by both sides. */
   /** Verified near-dup pairs (da < db, jaccard ≥ 0.3, rounded) from the
     * rarest-gram-blocked bigram pipeline — shared by `dedup_ngram_jaccard`
     * (reports pairs) and `dedup_editdistance` (refines them).
@@ -114,6 +108,12 @@ object DedupQueries {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-doc distinct word-bigram sets, 32-bit-HASHED (`doc_id`, `gs`
+    * array<long>, `c`): long shuffles and long-array intersections
+    * instead of carrying bigram TEXT through every stage (the
+    * shingleHashes design). md5-based h32 is engine-identical, so the
+    * oracle reproduces every hash; collisions (~|grams|/2³²) are
+    * deterministic and shared by both sides. */
   private[operators] def bigramSets(s: SparkSession, dir: String): DataFrame = {
     // repartition on the aggregation key BEFORE the gram explosion: the
     // groupBy(doc_id) below would shuffle anyway, so this moves that

@@ -63,7 +63,7 @@ object ReaderQueries {
     * sf0.01/sf0.1 runs must not clobber each other, and two JVMs on the
     * SAME sf dir (Verify alongside Bench) must not race a non-atomic
     * truncate-then-write against an open reader. */
-  private def fixturePath(dir: String, name: String): String =
+  private[operators] def fixturePath(dir: String, name: String): String =
     fixtureRoot.resolve(
       java.lang.Integer.toHexString(dir.hashCode) + "_" + name).toString
 

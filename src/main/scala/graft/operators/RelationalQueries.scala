@@ -81,8 +81,9 @@ object RelationalQueries {
     QuerySpec(
       "scan_orc",
       (s, dir) => {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_orc_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+        // per-process, shutdown-cleaned fixture tree (cf. ReaderQueries:
+        // repeated runs must not strand files; two JVMs must not race)
+        val tmp = ReaderQueries.fixturePath(dir, "scan_orc")
         t(s, dir, "nation").coalesce(1)
           .write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
@@ -102,8 +103,7 @@ object RelationalQueries {
     QuerySpec(
       "scan_schema_merge",
       (s, dir) => {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_merge_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+        val tmp = ReaderQueries.fixturePath(dir, "scan_merge")
         t(s, dir, "nation").select("n_nationkey", "n_name").coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/gen=1")
         t(s, dir, "nation").select("n_nationkey", "n_regionkey").coalesce(1)
@@ -115,7 +115,7 @@ object RelationalQueries {
       },
       Some("""SELECT * FROM (
                 SELECT 1 AS gen, n_nationkey, n_name,
-                       CAST(NULL AS BIGINT) AS n_regionkey
+                       CAST(NULL AS INTEGER) AS n_regionkey
                 FROM nation
                 UNION ALL
                 SELECT 2 AS gen, n_nationkey, CAST(NULL AS VARCHAR) AS n_name,

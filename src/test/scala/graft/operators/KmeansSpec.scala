@@ -34,7 +34,10 @@ class KmeansSpec extends AnyFunSuite {
     val j21 = SimilarityQueries.kmObjective(v, a2, c1) // reassign improves matching
     val j22 = SimilarityQueries.kmObjective(v, a2, c2) // update improves again
     // each step minimizes the objective holding the other factor fixed;
-    // the 1e-6 slack covers the deliberate 6-decimal rounding grid
+    // the slack covers the 6-decimal rounding grid ACCUMULATED over the
+    // per-vector distance sum (n rounding steps of ≤5e-7 each) plus the
+    // partial-order noise of kmObjective's plain double sum — 1e-6 per
+    // term, so 1e-4 bounds corpora up to ~100k vectors with margin
     val eps = 1e-4
     assert(j11 <= j10 + eps, s"update increased objective: $j10 -> $j11")
     assert(j21 <= j11 + eps, s"assign increased objective: $j11 -> $j21")
