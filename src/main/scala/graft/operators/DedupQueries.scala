@@ -286,6 +286,73 @@ object DedupQueries {
           .otherwise(expr("CAST(array() AS array<string>)"))).as("s"))
       .select(col(keyCol), h32(col("s")).as("h"))
 
+  /** Per-doc 64-bit SimHash fingerprint as two independent 32-bit halves
+    * (`doc_id`, `hi`, `lo`) — md5 hex chars 1-8 and 9-16 feed two SimHash
+    * aggregations in ONE partial-aggregating pass (constant shuffle bytes
+    * per doc). Two longs < 2³² instead of one packed 64-bit value because
+    * `hi << 32 | lo` would overflow signed BIGINT on the DuckDB side for
+    * hi ≥ 2³¹; band keys and popcounts only ever need the halves. */
+  private[operators] def simhash64(s: SparkSession, dir: String): DataFrame = {
+    val simhash = udaf(graft.functions.SimHash)
+    docs(s, dir)
+      .repartition(col("doc_id")) // cf. bigramSets: exchange before the explode
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h_hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_lo"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(simhash(col("h_hi")).as("hi"), simhash(col("h_lo")).as("lo"))
+  }
+
+  /** DuckDB twin of [[simhash64]]: CTE chain ending in `sig(doc_id, hi, lo)`. */
+  private val Simhash64Ctes =
+    """tk AS (
+      |  SELECT DISTINCT doc_id,
+      |         ('0x'||SUBSTR(m,1,8))::BIGINT AS h_hi,
+      |         ('0x'||SUBSTR(m,9,8))::BIGINT AS h_lo
+      |  FROM (SELECT doc_id, MD5(UNNEST(STRING_SPLIT_REGEX(TRIM(text),'\s+'))) AS m
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         SUM(CASE WHEN (h_hi >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vh,
+      |         SUM(CASE WHEN (h_lo >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vl
+      |  FROM tk, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS b)
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vh > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS hi,
+      |         CAST(SUM(CASE WHEN vl > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Manku 4×16-bit-band pigeonhole pairing over the 64-bit fingerprint:
+    * every pair within hamming distance ≤ 3, found by exact-matching at
+    * least one band (pigeonhole: ≤ 3 flipped bits leave ≥ 1 of 4 bands
+    * intact) and verified with the exact popcount. Output
+    * `(doc_a, doc_b, hamming)`, totally ordered. Exposed so
+    * SimhashPairsSpec can assert band-recall == brute-force recall. */
+  private[operators] def simhashBandPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "k")))
+    val l = banded.select(col("b"), col("k"), col("doc_id").as("doc_a"),
+      col("hi").as("ha"), col("lo").as("la"))
+    val r = banded.select(col("b"), col("k"), col("doc_id").as("doc_b"),
+      col("hi").as("hb"), col("lo").as("lb"))
+    l.join(r, Seq("b", "k"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Exact dedup: group by content digest, keep the smallest doc_id.
@@ -389,6 +456,42 @@ object DedupQueries {
               SELECT doc_id,
                      CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // SimHash near-dup PAIRING — the scale path that turns fingerprints
+    // into a dedup decision (Manku/Jain/Sarma, WWW'07, the web-crawl
+    // dedup algorithm). A WIDER 64-bit fingerprint (two independent
+    // 32-bit md5-bridge halves, hex chars 1-8 and 9-16) split into 4
+    // bands of 16 bits: any pair within hamming distance ≤ 3 flips bits
+    // in at most 3 bands, so pigeonhole guarantees an EXACT match on at
+    // least one — the band equi-join finds every such pair with zero
+    // recall loss and never scans n². 16-bit bands give 65 536 buckets
+    // per band, so random (non-dup) collisions are ~n²/65 536 per band —
+    // the knob that scales: at larger n, widen the fingerprint and bands
+    // again (Manku's crawl corpus used 64-bit fingerprints exactly this
+    // way). Candidates are verified with exact popcounts
+    // (bit_count(xor(hi))+bit_count(xor(lo))) before pairs survive; both
+    // engines compute identical integer band keys and popcounts, so the
+    // pair set hash-matches exactly. The 8-bit-band variant over the
+    // 32-bit fingerprint was measured and rejected: dup families plus
+    // 256-value band keyspaces put Σ|bucket|² above n²/2 at sf0.001.
+    QuerySpec(
+      "dedup_simhash_pairs",
+      (s, dir) => simhashBandPairs(simhash64(s, dir)),
+      Some(s"""WITH $Simhash64Ctes,
+              banded AS (
+                SELECT doc_id, hi, lo, b,
+                       CASE b WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS k
+                FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b)),
+              pairs AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                       CAST(BIT_COUNT(XOR(l.hi, r.hi)) + BIT_COUNT(XOR(l.lo, r.lo)) AS INTEGER) AS hamming
+                FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k
+                WHERE l.doc_id < r.doc_id)
+              SELECT doc_a, doc_b, hamming FROM pairs
+              WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
 
     // Blocked word-bigram Jaccard: each doc's blocking key is its RAREST
     // bigram (globally lowest document frequency, ties broken

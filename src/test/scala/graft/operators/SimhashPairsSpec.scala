@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the Manku 4×16-bit-band SimHash pairing behind
+  * `dedup_simhash_pairs`: the band equi-join must find EXACTLY the pairs
+  * a brute-force all-pairs popcount finds at hamming ≤ 3 over the 64-bit
+  * fingerprint (pigeonhole: ≤ 3 flipped bits leave at least one of 4
+  * bands intact, so band blocking loses nothing), while the candidate
+  * volume it materializes stays bounded by the genuine near-dup pair
+  * mass plus the 1/65 536-rate random band collisions — NOT by n².
+  */
+class SimhashPairsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("band pairing equals brute-force hamming<=3 and prunes the pair space") {
+    val sigs = DedupQueries.simhash64(spark, dir).cache()
+    try {
+      val n = sigs.count()
+      val banded = DedupQueries.simhashBandPairs(sigs)
+
+      val l = sigs.select(col("doc_id").as("doc_a"), col("hi").as("ha"), col("lo").as("la"))
+      val r = sigs.select(col("doc_id").as("doc_b"), col("hi").as("hb"), col("lo").as("lb"))
+      val brute = l.crossJoin(r)
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("int").as("hamming"))
+        .where(col("hamming") <= 3)
+
+      assert(banded.exceptAll(brute).isEmpty, "band pairing invented a pair")
+      assert(brute.exceptAll(banded).isEmpty,
+        "band pairing missed a hamming<=3 pair — pigeonhole broken")
+
+      // The prune that makes this the scale path. Σ pairs-per-bucket over
+      // the 4×65 536 band buckets is the join's candidate volume. Its
+      // floor is NOT just true pairs + uniform-random collisions
+      // (4·n²/65 536 ≈ 61 here): simhash bits are correlated with topic
+      // similarity by design, so template families agree on whole bands
+      // without being near-dups — measured on this corpus, one
+      // weakly-similar cluster of 161/500 docs contributes half the
+      // volume. That mass tracks corpus self-similarity (the thing the
+      // verify popcount exists to reject), and the production knob
+      // against it is the same one Manku ships: widen fingerprint and
+      // bands. Assert the volume stays a real prune of the all-pairs
+      // space — measured 25 474 vs 124 750 (×4.9); the 8-bit-band
+      // variant FAILED this at 207 600 ordered candidates (> n²/2).
+      val candidates = sigs
+        .select(posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+          col("hi").bitwiseAND(lit(65535L)),
+          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "k")))
+        .groupBy("b", "k").count()
+        .agg(sum(col("count") * (col("count") - 1))).collect()(0).getLong(0) / 2
+      assert(candidates <= n * (n - 1) / 8,
+        s"candidate volume $candidates is not a real prune of all-pairs ${n * (n - 1) / 2}")
+    } finally sigs.unpersist()
+  }
+}
