@@ -332,7 +332,13 @@ object DedupQueries {
     * intact) and verified with the exact popcount. Output
     * `(doc_a, doc_b, hamming)`, totally ordered. Exposed so
     * SimhashPairsSpec can assert band-recall == brute-force recall. */
-  private[operators] def simhashBandPairs(sigs: DataFrame): DataFrame = {
+  private[operators] def simhashBandPairs(rawSigs: DataFrame): DataFrame = {
+    // localCheckpoint for the same reason as minhashPairs: both sides of
+    // the band self-join consume the fingerprint relation, and without a
+    // barrier each side re-runs the full tokenize+distinct+aggregate
+    // pipeline (the r01 LSH recomputation trap). The checkpointed
+    // relation is 3 longs per doc — negligible to pin.
+    val sigs = rawSigs.localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
       posexplode(array(
         col("lo").bitwiseAND(lit(65535L)),
