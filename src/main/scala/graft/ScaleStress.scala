@@ -13,27 +13,38 @@ import org.apache.spark.sql.functions._
   *
   * Corpus construction (deterministic, no RNG):
   * - `documents`: m copies, `doc_id` offset by copy stride; every TOKEN
-  *   suffixed with the copy index so copy i and copy j share zero grams
-  *   — within-copy df distributions (and thus blocking behavior) are
-  *   preserved exactly, but cross-copy near-dup pairs cannot exist,
-  *   which is what sampling m× more real documents looks like to a
-  *   dedup pipeline. A plain text copy would instead multiply every
-  *   dup-family size by m and the PAIR OUTPUT ITSELF would grow m² —
-  *   measuring that would confound output growth with algorithmic
-  *   growth.
+  *   (maximal \S+ run, whitespace preserved byte-for-byte) suffixed with
+  *   the copy index so copy i and copy j share zero grams — within-copy
+  *   text structure, df distributions, and dup families are preserved
+  *   exactly, but cross-copy near-dup pairs cannot exist, which is what
+  *   sampling m× more real documents looks like to a dedup pipeline. A
+  *   plain text copy would instead multiply every dup-family size by m
+  *   and the PAIR OUTPUT ITSELF would grow m² — measuring that would
+  *   confound output growth with algorithmic growth. `n_chars` is
+  *   recomputed from the suffixed text so the table stays internally
+  *   consistent for the text_* queries.
   * - `embeddings`: m copies with `vec_id` offset, vectors unchanged —
   *   same cluster/bucket geometry at m× the density, which is how more
   *   data from the same distribution lands in IVF/LSH structures.
   *
+  * Both sides of every ratio read SPARK-WRITTEN parquet: the 1× corpus
+  * is rewritten through the same writer as the m× one, so t1 and tm see
+  * identical file layout / row-group parallelism and the ratio isolates
+  * query cost (the driver-generated originals are single-row-group files
+  * that scan as one task — timing those against a 32-file scaled dir
+  * would bias every ratio low and mask degeneration).
+  *
   * Run: `sbt "runMain graft.ScaleStress [baseSfDir] [multiplier] [prefixCsv]"`.
-  * Dev tool like PlanAudit — not part of the driver contract.
+  * Dev tool like PlanAudit — not part of the driver contract. Queries
+  * touching tables other than documents/embeddings report -1 (the
+  * scaled dir holds only those two).
   */
 object ScaleStress {
 
   /** Queries whose cost could go superlinear in corpus size. */
   private val DefaultPrefixes = Seq(
-    "dedup_", "topk_similarity", "embedding_", "text_tfidf", "text_bm25",
-    "graph_pagerank")
+    "dedup_", "topk_similarity", "embedding_", "text_", "pipeline_curate",
+    "graph_")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -44,54 +55,78 @@ object ScaleStress {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft-scale-${mult}x"
-    writeScaled(spark, baseDir, scaledDir, mult)
+    val oneDir = scaledDir(baseDir, 1)
+    val mDir = scaledDir(baseDir, mult)
+    writeScaled(spark, baseDir, oneDir, 1)
+    writeScaled(spark, baseDir, mDir, mult)
 
     val queries = Registry.all.filter(q => prefixes.exists(q.name.startsWith))
+    if (queries.isEmpty) { println(s"no queries match $prefixes"); spark.stop(); return }
     println(f"${"query"}%-28s ${"t1(s)"}%8s ${"tm(s)"}%8s ${"ratio"}%7s ${"rows1"}%9s ${"rowsM"}%9s")
     val rows = queries.map { q =>
       val fn = q.bench.getOrElse(q.run)
-      val (t1, r1) = time(fn(spark, baseDir))
-      val (tm, rm) = time(fn(spark, scaledDir))
-      val ratio = tm / t1
+      val (t1, r1) = time(fn(spark, oneDir))
+      val (tm, rm) = time(fn(spark, mDir))
+      val ratio = if (t1 > 0 && tm >= 0) tm / t1 else -1.0
       println(f"${q.name}%-28s $t1%8.2f $tm%8.2f $ratio%7.2f $r1%9d $rm%9d")
       (q.name, t1, tm, ratio)
     }
-    val worst = rows.maxBy(_._4)
-    println(f"\nmultiplier=$mult worst ratio: ${worst._1} ×${worst._4}%.2f " +
-      f"(linear=~$mult, quadratic=~${mult * mult})")
+    val ok = rows.filter(_._4 >= 0)
+    if (ok.nonEmpty) {
+      val worst = ok.maxBy(_._4)
+      println(f"\nmultiplier=$mult worst ratio: ${worst._1} ×${worst._4}%.2f " +
+        f"(linear=~$mult, quadratic=~${mult * mult}); " +
+        f"${rows.length - ok.length} queries skipped (-1: failed or needs other tables)")
+    }
     spark.stop()
   }
 
-  /** best-of-2 wall-clock + row count (same steady-state rationale as Bench). */
+  /** best-of-2 wall-clock + row count (same steady-state rationale as
+    * Bench); a failing query reports (-1, -1) and never aborts the audit
+    * (cf. Bench's per-query isolation). */
   private def time(df: => DataFrame): (Double, Long) = {
     var rows = 0L
-    val t = (1 to 2).map { _ =>
-      System.gc()
-      val t0 = System.nanoTime()
-      rows = df.count()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    (t, rows)
+    try {
+      val t = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        rows = df.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (t, rows)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"SCALE FAIL: ${e.getMessage}")
+        (-1.0, -1L)
+    }
+  }
+
+  /** Output dir keyed on BOTH the base corpus and the multiplier so runs
+    * against a different base (or regenerated testdata) never reuse a
+    * stale scaled corpus. */
+  private def scaledDir(baseDir: String, mult: Int): String = {
+    val key = java.lang.Integer.toHexString(baseDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft-scale-$key-${mult}x"
   }
 
   private def writeScaled(
       spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_DONE_$mult")
+    val marker = new java.io.File(s"$outDir/_DONE")
     if (marker.exists()) return
     val docs = Tables(spark, baseDir, "documents")
     val stride = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
     val docsM = (0 until mult).map { i =>
+      // suffix every \S+ run in place — whitespace untouched, so copy 0
+      // is byte-identical to the base and copies i≥1 differ ONLY in the
+      // per-token suffix (no token merging/splitting artifacts)
+      val text =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1·$i")
       docs.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
-        // suffix every token with the copy index (copy 0 unchanged so the
-        // base corpus embeds verbatim)
-        (if (i == 0) col("text")
-         else array_join(
-           transform(split(col("text"), "\\s+"), t => concat(t, lit(s"·$i"))),
-           " ")).as("text"),
+        text.as("text"),
         col("lang"), col("source"),
-        col("n_chars"))
+        length(text).cast("long").as("n_chars"))
     }.reduce(_.unionAll(_))
     docsM.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = Tables(spark, baseDir, "embeddings")
@@ -101,7 +136,6 @@ object ScaleStress {
         col("embedding"), col("label"))
     }.reduce(_.unionAll(_))
     embM.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    marker.getParentFile.mkdirs()
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
   }
 }

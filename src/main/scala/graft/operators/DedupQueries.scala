@@ -332,6 +332,18 @@ object DedupQueries {
     * intact) and verified with the exact popcount. Output
     * `(doc_a, doc_b, hamming)`, totally ordered. Exposed so
     * SimhashPairsSpec can assert band-recall == brute-force recall. */
+  /** The 4×16-bit band keys of the (hi, lo) fingerprint, band order
+    * fixed = (lo low, lo high, hi low, hi high) — the SINGLE definition
+    * of the band layout, shared by the pairing query and
+    * SimhashPairsSpec's candidate-volume audit so the spec can never
+    * measure a layout the query no longer uses. Mirrors the CASE ladder
+    * in the dedup_simhash_pairs DuckDB oracle. */
+  private[operators] def simhashBandKeys: Column = array(
+    col("lo").bitwiseAND(lit(65535L)),
+    shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+    col("hi").bitwiseAND(lit(65535L)),
+    shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))
+
   private[operators] def simhashBandPairs(rawSigs: DataFrame): DataFrame = {
     // localCheckpoint for the same reason as minhashPairs: both sides of
     // the band self-join consume the fingerprint relation, and without a
@@ -340,11 +352,7 @@ object DedupQueries {
     // relation is 3 longs per doc — negligible to pin.
     val sigs = rawSigs.localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
-      posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-        col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "k")))
+      posexplode(simhashBandKeys).as(Seq("b", "k")))
     val l = banded.select(col("b"), col("k"), col("doc_id").as("doc_a"),
       col("hi").as("ha"), col("lo").as("la"))
     val r = banded.select(col("b"), col("k"), col("doc_id").as("doc_b"),

@@ -50,11 +50,7 @@ class SimhashPairsSpec extends AnyFunSuite {
       // space — measured 25 474 vs 124 750 (×4.9); the 8-bit-band
       // variant FAILED this at 207 600 ordered candidates (> n²/2).
       val candidates = sigs
-        .select(posexplode(array(
-          col("lo").bitwiseAND(lit(65535L)),
-          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-          col("hi").bitwiseAND(lit(65535L)),
-          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "k")))
+        .select(posexplode(DedupQueries.simhashBandKeys).as(Seq("b", "k")))
         .groupBy("b", "k").count()
         .agg(sum(col("count") * (col("count") - 1))).collect()(0).getLong(0) / 2
       assert(candidates <= n * (n - 1) / 8,
