@@ -306,25 +306,43 @@ object DedupQueries {
       .agg(simhash(col("h_hi")).as("hi"), simhash(col("h_lo")).as("lo"))
   }
 
-  /** DuckDB twin of [[simhash64]]: CTE chain ending in `sig(doc_id, hi, lo)`. */
-  private val Simhash64Ctes =
-    """tk AS (
-      |  SELECT DISTINCT doc_id,
-      |         ('0x'||SUBSTR(m,1,8))::BIGINT AS h_hi,
-      |         ('0x'||SUBSTR(m,9,8))::BIGINT AS h_lo
-      |  FROM (SELECT doc_id, MD5(UNNEST(STRING_SPLIT_REGEX(TRIM(text),'\s+'))) AS m
-      |        FROM documents)),
-      |bits AS (
-      |  SELECT doc_id, b,
-      |         SUM(CASE WHEN (h_hi >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vh,
-      |         SUM(CASE WHEN (h_lo >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vl
-      |  FROM tk, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS b)
-      |  GROUP BY doc_id, b),
-      |sig AS (
-      |  SELECT doc_id,
-      |         CAST(SUM(CASE WHEN vh > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS hi,
-      |         CAST(SUM(CASE WHEN vl > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
-      |  FROM bits GROUP BY doc_id)""".stripMargin
+  /** DuckDB twin of [[simhash64]] + [[simhashBandPairs]]: CTE chain ending
+    * in `<p>pairs(doc_a, doc_b, hamming)` (hamming ≤ 3 already applied).
+    * CTE names carry prefix `p` so the chain composes with other oracle
+    * chains (the ensemble-components oracle joins it to the MinHash
+    * chain, which owns the unprefixed `sig`). */
+  private def simhashPairCtes(p: String): String =
+    s"""${p}tk AS (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x'||SUBSTR(m,1,8))::BIGINT AS h_hi,
+       |         ('0x'||SUBSTR(m,9,8))::BIGINT AS h_lo
+       |  FROM (SELECT doc_id, MD5(UNNEST(STRING_SPLIT_REGEX(TRIM(text),'\\s+'))) AS m
+       |        FROM documents)),
+       |${p}bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (h_hi >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vh,
+       |         SUM(CASE WHEN (h_lo >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vl
+       |  FROM ${p}tk, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS b)
+       |  GROUP BY doc_id, b),
+       |${p}sig AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN vh > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(SUM(CASE WHEN vl > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM ${p}bits GROUP BY doc_id),
+       |${p}banded AS (
+       |  SELECT doc_id, hi, lo, b,
+       |         CASE b WHEN 0 THEN lo & 65535
+       |                WHEN 1 THEN (lo >> 16) & 65535
+       |                WHEN 2 THEN hi & 65535
+       |                ELSE (hi >> 16) & 65535 END AS k
+       |  FROM ${p}sig, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b)),
+       |${p}pairs AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |           CAST(BIT_COUNT(XOR(l.hi, r.hi)) + BIT_COUNT(XOR(l.lo, r.lo)) AS INTEGER) AS hamming
+       |    FROM ${p}banded l JOIN ${p}banded r ON l.b = r.b AND l.k = r.k
+       |    WHERE l.doc_id < r.doc_id)
+       |  WHERE hamming <= 3)""".stripMargin
 
   /** Manku 4×16-bit-band pigeonhole pairing over the 64-bit fingerprint:
     * every pair within hamming distance ≤ 3, found by exact-matching at
@@ -491,21 +509,31 @@ object DedupQueries {
     QuerySpec(
       "dedup_simhash_pairs",
       (s, dir) => simhashBandPairs(simhash64(s, dir)),
-      Some(s"""WITH $Simhash64Ctes,
-              banded AS (
-                SELECT doc_id, hi, lo, b,
-                       CASE b WHEN 0 THEN lo & 65535
-                              WHEN 1 THEN (lo >> 16) & 65535
-                              WHEN 2 THEN hi & 65535
-                              ELSE (hi >> 16) & 65535 END AS k
-                FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b)),
-              pairs AS (
-                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                       CAST(BIT_COUNT(XOR(l.hi, r.hi)) + BIT_COUNT(XOR(l.lo, r.lo)) AS INTEGER) AS hamming
-                FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k
-                WHERE l.doc_id < r.doc_id)
+      Some(s"""WITH ${simhashPairCtes("")}
               SELECT doc_a, doc_b, hamming FROM pairs
-              WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
+              ORDER BY doc_a, doc_b""")),
+
+    // Ensemble near-dup clustering — components over the UNION of the two
+    // independent pair signals (MinHash-verified Jaccard ≥ 0.2 edges and
+    // SimHash hamming ≤ 3 edges), the shape production dedup takes when
+    // no single signal has full recall: token-set overlap and weighted
+    // bit-profile proximity fail on DIFFERENT near-dup classes, and a
+    // doc pair caught by either belongs in the same discard family. Pure
+    // composition of already-verified pieces — both pair generators and
+    // the label-propagation loop run unchanged, the union adds one
+    // distinct over (long, long) edges — so the plan stays blocked
+    // end-to-end (no new quadratic surface at any corpus size).
+    QuerySpec(
+      "dedup_ensemble_components",
+      (s, dir) => {
+        val mh = minhashPairs(s, dir).select(col("da"), col("db"))
+        val sh = simhashBandPairs(simhash64(s, dir))
+          .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        connectedComponents(mh.unionAll(sh).distinct())
+          .select(col("id").as("doc_id"), col("lbl").as("component"))
+          .orderBy("doc_id")
+      },
+      Some(EnsembleComponentsOracle)),
 
     // Blocked word-bigram Jaccard: each doc's blocking key is its RAREST
     // bigram (globally lowest document frequency, ties broken
@@ -699,6 +727,24 @@ object DedupQueries {
   private lazy val ComponentsOracle: String =
     s"""WITH RECURSIVE $MinHashPairsCtes,
        |e2 AS (SELECT da, db FROM jpairs UNION ALL SELECT db AS da, da AS db FROM jpairs),
+       |reach AS (
+       |  SELECT da AS src, db AS dst FROM e2
+       |  UNION
+       |  SELECT r.src, e.db AS dst FROM reach r JOIN e2 e ON e.da = r.dst),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[ComponentsOracle]] over the MinHash ∪ SimHash edge union —
+    * the `sm_` prefix keeps the simhash chain's CTE names clear of the
+    * MinHash chain's (which owns the unprefixed `sig`). */
+  private lazy val EnsembleComponentsOracle: String =
+    s"""WITH RECURSIVE $MinHashPairsCtes,
+       |${simhashPairCtes("sm_")},
+       |edges AS (SELECT da, db FROM jpairs
+       |          UNION SELECT doc_a AS da, doc_b AS db FROM sm_pairs),
+       |e2 AS (SELECT da, db FROM edges UNION ALL SELECT db AS da, da AS db FROM edges),
        |reach AS (
        |  SELECT da AS src, db AS dst FROM e2
        |  UNION

@@ -146,6 +146,27 @@ object ReaderQueries {
                      CAST(n_regionkey AS BIGINT) AS n_regionkey
               FROM nation ORDER BY n_nationkey""")),
 
+    // text: `spark.read.text` — the rawest line-oriented source (one
+    // string column per line, no schema inference), the shape of raw
+    // web-crawl / log corpora before any structure is imposed. Newline
+    // framing makes it fully splittable at 100 TB; the delimiter parse
+    // here is the canonical first transform such a scan feeds.
+    QuerySpec(
+      "scan_text",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.txt")
+        graft.sources.FormatWriters.writeTextLines(path, nationRows(s, dir))
+        val f = split(col("value"), "\\|")
+        s.read.text(path)
+          .select(f.getItem(0).cast("long").as("n_nationkey"),
+            f.getItem(1).as("n_name"),
+            f.getItem(2).cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // xlsx: zip + sheet XML + inline strings → XlsxReader (reference:
     // core_processor.rs:419-424 st_read xlsx). Header row becomes column
     // names; numeric cells infer to long.

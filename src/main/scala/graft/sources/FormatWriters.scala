@@ -50,6 +50,19 @@ object FormatWriters {
     Files.write(Paths.get(path), body.getBytes(UTF_8)): Unit
   }
 
+  /** (key, name, region) rows → pipe-delimited plain-text lines (the
+    * schemaless one-record-per-line shape `spark.read.text` ingests).
+    * Guards against a delimiter or newline inside the name — nation
+    * names never contain either, and a corrupted fixture must fail
+    * loudly rather than silently mis-split. */
+  def writeTextLines(path: String, rows: Seq[(Long, String, Long)]): Unit = {
+    val body = rows.map { case (k, n, r) =>
+      require(!n.contains('|') && !n.contains('\n'), s"delimiter in name: $n")
+      s"$k|$n|$r"
+    }.mkString("\n")
+    Files.write(Paths.get(path), body.getBytes(UTF_8)): Unit
+  }
+
   private def jsonString(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
