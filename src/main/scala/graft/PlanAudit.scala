@@ -29,8 +29,9 @@ object PlanAudit {
       val flags = Seq(
         "cartesian" -> plan.toLowerCase.contains("cartesianproduct"),
         "bnlj" -> plan.contains("BroadcastNestedLoopJoin"),
-        "no-codegen-scan" -> (!plan.contains("Scan parquet") && !plan.contains("Scan csv") &&
-          !plan.contains("Scan ExistingRDD") && !plan.contains("LocalTableScan")),
+        "no-codegen-scan" -> !Seq("Scan parquet", "Scan csv", "Scan json",
+          "Scan orc", "Scan text", "Scan binaryFile", "Scan ExistingRDD",
+          "LocalTableScan").exists(plan.contains),
         "python-udf" -> plan.contains("Python"),
       ).collect { case (f, true) => f }
       val nCodegen = "codegen id : (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
