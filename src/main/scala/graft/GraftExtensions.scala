@@ -11,23 +11,18 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-  import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, StringType}
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.IntegerType
   import graft.functions.GeoKernelExpressions
   import graft.functions.GeoKernelExpressions._
 
-  /** The native expressions check input types strictly (ExpectsInputTypes
-    * is private[sql], so Catalyst inserts no implicit casts for them),
-    * while the no-extensions UDF fallback coerces automatically — without
-    * this, `st_point_wkt(1, 2)` with integer literals fails analysis on
-    * one SQL surface and succeeds on the other. An explicit Cast makes
-    * both surfaces coerce identically; when the argument already has the
-    * target type, SimplifyCasts removes it, so resolved plans (and oracle
-    * hashes) are unchanged. */
-  private def coerce(e: Expression, to: DataType): Expression = Cast(e, to)
-  private def asD(e: Expression): Expression = coerce(e, DoubleType)
-  private def asS(e: Expression): Expression = coerce(e, StringType)
-  private def asB(e: Expression): Expression = coerce(e, BinaryType)
+  // Argument coercion (st_point_wkt(1, 2) with integer literals etc.)
+  // lives on the expressions themselves: each mixes in
+  // ImplicitCastInputTypes, so the analyzer's ImplicitTypeCasts rule
+  // inserts the casts for ANY construction path — SQL text through this
+  // extension, direct Column-API construction, or the UDF fallback —
+  // identically. (An earlier revision cast here in the builders, which
+  // covered only the SQL-text path.)
 
   private def arity(name: String, n: Int)(
       b: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -64,18 +59,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // The geo scalar kernel for SQL-text callers — the same native
     // codegen expressions the Column API builds (GeoFunctions.register's
     // UDF wrappers remain only as the no-extensions fallback).
-    ext.injectFunction(arity("st_point_wkt", 2)(c => StPointWkt(asD(c(0)), asD(c(1)))))
-    ext.injectFunction(arity("st_astext_wkb", 1)(c => StAsTextFromWkb(asB(c(0)))))
-    ext.injectFunction(arity("st_astext_wkt", 1)(c => StAsTextFromWkt(asS(c(0)))))
-    ext.injectFunction(arity("st_astext_hexwkb", 1)(c => StAsTextFromHexWkb(asS(c(0)))))
+    ext.injectFunction(arity("st_point_wkt", 2)(c => StPointWkt(c(0), c(1))))
+    ext.injectFunction(arity("st_astext_wkb", 1)(c => StAsTextFromWkb(c(0))))
+    ext.injectFunction(arity("st_astext_wkt", 1)(c => StAsTextFromWkt(c(0))))
+    ext.injectFunction(arity("st_astext_hexwkb", 1)(c => StAsTextFromHexWkb(c(0))))
     ext.injectFunction(arity("st_point_transform_wkt", 4)(c =>
-      StPointTransformWkt(asD(c(0)), asD(c(1)), epsg(c(2)), epsg(c(3)))))
+      StPointTransformWkt(c(0), c(1), epsg(c(2)), epsg(c(3)))))
     ext.injectFunction(arity("st_transform_wkb_wkt", 3)(c =>
-      StTransformWkbToWkt(asB(c(0)), epsg(c(1)), epsg(c(2)))))
+      StTransformWkbToWkt(c(0), epsg(c(1)), epsg(c(2)))))
     ext.injectFunction(arity("st_transform_wkt_wkt", 3)(c =>
-      StTransformWktToWkt(asS(c(0)), epsg(c(1)), epsg(c(2)))))
-    ext.injectFunction(arity("st_centroid_x_wkt", 1)(c => CentroidFromWkt(asS(c(0)), axisX = true)))
-    ext.injectFunction(arity("st_centroid_y_wkt", 1)(c => CentroidFromWkt(asS(c(0)), axisX = false)))
-    ext.injectFunction(arity("infer_crs", 4)(c => InferCrs(c.map(asD))))
+      StTransformWktToWkt(c(0), epsg(c(1)), epsg(c(2)))))
+    ext.injectFunction(arity("st_centroid_x_wkt", 1)(c => CentroidFromWkt(c(0), axisX = true)))
+    ext.injectFunction(arity("st_centroid_y_wkt", 1)(c => CentroidFromWkt(c(0), axisX = false)))
+    ext.injectFunction(arity("infer_crs", 4)(c => InferCrs(c)))
   }
 }

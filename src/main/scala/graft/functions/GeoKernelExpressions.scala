@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,20 +75,17 @@ object GeoKernelExpressions {
     UTF8String.fromString(CrsInference.inferCrsFromRanges(xmn, xmx, ymn, ymx))
 
   // ---- expressions ----
-
-  private def requireTypes(e: Expression, expected: Seq[DataType]): TypeCheckResult = {
-    val actual = e.children.map(_.dataType)
-    if (actual == expected) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"${e.prettyName} expects ${expected.map(_.simpleString).mkString("(", ", ", ")")}, " +
-        s"got ${actual.map(_.simpleString).mkString("(", ", ", ")")}")
-  }
+  //
+  // All expressions mix in ImplicitCastInputTypes so the analyzer's
+  // ImplicitTypeCasts rule coerces compatible literals — `st_point_wkt(1,
+  // 2)` through GraftExtensions now analyzes exactly like the registered
+  // UDF surface (which coerces via ScalaUDF input encoders) instead of
+  // failing the strict type check the UDF surface would have accepted.
 
   /** `ST_AsText(ST_Force2D(ST_Point(x, y)))` (geo_strategy.rs:322-331). */
   case class StPointWkt(left: Expression, right: Expression)
-      extends BinaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireTypes(this, Seq(DoubleType, DoubleType))
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override def dataType: DataType = StringType
     override def nullSafeEval(x: Any, y: Any): Any =
       pointWkt(x.asInstanceOf[Double], y.asInstanceOf[Double])
@@ -103,9 +99,8 @@ object GeoKernelExpressions {
   /** Coordinate pair + reprojection (geo_strategy.rs:333-340); NULL when
     * the transform has no closed form for the pair. */
   case class StPointTransformWkt(left: Expression, right: Expression,
-      srcEpsg: Int, dstEpsg: Int) extends BinaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireTypes(this, Seq(DoubleType, DoubleType))
+      srcEpsg: Int, dstEpsg: Int) extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def nullSafeEval(x: Any, y: Any): Any =
@@ -127,10 +122,9 @@ object GeoKernelExpressions {
     * the no-arg constructor of the closest non-serializable ancestor,
     * which this abstract class is (only the concrete case classes get
     * Serializable synthesized). */
-  abstract class UnaryGeoText extends UnaryExpression {
+  abstract class UnaryGeoText extends UnaryExpression with ImplicitCastInputTypes {
     protected def inType: DataType
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireTypes(this, Seq(inType))
+    override def inputTypes: Seq[DataType] = Seq(inType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     /** Emitted helper invocation for codegen, e.g. `"asTextFromWkb($c)"`. */
@@ -196,9 +190,8 @@ object GeoKernelExpressions {
 
   /** Centroid X or Y of a WKT geometry (NULL on parse failure). */
   case class CentroidFromWkt(child: Expression, axisX: Boolean)
-      extends UnaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireTypes(this, Seq(StringType))
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(s: Any): Any =
@@ -217,9 +210,8 @@ object GeoKernelExpressions {
   /** Spherical Web-Mercator per-axis forward/inverse — pure inline math
     * (identical operation sequence to [[CrsTransform]]'s scalar forms). */
   case class WebMercatorAxis(child: Expression, axisX: Boolean, forward: Boolean)
-      extends UnaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireTypes(this, Seq(DoubleType))
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(DoubleType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(v: Any): Any = {
       val d = v.asInstanceOf[Double]
@@ -246,10 +238,10 @@ object GeoKernelExpressions {
   }
 
   /** CRS classification from coordinate ranges (geo_strategy.rs:228-253). */
-  case class InferCrs(children: Seq[Expression]) extends Expression {
+  case class InferCrs(children: Seq[Expression]) extends Expression
+      with ImplicitCastInputTypes {
     require(children.length == 4, "infer_crs(xmn, xmx, ymn, ymx)")
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireTypes(this, Seq.fill(4)(DoubleType))
+    override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = children.exists(_.nullable)
     override def foldable: Boolean = children.forall(_.foldable)

@@ -1048,13 +1048,16 @@ object RelationalQueries {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+            // `+ 0.0` collapses IEEE -0.0 to +0.0 on the negative-capable
+            // columns — a corr/covar in (-5e-7, 0) rounds to negative zero
+            // under DuckDB's ROUND but not Spark's BigDecimal round
+            (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_qp"),
+            (round(covar_samp(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("cov_qd"),
             round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-                     ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
-                     ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qd,
+                     ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+                     ROUND(COVAR_SAMP(l_quantity, l_discount), 6) + 0.0 AS cov_qd,
                      ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 

@@ -58,7 +58,7 @@ object SimilarityQueries {
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
              ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
-                   / (q.nrm * c.nrm), 6) AS sim
+                   / (q.nrm * c.nrm), 6) + 0.0 AS sim
       FROM n q JOIN n c ON q.vec_id != c.vec_id %s
       WHERE q.vec_id < 16
     )
@@ -168,7 +168,9 @@ object SimilarityQueries {
         q.join(c, col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     joined
-      .withColumn("sim", round(dot(col("q_e"), col("c_e")) / (col("q_nrm") * col("c_nrm")), 6))
+      // `+ 0.0` mirrors the oracle's IEEE -0.0 → +0.0 normalization (a
+      // cosine in (-5e-7, 0) rounds to negative zero under DuckDB's ROUND)
+      .withColumn("sim", round(dot(col("q_e"), col("c_e")) / (col("q_nrm") * col("c_nrm")), 6) + lit(0.0))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select("query_id", "neighbor_id", "sim")
@@ -224,7 +226,7 @@ object SimilarityQueries {
           .join(n.as("q"), col("q.vec_id") === col("query_id"))
           .join(n.as("c"), col("c.vec_id") === col("neighbor_id"))
           .withColumn("sim",
-            round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 6))
+            round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 6) + lit(0.0))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select("query_id", "neighbor_id", "sim")
@@ -258,7 +260,7 @@ object SimilarityQueries {
               pairs AS (
                 SELECT query_id, neighbor_id,
                        ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
-                             / (q.nrm * c.nrm), 6) AS sim
+                             / (q.nrm * c.nrm), 6) + 0.0 AS sim
                 FROM cand JOIN n q ON q.vec_id = query_id
                           JOIN n c ON c.vec_id = neighbor_id)
               SELECT query_id, neighbor_id, sim FROM (
@@ -306,7 +308,7 @@ object SimilarityQueries {
           .join(n.as("q2"), col("q2.vec_id") === col("query_id"))
           .join(n.as("c2"), col("c2.vec_id") === col("neighbor_id"))
           .withColumn("sim",
-            round(dot(col("q2.e"), col("c2.e")) / (col("q2.nrm") * col("c2.nrm")), 6))
+            round(dot(col("q2.e"), col("c2.e")) / (col("q2.nrm") * col("c2.nrm")), 6) + lit(0.0))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select("query_id", "neighbor_id", "sim")
@@ -341,7 +343,7 @@ object SimilarityQueries {
               pairs AS (
                 SELECT query_id, neighbor_id,
                        ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
-                             / (q.nrm * c.nrm), 6) AS sim
+                             / (q.nrm * c.nrm), 6) + 0.0 AS sim
                 FROM cand JOIN n q ON q.vec_id = query_id
                           JOIN n c ON c.vec_id = neighbor_id)
               SELECT query_id, neighbor_id, sim FROM (
@@ -362,11 +364,11 @@ object SimilarityQueries {
         normed(s, dir)
           .select(col("vec_id"),
             round(col("nrm"), 6).as("l2_norm"),
-            round(col("e")(0) / col("nrm"), 6).as("first_unit"))
+            (round(col("e")(0) / col("nrm"), 6) + lit(0.0)).as("first_unit"))
           .orderBy("vec_id"),
       Some(s"""WITH $NormCtes
               SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
-                     ROUND(e[1] / nrm, 6) AS first_unit
+                     ROUND(e[1] / nrm, 6) + 0.0 AS first_unit
               FROM n ORDER BY vec_id""")),
 
     // Int8 embedding quantization — the storage-compression pass a vector
@@ -561,10 +563,13 @@ object SimilarityQueries {
           .crossJoin(broadcast(n))
           .join(broadcast(marg).as("a"), col("a.mi") === col("i"))
           .join(broadcast(marg).as("b"), col("b.mi") === col("j"))
+          // `+ 0.0` collapses IEEE -0.0 to +0.0 (DuckDB's ROUND preserves the
+          // sign of an underflowing negative, Spark's BigDecimal round does
+          // not — 3/2080 cells at sf0.01 diverged before this normalization)
           .select(col("i"), col("j"), col("col").as("s_pp"),
-            round((col("col").cast("double") / col("n")
+            (round((col("col").cast("double") / col("n")
               - (col("a.ms").cast("double") / col("n"))
-                * (col("b.ms").cast("double") / col("n"))) / 1e6, 6).as("cov"))
+                * (col("b.ms").cast("double") / col("n"))) / 1e6, 6) + lit(0.0)).as("cov"))
           .orderBy("i", "j")
       },
       Some("""WITH q AS (
@@ -585,7 +590,7 @@ object SimilarityQueries {
               SELECT s.i, s.j, s.s AS s_pp,
                      ROUND((CAST(s.s AS DOUBLE) / s.n
                             - (CAST(a.ms AS DOUBLE) / s.n)
-                              * (CAST(b.ms AS DOUBLE) / s.n)) / 1e6, 6) AS cov
+                              * (CAST(b.ms AS DOUBLE) / s.n)) / 1e6, 6) + 0.0 AS cov
               FROM sums s JOIN marg a ON a.i = s.i JOIN marg b ON b.i = s.j
               ORDER BY s.i, s.j"""))
   )

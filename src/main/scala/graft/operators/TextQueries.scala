@@ -537,7 +537,9 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_tok"),
-            round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+            // `+ 0.0` collapses IEEE -0.0 (an avg in (-5e-7, 0) rounds to
+            // negative zero under DuckDB's ROUND but not Spark's)
+            (round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0)).as("avg_logprob"))
           .withColumn("keep", col("avg_logprob") > -3.6)
           .orderBy("doc_id")
       },
@@ -549,9 +551,9 @@ object TextQueries {
               SELECT doc_id,
                      COUNT(*) AS n_tok,
                      ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
-                           / COUNT(*), 6) AS avg_logprob,
+                           / COUNT(*), 6) + 0.0 AS avg_logprob,
                      ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
-                           / COUNT(*), 6) > -3.6 AS keep
+                           / COUNT(*), 6) + 0.0 > -3.6 AS keep
               FROM terms JOIN freq USING (term) CROSS JOIN tot
               GROUP BY doc_id ORDER BY doc_id""")),
 

@@ -105,12 +105,31 @@ class GeoKernelSpec extends AnyFunSuite {
     val spark = graft.TestSpark.spark
     // integer literals (and numeric strings) must analyze on the
     // extensions-injected surface exactly as they do through the UDF
-    // registry — the builders insert explicit Casts (ADVICE round 2)
+    // registry — the expressions carry ImplicitCastInputTypes, so the
+    // analyzer inserts the casts (ADVICE rounds 2/3)
     val wkt = spark.sql("SELECT st_point_wkt(1, 2) AS w").collect()(0).getString(0)
     assert(wkt == spark.sql("SELECT st_point_wkt(1.0D, 2.0D) AS w").collect()(0).getString(0))
     val cx = spark.sql("SELECT st_centroid_x_wkt('POINT (3 4)') AS x").collect()(0).getDouble(0)
     assert(cx == 3.0)
     assert(spark.sql("SELECT infer_crs(-1, 1, 51, 52) AS c").collect()(0).getString(0) == "4326")
+  }
+
+  test("directly-constructed expressions coerce integer children (ImplicitCastInputTypes)") {
+    // the coercion must live on the EXPRESSION, not the SQL builder: a
+    // Column-API caller composing the raw Catalyst node gets the same
+    // analyzer-inserted casts as SQL text
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = graft.TestSpark.spark
+    val direct = spark.range(1)
+      .select(Bridge.column(GeoKernelExpressions.StPointWkt(Literal(1), Literal(2))).as("w"))
+      .collect()(0).getString(0)
+    assert(direct == spark.sql("SELECT st_point_wkt(1.0D, 2.0D)").collect()(0).getString(0))
+    val crs = spark.range(1)
+      .select(Bridge.column(GeoKernelExpressions.InferCrs(
+        Seq(Literal(-1), Literal(1), Literal(51), Literal(52)))).as("c"))
+      .collect()(0).getString(0)
+    assert(crs == "4326")
   }
 
   test("transformGeom reprojects every vertex of a linestring") {
