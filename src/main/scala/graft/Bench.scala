@@ -69,23 +69,33 @@ object Bench {
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
   private[graft] def toJson(
-      rs: Iterable[(String, Double)], total: Double, sfDir: String): String = {
+      rs: Iterable[(String, Double)], total: Double, sfDir: String,
+      extraFields: String = ""): String = {
     val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$extraFields,"sf":"$sfDir"}"""
   }
 
   /** The stdout line must survive a bounded log-tail capture that also
     * swallows sbt's trailing "[success]" line: the round-2 full map
     * (~2 kB, 96 queries) was truncated mid-JSON from the front. Compose a
-    * compact line — total + the 30 slowest per-query timings (any failed
-    * -1 entries always included) ≈ 1 kB — and leave the complete map to
-    * the file written above. Size-guarded by BenchOutputSpec. */
+    * compact line — total + 30 entries (failed -1 queries first, the
+    * slowest timings in the remaining slots) ≈ 1 kB — and leave the
+    * complete map to the file written above. The bound is HARD: a
+    * pathological all-fail registry
+    * surfaces 30 failures alphabetically plus a `"failed_omitted":N`
+    * count, never an unbounded list that would overflow the capture
+    * window exactly when the driver most needs to read it. Size-guarded
+    * (including the all-fail case) by BenchOutputSpec. */
   private[graft] def compactJson(
       results: Map[String, Double], total: Double, sfDir: String): String = {
-    val slowest = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      .takeRight(30)
-    val failed = results.toSeq.filter(_._2 < 0)
-    toJson((failed ++ slowest).distinct, total, sfDir)
+    val failed = results.toSeq.filter(_._2 < 0).sortBy(_._1)
+    val shownFailed = failed.take(30)
+    // failures crowd out timing slots — 30 entries total, ~1 kB either way
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(_._2)
+      .takeRight(30 - shownFailed.size)
+    val omitted = failed.size - shownFailed.size
+    val extra = if (omitted > 0) s""","failed_omitted":$omitted""" else ""
+    toJson(shownFailed ++ slowest, total, sfDir, extra)
   }
 }

@@ -253,6 +253,36 @@ object ReaderQueries {
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
               FROM nation ORDER BY id""")),
 
+    // The ingest pipeline's EXCEL branch end-to-end (reference: the xlsx
+    // arm of the core loop, core_processor.rs:407-412 + 419-424): a
+    // coordinate-pair xlsx composed from nation rows runs content
+    // detection (zip magic + xl/ entry) → XlsxReader → coordinate-pair
+    // discovery → Excel's hard 4326 CRS default (geo_strategy.rs:48-54)
+    // → ST_Point WKT → ParquetSink, and the query reads the SINK OUTPUT
+    // back — the same sink-hash pattern as `pipeline_ingest`, so the
+    // whole Excel leg is driver-visible, not just reader-unit-tested.
+    QuerySpec(
+      "pipeline_ingest_xlsx",
+      (s, dir) => {
+        val base = fixturePath(dir, "pipe_xlsx")
+        val xlsxPath = base + "_coords.xlsx"
+        val outRoot = base + "_sink"
+        graft.sources.FormatWriters.writeXlsxCoords(
+          xlsxPath, ("id", "name", "longitude", "latitude"),
+          nationRows(s, dir).map { case (k, n, r) =>
+            (k, n, k.toDouble + 0.5, r.toDouble * 10 + 0.5)
+          })
+        graft.Graft.processFileToParquet(s, xlsxPath, "nation_coords_xlsx.xlsx", outRoot)
+        s.read.parquet(s"$outRoot/public/nation_coords_xlsx")
+          .select(col("id").cast("long").as("id"), col("name"),
+            col("geom_from_longitude_latitude_wkt").as("wkt"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+                     'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || '.5 ' ||
+                     (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
+              FROM nation ORDER BY id""")),
+
     // Hive-partitioned parquet sink — the layout every downstream 100 TB
     // consumer expects (one directory per source, so a per-source read
     // prunes at the FILE LISTING level, before any scan task launches).

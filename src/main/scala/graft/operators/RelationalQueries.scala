@@ -1424,15 +1424,16 @@ object RelationalQueries {
     // recurring cost the pattern exists to optimize.
     QuerySpec(
       "join_bucketed",
-      (s, dir) => { bucketedTables(s, dir); bucketedJoin(s) },
+      (s, dir) => { bucketedTables(s, dir); bucketedJoin(s, dir) },
       Some("""SELECT c_mktsegment,
                      COUNT(*) AS n,
                      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       bench = Some((s, dir) => {
-        if (!s.catalog.tableExists("graft_b_orders")) bucketedTables(s, dir)
-        bucketedJoin(s)
+        if (!s.catalog.tableExists(bucketedName("graft_b_orders", dir)))
+          bucketedTables(s, dir)
+        bucketedJoin(s, dir)
       })),
 
     // Key-skew profile (the diagnostic a pipeline runs before choosing
@@ -1463,30 +1464,44 @@ object RelationalQueries {
               FROM s"""))
   )
 
+  /** Bucketed-table name keyed on the sf dir AND the process: the bench
+    * path reuses whatever table the name resolves to, so an unkeyed name
+    * could time the join over STALE data after a scale-factor switch, and
+    * two JVMs sharing a CWD (Verify alongside Bench — the race
+    * ReaderQueries.fixturePath exists to prevent) could race the
+    * DROP/rm against each other's open readers in the shared relative
+    * spark-warehouse. */
+  private def bucketedName(base: String, dir: String): String =
+    s"${base}_${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+
   /** Fresh bucketed+sorted twins of orders/customer (8 buckets on the
     * join key) in the session warehouse — the one-off write that makes
     * every later fact-fact join on this key exchange-free. */
   private def bucketedTables(s: SparkSession, dir: String): Unit = {
-    Seq("graft_b_orders", "graft_b_customer").foreach { tn =>
-      s.sql(s"DROP TABLE IF EXISTS $tn")
-      val f = new java.io.File(s"spark-warehouse/$tn")
-      if (f.exists()) {
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) x.listFiles.foreach(rm)
-          x.delete(): Unit
+    Seq(bucketedName("graft_b_orders", dir), bucketedName("graft_b_customer", dir))
+      .foreach { tn =>
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        val f = new java.io.File(s"spark-warehouse/$tn")
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) x.listFiles.foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
         }
-        rm(f)
       }
-    }
     t(s, dir, "orders").write.mode("overwrite")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_b_orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(bucketedName("graft_b_orders", dir))
     t(s, dir, "customer").write.mode("overwrite")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_b_customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(bucketedName("graft_b_customer", dir))
   }
 
-  private def bucketedJoin(s: SparkSession): DataFrame =
-    s.table("graft_b_orders")
-      .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame =
+    s.table(bucketedName("graft_b_orders", dir))
+      .join(s.table(bucketedName("graft_b_customer", dir)),
+        col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n"),

@@ -66,8 +66,12 @@ object SketchQueries {
             col("n_sketches"),
             col("exact_cnt"))
       },
+      // n_sketches derived, not a literal: one sketch per observed flag
+      // value — a filtered or regenerated corpus missing a flag at a
+      // small SF should fail as an accuracy-contract violation, not a
+      // confusing hard-coded count mismatch
       Some("""SELECT 1.0 AS est_ratio,
-                     CAST(3 AS BIGINT) AS n_sketches,
+                     COUNT(DISTINCT l_returnflag) AS n_sketches,
                      COUNT(DISTINCT l_partkey) AS exact_cnt
               FROM lineitem"""),
       bench = Some((s, dir) => sketchUnionEstimate(s, dir))),
@@ -122,8 +126,11 @@ object SketchQueries {
             col("n_sketches"),
             col("exact_i"))
       },
+      // n_sketches derived like agg_sketch_union's (restricted to the
+      // A/R flags this query intersects)
       Some("""SELECT 1.0 AS est_ratio,
-                     CAST(2 AS BIGINT) AS n_sketches,
+                     (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem
+                      WHERE l_returnflag IN ('A', 'R')) AS n_sketches,
                      (SELECT COUNT(*) FROM (
                         SELECT l_partkey FROM lineitem
                         WHERE l_returnflag IN ('A', 'R')

@@ -94,6 +94,21 @@ object StreamingQueries {
               FROM events GROUP BY user_id, event_type
               ORDER BY user_id, event_type""")),
 
+    // dropDuplicatesWithinWatermark EXECUTED as a stream and oracled:
+    // the stream is doubled by self-union, deduped on event_id inside the
+    // 1-hour horizon, drained (AvailableNow → memory sink), and the
+    // survivors aggregated. event_ids are corpus-unique and both union
+    // branches carry identical rows, so the post-dedup relation equals
+    // the original corpus — DuckDB checks counts AND exact decimal value
+    // sums against plain `events`, giving the streaming dedup operator a
+    // hash oracle instead of a fixture-only claim.
+    QuerySpec(
+      "stream_dedup_effect",
+      (s, dir) => graft.streaming.EventStreams.dedupEffect(s, dir),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // mapGroupsWithState running stats, oracle-checked: runs the EXACT
     // statefulUserStats transform the streaming fixture exercises —
     // batch execution feeds each key's rows through the same state

@@ -94,6 +94,32 @@ object FormatWriters {
     Files.write(Paths.get(path), zip): Unit
   }
 
+  /** Coordinate-pair xlsx (id, name, longitude, latitude) — the Excel leg
+    * of the ingest-pipeline oracle (`pipeline_ingest_xlsx`). Doubles are
+    * written with plain toString ("13.5"), which XlsxReader's inference
+    * types as DOUBLE — the shape the coordinate-pair heuristics require. */
+  def writeXlsxCoords(path: String, header: (String, String, String, String),
+      rows: Seq[(Long, String, Double, Double)]): Unit = {
+    def inline(s: String): String =
+      s"""<c t="inlineStr"><is><t>${xmlEscape(s)}</t></is></c>"""
+    def num(v: String): String = s"<c><v>$v</v></c>"
+    val headerXml = s"<row r=\"1\">${inline(header._1)}${inline(header._2)}" +
+      s"${inline(header._3)}${inline(header._4)}</row>"
+    val dataXml = rows.zipWithIndex.map { case ((k, n, x, y), i) =>
+      s"""<row r="${i + 2}">${num(k.toString)}${inline(n)}${num(x.toString)}${num(y.toString)}</row>"""
+    }.mkString
+    val sheet =
+      s"""<?xml version="1.0"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |$headerXml$dataXml
+         |</sheetData></worksheet>""".stripMargin
+    val zip = zipOf(
+      "[Content_Types].xml" -> "<Types/>".getBytes(UTF_8),
+      "xl/workbook.xml" -> "<workbook/>".getBytes(UTF_8),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes(UTF_8))
+    Files.write(Paths.get(path), zip): Unit
+  }
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 

@@ -71,6 +71,42 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The dedup EFFECT made oracle-visible (`stream_dedup_effect`):
+    * double the stream by self-union, dedup on event_id within the
+    * watermark, drain with AvailableNow into a memory sink, and aggregate
+    * the survivors per event type. Because corpus event_ids are unique and
+    * the two union branches carry identical rows, the post-dedup relation
+    * equals the original corpus whichever copy survives — so plain batch
+    * SQL over `events` oracles the executed streaming operator (counts +
+    * exact decimal value sums), not just a fixture assertion.
+    *
+    * The memory sink is the verification surface only — production runs
+    * [[dedupedEvents]] into a real sink; state is one event_id per key
+    * inside the 1-hour horizon either way. */
+  def dedupEffect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = readEvents(spark, dir)
+    val deduped = dedupedEvents(events.union(events))
+    // unique sink name per execution: memory-sink tables accumulate per
+    // query name, and callers (smoke spec) run the same spec repeatedly
+    val sink = s"graft_dedup_effect_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-dedup-effect").toString)
+      .start()
+    q.awaitTermination(120000)
+    spark.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Per-user running aggregate via mapGroupsWithState — the custom-state
     * primitive (KeyValueGroupedDataset) for logic the built-in windows
     * can't express. State per key is one [[UserStats]] (constant bytes per

@@ -26,6 +26,20 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(line.contains("\"exploded_query\":-1.000"))
   }
 
+  test("compact line stays bounded even when the whole registry fails") {
+    // pathological case: every query reports -1. Failed entries are
+    // force-included, so without the hard cap this line would overflow
+    // the tail-capture window exactly when the driver most needs it.
+    val n = math.max(Registry.all.size, 137)
+    val results = (1 to n).map(i => f"query_with_a_long_name_$i%03d" -> -1.0).toMap
+    val line = Bench.compactJson(results, 0.0, "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"all-fail compact line grew to ${line.length} bytes")
+    assert(line.contains(s""""failed_omitted":${n - 30}"""))
+    // and it still parses as the driver's expected shape
+    assert(line.startsWith("""{"metric":"total","value":0.000,"unit":"sec","queries":{"""))
+    assert(line.endsWith(""""sf":"/root/testdata/sf0.1"}"""))
+  }
+
   test("compact line is valid JSON with the driver's expected fields") {
     val line = Bench.compactJson(fake(50), 12.345, "/sf")
     // minimal structural check without a JSON lib on the classpath

@@ -47,6 +47,28 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"scalar UDF nodes remain in: $offenders")
   }
 
+  test("Q18 computes the HAVING key set once and reuses its exchange") {
+    // the derived key set (lineitem grouped by l_orderkey, HAVING sum>300)
+    // feeds TWO consumers — the orders semi-join and the lineitem semi-
+    // join. The executed plan must materialize it once: exactly one
+    // shuffle of lineitem on l_orderkey, with the second consumer reading
+    // a ReusedExchange. A Catalyst/AQE change that silently re-plans this
+    // doubles the largest shuffle in the query at 100 TB.
+    val q = Registry.all.find(_.name == "sql_tpch_q18").get
+    val df = q.run(spark, dir)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-reuse "Initial Plan"
+    // section, which prints the shared subtree once per consumer — only
+    // the "Final Plan" section reflects what actually executed
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      "Q18 derived-key exchange is not reused — the HAVING subquery runs twice")
+    val keyShuffles = "Exchange hashpartitioning\\(l_orderkey".r
+      .findAllIn(plan).length
+    assert(keyShuffles == 1,
+      s"expected exactly one lineitem l_orderkey shuffle, saw $keyShuffles")
+  }
+
   test("every declared query runs under whole-stage codegen") {
     // AQE finalizes the physical plan lazily: execute first, then read the
     // formatted explain, whose "codegen id" tags mark codegen stages

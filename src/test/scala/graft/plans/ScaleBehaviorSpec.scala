@@ -141,8 +141,9 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     // the scan_binaryfile scale claim: a (path, length) census over a
     // 100 TB blob store must never read the bytes — the content column
     // has to be pruned OUT of the scan schema, not dropped afterwards
-    val d = s"${sys.props("java.io.tmpdir")}/graft_scale_bf"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    // per-process temp dir: a fixed shared path would silently include
+    // stale or foreign files from another run in the scan
+    val d = java.nio.file.Files.createTempDirectory("graft_scale_bf").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(d, "a.bin"),
       Array.fill[Byte](4096)(7))
     val df = spark.read.format("binaryFile").load(d).select("path", "length")

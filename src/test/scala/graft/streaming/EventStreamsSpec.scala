@@ -151,6 +151,59 @@ class EventStreamsSpec extends AnyFunSuite {
       (1L, us("2024-01-01 11:30:00"), us("2024-01-01 11:30:00"), 1)))
   }
 
+  test("funnel carries state across micro-batches at an event-time boundary") {
+    // pins the documented delivery contract: with per-key EVENT-TIME-
+    // ORDERED arrival across triggers, a funnel split mid-progression
+    // over two micro-batches must converge to the same state as a
+    // single-batch replay (user 1 completes twice across the boundary;
+    // user 2's view sits in batch 1 and its click+purchase in batch 2)
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-funnel-batches")
+    def writeBatch(name: String, modTime: Long,
+        rows: Seq[(Long, String, Long, String)]): Unit = {
+      import spark.implicits._
+      val df = rows.toDF("user_id", "tss", "event_id", "event_type")
+        .select(col("user_id"), col("tss").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val f = dirPath.resolve(name)
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(modTime))
+      f.toFile.setLastModified(modTime): Unit
+    }
+    val b1 = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:05:00", 2L, "click"),
+      (2L, "2024-01-01 10:00:00", 3L, "view"))
+    val b2 = Seq(
+      (2L, "2024-01-01 10:06:00", 5L, "click"),
+      (1L, "2024-01-01 10:10:00", 4L, "purchase"),
+      (2L, "2024-01-01 10:12:00", 6L, "purchase"),
+      (1L, "2024-01-01 10:20:00", 7L, "purchase"))
+    writeBatch("b1", 1000000L, b1)
+    writeBatch("b2", 2000000L, b2)
+    val schema = spark.read.parquet(dirPath.resolve("b1").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirPath.toString + "/*")
+    runToMemory(EventStreams.funnelProgress(spark, stream), "mfunnel", "update")
+    // update mode re-emits a user's row each trigger; completions only
+    // grow, so the max-completion row per user is the final state
+    val finalByUser = spark.table("mfunnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000
+    assert(finalByUser(1L) == ((1L, 2L, Some(us("2024-01-01 10:10:00")))))
+    assert(finalByUser(2L) == ((2L, 1L, Some(us("2024-01-01 10:12:00")))))
+    // and the two-batch split agrees with the single-batch replay
+    import spark.implicits._
+    val batchDf = (b1 ++ b2).toDF("user_id", "tss", "event_id", "event_type")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val batch = EventStreams.funnelProgress(spark, batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(finalByUser.values.toSet == batch)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.errorPurchaseJoins(events), "ssjoin", "append")
