@@ -40,7 +40,8 @@ object Registry {
       operators.TextQueries.specs ++
       operators.MultimodalQueries.specs ++
       operators.StreamingQueries.specs ++
-      operators.GeoQueries.specs
+      operators.GeoQueries.specs ++
+      operators.LayoutQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -474,6 +474,41 @@ object RelationalQueries {
               WHERE l_quantity >= 45
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // Bloom-pruned join — the runtime-filter shape for a selective dim
+    // whose KEY SET is too large to broadcast as a hash relation at
+    // 100 TB: a constant 16 KiB bit set built from the dim keys
+    // (functions/BloomFilter.scala) rides to every fact-scan task via a
+    // 1-row broadcast, and fact rows that cannot join die at the scan —
+    // BEFORE the join shuffle moves them. The exact join then removes
+    // the Bloom's false positives, so the composed result equals the
+    // plain join the oracle runs; the filter only prunes, never decides.
+    // (Catalyst's own InjectRuntimeFilter does this for eligible shapes;
+    // this is the declarative form a pipeline controls directly.)
+    QuerySpec(
+      "join_bloom_prune",
+      (s, dir) => {
+        import graft.functions.{BloomAgg, BloomFilter}
+        import s.implicits._
+        val dim = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val (h1, h2) = BloomFilter.hashPair(col("c_custkey"))
+        val bloom = dim.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+          .select(BloomAgg.toColumn.name("bloom")).toDF("bloom")
+        t(s, dir, "orders")
+          .crossJoin(broadcast(bloom))
+          .filter(BloomFilter.mightContain(col("bloom"), col("o_custkey")))
+          .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast(Dec)).cast("double"), 4).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
+              FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---------------------------------------------------------- aggregations
     QuerySpec(
       "agg_group", // flagship TPC-H Q1 shape; partial+final hash agg

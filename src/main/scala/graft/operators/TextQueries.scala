@@ -48,6 +48,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pruned twin of [[contamination]] (`q:text_decontaminate_bloom`):
+    * same gram relation, but the corpus side is prefiltered by a
+    * constant-size Bloom filter over the eval grams before the exact
+    * join removes the filter's false positives — identical output, no
+    * dependence on the eval set fitting a broadcast hash relation. */
+  private[operators] def contaminationBloom(d: DataFrame, isEval: Column): DataFrame = {
+    import graft.functions.{BloomAgg, BloomFilter}
+    val s = d.sparkSession
+    import s.implicits._
+    val grams = d
+      .select(col("doc_id"), isEval.as("ev"), toks.as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), col("ev"),
+        explode(expr(
+          "transform(sequence(0, size(t)-4), i -> concat(t[i],' ',t[i+1],' ',t[i+2],' ',t[i+3]))")).as("g"))
+      .select(col("doc_id"), col("ev"), graft.functions.HashBridge.h32(col("g")).as("h"))
+      .localCheckpoint()
+    val ev = grams.filter(col("ev")).select("h").distinct()
+    val (h1, h2) = BloomFilter.hashPair(col("h"))
+    val bloom = ev.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+      .select(BloomAgg.toColumn.name("bloom")).toDF("bloom")
+    grams.filter(!col("ev"))
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bloom"), col("h")))
+      .drop("bloom")
+      .join(broadcast(ev), "h") // exact: Bloom false positives die here
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   // ---- language-ID decision chain, shared by text_langid (classifier
   // output) and text_quality_filter (en-gate) so the two can never drift —
   // each mirrors the same CTE in its own oracle.
@@ -328,6 +359,29 @@ object TextQueries {
     QuerySpec(
       "text_decontaminate",
       (s, dir) => contamination(docs(s, dir), col("doc_id") % 97 === 0),
+      Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
+              grams AS (
+                SELECT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]),1,8))::BIGINT AS h
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-3)) AS i
+                      FROM t WHERE LEN(t) >= 4)),
+              ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0)
+              SELECT g.doc_id, COUNT(DISTINCT g.h) AS n_shared
+              FROM grams g JOIN ev USING (h)
+              WHERE g.doc_id % 97 <> 0
+              GROUP BY g.doc_id ORDER BY doc_id""")),
+
+    // Bloom-pruned decontamination — the same contamination result
+    // through the CONSTANT-SIZE path: when the eval gram set outgrows a
+    // broadcast hash relation (a full benchmark battery is 10⁷⁺ grams),
+    // a 16 KiB Bloom bit set (functions/BloomFilter.scala) still rides
+    // to every corpus-scan task, and non-matching grams — the
+    // overwhelming majority — die at the scan. The exact gram join then
+    // removes Bloom false positives, so the output (and oracle) is
+    // identical to text_decontaminate's.
+    QuerySpec(
+      "text_decontaminate_bloom",
+      (s, dir) => contaminationBloom(docs(s, dir), col("doc_id") % 97 === 0),
       Some("""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
               grams AS (
                 SELECT doc_id,

@@ -21,7 +21,9 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val allowedQuadratic =
     Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
       "text_unigram_logprob", "text_bm25", "agg_sketch_union", "agg_sketch_intersect",
-      "embedding_kmeans", "embedding_covariance", "graph_pagerank")
+      "embedding_kmeans", "embedding_covariance", "graph_pagerank",
+      // 1-row broadcast carrying the 16 KiB Bloom bit set to every task
+      "join_bloom_prune", "text_decontaminate_bloom")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
     val offenders = Registry.all.flatMap { q =>
