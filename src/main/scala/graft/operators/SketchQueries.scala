@@ -136,7 +136,56 @@ object SketchQueries {
                         WHERE l_returnflag IN ('A', 'R')
                         GROUP BY l_partkey
                         HAVING COUNT(DISTINCT l_returnflag) = 2)) AS exact_i"""),
-      bench = Some((s, dir) => sketchIntersectEstimate(s, dir)))
+      bench = Some((s, dir) => sketchIntersectEstimate(s, dir))),
+
+    // Count-min sketch: the point-frequency sketch (HLL answers "how
+    // many distinct", Misra–Gries "which are the heaviest", CMS "how
+    // often did THIS key occur" — for ANY key, long after the raw rows
+    // are gone). Built once over the corpus (elementwise-sum merge =
+    // map-side combine to one 256 KiB grid per partition), probed for
+    // 10 fixed supplier keys through the pure-column estimate kernel.
+    // Contract: CMS can only OVER-count, and at this grid size no
+    // probed key collides in all 4 rows, so est == exact and the
+    // oracle's est_ratio is exactly 1.0 (same exact-regime pattern as
+    // agg_approx_topk); exact per-key counts ride along, hash-checked.
+    QuerySpec(
+      "agg_countmin",
+      (s, dir) => {
+        import graft.functions.{CmsAgg, CountMinSketch}
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val (h1, h2) = CountMinSketch.hashPair(col("l_suppkey"))
+        val sketch = li.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+          .select(CmsAgg.toColumn.name("sk")).toDF("sk")
+        li.filter(col("l_suppkey").between(1, 10))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .crossJoin(broadcast(sketch))
+          .select(
+            col("l_suppkey"),
+            round(CountMinSketch.estimate(col("sk"), col("l_suppkey"))
+              .cast("double") / col("exact_cnt"), 4).as("est_ratio"),
+            col("exact_cnt"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, 1.0 AS est_ratio, COUNT(*) AS exact_cnt
+              FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10
+              GROUP BY l_suppkey ORDER BY l_suppkey"""),
+      // Bench times the sketch build + probe alone, not the exact
+      // per-key counts the contract needs for comparison
+      bench = Some((s, dir) => {
+        import graft.functions.{CmsAgg, CountMinSketch}
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val (h1, h2) = CountMinSketch.hashPair(col("l_suppkey"))
+        val sketch = li.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+          .select(CmsAgg.toColumn.name("sk")).toDF("sk")
+        li.select(col("l_suppkey")).distinct().filter(col("l_suppkey") <= 10)
+          .crossJoin(broadcast(sketch))
+          .select(col("l_suppkey"),
+            CountMinSketch.estimate(col("sk"), col("l_suppkey")).as("est"))
+          .orderBy("l_suppkey")
+      }))
   )
 
   /** Per-flag sketches → Σ individual estimates + union estimate, the
