@@ -135,6 +135,41 @@ object LayoutQueries {
                      LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL AS is_current
               FROM h ORDER BY o_orderkey, version""")),
 
+    // Incremental aggregate maintenance: yesterday's aggregate table +
+    // today's delta, merged WITHOUT rescanning history — the pattern
+    // that turns a daily 100 TB full-scan rollup into a delta-sized job.
+    // Works because the partials are algebraically mergeable (count/sum
+    // add, min/max combine); the oracle computes the same totals from
+    // the full corpus directly, proving merge(agg(hist), agg(delta)) ==
+    // agg(hist ∪ delta).
+    QuerySpec(
+      "agg_incremental",
+      (s, dir) => {
+        def partial(rows: DataFrame): DataFrame = rows
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).as("s"),
+            min("o_totalprice").as("lo"),
+            max("o_totalprice").as("hi"))
+        val orders = t(s, dir, "orders")
+        val hist = partial(orders.filter(col("o_orderkey") % 5 =!= 4))
+        val delta = partial(orders.filter(col("o_orderkey") % 5 === 4))
+        hist.unionByName(delta)
+          .groupBy("o_orderstatus")
+          .agg(
+            sum(col("n")).as("n"),
+            round(sum(col("s")).cast("double"), 4).as("total"),
+            round(min(col("lo")), 2).as("lo"),
+            round(max(col("hi")), 2).as("hi"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total,
+                     ROUND(MIN(o_totalprice), 2) AS lo,
+                     ROUND(MAX(o_totalprice), 2) AS hi
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Z-order (Morton) clustering over (custkey, price-bucket): the
     // data-layout transform behind multi-dimensional file skipping.
     // Output groups rows by their top-6-bit z-range and shows each
