@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over `documents` (SURVEY.md §2.12): quality stats, token
@@ -497,6 +498,112 @@ object TextQueries {
                      COUNT(*) AS n_matched
               FROM comp GROUP BY doc_id
               ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // Hybrid retrieval: BM25 lexical top-100 ∪ embedding-cosine semantic
+    // top-100, fused by reciprocal-rank fusion (RRF, k=60) — the standard
+    // two-tower retrieval shape. RRF is the cross-engine-safe fusion: it
+    // consumes RANKS, not scores, so no score normalization (whose
+    // float arithmetic would be fragile) ever happens; the only doubles
+    // are 1/(60+rank) with integer ranks — IEEE-exact on both engines.
+    // Scale shape: each leg ends in TakeOrderedAndProject (distributed
+    // top-100, no global sort); the rank windows then run over ≤100
+    // bounded rows, and the fusion join moves ≤200 rows total.
+    QuerySpec(
+      "rank_hybrid",
+      (s, dir) => {
+        val (k1, b) = (1.2, 0.75)
+        // lexical leg — the text_bm25 scoring chain, full score list
+        val terms = docs(s, dir).select(col("doc_id"), explode(toks).as("term"))
+        val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+        val tf = terms.filter(col("term").isin("table", "scan", "fast"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = round(log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
+        val comp = round(
+          (idf * (col("tf") * lit(k1 + 1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+        val scores = tf.join(dfr, "term").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), comp.cast("decimal(18,6)").as("c"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+        val lex = scores.orderBy(col("score").desc, col("doc_id")).limit(100)
+          .withColumn("r_lex", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select("doc_id", "r_lex")
+        // semantic leg — cosine to the query vector (vec_id 0); the HOF
+        // dot product is promoted to the native kernel by DotProductRewrite
+        def dotp(a: Column, bb: Column): Column =
+          aggregate(zip_with(a, bb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val ev = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", sqrt(dotp(col("e"), col("e"))))
+        val qv = ev.filter(col("doc_id") === 0)
+          .select(col("e").as("q_e"), col("nrm").as("q_nrm"))
+        val sem = ev.filter(col("doc_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("sim",
+            round(dotp(col("e"), col("q_e")) / (col("nrm") * col("q_nrm")), 6) + lit(0.0))
+          .orderBy(col("sim").desc, col("doc_id")).limit(100)
+          .withColumn("r_sem", row_number()
+            .over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+          .select("doc_id", "r_sem")
+        // RRF fusion — a doc missing from one leg contributes 0 for it
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)), 6))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("rrf"), col("r_lex"), col("r_sem"))
+      },
+      Some("""WITH terms AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+                FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+              stats AS (SELECT COUNT(*) AS n_docs,
+                               ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+                        FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+                     WHERE term IN ('table', 'scan', 'fast')
+                     GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              comp AS (
+                SELECT tf.doc_id,
+                       CAST(ROUND(
+                         (ROUND(LN(CAST(n_docs - df.df + 0.5 AS DOUBLE)
+                                   / CAST(df.df + 0.5 AS DOUBLE)
+                                   + CAST(1.0 AS DOUBLE)), 6)
+                          * (tf.tf * CAST(2.2 AS DOUBLE)))
+                         / (tf.tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)), 6)
+                       AS DECIMAL(18,6)) AS c
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+              scores AS (SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+                         FROM comp GROUP BY doc_id),
+              lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+                      FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100)),
+              v AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              n AS (SELECT doc_id, e,
+                           SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                    FROM v),
+              q AS (SELECT e AS q_e, nrm AS q_nrm FROM n WHERE doc_id = 0),
+              sims AS (
+                SELECT c.doc_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.q_e) * UNNEST(c.e) AS p))
+                             / (c.nrm * q.q_nrm), 6) + 0.0 AS sim
+                FROM n c CROSS JOIN q WHERE c.doc_id <> 0),
+              sem AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r_sem
+                      FROM (SELECT * FROM sims ORDER BY sim DESC, doc_id LIMIT 100))
+              SELECT doc_id,
+                     ROUND(COALESCE(1.0/(60.0 + r_lex), 0.0)
+                           + COALESCE(1.0/(60.0 + r_sem), 0.0), 6) AS rrf,
+                     r_lex, r_sem
+              FROM lex FULL JOIN sem USING (doc_id)
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
     // Sequence packing (the batch-assembly stage of LLM training): docs
     // are concatenated in stable (doc_id) order within their source shard

@@ -23,7 +23,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "text_unigram_logprob", "text_bm25", "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
       // 1-row broadcast carrying a constant-size sketch to every task
-      "join_bloom_prune", "text_decontaminate_bloom", "agg_countmin")
+      "join_bloom_prune", "text_decontaminate_bloom", "agg_countmin",
+      // rank_hybrid carries the 1-row stats + query-vector broadcasts
+      "rank_hybrid")
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
     val offenders = Registry.all.flatMap { q =>

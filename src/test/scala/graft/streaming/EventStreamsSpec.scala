@@ -28,6 +28,30 @@ class EventStreamsSpec extends AnyFunSuite {
     ()
   }
 
+  test("streaming dedup drains exactly-once into a parquet FILE sink") {
+    // the production sink path (memory sinks elsewhere are verification
+    // surfaces): dedupedEvents over a doubled stream lands in a
+    // checkpointed parquet file sink, and the read-back equals the
+    // original corpus exactly — no duplicates from the doubled input, no
+    // loss, no partial files visible to readers
+    val out = java.nio.file.Files.createTempDirectory("graft-filesink").toString
+    val events = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.dedupedEvents(events.union(events)).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-filesink-ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = spark.read.parquet(out)
+    val batch = graft.Tables(spark, dir, "events")
+    assert(back.count() == batch.count())
+    assert(back.select("event_id").exceptAll(batch.select("event_id")).isEmpty)
+    assert(batch.select("event_id").exceptAll(back.select("event_id")).isEmpty)
+  }
+
   test("streaming tumbling counts match batch when stream is drained") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.tumblingCounts(events), "tumble", "complete")
