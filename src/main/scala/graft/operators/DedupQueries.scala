@@ -650,7 +650,47 @@ object DedupQueries {
                       FROM c2 GROUP BY dst)
               SELECT p.id AS doc_id, d.deg, ROUND(p.pr, 9) AS pagerank
               FROM pr2 p JOIN deg d ON d.id = p.id
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Triangle counting over the same dup graph (the clustering-
+    // coefficient ingredient: triangles distinguish a tight dup FAMILY
+    // from a chain of borderline pairs). Edge-iterator enumeration with
+    // the canonical a<b<c ordering so each triangle materializes exactly
+    // once: two equi-joins over the canonical edge relation — Σ over
+    // edges of deg(a)·deg(b) work, never O(n³) — then one explode +
+    // groupBy for per-vertex participation. Edges checkpointed once,
+    // referenced three times.
+    QuerySpec(
+      "graph_triangles",
+      (s, dir) => {
+        val e = minhashPairs(s, dir)
+          .select(least(col("da"), col("db")).as("a"),
+            greatest(col("da"), col("db")).as("b"))
+          .distinct()
+          .localCheckpoint()
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e2.a") === col("e1.b"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("va"), col("e1.b").as("vb"), col("e2.b").as("vc"))
+        tri
+          .select(explode(array(col("va"), col("vb"), col("vc"))).as("doc_id"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $MinHashPairsCtes,
+              e AS (SELECT DISTINCT LEAST(da, db) AS a, GREATEST(da, db) AS b FROM jpairs),
+              tri AS (
+                SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              verts AS (SELECT va AS doc_id FROM tri
+                        UNION ALL SELECT vb FROM tri
+                        UNION ALL SELECT vc FROM tri)
+              SELECT doc_id, COUNT(*) AS n_triangles
+              FROM verts GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Shared DuckDB CTE chain reimplementing the exact MinHash+LSH
