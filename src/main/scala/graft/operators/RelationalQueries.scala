@@ -1496,7 +1496,103 @@ object RelationalQueries {
                      ROUND(QUANTILE_CONT(sz, 0.5), 6) AS p50_sz,
                      ROUND(QUANTILE_CONT(sz, 0.99), 6) AS p99_sz,
                      ROUND(MAX(sz) / AVG(sz), 6) AS skew_ratio
-              FROM s"""))
+              FROM s""")),
+
+    // Table-statistics collection (the ANALYZE pass a cost-based
+    // optimizer and every partition planner runs first): per-column null
+    // count + exact distinct count in ONE scan of the fact table — the
+    // multi-distinct aggregate plans via Expand (one stream per distinct
+    // column), the standard exact shape; at 100 TB swap countDistinct
+    // for the mergeable HLL family above (agg_sketch_union) and keep the
+    // identical one-pass structure. Output pivots to one row per column
+    // via stack so the stats table is queryable.
+    QuerySpec(
+      "diag_stats",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd")))
+        val stackArgs = cols
+          .map(c => s"'$c', ${c}__nn, ${c}__nd").mkString(", ")
+        t(s, dir, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)"))
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus")
+        val branches = cols.map(c =>
+          s"""SELECT '$c' AS col_name, ${c}__nn AS n_null, ${c}__nd AS n_distinct FROM a""")
+          .mkString("\nUNION ALL\n")
+        val aggExprs = cols.map(c =>
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nn, " +
+            s"COUNT(DISTINCT $c) AS ${c}__nd").mkString(", ")
+        s"""WITH a AS (SELECT $aggExprs FROM lineitem)
+            $branches
+            ORDER BY col_name"""
+      }),
+
+    // 3-sigma outlier gate per group (the numeric-quality filter a
+    // curation pipeline runs on metric columns): two passes — exact
+    // DECIMAL sums give each group's mean/sigma deterministically, the
+    // 3-row stats relation broadcasts back onto the fact scan, and rows
+    // beyond 3σ are counted. Every double step (mean division, variance
+    // identity, sqrt, the |x−μ| > 3σ gate) is mirrored operation-for-
+    // operation in the oracle, so the boundary decisions agree exactly.
+    QuerySpec(
+      "agg_outliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val stats = li.groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(Dec)).as("s"),
+            sum((col("l_extendedprice") * col("l_extendedprice"))
+              .cast(DecimalType(38, 8))).as("s2"))
+          .select(col("l_returnflag"), col("n"),
+            (col("s").cast("double") / col("n")).as("mean"),
+            sqrt((col("s2").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / col("n")).as("sigma"))
+        val outs = li.join(broadcast(stats), "l_returnflag")
+          .filter(abs(col("l_extendedprice") - col("mean")) > lit(3.0) * col("sigma"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_outliers"))
+        stats.join(outs, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"), col("n"),
+            coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+            round(col("mean"), 4).as("mean"),
+            round(col("sigma"), 6).as("sigma"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH stats AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS s,
+                       SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS s2
+                FROM lineitem GROUP BY l_returnflag),
+              ms AS (
+                SELECT l_returnflag, n,
+                       CAST(s AS DOUBLE) / n AS mean,
+                       SQRT((CAST(s2 AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS sigma
+                FROM stats),
+              outs AS (
+                SELECT li.l_returnflag, COUNT(*) AS n_outliers
+                FROM lineitem li JOIN ms ON li.l_returnflag = ms.l_returnflag
+                WHERE ABS(li.l_extendedprice - ms.mean) > 3.0 * ms.sigma
+                GROUP BY li.l_returnflag)
+              SELECT ms.l_returnflag, ms.n,
+                     COALESCE(outs.n_outliers, 0) AS n_outliers,
+                     ROUND(ms.mean, 4) AS mean,
+                     ROUND(ms.sigma, 6) AS sigma
+              FROM ms LEFT JOIN outs ON ms.l_returnflag = outs.l_returnflag
+              ORDER BY ms.l_returnflag"""))
   )
 
   /** Bucketed-table name keyed on the sf dir AND the process: the bench
