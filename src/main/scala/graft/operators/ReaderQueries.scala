@@ -25,7 +25,7 @@ object ReaderQueries {
   /** nation rows sorted by key: (n_nationkey, n_name, n_regionkey).
     * 25 rows forever (TPC-H fixed dim) — a bounded driver collect, same
     * class as the reference reading the source file on one node. */
-  private def nationRows(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
+  private[operators] def nationRows(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
     Tables(s, dir, "nation")
       .select(col("n_nationkey").cast("long"), col("n_name"),
         col("n_regionkey").cast("long"))

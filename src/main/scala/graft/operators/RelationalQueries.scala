@@ -92,6 +92,46 @@ object RelationalQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Avro round-trip via the built-in datasource — the row-oriented
+    // interchange format of streaming/CDC feeds (Kafka payloads, schema
+    // registry); a 100 TB landing zone reads it before compacting to
+    // parquet. Self-describing schema, splittable container.
+    QuerySpec(
+      "scan_avro",
+      (s, dir) => {
+        // FQCN: this distribution ships AvroFileFormat inside spark-sql
+        // but without the "avro" DataSourceRegister service entry the
+        // short name resolves through
+        val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+        val tmp = ReaderQueries.fixturePath(dir, "scan_avro")
+        t(s, dir, "nation").coalesce(1)
+          .write.mode("overwrite").format(avro).save(tmp)
+        s.read.format(avro).load(tmp)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // XML scan via the Spark 4 built-in datasource (rowTag record
+    // extraction + schema inference) — the config/feed format legacy
+    // enterprise pipelines still emit. The fixture is composed from
+    // nation rows, so the oracle is plain SQL over `nation`; inferred
+    // numerics are cast explicitly so the schema can't drift with the
+    // inference sample.
+    QuerySpec(
+      "scan_xml",
+      (s, dir) => {
+        val tmp = ReaderQueries.fixturePath(dir, "scan_xml") + "/nation.xml"
+        graft.sources.FormatWriters.writeXmlRecords(tmp, ReaderQueries.nationRows(s, dir))
+        s.read.format("xml").option("rowTag", "record").load(tmp)
+          .select(col("id").cast("long").as("id"), col("name"),
+            col("region").cast("long").as("region"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+                     CAST(n_regionkey AS BIGINT) AS region
+              FROM nation ORDER BY id""")),
+
     // Schema-evolution scan — the data-lake reality at 100 TB: years of
     // parquet parts whose schemas drifted (columns added/dropped). Two
     // hive-partitioned parts are written with DIFFERENT column subsets;

@@ -120,6 +120,19 @@ object FormatWriters {
     Files.write(Paths.get(path), zip): Unit
   }
 
+  /** Record-per-row XML document (`scan_xml` fixture): one `<record>`
+    * element per nation row under a single root, the rowTag shape the
+    * built-in XML datasource extracts. */
+  def writeXmlRecords(path: String, rows: Seq[(Long, String, Long)]): Unit = {
+    val parent = Paths.get(path).getParent
+    if (parent != null) Files.createDirectories(parent): Unit
+    val body = rows.map { case (k, n, r) =>
+      s"  <record><id>$k</id><name>${xmlEscape(n)}</name><region>$r</region></record>"
+    }.mkString("\n")
+    val doc = s"""<?xml version="1.0" encoding="UTF-8"?>\n<records>\n$body\n</records>\n"""
+    Files.write(Paths.get(path), doc.getBytes(UTF_8)): Unit
+  }
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
