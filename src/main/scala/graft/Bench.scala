@@ -62,6 +62,15 @@ object Bench {
     // line (shutdown INFO noise goes to stderr at WARN level anyway).
     spark.stop()
     println(stdoutJson)
+    // A failed query must fail the PROCESS too (ADVICE r4): consumers
+    // gating on the exit code would otherwise read a red bench as green.
+    // The JSON line is already printed and the durable file written, so
+    // nothing downstream loses data by this exit.
+    val nFailed = results.values.count(_ < 0)
+    if (nFailed > 0) {
+      System.err.println(s"BENCH: $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 
   // java.util.Locale.ROOT guards against comma decimal separators under

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated corpus (TESTDATA.md).
   *
@@ -22,14 +22,28 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
-    * a long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
-    * test sessions). Truncate to micros with exact integer division — the
-    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+  /** The driver has shipped `events.ts` under several parquet encodings as
+    * the corpus was regenerated; normalize them ALL to a session-TZ
+    * `TimestampType` so every downstream consumer (event-time arithmetic,
+    * `withWatermark`, `unix_micros`) sees one canonical type:
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark only reads it as a long
+    *     (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
+    *     test sessions). Truncate to micros with exact integer division —
+    *     the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+    *     TIMESTAMP_NTZ. Cast to TimestampType — lossless because the
+    *     session timezone is pinned to UTC (GraftSession.scala), which is
+    *     also how DuckDB interprets the same column.
+    *
     * Shared by the batch loader above and the streaming reader
-    * (EventStreams.readEvents) so batch/stream twins can never diverge. */
+    * (EventStreams.readEvents) so batch/stream twins can never diverge.
+    * TablesSchemaSpec pins the post-normalization schema of every table so
+    * the next corpus drift fails one focused test, not a cascade. */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 }

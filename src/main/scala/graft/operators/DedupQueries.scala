@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Convergence telemetry for [[DedupQueries.connectedComponents]]: the
+    * round count of the most recent invocation in this JVM. Diagnostic
+    * only (bench attribution + specs) — never part of a query result. */
+  object ConnectedComponentsStats {
+    @volatile var lastRounds: Int = -1
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -243,19 +250,15 @@ object DedupQueries {
           .localCheckpoint()
         // pointer doubling via a RENAMED checkpointed copy — a genuine
         // second leaf relation, so the lookup is a plain join, not a
-        // self-join Catalyst has to disambiguate. Round 1 skips it:
-        // near-clique dup families converge from propagation alone in
-        // 2 rounds, so the doubling join + checkpoint there is usually
-        // pure overhead; deep chains just take one extra (cheap) round.
-        val next =
-          if (rounds == 0) prop
-          else {
-            val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
-            prop.join(lookup, col("lbl") === col("lid"), "left")
-              .select(col("id"),
-                least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
-              .localCheckpoint()
-          }
+        // self-join Catalyst has to disambiguate. Engaged from the FIRST
+        // round: on a deep chain every skipped doubling costs a whole
+        // extra propagate+probe round (3 Spark jobs), which is more than
+        // the one (label, label) equi-join saved on near-clique inputs.
+        val lookup = prop.select(col("id").as("lid"), col("lbl").as("llbl"))
+        val next = prop.join(lookup, col("lbl") === col("lid"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
         val s2 = lblSum(next)
         labels = next
         converged = s2.compareTo(prevSum) == 0
@@ -263,6 +266,12 @@ object DedupQueries {
         rounds += 1
       }
       require(converged, s"component propagation did not converge in $rounds rounds")
+      // convergence observability (VERDICT r4 #5): the rounds count makes a
+      // bench-time jump attributable — graph densification shows up here,
+      // machine contention doesn't. stderr so Bench's one-line-JSON stdout
+      // contract stays clean; lastRounds is the test/debug hook.
+      ConnectedComponentsStats.lastRounds = rounds
+      System.err.println(s"[graft] connectedComponents converged in $rounds rounds")
       // Superseded round checkpoints are freed by the ContextCleaner as
       // their frames drop out of scope (label sets are (long, long) rows,
       // 2 live copies per round at worst); a reliable-checkpoint dir with

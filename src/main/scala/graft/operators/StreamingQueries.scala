@@ -231,7 +231,9 @@ object StreamingQueries {
           .partitionBy("user_id").orderBy("event_id")
         events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
-            col("ts").cast("double").as("ts_s"))
+            // epoch micros / 1e6, not cast(ts as double): identical value,
+            // but analyzable for any timestamp flavor the corpus ships
+            (unix_micros(col("ts")) / lit(1e6)).as("ts_s"))
           .withColumn("lag_s", max(col("ts_s")).over(w) - col("ts_s"))
           .groupBy("event_type")
           .agg(

@@ -58,6 +58,87 @@ final class ParquetSink(rootDir: String) extends Sink {
     write(df, schemaName, tableName)
 }
 
+/** GeoPackage sink: one `.gpkg` container per table under `rootDir/schema`
+  * — the write-back side of [[graft.sources.GeoPackageReader]], closing the
+  * loop on the one ingest format that was read-only (the reference only
+  * reads gpkg, core_processor.rs:393-398; PostGIS is its only geo OUTPUT).
+  * `writeGeo` mirrors the 2-phase PostGIS contract at the file level: the
+  * transform's `<g>_wkt` text columns become typed GPB geometry columns
+  * named `<g>` (invalid WKT → NULL, same as `safe_geom_from_text`), and
+  * the `_wkt` scaffolding is dropped.
+  *
+  * Driver-side single-file emitter by deliberate scope — the same position
+  * as [[graft.sources.FormatWriters]]'s readers/writers (an ingest
+  * container has no split to distribute; the 100 TB output path is the
+  * ParquetSink). Each table must fit one SQLite page (enforced). */
+final class GeoPackageSink(rootDir: String, srsId: Int = 4326) extends Sink {
+  import graft.sources.FormatWriters
+  import graft.functions.GeoFunctions
+
+  private def path(schemaName: String, tableName: String) =
+    s"$rootDir/$schemaName/$tableName.gpkg"
+
+  override def createSchema(schemaName: String): Unit =
+    new java.io.File(s"$rootDir/$schemaName").mkdirs(): Unit
+
+  override def dropTable(schemaName: String, tableName: String): Unit =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path(schemaName, tableName))): Unit
+
+  override def write(df: DataFrame, schemaName: String, tableName: String): Unit =
+    writeGeo(df, schemaName, tableName, Nil)
+
+  override def writeGeo(df: DataFrame, schemaName: String, tableName: String,
+      geomColumns: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    // OGC 1.1 §2.1.6 feature tables carry exactly one geometry column;
+    // a multi-geometry frame must pick one, not silently drop the rest
+    require(geomColumns.lengthCompare(1) <= 0,
+      s"GeoPackage allows one geometry column per table, got $geomColumns")
+    createSchema(schemaName)
+    val wktNames = geomColumns.map(_ + "_wkt").toSet
+    val columns = df.schema.fields.map { f =>
+      val declared = f.dataType match {
+        case _ if wktNames(f.name)                       => "BLOB"
+        case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+        case DoubleType | FloatType                      => "REAL"
+        case StringType                                  => "TEXT"
+        case BinaryType                                  => "BLOB"
+        case other => throw new IllegalArgumentException(
+          s"GeoPackageSink: unsupported column type $other for ${f.name}")
+      }
+      (if (wktNames(f.name)) f.name.stripSuffix("_wkt") else f.name) -> declared
+    }.toSeq
+    val fields = df.schema.fields
+    val rows = df.collect().toSeq.map { r =>
+      fields.indices.map { i =>
+        val v = r.get(i)
+        (v, fields(i)) match {
+          case (null, _) => null
+          case (s: String, f) if wktNames(f.name) =>
+            // invalid WKT → NULL geometry, the safe_geom_from_text contract
+            GeoFunctions.parseWkt(s)
+              .map(g => FormatWriters.gpbWrap(srsId, GeoFunctions.toWkb(g)))
+              .orNull
+          case (x: Long, _) => x
+          case (x: Int, _) => x.toLong
+          case (x: Short, _) => x.toLong
+          case (x: Byte, _) => x.toLong
+          case (x: Double, _) => x
+          case (x: Float, _) => x.toDouble
+          case (x: String, _) => x
+          case (x: Array[Byte], _) => x
+          case (other, f) => throw new IllegalArgumentException(
+            s"GeoPackageSink: unsupported value $other in ${f.name}")
+        }
+      }
+    }
+    FormatWriters.writeGeoPackageTable(
+      path(schemaName, tableName), tableName, columns, srsId,
+      geomColumns.headOption, rows)
+  }
+}
+
 /** PostGIS sink: reproduces the reference's DDL + 2-phase geometry write
   * byte-for-byte at the SQL level (geo_strategy.rs:350-421,
   * core_processor.rs:134-162). The bulk row transfer is a distributed JDBC

@@ -228,25 +228,46 @@ object FormatWriters {
     * page (enforced), which a fixture always does. */
   def writeGeoPackage(path: String, table: String, keyField: String,
       nameField: String, srsId: Int,
-      rows: Seq[(Long, String, Double, Double)]): Unit = {
+      rows: Seq[(Long, String, Double, Double)]): Unit =
+    writeGeoPackageTable(path, table,
+      columns = Seq(keyField -> "INTEGER", nameField -> "TEXT", "geom" -> "BLOB"),
+      srsId = srsId, geomColumn = Some("geom"),
+      rows = rows.map { case (k, n, x, y) => Seq(k, n, gpb(srsId, x, y)) })
+
+  /** General single-leaf-page GeoPackage writer — the write side of
+    * [[GeoPackageReader]] and the backing of [[graft.plans.GeoPackageSink]].
+    * `columns` are (name, SQLite decl type) pairs aligned with each row's
+    * values (Long / String / Double / Array[Byte] / null); a geometry
+    * column's values must already be GPB blobs (see [[gpbWrap]]).
+    * `geomColumn = None` writes an attributes-only container (data_type
+    * "attributes", no gpkg_geometry_columns row). Same bounded scope as
+    * every writer here: driver-side, each table one 4096-byte page
+    * (enforced by `leafPage`'s require — ingest containers are small; the
+    * 100 TB path is parquet, never a single SQLite file). */
+  def writeGeoPackageTable(path: String, table: String,
+      columns: Seq[(String, String)], srsId: Int,
+      geomColumn: Option[String], rows: Seq[Seq[Any]]): Unit = {
+    require(rows.forall(_.length == columns.length),
+      s"row arity != ${columns.length} columns")
     val featureSql =
-      s"CREATE TABLE $table ($keyField INTEGER, $nameField TEXT, geom BLOB)"
+      s"CREATE TABLE $table (${columns.map { case (n, t) => s"$n $t" }.mkString(", ")})"
     val contentsSql =
       "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT, srs_id INTEGER)"
     val geomColsSql =
       "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, " +
         "geometry_type_name TEXT, srs_id INTEGER, z INTEGER, m INTEGER)"
 
+    val dataType = if (geomColumn.isDefined) "features" else "attributes"
     val masterCells = Seq(
       masterRecord(1, "gpkg_contents", 2, contentsSql),
       masterRecord(2, "gpkg_geometry_columns", 3, geomColsSql),
       masterRecord(3, table, 4, featureSql))
     val contentsCells = Seq(
-      cell(1, record(Seq(table, "features", srsId.toLong))))
-    val geomColsCells = Seq(
-      cell(1, record(Seq(table, "geom", "POINT", srsId.toLong, 0L, 0L))))
-    val featureCells = rows.zipWithIndex.map { case ((k, n, x, y), i) =>
-      cell(i + 1, record(Seq(k, n, gpb(srsId, x, y))))
+      cell(1, record(Seq(table, dataType, srsId.toLong))))
+    val geomColsCells = geomColumn.toSeq.map(g =>
+      cell(1, record(Seq(table, g, "GEOMETRY", srsId.toLong, 0L, 0L))))
+    val featureCells = rows.zipWithIndex.map { case (r, i) =>
+      cell(i + 1, record(r))
     }
 
     val pages = Array(
@@ -260,6 +281,17 @@ object FormatWriters {
     }
     writeSqliteHeader(out, pages.length)
     Files.write(Paths.get(path), out): Unit
+  }
+
+  /** GeoPackage binary wrapper around arbitrary WKB: "GP", version 0,
+    * flags 0x01 (LE, no envelope), srs_id, geometry bytes — the generic
+    * form of the point-only [[gpb]]. */
+  def gpbWrap(srsId: Int, wkb: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + wkb.length)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte).put(0x01.toByte)
+    b.order(ByteOrder.LITTLE_ENDIAN).putInt(srsId)
+    b.put(wkb)
+    b.array()
   }
 
   private val PageSize = 4096
@@ -358,15 +390,8 @@ object FormatWriters {
     }
   }
 
-  /** GeoPackage binary blob: "GP", version 0, flags 0x01 (LE, no
-    * envelope), srs_id, then standard WKB for POINT(x y). */
-  private def gpb(srsId: Int, x: Double, y: Double): Array[Byte] = {
-    val wkb = graft.functions.GeoFunctions.toWkb(
-      graft.functions.GeoFunctions.point(x, y))
-    val b = ByteBuffer.allocate(8 + wkb.length)
-    b.put('G'.toByte).put('P'.toByte).put(0.toByte).put(0x01.toByte)
-    b.order(ByteOrder.LITTLE_ENDIAN).putInt(srsId)
-    b.put(wkb)
-    b.array()
-  }
+  /** GeoPackage binary blob for POINT(x y): [[gpbWrap]] over point WKB. */
+  private def gpb(srsId: Int, x: Double, y: Double): Array[Byte] =
+    gpbWrap(srsId, graft.functions.GeoFunctions.toWkb(
+      graft.functions.GeoFunctions.point(x, y)))
 }

@@ -266,6 +266,66 @@ object EventStreams {
         })
       .toDF("user_id", "n_completions", "first_completion_us")
   }
+  /** Per-event lateness under streaming execution — the streaming twin of
+    * the `stream_late_audit` batch query. flatMapGroupsWithState keyed on
+    * user_id; state is ONE long (the max event-time seen on the key), so
+    * state size is O(users), not O(events). Each event emits its lateness
+    * vs that running max: exactly the per-key out-of-orderness
+    * `withWatermark` would adjudicate, observed instead of configured.
+    * Within a micro-batch events fold in event_id (arrival) order,
+    * matching the batch twin's `ORDER BY event_id` running max; across
+    * batches the state carries the max forward, so batch boundaries never
+    * reset the audit. */
+  def latenessPerEvent(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsUs"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[LateMax]) => {
+          var maxUs = state.getOption.map(_.maxUs).getOrElse(Long.MinValue)
+          val out = rows.toVector.sortBy(_._2).map { case (_, eventId, typ, tsUs) =>
+            maxUs = math.max(maxUs, tsUs)
+            (eventId, typ, maxUs - tsUs)
+          }
+          state.update(LateMax(maxUs))
+          out.iterator
+        })
+      .toDF("event_id", "event_type", "lag_us")
+  }
+
+  /** [[latenessPerEvent]] EXECUTED as a stream and folded to the audit
+    * shape (per type: event count, would-be watermark drops, max/p95
+    * lateness) — the `stream_late_audit` batch query's numbers produced
+    * by real streaming machinery (readStream → stateful operator →
+    * AvailableNow drain), asserted equal in EventStreamsSpec. */
+  def lateAuditEffect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val perEvent = latenessPerEvent(spark, readEvents(spark, dir))
+    val sink = s"graft_late_audit_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val q = perEvent.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-late-audit").toString)
+      .start()
+    q.awaitTermination(120000)
+    spark.table(sink)
+      .select(col("event_type"), (col("lag_us") / lit(1e6)).as("lag_s"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("lag_s") > 600d, 1L).otherwise(0L)).as("n_dropped_10m"),
+        round(max(col("lag_s")), 6).as("max_lag_s"),
+        round(expr("percentile(lag_s, 0.95)"), 6).as("p95_lag_s"))
+      .orderBy("event_type")
+  }
 }
 
 /** mapGroupsWithState state record: fixed-size per user. */
@@ -278,3 +338,6 @@ final case class FunnelState(
 
 /** flatMapGroupsWithState state record: the one in-flight session. */
 final case class OpenSession(startUs: Long, endUs: Long, n: Int)
+
+/** Lateness-audit state record: the max event-time micros seen per user. */
+final case class LateMax(maxUs: Long)

@@ -255,4 +255,16 @@ class EventStreamsSpec extends AnyFunSuite {
       .select("event_id").distinct().count()
     assert(n == distinctIds)
   }
+
+  test("streamed lateness audit matches the batch stream_late_audit twin") {
+    // the one remaining batch-only audit claim gets streaming execution
+    // evidence (VERDICT r4 #7): per-user running-max state under real
+    // readStream machinery must reproduce the batch window's numbers
+    val streamed = EventStreams.lateAuditEffect(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.Registry.byName("stream_late_audit")
+      .run(spark, dir).collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty, "batch twin returned no rows — fixture too small")
+    assert(streamed == batch)
+  }
 }
