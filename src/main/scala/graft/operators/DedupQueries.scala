@@ -699,7 +699,65 @@ object DedupQueries {
                         UNION ALL SELECT vb FROM tri
                         UNION ALL SELECT vc FROM tri)
               SELECT doc_id, COUNT(*) AS n_triangles
-              FROM verts GROUP BY doc_id ORDER BY doc_id"""))
+              FROM verts GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Span-level (sub-document) dedup — the "remove repeated passages"
+    // curation op (the exact-substring-dedup family, approximated at
+    // fixed 10-token chunk granularity so membership is SQL-exact): a
+    // chunk whose hash appears more than once ANYWHERE in the corpus is
+    // removed from every document carrying it; each doc reports surviving
+    // chunk counts + an order-preserving digest of its deduplicated text.
+    // Boilerplate/dup families lose their repeated spans while unique
+    // prose survives — doc-level dedup (dedup_exact/minhash) can't
+    // express this, and it's what large corpus curation actually ships.
+    //
+    // Scale shape: tokenize+chunk is per-row codegen; the corpus-wide
+    // occurrence count is ONE partial-aggregating shuffle of 8-byte chunk
+    // hashes; the verdict joins back on the same hash (equi-join, AQE-
+    // sized); reassembly is a per-doc groupBy whose state is bounded by
+    // one document's chunks. Nothing driver-side, nothing all-pairs, no
+    // corpus-sized broadcast — the 100 TB cost is two hash shuffles.
+    QuerySpec(
+      "dedup_spans",
+      (s, dir) => {
+        val chunked = docs(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(t)/10.0) as int)-1), " +
+              "i -> concat_ws(' ', slice(t, i*10+1, 10)))")))
+          .withColumnRenamed("pos", "idx")
+          .withColumnRenamed("col", "chunk")
+          .withColumn("h", h32(col("chunk")))
+        val counts = chunked.groupBy("h").agg(count(lit(1)).as("cnt"))
+        chunked.join(counts, "h")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_kept"),
+            md5(concat_ws(" ", expr(
+              "transform(filter(array_sort(collect_list(struct(idx, cnt, chunk)))," +
+                " x -> x.cnt = 1), x -> x.chunk)"))).as("kept_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              chunks AS (
+                SELECT doc_id, i AS idx,
+                       ARRAY_TO_STRING(t[(i*10+1):(i*10+10)], ' ') AS chunk
+                FROM (SELECT doc_id, t,
+                             UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(t)/10.0) AS INT) - 1)) AS i
+                      FROM toks)),
+              h AS (SELECT doc_id, idx, chunk,
+                           ('0x'||SUBSTR(MD5(chunk),1,8))::BIGINT AS hh
+                    FROM chunks),
+              c AS (SELECT hh, COUNT(*) AS cnt FROM h GROUP BY hh)
+              SELECT doc_id,
+                     COUNT(*) AS n_chunks,
+                     CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     MD5(COALESCE(STRING_AGG(CASE WHEN cnt = 1 THEN chunk END, ' ' ORDER BY idx), ''))
+                       AS kept_digest
+              FROM h JOIN c USING (hh)
+              GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Shared DuckDB CTE chain reimplementing the exact MinHash+LSH

@@ -209,6 +209,47 @@ object LayoutQueries {
             SELECT (x4 | (y4 << 1)) >> 26 AS zbucket, COUNT(*) AS n,
                    MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
             FROM s4 GROUP BY 1 ORDER BY zbucket"""
-      })
+      }),
+
+    // Small-file compaction — the table-maintenance pass every streaming
+    // or incremental ingest needs: micro-batch appends leave thousands of
+    // KB-sized files whose per-file open/footer overhead dominates scans
+    // (the classic small-files problem). The op deliberately fragments
+    // `documents` into 32 files, then compacts: list the data files
+    // (driver-side metadata, the same position as a table format's
+    // manifest scan), size a target file count from total bytes /
+    // target-file-size, and rewrite with exactly that many output
+    // partitions. The query's RESULT is the post-compaction content
+    // census (row count + chars + order-insensitive text digest), so the
+    // oracle proves the rewrite lost and duplicated nothing; the file-
+    // count collapse itself is asserted by LayoutCompactSpec. At 100 TB
+    // this runs per partition-slice with the same two metadata-bounded
+    // steps — the data path is one scan + one write, no shuffle beyond
+    // the repartition that IS the compaction.
+    QuerySpec(
+      "layout_compact",
+      (s, dir) => {
+        val smallDir = ReaderQueries.fixturePath(dir, "compact_small")
+        val outDir = ReaderQueries.fixturePath(dir, "compact_out")
+        t(s, dir, "documents")
+          .repartition(32)
+          .write.mode("overwrite").parquet(smallDir)
+        val targetBytes = 8L * 1024 * 1024
+        val totalBytes = new java.io.File(smallDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        s.read.parquet(smallDir)
+          .repartition(nOut)
+          .write.mode("overwrite").parquet(outDir)
+        s.read.parquet(outDir)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(graft.functions.HashBridge.h32(col("text"))).as("text_digest"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     CAST(SUM(('0x'||SUBSTR(MD5(text),1,8))::BIGINT) AS BIGINT) AS text_digest
+              FROM documents"""))
   )
 }

@@ -313,6 +313,38 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // Parquet point-lookup sink: write orders clustered on the key with
+    // column BLOOM FILTERS and small row groups, read back with literal
+    // point predicates. The plan must push the IN-filter into the scan
+    // (PushedFilters — ParquetBloomSpec asserts it, plus the footer
+    // actually carrying bloom offsets), where parquet-mr consults
+    // row-group min/max stats AND the bloom filter to skip row groups
+    // entirely. At 100 TB this is the needle-in-haystack shape: a point
+    // lookup over a sorted+bloomed key column reads a handful of row
+    // groups instead of the table — I/O proportional to matches, not
+    // corpus. The probe keys are literals (0, 7, 123, 1400 exist at
+    // every SF) so the pushdown is a static filter, the cheapest form.
+    QuerySpec(
+      "sink_parquet_bloom",
+      (s, dir) => {
+        val out = fixturePath(dir, "sink_bloom")
+        Tables(s, dir, "orders")
+          .sort("o_orderkey") // range-partitioned sort → monotone row groups
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+          .option("parquet.block.size", (256 * 1024).toString)
+          .parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderkey").isin(0L, 7L, 123L, 1400L))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey IN (0, 7, 123, 1400)
+              ORDER BY o_orderkey""")),
+
     // Hive-partitioned parquet sink — the layout every downstream 100 TB
     // consumer expects (one directory per source, so a per-source read
     // prunes at the FILE LISTING level, before any scan task launches).

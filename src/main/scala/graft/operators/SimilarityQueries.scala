@@ -353,6 +353,123 @@ object SimilarityQueries {
                 FROM pairs) WHERE rn <= 5
               ORDER BY query_id, sim DESC, neighbor_id""")),
 
+    // Product-quantized (PQ/ADC-style) ANN — the fourth index family next
+    // to IVF / LSH / SQ8: vectors split into M=4 subspaces of 16 dims;
+    // each subvector is coded as the id of its nearest codebook entry, so
+    // a vector stores as M small codes (here 4×4 bits of information —
+    // 16× smaller than the SQ8 codes, 64× smaller than float32); queries
+    // score candidates by ASYMMETRIC DISTANCE COMPUTATION — a broadcast
+    // (query × subspace × centroid) lookup table of exact query-to-
+    // codebook distances, so scoring a neighbor is M table lookups + a
+    // sum, never a d-dim float walk. Top-20 ADC survivors rerank with the
+    // exact float cosine (the SQ8 pattern). Codebooks here are sampled
+    // deterministically (the M subvectors of vec_id < 16 — production
+    // trains them with embedding_kmeans' Lloyd loop, same machinery);
+    // everything runs on the integer grid q = round(x*1000) with integer
+    // squared distances, so both engines agree bit-for-bit with no
+    // tolerance. At 100 TB: the code relation (n×M compact rows) joins a
+    // constant 1024-row broadcast table and partial-aggregates per
+    // (query, neighbor) — linear in n with a constant factor, and the
+    // full-precision vectors are touched only by the ≤20 survivors'
+    // equi-join fetch.
+    QuerySpec(
+      "topk_similarity_pq",
+      (s, dir) => {
+        val M = 4; val Sub = 16; val Kc = 16
+        val sqd = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        val subs = emb(s, dir)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+          .select(col("vec_id"), posexplode(expr(
+            s"transform(sequence(0, ${M - 1}), s -> slice(qv, s * $Sub + 1, $Sub))")))
+          .select(col("vec_id"), col("pos").as("s"), col("col").as("sub"))
+        val cb = subs.filter(col("vec_id") < Kc)
+          .select(col("vec_id").cast("int").as("cid"), col("s"), col("sub").as("csub"))
+        // nearest codebook entry per (vector, subspace) — integer-exact
+        // distances, ties to the lowest cid
+        val wc = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("cid"))
+        val codes = subs.join(broadcast(cb), "s")
+          .withColumn("d", expr(sqd.format("sub", "csub")))
+          .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("s"), col("cid").as("code"))
+        // ADC lookup table: 16 queries × 4 subspaces × 16 centroids
+        val dt = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"), col("s").as("qs"), col("sub").as("qsub"))
+          .join(broadcast(cb), col("s") === col("qs"))
+          .withColumn("qd", expr(sqd.format("qsub", "csub")))
+          .select(col("query_id"), col("qs"), col("cid"), col("qd"))
+        val approx = codes
+          .join(broadcast(dt), col("qs") === col("s") && col("cid") === col("code")
+            && col("query_id") =!= col("vec_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum(col("qd")).as("ad"))
+        val wq = Window.partitionBy("query_id").orderBy(col("ad"), col("neighbor_id"))
+        val cand = approx
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val n = normed(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        cand
+          .join(n.as("q2"), col("q2.vec_id") === col("query_id"))
+          .join(n.as("c2"), col("c2.vec_id") === col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q2.e"), col("c2.e")) / (col("q2.nrm") * col("c2.nrm")), 6) + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              qg AS (
+                SELECT vec_id,
+                       LIST_TRANSFORM(e, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+                FROM v),
+              subs AS (
+                SELECT vec_id, s, qv[(s*16+1):(s*16+16)] AS sub
+                FROM qg, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS s)),
+              cb AS (SELECT CAST(vec_id AS INT) AS cid, s, sub AS csub
+                     FROM subs WHERE vec_id < 16),
+              dists AS (
+                SELECT t.vec_id, t.s, c.cid,
+                       (SELECT SUM((a-b)*(a-b))
+                        FROM (SELECT UNNEST(t.sub) AS a, UNNEST(c.csub) AS b)) AS d
+                FROM subs t JOIN cb c ON c.s = t.s),
+              codes AS (
+                SELECT vec_id, s, cid AS code FROM (
+                  SELECT vec_id, s, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+                  FROM dists) WHERE rn = 1),
+              dt AS (SELECT vec_id AS query_id, s, cid, d FROM dists WHERE vec_id < 16),
+              approx AS (
+                SELECT dt.query_id, codes.vec_id AS neighbor_id, SUM(dt.d) AS ad
+                FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
+                WHERE codes.vec_id != dt.query_id
+                GROUP BY dt.query_id, codes.vec_id),
+              cand AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY ad, neighbor_id) AS rn
+                  FROM approx) WHERE rn <= 20),
+              n AS (
+                SELECT vec_id, e,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                FROM v),
+              pairs AS (
+                SELECT query_id, neighbor_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+                             / (q.nrm * c.nrm), 6) + 0.0 AS sim
+                FROM cand JOIN n q ON q.vec_id = query_id
+                          JOIN n c ON c.vec_id = neighbor_id)
+              SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rn
+                FROM pairs) WHERE rn <= 5
+              ORDER BY query_id, sim DESC, neighbor_id""")),
+
     // Embedding normalization (the stage before any cosine/ANN search:
     // unit-length vectors make dot product == cosine): per-vector L2
     // norm plus the first normalized component as the checkable scalar
