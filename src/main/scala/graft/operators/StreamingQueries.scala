@@ -132,6 +132,21 @@ object StreamingQueries {
                        AS total_purchase_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // transformWithState (Spark 4's arbitrary-state API: StatefulProcessor
+    // + named typed ValueState on the RocksDB store) EXECUTED as a stream
+    // and oracle-checked: the same per-user purchase totals as
+    // stream_running_stats, produced by the new API generation under real
+    // readStream machinery — so BOTH stateful APIs carry hash evidence,
+    // not just the legacy one. Same rounding bridge as the mapGroups twin.
+    QuerySpec(
+      "stream_running_stats_tws",
+      (s, dir) => graft.streaming.EventStreams.userStatsTwsEffect(s, dir),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+                     COUNT(*) FILTER (event_type = 'purchase') AS n_purchases,
+                     ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+                       AS total_purchase_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // flatMapGroupsWithState sessionizer, oracle-checked: runs the EXACT
     // sessionizedEvents transform the streaming fixture exercises. In
     // batch, every user's events arrive as one group invocation, so the

@@ -135,6 +135,66 @@ object EventStreams {
       .toDF("user_id", "n_events", "n_purchases", "total_purchase_value")
   }
 
+  /** [[statefulUserStats]]'s twin on the MODERN arbitrary-state API —
+    * `transformWithState` with a [[StatefulProcessor]] holding a typed
+    * `ValueState[UserStats]` (Spark 4's successor to mapGroupsWithState:
+    * named state variables, TTL support, timers, and the RocksDB state
+    * store backing changelog checkpoints). Same per-key constant-size
+    * state and the same fold; the two APIs are asserted equal in
+    * EventStreamsSpec, and the executed stream is hash-oracled by
+    * `stream_running_stats_tws`. */
+  def statefulUserStatsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("user_id", "event_type", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "n_purchases", "total_purchase_value")
+  }
+
+  /** [[statefulUserStatsTws]] EXECUTED as a stream (readStream →
+    * transformWithState on the RocksDB provider → AvailableNow drain) and
+    * reduced to converged per-user totals — the oracle-visible effect of
+    * the new-API stateful operator, mirroring `stream_running_stats`'s
+    * numbers. Update-mode re-emissions across micro-batches collapse via
+    * max_by on the monotone event count. */
+  def userStatsTwsEffect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB provider; scope it to this
+    // run so the HDFS-backed default keeps serving the other fixtures
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = statefulUserStatsTws(spark, readEvents(spark, dir))
+      val sink = s"graft_tws_stats_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val q = out.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-tws").toString)
+        .start()
+      q.awaitTermination(120000)
+      spark.table(sink)
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("n_events"), col("n_purchases"), col("total_purchase_value")),
+          col("n_events")).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.n_purchases").as("n_purchases"),
+          round(col("m.total_purchase_value"), 2).as("total_purchase_value"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-stream interval join: each error event joined to the same
     * user's purchases in the following hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's
@@ -330,6 +390,33 @@ object EventStreams {
 
 /** mapGroupsWithState state record: fixed-size per user. */
 final case class UserStats(nEvents: Long, nPurchases: Long, totalValue: Double)
+
+/** transformWithState processor: the running per-user purchase totals as
+  * a named typed ValueState. Constant bytes per key; the fold matches
+  * [[EventStreams.statefulUserStats]] exactly so the two API generations
+  * are interchangeable (and asserted so). */
+class UserStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, String, Double), (Long, Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[UserStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserStats](
+      "stats", org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+    val prev = if (st.exists()) st.get() else UserStats(0L, 0L, 0.0)
+    var n = prev.nEvents; var p = prev.nPurchases; var v = prev.totalValue
+    rows.foreach { case (_, typ, value) =>
+      n += 1
+      if (typ == "purchase") { p += 1; v += value }
+    }
+    st.update(UserStats(n, p, v))
+    Iterator.single((key, n, p, v))
+  }
+}
 
 /** Funnel-progress state record: fixed-size per user (sentinel
   * Long.MaxValue = stage not yet reached). */
