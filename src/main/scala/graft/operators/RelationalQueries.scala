@@ -1516,6 +1516,48 @@ object RelationalQueries {
         bucketedJoin(s, dir)
       })),
 
+    // Dynamic partition pruning — the scan feature that makes star joins
+    // viable at 100 TB: the fact side is written hive-partitioned on the
+    // join key, the dim side is a tiny relation whose qualifying keys are
+    // only known at runtime, and Catalyst injects a dynamic pruning
+    // subquery into the fact scan's PartitionFilters — so only the
+    // partitions matching the dim's keys are LISTED AND READ, before any
+    // join executes (file-listing-level pruning, the same lever
+    // sink_partitioned demonstrates statically). DppSpec asserts the
+    // executed plan actually carries the dynamicpruning filter; this
+    // query puts the RESULT under the driver's hash gate.
+    QuerySpec(
+      "join_dpp",
+      (s, dir) => {
+        val out = ReaderQueries.fixturePath(dir, "dpp_part")
+        t(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("source").parquet(out)
+        // the dim must be a SCANNED relation with a selective filter —
+        // DPP's benefit heuristic requires a real predicate on the build
+        // side (a literal in-memory list constant-folds to an unfiltered
+        // LocalRelation and no pruning subquery is injected): derive the
+        // qualifying sources from the nation dim at runtime
+        val dim = t(s, dir, "nation")
+          .filter(col("n_regionkey") === 1 && col("n_nationkey") < 20)
+          .select(concat(lit("src"), col("n_nationkey").cast("long")).as("source"),
+            (col("n_nationkey") + 1).cast("long").as("boost"))
+        s.read.parquet(out)
+          .join(broadcast(dim), "source")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars") * col("boost")).cast("long").as("boosted_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH dim AS (
+                SELECT 'src' || CAST(n_nationkey AS BIGINT) AS source,
+                       CAST(n_nationkey + 1 AS BIGINT) AS boost
+                FROM nation WHERE n_regionkey = 1 AND n_nationkey < 20)
+              SELECT d.source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars * boost) AS BIGINT) AS boosted_chars
+              FROM documents d JOIN dim ON d.source = dim.source
+              GROUP BY d.source ORDER BY d.source""")),
+
     // Key-skew profile (the diagnostic a pipeline runs before choosing
     // salting / AQE skew thresholds / bucket counts): group sizes of the
     // join key, then one bounded row of distribution stats. Two partial-

@@ -81,6 +81,29 @@ object StreamingQueries {
               FROM sess GROUP BY user_id, sid
               ORDER BY user_id, session_start""")),
 
+    // Stream-static enrichment join feeding a watermarked tumbling
+    // aggregate: the unbounded stream equi-joins a broadcast per-type
+    // weight dim (no shuffle, no join state — the slowly-changing-dim
+    // pattern), then windows with weighted decimal sums. Runs the SAME
+    // enrichedTumblingValue function the streaming fixture executes.
+    QuerySpec(
+      "stream_enrich",
+      (s, dir) =>
+        graft.streaming.EventStreams.enrichedTumblingValue(
+          events(s, dir),
+          graft.streaming.EventStreams.eventTypeWeights(s, dir))
+          .orderBy("ws", "event_type"),
+      Some("""WITH w AS (
+                SELECT DISTINCT event_type,
+                       ('0x'||SUBSTR(MD5(event_type),1,8))::BIGINT % 10 AS weight
+                FROM events)
+              SELECT make_timestamp((epoch_ns(ts) // 1000) // 600000000 * 600000000) AS ws,
+                     e.event_type, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(e.value * w.weight AS DECIMAL(38,4))) AS DOUBLE), 4)
+                       AS weighted_value
+              FROM events e JOIN w USING (event_type)
+              GROUP BY 1, 2 ORDER BY ws, event_type""")),
+
     // Stateful-dedup batch shape: first event id per (user, type) group —
     // streaming twin is dropDuplicatesWithinWatermark in EventStreams.
     QuerySpec(

@@ -195,6 +195,37 @@ object EventStreams {
     }
   }
 
+  /** Stream-static enrichment join — the third join shape next to the
+    * stream-stream interval join and the batch joins: an unbounded stream
+    * equi-joined to a bounded dimension (here per-type weights derived
+    * once from the batch corpus via the md5 hash bridge). The static side
+    * broadcasts, so the stream is enriched with NO shuffle and NO join
+    * state — each micro-batch probes the same broadcast hash relation,
+    * exactly how a 1000-executor stream joins a slowly-changing dim
+    * table. Downstream the enriched rows feed a watermarked tumbling
+    * aggregate (weighted decimal sums), proving enrichment composes with
+    * stateful windowing. */
+  def enrichedTumblingValue(events: DataFrame, typeWeights: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(org.apache.spark.sql.functions.broadcast(typeWeights), "event_type")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum((col("value") * col("weight"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))).cast("double"), 4)
+          .as("weighted_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("weighted_value"))
+
+  /** The static dim for [[enrichedTumblingValue]]: one weight per event
+    * type, derived deterministically (md5 bridge) so the oracle rebuilds
+    * it bit-for-bit. Bounded by the type cardinality — broadcastable
+    * forever. */
+  def eventTypeWeights(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type")).distinct()
+      .withColumn("weight", graft.functions.HashBridge.h32(col("event_type")) % 10)
+
   /** Stream-stream interval join: each error event joined to the same
     * user's purchases in the following hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

@@ -256,6 +256,19 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(n == distinctIds)
   }
 
+  test("stream-static enrichment join matches its batch twin when drained") {
+    val events = EventStreams.readEvents(spark, dir)
+    val dim = EventStreams.eventTypeWeights(spark, dir)
+    runToMemory(EventStreams.enrichedTumblingValue(events, dim), "enrich", "complete")
+    val streamed = spark.table("enrich").orderBy("ws", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.enrichedTumblingValue(
+      graft.Tables(spark, dir, "events"), dim)
+      .orderBy("ws", "event_type").collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("transformWithState totals match the mapGroupsWithState twin") {
     // the two stateful-API generations must be interchangeable: the
     // transformWithState effect (RocksDB store, ValueState) reduced to
