@@ -238,6 +238,67 @@ object RelationalQueries {
                 FROM documents)
               SELECT doc_id, source FROM r WHERE rn <= 16 ORDER BY doc_id""")),
 
+    // Deterministic train/valid/test split — the assignment every
+    // training corpus needs before anything touches it: hash-mod buckets
+    // (80/10/10) on a salted doc key, so membership is a pure function of
+    // the document (stable across engines, partitionings, retries, and
+    // corpus growth — adding docs never moves an existing doc's split,
+    // which a percentile-based split cannot promise). Per-row codegen
+    // kernel + one partial-agg shuffle for the census; linear forever.
+    QuerySpec(
+      "sample_split",
+      (s, dir) => {
+        val b = graft.functions.HashBridge.h32(
+          concat(col("doc_id").cast("string"), lit("_split"))) % 100
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("source", "split")
+      },
+      Some("""WITH b AS (
+                SELECT source, n_chars,
+                       ('0x'||SUBSTR(MD5(doc_id::VARCHAR||'_split'),1,8))::BIGINT % 100 AS h
+                FROM documents)
+              SELECT source,
+                     CASE WHEN h < 80 THEN 'train'
+                          WHEN h < 90 THEN 'valid' ELSE 'test' END AS split,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM b GROUP BY 1, 2 ORDER BY source, split""")),
+
+    // Temperature-scaled mixture weights — the per-source sampling
+    // distribution a multi-source training run draws from: raw counts
+    // are flattened by alpha = 0.5 (w ∝ n^alpha, the standard temperature
+    // reweighting that keeps small sources from vanishing), normalized,
+    // and converted to an expected document budget. One tiny per-source
+    // aggregate plus a 1-row broadcast total — the same scalar-broadcast
+    // shape as text_tfidf's doc count (declared in the hygiene
+    // allowlist); sqrt/rounding mirrored exactly in the oracle.
+    QuerySpec(
+      "sample_mixture",
+      (s, dir) => {
+        val perSource = t(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w_raw", sqrt(col("n").cast("double")))
+        val total = perSource.agg(sum(col("w_raw")).as("w_sum"))
+        perSource.crossJoin(broadcast(total))
+          .select(col("source"), col("n"),
+            round(col("w_raw") / col("w_sum"), 6).as("weight"),
+            round(col("w_raw") / col("w_sum") * 1000, 2).as("expected_docs_per_1k"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (
+                SELECT source, COUNT(*) AS n, SQRT(CAST(COUNT(*) AS DOUBLE)) AS w_raw
+                FROM documents GROUP BY source),
+              t AS (SELECT SUM(w_raw) AS w_sum FROM s)
+              SELECT source, n,
+                     ROUND(w_raw / w_sum, 6) AS weight,
+                     ROUND(w_raw / w_sum * 1000, 2) AS expected_docs_per_1k
+              FROM s, t ORDER BY source""")),
+
     // ------------------------------------------------- filters / projections
     QuerySpec(
       "filter_notnull", // reference: geo_strategy.rs:96,143 (null-guarded probe)

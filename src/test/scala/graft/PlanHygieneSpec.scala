@@ -25,7 +25,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       // 1-row broadcast carrying a constant-size sketch to every task
       "join_bloom_prune", "text_decontaminate_bloom", "agg_countmin",
       // rank_hybrid carries the 1-row stats + query-vector broadcasts
-      "rank_hybrid")
+      "rank_hybrid",
+      // 1-row normalization-total broadcast (the text_tfidf scalar shape)
+      "sample_mixture")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
