@@ -72,5 +72,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(arity("st_centroid_x_wkt", 1)(c => CentroidFromWkt(c(0), axisX = true)))
     ext.injectFunction(arity("st_centroid_y_wkt", 1)(c => CentroidFromWkt(c(0), axisX = false)))
     ext.injectFunction(arity("infer_crs", 4)(c => InferCrs(c)))
+
+    // UDTF tier: the native shingle Generator for LATERAL VIEW callers
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[graft.functions.ShingleExplode].getName, "shingle_explode"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"shingle_explode requires exactly 2 arguments, got ${children.length}")
+        graft.functions.ShingleExplode(children(0), children(1))
+      }))
   }
 }

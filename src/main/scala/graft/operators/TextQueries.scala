@@ -102,6 +102,35 @@ object TextQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // The native shingle GENERATOR (functions/ShingleExplode — the UDTF
+    // extension tier) driven through its SQL LATERAL VIEW surface: most
+    // frequent 3-token shingles corpus-wide with a deterministic
+    // (count DESC, shingle ASC) order. Unlike the
+    // explode(transform(sequence(...))) composition the dedup family
+    // uses, the generator streams shingles from a lazy iterator — peak
+    // per-row memory is ONE shingle, not a document-sized array, the
+    // bound that matters on web-scale documents. The aggregate is a
+    // plain partial-agg groupBy ending in TakeOrderedAndProject.
+    QuerySpec(
+      "text_shingles",
+      (s, dir) => {
+        docs(s, dir).createOrReplaceTempView("graft_docs_shingle")
+        s.sql("""SELECT shingle, COUNT(*) AS cnt
+                 FROM graft_docs_shingle
+                 LATERAL VIEW shingle_explode(text, 3) sh AS shingle
+                 GROUP BY shingle
+                 ORDER BY cnt DESC, shingle LIMIT 10""")
+      },
+      Some("""WITH t AS (
+                SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              g AS (
+                SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM (SELECT t, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS i
+                      FROM t WHERE LEN(t) >= 3))
+              SELECT shingle, COUNT(*) AS cnt
+              FROM g GROUP BY shingle
+              ORDER BY cnt DESC, shingle LIMIT 10""")),
+
     QuerySpec(
       "text_stats", // quality-score signals: lengths / ratios / token counts
       (s, dir) =>
