@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate(zip_with(a,b,*),0d,+) → native DotProduct, transparently
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+    // whole-operator tier: the native sorted-merge as-of join
+    // (plans/AsofJoinPlan → AsofJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
 
     // The geo scalar kernel for SQL-text callers — the same native
     // codegen expressions the Column API builds (GeoFunctions.register's

@@ -538,6 +538,43 @@ object RelationalQueries {
                SELECT event_id AS purchase_id, asof_error_id
                FROM w WHERE tag = 1 ORDER BY purchase_id""")),
 
+    // The SAME as-of semantics through the custom WHOLE-OPERATOR stack
+    // (plans/AsofJoin: logical node → injected SparkStrategy → sorted-
+    // merge AsofJoinExec): one clustered shuffle on the key, one
+    // streaming O(n+m) merge per partition, no window buffer, no union.
+    // Shares join_asof's oracle verbatim — two completely different
+    // execution paths, one answer. AsofJoinNativeSpec additionally
+    // asserts the executed plan actually contains AsofJoinExec.
+    QuerySpec(
+      "join_asof_native",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val purch = graft.plans.AsofJoin.frame(
+          e.filter(col("event_type") === "purchase"),
+          col("user_id"), unix_micros(col("ts")), col("event_id"))
+        val errs = graft.plans.AsofJoin.frame(
+          e.filter(col("event_type") === "error"),
+          col("user_id"), unix_micros(col("ts")), col("event_id"))
+        graft.plans.AsofJoin(purch, errs)
+          .select(col("id").as("purchase_id"), col("asof_id").as("asof_error_id"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               u AS (
+                 SELECT user_id, ts, 0 AS tag, event_id FROM e WHERE event_type = 'error'
+                 UNION ALL
+                 SELECT user_id, ts, 1 AS tag, event_id FROM e WHERE event_type = 'purchase'
+               ),
+               w AS (
+                 SELECT tag, event_id,
+                        LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_id
+                 FROM u
+               )
+               SELECT event_id AS purchase_id, asof_error_id
+               FROM w WHERE tag = 1 ORDER BY purchase_id""")),
+
     QuerySpec(
       "join_cross", // bounded cross join (both sides tiny dims)
       (s, dir) =>
