@@ -560,6 +560,29 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(written.columns.contains("geom_from_lon_lat_wkt"))
   }
 
+  test("GeoPackageSink end-to-end run() writes a readable gpkg container") {
+    // the write-back sink through the REAL pipeline: CSV coord-pair →
+    // detect → discover → ST_Point WKT → GeoPackageSink (WKT → GPB,
+    // scaffolding dropped) → read back via the real SqliteReader walk
+    val dir = tmpDir
+    val csv = "id,lon,lat\n7,-0.25,51.75\n8,1.5,52.25\n"
+    val path = writeFile(dir, "gpts.csv", csv.getBytes("UTF-8"))
+    val sinkRoot = dir.resolve("gpkg_out").toString
+    val res = graft.Graft.processFile(spark, IngestJob(path, "gpts.csv", "geo"),
+      new GeoPackageSink(sinkRoot))
+    assert(res.geometry.coordinatePair.contains(("lon", "lat")))
+    val back = graft.sources.GeoPackageReader.read(spark, s"$sinkRoot/geo/gpts.gpkg")
+    assert(back.count() == 2)
+    // the _wkt scaffolding became a typed GPB geometry column
+    assert(!back.columns.exists(_.endsWith("_wkt")))
+    assert(back.columns.contains("geom_from_lon_lat"))
+    val wkts = back
+      .select(graft.functions.GeoFunctions.stAsTextFromWkb(
+        org.apache.spark.sql.functions.col("geom_from_lon_lat")).as("w"))
+      .collect().map(_.getString(0)).sorted
+    assert(wkts.toSeq == Seq("POINT (-0.25 51.75)", "POINT (1.5 52.25)"))
+  }
+
   test("JdbcPostgisSink SQL templates match the reference byte-for-byte semantics") {
     import JdbcPostgisSink._
     assert(qualified("s", "t") == "\"s\".\"t\"")
