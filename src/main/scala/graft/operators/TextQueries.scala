@@ -747,6 +747,62 @@ object TextQueries {
               FROM terms JOIN freq USING (term) CROSS JOIN tot
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bigram language-model scoring — the unigram gate's next rung (a
+    // conditional model catches scrambled/boilerplate text the unigram
+    // marginal cannot): P(w2|w1) with add-0.5 smoothing over the corpus
+    // vocabulary, each doc scored by its average bigram log-probability.
+    // The "model" is two mergeable count relations (bigram + unigram
+    // context counts) and a 1-row vocabulary size broadcast — training IS
+    // aggregation, reusable and incremental like every count-based LM.
+    // Same determinism bridge as the unigram: per-bigram ln p rounded to
+    // 6 THEN decimal-summed. Three partial-agg shuffles on compact keys;
+    // linear at 100 TB.
+    QuerySpec(
+      "text_bigram_logprob",
+      (s, dir) => {
+        val tt = docs(s, dir).select(col("doc_id"), toks.as("t"))
+        val bi = tt.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = tt.select(explode(col("t")).as("term"))
+          .agg(countDistinct(col("term")).as("v"))
+        bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(v)) // 1 row, always broadcastable
+          .select(col("doc_id"),
+            round(log((col("c12") + 0.5) / (col("c1") + col("v") * 0.5)), 6)
+              .cast("decimal(18,6)").as("logp"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            (round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0))
+              .as("avg_logprob"))
+          .withColumn("keep", col("avg_logprob") > -3.45)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              bi AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i
+                      FROM t WHERE LEN(t) >= 2)),
+              c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+              c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+              v AS (SELECT COUNT(DISTINCT term) AS v
+                    FROM (SELECT UNNEST(t) AS term FROM t))
+              SELECT doc_id,
+                     COUNT(*) AS n_bigrams,
+                     ROUND(CAST(SUM(CAST(ROUND(LN((c12 + 0.5) / (c1 + 0.5 * v)), 6)
+                                         AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*), 6) + 0.0 AS avg_logprob,
+                     ROUND(CAST(SUM(CAST(ROUND(LN((c12 + 0.5) / (c1 + 0.5 * v)), 6)
+                                         AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*), 6) + 0.0 > -3.45 AS keep
+              FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // End-to-end curation pipeline as ONE declarative plan — the shape a
     // real pretraining data job takes: quality gate (the text_quality_
     // filter predicates, SAME Scala helpers so the stages cannot drift)

@@ -20,7 +20,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // quadratic)
   private val allowedQuadratic =
     Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
-      "text_unigram_logprob", "text_bm25", "agg_sketch_union", "agg_sketch_intersect",
+      "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
+      "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
       // 1-row broadcast carrying a constant-size sketch to every task
       "join_bloom_prune", "text_decontaminate_bloom", "agg_countmin",
