@@ -269,10 +269,14 @@ object StreamingQueries {
           .partitionBy("user_id").orderBy("event_id")
         events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
-            // epoch micros / 1e6, not cast(ts as double): identical value,
-            // but analyzable for any timestamp flavor the corpus ships
-            (unix_micros(col("ts")) / lit(1e6)).as("ts_s"))
-          .withColumn("lag_s", max(col("ts_s")).over(w) - col("ts_s"))
+            // integer micros end-to-end: the running max and the lateness
+            // subtraction stay EXACT longs, with ONE double division at
+            // the end — bit-identical to the streamed twin
+            // (EventStreams.latenessPerEvent) and to the oracle, where a
+            // subtract-of-two-rounded-doubles formulation could flip a
+            // >600s boundary or a percentile cell by ~2e-7 s
+            unix_micros(col("ts")).as("us"))
+          .withColumn("lag_s", (max(col("us")).over(w) - col("us")) / lit(1e6))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n_events"),
@@ -283,11 +287,11 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
                 SELECT event_id, user_id, event_type,
-                       EPOCH(CAST(ts AS TIMESTAMP)) AS ts_s
+                       EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
                 FROM events),
               l AS (
                 SELECT event_type,
-                       MAX(ts_s) OVER (PARTITION BY user_id ORDER BY event_id) - ts_s AS lag_s
+                       (MAX(us) OVER (PARTITION BY user_id ORDER BY event_id) - us) / 1e6 AS lag_s
                 FROM e)
               SELECT event_type,
                      COUNT(*) AS n_events,

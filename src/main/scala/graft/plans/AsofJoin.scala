@@ -118,18 +118,27 @@ object AsofJoinStrategy extends SparkStrategy {
 object AsofJoin {
 
   /** Build the native as-of join over two 3-column (key, timeUs, id)
-    * long frames; output columns are the probe's three plus `asof_id`. */
+    * long frames; output columns are the probe's three plus `asof_id`.
+    *
+    * Null contract: rows with a null key or time are DROPPED from both
+    * sides before the merge — a null key/time has no as-of position, and
+    * the physical merge reads raw long slots (`getLong` on a null slot
+    * yields 0 and NULLS-FIRST ordering would let such a row mask real
+    * matches). This matches SQL join semantics on the build side; probe
+    * rows with nulls are excluded rather than emitted with a null
+    * `asof_id`, and the Scaladoc is the contract. */
   def apply(probe: DataFrame, build: DataFrame): DataFrame = {
-    def check(df: DataFrame, side: String): Unit = {
-      val tps = df.schema.fields.map(_.dataType)
-      require(tps.length == 3 && tps.forall(_ == LongType),
+    def check(df: DataFrame, side: String): DataFrame = {
+      val fs = df.schema.fields
+      require(fs.length == 3 && fs.forall(_.dataType == LongType),
         s"AsofJoin $side side must be exactly (key: long, timeUs: long, id: long), " +
           s"got ${df.schema.simpleString}")
+      df.na.drop(Seq(fs(0).name, fs(1).name))
     }
-    check(probe, "probe"); check(build, "build")
+    val p = check(probe, "probe"); val b = check(build, "build")
     val spark = probe.sparkSession
     org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark,
-      AsofJoinPlan(probe.queryExecution.analyzed, build.queryExecution.analyzed))
+      AsofJoinPlan(p.queryExecution.analyzed, b.queryExecution.analyzed))
   }
 
   /** Column helper so callers don't need to know the positional contract. */

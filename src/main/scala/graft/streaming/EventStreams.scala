@@ -98,7 +98,8 @@ object EventStreams {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-ckpt-dedup-effect").toString)
       .start()
-    q.awaitTermination(120000)
+    require(q.awaitTermination(120000),
+      "streaming drain timed out - partial sink contents would masquerade as results")
     spark.table(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -179,7 +180,8 @@ object EventStreams {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft-ckpt-tws").toString)
         .start()
-      q.awaitTermination(120000)
+      require(q.awaitTermination(120000),
+        "streaming drain timed out - partial sink contents would masquerade as results")
       spark.table(sink)
         .groupBy("user_id")
         .agg(max_by(
@@ -222,7 +224,10 @@ object EventStreams {
     * it bit-for-bit. Bounded by the type cardinality — broadcastable
     * forever. */
   def eventTypeWeights(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    // through the Tables loader (not a raw parquet read): the loader is
+    // the ONE place corpus drift gets absorbed, and this dim must not be
+    // the odd consumer out when the next encoding change lands
+    graft.Tables(spark, dir, "events")
       .select(col("event_type")).distinct()
       .withColumn("weight", graft.functions.HashBridge.h32(col("event_type")) % 10)
 
@@ -406,7 +411,8 @@ object EventStreams {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-ckpt-late-audit").toString)
       .start()
-    q.awaitTermination(120000)
+    require(q.awaitTermination(120000),
+      "streaming drain timed out - partial sink contents would masquerade as results")
     spark.table(sink)
       .select(col("event_type"), (col("lag_us") / lit(1e6)).as("lag_s"))
       .groupBy("event_type")

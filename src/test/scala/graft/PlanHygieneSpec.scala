@@ -37,7 +37,15 @@ class PlanHygieneSpec extends AnyFunSuite {
   private def audit(queries: Seq[QuerySpec])(check: QuerySpec => Option[String]): Seq[String] =
     queries.flatMap { q =>
       try check(q)
-      catch { case e: Exception => Some(s"${q.name} FAILED TO PLAN: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+      catch {
+        case e: Exception =>
+          // null-safe message extraction: an NPE's null message (or an
+          // empty one) must not re-abort the audit this helper exists to
+          // keep alive
+          val msg = Option(e.getMessage).flatMap(_.linesIterator.toSeq.headOption)
+            .getOrElse("(no message)")
+          Some(s"${q.name} FAILED TO PLAN: ${e.getClass.getSimpleName}: $msg")
+      }
     }
 
   test("no undeclared cartesian or nested-loop joins anywhere in the surface") {
