@@ -575,6 +575,61 @@ object RelationalQueries {
                SELECT event_id AS purchase_id, asof_error_id
                FROM w WHERE tag = 1 ORDER BY purchase_id""")),
 
+    // Time-series gap-fill (resampling) — the densification every metrics
+    // pipeline runs before charting/anomaly detection: the event stream
+    // is bucketed to a 10-minute grid per type, EMPTY buckets are
+    // materialized from a generated sequence over the observed time
+    // range, and the last observed average carries forward into the gaps
+    // (LOCF). Scale shape: the aggregate is a partial-agg shuffle on
+    // (type, bucket); the grid is bounded by time-range/resolution ×
+    // type-cardinality — independent of event VOLUME, so densification
+    // never explodes with data size; the carry-forward is a per-type
+    // window over grid rows only. Averages go through the DECIMAL sum
+    // policy so fold order can't move the hash.
+    QuerySpec(
+      "win_gapfill",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 600000000").as("bkt"), col("value"))
+        val b = e.groupBy("event_type", "bkt")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast(Dec)).cast("double") / count(lit(1)), 6)
+              .as("avg_v"))
+        val bounds = e.agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(broadcast(bounds)) // 1 row, always broadcastable
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi)")).as("bkt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(b, Seq("event_type", "bkt"), "left")
+          .select(col("event_type"), col("bkt"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("avg_v"), ignoreNulls = true).over(w).as("filled_v"))
+          .orderBy("event_type", "bkt")
+      },
+      Some("""WITH e AS (
+                SELECT event_type, EPOCH_US(CAST(ts AS TIMESTAMP)) // 600000000 AS bkt, value
+                FROM events),
+              b AS (
+                SELECT event_type, bkt, COUNT(*) AS n,
+                       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*), 6)
+                         AS avg_v
+                FROM e GROUP BY 1, 2),
+              bounds AS (SELECT MIN(bkt) AS lo, MAX(bkt) AS hi FROM e),
+              grid AS (
+                SELECT event_type, UNNEST(GENERATE_SERIES(lo, hi)) AS bkt
+                FROM (SELECT DISTINCT event_type FROM e), bounds)
+              SELECT g.event_type, g.bkt,
+                     COALESCE(b.n, 0) AS n,
+                     LAST_VALUE(b.avg_v IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.bkt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+              FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bkt = g.bkt
+              ORDER BY g.event_type, g.bkt""")),
+
     QuerySpec(
       "join_cross", // bounded cross join (both sides tiny dims)
       (s, dir) =>

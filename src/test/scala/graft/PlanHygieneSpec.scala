@@ -28,7 +28,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       // rank_hybrid carries the 1-row stats + query-vector broadcasts
       "rank_hybrid",
       // 1-row normalization-total broadcast (the text_tfidf scalar shape)
-      "sample_mixture")
+      "sample_mixture",
+      // 1-row time-range-bounds broadcast driving the densification grid
+      "win_gapfill")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
