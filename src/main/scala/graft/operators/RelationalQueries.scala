@@ -1620,6 +1620,176 @@ object RelationalQueries {
               ORDER BY o_totalprice DESC, o_orderkey
               LIMIT 100""")),
 
+    // TPC-H Q4 shape: correlated EXISTS with a CROSS-TABLE predicate
+    // (l_shipdate > o_orderdate references the outer row inside the
+    // subquery). This exercises Catalyst's subquery decorrelation — the
+    // EXISTS rewrites to a LeftSemi join on l_orderkey with the
+    // correlated comparison carried as a join condition, so at 100 TB
+    // both facts co-shuffle once on orderkey and the probe side is
+    // filtered BEFORE the shuffle by the pushable l_quantity gate. No
+    // per-row subquery execution exists anywhere in the plan.
+    QuerySpec(
+      "sql_exists_corr",
+      (s, dir) => {
+        Seq("orders", "lineitem")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n_orders
+          FROM orders
+          WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate
+              AND l_quantity > 30)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+              FROM orders
+              WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate
+                  AND l_quantity > 30)
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // TPC-H Q17 shape: CORRELATED SCALAR subquery — each lineitem row
+    // compares against an aggregate over its own part's rows. Catalyst's
+    // RewriteCorrelatedScalarSubquery turns the per-row scalar into ONE
+    // aggregate over lineitem grouped by l_partkey plus a join back on
+    // the same key — so the "nested loop" a naive engine would run
+    // becomes two co-shuffled passes over the fact. The threshold is
+    // double arithmetic mirrored operation-for-operation on both engines
+    // (exact DECIMAL sum → double divide → *0.2), so the boundary
+    // decisions agree exactly and the aggregated output hash-matches.
+    QuerySpec(
+      "sql_scalar_corr",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/7.0, 4) AS avg_yearly,
+                 COUNT(*) AS n_rows
+          FROM lineitem l1
+          WHERE l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")
+      },
+      Some("""SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/7.0, 4) AS avg_yearly,
+                     COUNT(*) AS n_rows
+              FROM lineitem l1
+              WHERE l_quantity < (
+                SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*))
+                FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")),
+
+    // TPC-H Q22 shape: UNCORRELATED scalar subquery (global average as a
+    // filter threshold — planned once as a 1-row subquery result and
+    // folded into the scan predicate) combined with NOT EXISTS (anti
+    // decorrelation: LeftAnti on orderkey against the selective returned-
+    // lineitem probe). The two subquery classes land in the SAME plan:
+    // the scalar costs one tiny pre-pass, the anti join co-shuffles with
+    // the probe side already filtered to l_returnflag = 'R' before the
+    // exchange. "High-value orders where nothing was returned."
+    QuerySpec(
+      "sql_notexists_scalar",
+      (s, dir) => {
+        Seq("orders", "lineitem")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total_price
+          FROM orders
+          WHERE o_totalprice > (
+              SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*) FROM orders)
+            AND NOT EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total_price
+              FROM orders
+              WHERE o_totalprice > (
+                  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*) FROM orders)
+                AND NOT EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // LATERAL correlated subquery — per-nation top-3 orders by price via
+    // a correlated ORDER BY + LIMIT inside the lateral branch. Catalyst
+    // decorrelates this to a window-rank over the orders⋈customer side
+    // partitioned by nationkey — i.e. the same distributed plan win_topk
+    // hand-writes, but reached from the SQL-surface LATERAL operator a
+    // reference user would write. One shuffle on the partition key; the
+    // 25-row nation dim broadcasts; nothing is executed per outer row.
+    QuerySpec(
+      "join_lateral",
+      (s, dir) => {
+        Seq("nation", "orders", "customer")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT n_name, o_orderkey, o_totalprice
+          FROM nation, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey = n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+          ORDER BY n_name, o_totalprice DESC, o_orderkey""")
+      },
+      Some("""SELECT n_name, o_orderkey, o_totalprice
+              FROM nation, LATERAL (
+                SELECT o_orderkey, o_totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_nationkey = n_nationkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+              ORDER BY n_name, o_totalprice DESC, o_orderkey""")),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): a month spine generated
+    // by recursion over the corpus's fixed date range, left-joined onto
+    // the monthly order rollup — the calendar gap-fill report shape, with
+    // zero-filled months the data alone can't produce (verified: the
+    // spine's 2001-09..12 tail has no orders). The recursion itself is
+    // driver-bounded (84 single-row steps building a dimension, the only
+    // sound use of recursion at scale); the DATA pass stays one
+    // partial-aggregating groupBy joined against the 84-row broadcast
+    // spine. Spark side spells TIMESTAMP_NTZ to match the parquet NTZ
+    // dates; DuckDB's TIMESTAMP is the same wall-clock value.
+    QuerySpec(
+      "sql_recursive_cte",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          WITH RECURSIVE spine(m) AS (
+            SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP_NTZ)
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < CAST('2001-12-01 00:00:00' AS TIMESTAMP_NTZ))
+          SELECT m, COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+                 ROUND(COALESCE(rev, CAST(0 AS DOUBLE)), 4) AS revenue
+          FROM spine LEFT JOIN (
+            SELECT DATE_TRUNC('month', o_orderdate) AS om,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1) agg ON om = m
+          ORDER BY m""")
+      },
+      Some("""WITH RECURSIVE spine(m) AS (
+                SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+                UNION ALL
+                SELECT m + INTERVAL 1 MONTH FROM spine
+                WHERE m < CAST('2001-12-01 00:00:00' AS TIMESTAMP))
+              SELECT m, COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+                     ROUND(COALESCE(rev, CAST(0 AS DOUBLE)), 4) AS revenue
+              FROM spine LEFT JOIN (
+                SELECT DATE_TRUNC('month', o_orderdate) AS om,
+                       COUNT(*) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS rev
+                FROM orders GROUP BY 1) agg ON om = m
+              ORDER BY m""")),
+
     // Distribution histogram (the profiling pass a pipeline runs before
     // choosing filters/partitioning): 20 equal-width price buckets with
     // identical clamp arithmetic spelled out on both engines — a single
