@@ -550,6 +550,64 @@ object SimilarityQueries {
               SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
               ORDER BY vec_a, vec_b""")),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    // embedding space FIRST (one broadcast-argmin k-means assignment —
+    // the kmAssign kernel embedding_kmeans trains with), then search for
+    // cosine near-dups only WITHIN each cluster and keep one exemplar
+    // (the lowest vec_id) per duplicate group. Unlike dedup_embedding,
+    // which prunes by a GIVEN label, this computes its own partition of
+    // the space — the production shape when no curated grouping exists.
+    // At 100 TB: the assignment pass is one corpus scan against k
+    // broadcast centroids (only (vec_id, cid) pairs shuffle), and the
+    // pair search shuffles once on cid with per-cluster quadratic work
+    // bounded by the cluster-size distribution k-means exists to balance.
+    // Output: every DROPPED vector with the exemplar that covers it.
+    QuerySpec(
+      "dedup_semantic",
+      (s, dir) => {
+        val v = kmVectors(s, dir)
+        val a = kmAssign(v, kmInit(v)).localCheckpoint()
+        val t = normed(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+          .join(a, "vec_id")
+        t.as("a").join(t.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("sim",
+            round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6))
+          .filter(col("sim") >= 0.4)
+          .groupBy(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"))
+          .agg(min(col("a.vec_id")).as("kept_exemplar"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              vn AS (SELECT vec_id, e,
+                            (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS vn2,
+                            SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                     FROM v),
+              c0 AS (SELECT CAST(vec_id AS INT) AS cid, LIST_TRANSFORM(e, x -> ROUND(x, 6)) AS c
+                     FROM v WHERE vec_id < 8),
+              n0 AS (SELECT cid, c,
+                            (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+                     FROM c0),
+              d1 AS (SELECT v.vec_id, k.cid,
+                            ROUND(v.vn2 + k.cn2
+                                  - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+                                  6) AS d
+                     FROM vn v CROSS JOIN n0 k),
+              a1 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM d1) WHERE rn = 1),
+              t AS (SELECT vn.vec_id, vn.e, vn.nrm, a1.cid
+                    FROM vn JOIN a1 USING (vec_id)),
+              pairs AS (
+                SELECT a.vec_id AS ka, b.vec_id AS vec_id, b.cid,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(a.e) * UNNEST(b.e) AS p))
+                             / (a.nrm * b.nrm), 6) AS sim
+                FROM t a JOIN t b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+              SELECT vec_id, cid, MIN(ka) AS kept_exemplar
+              FROM pairs WHERE sim >= 0.4
+              GROUP BY vec_id, cid ORDER BY vec_id""")),
+
     // K-means (Lloyd) training — the missing piece the IVF search above
     // assumes: it prunes by a cluster assignment, and THIS is the job
     // that produces one. Classic distributed Lloyd shape, per iteration:

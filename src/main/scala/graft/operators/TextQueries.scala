@@ -21,6 +21,19 @@ object TextQueries {
   /** BPE-ish word/number/punct tokenizer, shared Spark + DuckDB regex. */
   private val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  // ---- text_classifier_gate fixture model: 64 hashed-feature weights in
+  // [-500, 500], derived from the md5 grid so every build regenerates the
+  // identical "trained" parameters. Both engines receive them as the SAME
+  // literal array — exactly how real trained weights would ship (a
+  // broadcast constant), so swapping in a real model changes no plan.
+  private val ClfDim = 64
+  private[operators] val ClfW: IndexedSeq[Long] = (0 until ClfDim).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"w#$i".getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 1001L - 500L
+  }
+
   /** Contamination kernel behind `text_decontaminate`, parameterized on
     * the eval-set membership predicate so the spec can plant a synthetic
     * benchmark. Returns (doc_id, n_shared) for every non-eval doc sharing
@@ -282,6 +295,45 @@ object TextQueries {
                 AND NOT (es > en AND es >= de AND es >= fr)
                 AND NOT (de > en AND de >= fr)
                 AND NOT (fr > en)
+              ORDER BY doc_id""")),
+
+    // Model-based quality gate — the FineWeb-Edu-style curation stage: a
+    // linear classifier scores every document and only high-scoring docs
+    // survive. The OPERATOR is the inference plan — hashed token features
+    // (the fasttext trick: no vocabulary shuffle, the feature index is a
+    // pure per-row hash), a constant weight table riding the plan as a
+    // 64-element literal array (a trained model would broadcast exactly
+    // the same way), an all-integer partial-aggregable score, and a
+    // threshold gate. One scan + one compact (doc_id) groupBy — linear at
+    // 100 TB, and the model lookup is codegen'd element_at, never a UDF.
+    // Weights here are a deterministic md5-grid fixture standing in for
+    // trained parameters; the threshold (66/token) sits at the observed
+    // corpus median so the gate provably discriminates.
+    QuerySpec(
+      "text_classifier_gate",
+      (s, dir) => {
+        val warr = array(ClfW.map(lit(_)): _*)
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .select(col("doc_id"),
+            element_at(warr,
+              (graft.functions.HashBridge.h32(col("tok")) % ClfDim + 1).cast("int")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+          .filter(col("score") > col("n_tokens") * 66)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+                FROM documents),
+              w AS (
+                SELECT doc_id,
+                       ([${ClfW.mkString(", ")}])[CAST(('0x'||SUBSTR(MD5(tok),1,8))::BIGINT % $ClfDim AS INT) + 1] AS w
+                FROM tok)
+              SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score
+              FROM w GROUP BY doc_id
+              HAVING SUM(w) > COUNT(*) * 66
               ORDER BY doc_id""")),
 
     // PII/URL scrubbing — the redaction pass a pretraining pipeline runs

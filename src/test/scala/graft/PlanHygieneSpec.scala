@@ -23,6 +23,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
       "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
+      // k broadcast centroids against every vector — the kmAssign shape
+      // embedding_kmeans declares, reused for the SemDeDup clustering pass
+      "dedup_semantic",
       // 1-row broadcast carrying a constant-size sketch to every task
       "join_bloom_prune", "text_decontaminate_bloom", "agg_countmin",
       // rank_hybrid carries the 1-row stats + query-vector broadcasts
