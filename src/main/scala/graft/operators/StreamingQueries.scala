@@ -252,6 +252,28 @@ object StreamingQueries {
               WHERE a.event_type = 'error' AND b.event_type = 'purchase'
               ORDER BY error_id, purchase_id""")),
 
+    // LEFT-OUTER stream-stream interval join — the audit twin of
+    // stream_interval_join: every error appears exactly once, with NULL
+    // purchase_id when no purchase followed within the hour ("which
+    // errors did the user walk away from"). Under a stream this is the
+    // semantics only watermark-driven state eviction can provide (a null
+    // row may only emit once the engine can PROVE no match is coming);
+    // EventStreamsSpec executes this exact function under readStream
+    // with a watermark-pushing sentinel and asserts equality with this
+    // batch run. NULL ordering is spelled out on both engines.
+    QuerySpec(
+      "stream_interval_join_left",
+      (s, dir) =>
+        graft.streaming.EventStreams.errorPurchaseJoinsLeft(events(s, dir))
+          .orderBy(col("error_id"), col("purchase_id").asc_nulls_first),
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+              SELECT a.event_id AS error_id, b.event_id AS purchase_id
+              FROM (SELECT * FROM e WHERE event_type = 'error') a
+              LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+                ON a.user_id = b.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+              ORDER BY error_id, purchase_id NULLS FIRST""")),
+
     // Watermark-delay audit: how out-of-order is the stream, and what
     // would a given watermark drop? Per user (the stream's key), events
     // replay in arrival order (event_id); each event's lateness is the

@@ -237,7 +237,21 @@ object EventStreams {
     * buffered state is evictable once the other side's watermark passes
     * the interval horizon — state is O(events per horizon), not O(stream).
     * The batch twin is `join_range`'s shape (oracle-checked there). */
-  def errorPurchaseJoins(events: DataFrame): DataFrame = {
+  def errorPurchaseJoins(events: DataFrame): DataFrame =
+    errorPurchaseJoinsTyped(events, "inner")
+
+  /** Left-outer stream-stream interval join — the semantics the inner
+    * join cannot express: every error row emits EXACTLY once, matched
+    * rows as both sides arrive, unmatched rows as NULL-extended results
+    * when the watermark passes the join horizon (the state-eviction
+    * deadline is what makes outer emission decidable on an unbounded
+    * stream — a batch engine just scans both sides; a stream has to
+    * PROVE no match can still arrive). Same sides, keys and interval as
+    * [[errorPurchaseJoins]]. */
+  def errorPurchaseJoinsLeft(events: DataFrame): DataFrame =
+    errorPurchaseJoinsTyped(events, "leftOuter")
+
+  private def errorPurchaseJoinsTyped(events: DataFrame, joinType: String): DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
         col("event_id").as("error_id"))
@@ -249,7 +263,8 @@ object EventStreams {
     errors.join(purchases,
       col("e_user") === col("p_user") &&
         col("p_ts") > col("e_ts") &&
-        col("p_ts") <= col("e_ts") + expr("INTERVAL 1 HOUR"))
+        col("p_ts") <= col("e_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select("error_id", "purchase_id")
   }
 

@@ -247,6 +247,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join emits null rows once the watermark passes") {
+    // Outer emission needs the watermark to move PAST each error's join
+    // horizon — on a finite corpus the tail errors' state would otherwise
+    // sit unexpired when the stream ends and their null rows would never
+    // emit. A sentinel event pair far beyond the corpus pushes the final
+    // watermark over every real row's deadline; sentinels are keyed to an
+    // impossible user and filtered from the comparison.
+    val e = graft.Tables(spark, dir, "events")
+    val maxTs = e.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssleft").toString
+    e.write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((-1L, far, -99L, "error", 0.0, "{}"),
+        (-2L, far, -99L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(e.schema).parquet(tmp)
+    runToMemory(EventStreams.errorPurchaseJoinsLeft(stream), "ssleftjoin", "append")
+    val streamed = spark.table("ssleftjoin")
+      .filter(col("error_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val batch = EventStreams.errorPurchaseJoinsLeft(e)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(batch.exists(_._2.isEmpty), "batch twin has no unmatched errors — fixture too small")
+    assert(batch.exists(_._2.nonEmpty), "batch twin has no matched errors — fixture too small")
+    assert(streamed == batch)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.dedupedEvents(events), "dedup", "append")
