@@ -366,6 +366,33 @@ object ReaderQueries {
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // JSONL export sink — the interchange format every LLM-corpus tool
+    // chain reads (scan_jsonl is the matching ingest leg). The full
+    // documents table round-trips through spark.write.json → read-back
+    // under the pinned schema, and the oracle hash-checks a per-source
+    // content digest computed from the ROUND-TRIPPED rows against the
+    // original table — so JSON escaping of newlines/quotes/unicode in
+    // `text` must be lossless for the query to go green, not merely
+    // produce the right row count. Distributed one-file-per-partition
+    // write, no driver-side serialization.
+    QuerySpec(
+      "sink_jsonl",
+      (s, dir) => {
+        val out = fixturePath(dir, "sink_jsonl")
+        val docs = Tables(s, dir, "documents")
+        docs.write.mode("overwrite").json(out)
+        s.read.schema(docs.schema).json(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.HashBridge.h32(
+              concat_ws("|", col("doc_id"), col("text")))).cast("long")
+              .as("content_digest"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(('0x'||SUBSTR(MD5(doc_id::VARCHAR||'|'||text),1,8))::BIGINT) AS BIGINT) AS content_digest
               FROM documents GROUP BY source ORDER BY source"""))
   )
 }

@@ -274,6 +274,32 @@ object StreamingQueries {
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
               ORDER BY error_id, purchase_id NULLS FIRST""")),
 
+    // TWO stateful operators in ONE streaming query (Spark 4 multi-
+    // stateful support): independent watermarked tumbling aggregations
+    // of clicks and purchases, joined stream-stream on (window, user) —
+    // the per-window conversion view. The join key carries the event-
+    // time window, so the downstream join's state is evicted by the same
+    // watermark that seals the upstream aggregates; nothing accumulates
+    // beyond the horizon. Batch twin = two groupBys + an equi-join, the
+    // exact plan the oracle hash-checks here; EventStreamsSpec drains
+    // the same function under readStream.
+    QuerySpec(
+      "stream_window_join",
+      (s, dir) =>
+        graft.streaming.EventStreams.windowedClickPurchaseJoin(events(s, dir))
+          .orderBy("ws", "user_id"),
+      Some("""WITH w AS (
+                SELECT make_timestamp((epoch_ns(ts) // 1000) // 600000000 * 600000000) AS ws,
+                       user_id, event_type
+                FROM events WHERE event_type IN ('click', 'purchase')),
+              c AS (SELECT ws, user_id, COUNT(*) AS n_clicks
+                    FROM w WHERE event_type = 'click' GROUP BY 1, 2),
+              p AS (SELECT ws, user_id, COUNT(*) AS n_purchases
+                    FROM w WHERE event_type = 'purchase' GROUP BY 1, 2)
+              SELECT ws, user_id, n_clicks, n_purchases
+              FROM c JOIN p USING (ws, user_id)
+              ORDER BY ws, user_id""")),
+
     // Watermark-delay audit: how out-of-order is the stream, and what
     // would a given watermark drop? Per user (the stream's key), events
     // replay in arrival order (event_id); each event's lateness is the

@@ -251,6 +251,25 @@ object EventStreams {
   def errorPurchaseJoinsLeft(events: DataFrame): DataFrame =
     errorPurchaseJoinsTyped(events, "leftOuter")
 
+  /** TWO stateful operators chained in ONE streaming query — Spark 4's
+    * multiple-stateful-operator support: two independent watermarked
+    * tumbling aggregations whose APPEND outputs join stream-stream on
+    * (window, user_id). The join key includes the event-time window
+    * column, so the downstream join state is evictable by the same
+    * watermark that seals the upstream aggregates — the per-window
+    * click-to-purchase conversion view, end to end in one plan. */
+  def windowedClickPurchaseJoin(events: DataFrame): DataFrame = {
+    def leg(tpe: String, out: String): DataFrame =
+      events.filter(col("event_type") === tpe)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as(out))
+    leg("click", "n_clicks")
+      .join(leg("purchase", "n_purchases"), Seq("window", "user_id"))
+      .select(col("window.start").as("ws"), col("user_id"),
+        col("n_clicks"), col("n_purchases"))
+  }
+
   private def errorPurchaseJoinsTyped(events: DataFrame, joinType: String): DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"),

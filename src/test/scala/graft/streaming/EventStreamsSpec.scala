@@ -278,6 +278,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("two chained stateful operators (agg -> stream-stream join) drain to the batch result") {
+    // Downstream of a join only APPEND mode exists, so the last hour of
+    // windows needs the watermark pushed past their seal point — same
+    // sentinel pattern as the left-outer test, one event per leg.
+    val e = graft.Tables(spark, dir, "events")
+    val maxTs = e.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sswinjoin").toString
+    e.write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((-1L, far, -99L, "click", 0.0, "{}"),
+        (-2L, far, -99L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(e.schema).parquet(tmp)
+    runToMemory(EventStreams.windowedClickPurchaseJoin(stream), "sswinjoin", "append")
+    val streamed = spark.table("sswinjoin")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventStreams.windowedClickPurchaseJoin(e)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "batch twin found no joined windows — fixture too small")
+    assert(streamed == batch)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.dedupedEvents(events), "dedup", "append")
