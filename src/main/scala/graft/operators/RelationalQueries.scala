@@ -501,6 +501,45 @@ object RelationalQueries {
                WHERE a.event_type = 'error'
                ORDER BY a_id, b_id""")),
 
+    // PURE interval containment join — NO equi key anywhere in the
+    // predicate, the shape a naive planner can only run as a nested-loop
+    // cross product (join_range above always had user_id to hash on;
+    // here incident windows must catch EVERY event inside them,
+    // cross-user). The binning rewrite restores an equi-join: each
+    // window explodes to the ≤4 ten-minute buckets it covers, every
+    // event computes its single bucket, the join runs hash-partitioned
+    // on bucket, and the exact containment predicate filters inside the
+    // matched bucket. Each (window, event) pair meets exactly once —
+    // the event lives in ONE bucket — so no dedup pass is needed.
+    // At 100 TB: shuffle volume is |events| + 4|windows|, work is
+    // per-bucket local, and a hot bucket is an AQE skew-split, never a
+    // cross product. All arithmetic in integer microseconds.
+    // BinnedRangeJoinSpec proves binned == naive AND that the naive
+    // formulation really plans nested-loop while this one does not.
+    QuerySpec(
+      "join_range_binned",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("e_us"),
+            col("event_type"))
+        val w = e.filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+          .select(col("event_id").as("w_id"), col("e_us").as("ws_us"),
+            (col("e_us") + lit(1800000000L)).as("we_us"))
+        val wb = w.withColumn("bucket",
+          explode(expr("sequence(ws_us DIV 600000000, (we_us - 1) DIV 600000000)")))
+        val eb = e.withColumn("bucket", expr("e_us DIV 600000000"))
+        wb.join(eb, "bucket")
+          .filter(col("e_us") >= col("ws_us") && col("e_us") < col("we_us"))
+          .groupBy("w_id").agg(count(lit(1)).as("n_events"))
+          .orderBy("w_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               w AS (SELECT event_id AS w_id, ts AS ws, ts + INTERVAL 30 MINUTE AS we
+                     FROM e WHERE event_type = 'error' AND event_id % 97 = 0)
+               SELECT w_id, COUNT(*) AS n_events
+               FROM w JOIN e ON e.ts >= w.ws AND e.ts < w.we
+               GROUP BY w_id ORDER BY w_id""")),
+
     // As-of join via the union+window trick (SURVEY.md §2.3): for each
     // purchase, the latest error by the same user at ts <= purchase ts.
     // Scales: one shuffle on user_id, one sort — no n² candidate pairs.
