@@ -336,6 +336,49 @@ object TextQueries {
               HAVING SUM(w) > COUNT(*) * 66
               ORDER BY doc_id""")),
 
+    // Character-entropy quality signal — the information-theoretic
+    // gibberish/boilerplate detector (a CCNet/Gopher-family gate):
+    // natural prose sits near 2.8 nats of char entropy, repeated
+    // boilerplate and key-mash collapse well below it. H = ln n −
+    // (Σ c·ln c)/n over per-(doc, char) counts — one explode to the
+    // compact (doc_id, char) key with map-side combine (≤ |alphabet|
+    // rows per doc cross the shuffle), then a per-doc fold. The ln
+    // bridge is the proven unigram_logprob pattern: round(ln, 6) →
+    // DECIMAL sum → double divide → round 6, so partial-agg order can
+    // never move the hash. Gate at 2.7 (just under the corpus median,
+    // so the boolean provably discriminates).
+    QuerySpec(
+      "text_entropy",
+      (s, dir) => {
+        val cc = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(length(col("c")) > 0)
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+        cc.groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n"),
+            sum(col("cnt") * round(log(col("cnt")), 6).cast("decimal(18,6)"))
+              .as("s"))
+          .select(col("doc_id"), col("n"),
+            (round(round(log(col("n")), 6) - col("s").cast("double") / col("n"), 6)
+              + lit(0.0)).as("entropy_nats"))
+          .withColumn("keep", col("entropy_nats") >= 2.7)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '')) AS c
+                FROM documents),
+              cc AS (SELECT doc_id, c, COUNT(*) AS cnt
+                     FROM ch WHERE LENGTH(c) > 0 GROUP BY doc_id, c)
+              SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT) AS n,
+                     ROUND(ROUND(LN(CAST(SUM(cnt) AS BIGINT)), 6)
+                           - CAST(SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                             / SUM(cnt), 6) + 0.0 AS entropy_nats,
+                     ROUND(ROUND(LN(CAST(SUM(cnt) AS BIGINT)), 6)
+                           - CAST(SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                             / SUM(cnt), 6) + 0.0 >= 2.7 AS keep
+              FROM cc GROUP BY doc_id ORDER BY doc_id""")),
+
     // PII/URL scrubbing — the redaction pass a pretraining pipeline runs
     // before tokenization. The synthetic corpus is clean, so both engines
     // first INJECT identical doc-keyed dirt (an email + a URL), then the
