@@ -614,6 +614,42 @@ object RelationalQueries {
                SELECT event_id AS purchase_id, asof_error_id
                FROM w WHERE tag = 1 ORDER BY purchase_id""")),
 
+    // Exponentially-weighted moving average — the time-series smoother
+    // every monitoring/anomaly stack runs (α = 0.2, warm start 0). The
+    // recurrence h ← αx + (1−α)h is order-dependent, so it rides a
+    // bounded 20-row window: collect the frame, fold it left-to-right
+    // with a higher-order aggregate. Both engines execute the IDENTICAL
+    // multiply-add sequence over the identically-ordered frame (ties
+    // broken by event_id), so the doubles agree bit-for-bit before the
+    // presentation round — no tolerance needed. Scale shape: one
+    // exchange+sort on user_id (shared with every other per-user
+    // window), constant 20-element state per row, never an unbounded
+    // running collection.
+    QuerySpec(
+      "win_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(-19, 0)
+        t(s, dir, "events")
+          .withColumn("lastk", collect_list(col("value")).over(w))
+          .withColumn("ewma",
+            round(expr("aggregate(lastk, CAST(0.0 AS DOUBLE), (h, x) -> 0.2 * x + 0.8 * h)"), 6))
+          .select("user_id", "event_id", "ewma")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               l AS (
+                 SELECT user_id, event_id,
+                        LIST(value) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ns(ts) // 1000, event_id
+                                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lastk
+                 FROM e)
+               SELECT user_id, event_id,
+                      ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), lastk),
+                                        (h, x) -> 0.2 * x + 0.8 * h), 6) AS ewma
+               FROM l ORDER BY user_id, event_id""")),
+
     // Time-series gap-fill (resampling) — the densification every metrics
     // pipeline runs before charting/anomaly detection: the event stream
     // is bucketed to a 10-minute grid per type, EMPTY buckets are
