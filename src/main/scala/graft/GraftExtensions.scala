@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate(zip_with(a,b,*),0d,+) → native DotProduct, transparently
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+    // pure constant-width range joins → binned equi-joins, transparently
+    // (the nested-loop interval-join trap, optimized away at the plan
+    // level — see plans/RangeBinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinRewrite)
     // whole-operator tier: the native sorted-merge as-of join
     // (plans/AsofJoinPlan → AsofJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

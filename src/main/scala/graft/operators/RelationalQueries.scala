@@ -540,6 +540,35 @@ object RelationalQueries {
                FROM w JOIN e ON e.ts >= w.ws AND e.ts < w.we
                GROUP BY w_id ORDER BY w_id""")),
 
+    // The SAME pure interval join written NAIVELY — one range conjunction,
+    // no binning in user code — relying on the injected RangeBinRewrite
+    // optimizer rule to produce the binned equi-join plan automatically.
+    // This is the difference between a pattern users must know and an
+    // engine that optimizes the trap away: the DataFrame below is the
+    // first thing anyone would write, and the executed plan must still
+    // contain NO nested-loop join (RangeBinRewriteSpec asserts it, and
+    // the hash oracle pins the result to join_range_binned's).
+    QuerySpec(
+      "join_range_auto",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("e_us"),
+            col("event_type"))
+        val w = e.filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+          .select(col("event_id").as("w_id"), col("e_us").as("ws_us"))
+        w.join(e,
+            col("e_us") >= col("ws_us") &&
+              col("e_us") < col("ws_us") + lit(1800000000L))
+          .groupBy("w_id").agg(count(lit(1)).as("n_events"))
+          .orderBy("w_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               w AS (SELECT event_id AS w_id, ts AS ws, ts + INTERVAL 30 MINUTE AS we
+                     FROM e WHERE event_type = 'error' AND event_id % 97 = 0)
+               SELECT w_id, COUNT(*) AS n_events
+               FROM w JOIN e ON e.ts >= w.ws AND e.ts < w.we
+               GROUP BY w_id ORDER BY w_id""")),
+
     // As-of join via the union+window trick (SURVEY.md §2.3): for each
     // purchase, the latest error by the same user at ts <= purchase ts.
     // Scales: one shuffle on user_id, one sort — no n² candidate pairs.
