@@ -1920,6 +1920,71 @@ object RelationalQueries {
                      ROUND(MAX(l_extendedprice), 2) AS hi_seen
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // Distinct counting over event-time windows — the "hourly unique
+    // users" shape every analytics dashboard runs. The exact count rides
+    // the oracle; the mergeable HLL++ estimate rides beside it under the
+    // established accuracy contract (|approx/exact − 1| ≤ 0.2), because
+    // at 100 TB the exact per-window countDistinct is a full shuffle of
+    // (window, type, user) triples while the sketch is a constant-size
+    // partial-aggregable state per group — the same trade diag_stats
+    // documents, here at window granularity.
+    QuerySpec(
+      "win_distinct_approx",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            // contract = relative 20% OR absolute 3: hourly windows can
+            // hold a handful of users, where a ±1 sketch wobble is a
+            // huge RELATIVE error but a meaningless absolute one
+            (abs(approx_count_distinct(col("user_id")).cast("double") -
+              countDistinct(col("user_id")).cast("double")) <=
+              greatest(countDistinct(col("user_id")).cast("double") * 0.2, lit(3.0)))
+              .as("within_tolerance"))
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("n_users"), col("within_tolerance"))
+          .orderBy("ws", "event_type"),
+      Some("""SELECT make_timestamp((epoch_ns(ts) // 1000) // 3600000000 * 3600000000) AS ws,
+                     event_type,
+                     COUNT(DISTINCT user_id) AS n_users,
+                     TRUE AS within_tolerance
+              FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")),
+
+    // Robust dispersion statistics — median absolute deviation per group
+    // (the outlier-resistant sibling of agg_outliers' 3σ gate: one wild
+    // price can move σ arbitrarily, it moves MAD not at all). Two passes:
+    // exact per-group median (a 3-row relation, broadcast back onto the
+    // scan), then the median of absolute deviations. The exact
+    // `percentile` sorts within groups — correct here and the point of
+    // the operator; the sketch path for 100 TB quantiles is already
+    // covered by agg_approx_quantile's GK contract. Both engines
+    // interpolate the same (1−g)·a + g·b; the round-4 bridge absorbs
+    // last-ulp drift.
+    QuerySpec(
+      "agg_mad",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        li.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"), col("med"),
+            abs(col("l_extendedprice") - col("med")).as("ad"))
+          .groupBy("l_returnflag")
+          .agg(
+            round(first(col("med")), 4).as("median_price"),
+            round(expr("percentile(ad, 0.5)"), 4).as("mad"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH med AS (
+                SELECT l_returnflag, QUANTILE_CONT(l_extendedprice, 0.5) AS med
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l.l_returnflag,
+                     ROUND(ANY_VALUE(med), 4) AS median_price,
+                     ROUND(QUANTILE_CONT(ABS(l.l_extendedprice - med), 0.5), 4) AS mad
+              FROM lineitem l JOIN med USING (l_returnflag)
+              GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
     // Bucketed co-located join — the zero-exchange fact-fact join that
     // bucketing buys at 100 TB: both sides are written bucketed (8
     // buckets) and sorted on the join key, so the sort-merge join reads
