@@ -77,15 +77,25 @@ object RangeBinRewrite extends Rule[LogicalPlan] {
       if (j.left.outputSet.contains(lo)) (j.left, j.right) else (j.right, j.left)
     val cLit = Literal(c, LongType)
     // interval side: one row per covered bucket (≤ 2 for width-C buckets)
+    val binStart = new IntegralDivide(lo, cLit)
     val wBucket = AttributeReference("graft_bin_w", LongType, nullable = true)()
     val gen = Generate(
       // timeZoneId must be pinned explicitly: analysis' ResolveTimeZone
       // has already run, and a TimeZoneAwareExpression without a zone is
       // "unresolved" to the optimizer's plan validator (irrelevant to
-      // LongType sequences, but required for resolution)
+      // LongType sequences, but required for resolution).
+      // stop clamps to >= start: if lo + (C-1) wraps past Long.MaxValue
+      // the original predicate is vacuously false for that row (x < a
+      // huge-negative wrap), but an unclamped descending stop would make
+      // Sequence default to step -1 and fabricate a billions-long bucket
+      // list; clamped, the row contributes one bucket and the re-checked
+      // predicate drops it — identical result, constant work. Without
+      // overflow, truncating division is monotone so stop >= start and
+      // the clamp is a no-op.
       Explode(new Sequence(
-        new IntegralDivide(lo, cLit),
-        new IntegralDivide(new Add(lo, Literal(c - 1, LongType)), cLit),
+        binStart,
+        Greatest(Seq(binStart,
+          new IntegralDivide(new Add(lo, Literal(c - 1, LongType)), cLit))),
         None, Some(conf.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(wBucket), child = binSide)

@@ -68,6 +68,29 @@ class RangeBinRewriteSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("interval starts near Long.MaxValue keep the user's overflow semantics") {
+    import spark.implicits._
+    // lo + (C-1) overflows. Under Spark 4's default ANSI mode the USER'S
+    // own predicate (lo + C) throws ARITHMETIC_OVERFLOW — the rewrite
+    // must surface the same error, not mask or alter it. With ANSI off,
+    // the wrap makes the predicate vacuously false — the rewrite must
+    // return the same rows in constant work (an unclamped Sequence stop
+    // would default to step -1 and fabricate a billions-long bucket
+    // list; the Greatest clamp caps it at one bucket).
+    val w = Seq((1L, Long.MaxValue - 10L), (2L, 100L)).toDF("w_id", "lo")
+    val e = Seq((10L, 105L), (11L, Long.MaxValue - 5L)).toDF("e_id", "x")
+    def joined = w.join(e, col("x") >= col("lo") && col("x") < col("lo") + lit(100L))
+    val err = intercept[Exception] { joined.select("w_id", "e_id").collect() }
+    assert(err.getMessage.contains("ARITHMETIC_OVERFLOW"), err.getMessage)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = joined.select("w_id", "e_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // w=2 catches x=105; w=1's bound wraps negative, nothing qualifies
+      assert(rows == Set((2L, 10L)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("shapes outside the contract are left alone") {
     import spark.implicits._
     val w = Seq((1L, 100L, 180L)).toDF("w_id", "lo", "hi")
