@@ -393,6 +393,37 @@ object ReaderQueries {
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
                      CAST(SUM(('0x'||SUBSTR(MD5(doc_id::VARCHAR||'|'||text),1,8))::BIGINT) AS BIGINT) AS content_digest
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // Dynamic partition overwrite — the idempotent-backfill sink
+    // semantics every partitioned warehouse job needs: re-running a job
+    // for ONE partition must replace exactly that partition and leave
+    // every other untouched (static overwrite mode would wipe the whole
+    // root). Executed for real: full load, then a src1-only patch with
+    // shifted n_chars under partitionOverwriteMode=dynamic, then a
+    // read-back aggregate. The oracle reconstructs the expected state —
+    // untouched counts for 19 sources, patched sums for src1 — so a
+    // wrongly-wiped or wrongly-duplicated partition cannot hash-match.
+    QuerySpec(
+      "sink_partitioned_dynamic",
+      (s, dir) => {
+        val out = fixturePath(dir, "sink_dynpart")
+        val docs = Tables(s, dir, "documents")
+        docs.write.mode("overwrite").partitionBy("source").parquet(out)
+        val patch = docs.filter(col("source") === "src1")
+          .withColumn("n_chars", col("n_chars") + lit(1000000L))
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try patch.write.mode("overwrite").partitionBy("source").parquet(out)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN source = 'src1' THEN n_chars + 1000000 ELSE n_chars END) AS BIGINT) AS total_chars
               FROM documents GROUP BY source ORDER BY source"""))
   )
 }

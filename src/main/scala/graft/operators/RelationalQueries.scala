@@ -1920,6 +1920,31 @@ object RelationalQueries {
                      ROUND(MAX(l_extendedprice), 2) AS hi_seen
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // SQL-text PIVOT clause — the same wide-table reshape agg_pivot
+    // builds with the DataFrame API, reached from the SQL surface a
+    // reference user writes. Catalyst lowers PIVOT to the identical
+    // conditional-aggregate plan (one partial-aggregating groupBy, no
+    // extra pass), which is exactly what the oracle spells out as CASE
+    // aggregation — so the equivalence IS the check.
+    QuerySpec(
+      "sql_pivot",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT * FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+          PIVOT (
+            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4)
+            FOR l_linestatus IN ('F' AS qty_f, 'O' AS qty_o))
+          ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+                     ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE), 4) AS qty_f,
+                     ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE), 4) AS qty_o
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Distinct counting over event-time windows — the "hourly unique
     // users" shape every analytics dashboard runs. The exact count rides
     // the oracle; the mergeable HLL++ estimate rides beside it under the
