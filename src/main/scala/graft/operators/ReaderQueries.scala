@@ -424,6 +424,32 @@ object ReaderQueries {
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
                      CAST(SUM(CASE WHEN source = 'src1' THEN n_chars + 1000000 ELSE n_chars END) AS BIGINT) AS total_chars
-              FROM documents GROUP BY source ORDER BY source"""))
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // Compressed-CSV sink round-trip — the lowest-common-denominator
+    // interchange export (and the format most likely to silently corrupt:
+    // embedded quotes/commas must survive the quoting round-trip, which
+    // the per-lang content digest would catch). gzip per part-file, one
+    // file per partition — the write parallelizes like any other sink;
+    // the read back is a parallel multi-file scan with an explicit
+    // schema (no inference pass over 100 TB).
+    QuerySpec(
+      "sink_csv",
+      (s, dir) => {
+        val out = fixturePath(dir, "sink_csv")
+        val docs = Tables(s, dir, "documents")
+        docs.write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip").csv(out)
+        s.read.schema(docs.schema).option("header", "true").csv(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.HashBridge.h32(
+              concat_ws("|", col("doc_id"), col("text")))).cast("long")
+              .as("content_digest"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(('0x'||SUBSTR(MD5(doc_id::VARCHAR||'|'||text),1,8))::BIGINT) AS BIGINT) AS content_digest
+              FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -2213,7 +2213,143 @@ object RelationalQueries {
                      ROUND(ms.mean, 4) AS mean,
                      ROUND(ms.sigma, 6) AS sigma
               FROM ms LEFT JOIN outs ON ms.l_returnflag = outs.l_returnflag
-              ORDER BY ms.l_returnflag"""))
+              ORDER BY ms.l_returnflag""")),
+
+    // Cryptographic digest family — content addressing, the primitive
+    // under exact dedup, cache keys, and deterministic sharding in a
+    // corpus pipeline. md5/sha256 are byte-identical across engines by
+    // definition; `shard` derives a stable 64-way partition from the
+    // digest (the same h32 bridge the sinks use), showing the
+    // hash → pmod route a writer uses to spread a 100 TB corpus without
+    // a shuffle key column.
+    QuerySpec(
+      "fn_hash",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(col("text")).as("md5_hex"),
+            sha2(col("text"), 256).as("sha256_hex"),
+            pmod(graft.functions.HashBridge.h32(col("text")), lit(64L)).as("shard"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, MD5(text) AS md5_hex, SHA256(text) AS sha256_hex,
+                     ('0x'||SUBSTR(MD5(text),1,8))::BIGINT % 64 AS shard
+              FROM documents ORDER BY doc_id""")),
+
+    // Regexp family: global replace, extract-all, match count, boolean
+    // match — all RE2-safe patterns so Java regex and DuckDB RE2 agree.
+    // Every call is a codegen'd built-in over one scan; at 100 TB this
+    // is the embarrassingly-parallel per-row shape (no shuffle at all
+    // before the output ORDER BY).
+    QuerySpec(
+      "fn_regexp",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            regexp_replace(col("text"), "(batch|stream)", "X").as("replaced"),
+            array_join(
+              expr("regexp_extract_all(text, '(join|merge)', 0)"), ",").as("matches"),
+            regexp_count(col("text"), lit("spark")).cast("int").as("n_spark"),
+            col("text").rlike("window").as("has_window"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     REGEXP_REPLACE(text, '(batch|stream)', 'X', 'g') AS replaced,
+                     -- COALESCE: DuckDB folds the empty list to NULL here,
+                     -- Spark's array_join yields '' — align on ''
+                     COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '(join|merge)'), ','), '') AS matches,
+                     CAST(LEN(REGEXP_EXTRACT_ALL(text, 'spark')) AS INT) AS n_spark,
+                     REGEXP_MATCHES(text, 'window') AS has_window
+              FROM documents ORDER BY doc_id""")),
+
+    // Higher-order array functions (transform / filter / aggregate
+    // lambdas) — the tokenize-then-map shape LLM feature extraction
+    // lives in. Lambdas stay inside whole-stage codegen (no UDF), so
+    // per-token work costs the same as a hand-written loop; arrays are
+    // flattened to CSV strings for the cross-engine compare.
+    QuerySpec(
+      "fn_array_hof",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("tk", split(trim(col("text")), "\\s+"))
+          .select(
+            col("doc_id"),
+            array_join(transform(col("tk"), x => length(x).cast("string")), ",")
+              .as("len_csv"),
+            array_join(filter(col("tk"), x => length(x) > 5), ",").as("long_toks"),
+            aggregate(transform(col("tk"), x => length(x)), lit(0), (a, x) => a + x)
+              .as("total_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                                    x -> CAST(LENGTH(x) AS VARCHAR)), ',') AS len_csv,
+                     -- COALESCE as in fn_regexp: empty list stringifies to
+                     -- NULL on DuckDB, '' on Spark
+                     COALESCE(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                                          x -> LENGTH(x) > 5), ','), '') AS long_toks,
+                     CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                                  x -> LENGTH(x))) AS INT) AS total_chars
+              FROM documents ORDER BY doc_id""")),
+
+    // Gaps-and-islands: longest consecutive-day activity streak per user
+    // (retention analytics' other half next to agg_retention's cohort
+    // matrix). The classic date-minus-row_number grouping key turns each
+    // run of consecutive days into one constant, so the whole thing is a
+    // distinct + one window + two hash aggregates — every stage keyed on
+    // user_id, no self-join, linear at any scale.
+    QuerySpec(
+      "win_streak",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("d"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days
+          .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(
+            max(col("len")).as("longest_streak"),
+            sum(col("len")).cast("long").as("n_active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+              g AS (
+                SELECT user_id, d,
+                       d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+                FROM days),
+              s AS (SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+              SELECT user_id, MAX(len) AS longest_streak,
+                     CAST(SUM(len) AS BIGINT) AS n_active_days
+              FROM s GROUP BY user_id ORDER BY user_id""")),
+
+    // Linear-regression aggregates (slope / intercept / R² / count) per
+    // group — the one-pass sufficient-statistics family (Σx, Σy, Σxy,
+    // Σx², n): partial-aggregable, constant state per group, exactly the
+    // trend-fit a metrics pipeline runs per segment. Rounded to 6 with
+    // the −0.0 guard agg_stats established.
+    QuerySpec(
+      "agg_regr",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            (round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6) + lit(0.0))
+              .as("slope"),
+            (round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6) + lit(0.0))
+              .as("intercept"),
+            (round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6) + lit(0.0))
+              .as("r2"),
+            regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) + 0.0 AS slope,
+                     ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) + 0.0 AS intercept,
+                     ROUND(REGR_R2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+                     CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** Bucketed-table name keyed on the sf dir AND the process: the bench

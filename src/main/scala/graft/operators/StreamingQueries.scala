@@ -346,6 +346,30 @@ object StreamingQueries {
                      CAST(SUM(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_10m,
                      ROUND(MAX(lag_s), 6) AS max_lag_s,
                      ROUND(QUANTILE_CONT(lag_s, 0.95), 6) AS p95_lag_s
-              FROM l GROUP BY event_type ORDER BY event_type"""))
+              FROM l GROUP BY event_type ORDER BY event_type""")),
+
+    // Windowed leaderboard: top-3 event types per tumbling window —
+    // the trending-now query. Composes the SAME tumblingCounts the
+    // streaming fixture drains with windowTopK's per-window row_number
+    // (rank-over-aggregate runs per batch in foreachBatch when
+    // streamed — see EventStreams.windowTopK). The rank input is the
+    // compact counts relation (windows × types rows), never raw events.
+    QuerySpec(
+      "stream_window_topk",
+      (s, dir) =>
+        graft.streaming.EventStreams
+          .windowTopK(graft.streaming.EventStreams.tumblingCounts(events(s, dir)))
+          .orderBy("ws", "rk"),
+      Some("""WITH c AS (
+                SELECT make_timestamp((epoch_ns(ts) // 1000) // 600000000 * 600000000) AS ws,
+                       event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+              r AS (
+                SELECT ws, event_type, n,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY ws
+                                               ORDER BY n DESC, event_type) AS INT) AS rk
+                FROM c)
+              SELECT ws, rk, event_type, n FROM r WHERE rk <= 3
+              ORDER BY ws, rk"""))
   )
 }

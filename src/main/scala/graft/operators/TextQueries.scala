@@ -961,6 +961,59 @@ object TextQueries {
                      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                      ROUND(CAST(SUM(CAST(sw_ratio AS DECIMAL(18,6))) AS DOUBLE)
                            / COUNT(*), 6) AS avg_sw_ratio
-              FROM c GROUP BY source ORDER BY source"""))
+              FROM c GROUP BY source ORDER BY source""")),
+
+    // Gopher-style repetition-free quality rules (Rae et al. 2021, the
+    // public heuristic battery behind MassiveText): word-count bounds,
+    // mean-word-length band, alphabetic-word ratio, and stop-word
+    // presence, each emitted as a metric plus the combined keep flag.
+    // Thresholds sit inside the corpus' observed distributions (word
+    // counts 10–99, mean lengths 3.7–5.3 at every SF) so the gate
+    // provably discriminates rather than passing everything. All four
+    // signals come from ONE tokenization shared via `tk`; every lambda
+    // is a codegen'd built-in, so the whole battery is a single
+    // shuffle-free scan before the output sort — per-row linear at
+    // 100 TB exactly like text_quality_filter.
+    QuerySpec(
+      "text_gopher_rules",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("tk", toks)
+          .select(
+            col("doc_id"),
+            size(col("tk")).as("n_words"),
+            round(
+              aggregate(transform(col("tk"), x => length(x)), lit(0), (a, x) => a + x)
+                .cast("double") / size(col("tk")), 4).as("mean_word_len"),
+            round(
+              size(filter(col("tk"), x => x.rlike("[A-Za-z]"))).cast("double")
+                / size(col("tk")), 4).as("alpha_ratio"),
+            size(expr("filter(tk, x -> x IN ('the','a','of','and','to'))"))
+              .as("n_stopwords"))
+          .withColumn("keep",
+            col("n_words").between(30, 1000) &&
+              col("mean_word_len").between(3.5, 5.0) &&
+              col("alpha_ratio") >= 0.8 &&
+              col("n_stopwords") >= 2)
+          .orderBy("doc_id"),
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT) AS n_words,
+                       ROUND(CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                                          x -> LENGTH(x))) AS DOUBLE)
+                             / LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')), 4) AS mean_word_len,
+                       ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                                  x -> REGEXP_MATCHES(x, '[A-Za-z]'))) AS DOUBLE)
+                             / LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')), 4) AS alpha_ratio,
+                       CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                            x -> x IN ('the','a','of','and','to'))) AS INT)
+                         AS n_stopwords
+                FROM documents)
+              SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stopwords,
+                     (n_words BETWEEN 30 AND 1000
+                      AND mean_word_len BETWEEN 3.5 AND 5.0
+                      AND alpha_ratio >= 0.8
+                      AND n_stopwords >= 2) AS keep
+              FROM m ORDER BY doc_id"""))
   )
 }

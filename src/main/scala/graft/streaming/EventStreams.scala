@@ -47,6 +47,24 @@ object EventStreams {
           .cast("double"), 4).as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Top-k event types per tumbling window by count (deterministic
+    * count DESC, event_type ASC tie-break). Rank-over-aggregate is not
+    * incrementally updatable, so in streaming this runs per emitted
+    * batch in `foreachBatch` over [[tumblingCounts]]' update stream —
+    * the standard leaderboard pattern; in batch it composes directly.
+    * The window is a row_number partitioned on ws (never a global
+    * single-partition window), so the ranking shuffles one compact
+    * counts row per (window, type) — bounded by windows × types, not by
+    * events, at any corpus scale. */
+  def windowTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("ws"), col("rk"), col("event_type"), col("n"))
+  }
+
   /** Hopping 10-minute windows sliding every 5 (each event in two
     * overlapping windows), 1-hour watermark — streaming twin of the
     * `stream_hopping` batch oracle query. */
