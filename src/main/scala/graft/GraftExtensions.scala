@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"dot_product requires exactly 2 arguments, got ${children.length}")
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"hilbert_index requires exactly 2 arguments, got ${children.length}")
+        graft.functions.HilbertIndex(children(0), children(1))
+      }))
     // aggregate(zip_with(a,b,*),0d,+) → native DotProduct, transparently
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
     // pure constant-width range joins → binned equi-joins, transparently

@@ -211,6 +211,57 @@ object LayoutQueries {
             FROM s4 GROUP BY 1 ORDER BY zbucket"""
       }),
 
+    // Hilbert-curve layout — Z-order's better-locality sibling (every
+    // consecutive pair of curve positions is a GRID-ADJACENT cell, so a
+    // file cut from one curve range has tighter extents than the same-
+    // size Morton range; HilbertIndexSpec proves the adjacency law).
+    // The 16-level xy2d walk runs as the native HilbertIndex expression
+    // (functions/HilbertIndex — a loop, not an expression tree, inside
+    // whole-stage codegen); same dimensions and bucket aggregate as
+    // layout_zorder so the two layouts are directly comparable. The
+    // oracle replays the identical loop as a 16-step recursive CTE.
+    QuerySpec(
+      "layout_hilbert",
+      (s, dir) => {
+        val x = col("o_custkey") % 65536
+        val y = least(greatest(
+          floor((col("o_totalprice") - lit(900.0)) * 65536 / lit(600000.0 - 900.0)),
+          lit(0L)), lit(65535L))
+        t(s, dir, "orders")
+          .select(x.as("x"), y.as("y"))
+          .withColumn("h", graft.functions.HilbertIndex(col("x"), col("y")))
+          .groupBy(shiftright(col("h"), 26).as("hbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min("x").as("x_lo"), max("x").as("x_hi"),
+            min("y").as("y_lo"), max("y").as("y_hi"))
+          .orderBy("hbucket")
+      },
+      Some("""WITH RECURSIVE b AS (
+                SELECT o_custkey % 65536 AS x0,
+                       CAST(LEAST(GREATEST(FLOOR((o_totalprice - 900.0) * 65536 / (600000.0 - 900.0)), 0), 65535) AS BIGINT) AS y0
+                FROM orders),
+              h AS (
+                SELECT x0, y0, x0 AS x, y0 AS y,
+                       CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+                FROM b
+                UNION ALL
+                SELECT x0, y0,
+                       CASE WHEN (y & s) = 0
+                            THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+                            ELSE x END AS x,
+                       CASE WHEN (y & s) = 0
+                            THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+                            ELSE y END AS y,
+                       d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+                                       CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+                       s // 2 AS s
+                FROM h WHERE s >= 1)
+              SELECT d >> 26 AS hbucket, COUNT(*) AS n,
+                     MIN(x0) AS x_lo, MAX(x0) AS x_hi,
+                     MIN(y0) AS y_lo, MAX(y0) AS y_hi
+              FROM h WHERE s = 0 GROUP BY 1 ORDER BY hbucket""")),
+
     // Small-file compaction — the table-maintenance pass every streaming
     // or incremental ingest needs: micro-batch appends leave thousands of
     // KB-sized files whose per-file open/footer overhead dominates scans

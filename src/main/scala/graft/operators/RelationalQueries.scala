@@ -1683,6 +1683,48 @@ object RelationalQueries {
               GROUP BY n_name
               ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q7 shape (volume shipping): the SAME dimension joined twice
+    // under DIFFERENT roles — nation as supplier country AND as customer
+    // country, with a symmetric country-pair predicate. The planner test
+    // is the double broadcast: both nation aliases are 25-row dims, so
+    // both sides of the pair predicate resolve as broadcast hash joins
+    // and the pair filter prunes facts before the orderkey shuffle; the
+    // per-year rollup rides the partial-agg path on the 2×2×years
+    // result grid.
+    QuerySpec(
+      "sql_tpch_q7",
+      (s, dir) => {
+        Seq("nation", "customer", "supplier", "orders", "lineitem")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                 ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue
+          FROM supplier
+            JOIN lineitem  ON s_suppkey = l_suppkey
+            JOIN orders    ON o_orderkey = l_orderkey
+            JOIN customer  ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+          GROUP BY supp_nation, cust_nation, l_year
+          ORDER BY supp_nation, cust_nation, l_year""")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue
+              FROM supplier
+                JOIN lineitem  ON s_suppkey = l_suppkey
+                JOIN orders    ON o_orderkey = l_orderkey
+                JOIN customer  ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+              GROUP BY supp_nation, cust_nation, l_year
+              ORDER BY supp_nation, cust_nation, l_year""")),
+
     // TPC-H Q18 shape (large-volume orders): join against an AGGREGATED
     // subquery — the semi-join-on-derived-keys pattern. The HAVING
     // subquery reduces lineitem to a small key set FIRST (decimal sum, so

@@ -67,6 +67,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("foreachBatch windowTopK over the streamed aggregate matches batch") {
+    // the leaderboard pattern: rank-over-aggregate is not incrementally
+    // updatable, so windowTopK runs INSIDE foreachBatch over the
+    // complete-mode tumbling counts — this drains that exact shape and
+    // checks the last emitted ranking equals the batch composition
+    val events = EventStreams.readEvents(spark, dir)
+    val got = new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.Row]](Seq.empty)
+    val q = EventStreams.tumblingCounts(events).writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-wtopk").toString)
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.set(EventStreams.windowTopK(batchDf).orderBy("ws", "rk").collect().toSeq)
+      }
+      .start()
+    q.awaitTermination(120000)
+    val batch = EventStreams
+      .windowTopK(EventStreams.tumblingCounts(graft.Tables(spark, dir, "events")))
+      .orderBy("ws", "rk").collect().toSeq
+    assert(got.get.nonEmpty)
+    assert(got.get == batch)
+  }
+
   test("streaming hopping counts match batch when stream is drained") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.hoppingCounts(events), "hopping", "complete")
