@@ -34,6 +34,7 @@ object Registry {
   def all: Seq[QuerySpec] =
     operators.ReaderQueries.specs ++
       operators.RelationalQueries.specs ++
+      operators.TpchQueries.specs ++
       operators.SketchQueries.specs ++
       operators.DedupQueries.specs ++
       operators.SimilarityQueries.specs ++

@@ -898,6 +898,80 @@ object TextQueries {
               FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — the public
+    // hashed-n-gram recipe): score every raw document by how much its
+    // hashed-bigram distribution resembles a TARGET distribution (here
+    // the lang='en' slice stands in for the curated target corpus). The
+    // model is two bucket-count vectors over a FIXED 1024-bucket hashed
+    // feature space — so unlike the exact-vocabulary LMs above, model
+    // size is CONSTANT in corpus size: the per-bucket log-likelihood
+    // ratio table is ≤1024 rows and broadcasts, the raw/target counts
+    // are one mergeable aggregate each, and the per-doc score is one
+    // more compact-key aggregate. That constant-size model is the whole
+    // point of DSIR at 100 TB — a trillion-token corpus still trains
+    // the same 1024-row table. Add-0.5 smoothing keeps unseen buckets
+    // finite; per-bucket ln rounded to 6 THEN decimal-summed (the
+    // established partial-agg determinism bridge); keep = docs whose
+    // average log-likelihood ratio is positive (more target-like than
+    // raw-like — importance resampling keeps exactly those with
+    // probability ∝ exp(score)).
+    QuerySpec(
+      "text_importance_dsir",
+      (s, dir) => {
+        val bi = docs(s, dir).select(col("doc_id"), col("lang"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % 1024).as("b"))
+        val raw = bi.groupBy("b").agg(count(lit(1)).as("r"))
+        val tgt = bi.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("tc"))
+        val tot = bi.agg(
+          count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        val lr = raw.join(tgt, Seq("b"), "left_outer")
+          .crossJoin(broadcast(tot)) // 1 row, always broadcastable
+          .select(col("b"),
+            round(log(
+              ((coalesce(col("tc"), lit(0L)) + 0.5) / (col("nt") + 0.5 * 1024)) /
+                ((col("r") + 0.5) / (col("nr") + 0.5 * 1024))), 6)
+              .cast("decimal(18,6)").as("lr"))
+        bi.join(broadcast(lr), Seq("b")) // ≤1024 rows by construction
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_feat"),
+            (round(sum(col("lr")).cast("double") / count(lit(1)), 6) + lit(0.0))
+              .as("avg_loglik"))
+          .withColumn("keep", col("avg_loglik") > 0.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+                FROM documents),
+              bi AS (
+                SELECT doc_id, lang,
+                       ('0x' || SUBSTR(MD5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT % 1024 AS b
+                FROM (SELECT doc_id, lang, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i
+                      FROM t WHERE LEN(t) >= 2)),
+              raw AS (SELECT b, COUNT(*) AS r FROM bi GROUP BY b),
+              tgt AS (SELECT b, COUNT(*) AS tc FROM bi WHERE lang = 'en' GROUP BY b),
+              tot AS (SELECT COUNT(*) AS nr,
+                             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+                      FROM bi),
+              lr AS (SELECT b,
+                            CAST(ROUND(LN(((COALESCE(tc, 0) + 0.5) / (nt + 0.5 * 1024)) /
+                                          ((r + 0.5) / (nr + 0.5 * 1024))), 6)
+                                 AS DECIMAL(18,6)) AS lr
+                     FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+              SELECT doc_id,
+                     COUNT(*) AS n_feat,
+                     ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_loglik,
+                     ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) + 0.0 > 0.0 AS keep
+              FROM bi JOIN lr USING (b)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // End-to-end curation pipeline as ONE declarative plan — the shape a
     // real pretraining data job takes: quality gate (the text_quality_
     // filter predicates, SAME Scala helpers so the stages cannot drift)
