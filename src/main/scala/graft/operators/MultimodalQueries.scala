@@ -158,6 +158,80 @@ object MultimodalQueries {
                           ELSE FLOOR(width * 224.0 / longest) END AS INT) AS out_w,
                      CAST(CASE WHEN longest <= 224 THEN height
                           ELSE FLOOR(height * 224.0 / longest) END AS INT) AS out_h
-              FROM g ORDER BY doc_id"""))
+              FROM g ORDER BY doc_id""")),
+
+    // Perceptual-hash near-dup detection — the image-side twin of
+    // dedup_simhash_pairs, closing cross-modality dedup: re-encoded /
+    // slightly-edited copies of the same image land within a few bits of
+    // each other under a perceptual hash (pHash/aHash family), so
+    // near-dup image search IS hamming search over 64-bit fingerprints
+    // — the exact machinery the text path already proves. The hash here
+    // is the deterministic stand-in (md5 of the stubbed image bytes,
+    // split into hi/lo 32-bit words — a real pHash is equally a pure
+    // function of pixel content); re-encoding jitter is modeled by a
+    // deterministic 2-bit perturbation of every 7th image's fingerprint.
+    // Pairing is the proven Manku pigeonhole: 4×16-bit bands, any-band
+    // equality finds EVERY pair within hamming ≤ 3 by construction, and
+    // the exact popcount verifies. At 100 TB the band self-join is the
+    // only corpus-sized shuffle and carries (img_id, 2-byte key) rows;
+    // Σ|bucket|² stays bounded because random 16-bit bands spread
+    // non-dup images uniformly.
+    QuerySpec(
+      "multimodal_phash_dedup",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id").as("img_id"), md5(col("text")).as("m"))
+          .select(col("img_id"),
+            conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
+            conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+        // re-encoded copies: every 7th image, 2 bits flipped in lo
+        val jittered = base.filter(col("img_id") % 7 === 0)
+          .select((col("img_id") + 1000000L).as("img_id"), col("hi"),
+            col("lo").bitwiseXOR(lit(5L)).as("lo"))
+        // barrier: both sides of the band self-join consume this tiny
+        // (3 longs/img) relation — don't recompute the md5 pipeline twice
+        val sigs = base.unionByName(jittered).localCheckpoint()
+        val banded = sigs.select(col("img_id"), col("hi"), col("lo"),
+          posexplode(array(
+            col("lo").bitwiseAND(lit(65535L)),
+            shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+            col("hi").bitwiseAND(lit(65535L)),
+            shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "k")))
+        val l = banded.select(col("b"), col("k"), col("img_id").as("img_a"),
+          col("hi").as("ha"), col("lo").as("la"))
+        val r = banded.select(col("b"), col("k"), col("img_id").as("img_b"),
+          col("hi").as("hb"), col("lo").as("lb"))
+        l.join(r, Seq("b", "k"))
+          .where(col("img_a") < col("img_b"))
+          .select(col("img_a"), col("img_b"),
+            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+              bit_count(col("la").bitwiseXOR(col("lb")))).cast("int").as("hamming"))
+          .where(col("hamming") <= 3)
+          .distinct()
+          .orderBy("img_a", "img_b")
+      },
+      Some("""WITH base AS (
+                SELECT doc_id AS img_id,
+                       ('0x'||SUBSTR(MD5(text),1,8))::BIGINT AS hi,
+                       ('0x'||SUBSTR(MD5(text),9,8))::BIGINT AS lo
+                FROM documents),
+              all_imgs AS (
+                SELECT img_id, hi, lo FROM base
+                UNION ALL
+                SELECT img_id + 1000000, hi, XOR(lo, 5) FROM base WHERE img_id % 7 = 0),
+              banded AS (
+                SELECT img_id, hi, lo, b,
+                       CASE b WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS k
+                FROM all_imgs, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b))
+              SELECT img_a, img_b, hamming FROM (
+                SELECT DISTINCT l.img_id AS img_a, r.img_id AS img_b,
+                       CAST(BIT_COUNT(XOR(l.hi, r.hi)) + BIT_COUNT(XOR(l.lo, r.lo)) AS INTEGER) AS hamming
+                FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k
+                WHERE l.img_id < r.img_id)
+              WHERE hamming <= 3
+              ORDER BY img_a, img_b"""))
   )
 }
