@@ -470,6 +470,97 @@ object SimilarityQueries {
                 FROM pairs) WHERE rn <= 5
               ORDER BY query_id, sim DESC, neighbor_id""")),
 
+    // Binary (1-bit sign) quantization ANN — the fifth index family and
+    // the bottom rung of the quantization ladder (float32 → SQ8 → PQ →
+    // 1 bit/dim): each 64-dim vector compresses to TWO 32-bit sign
+    // words (32× smaller than float32), and the coarse ranking is pure
+    // hamming distance — XOR + popcount, the cheapest similarity
+    // kernel that exists and the one binary-quantized vector stores run
+    // at retrieval time. Top-50 hamming survivors (a 10× oversample of the final k — binary
+    // quantization's standard rescoring window, cheap because each
+    // candidate costs 4 ALU ops) rerank with the exact
+    // float cosine (the SQ8/PQ pattern verbatim), so the output is
+    // full-precision. Sign packing, XOR, and popcount are all integer —
+    // both engines agree bit-for-bit with no tolerance. At 100 TB: the
+    // corpus-side relation is 3 longs per vector, the scan streams
+    // against a 16-row broadcast query side, and hamming is ~4 ALU ops
+    // per candidate — the shape that makes a first-pass scan over a
+    // trillion vectors feasible before any exact math runs.
+    // SimilarityBinarySpec pins the recall floor vs brute force.
+    QuerySpec(
+      "topk_similarity_binary",
+      (s, dir) => {
+        def word(off: Int) = expr(
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + IF(CAST(element_at(embedding, i + $off) AS DOUBLE) > 0,
+             |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+        // barrier: both sides of the self-join consume this 3-longs-per-
+        // vector relation — don't re-run the packing twice
+        val words = emb(s, dir).select(col("vec_id"),
+          word(1).as("lo"), word(33).as("hi")).localCheckpoint()
+        val q = words.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val wq = Window.partitionBy("query_id")
+          .orderBy(col("hamming").asc, col("neighbor_id"))
+        val cand = q.join(words, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+              bit_count(col("qhi").bitwiseXOR(col("hi")))).cast("int").as("hamming"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 50)
+          .select("query_id", "neighbor_id")
+        val n = normed(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        cand
+          .join(n.as("q2"), col("q2.vec_id") === col("query_id"))
+          .join(n.as("c2"), col("c2.vec_id") === col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q2.e"), col("c2.e")) / (col("q2.nrm") * col("c2.nrm")), 6) + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              words AS (
+                SELECT vec_id,
+                       CAST((SELECT SUM(CASE WHEN e[i + 1] > 0
+                                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                             FROM (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS i)) AS BIGINT) AS lo,
+                       CAST((SELECT SUM(CASE WHEN e[i + 33] > 0
+                                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                             FROM (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS i)) AS BIGINT) AS hi
+                FROM v),
+              scores AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(BIT_COUNT(XOR(q.lo, c.lo)) + BIT_COUNT(XOR(q.hi, c.hi)) AS INTEGER) AS hamming
+                FROM words q JOIN words c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 16),
+              cand AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY hamming ASC, neighbor_id) AS rn
+                  FROM scores) WHERE rn <= 50),
+              n AS (
+                SELECT vec_id, e,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                FROM v),
+              pairs AS (
+                SELECT query_id, neighbor_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+                             / (q.nrm * c.nrm), 6) + 0.0 AS sim
+                FROM cand JOIN n q ON q.vec_id = query_id
+                          JOIN n c ON c.vec_id = neighbor_id)
+              SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rn
+                FROM pairs) WHERE rn <= 5
+              ORDER BY query_id, sim DESC, neighbor_id""")),
+
     // Embedding normalization (the stage before any cosine/ANN search:
     // unit-length vectors make dot product == cosine): per-vector L2
     // norm plus the first normalized component as the checkable scalar
