@@ -776,6 +776,43 @@ object RelationalQueries {
               WHERE l_quantity >= 45
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // AQE skew-join — the RUNTIME twin of join_salted: the same hot-key
+    // problem handled by Spark's adaptive execution instead of a manual
+    // rewrite. The fact side funnels half of lineitem onto one join key
+    // (key 0), the dim is a 64-row range — a shape whose naive SMJ puts
+    // 50% of the shuffle in one reducer. Under AQE's skew thresholds the
+    // runtime splits that partition into advisory-sized chunks, each
+    // joined against a duplicated copy of the dim side, restoring
+    // parallelism with NO change to the declared plan — the 100 TB
+    // mechanism for skew nobody predicted (salting is the declarative
+    // form for skew you know about; AQE is the safety net for skew you
+    // don't). Executed in an ISOLATED child session (newSession: own
+    // SQLConf, shared context+catalog) so the aggressive thresholds the
+    // demonstration needs can never leak into other queries; the result
+    // is materialized (localCheckpoint) under those confs, so the rows
+    // the driver hashes really were produced by the skew-split
+    // execution. SkewJoinSpec asserts the executed plan carries
+    // isSkew=true partitions and equals the plain-join oracle.
+    QuerySpec(
+      "join_skew_aqe",
+      (s0, dir) => {
+        val (df, _) = skewAqeRun(s0, dir)
+        df
+      },
+      Some("""WITH fact AS (
+                SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+                            ELSE l_orderkey % 64 END AS k,
+                       l_quantity,
+                       MD5(l_orderkey || '-' || l_linenumber) AS payload
+                FROM lineitem),
+              dim AS (SELECT i AS k, i * 2 + 1 AS w
+                      FROM (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i))
+              SELECT k % 8 AS bucket, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(l_quantity * w AS DECIMAL(38,4))) AS DOUBLE), 4) AS wsum,
+                     MIN(payload) AS min_digest
+              FROM fact JOIN dim USING (k)
+              GROUP BY bucket ORDER BY bucket""")),
+
     // Bloom-pruned join — the runtime-filter shape for a selective dim
     // whose KEY SET is too large to broadcast as a hash relation at
     // 100 TB: a constant 16 KiB bit set built from the dim keys
@@ -2393,6 +2430,52 @@ object RelationalQueries {
                      CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** Builds, EXECUTES, and returns the skew-join demonstration.
+    *
+    * Runs in a child session (`newSession`: private SQLConf, shared
+    * SparkContext/catalog) with thresholds tuned so the demonstration
+    * triggers even at sf0.001 (~tens of KB in the hot partition):
+    * broadcast disabled (forces the shuffle join skew handling applies
+    * to), skew factor 1.0, 4 KB skew threshold, 2 KB advisory target,
+    * partition coalescing off so the split partitions stay visible.
+    * Returns the materialized result (localCheckpoint — executed under
+    * these confs, tiny: 8 aggregate rows) plus the final AQE plan string
+    * for SkewJoinSpec's isSkew assertion. */
+  private[operators] def skewAqeRun(s0: SparkSession, dir: String): (DataFrame, String) = {
+    val s = s0.newSession()
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32"
+    ).foreach { case (k, v) => s.conf.set(k, v) }
+    // repartition(16) forces 16 map tasks into the join shuffle — a
+    // single-file scan would feed it from ONE mapper, and AQE can only
+    // split a skewed partition at mapper granularity; the md5 payload
+    // keeps the hot partition's BYTES proportional to its rows (the
+    // constant join key alone compresses away the skew the demo needs)
+    val fact = t(s, dir, "lineitem").repartition(16).select(
+      when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("l_orderkey") % 64).as("k"),
+      col("l_quantity"),
+      md5(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))).as("payload"))
+    val dim = s.range(64).select(col("id").as("k"), (col("id") * 2 + 1).as("w"))
+    val joined = fact.join(dim, "k")
+      .groupBy((col("k") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum((col("l_quantity") * col("w")).cast(Dec)).cast("double"), 4).as("wsum"),
+        min(col("payload")).as("min_digest"))
+    joined.collect() // finalize AQE so the plan below is the executed one
+    val plan = joined.queryExecution.executedPlan.toString
+    (joined.localCheckpoint().orderBy("bucket"), plan)
+  }
 
   /** Bucketed-table name keyed on the sf dir AND the process: the bench
     * path reuses whatever table the name resolves to, so an unkeyed name
