@@ -1473,6 +1473,60 @@ object RelationalQueries {
                      CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
               FROM events ORDER BY event_id""")),
 
+    // Semi-structured VARIANT processing (Spark 4's open-ended JSON
+    // type — the web-crawl-metadata shape: per-record attributes whose
+    // schema is unknown at write time). parse_json builds the binary
+    // variant ONCE per row; typed paths come out via variant_get (a
+    // binary-encoded path walk, no re-parse per field — the reason
+    // variant beats get_json_object when many fields extract from one
+    // payload), absent paths via try_variant_get → NULL instead of an
+    // error, and schema_of_variant introspects the per-row shape. The
+    // oracle rebuilds the same answers from DuckDB's JSON kernel. Pure
+    // per-row codegen'd projection — linear at any scale.
+    QuerySpec(
+      "fn_variant",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("props").isNotNull && col("props") =!= "")
+          .select(
+            col("event_id"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+            expr("try_variant_get(parse_json(props), '$.missing', 'string')").as("k_missing"),
+            expr("schema_of_variant(parse_json(props))").as("k_schema"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(props->>'k' AS INT) AS k_int,
+                     CAST(NULL AS VARCHAR) AS k_missing,
+                     'OBJECT<k: BIGINT>' AS k_schema
+              FROM events
+              WHERE props IS NOT NULL AND props != ''
+              ORDER BY event_id""")),
+
+    // SQL pipe syntax (Spark 4's |> operator chain — the linear query
+    // form): the SAME filter → aggregate → order pipeline a reference
+    // user writes as nested SQL, expressed as stages. Catalyst lowers
+    // the pipe chain to the identical logical plan as the nested form
+    // (the oracle IS that nested form), so the surface costs nothing —
+    // one scan, partial-agg on a 3-row group key, broadcastless.
+    QuerySpec(
+      "sql_pipe_syntax",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          FROM lineitem
+          |> WHERE l_quantity > 45
+          |> AGGREGATE COUNT(*) AS n,
+                       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS rev
+             GROUP BY l_returnflag
+          |> ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS rev
+              FROM lineitem
+              WHERE l_quantity > 45
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------- sort / limit / topk
     QuerySpec(
       "sort",
