@@ -44,7 +44,7 @@ object ScaleStress {
   /** Queries whose cost could go superlinear in corpus size. */
   private val DefaultPrefixes = Seq(
     "dedup_", "topk_similarity", "embedding_", "text_", "pipeline_curate",
-    "graph_")
+    "graph_", "multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

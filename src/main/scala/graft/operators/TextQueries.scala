@@ -925,17 +925,23 @@ object TextQueries {
             "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("bg"))
           .select(col("doc_id"), col("lang"),
             (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % 1024).as("b"))
-        val raw = bi.groupBy("b").agg(count(lit(1)).as("r"))
-        val tgt = bi.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("tc"))
-        val tot = bi.agg(
-          count(lit(1)).as("nr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-        val lr = raw.join(tgt, Seq("b"), "left_outer")
+        // ONE pass builds the whole model: raw and target counts ride
+        // the same partial aggregate (tc = conditional count), and the
+        // corpus totals are a second-level aggregate of the ≤1024-row
+        // bucket table itself — so the corpus-sized bigram stream is
+        // scanned once for training, not three times
+        // checkpointed because BOTH tot and lr consume it — without the
+        // barrier each consumer re-runs the corpus aggregate
+        val counts = bi.groupBy("b").agg(
+          count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+          .localCheckpoint()
+        val tot = counts.agg(sum(col("r")).as("nr"), sum(col("tc")).as("nt"))
+        val lr = counts
           .crossJoin(broadcast(tot)) // 1 row, always broadcastable
           .select(col("b"),
             round(log(
-              ((coalesce(col("tc"), lit(0L)) + 0.5) / (col("nt") + 0.5 * 1024)) /
+              ((col("tc") + 0.5) / (col("nt") + 0.5 * 1024)) /
                 ((col("r") + 0.5) / (col("nr") + 0.5 * 1024))), 6)
               .cast("decimal(18,6)").as("lr"))
         bi.join(broadcast(lr), Seq("b")) // ≤1024 rows by construction

@@ -19,8 +19,13 @@ class PlanHygieneSpec extends AnyFunSuite {
   // count, sketch-union's exact-distinct contract — constant-size, not
   // quadratic)
   private val allowedQuadratic =
-    Set("join_cross", "topk_similarity", "topk_similarity_sq", "text_tfidf",
+    Set("join_cross", "topk_similarity", "topk_similarity_sq",
+      // binary-hamming prefilter: the same bounded-16-row broadcast
+      // non-equi scan as the SQ prefilter, over 32×-narrower sign words
+      "topk_similarity_binary", "text_tfidf",
       "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
+      // 1-row corpus-totals broadcast (the tf-idf scalar shape)
+      "text_importance_dsir",
       "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
       // k broadcast centroids against every vector — the kmAssign shape
