@@ -776,6 +776,40 @@ object RelationalQueries {
               WHERE l_quantity >= 45
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // Null-aware anti join — NOT IN under three-valued logic, the
+    // classic silent-wrong-answer trap: if the subquery produces even
+    // one NULL, `x NOT IN (...)` can never be TRUE (x <> NULL is
+    // UNKNOWN), so the nullable branch must return 0 — an engine that
+    // planned it as a plain anti join would return thousands of rows
+    // that LOOK right. Spark plans this as a broadcast null-aware anti
+    // join (single-column NAAJ support); both branches run in one row
+    // so the oracle pins the clean count AND the 0 side by side.
+    // NullAwareAntiJoinSpec asserts the 0 really comes from an injected
+    // NULL, not an empty subquery.
+    QuerySpec(
+      "join_anti_nullaware",
+      (s, dir) => {
+        Seq("orders", "customer")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                     WHERE c_mktsegment = 'BUILDING')) AS anti_clean,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 10 = 7 THEN NULL
+                                                 ELSE c_custkey END
+                                     FROM customer)) AS anti_nullable""")
+      },
+      Some("""SELECT
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                         WHERE c_mktsegment = 'BUILDING')) AS anti_clean,
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 10 = 7 THEN NULL
+                                                     ELSE c_custkey END
+                                         FROM customer)) AS anti_nullable""")),
+
     // AQE skew-join — the RUNTIME twin of join_salted: the same hot-key
     // problem handled by Spark's adaptive execution instead of a manual
     // rewrite. The fact side funnels half of lineitem onto one join key

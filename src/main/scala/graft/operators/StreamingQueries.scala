@@ -132,6 +132,34 @@ object StreamingQueries {
                      ROUND(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // foreachBatch CDC MERGE executed as a stream and oracled: the
+    // change stream (events ∪ a deterministic gen-2 copy at ts+1h,
+    // value+1000) folds micro-batch by micro-batch into a parquet state
+    // table as latest-wins per user under the total (ts, event_id)
+    // order — commutative + idempotent, so batch boundaries and
+    // replays cannot move the converged state, and DuckDB's window
+    // argmax over the same union hash-checks it exactly. This is the
+    // idempotent-upsert-sink pattern for targets without native MERGE;
+    // per batch only pre-combined one-row-per-user aggregates cross the
+    // shuffle (max_by partial aggregation — the merge_upsert scale
+    // shape under streaming machinery).
+    QuerySpec(
+      "stream_cdc_upsert",
+      (s, dir) => graft.streaming.EventStreams.cdcUpsert(s, dir),
+      Some("""WITH all_ev AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                FROM events
+                UNION ALL
+                SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+                       event_id, value + 1000.0 AS value
+                FROM events)
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT user_id, ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM all_ev) WHERE rn = 1
+              ORDER BY user_id""")),
+
     // mapGroupsWithState running stats, oracle-checked: runs the EXACT
     // statefulUserStats transform the streaming fixture exercises —
     // batch execution feeds each key's rows through the same state

@@ -126,6 +126,53 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming CDC upsert (`stream_cdc_upsert`): the foreachBatch MERGE
+    * pattern — the idempotent-sink shape a change-data stream lands with
+    * when the target store has no native MERGE. The change stream is the
+    * events source unioned with a deterministic "second generation" of
+    * itself (ts + 1 h, value + 1000 — every user's latest row is a
+    * gen-2 row by construction); each micro-batch folds into a parquet
+    * state table as latest-wins per user under the TOTAL (ts, event_id)
+    * order, so the merge is commutative and idempotent — batch
+    * boundaries and replays cannot change the converged state, which is
+    * why the plain-SQL argmax oracle can hash it. State is one row per
+    * user; each batch shuffles pre-combined per-key rows (max_by partial
+    * aggregation), never the raw change volume — the merge_upsert scale
+    * argument, now under streaming machinery. */
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cols = Seq(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val base = readEvents(spark, dir).select(cols: _*)
+    val updates = readEvents(spark, dir).select(
+      col("user_id"), expr("ts + INTERVAL 1 HOUR").as("ts"),
+      col("event_id"), (col("value") + 1000.0).as("value"))
+    val changes = base.unionByName(updates)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cdc-state").toString
+    val statePath = s"$stateDir/state.parquet"
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged =
+          if (new java.io.File(statePath).exists())
+            latest(spark.read.parquet(statePath).unionByName(latest(batch)))
+          else latest(batch)
+        // materialize BEFORE overwriting the path the plan reads from
+        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/ckpt")
+      .start()
+    require(q.awaitTermination(120000),
+      "streaming drain timed out - partial state would masquerade as results")
+    spark.read.parquet(statePath).orderBy("user_id")
+  }
+
   /** Per-user running aggregate via mapGroupsWithState — the custom-state
     * primitive (KeyValueGroupedDataset) for logic the built-in windows
     * can't express. State per key is one [[UserStats]] (constant bytes per
