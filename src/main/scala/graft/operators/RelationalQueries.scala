@@ -59,6 +59,31 @@ object RelationalQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
               FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
+    // Parquet AGGREGATE pushdown — MIN/MAX/COUNT answered from row-group
+    // footer statistics, zero data pages read: the scan-avoidance rung
+    // below filter pushdown. At 100 TB this is the difference between a
+    // metadata-only operation (a few KB of footers per file) and a full
+    // corpus scan for the commonest profiling query there is. Runs in a
+    // child session (the conf is off by default and is only valid for
+    // the no-filter, no-grouping shape this query pins); ScanPushdownSpec
+    // asserts PushedAggregation reached the scan node.
+    QuerySpec(
+      "scan_agg_pushdown",
+      (s0, dir) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // footer-stats pushdown lives in the V2 parquet source; the
+        // default read path is V1 (useV1SourceList contains parquet)
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+                     COUNT(*) AS n_rows
+              FROM lineitem""")),
+
     // CSV round-trip: written from `nation`, read back with header +
     // schema inference + DROPMALFORMED (reference: core_processor.rs:413-418
     // read_csv(ignore_errors=true, header=true)). Oracle reads the same table.

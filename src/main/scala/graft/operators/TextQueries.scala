@@ -800,6 +800,69 @@ object TextQueries {
                      lang AS q_param
               FROM documents ORDER BY doc_id""")),
 
+    // URL-canonicalization dedup — the provenance-level dedup stage every
+    // web corpus runs BEFORE content dedup (the same page is crawled
+    // under tracking params, fragments, case-shifted hosts, and trailing
+    // slashes; canonicalizing collapses them without touching content).
+    // The fixture synthesizes the noise deterministically from doc
+    // attributes (mixed-case host, ?utm_ tracking tail, #fragment,
+    // trailing slash) over a page space smaller than the corpus, so real
+    // collisions exist; canonicalization = strip fragment → strip utm
+    // query → strip trailing slash → lowercase, mirrored
+    // operation-for-operation in the oracle (RE2-safe patterns, one
+    // regexp kernel each — per-row codegen, then one compact groupBy on
+    // the canonical string: two linear passes at any scale).
+    QuerySpec(
+      "text_url_dedup",
+      (s, dir) => {
+        val noisy = docs(s, dir).select(col("doc_id"),
+          concat(
+            lit("https://"),
+            when(col("doc_id") % 2 === 0, lit("CDN.Example.com"))
+              .otherwise(lit("cdn.example.com")),
+            lit("/page"), col("doc_id") % 300,
+            when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("?utm_source=feed&utm_id="), col("doc_id") % 5))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, concat(lit("#frag"), col("doc_id") % 3))
+              .otherwise(lit(""))).as("url"))
+        noisy
+          .select(col("doc_id"), lower(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("url"), "#.*$", ""),
+                "\\?utm_[^#]*", ""),
+              "/$", "")).as("canonical"))
+          .groupBy("canonical")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy("canonical")
+      },
+      Some("""WITH noisy AS (
+                SELECT doc_id,
+                       'https://' ||
+                       CASE WHEN doc_id % 2 = 0 THEN 'CDN.Example.com'
+                            ELSE 'cdn.example.com' END ||
+                       '/page' || (doc_id % 300) ||
+                       CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '?utm_source=feed&utm_id=' || (doc_id % 5)
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0 THEN '#frag' || (doc_id % 3)
+                            ELSE '' END AS url
+                FROM documents)
+              SELECT LOWER(
+                       REGEXP_REPLACE(
+                         REGEXP_REPLACE(
+                           REGEXP_REPLACE(url, '#.*$', ''),
+                           '\?utm_[^#]*', ''),
+                         '/$', '')) AS canonical,
+                     MIN(doc_id) AS keep_id,
+                     COUNT(*) AS n_dups
+              FROM noisy
+              GROUP BY canonical
+              ORDER BY canonical""")),
+
     // Unigram language-model scoring (the CCNet-style perplexity gate:
     // score each doc by its average token log-probability under a model
     // fit on the corpus itself; docs dominated by rare tokens score low
