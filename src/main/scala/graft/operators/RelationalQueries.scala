@@ -801,6 +801,38 @@ object RelationalQueries {
               WHERE l_quantity >= 45
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // SQL join-strategy hints — the optimizer-override surface a user
+    // reaches for when statistics mislead the planner (a "small" build
+    // side that explodes after a selective filter misestimates, or a
+    // dim the user KNOWS stays broadcastable at 100 TB). The query runs
+    // the same star join twice: once hinted SHUFFLE_MERGE (forcing the
+    // sort-merge path broadcast would otherwise win) and once hinted
+    // BROADCAST — identical results, different physical strategies, so
+    // the UNION pins that a hint changes HOW, never WHAT. JoinHintSpec
+    // asserts each branch really planned its hinted strategy.
+    QuerySpec(
+      "sql_join_hints",
+      (s, dir) => {
+        Seq("orders", "customer")
+          .foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT /*+ SHUFFLE_MERGE(customer) */
+                 'merge' AS strategy, c_mktsegment, COUNT(*) AS n
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+          UNION ALL
+          SELECT /*+ BROADCAST(customer) */
+                 'broadcast' AS strategy, c_mktsegment, COUNT(*) AS n
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+          ORDER BY strategy, c_mktsegment""")
+      },
+      Some("""SELECT strategy, c_mktsegment, COUNT(*) AS n
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              CROSS JOIN (SELECT UNNEST(['merge', 'broadcast']) AS strategy)
+              GROUP BY strategy, c_mktsegment
+              ORDER BY strategy, c_mktsegment""")),
+
     // Null-aware anti join — NOT IN under three-valued logic, the
     // classic silent-wrong-answer trap: if the subquery produces even
     // one NULL, `x NOT IN (...)` can never be TRUE (x <> NULL is
