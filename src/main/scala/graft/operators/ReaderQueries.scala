@@ -82,6 +82,46 @@ object ReaderQueries {
     // the oracle reproduces length AND md5 digest with pure SQL string
     // composition — a byte lost anywhere in the read path breaks the
     // hash.
+    // Nested-schema parquet round-trip — struct + array + array-of-
+    // struct columns, the shape real LLM-corpus metadata takes (per-doc
+    // provenance records, per-span annotation lists). The fixture is
+    // WRITTEN as nested parquet from nation rows, read back, and
+    // consumed through the three nested access paths: dotted struct
+    // projection (column pruning reaches INSIDE the struct — only the
+    // accessed subfields are read at 100 TB), element_at array indexing,
+    // and explode flattening. The oracle recomputes every value from the
+    // flat source with pure SQL, so a field lost, re-ordered, or
+    // null-corrupted anywhere in the nested write→read path breaks the
+    // hash — the round-trip is the thing under test.
+    QuerySpec(
+      "scan_nested",
+      (s, dir) => {
+        val path = fixturePath(dir, "nested.parquet")
+        Tables(s, dir, "nation").select(
+            col("n_nationkey").as("id"),
+            struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"),
+            array(col("n_name"), concat(lit("r"), col("n_regionkey"))).as("tags"),
+            expr("transform(sequence(0, n_nationkey % 3), i -> " +
+              "struct(i AS seq, n_nationkey * 10 + i AS val))").as("entries"))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select(col("id"), col("info.name").as("name"),
+            col("info.region").as("region"),
+            element_at(col("tags"), 2).as("tag2"),
+            explode(col("entries")).as("e"))
+          .select(col("id"), col("name"), col("region"), col("tag2"),
+            col("e.seq").as("seq"), col("e.val").as("val"))
+          .orderBy("id", "seq")
+      },
+      Some("""WITH e AS (
+                SELECT n_nationkey AS id, n_name AS name,
+                       n_regionkey AS region,
+                       'r' || n_regionkey AS tag2,
+                       UNNEST(GENERATE_SERIES(0, n_nationkey % 3)) AS seq
+                FROM nation)
+              SELECT id, name, region, tag2, seq, id * 10 + seq AS val
+              FROM e ORDER BY id, seq""")),
+
     QuerySpec(
       "scan_binaryfile",
       (s, dir) => {

@@ -801,6 +801,34 @@ object RelationalQueries {
               WHERE l_quantity >= 45
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // Named-WINDOW SQL surface: three window functions sharing ONE
+    // declared window. The plan property is the point — Catalyst
+    // resolves all three over a single Window operator fed by a single
+    // Exchange+Sort on (custkey, date, key), so adding a fourth
+    // function to the report costs zero extra shuffles. o_orderkey
+    // makes the order total, so the running-sum frame (default RANGE
+    // to current row) is tie-free and both engines agree exactly.
+    QuerySpec(
+      "sql_window_named",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_custkey, o_orderkey,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE), 4) AS run_total,
+                 LAG(o_orderkey) OVER w AS prev_key
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          ORDER BY o_custkey, rn""")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE), 4) AS run_total,
+                     LAG(o_orderkey) OVER w AS prev_key
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, rn""")),
+
     // SQL join-strategy hints — the optimizer-override surface a user
     // reaches for when statistics mislead the planner (a "small" build
     // side that explodes after a selective filter misestimates, or a
