@@ -1592,6 +1592,78 @@ object RelationalQueries {
                      CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
               FROM events ORDER BY event_id""")),
 
+    // Schema-directed JSON parsing with corrupt-record handling — the
+    // ingest-robustness twin of fn_json: real corpora carry truncated
+    // and malformed payloads, and the pipeline must QUARANTINE them
+    // (parse → NULL → count) rather than fail the job. Corruption is
+    // injected deterministically (every 50th record is truncated
+    // mid-token); from_json under an explicit schema routes those rows
+    // into the declared _corrupt_record column (Spark's PERMISSIVE
+    // quarantine contract) exactly where DuckDB's json_valid says so — the
+    // two engines' notions of "broken JSON" are pinned equal. Per-row
+    // codegen kernel + one 2-row aggregate; linear at any scale.
+    QuerySpec(
+      "fn_json_corrupt",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("props").isNotNull && col("props") =!= "")
+          .select(col("event_id"),
+            when(col("event_id") % 50 === 0, substring(col("props"), 1, 3))
+              .otherwise(col("props")).as("payload"))
+          .select(col("event_id"),
+            from_json(col("payload"), "k BIGINT, _corrupt_record STRING",
+              Map.empty[String, String]).as("parsed"))
+          .select(col("event_id"),
+            col("parsed.k").as("k"),
+            col("parsed._corrupt_record").isNotNull.as("is_corrupt"))
+          .groupBy("is_corrupt")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+          .orderBy("is_corrupt"),
+      Some("""WITH payload AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 50 = 0 THEN SUBSTRING(props, 1, 3)
+                            ELSE props END AS payload
+                FROM events
+                WHERE props IS NOT NULL AND props != ''),
+              parsed AS (
+                SELECT event_id,
+                       CASE WHEN json_valid(payload)
+                            THEN CAST(payload->>'k' AS BIGINT) END AS k,
+                       NOT json_valid(payload) AS is_corrupt
+                FROM payload)
+              SELECT is_corrupt, COUNT(*) AS n,
+                     CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+              FROM parsed GROUP BY is_corrupt ORDER BY is_corrupt""")),
+
+    // Empty-input aggregate semantics — the SQL-standard trap pinned:
+    // a GLOBAL aggregate over zero rows returns ONE row (COUNT 0,
+    // SUM NULL), while a GROUPED aggregate over zero rows returns ZERO
+    // rows. Engines that get either wrong corrupt every downstream
+    // LEFT JOIN and COALESCE silently; both behaviors are asserted in
+    // one output with the grouped branch's emptiness witnessed by its
+    // COUNT appearing only via the global twin.
+    QuerySpec(
+      "agg_empty_semantics",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT 'global' AS branch, COUNT(*) AS n, SUM(o_totalprice) AS s
+          FROM orders WHERE o_orderkey < 0
+          UNION ALL
+          SELECT 'grouped' AS branch, COUNT(*) AS n, SUM(o_totalprice) AS s
+          FROM orders WHERE o_orderkey < 0
+          GROUP BY o_orderstatus
+          ORDER BY branch""")
+      },
+      Some("""SELECT 'global' AS branch, COUNT(*) AS n, SUM(o_totalprice) AS s
+              FROM orders WHERE o_orderkey < 0
+              UNION ALL
+              SELECT 'grouped' AS branch, COUNT(*) AS n, SUM(o_totalprice) AS s
+              FROM orders WHERE o_orderkey < 0
+              GROUP BY o_orderstatus
+              ORDER BY branch""")),
+
     // Semi-structured VARIANT processing (Spark 4's open-ended JSON
     // type — the web-crawl-metadata shape: per-record attributes whose
     // schema is unknown at write time). parse_json builds the binary
