@@ -1592,6 +1592,35 @@ object RelationalQueries {
                      CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
               FROM events ORDER BY event_id""")),
 
+    // SQL-text CTAS — the reference's core staging pattern
+    // (core_processor.rs:391-428: every ingested file becomes a
+    // CREATE TABLE ... AS SELECT over the raw read). The catalog table
+    // is parquet in the session warehouse, name keyed on sf-dir + pid
+    // (the bucketedName discipline) so concurrent Verify/Bench runs
+    // can't race each other's DDL; the follow-up aggregate proves the
+    // staged table serves queries. ANALYZE TABLE then collects CBO
+    // statistics over it — the stats plumbing CboStatsSpec asserts —
+    // because a staging table without statistics leaves every later
+    // join size-estimate to guesswork at 100 TB.
+    QuerySpec(
+      "sql_ctas",
+      (s, dir) => {
+        val tn = ctasName(dir)
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_src")
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        s.sql(s"""CREATE TABLE $tn USING PARQUET AS
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders_src WHERE o_totalprice > 1000""")
+        s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS")
+        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
+                  FROM $tn GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
+              FROM orders WHERE o_totalprice > 1000
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Schema-directed JSON parsing with corrupt-record handling — the
     // ingest-robustness twin of fn_json: real corpora carry truncated
     // and malformed payloads, and the pipeline must QUARANTINE them
@@ -2740,6 +2769,10 @@ object RelationalQueries {
     val plan = joined.queryExecution.executedPlan.toString
     (ck.orderBy("bucket"), plan)
   }
+
+  /** CTAS staging-table name, keyed like [[bucketedName]]. */
+  private[operators] def ctasName(dir: String): String =
+    s"graft_ctas_${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
   /** Bucketed-table name keyed on the sf dir AND the process: the bench
     * path reuses whatever table the name resolves to, so an unkeyed name
