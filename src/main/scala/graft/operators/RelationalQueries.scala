@@ -1488,6 +1488,25 @@ object RelationalQueries {
               GROUP BY cohort_week, week_offset
               ORDER BY cohort_week, week_offset""")),
 
+    // LISTAGG (SQL:2016, Spark 4) — ordered string aggregation with an
+    // explicit WITHIN GROUP order, the standard's answer to the
+    // collect_list nondeterminism agg_collect works around by hand.
+    // DuckDB's equivalent is STRING_AGG(... ORDER BY) — one of the few
+    // places the two dialects name the same aggregate differently, so
+    // the oracle text intentionally diverges while the semantics pin
+    // each other.
+    QuerySpec(
+      "agg_listagg",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""SELECT n_regionkey,
+                        listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
+                 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+                     STRING_AGG(n_name, ',' ORDER BY n_name) AS members
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // Collection aggregates with a determinism policy: collect_list's
     // accumulation order is partitioning-dependent, so the result is
     // sorted before serialization (array_sort + array_join) — the only
@@ -1812,6 +1831,42 @@ object RelationalQueries {
               INTERSECT
               SELECT c_custkey FROM customer WHERE c_acctbal > 5000
               ORDER BY c_custkey""")),
+
+    // Multiset (ALL) set ops — the bag semantics DISTINCT set ops
+    // silently destroy: INTERSECT ALL keeps min(m, n) copies of each
+    // row, EXCEPT ALL subtracts occurrence counts. The probe side is
+    // lineitem return flags per order (genuinely multi-valued), so the
+    // DISTINCT twin would give different answers — the duplicate
+    // handling IS what's under test. Spark plans both as specialized
+    // hash aggregates over (row, count) — one shuffle on the row key,
+    // never a join.
+    QuerySpec(
+      "set_intersect_all",
+      (s, dir) =>
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey"), col("l_returnflag"))
+          .intersectAll(
+            t(s, dir, "lineitem").filter(col("l_extendedprice") > 3000)
+              .select(col("l_orderkey"), col("l_returnflag")))
+          .orderBy("l_orderkey", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 25
+              INTERSECT ALL
+              SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_extendedprice > 3000
+              ORDER BY l_orderkey, l_returnflag""")),
+
+    QuerySpec(
+      "set_except_all",
+      (s, dir) =>
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey"), col("l_returnflag"))
+          .exceptAll(
+            t(s, dir, "lineitem").filter(col("l_extendedprice") > 3000)
+              .select(col("l_orderkey"), col("l_returnflag")))
+          .orderBy("l_orderkey", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 25
+              EXCEPT ALL
+              SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_extendedprice > 3000
+              ORDER BY l_orderkey, l_returnflag""")),
 
     QuerySpec(
       "set_except",
