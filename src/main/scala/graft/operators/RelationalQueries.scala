@@ -1611,6 +1611,34 @@ object RelationalQueries {
                      CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
               FROM events ORDER BY event_id""")),
 
+    // Embedded-record parsing kernels — from_xml (Spark 4) and from_csv
+    // over STRING COLUMNS, the shape for corpora whose rows carry
+    // serialized sub-records (an XML sitemap entry, a CSV-packed
+    // feature list) that never merit their own files. Payloads are
+    // synthesized from nation so the oracle recomputes every extracted
+    // field from the flat source — a parser that drops, re-orders, or
+    // mistypes a field breaks the hash. Per-row codegen'd projections,
+    // no shuffle beyond the final sort.
+    QuerySpec(
+      "fn_xml_csv_embedded",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            concat(lit("<rec><name>"), col("n_name"), lit("</name><region>"),
+              col("n_regionkey"), lit("</region></rec>")).as("xml"),
+            concat(col("n_name"), lit(";"), col("n_regionkey")).as("csvline"))
+          .select(col("n_nationkey"),
+            expr("from_xml(xml, 'name STRING, region INT')").as("x"),
+            expr("from_csv(csvline, 'name STRING, region INT', map('sep', ';'))").as("c"))
+          .select(col("n_nationkey"),
+            col("x.name").as("xml_name"), col("x.region").as("xml_region"),
+            col("c.name").as("csv_name"), col("c.region").as("csv_region"))
+          .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+                     n_name AS xml_name, n_regionkey AS xml_region,
+                     n_name AS csv_name, n_regionkey AS csv_region
+              FROM nation ORDER BY n_nationkey""")),
+
     // SQL-text CTAS — the reference's core staging pattern
     // (core_processor.rs:391-428: every ingested file becomes a
     // CREATE TABLE ... AS SELECT over the raw read). The catalog table
