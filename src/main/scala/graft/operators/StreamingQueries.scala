@@ -302,6 +302,27 @@ object StreamingQueries {
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
               ORDER BY error_id, purchase_id NULLS FIRST""")),
 
+    // FULL-OUTER stream-stream interval join — the reconciliation twin:
+    // unmatched rows from BOTH sides emit NULL-extended exactly once
+    // (an unmatched error once the purchase watermark clears its hour,
+    // an unmatched purchase once the error watermark clears the same
+    // interval looking backwards). With inner/left/full all three
+    // null-emission regimes of the same join are pinned by the same
+    // oracle family; NULL ordering spelled out on both engines.
+    QuerySpec(
+      "stream_interval_join_full",
+      (s, dir) =>
+        graft.streaming.EventStreams.errorPurchaseJoinsFull(events(s, dir))
+          .orderBy(col("error_id").asc_nulls_first,
+            col("purchase_id").asc_nulls_first),
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+              SELECT a.event_id AS error_id, b.event_id AS purchase_id
+              FROM (SELECT * FROM e WHERE event_type = 'error') a
+              FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+                ON a.user_id = b.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+              ORDER BY error_id NULLS FIRST, purchase_id NULLS FIRST""")),
+
     // TWO stateful operators in ONE streaming query (Spark 4 multi-
     // stateful support): independent watermarked tumbling aggregations
     // of clicks and purchases, joined stream-stream on (window, user) —

@@ -316,6 +316,14 @@ object EventStreams {
   def errorPurchaseJoinsLeft(events: DataFrame): DataFrame =
     errorPurchaseJoinsTyped(events, "leftOuter")
 
+  /** Full-outer stream-stream interval join — BOTH sides' unmatched rows
+    * must emit NULL-extended exactly once, each side's emission gated by
+    * the OTHER side's watermark passing its join horizon. The complete
+    * reconciliation view ("every error and every purchase, correlated
+    * where possible") — the last of the stream-stream join shapes. */
+  def errorPurchaseJoinsFull(events: DataFrame): DataFrame =
+    errorPurchaseJoinsTyped(events, "fullOuter")
+
   /** TWO stateful operators chained in ONE streaming query — Spark 4's
     * multiple-stateful-operator support: two independent watermarked
     * tumbling aggregations whose APPEND outputs join stream-stream on

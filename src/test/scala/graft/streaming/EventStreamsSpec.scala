@@ -302,6 +302,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("full-outer stream-stream join emits BOTH sides' null rows once watermarks pass") {
+    // Same sentinel discipline as the left-outer test; here the
+    // comparison keeps rows where EITHER side is a real event, because
+    // both sides' unmatched rows must surface — the property left-outer
+    // cannot witness.
+    val e = graft.Tables(spark, dir, "events")
+    val maxTs = e.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssfull").toString
+    e.write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((-1L, far, -99L, "error", 0.0, "{}"),
+        (-2L, far, -99L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(e.schema).parquet(tmp)
+    runToMemory(EventStreams.errorPurchaseJoinsFull(stream), "ssfulljoin", "append")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r => (
+      if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val streamed = rowSet(spark.table("ssfulljoin")
+      .filter(coalesce(col("error_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0))
+    val batch = rowSet(EventStreams.errorPurchaseJoinsFull(e))
+    assert(batch.exists(p => p._1.nonEmpty && p._2.isEmpty), "no unmatched errors — fixture too small")
+    assert(batch.exists(p => p._1.isEmpty && p._2.nonEmpty), "no unmatched purchases — fixture too small")
+    assert(streamed == batch)
+  }
+
   test("two chained stateful operators (agg -> stream-stream join) drain to the batch result") {
     // Downstream of a join only APPEND mode exists, so the last hour of
     // windows needs the watermark pushed past their seal point — same
