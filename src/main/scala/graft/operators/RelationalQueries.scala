@@ -1653,6 +1653,7 @@ object RelationalQueries {
       "sql_ctas",
       (s, dir) => {
         val tn = ctasName(dir)
+        sweepDeadStaging(); stagingShutdownHook
         Tables(s, dir, "orders").createOrReplaceTempView("orders_src")
         s.sql(s"DROP TABLE IF EXISTS $tn")
         s.sql(s"""CREATE TABLE $tn USING PARQUET AS
@@ -2792,10 +2793,13 @@ object RelationalQueries {
     *
     * Runs in a child session (`newSession`: private SQLConf, shared
     * SparkContext/catalog) with thresholds tuned so the demonstration
-    * triggers even at sf0.001 (~tens of KB in the hot partition):
-    * broadcast disabled (forces the shuffle join skew handling applies
-    * to), skew factor 1.0, 4 KB skew threshold, 2 KB advisory target,
-    * partition coalescing off so the split partitions stay visible.
+    * triggers at EVERY scale factor: broadcast disabled (forces the
+    * shuffle join skew handling applies to), skew factor 2.0, and
+    * input-scaled byte thresholds — skew threshold
+    * max(4 KB, input/64) with advisory target threshold/2, via
+    * [[skewAdvisoryBytes]] — so the split count stays ~dozens whether
+    * the input is sf0.001 or sf0.1; partition coalescing off so the
+    * split partitions stay visible.
     * Returns the materialized result (localCheckpoint — executed under
     * these confs, tiny: 8 aggregate rows) plus the final AQE plan string
     * for SkewJoinSpec's isSkew assertion. */
@@ -2804,6 +2808,14 @@ object RelationalQueries {
   // join, not per-call session bootstrap + plan re-derivation
   private val skewSessions =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SparkSession]
+
+  /** The advisory-partition-size bytes the child session will set for
+    * `dir` — exposed so SkewJoinSpec's no-leak assertion can compare the
+    * parent conf against the value the child ACTUALLY sets. */
+  private[operators] def skewAdvisoryBytes(dir: String): Long = {
+    val inputBytes = new java.io.File(s"$dir/orders.parquet").length()
+    math.max(4L << 10, inputBytes / 64) / 2
+  }
 
   private[operators] def skewAqeRun(s0: SparkSession, dir: String): (DataFrame, String) = {
     val s = skewSessions.getOrElseUpdate((s0, dir), s0.newSession())
@@ -2814,8 +2826,7 @@ object RelationalQueries {
     // sf0.001. threshold ≈ input/64 keeps the split count ~dozens at
     // every SF, which is exactly how the knobs are sized on a real
     // cluster (relative to executor-digestible chunks, not constants).
-    val inputBytes = new java.io.File(s"$dir/orders.parquet").length()
-    val threshold = math.max(4L << 10, inputBytes / 64)
+    val threshold = skewAdvisoryBytes(dir) * 2
     Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -2857,6 +2868,42 @@ object RelationalQueries {
   private[operators] def ctasName(dir: String): String =
     s"graft_ctas_${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
+  /** Sweeps warehouse leftovers of pid-keyed graft staging tables whose
+    * owning process is GONE. The pid keying exists so concurrent runs
+    * can't race each other's DDL — the flip side is that a crashed or
+    * finished JVM's staging files outlive it in the shared
+    * `spark-warehouse`; every sql_ctas run reclaims them here, so the
+    * warehouse can't accumulate dead staging data indefinitely. The own
+    * process's tables are additionally removed by [[stagingShutdownHook]]
+    * on clean exit. Catalog entries need no sweep: the default
+    * in-memory catalog dies with its JVM — only the FILES persist. */
+  private[operators] def sweepDeadStaging(): Unit = {
+    val pat = "^graft_.*_p([0-9]+)$".r
+    Option(new java.io.File("spark-warehouse").listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        f.getName match {
+          case pat(pid) if !ProcessHandle.of(pid.toLong).isPresent => rmTree(f)
+          case _ => ()
+        }
+      }
+  }
+
+  private def rmTree(x: java.io.File): Unit = {
+    if (x.isDirectory) Option(x.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    x.delete(): Unit
+  }
+
+  /** One-time JVM shutdown hook deleting THIS process's staging files —
+    * clean exits leave nothing for the next run's [[sweepDeadStaging]]. */
+  private lazy val stagingShutdownHook: Unit = {
+    val pid = ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(new java.io.File("spark-warehouse").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_") && f.getName.endsWith(s"_p$pid"))
+        .foreach(rmTree)))
+    ()
+  }
+
   /** Bucketed-table name keyed on the sf dir AND the process: the bench
     * path reuses whatever table the name resolves to, so an unkeyed name
     * could time the join over STALE data after a scale-factor switch, and
@@ -2871,6 +2918,7 @@ object RelationalQueries {
     * join key) in the session warehouse — the one-off write that makes
     * every later fact-fact join on this key exchange-free. */
   private def bucketedTables(s: SparkSession, dir: String): Unit = {
+    sweepDeadStaging(); stagingShutdownHook
     Seq(bucketedName("graft_b_orders", dir), bucketedName("graft_b_customer", dir))
       .foreach { tn =>
         s.sql(s"DROP TABLE IF EXISTS $tn")

@@ -286,7 +286,7 @@ object TpchQueries {
           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))"""
 
   // Q20 (adapted — "excess stock" := parts a supplier shipped more
-  // than 150 units of): the NESTED IN chain — suppliers IN (grouped
+  // than 60 units of): the NESTED IN chain — suppliers IN (grouped
   // HAVING over lineitem restricted to parts IN (LIKE-filtered part)).
   // Each IN decorrelates to a semi-join; the grouped inner aggregate
   // reduces lineitem to (suppkey, partkey) totals before any join

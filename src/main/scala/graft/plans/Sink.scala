@@ -110,7 +110,14 @@ final class GeoPackageSink(rootDir: String, srsId: Int = 4326) extends Sink {
       (if (wktNames(f.name)) f.name.stripSuffix("_wkt") else f.name) -> declared
     }.toSeq
     val fields = df.schema.fields
-    val rows = df.collect().toSeq.map { r =>
+    // toLocalIterator, NOT collect: pulls one partition at a time, so
+    // driver memory stays bounded even when a caller hands a large
+    // frame — the page writer's byte-budget guard then rejects it with
+    // a row/byte count instead of an OOM. A single-file SQLite
+    // container is inherently a single-writer, dimension-sized sink;
+    // the 100 TB path is parquet.
+    import scala.jdk.CollectionConverters._
+    val rows = df.toLocalIterator().asScala.map { r =>
       fields.indices.map { i =>
         val v = r.get(i)
         (v, fields(i)) match {

@@ -232,7 +232,7 @@ object FormatWriters {
     writeGeoPackageTable(path, table,
       columns = Seq(keyField -> "INTEGER", nameField -> "TEXT", "geom" -> "BLOB"),
       srsId = srsId, geomColumn = Some("geom"),
-      rows = rows.map { case (k, n, x, y) => Seq(k, n, gpb(srsId, x, y)) })
+      rows = rows.iterator.map { case (k, n, x, y) => Seq(k, n, gpb(srsId, x, y)) })
 
   /** General single-leaf-page GeoPackage writer — the write side of
     * [[GeoPackageReader]] and the backing of [[graft.plans.GeoPackageSink]].
@@ -246,9 +246,26 @@ object FormatWriters {
     * 100 TB path is parquet, never a single SQLite file). */
   def writeGeoPackageTable(path: String, table: String,
       columns: Seq[(String, String)], srsId: Int,
-      geomColumn: Option[String], rows: Seq[Seq[Any]]): Unit = {
-    require(rows.forall(_.length == columns.length),
-      s"row arity != ${columns.length} columns")
+      geomColumn: Option[String], rows: Iterator[Seq[Any]]): Unit = {
+    // Drain the row iterator UNDER the single-page byte budget: the
+    // caller may hand an unbounded iterator (GeoPackageSink streams
+    // toLocalIterator), so overflow must fail fast with counts — after
+    // buffering at most one page worth of cells — never first
+    // materialize everything and then trip leafPage's require.
+    val featureCells = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var cellBytes = 0
+    rows.foreach { r =>
+      require(r.length == columns.length,
+        s"row arity ${r.length} != ${columns.length} columns")
+      val c = cell(featureCells.length + 1L, record(r))
+      cellBytes += c.length + 2 // + cell-pointer slot
+      require(8 + cellBytes <= PageSize,
+        s"GeoPackage feature table '$table' overflows its single 4 KiB page " +
+          s"after ${featureCells.length + 1} rows ($cellBytes cell bytes): this " +
+          "sink is a driver-side single-file emitter for dimension-sized " +
+          "frames — write large frames to parquet and sink only dimensions here")
+      featureCells += c
+    }
     val featureSql =
       s"CREATE TABLE $table (${columns.map { case (n, t) => s"$n $t" }.mkString(", ")})"
     val contentsSql =
@@ -266,15 +283,11 @@ object FormatWriters {
       cell(1, record(Seq(table, dataType, srsId.toLong))))
     val geomColsCells = geomColumn.toSeq.map(g =>
       cell(1, record(Seq(table, g, "GEOMETRY", srsId.toLong, 0L, 0L))))
-    val featureCells = rows.zipWithIndex.map { case (r, i) =>
-      cell(i + 1, record(r))
-    }
-
     val pages = Array(
       leafPage(masterCells, reservedPrefix = 100),
       leafPage(contentsCells),
       leafPage(geomColsCells),
-      leafPage(featureCells))
+      leafPage(featureCells.toSeq))
     val out = new Array[Byte](PageSize * pages.length)
     pages.zipWithIndex.foreach { case (p, i) =>
       System.arraycopy(p, 0, out, i * PageSize, PageSize)

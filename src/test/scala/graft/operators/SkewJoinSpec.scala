@@ -23,10 +23,20 @@ class SkewJoinSpec extends AnyFunSuite {
   }
 
   test("the child session's aggressive confs do not leak into the parent session") {
+    // pin the parent's PRE-test values and assert them unchanged after
+    // the run — comparing against a literal the child never sets (the
+    // child's advisory is the computed input-scaled byte string) would
+    // make the assertion vacuous
+    val beforeBhj = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val beforeAdv = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     RelationalQueries.skewAqeRun(spark, dir)
-    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") == beforeBhj
+      && spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
       "broadcast threshold leaked — every dimension join would go SMJ")
-    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB") != "2KB",
+    assert(spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes") == beforeAdv,
       "advisory partition size leaked — every shuffle would fragment")
+    val childAdv = RelationalQueries.skewAdvisoryBytes(dir).toString
+    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB") != childAdv,
+      s"advisory partition size leaked the child's computed value $childAdv")
   }
 }
