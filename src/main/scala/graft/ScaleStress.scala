@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * - `embeddings`: m copies with `vec_id` offset, vectors unchanged —
   *   same cluster/bucket geometry at m× the density, which is how more
   *   data from the same distribution lands in IVF/LSH structures.
+  * - `orders`/`lineitem`: m copies with the shared `*_orderkey` FK
+  *   offset, every other key untouched — m× more orders against the
+  *   SAME customer/part/supplier dimensions (which ride along unscaled),
+  *   the shape of a growing transactional corpus. Exercises the
+  *   join/TPC-H tier: broadcast choices, shuffle sizing, decorrelation.
+  * - `events`: m copies with `event_id` offset and timestamps shifted
+  *   into disjoint whole-day epochs — m× more history from the same
+  *   user base, so windows/sessions replicate rather than stack.
   *
   * Both sides of every ratio read SPARK-WRITTEN parquet: the 1× corpus
   * is rewritten through the same writer as the m× one, so t1 and tm see
@@ -35,16 +43,22 @@ import org.apache.spark.sql.functions._
   * would bias every ratio low and mask degeneration).
   *
   * Run: `sbt "runMain graft.ScaleStress [baseSfDir] [multiplier] [prefixCsv]"`.
-  * Dev tool like PlanAudit — not part of the driver contract. Queries
-  * touching tables other than documents/embeddings report -1 (the
-  * scaled dir holds only those two).
+  * Dev tool like PlanAudit — not part of the driver contract. The scaled
+  * dir carries the FULL corpus (scaled facts + unscaled dims), so any
+  * query family can be audited by prefix; a query that fails reports -1.
   */
 object ScaleStress {
 
-  /** Queries whose cost could go superlinear in corpus size. */
+  /** Queries whose cost could go superlinear in corpus size — the
+    * dedup/similarity tier (pair-explosion risk) PLUS the relational
+    * join/TPC-H/window tier (join-strategy and shuffle-degeneration
+    * risk: a plan that silently flips from broadcast to a skewed SMJ,
+    * or a window whose per-key state grows faster than its input, shows
+    * up here as a ratio ≫ m). */
   private val DefaultPrefixes = Seq(
     "dedup_", "topk_similarity", "embedding_", "text_", "pipeline_curate",
-    "graph_", "multimodal_phash")
+    "graph_", "multimodal_phash",
+    "join_", "sql_tpch_", "win_")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -136,6 +150,51 @@ object ScaleStress {
         col("embedding"), col("label"))
     }.reduce(_.unionAll(_))
     embM.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // Relational facts: m× more ORDERS against the SAME dimension
+    // tables — o_orderkey/l_orderkey offset by copy stride (the one FK
+    // that binds the two facts), every other key untouched so copy i's
+    // orders reference the original customers/parts/suppliers. That is
+    // how a transactional corpus actually grows: the order book scales,
+    // the entity dimensions don't. Dup-family semantics don't apply
+    // here — plain copies are exactly right, because each copy's rows
+    // carry distinct orderkeys and land in different join partitions.
+    val orders = Tables(spark, baseDir, "orders")
+    val ostride = orders.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    (0 until mult).map { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * ostride))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val li = Tables(spark, baseDir, "lineitem")
+    (0 until mult).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * ostride))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // Events: m× more HISTORY from the same user base — event_id offset
+    // for uniqueness, timestamps shifted by disjoint whole-day epochs so
+    // sessions/windows replicate m× instead of stacking m coincident
+    // copies inside every original session (which would grow per-window
+    // state m× without growing window count — a different, unrealistic
+    // stress). Per-user data grows m×, so per-key window sort cost is
+    // the honest m·log(m) and anything beyond that is the query's fault.
+    val ev = Tables(spark, baseDir, "events")
+    val Array(spanRow) = ev.agg(min("ts").as("lo"), max("ts").as("hi"))
+      .select(datediff(col("hi"), col("lo")).as("d")).collect()
+    val spanDays = spanRow.getInt(0) + 2
+    val evStride = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
+    (0 until mult).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * evStride))
+        .withColumn("ts", expr(s"timestampadd(DAY, ${i * spanDays}, ts)"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // Dimensions ride along UNSCALED — through the same writer, so both
+    // sides of every ratio read identical file layout.
+    Seq("region", "nation", "customer", "supplier", "part").foreach { tn =>
+      Tables(spark, baseDir, tn)
+        .write.mode("overwrite").parquet(s"$outDir/$tn.parquet")
+    }
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray): Unit
   }
 }

@@ -47,6 +47,13 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(line.endsWith(""""sf":"/sf"}"""))
   }
 
+  test("contention-telemetry scalars keep the compact line bounded and well-formed") {
+    val tele = s""","load_avg_start":31.420,"load_avg_end":2.718,"max_spread_pct":153.021"""
+    val line = Bench.compactJson(fake(Registry.all.size * 4), 1.0, "/sf", tele)
+    assert(line.length < 1500, s"telemetry pushed the compact line to ${line.length} bytes")
+    assert(line.contains("\"load_avg_start\":31.420") && line.endsWith(""""sf":"/sf"}"""))
+  }
+
   test("full-map JSON round-trips every entry") {
     val results = fake(120)
     val json = Bench.toJson(results, results.values.sum, "/sf")
