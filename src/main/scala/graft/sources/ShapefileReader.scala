@@ -88,7 +88,7 @@ object ShapefileReader {
         Some(gf.createPoint(new Coordinate(b.getDouble, b.getDouble)))
       case 8 | 18 | 28 => // MultiPoint family: box, n, points
         skip(b, 32)
-        val n = b.getInt
+        val n = checkedCount(b, "nPoints", 16)
         Some(gf.createMultiPointFromCoords(Array.fill(n)(new Coordinate(b.getDouble, b.getDouble))))
       case 3 | 13 | 23 => // PolyLine family: box, nParts, nPoints, parts, points
         val (parts, pts) = partsAndPoints(b)
@@ -104,9 +104,31 @@ object ShapefileReader {
 
   private def skip(b: ByteBuffer, n: Int): Unit = b.position(b.position() + n)
 
+  /** Reads a declared element count and bounds it by the bytes actually
+    * present: a lying header (a corrupt or hostile container declaring
+    * 2^31 points in a 1 KB record) must fail as a parse error BEFORE the
+    * `Array.fill` allocates by the declared count — an OutOfMemoryError
+    * is not a controlled failure. */
+  private def checkedCount(b: ByteBuffer, what: String, bytesPer: Int): Int = {
+    val n = b.getInt
+    require(n >= 0 && n.toLong * bytesPer <= b.remaining(),
+      s"corrupt shapefile: declared $what=$n needs ${n.toLong * bytesPer} bytes, " +
+        s"record has ${b.remaining()}")
+    n
+  }
+
   private def partsAndPoints(b: ByteBuffer): (Array[Int], Array[Coordinate]) = {
     skip(b, 32) // bounding box
-    val nParts = b.getInt; val nPoints = b.getInt
+    val nParts = checkedCount(b, "nParts", 4)
+    // nPoints is declared before the parts array is consumed, so the
+    // bound must cover both regions that follow it
+    val nPoints = {
+      val n = b.getInt
+      require(n >= 0 && nParts.toLong * 4 + n.toLong * 16 <= b.remaining(),
+        s"corrupt shapefile: declared nPoints=$n + nParts=$nParts exceed " +
+          s"record's ${b.remaining()} bytes")
+      n
+    }
     val parts = Array.fill(nParts)(b.getInt)
     val pts = Array.fill(nPoints)(new Coordinate(b.getDouble, b.getDouble))
     (parts, pts)

@@ -29,8 +29,15 @@ final class SqliteReader(path: String) {
     val raw = ((bytes(16) & 0xFF) << 8) | (bytes(17) & 0xFF)
     if (raw == 1) 65536 else raw
   }
+  // the spec pins page size to a power of two in [512, 65536] and usable
+  // size ≥ 480; a lying header outside that range would break every
+  // offset computation below (a 0-byte page even stalls the overflow
+  // walk) — corruption must fail HERE as a parse error
+  require(pageSize >= 512 && pageSize <= 65536 && (pageSize & (pageSize - 1)) == 0,
+    s"corrupt sqlite: page size $pageSize not a power of two in [512, 65536]")
   private val reserved: Int = bytes(20) & 0xFF
   private val usable: Int = pageSize - reserved
+  require(usable >= 480, s"corrupt sqlite: usable page size $usable < 480")
 
   // ------------------------------------------------------------- varints
 
@@ -91,6 +98,11 @@ final class SqliteReader(path: String) {
 
   /** Local bytes + overflow chain per the spec's spill formula. */
   private def readPayload(off: Int, total: Int): Array[Byte] = {
+    // a payload cannot exceed the file that contains it: a lying
+    // cell-length varint must fail here, before `new Array[Byte](total)`
+    // turns it into a multi-GB allocation
+    require(total >= 0 && total <= bytes.length,
+      s"corrupt sqlite: payload length $total exceeds file size ${bytes.length}")
     val x = usable - 35
     if (total <= x) return bytes.slice(off, off + total)
     val m = ((usable - 12) * 32) / 255 - 23
@@ -101,7 +113,16 @@ final class SqliteReader(path: String) {
     var want = total - local
     var dst = local
     var page = ByteBuffer.wrap(bytes, off + local, 4).order(ByteOrder.BIG_ENDIAN).getInt
+    // each hop must deliver usable-4 bytes, so a well-formed chain has
+    // at most total/(usable-4)+1 pages — a cyclic chain (corrupt next
+    // pointers) would otherwise spin forever when its cycle length
+    // divides the remaining byte count
+    val maxHops = total / (usable - 4) + 2
+    var hops = 0
     while (page != 0 && want > 0) {
+      hops += 1
+      require(hops <= maxHops,
+        s"corrupt sqlite: overflow chain exceeds $maxHops pages (cycle?)")
       val pOff = pageOffset(page)
       val next = ByteBuffer.wrap(bytes, pOff, 4).order(ByteOrder.BIG_ENDIAN).getInt
       val chunk = math.min(want, usable - 4)

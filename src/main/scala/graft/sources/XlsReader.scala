@@ -60,6 +60,14 @@ object XlsReader {
       require(buf.getLong(0) == 0xE11AB1A1E011CFD0L, "not a CFBF container")
       val sectorShift = buf.getShort(30).toInt     // usually 9 → 512
       val miniShift = buf.getShort(32).toInt       // usually 6 → 64
+      // spec values are 9/12 and 6; a lying header declaring shift 30
+      // would make the FAT materialization below allocate by 1 GB
+      // sectors — bound both so corruption fails as a parse error, not
+      // an OutOfMemoryError
+      require(sectorShift >= 7 && sectorShift <= 16,
+        s"corrupt CFBF: sector shift $sectorShift outside [7,16]")
+      require(miniShift >= 2 && miniShift <= sectorShift,
+        s"corrupt CFBF: mini shift $miniShift outside [2,$sectorShift]")
       val sectorSize = 1 << sectorShift
       val miniSize = 1 << miniShift
       val nFat = buf.getInt(44)
