@@ -404,4 +404,74 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "batch twin returned no rows — fixture too small")
     assert(streamed == batch)
   }
+
+  test("mid-run stop + restart from checkpoint recovers dedup state and stays exactly-once") {
+    // The checkpoint-recovery claim EXECUTED: a stateful dedup query into
+    // a parquet file sink is stopped mid-run (as soon as its first
+    // micro-batch commit lands), then restarted from the same checkpoint
+    // with two MORE input files — one of them a byte-identical duplicate
+    // of the first file. The restarted query must (a) not re-emit what
+    // the killed run committed (file-source offsets + sink transaction
+    // log recovered), (b) drop every row of the duplicate file (dedup
+    // STATE recovered — without it the dups sail through), and (c) end
+    // up byte-equal to an uninterrupted twin run over the same four files.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-recov-src")
+    def writeBatch(name: String, modTime: Long, ids: Range): Unit = {
+      import spark.implicits._
+      val df = ids.map(_.toLong).toDF("event_id").select(
+        col("event_id"),
+        expr("timestampadd(SECOND, event_id, TIMESTAMP'2024-01-01 10:00:00')").as("ts"),
+        (col("event_id") * 2).as("v"))
+      val f = src.resolve(name)
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(modTime))
+      f.toFile.setLastModified(modTime): Unit
+    }
+    // timestamps span < 10 min, watermark delay is 1 h, so dedup state is
+    // never evicted — the duplicate file is caught IFF state survived
+    writeBatch("b1", 1000000L, 1 to 100)
+    writeBatch("b2", 2000000L, 101 to 200)
+    val schema = spark.read.parquet(src.resolve("b1").toString).schema
+    def startQuery(out: String, ckpt: String) = EventStreams.dedupedEvents(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString + "/*"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val out = Files.createTempDirectory("graft-recov-out").toString
+    val ckpt = Files.createTempDirectory("graft-recov-ckpt").toString
+    // ---- run 1: stop as soon as the first micro-batch commit exists
+    val q1 = startQuery(out, ckpt)
+    val batch0 = new java.io.File(s"$out/_spark_metadata/0")
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!batch0.exists() && q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(1)
+    q1.stop(); q1.awaitTermination(120000)
+    assert(batch0.exists(), "run 1 never committed a micro-batch")
+    val committedEarly = spark.read.parquet(out).count()
+    // ---- the duplicate file + fresh data arrive while the query is down
+    writeBatch("b3", 3000000L, 1 to 100) // byte-identical ids to b1
+    writeBatch("b4", 4000000L, 201 to 300)
+    // ---- run 2: same checkpoint, drain everything
+    val q2 = startQuery(out, ckpt)
+    q2.awaitTermination(120000)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 300,
+      s"expected exactly-once 300 rows, got ${back.count()} " +
+        s"(run 1 had committed $committedEarly before the stop)")
+    assert(back.select("event_id").distinct().count() == 300,
+      "duplicate event_ids leaked through the restart — dedup state was lost")
+    // ---- uninterrupted twin over the same four files
+    val out2 = Files.createTempDirectory("graft-recov-out2").toString
+    val ckpt2 = Files.createTempDirectory("graft-recov-ckpt2").toString
+    val q3 = startQuery(out2, ckpt2)
+    q3.awaitTermination(120000)
+    val twin = spark.read.parquet(out2)
+    assert(back.exceptAll(twin).isEmpty && twin.exceptAll(back).isEmpty,
+      "restarted run diverged from the uninterrupted twin")
+  }
 }
