@@ -159,7 +159,8 @@ final class GeoPackageSink(rootDir: String, srsId: Int = 4326) extends Sink {
   * left to the caller's environment; all SQL generation is pure and
   * unit-tested (SURVEY.md §5.5).
   */
-final class JdbcPostgisSink(jdbcUrl: String, execute: String => Unit)
+final class JdbcPostgisSink(jdbcUrl: String, execute: String => Unit,
+    bulkWrite: Option[(DataFrame, String) => Unit] = None)
     extends Sink {
 
   import JdbcPostgisSink._
@@ -170,11 +171,19 @@ final class JdbcPostgisSink(jdbcUrl: String, execute: String => Unit)
   override def dropTable(schemaName: String, tableName: String): Unit =
     execute(dropTableSql(schemaName, tableName))
 
+  /** Phase-1 bulk transfer. `bulkWrite` is the same injection seam as
+    * `execute`: offline environments (and transcript tests) supply the
+    * transport; production leaves it None and gets the distributed JDBC
+    * write against `jdbcUrl`. */
   override def write(df: DataFrame, schemaName: String, tableName: String): Unit =
-    df.write.format("jdbc")
-      .option("url", jdbcUrl)
-      .option("dbtable", qualified(schemaName, tableName))
-      .save()
+    bulkWrite match {
+      case Some(f) => f(df, qualified(schemaName, tableName))
+      case None =>
+        df.write.format("jdbc")
+          .option("url", jdbcUrl)
+          .option("dbtable", qualified(schemaName, tableName))
+          .save()
+    }
 
   override def writeGeo(df: DataFrame, schemaName: String, tableName: String,
       geomColumns: Seq[String]): Unit = {

@@ -605,4 +605,36 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert("ALTER TABLE .* ADD COLUMN".r.findAllIn(sql2).length == 2)
     assert("BEGIN TRANSACTION;".r.findAllIn(sql2).length == 1)
   }
+
+  test("full-pipeline PostGIS run emits the reference's exact DDL sequence") {
+    // the END-TO-END ordering claim (not just per-template bytes): drive
+    // the real pipeline (detect → read → discover → transform) into a
+    // JdbcPostgisSink whose two transports record a transcript, and
+    // assert the WHOLE recorded sequence — the reference's
+    // process_file order (core_processor.rs:463-476): create schema,
+    // drop stale table, phase-1 bulk transfer, then ONE transaction
+    // doing the geometry conversion (geo_strategy.rs:357-415). Any
+    // reordering (conversion before the bulk rows exist, drop after
+    // write, a second transaction) fails the string compare.
+    val dir = tmpDir
+    val csv = "id,lon,lat\n1,-0.5,51.5\n2,0.25,52.0\n"
+    val path = writeFile(dir, "pg pts.csv", csv.getBytes("UTF-8"))
+    val transcript = scala.collection.mutable.Buffer[String]()
+    val sink = new JdbcPostgisSink(
+      "jdbc:postgresql://example.com/db",
+      sql => transcript += sql,
+      bulkWrite = Some((df, qualifiedTable) =>
+        transcript += s"BULK COPY $qualifiedTable rows=${df.count()}"))
+    val res = graft.Graft.processFile(
+      spark, IngestJob(path, "pg pts.csv", "geo_schema"), sink)
+    assert(res.geometry.coordinatePair.contains(("lon", "lat")))
+    val expected = Seq(
+      """CREATE SCHEMA IF NOT EXISTS "geo_schema";""",
+      """DROP TABLE IF EXISTS "geo_schema"."pg pts";""",
+      """BULK COPY "geo_schema"."pg pts" rows=2""",
+      JdbcPostgisSink.geometryConversionSql(
+        "\"geo_schema\".\"pg pts\"", Seq("geom_from_lon_lat")))
+    assert(transcript.toSeq == expected,
+      s"DDL transcript diverged:\n${transcript.mkString("\n---\n")}")
+  }
 }
