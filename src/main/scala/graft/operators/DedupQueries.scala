@@ -591,6 +591,51 @@ object DedupQueries {
               SELECT da AS doc_a, db AS doc_b, jaccard FROM npairs
               ORDER BY doc_a, doc_b""")),
 
+    // SoftDeDup-style duplicate DOWN-WEIGHTING (He et al. 2024,
+    // "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    // Language Model Pre-training"): instead of the binary keep/drop
+    // every dedup_* query above decides, score each document's
+    // "commonness" — the mean corpus document-frequency of its 3-token
+    // shingles — and emit a sampling weight ∝ 1/commonness, so heavily
+    // duplicated content trains with proportionally lower probability
+    // and nothing is discarded outright. The 100 TB shape is two
+    // compact hash shuffles, both already proven by the MinHash tier:
+    // one distinct over (doc_id, shingle-hash), one groupBy(h) for the
+    // df table, one groupBy(doc_id) for the means — only 8-byte hashes
+    // ever cross the wire, never text, and df is mergeable so the model
+    // updates incrementally as the corpus grows.
+    QuerySpec(
+      "dedup_soft_weights",
+      (s, dir) => {
+        val sh = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
+          .distinct()
+        val df = sh.groupBy("h").agg(count(lit(1)).as("df")) // distinct docs per h
+        sh.join(df, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sdf"))
+          .select(col("doc_id"), col("n_shingles"),
+            (round(col("sdf").cast("double") / col("n_shingles"), 6) + lit(0.0))
+              .as("mean_df"),
+            (round(col("n_shingles").cast("double") / col("sdf"), 6) + lit(0.0))
+              .as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              idx AS (
+                SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
+                FROM toks WHERE LEN(t) >= 3),
+              sh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h
+                FROM idx),
+              df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+              SELECT doc_id, COUNT(*) AS n_shingles,
+                     ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_df,
+                     ROUND(COUNT(*) / CAST(SUM(df) AS DOUBLE), 6) + 0.0 AS weight
+              FROM sh JOIN df USING (h)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // Edit-distance near-dup refinement — the character-level verifier
     // layered on the token-level candidates: every ngram-Jaccard pair is
     // re-scored with full Levenshtein distance (both engines implement

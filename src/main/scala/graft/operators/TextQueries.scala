@@ -1041,6 +1041,102 @@ object TextQueries {
               FROM bi JOIN lr USING (b)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data"): score every document with the corpus unigram LM (the
+    // text_unigram_logprob kernel — CCNet uses KenLM perplexity; the
+    // bucketing logic is identical for any per-doc score), then split
+    // each LANGUAGE into head/middle/tail thirds by score — the split
+    // that lets a pretraining mix oversample the fluent head and drop
+    // or down-weight the tail. Two-stage plan: the corpus-sized
+    // tokenize/score pass is the same linear shape the LM gates use,
+    // and the NTILE window then runs over the COMPACT (doc_id, lang,
+    // score) relation only — ~24 bytes/doc, never the text. At extreme
+    // per-language volumes the exact ntile would swap for
+    // approx-quantile thresholds broadcast back (the SemDeDup
+    // precedent: exactness kept here for oracle determinism; the
+    // bucket-assignment semantics are unchanged). Ties broken by
+    // doc_id so both engines assign identically.
+    QuerySpec(
+      "text_perplexity_buckets",
+      (s, dir) => {
+        val terms = docs(s, dir).select(col("doc_id"), col("lang"), explode(toks).as("term"))
+        val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val tot = terms.agg(count(lit(1)).as("total"))
+        val scored = terms.join(freq, "term")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("lang"),
+            round(log(col("cnt") / col("total")), 6)
+              .cast("decimal(18,6)").as("logp"))
+          .groupBy("doc_id", "lang")
+          .agg((round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0))
+            .as("score"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("score").desc, col("doc_id"))
+        scored
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy("lang", "bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (round(sum(col("score").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6) + lit(0.0)).as("avg_score"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH terms AS (
+                SELECT doc_id, lang,
+                       UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+                FROM documents),
+              freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+              tot AS (SELECT COUNT(*) AS total FROM terms),
+              scored AS (
+                SELECT doc_id, lang,
+                       ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                             / COUNT(*), 6) + 0.0 AS score
+                FROM terms JOIN freq USING (term) CROSS JOIN tot
+                GROUP BY doc_id, lang),
+              b AS (
+                SELECT lang, score,
+                       NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS bucket
+                FROM scored)
+              SELECT lang, bucket, COUNT(*) AS n_docs,
+                     ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*), 6) + 0.0 AS avg_score
+              FROM b GROUP BY lang, bucket ORDER BY lang, bucket""")),
+
+    // Overlapping token-window chunking — the segmentation step every
+    // training-data / retrieval pipeline runs before embedding or
+    // sequence assembly: 32-token windows at stride 24 (8-token overlap
+    // so no boundary context is lost), one output row per chunk with a
+    // content hash for downstream chunk-level dedup/lookup. Pure
+    // per-row codegen (tokenize → transform/sequence → posexplode) —
+    // zero shuffles before the verification orderBy, embarrassingly
+    // parallel at any corpus size; chunk count per doc is
+    // floor((n_tok-1)/24)+1 in both engines by construction.
+    QuerySpec(
+      "text_chunking",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, int(floor((size(t)-1)/24))), k -> slice(t, k*24+1, 32))"))
+            .as(Seq("chunk_idx", "ct")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            size(col("ct")).cast("long").as("n_tokens"),
+            graft.functions.HashBridge.h32(concat_ws(" ", col("ct"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              k AS (
+                SELECT doc_id, t,
+                       UNNEST(GENERATE_SERIES(0, CAST(FLOOR((LEN(t)-1)/24) AS BIGINT))) AS k
+                FROM t),
+              c AS (
+                SELECT doc_id, k AS chunk_idx, t[k*24+1 : k*24+32] AS ct FROM k)
+              SELECT doc_id, chunk_idx,
+                     CAST(LEN(ct) AS BIGINT) AS n_tokens,
+                     ('0x'||SUBSTR(MD5(ARRAY_TO_STRING(ct, ' ')),1,8))::BIGINT AS chunk_hash
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
     // End-to-end curation pipeline as ONE declarative plan — the shape a
     // real pretraining data job takes: quality gate (the text_quality_
     // filter predicates, SAME Scala helpers so the stages cannot drift)

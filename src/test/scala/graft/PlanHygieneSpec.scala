@@ -26,6 +26,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
       // 1-row corpus-totals broadcast (the tf-idf scalar shape)
       "text_importance_dsir",
+      // the unigram-LM scorer reused under CCNet bucketing — same 1-row
+      // token-total broadcast as text_unigram_logprob
+      "text_perplexity_buckets",
       "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
       // k broadcast centroids against every vector — the kmAssign shape
