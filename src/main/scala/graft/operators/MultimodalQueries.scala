@@ -232,6 +232,74 @@ object MultimodalQueries {
                 FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k
                 WHERE l.img_id < r.img_id)
               WHERE hamming <= 3
-              ORDER BY img_a, img_b"""))
+              ORDER BY img_a, img_b""")),
+
+    // Audio path — voice-activity detection over windowed PCM energy,
+    // the segmentation every speech-data pipeline runs before
+    // transcription/embedding. The "waveform" is a STUB (64 8-bit
+    // samples from an md5 chain over the text — no audio codecs ship in
+    // this container; a real decoder slots into the same column), but
+    // the VAD computation is the real one end-to-end: 8-sample energy
+    // windows (sum of squared deviation from the 128 midpoint — integer
+    // arithmetic, so both engines agree bit-for-bit), an
+    // energy-threshold activity gate, then gaps-and-islands over the
+    // active windows for the doc's LONGEST ACTIVE SEGMENT — the value a
+    // clip-extraction job keys on. Per-row codegen builds the windows
+    // (no shuffle); the only exchanges are the per-doc window
+    // aggregation and the islands window, both keyed on doc_id —
+    // embarrassingly parallel at any corpus size.
+    QuerySpec(
+      "multimodal_audio_vad",
+      (s, dir) => {
+        val pcm = docs(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("b0"))
+          .withColumn("hex",
+            concat(col("b0"), md5(col("b0")), md5(md5(col("b0"))),
+              md5(md5(md5(col("b0"))))))
+        val wins = pcm.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 7), w -> struct(
+               CAST(w AS BIGINT) AS win,
+               aggregate(sequence(0, 7), 0L, (acc, i) ->
+                 acc + (CAST(conv(substring(hex, (w*8+i)*2+1, 2), 16, 10) AS BIGINT) - 128)
+                     * (CAST(conv(substring(hex, (w*8+i)*2+1, 2), 16, 10) AS BIGINT) - 128)) AS energy))"""))
+          .as("e"))
+          .select(col("doc_id"), col("e.win").as("win"), col("e.energy").as("energy"))
+          .withColumn("active", col("energy") > 43500L)
+        val runs = wins.filter(col("active"))
+          .withColumn("grp", col("win") - row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("win")))
+          .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("doc_id").agg(max(col("len")).as("longest"))
+        wins.groupBy("doc_id")
+          .agg(
+            sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+            max(col("energy")).as("max_energy"))
+          .join(runs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_active"), col("max_energy"),
+            coalesce(col("longest"), lit(0L)).as("longest_run"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, MD5(text) AS b0 FROM documents),
+              h AS (SELECT doc_id,
+                           b0||MD5(b0)||MD5(MD5(b0))||MD5(MD5(MD5(b0))) AS hex
+                    FROM c),
+              s AS (SELECT doc_id, hex, UNNEST(GENERATE_SERIES(0,63)) AS k FROM h),
+              v AS (SELECT doc_id, CAST(k//8 AS BIGINT) AS win,
+                           (('0x'||SUBSTR(hex, CAST(k*2+1 AS INT), 2))::BIGINT - 128) AS d
+                    FROM s),
+              e AS (SELECT doc_id, win, CAST(SUM(d*d) AS BIGINT) AS energy
+                    FROM v GROUP BY 1, 2),
+              a AS (SELECT doc_id, win, energy, energy > 43500 AS active FROM e),
+              g AS (SELECT doc_id, win,
+                           win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+                    FROM a WHERE active),
+              r AS (SELECT doc_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+              l AS (SELECT doc_id, MAX(len) AS longest FROM r GROUP BY 1)
+              SELECT a.doc_id,
+                     CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+                     MAX(energy) AS max_energy,
+                     COALESCE(MAX(l.longest), 0) AS longest_run
+              FROM a LEFT JOIN l ON a.doc_id = l.doc_id
+              GROUP BY a.doc_id ORDER BY a.doc_id"""))
   )
 }

@@ -81,6 +81,43 @@ object StreamingQueries {
               FROM sess GROUP BY user_id, sid
               ORDER BY user_id, session_start""")),
 
+    // Dynamic-gap session windows — the per-event gap-EXPRESSION surface
+    // of session_window: a 'click' extends its session 10 minutes, any
+    // heavier interaction 30. Session merging is order-independent
+    // interval union, so the oracle is the classic running-max
+    // interval-merge: a session breaks exactly when an event's start
+    // reaches the running MAX of all prior (ts + gap) ends — the MAX
+    // (not LAG) is what makes variable gaps correct, since a long-gap
+    // event can outlive several short-gap successors. State profile at
+    // scale is identical to the fixed-gap session: watermark-bounded,
+    // one open session per (user, gap-island).
+    QuerySpec(
+      "stream_session_dynamic",
+      (s, dir) =>
+        graft.streaming.EventStreams.dynamicSessionCounts(events(s, dir))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                       CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                            ELSE INTERVAL 30 MINUTE END AS gap
+                FROM events),
+              g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN MAX(ts + gap) OVER wprev IS NULL
+                              OR ts >= MAX(ts + gap) OVER wprev
+                            THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              sess AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g)
+              SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+              FROM sess GROUP BY user_id, sid
+              ORDER BY user_id, session_start""")),
+
     // Stream-static enrichment join feeding a watermarked tumbling
     // aggregate: the unbounded stream equi-joins a broadcast per-type
     // weight dim (no shuffle, no join state — the slowly-changing-dim

@@ -83,6 +83,23 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
 
+  /** Session windows with a PER-EVENT gap expression — the dynamic-gap
+    * surface of `session_window`: interaction-dependent timeouts (a
+    * 'click' keeps a session alive 10 minutes, anything heavier 30),
+    * the shape engagement analytics actually uses. Merging is
+    * order-independent interval union, so the batch twin reproduces it
+    * with the standard running-max interval-merge window (see the
+    * `stream_session_dynamic` oracle). Same watermark/state profile as
+    * the fixed-gap [[sessionCounts]]. */
+  def dynamicSessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "click", "10 minutes")
+          .otherwise("30 minutes")), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+
   /** Stateful dedup on event_id bounded by the watermark horizon. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events

@@ -116,6 +116,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("dynamic-gap session windows match batch when streamed") {
+    val events = EventStreams.readEvents(spark, dir)
+    runToMemory(EventStreams.dynamicSessionCounts(events), "dynsess", "complete")
+    val streamed = spark.table("dynsess").orderBy("user_id", "session_start").collect()
+    val batch = EventStreams.dynamicSessionCounts(
+      graft.Tables(spark, dir, "events")).orderBy("user_id", "session_start").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // the dynamic gap must actually change the segmentation vs fixed 30m
+    val fixed = graft.Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).count()
+    assert(streamed.length != fixed,
+      "dynamic gap produced the same session count as fixed 30m — expression inert")
+  }
+
   test("mapGroupsWithState running user stats match batch aggregation") {
     val events = EventStreams.readEvents(spark, dir)
     runToMemory(EventStreams.statefulUserStats(spark, events), "ustats", "update")
