@@ -1795,6 +1795,55 @@ object RelationalQueries {
               GROUP BY l_returnflag
               ORDER BY l_returnflag""")),
 
+    // SQL-language scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    // the user-extension surface that stays INSIDE codegen — unlike a
+    // Scala/Python UDF, a SQL UDF is inlined into the plan at analysis
+    // time (the executed plan contains only the expanded expression, no
+    // black-box call), so Catalyst still pushes/prunes/vectorizes
+    // through it and the 100 TB cost is identical to writing the
+    // expression inline. The oracle IS that inline form — proving the
+    // inlining semantics, not just the rows. A pid-free temp function
+    // name is safe: TEMPORARY functions are session-scoped, they cannot
+    // collide across JVMs the way catalog tables can.
+    QuerySpec(
+      "sql_udf_scalar",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(p DOUBLE)
+                 RETURNS DOUBLE RETURN p * 7 - p / 2""")
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                        ROUND(CAST(SUM(CAST(graft_margin(o_totalprice) AS DECIMAL(38,4))) AS DOUBLE), 4) AS margin
+                 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice * 7 - o_totalprice / 2 AS DECIMAL(38,4))) AS DOUBLE), 4) AS margin
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Parameterized SQL with named parameter markers — the
+    // injection-safe templating surface. The reference interpolates
+    // user-controlled names/values into SQL strings by hand
+    // (core_processor.rs:147-149 quotes identifiers but values ride
+    // inline); named markers send VALUES out-of-band of the SQL text,
+    // so a hostile string can never terminate the statement. Same plan
+    // as the literal form — markers bind at parse time, pushdown intact.
+    QuerySpec(
+      "sql_params",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag, COUNT(*) AS n,
+                    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS rev
+             FROM lineitem
+             WHERE l_quantity > :qmin AND l_shipdate >= :d0
+             GROUP BY l_returnflag ORDER BY l_returnflag""",
+          Map("qmin" -> 45, "d0" -> "1994-01-01"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS rev
+              FROM lineitem
+              WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1994-01-01'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------- sort / limit / topk
     QuerySpec(
       "sort",
