@@ -636,6 +636,53 @@ object DedupQueries {
               FROM sh JOIN df USING (h)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The RESAMPLING EXECUTION of the soft-dedup weights: a document
+    // survives iff a deterministic per-doc uniform draw (md5 of its id,
+    // 24 bits → [0,1)) lands under its weight — importance sampling
+    // with probability exactly ∝ 1/commonness, reproducible run-to-run
+    // and engine-to-engine (no RNG state; the draw IS a hash). The
+    // survivor count concentrates on Σweight. Per-row codegen on top of
+    // the dedup_soft_weights relation; the only additional cost is the
+    // hash — the 100 TB shape of "apply the sampling decision" is a
+    // filter, never a shuffle.
+    QuerySpec(
+      "dedup_soft_resample",
+      (s, dir) => {
+        val sh = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
+          .distinct()
+        val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        sh.join(df, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sdf"))
+          .select(col("doc_id"),
+            (round(col("n_shingles").cast("double") / col("sdf"), 6) + lit(0.0))
+              .as("weight"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("double") / 16777216.0).as("u"))
+          .select(col("doc_id"), col("weight"),
+            (col("u") < col("weight")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              idx AS (
+                SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
+                FROM toks WHERE LEN(t) >= 3),
+              sh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h
+                FROM idx),
+              df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+              w AS (
+                SELECT doc_id,
+                       ROUND(COUNT(*) / CAST(SUM(df) AS DOUBLE), 6) + 0.0 AS weight,
+                       CAST(('0x'||SUBSTR(MD5(CAST(doc_id AS VARCHAR)),1,6))::BIGINT AS DOUBLE)
+                         / 16777216.0 AS u
+                FROM sh JOIN df USING (h)
+                GROUP BY doc_id)
+              SELECT doc_id, weight, u < weight AS kept
+              FROM w ORDER BY doc_id""")),
+
     // Edit-distance near-dup refinement — the character-level verifier
     // layered on the token-level candidates: every ngram-Jaccard pair is
     // re-scored with full Levenshtein distance (both engines implement

@@ -72,4 +72,19 @@ class Round6CurationSpec extends AnyFunSuite {
     assert(dupAvg > restAvg * 1.2,
       s"near-dup docs not above the rest: dup=$dupAvg rest=$restAvg")
   }
+
+  test("soft-dedup resampling keeps ~sum(weights) docs, hash-deterministically") {
+    val rows = Registry.byName("dedup_soft_resample").run(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    val expected = rows.map(_._1).sum
+    val kept = rows.count(_._2)
+    // a deterministic uniform draw under each weight concentrates the
+    // survivor count on sum(weights); 25% slack covers the fixture size
+    assert(math.abs(kept - expected) <= math.max(10.0, expected * 0.25),
+      s"kept=$kept far from sum(weights)=$expected")
+    // determinism: a second run keeps the identical set
+    val again = Registry.byName("dedup_soft_resample").run(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(rows.toSeq == again.toSeq, "resampling decisions not reproducible")
+  }
 }
