@@ -186,6 +186,68 @@ object SimilarityQueries {
       (s, dir) => topk(s, dir, sameLabelOnly = false),
       Some(CosineSql.format(""))),
 
+    // Maximum-inner-product search via the norm-augmentation reduction
+    // (Bachrach et al. 2014 / Shrivastava & Li 2014): recommendation
+    // retrieval ranks by RAW inner product, which no metric index
+    // serves directly — but appending one residual dimension
+    // sqrt(M² − |x|²) to every corpus vector (M = max corpus norm) and
+    // a 0 to every query makes all corpus vectors the SAME length M,
+    // and cosine ranking over the augmented space EXACTLY equals
+    // inner-product ranking over the original. That reduction is the
+    // point: the whole cosine ANN ladder above (IVF/LSH/SQ/PQ/binary)
+    // becomes a MIPS index with one extra column. The augmentation is
+    // exact here, not approximate — the extra query coordinate is 0,
+    // so the augmented dot product is bit-identical to the raw one —
+    // which is why the DuckDB oracle (direct inner products, the
+    // closed-form of the same ranking) hash-matches. Declared
+    // quadratic: the same bounded-16-row-query brute baseline shape as
+    // topk_similarity, plus a 1-row max-norm broadcast (M is a corpus
+    // CONSTANT — one mergeable aggregate, broadcast everywhere,
+    // independent of corpus size).
+    QuerySpec(
+      "topk_similarity_mips",
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), asD(col("embedding")).as("e"))
+          .withColumn("n2", dot(col("e"), col("e")))
+        val m = e.agg(max(col("n2")).as("m2"))
+        val cAug = e.crossJoin(broadcast(m))
+          .select(col("vec_id").as("neighbor_id"), col("m2"),
+            // greatest(...,0): m2 - n2 of the max vector is an exact 0,
+            // but guard the subtraction against any future fp drift
+            concat(col("e"), array(sqrt(greatest(col("m2") - col("n2"), lit(0.0)))))
+              .as("c_aug"))
+        val q = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"),
+            concat(col("e"), array(lit(0.0))).as("q_aug"),
+            sqrt(col("n2")).as("q_nrm"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(cAug, col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q_aug"), col("c_aug")) / (col("q_nrm") * sqrt(col("m2"))), 6)
+              + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              n AS (SELECT vec_id, e,
+                           (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS n2
+                    FROM v),
+              m AS (SELECT MAX(n2) AS m2 FROM n),
+              q AS (SELECT vec_id, e, SQRT(n2) AS qn FROM n WHERE vec_id < 16),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+                             / (q.qn * SQRT(m.m2)), 6) + 0.0 AS sim
+                FROM q JOIN n c ON q.vec_id != c.vec_id CROSS JOIN m)
+              SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rn
+                FROM pairs) WHERE rn <= 5
+              ORDER BY query_id, sim DESC, neighbor_id""")),
+
     // IVF-style ANN: search only the query's cluster (label = assigned
     // centroid id). At 100 TB: partition embeddings by cluster id, prune
     // to the probed partitions — shuffle-free when pre-partitioned.

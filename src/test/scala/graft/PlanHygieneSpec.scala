@@ -23,6 +23,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       // binary-hamming prefilter: the same bounded-16-row broadcast
       // non-equi scan as the SQ prefilter, over 32×-narrower sign words
       "topk_similarity_binary", "text_tfidf",
+      // the MIPS reduction: same bounded-16-row brute baseline shape as
+      // topk_similarity plus a 1-row max-norm broadcast
+      "topk_similarity_mips",
       "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
       // 1-row corpus-totals broadcast (the tf-idf scalar shape)
       "text_importance_dsir",
