@@ -264,6 +264,29 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // The SAME container through the DataSourceV2 connector
+    // (`format("gpkg")`, graft.sources.GpkgSource): identical rows to
+    // scan_gpkg under the identical oracle, but the SQLite walk runs in
+    // the SCAN TASK (one input partition per container) instead of on
+    // the driver, and the connector pushes column pruning — the
+    // architecture that makes a ten-thousand-container ingest
+    // executor-parallel. GpkgSourceSpec asserts per-file partitions and
+    // the pruned ReadSchema.
+    QuerySpec(
+      "scan_gpkg_dsv2",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_dsv2.gpkg")
+        graft.sources.FormatWriters.writeGeoPackage(
+          path, "nation_geo", "nkey", "nname", 4326, geoRows(s, dir))
+        s.read.format("gpkg").load(path)
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from
     // nation rows runs detect → read → coordinate-pair discovery → CRS

@@ -18,6 +18,19 @@ import java.nio.{ByteBuffer, ByteOrder}
 object GeoPackageReader {
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    val (schema, data) = parsed(path)
+    val rows = data.map(Row.fromSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, data.length / 50000)), schema)
+  }
+
+  /** Container parse shared by the driver-side [[read]] and the DSv2
+    * executor-side partition reader ([[GpkgSource]]): (inferred schema
+    * with geometry/CRS metadata, rows coerced to the schema's external
+    * types). Runs wherever it is called — on an executor this moves the
+    * whole SQLite walk off the driver, which is what makes
+    * `format("gpkg").load(manyFiles)` parallel ingest. */
+  def parsed(path: String): (StructType, Seq[Seq[Any]]) = {
     val db = new SqliteReader(path)
     val featureTable = firstFeatureTable(db)
       .getOrElse(throw new IllegalArgumentException(
@@ -45,7 +58,11 @@ object GeoPackageReader {
     // or GPB-sniffed) so downstream discovery finds it regardless of name,
     // and carry the SRS in the same metadata so the pipeline's CRS lookup
     // doesn't re-read and re-walk the whole container
-    toDataFrame(spark, cols, converted, geomCol = Some(effectiveGeomCol), srs = Some(srs))
+    val schema = schemaFor(cols, converted,
+      geomCol = Some(effectiveGeomCol), srs = Some(srs))
+    (schema, converted.map(r => r.zip(schema.fields).map {
+      case (v, f) => coerce(v, f.dataType)
+    }))
   }
 
   /** Any SQLite table in the container → DataFrame with the widened
@@ -59,10 +76,9 @@ object GeoPackageReader {
   /** Field-metadata key carrying the declared SRS of a geometry column. */
   val CrsTag = "graft.crs"
 
-  private def toDataFrame(
-      spark: SparkSession, cols: Seq[String], rows: Seq[IndexedSeq[Any]],
-      geomCol: Option[String] = None, srs: Option[Int] = None): DataFrame = {
-    val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
+  private def schemaFor(cols: Seq[String], rows: Seq[IndexedSeq[Any]],
+      geomCol: Option[String], srs: Option[Int]): StructType =
+    StructType(cols.zipWithIndex.map { case (c, i) =>
       val md =
         if (geomCol.exists(_.equalsIgnoreCase(c))) {
           val b = new MetadataBuilder().putBoolean(SchemaHeuristics.GeometryTag, true)
@@ -71,6 +87,11 @@ object GeoPackageReader {
         } else Metadata.empty
       StructField(c, inferType(rows.iterator.map(r => r(i))), metadata = md)
     })
+
+  private def toDataFrame(
+      spark: SparkSession, cols: Seq[String], rows: Seq[IndexedSeq[Any]],
+      geomCol: Option[String] = None, srs: Option[Int] = None): DataFrame = {
+    val schema = schemaFor(cols, rows, geomCol, srs)
     val data = rows.map(r => Row.fromSeq(r.zip(schema.fields).map {
       case (v, f) => coerce(v, f.dataType)
     }))

@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The DSv2 GeoPackage connector's architectural claims: executor-side
+  * parallelism (one input partition per container) and pushed column
+  * pruning — the oracle (scan_gpkg_dsv2) vouches for the rows.
+  */
+class GpkgSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeFixture(dirName: String, n: Int): Seq[String] = {
+    val dir = Files.createTempDirectory(dirName)
+    dir.toFile.deleteOnExit()
+    (1 to n).map { i =>
+      val p = dir.resolve(s"part$i.gpkg").toString
+      FormatWriters.writeGeoPackage(p, "pts", "k", "name", 4326,
+        (1L to 5L).map(j => (i * 100L + j, s"f$i-$j", j * 1.0, -j * 1.0)))
+      p
+    }
+  }
+
+  test("multi-container load plans one scan partition per file and unions all rows") {
+    val paths = writeFixture("graft-dsv2-multi", 4)
+    val df = spark.read.format("gpkg").load(paths: _*)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected one partition per container, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 20)
+    val keys = df.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys == (1 to 4).flatMap(i => (1 to 5).map(j => i * 100L + j)).toSet)
+  }
+
+  test("column pruning is pushed into the scan (ReadSchema excludes unselected columns)") {
+    val paths = writeFixture("graft-dsv2-prune", 1)
+    val df = spark.read.format("gpkg").load(paths.head).select("k")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[k]"),
+      s"scan description does not show the pruned column set:\n$plan")
+    assert(!plan.contains("cols=[k,name,geom]"), s"no pruning happened:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSet == (1L to 5L).map(101L + _ - 1).toSet)
+  }
+
+  test("short name 'gpkg' resolves through DataSourceRegister") {
+    // the service-loader registration: format("gpkg") must resolve to
+    // the connector without a fully-qualified class name
+    val paths = writeFixture("graft-dsv2-short", 1)
+    val viaShort = spark.read.format("gpkg").load(paths.head).count()
+    val viaClass = spark.read.format("graft.sources.GpkgSource").load(paths.head).count()
+    assert(viaShort == 5 && viaClass == 5)
+  }
+
+  test("connector rows equal the driver-side reader's rows exactly") {
+    val paths = writeFixture("graft-dsv2-parity", 2)
+    val dsv2 = spark.read.format("gpkg").load(paths: _*)
+      .orderBy("k").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      })
+    val driver = paths.map(GeoPackageReader.read(spark, _))
+      .reduce(_.unionAll(_))
+      .orderBy("k").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      })
+    assert(dsv2.toSeq == driver.toSeq)
+  }
+
+  test("a container missing a required column fails with a readable error") {
+    val paths = writeFixture("graft-dsv2-err", 1)
+    val df = spark.read.format("gpkg").schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nope",
+          org.apache.spark.sql.types.LongType))))
+      .load(paths.head)
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lacks required column")),
+      s"unreadable failure: ${messages(e).mkString(" | ")}")
+  }
+}
