@@ -126,8 +126,17 @@ object GeoJsonReader {
   private def coords(n: JsonNode): Array[Coordinate] =
     n.elements().asScala.map(coord).toArray
 
-  /** RFC 7946 geometry object → JTS (all seven types). */
-  def parseGeometry(node: JsonNode): Geometry = node.get("type").asText() match {
+  /** RFC 7946 geometry object → JTS (all seven types). Collection
+    * nesting is bounded: a hostile GeometryCollection nested hundreds
+    * deep must fail as a parse error, not a StackOverflowError (an
+    * Error would kill the executor thread mid-scan); no legitimate
+    * GeoJSON nests collections anywhere near 32. */
+  def parseGeometry(node: JsonNode): Geometry = parseGeometry(node, depth = 0)
+
+  private def parseGeometry(node: JsonNode, depth: Int): Geometry = {
+    require(depth <= 32,
+      s"corrupt geojson: GeometryCollection nesting exceeds 32 levels")
+    node.get("type").asText() match {
     case "Point" => gf.createPoint(coord(node.get("coordinates")))
     case "MultiPoint" => gf.createMultiPointFromCoords(coords(node.get("coordinates")))
     case "LineString" => gf.createLineString(coords(node.get("coordinates")))
@@ -140,8 +149,10 @@ object GeoJsonReader {
         node.get("coordinates").elements().asScala.map(polygon).toArray)
     case "GeometryCollection" =>
       gf.createGeometryCollection(
-        node.get("geometries").elements().asScala.map(parseGeometry).toArray)
+        node.get("geometries").elements().asScala
+          .map(parseGeometry(_, depth + 1)).toArray)
     case other => throw new IllegalArgumentException(s"unknown geometry type '$other'")
+    }
   }
 
   private def polygon(rings: JsonNode): org.locationtech.jts.geom.Polygon = {
