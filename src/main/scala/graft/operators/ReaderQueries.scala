@@ -245,6 +245,27 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // The SAME zipped shapefile through the DSv2 connector tier
+    // (`format("shpzip")`, graft.sources.ShpZipSource — the
+    // ContainerSource scaffold shared with the gpkg connector): the
+    // zip+shp+dbf walk runs in the scan task, one partition per
+    // archive, pruning pushed. Identical rows under the identical
+    // oracle as scan_shapefile.
+    QuerySpec(
+      "scan_shapefile_dsv2",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_shp_dsv2.zip")
+        graft.sources.FormatWriters.writeShapefileZip(
+          path, "nation", "nkey", "nname", geoRows(s, dir))
+        s.read.format("shpzip").load(path)
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // GeoPackage: from-scratch SQLite container (master/contents/
     // geometry_columns/feature B-tree pages) + GPB-wrapped WKB, read
     // back through the SqliteReader walk + GPB strip (reference:

@@ -9,40 +9,59 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** GeoPackage as a first-class DataSourceV2 connector:
-  * `spark.read.format("gpkg").load(paths: _*)` (registered via the
-  * DataSourceRegister service file). Where [[GeoPackageReader.read]]
-  * parses on the DRIVER (the single-container ingest path the reference
-  * takes with `st_read`), this connector plans one input partition per
-  * container and runs the whole SQLite B-tree walk + GPB strip INSIDE
-  * the scan task — so ingesting ten thousand .gpkg files from an object
+/** Single-file ingest containers as first-class DataSourceV2 connectors.
+  *
+  * Where the driver-side readers ([[GeoPackageReader.read]],
+  * [[ShapefileReader.read]]) match the reference's single-file `st_read`
+  * (core_processor.rs:393-406), these connectors plan one input
+  * partition per container and run the WHOLE binary walk inside the
+  * scan task — so ingesting ten thousand containers from an object
   * store parallelizes across every executor, with the driver touching
   * only the first container (schema inference). Column pruning is
-  * pushed (SupportsPushDownRequiredColumns): a projection of two
-  * columns decodes every row but materializes only those fields into
-  * the scan output — visible as ReadSchema in explain, asserted by
-  * GpkgSourceSpec.
+  * pushed (SupportsPushDownRequiredColumns): a two-column projection
+  * decodes every row but materializes only those fields into the scan
+  * output — visible in the scan description, asserted by GpkgSourceSpec.
   *
-  * Reference: core_processor.rs:393-398 (st_read gpkg), re-expressed as
-  * the Spark connector API rather than a driver-side read.
+  * The scaffold is format-agnostic: a concrete source supplies its
+  * short name and a `parse(path) => (schema, rows)` function (a
+  * serializable object-method reference, shipped to executors inside
+  * the reader factory). Registered via the DataSourceRegister service
+  * file, so `spark.read.format("gpkg")` / `format("shpzip")` resolve.
   */
-final class GpkgSource extends TableProvider with DataSourceRegister {
-  override def shortName(): String = "gpkg"
+abstract class ContainerSource extends TableProvider with DataSourceRegister {
+
+  /** Full container parse: (inferred schema, rows in external types). */
+  def parse: String => (StructType, Seq[Seq[Any]])
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val paths = GpkgSource.paths(options)
-    require(paths.nonEmpty, "gpkg source needs at least one path")
-    GeoPackageReader.parsed(paths.head)._1
+    val paths = ContainerSource.paths(options)
+    require(paths.nonEmpty, s"${shortName()} source needs at least one path")
+    parse(paths.head)._1
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GpkgTable(schema, GpkgSource.paths(new CaseInsensitiveStringMap(properties)))
+    new ContainerTable(shortName(), schema,
+      ContainerSource.paths(new CaseInsensitiveStringMap(properties)), parse)
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-object GpkgSource {
+/** GeoPackage connector: `spark.read.format("gpkg").load(paths: _*)`. */
+final class GpkgSource extends ContainerSource {
+  override def shortName(): String = "gpkg"
+  override def parse: String => (StructType, Seq[Seq[Any]]) =
+    GeoPackageReader.parsed _
+}
+
+/** Zipped-shapefile connector: `spark.read.format("shpzip").load(...)`. */
+final class ShpZipSource extends ContainerSource {
+  override def shortName(): String = "shpzip"
+  override def parse: String => (StructType, Seq[Seq[Any]]) =
+    ShapefileReader.parsed _
+}
+
+object ContainerSource {
   /** Load paths from DSv2 options: `load(p)` arrives as `path`,
     * `load(p1, p2, ...)` as a JSON string array under `paths`. */
   private[sources] def paths(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -51,9 +70,8 @@ object GpkgSource {
     (multi ++ single).distinct
   }
 
-  /** Minimal `["a","b"]` parser (paths cannot contain quotes: Spark
-    * itself JSON-encodes the list, and the simple unescape below matches
-    * its encoder for the path strings a filesystem accepts). */
+  /** Minimal `["a","b"]` parser (Spark itself JSON-encodes the list; the
+    * unescape below inverts its encoder for filesystem path strings). */
   private def parseJsonStringArray(s: String): Seq[String] = {
     val t = s.trim
     require(t.startsWith("[") && t.endsWith("]"), s"expected JSON array, got: $s")
@@ -62,48 +80,52 @@ object GpkgSource {
   }
 }
 
-final class GpkgTable(tableSchema: StructType, paths: Seq[String])
+final class ContainerTable(format: String, tableSchema: StructType,
+    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
     extends Table with SupportsRead {
-  override def name(): String = s"gpkg(${paths.mkString(",")})"
+  override def name(): String = s"$format(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GpkgScanBuilder(tableSchema, paths)
+    new ContainerScanBuilder(format, tableSchema, paths, parse)
 }
 
-final class GpkgScanBuilder(full: StructType, paths: Seq[String])
+final class ContainerScanBuilder(format: String, full: StructType,
+    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GpkgScan(required, paths)
+  override def build(): Scan = new ContainerScan(format, required, paths, parse)
 }
 
-final class GpkgScan(required: StructType, paths: Seq[String])
+final class ContainerScan(format: String, required: StructType,
+    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  // one partition per CONTAINER: a single SQLite file is inherently a
-  // single-reader unit (B-tree pages chain within the file), and the
-  // many-files ingest case is where the parallelism lives
+  // one partition per CONTAINER: a single container file is inherently a
+  // single-reader unit, and the many-files ingest case is where the
+  // parallelism lives
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => GpkgPartition(p): InputPartition).toArray
+    paths.map(p => ContainerPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GpkgReaderFactory(required)
+    new ContainerReaderFactory(required, parse)
   override def description(): String =
-    s"gpkg cols=[${required.fieldNames.mkString(",")}] files=${paths.length}"
+    s"$format cols=[${required.fieldNames.mkString(",")}] files=${paths.length}"
 }
 
-final case class GpkgPartition(path: String) extends InputPartition
+final case class ContainerPartition(path: String) extends InputPartition
 
-final class GpkgReaderFactory(required: StructType)
+final class ContainerReaderFactory(required: StructType,
+    parse: String => (StructType, Seq[Seq[Any]]))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[GpkgPartition].path
+    val path = partition.asInstanceOf[ContainerPartition].path
     new PartitionReader[InternalRow] {
       // the parse runs HERE — in the scan task, on the executor
-      private val (fileSchema, rows) = GeoPackageReader.parsed(path)
+      private val (fileSchema, rows) = parse(path)
       private val idx = required.fieldNames.map { n =>
         val i = fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
         require(i >= 0, s"container '$path' lacks required column '$n' " +
@@ -125,6 +147,7 @@ final class GpkgReaderFactory(required: StructType)
 
       private def toCatalyst(v: Any): Any = v match {
         case s: String => UTF8String.fromString(s)
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
         case other => other // Long / Double / Array[Byte] / null map 1:1
       }
     }

@@ -26,6 +26,17 @@ import scala.util.Using
 object ShapefileReader {
 
   def read(spark: SparkSession, zipPath: String): DataFrame = {
+    val (schema, data) = parsed(zipPath)
+    val rows = data.map(Row.fromSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000)), schema)
+  }
+
+  /** Container parse shared by the driver-side [[read]] and the DSv2
+    * executor-side partition reader ([[ShpZipSource]]) — on an executor
+    * this moves the whole zip+shp+dbf walk off the driver, making
+    * many-archive ingest scan-task parallel. */
+  def parsed(zipPath: String): (StructType, Seq[Seq[Any]]) = {
     val shpName = FileTypeDetector.findShapefilePath(zipPath)
       .fold(e => throw new IllegalArgumentException(e), identity)
     val dbfName = shpName.replaceAll("\\.shp$", ".dbf")
@@ -49,10 +60,9 @@ object ShapefileReader {
       val rows = geoms.zipWithIndex.flatMap { case (g, i) =>
         val slot: Option[Seq[Any]] =
           if (i < attrs.length) attrs(i) else Some(Seq.fill(fields.length)(null))
-        slot.map(a => Row.fromSeq(a :+ g.map(graft.functions.GeoFunctions.toWkb).orNull))
+        slot.map(a => a :+ g.map(graft.functions.GeoFunctions.toWkb).orNull)
       }
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000)), schema)
+      (schema, rows)
     }
   }
 

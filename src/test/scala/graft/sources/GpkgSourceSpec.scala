@@ -70,6 +70,27 @@ class GpkgSourceSpec extends AnyFunSuite {
     assert(dsv2.toSeq == driver.toSeq)
   }
 
+  test("shpzip connector matches the driver-side shapefile reader, one partition per archive") {
+    val dir = Files.createTempDirectory("graft-dsv2-shp")
+    dir.toFile.deleteOnExit()
+    val paths = (1 to 3).map { i =>
+      val p = dir.resolve(s"a$i.zip").toString
+      FormatWriters.writeShapefileZip(p, "pts", "k", "name",
+        (1L to 4L).map(j => (i * 10L + j, s"s$i-$j", j * 2.0, j * 3.0)))
+      p
+    }
+    val dsv2 = spark.read.format("shpzip").load(paths: _*)
+    assert(dsv2.rdd.getNumPartitions == 3)
+    val got = dsv2.orderBy("k").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    val driver = paths.map(ShapefileReader.read(spark, _)).reduce(_.unionAll(_))
+      .orderBy("k").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq; case x => x
+      })
+    assert(got.toSeq == driver.toSeq && got.length == 12)
+  }
+
   test("a container missing a required column fails with a readable error") {
     val paths = writeFixture("graft-dsv2-err", 1)
     val df = spark.read.format("gpkg").schema(
