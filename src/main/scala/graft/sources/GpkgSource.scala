@@ -34,8 +34,10 @@ abstract class ContainerSource extends TableProvider with DataSourceRegister {
   def parse: String => (StructType, Seq[Seq[Any]])
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val paths = ContainerSource.paths(options)
-    require(paths.nonEmpty, s"${shortName()} source needs at least one path")
+    val paths = ContainerSource.paths(options).flatMap(ContainerSource.containerFiles)
+    require(paths.nonEmpty,
+      s"${shortName()} source needs at least one path (a container file, " +
+        "or a directory already holding one for schema inference)")
     parse(paths.head)._1
   }
 
@@ -70,6 +72,18 @@ object ContainerSource {
     (multi ++ single).distinct
   }
 
+  /** A path argument may be a container FILE or a landing-zone
+    * DIRECTORY of containers: directories expand to their regular files
+    * in lexicographic order — the order the streaming offset below is
+    * defined over. */
+  private[sources] def containerFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+    else Seq(path)
+  }
+
   /** Minimal `["a","b"]` parser (Spark itself JSON-encodes the list; the
     * unescape below inverts its encoder for filesystem path strings). */
   private def parseJsonStringArray(s: String): Seq[String] = {
@@ -86,7 +100,7 @@ final class ContainerTable(format: String, tableSchema: StructType,
   override def name(): String = s"$format(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ContainerScanBuilder(format, tableSchema, paths, parse)
 }
@@ -107,13 +121,63 @@ final class ContainerScan(format: String, required: StructType,
   override def toBatch: Batch = this
   // one partition per CONTAINER: a single container file is inherently a
   // single-reader unit, and the many-files ingest case is where the
-  // parallelism lives
+  // parallelism lives; landing-zone directories expand at planning time
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => ContainerPartition(p): InputPartition).toArray
+    paths.flatMap(ContainerSource.containerFiles)
+      .map(p => ContainerPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ContainerReaderFactory(required, parse)
   override def description(): String =
     s"$format cols=[${required.fieldNames.mkString(",")}] files=${paths.length}"
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ContainerMicroBatchStream(required, paths, parse)
+}
+
+/** Streaming half of the connector tier: `spark.readStream
+  * .format("gpkg").load(landingDir)` — continuous container ingest. The
+  * offset is the COUNT of containers in the landing zone's lexicographic
+  * file order, so each micro-batch plans exactly the newly-landed files
+  * (one partition each, the same executor-side parse as batch).
+  * Contract, as with every count-offset landing zone: drops land under
+  * monotonically increasing names (date/sequence prefixes — the
+  * convention object-store landing zones already follow) and are never
+  * deleted while a stream reads; the count offset then names a stable
+  * prefix, checkpoint/restart resumes exactly where the last batch
+  * committed, and nothing is read twice or skipped
+  * (GpkgStreamSpec executes that restart). */
+final class ContainerMicroBatchStream(required: StructType, roots: Seq[String],
+    parse: String => (StructType, Seq[Seq[Any]]))
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def files(): Seq[String] =
+    roots.flatMap(ContainerSource.containerFiles).distinct.sorted
+
+  override def initialOffset(): Offset = ContainerOffset(0)
+  override def latestOffset(): Offset = ContainerOffset(files().length)
+  override def deserializeOffset(json: String): Offset =
+    ContainerOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fs = files()
+    val s = start.asInstanceOf[ContainerOffset].n
+    val e = end.asInstanceOf[ContainerOffset].n
+    require(e <= fs.length,
+      s"offset $e beyond the ${fs.length} containers present — files were " +
+        "deleted from the landing zone under a running stream")
+    fs.slice(s, e).map(p => ContainerPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ContainerReaderFactory(required, parse)
+}
+
+final case class ContainerOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 final case class ContainerPartition(path: String) extends InputPartition
