@@ -636,6 +636,74 @@ object DedupQueries {
               FROM sh JOIN df USING (h)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // EXACT set-similarity join via prefix filtering (PPJoin family —
+    // Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): order every doc's
+    // shingle set by GLOBAL rarity (df asc, hash asc — one shared total
+    // order), keep each doc's first |d| − ⌈t·|d|⌉ + 1 shingles as its
+    // PREFIX, and generate candidates only from shared prefix shingles.
+    // The prefix lemma guarantees any pair with Jaccard ≥ t shares a
+    // prefix element, so — unlike the probabilistic MinHash/SimHash
+    // banding above — recall is 1.0 BY CONSTRUCTION at the threshold,
+    // while the rarest-first order keeps prefix buckets tiny (a common
+    // shingle is never anyone's prefix unless the doc is small). The
+    // oracle is the direct exact join — equality IS the completeness
+    // proof, re-asserted against in-memory brute force in
+    // PrefixJoinSpec. Every shuffle carries 8-byte hashes or (id, id)
+    // pairs; candidate volume is Σ|prefix-bucket|², bounded by rarity.
+    QuerySpec(
+      "dedup_prefix_join",
+      (s, dir) => {
+        val T = 0.2
+        // one materialization feeds the df/rank/size aggregations AND
+        // both verify sides (the minhashPairs checkpoint rationale)
+        val sh = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
+          .distinct().localCheckpoint()
+        val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        val sets = sh.groupBy("doc_id")
+          .agg(collect_set(col("h")).as("hs"))
+          .withColumn("c", size(col("hs")))
+        val ranked = sh.join(dfreq, "h")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+          .join(sets.select(col("doc_id"), col("c").as("sz")), "doc_id")
+          .filter(col("rk") <= col("sz") - ceil(col("sz") * T) + 1)
+          .select("doc_id", "h")
+        val cand = ranked.as("a").join(ranked.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        cand
+          .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("c").as("ca")), "da")
+          .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("c").as("cb")), "db")
+          .withColumn("ic", size(array_intersect(col("ha"), col("hb"))))
+          .withColumn("jaccard",
+            col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
+          .filter(col("jaccard") >= T)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              idx AS (
+                SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
+                FROM toks WHERE LEN(t) >= 3),
+              sh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h
+                FROM idx),
+              c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              p AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ic
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT da AS doc_a, db AS doc_b,
+                     ROUND(CAST(ic AS DOUBLE) / (ca.n + cb.n - ic), 6) AS jaccard
+              FROM p JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
+              WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.2
+              ORDER BY doc_a, doc_b""")),
+
     // The RESAMPLING EXECUTION of the soft-dedup weights: a document
     // survives iff a deterministic per-doc uniform draw (md5 of its id,
     // 24 bits → [0,1)) lands under its weight — importance sampling
