@@ -107,18 +107,41 @@ final class ContainerTable(format: String, tableSchema: StructType,
 
 final class ContainerScanBuilder(format: String, full: StructType,
     paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Int = Int.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ContainerScan(format, required, paths, parse)
+  // PARTIAL push (return false, Spark keeps its global limit): each
+  // partition reader stops emitting after `limit` rows, so a limited
+  // probe over a landing zone converts and ships at most limit rows per
+  // container instead of every row
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def build(): Scan = new ContainerScan(format, required, paths, parse, limit)
 }
 
 final class ContainerScan(format: String, required: StructType,
-    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
-    extends Scan with Batch {
+    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]),
+    limit: Int = Int.MaxValue)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Input-size statistics from file metadata (a free stat: container
+    * length upper-bounds decoded size) — this is what lets Catalyst
+    * BROADCAST a dimension read through the connector instead of
+    * defaulting to the worst-case estimate and sort-merge-joining it. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = paths.flatMap(ContainerSource.containerFiles)
+        .map(p => new java.io.File(p).length()).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   // one partition per CONTAINER: a single container file is inherently a
   // single-reader unit, and the many-files ingest case is where the
   // parallelism lives; landing-zone directories expand at planning time
@@ -126,9 +149,10 @@ final class ContainerScan(format: String, required: StructType,
     paths.flatMap(ContainerSource.containerFiles)
       .map(p => ContainerPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ContainerReaderFactory(required, parse)
+    new ContainerReaderFactory(required, parse, limit)
   override def description(): String =
-    s"$format cols=[${required.fieldNames.mkString(",")}] files=${paths.length}"
+    s"$format cols=[${required.fieldNames.mkString(",")}] files=${paths.length}" +
+      (if (limit != Int.MaxValue) s" limit=$limit" else "")
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ContainerMicroBatchStream(required, paths, parse)
@@ -183,13 +207,17 @@ final case class ContainerOffset(n: Int)
 final case class ContainerPartition(path: String) extends InputPartition
 
 final class ContainerReaderFactory(required: StructType,
-    parse: String => (StructType, Seq[Seq[Any]]))
+    parse: String => (StructType, Seq[Seq[Any]]),
+    limit: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[ContainerPartition].path
     new PartitionReader[InternalRow] {
-      // the parse runs HERE — in the scan task, on the executor
-      private val (fileSchema, rows) = parse(path)
+      // the parse runs HERE — in the scan task, on the executor; the
+      // pushed limit caps CONVERSION + EMISSION per partition (the
+      // container decode itself is whole-file by format)
+      private val (fileSchema, allRows) = parse(path)
+      private val rows = if (limit == Int.MaxValue) allRows else allRows.take(limit)
       private val idx = required.fieldNames.map { n =>
         val i = fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
         require(i >= 0, s"container '$path' lacks required column '$n' " +

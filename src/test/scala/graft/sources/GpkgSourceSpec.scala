@@ -91,6 +91,31 @@ class GpkgSourceSpec extends AnyFunSuite {
     assert(got.toSeq == driver.toSeq && got.length == 12)
   }
 
+  test("reported statistics let Catalyst BROADCAST a connector-read dimension") {
+    // without SupportsReportStatistics the connector relation defaults to
+    // the worst-case size estimate and every join against it goes SMJ —
+    // the stat is what makes a 4 KB dimension broadcastable
+    val paths = writeFixture("graft-dsv2-stats", 1)
+    val dim = spark.read.format("gpkg").load(paths.head).select("k", "name")
+    val fact = spark.range(10000).select(
+      (col("id") % 5 + 101).as("k"), (col("id") * 2).as("v"))
+    val joined = fact.join(dim, "k").groupBy("name")
+      .agg(sum("v").as("sv")).orderBy("name")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"connector dim not broadcast — statistics not reaching the optimizer:\n$plan")
+  }
+
+  test("a pushed limit caps per-partition emission") {
+    val paths = writeFixture("graft-dsv2-limit", 3)
+    val df = spark.read.format("gpkg").load(paths: _*).limit(2)
+    assert(df.collect().length == 2)
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("limit=2"),
+      s"limit did not reach the scan:\n$scanDesc")
+  }
+
   test("a container missing a required column fails with a readable error") {
     val paths = writeFixture("graft-dsv2-err", 1)
     val df = spark.read.format("gpkg").schema(
