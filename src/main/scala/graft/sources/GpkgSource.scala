@@ -108,9 +108,14 @@ final class ContainerTable(format: String, tableSchema: StructType,
 final class ContainerScanBuilder(format: String, full: StructType,
     paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = full
   private var limit: Int = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   // PARTIAL push (return false, Spark keeps its global limit): each
@@ -118,12 +123,79 @@ final class ContainerScanBuilder(format: String, full: StructType,
   // probe over a landing zone converts and ships at most limit rows per
   // container instead of every row
   override def pushLimit(l: Int): Boolean = { limit = l; false }
-  override def build(): Scan = new ContainerScan(format, required, paths, parse, limit)
+
+  // Comparison/null filters evaluate on the EXTERNAL row values before
+  // conversion, so filtered rows never cross the scan boundary. All
+  // pushed filters are ALSO returned as post-scan residuals (the
+  // conservative DSv2 contract — Spark re-checks, so a filter the
+  // evaluator under-applies can only cost, never corrupt).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(ContainerFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ContainerScan(format, required, paths, parse, limit, pushed)
+}
+
+/** Row-level evaluation of pushed source filters over external values
+  * (Long / Double / String / Array[Byte] / null) — the supported subset
+  * is exact; anything else stays Spark-side. */
+private[sources] object ContainerFilters {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => comparable(v)
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
+    case IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  private def comparable(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Double | _: Float | _: String => true
+    case _ => false
+  }
+
+  /** Evaluates `f` over a row; a missing column or unexpected type
+    * keeps the row (the residual re-check decides). */
+  def eval(f: Filter, name: String => Option[Any]): Boolean = f match {
+    case EqualTo(a, v) => cmp(name(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(name(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(name(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(name(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(name(a), v).exists(_ <= 0)
+    // missing column → keep (None.forall = true / the residual decides);
+    // present non-null → IsNull is definitively false, drop is exact
+    case IsNull(a) => name(a).forall(_ == null)
+    case IsNotNull(a) => name(a).forall(_ != null)
+    case And(l, r) => eval(l, name) && eval(r, name)
+    case _ => true
+  }
+
+  /** None = incomparable (null or type mismatch) → row survives to the
+    * residual; NULL comparisons are filtered like SQL (non-match). */
+  private def cmp(cell: Option[Any], v: Any): Option[Int] = (cell, v) match {
+    case (Some(null), _) => None // null never matches a comparison
+    case (Some(x: Long), n: Long) => Some(java.lang.Long.compare(x, n))
+    case (Some(x: Long), n: Int) => Some(java.lang.Long.compare(x, n.toLong))
+    case (Some(x: Double), n: Double) => Some(java.lang.Double.compare(x, n))
+    case (Some(x: Double), n: Int) => Some(java.lang.Double.compare(x, n.toDouble))
+    case (Some(x: Double), n: Long) => Some(java.lang.Double.compare(x, n.toDouble))
+    case (Some(x: Long), n: Double) => Some(java.lang.Double.compare(x.toDouble, n))
+    case (Some(x: String), s: String) => Some(x.compareTo(s))
+    case _ => None
+  }
 }
 
 final class ContainerScan(format: String, required: StructType,
     paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]),
-    limit: Int = Int.MaxValue)
+    limit: Int = Int.MaxValue,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -149,10 +221,11 @@ final class ContainerScan(format: String, required: StructType,
     paths.flatMap(ContainerSource.containerFiles)
       .map(p => ContainerPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ContainerReaderFactory(required, parse, limit)
+    new ContainerReaderFactory(required, parse, limit, filters)
   override def description(): String =
     s"$format cols=[${required.fieldNames.mkString(",")}] files=${paths.length}" +
-      (if (limit != Int.MaxValue) s" limit=$limit" else "")
+      (if (limit != Int.MaxValue) s" limit=$limit" else "") +
+      (if (filters.nonEmpty) s" pushed=[${filters.mkString(",")}]" else "")
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ContainerMicroBatchStream(required, paths, parse)
@@ -208,16 +281,25 @@ final case class ContainerPartition(path: String) extends InputPartition
 
 final class ContainerReaderFactory(required: StructType,
     parse: String => (StructType, Seq[Seq[Any]]),
-    limit: Int = Int.MaxValue)
+    limit: Int = Int.MaxValue,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[ContainerPartition].path
     new PartitionReader[InternalRow] {
-      // the parse runs HERE — in the scan task, on the executor; the
-      // pushed limit caps CONVERSION + EMISSION per partition (the
-      // container decode itself is whole-file by format)
+      // the parse runs HERE — in the scan task, on the executor; pushed
+      // filters drop rows BEFORE conversion and the pushed limit caps
+      // conversion + emission per partition (the container decode
+      // itself is whole-file by format)
       private val (fileSchema, allRows) = parse(path)
-      private val rows = if (limit == Int.MaxValue) allRows else allRows.take(limit)
+      private def cell(r: Seq[Any])(n: String): Option[Any] = {
+        val i = fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+        if (i >= 0) Some(r(i)) else None
+      }
+      private val rows = allRows.iterator
+        .filter(r => filters.forall(f => ContainerFilters.eval(f, cell(r))))
+        .take(if (limit == Int.MaxValue) Int.MaxValue else limit)
+        .toSeq
       private val idx = required.fieldNames.map { n =>
         val i = fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
         require(i >= 0, s"container '$path' lacks required column '$n' " +

@@ -116,6 +116,18 @@ class GpkgSourceSpec extends AnyFunSuite {
       s"limit did not reach the scan:\n$scanDesc")
   }
 
+  test("pushed filters drop rows before conversion and stay exact under the residual") {
+    val paths = writeFixture("graft-dsv2-filter", 2)
+    val df = spark.read.format("gpkg").load(paths: _*)
+      .filter(col("k") > 103L && col("name").isNotNull)
+    val rows = df.collect().map(_.getLong(0)).toSet
+    // file i=1 has keys 101..105, i=2 has 201..205 → k > 103 keeps 104,105,201..205
+    assert(rows == Set(104L, 105L, 201L, 202L, 203L, 204L, 205L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("GreaterThan(k,103"),
+      s"filter did not reach the scan:\n$plan")
+  }
+
   test("a container missing a required column fails with a readable error") {
     val paths = writeFixture("graft-dsv2-err", 1)
     val df = spark.read.format("gpkg").schema(
