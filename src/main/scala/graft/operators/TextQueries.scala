@@ -1137,6 +1137,103 @@ object TextQueries {
                      ('0x'||SUBSTR(MD5(ARRAY_TO_STRING(ct, ' ')),1,8))::BIGINT AS chunk_hash
               FROM c ORDER BY doc_id, chunk_idx""")),
 
+    // The round-6 curation ops COMPOSED as one declarative plan — the
+    // modern pretraining recipe pipeline_curate predates: CCNet
+    // perplexity bucketing drops each language's tail third, then
+    // SoftDedup importance resampling thins the survivors by duplicate
+    // commonness (deterministic hash draw < weight), and the report is
+    // the per-language corpus mix a training run would sample from.
+    // Composition is the point: the LM scorer, the ntile bucketing, the
+    // shingle-df weights, and the resample draw all run inside ONE
+    // Catalyst plan — the corpus is tokenized once per signal, every
+    // shuffle carries compact keys, and no stage materializes between
+    // stages. The shapes are each individually verified
+    // (text_perplexity_buckets, dedup_soft_weights/resample); here the
+    // oracle verifies their JOIN semantics end-to-end.
+    QuerySpec(
+      "pipeline_curate_soft",
+      (s, dir) => {
+        // stage 1: per-doc unigram LM score → per-lang head/middle kept
+        val terms = docs(s, dir).select(col("doc_id"), col("lang"), explode(toks).as("term"))
+        val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val tot = terms.agg(count(lit(1)).as("total"))
+        val scored = terms.join(freq, "term").crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("lang"),
+            round(log(col("cnt") / col("total")), 6).cast("decimal(18,6)").as("logp"))
+          .groupBy("doc_id", "lang")
+          .agg((round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0))
+            .as("score"))
+        val bucketed = scored.withColumn("bucket", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))))
+        // stage 2: soft-dedup weight + deterministic resample draw
+        val sh = docs(s, dir).repartition(col("doc_id"))
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .select(col("doc_id"),
+            explode(when(size(col("t")) >= 3,
+              expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))"))
+              .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+          .select(col("doc_id"), graft.functions.HashBridge.h32(col("g")).as("h"))
+          .distinct()
+        val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        val weights = sh.join(dfreq, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ns"), sum(col("df")).as("sdf"))
+          .select(col("doc_id"),
+            (round(col("ns").cast("double") / col("sdf"), 6) + lit(0.0)).as("weight"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("double") / 16777216.0).as("u"))
+        bucketed.join(weights, "doc_id")
+          .withColumn("kept", col("bucket") <= 2 && col("u") < col("weight"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            round(sum(when(col("kept"), col("weight").cast("decimal(18,6)"))
+              .otherwise(lit(0).cast("decimal(18,6)"))).cast("double"), 6).as("kept_weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH terms AS (
+                SELECT doc_id, lang,
+                       UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+                FROM documents),
+              freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+              tot AS (SELECT COUNT(*) AS total FROM terms),
+              scored AS (
+                SELECT doc_id, lang,
+                       ROUND(CAST(SUM(CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                             / COUNT(*), 6) + 0.0 AS score
+                FROM terms JOIN freq USING (term) CROSS JOIN tot
+                GROUP BY doc_id, lang),
+              b AS (
+                SELECT doc_id, lang,
+                       NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS bucket
+                FROM scored),
+              toks AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              idx AS (
+                SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
+                FROM toks WHERE LEN(t) >= 3),
+              sh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h
+                FROM idx),
+              dfq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+              w AS (
+                SELECT doc_id,
+                       ROUND(COUNT(*) / CAST(SUM(df) AS DOUBLE), 6) + 0.0 AS weight,
+                       CAST(('0x'||SUBSTR(MD5(CAST(doc_id AS VARCHAR)),1,6))::BIGINT AS DOUBLE)
+                         / 16777216.0 AS u
+                FROM sh JOIN dfq USING (h)
+                GROUP BY doc_id),
+              j AS (
+                SELECT b.lang, b.bucket <= 2 AND w.u < w.weight AS kept, w.weight
+                FROM b JOIN w USING (doc_id))
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     ROUND(CAST(SUM(CASE WHEN kept THEN CAST(weight AS DECIMAL(18,6))
+                                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+                       AS kept_weight
+              FROM j GROUP BY lang ORDER BY lang""")),
+
     // End-to-end curation pipeline as ONE declarative plan — the shape a
     // real pretraining data job takes: quality gate (the text_quality_
     // filter predicates, SAME Scala helpers so the stages cannot drift)

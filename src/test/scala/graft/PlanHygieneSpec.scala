@@ -32,6 +32,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       // the unigram-LM scorer reused under CCNet bucketing — same 1-row
       // token-total broadcast as text_unigram_logprob
       "text_perplexity_buckets",
+      // the composed curation pipeline carries the same scorer
+      "pipeline_curate_soft",
       "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
       // k broadcast centroids against every vector — the kmAssign shape
