@@ -234,6 +234,64 @@ object MultimodalQueries {
               WHERE hamming <= 3
               ORDER BY img_a, img_b""")),
 
+    // Video path — SCENE-CUT detection, the segmentation primitive every
+    // video curation pipeline runs before clip extraction/captioning: a
+    // cut lands between consecutive frames whose 32-bit perceptual
+    // features differ in ≥ 17 bits (hamming on the same integer-exact
+    // xor+bit_count bridge the SimHash tier pins); scenes are the
+    // gaps-and-islands between cuts. Frames are the STUB md5-chain words
+    // (16 per doc — no codecs in this container; a real decoder slots
+    // into the same column), the computation is the real one: per-frame
+    // lag window, integer hamming, running cut-count scene ids, per-doc
+    // scene stats — all doc_id-keyed exchanges, linear at any scale.
+    QuerySpec(
+      "multimodal_scene_detect",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("k")
+        val hexmedia = concat(
+          md5(col("text")), md5(concat(col("text"), lit("_1"))),
+          md5(concat(col("text"), lit("_2"))), md5(concat(col("text"), lit("_3"))))
+        docs(s, dir)
+          .select(col("doc_id"), hexmedia.as("hx"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, 15), k -> CAST(conv(substring(hx, k*8+1, 8), 16, 10) AS BIGINT))"))
+            .as(Seq("k", "feature")))
+          .withColumn("prev", lag(col("feature"), 1).over(w))
+          .withColumn("cut",
+            col("prev").isNotNull &&
+              bit_count(col("feature").bitwiseXOR(col("prev"))) >= 17)
+          .withColumn("sid", sum(when(col("cut"), 1L).otherwise(0L)).over(w))
+          .groupBy("doc_id", "sid").agg(count(lit(1)).as("len"))
+          .groupBy("doc_id")
+          .agg((max(col("sid")) + 1).as("n_scenes"),
+            max(col("len")).as("longest_scene"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       MD5(text)||MD5(text||'_1')||MD5(text||'_2')||MD5(text||'_3') AS hx
+                FROM documents),
+              f AS (
+                SELECT doc_id, k,
+                       ('0x'||SUBSTR(hx, CAST(k*8+1 AS INT), 8))::BIGINT AS feature
+                FROM m, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS k)),
+              c AS (
+                SELECT doc_id, k, feature,
+                       CASE WHEN LAG(feature) OVER w IS NOT NULL
+                             AND BIT_COUNT(XOR(feature, LAG(feature) OVER w)) >= 17
+                            THEN 1 ELSE 0 END AS cut
+                FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY k)),
+              sid AS (
+                SELECT doc_id,
+                       SUM(cut) OVER (PARTITION BY doc_id ORDER BY k
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM c),
+              sc AS (SELECT doc_id, sid, COUNT(*) AS len FROM sid GROUP BY 1, 2)
+              SELECT doc_id, CAST(MAX(sid) + 1 AS BIGINT) AS n_scenes,
+                     MAX(len) AS longest_scene
+              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     // Audio path — voice-activity detection over windowed PCM energy,
     // the segmentation every speech-data pipeline runs before
     // transcription/embedding. The "waveform" is a STUB (64 8-bit

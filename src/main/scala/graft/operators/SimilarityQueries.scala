@@ -332,6 +332,81 @@ object SimilarityQueries {
                 FROM pairs) WHERE rn <= 5
               ORDER BY query_id, sim DESC, neighbor_id""")),
 
+    QuerySpec(
+      "topk_similarity_matryoshka",
+      (s, dir) => {
+        // Matryoshka / MRL retrieval (Kusupati et al. 2022): models
+        // trained with matryoshka losses pack a usable coarse embedding
+        // into every PREFIX of the vector, so a dimension PREFIX ranks
+        // candidates at proportionally less compute/bandwidth and the
+        // full vector exact-reranks the survivors. The quantization
+        // ladder's missing rung: SQ/PQ/binary coarsen VALUES, this
+        // truncates DIMENSIONS — same two-stage plan shape, same
+        // bounded-16-row declared baseline join, same recall contract
+        // (SimilarityMatryoshkaSpec floor). Knobs pinned at 32-of-64
+        // dims with 50-candidate oversampling: the corpus embeddings
+        // are NOT matryoshka-trained (prefix dims carry no special
+        // mass — the technique's worst case), so the demo buys 2× and
+        // oversamples; an MRL-trained model runs 8-of-768 with tight
+        // candidate sets.
+        val full = normed(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+        val head = full.select(col("vec_id"), slice(col("e"), 1, 32).as("he"))
+          .withColumn("hn", sqrt(dot(col("he"), col("he"))))
+        val q = head.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"), col("he").as("q_he"), col("hn").as("q_hn"))
+        val wq = Window.partitionBy("query_id").orderBy(col("hsim").desc, col("neighbor_id"))
+        val cand = q.join(head, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dot(col("q_he"), col("he")) / (col("q_hn") * col("hn")), 6).as("hsim"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 50)
+          .select(col("query_id"), col("neighbor_id"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        cand
+          .join(full.as("q2"), col("q2.vec_id") === col("query_id"))
+          .join(full.as("c2"), col("c2.vec_id") === col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q2.e"), col("c2.e")) / (col("q2.nrm") * col("c2.nrm")), 6) + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              h AS (
+                SELECT vec_id, e[1:32] AS he,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e[1:32]) AS x))) AS hn
+                FROM v),
+              scores AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.he) * UNNEST(c.he) AS p))
+                             / (q.hn * c.hn), 6) AS hsim
+                FROM h q JOIN h c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 16),
+              cand AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY hsim DESC, neighbor_id) AS rn
+                  FROM scores) WHERE rn <= 50),
+              n AS (
+                SELECT vec_id, e,
+                       SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+                FROM v),
+              rer AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q2.e) * UNNEST(c2.e) AS p))
+                             / (q2.nrm * c2.nrm), 6) + 0.0 AS sim
+                FROM cand JOIN n q2 ON q2.vec_id = cand.query_id
+                          JOIN n c2 ON c2.vec_id = cand.neighbor_id)
+              SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rn
+                FROM rer) WHERE rn <= 5
+              ORDER BY query_id, sim DESC, neighbor_id""")),
+
     // Scalar-quantized (SQ8-style) ANN: rank ALL candidates by an
     // approximate cosine computed from integer-quantized codes
     // (q = round(x*1000), the proven LshBandKeys bridge — every product

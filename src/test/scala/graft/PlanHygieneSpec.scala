@@ -26,6 +26,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       // the MIPS reduction: same bounded-16-row brute baseline shape as
       // topk_similarity plus a 1-row max-norm broadcast
       "topk_similarity_mips",
+      // truncated-dim coarse pass over the same bounded-16-row shape
+      "topk_similarity_matryoshka",
       "text_unigram_logprob", "text_bigram_logprob", "text_bm25",
       // 1-row corpus-totals broadcast (the tf-idf scalar shape)
       "text_importance_dsir",
