@@ -631,6 +631,57 @@ object RelationalQueries {
                SELECT event_id AS purchase_id, asof_error_id
                FROM w WHERE tag = 1 ORDER BY purchase_id""")),
 
+    // As-of join WITH TOLERANCE (pandas merge_asof's `tolerance` /
+    // kdb wj semantics): the latest prior error only counts if it
+    // happened within the last hour — a stale match is semantically no
+    // match (NULL), the contract feature-store point-in-time lookups
+    // rely on (a reading from last week must not leak into today's
+    // features). Same single-shuffle union+window plan as join_asof with
+    // the matched TIMESTAMP carried alongside the id; the tolerance is
+    // one more codegen'd comparison, zero extra exchanges.
+    QuerySpec(
+      "join_asof_tolerance",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        errs.union(purch)
+          .withColumn("asof_error_id",
+            last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("asof_error_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id").as("purchase_id"),
+            when(col("ts").cast("long") - col("asof_error_ts").cast("long") <= 3600,
+              col("asof_error_id")).as("asof_error_id"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH e AS ($EventsUs),
+               u AS (
+                 SELECT user_id, ts, 0 AS tag, event_id FROM e WHERE event_type = 'error'
+                 UNION ALL
+                 SELECT user_id, ts, 1 AS tag, event_id FROM e WHERE event_type = 'purchase'
+               ),
+               w AS (
+                 SELECT tag, event_id, ts,
+                        LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                          OVER win AS asof_error_id,
+                        LAST_VALUE(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+                          OVER win AS asof_error_ts
+                 FROM u
+                 WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )
+               SELECT event_id AS purchase_id,
+                      CASE WHEN EPOCH(ts) - EPOCH(asof_error_ts) <= 3600
+                           THEN asof_error_id END AS asof_error_id
+               FROM w WHERE tag = 1 ORDER BY purchase_id""")),
+
     // The SAME as-of semantics through the custom WHOLE-OPERATOR stack
     // (plans/AsofJoin: logical node → injected SparkStrategy → sorted-
     // merge AsofJoinExec): one clustered shuffle on the key, one
