@@ -322,6 +322,94 @@ object DedupQueries {
           .otherwise(expr("CAST(array() AS array<string>)"))).as("s"))
       .select(col(keyCol), h32(col("s")).as("h"))
 
+  /** The PPJoin-family exact set-similarity join at threshold `T`
+    * (Chaudhuri et al. ICDE'06 prefix lemma; Xiao et al. WWW'08 length +
+    * positional filters), shared by the t=0.2 and t=0.5 declared queries.
+    *
+    * Candidate generation joins only PREFIX shingles (global rarity
+    * order), then prunes each matched pair with two EXACT predicates
+    * before the array-intersect verify:
+    *  - LENGTH filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so
+    *    min < t*max refutes the pair with no verification;
+    *  - POSITIONAL filter: for a shared element at ranks (rka, rkb) in
+    *    the shared total order, overlap(a,b) <= min(rka−1, rkb−1) + 1 +
+    *    min(sza−rka, szb−rkb) (commons strictly before the element, the
+    *    element itself, commons after). J >= t forces overlap >= α =
+    *    ⌈t/(1+t)·(sza+szb)⌉, so a bound below α refutes the PAIR.
+    * Both bounds hold for EVERY shared element, so when a pair truly
+    * meets the threshold every one of its matched prefix rows passes —
+    * recall stays 1.0 by construction; the ε=1e-9 slack only ever
+    * widens a bound (never prunes more). Both predicates read columns
+    * (`rk`, `sz`) the prefix computation already produced — zero extra
+    * shuffles; they ride the candidate join as its residual condition.
+    */
+  private def prefixJoinQuery(T: Double): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      // one materialization feeds the df/rank/size aggregations AND
+      // both verify sides (the minhashPairs checkpoint rationale)
+      val sh = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
+        .distinct().localCheckpoint()
+      val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val sets = sh.groupBy("doc_id")
+        .agg(collect_set(col("h")).as("hs"))
+        .withColumn("c", size(col("hs")))
+      val ranked = sh.join(dfreq, "h")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .join(sets.select(col("doc_id"), col("c").as("sz")), "doc_id")
+        .filter(col("rk") <= col("sz") - ceil(col("sz") * T) + 1)
+        .select("doc_id", "h", "rk", "sz")
+      // α: minimum intersection size any pair with J >= T must reach
+      val alpha = ceil((lit(T) / (1.0 + T)) *
+        (col("a.sz") + col("b.sz")).cast("double") - lit(1e-9))
+      val cand = ranked.as("a").join(ranked.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            // length filter
+            least(col("a.sz"), col("b.sz")).cast("double") >=
+              lit(T) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1e-9) &&
+            // positional filter: min(rka,rkb) = min(rka-1,rkb-1)+1
+            (least(col("a.rk"), col("b.rk")) +
+              least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")))
+              .cast("double") >= alpha)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("c").as("ca")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("c").as("cb")), "db")
+        .withColumn("ic", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jaccard",
+          col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
+        .filter(col("jaccard") >= T)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+
+  /** DuckDB twin of [[prefixJoinQuery]]: the DIRECT exact join at the
+    * same threshold — the oracle deliberately skips the filters so
+    * equality is the completeness proof of the pruned Spark plan. */
+  private def prefixJoinOracle(T: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
+       |  FROM toks WHERE LEN(t) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h
+       |  FROM idx),
+       |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ic
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       ROUND(CAST(ic AS DOUBLE) / (ca.n + cb.n - ic), 6) AS jaccard
+       |FROM p JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
+       |WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= $T
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Per-doc 64-bit SimHash fingerprint as two independent 32-bit halves
     * (`doc_id`, `hi`, `lo`) — md5 hex chars 1-8 and 9-16 feed two SimHash
     * aggregations in ONE partial-aggregating pass (constant shuffle bytes
@@ -643,66 +731,27 @@ object DedupQueries {
     // PREFIX, and generate candidates only from shared prefix shingles.
     // The prefix lemma guarantees any pair with Jaccard ≥ t shares a
     // prefix element, so — unlike the probabilistic MinHash/SimHash
-    // banding above — recall is 1.0 BY CONSTRUCTION at the threshold,
-    // while the rarest-first order keeps prefix buckets tiny (a common
-    // shingle is never anyone's prefix unless the doc is small). The
-    // oracle is the direct exact join — equality IS the completeness
-    // proof, re-asserted against in-memory brute force in
-    // PrefixJoinSpec. Every shuffle carries 8-byte hashes or (id, id)
-    // pairs; candidate volume is Σ|prefix-bucket|², bounded by rarity.
-    QuerySpec(
-      "dedup_prefix_join",
-      (s, dir) => {
-        val T = 0.2
-        // one materialization feeds the df/rank/size aggregations AND
-        // both verify sides (the minhashPairs checkpoint rationale)
-        val sh = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
-          .distinct().localCheckpoint()
-        val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        val sets = sh.groupBy("doc_id")
-          .agg(collect_set(col("h")).as("hs"))
-          .withColumn("c", size(col("hs")))
-        val ranked = sh.join(dfreq, "h")
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("doc_id").orderBy(col("df"), col("h"))))
-          .join(sets.select(col("doc_id"), col("c").as("sz")), "doc_id")
-          .filter(col("rk") <= col("sz") - ceil(col("sz") * T) + 1)
-          .select("doc_id", "h")
-        val cand = ranked.as("a").join(ranked.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        cand
-          .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("c").as("ca")), "da")
-          .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("c").as("cb")), "db")
-          .withColumn("ic", size(array_intersect(col("ha"), col("hb"))))
-          .withColumn("jaccard",
-            col("ic").cast("double") / (col("ca") + col("cb") - col("ic")))
-          .filter(col("jaccard") >= T)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH toks AS (
-                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
-              idx AS (
-                SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-2)) AS i
-                FROM toks WHERE LEN(t) >= 3),
-              sh AS (
-                SELECT DISTINCT doc_id,
-                       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h
-                FROM idx),
-              c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-              p AS (
-                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ic
-                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-              SELECT da AS doc_a, db AS doc_b,
-                     ROUND(CAST(ic AS DOUBLE) / (ca.n + cb.n - ic), 6) AS jaccard
-              FROM p JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
-              WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.2
-              ORDER BY doc_a, doc_b""")),
+    // banding above — recall is 1.0 BY CONSTRUCTION at the threshold.
+    // Beyond the prefix lemma the candidate join carries BOTH of the
+    // published family's exact pair-level filters (see prefixJoinQuery):
+    // the LENGTH filter (min size ≥ t·max size, else J < t outright) and
+    // the POSITIONAL filter (overlap ≤ min(rka,rkb) + min(sza−rka,
+    // szb−rkb) for ANY shared element at ranks rka/rkb, so a matched
+    // prefix element whose bound misses the required overlap
+    // α = ⌈t/(1+t)·(sza+szb)⌉ proves the PAIR fails). Both predicates
+    // use columns already in the plan — no extra shuffle. The oracle is
+    // the direct exact join — equality IS the completeness proof,
+    // re-asserted against in-memory brute force in PrefixJoinSpec.
+    // Every shuffle carries 8-byte hashes or (id, id) pairs; candidate
+    // volume is Σ|prefix-bucket|² AFTER length+positional pruning.
+    // Declared at two thresholds: t=0.2 (permissive — prefixes are ~80%
+    // of each set, the filters do the heavy lifting) and t=0.5 (the
+    // regime where prefixes themselves shrink to ~half).
+    QuerySpec("dedup_prefix_join", prefixJoinQuery(0.2),
+      Some(prefixJoinOracle(0.2))),
+
+    QuerySpec("dedup_prefix_join_t5", prefixJoinQuery(0.5),
+      Some(prefixJoinOracle(0.5))),
 
     // The RESAMPLING EXECUTION of the soft-dedup weights: a document
     // survives iff a deterministic per-doc uniform draw (md5 of its id,
