@@ -84,13 +84,15 @@ object ContainerSource {
     else Seq(path)
   }
 
-  /** Minimal `["a","b"]` parser (Spark itself JSON-encodes the list; the
-    * unescape below inverts its encoder for filesystem path strings). */
+  /** `["a","b"]` parser via Jackson (already on the classpath through
+    * Spark): Spark's encoder for the multi-path `paths` option emits
+    * `\ uXXXX` escapes for non-ASCII path characters, which a
+    * quote-and-backslash-only unescape would leave encoded and so
+    * resolve to a wrong filename. */
   private def parseJsonStringArray(s: String): Seq[String] = {
-    val t = s.trim
-    require(t.startsWith("[") && t.endsWith("]"), s"expected JSON array, got: $s")
-    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(t)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    require(node != null && node.isArray, s"expected JSON array, got: $s")
+    (0 until node.size()).map(i => node.get(i).asText())
   }
 }
 
@@ -233,16 +235,20 @@ final class ContainerScan(format: String, required: StructType,
 
 /** Streaming half of the connector tier: `spark.readStream
   * .format("gpkg").load(landingDir)` — continuous container ingest. The
-  * offset is the COUNT of containers in the landing zone's lexicographic
-  * file order, so each micro-batch plans exactly the newly-landed files
-  * (one partition each, the same executor-side parse as batch).
-  * Contract, as with every count-offset landing zone: drops land under
-  * monotonically increasing names (date/sequence prefixes — the
+  * offset is the count of containers in the landing zone's lexicographic
+  * file order, ANCHORED by the name of the last committed container:
+  * each micro-batch plans exactly the newly-landed files (one partition
+  * each, the same executor-side parse as batch). Contract: drops land
+  * under monotonically increasing names (date/sequence prefixes — the
   * convention object-store landing zones already follow) and are never
-  * deleted while a stream reads; the count offset then names a stable
-  * prefix, checkpoint/restart resumes exactly where the last batch
-  * committed, and nothing is read twice or skipped
-  * (GpkgStreamSpec executes that restart). */
+  * deleted while a stream reads. The anchor makes violations LOUD
+  * instead of silent: a container landing with a name that sorts before
+  * already-committed files shifts the prefix, so the committed position
+  * no longer holds the committed name and `planInputPartitions` refuses
+  * to plan a batch that would skip or double-read containers (deletions
+  * keep tripping the count bound as before). Checkpoint/restart resumes
+  * exactly where the last batch committed (GpkgStreamSpec executes the
+  * restart and the misordered-landing failure). */
 final class ContainerMicroBatchStream(required: StructType, roots: Seq[String],
     parse: String => (StructType, Seq[Seq[Any]]))
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -251,30 +257,70 @@ final class ContainerMicroBatchStream(required: StructType, roots: Seq[String],
   private def files(): Seq[String] =
     roots.flatMap(ContainerSource.containerFiles).distinct.sorted
 
-  override def initialOffset(): Offset = ContainerOffset(0)
-  override def latestOffset(): Offset = ContainerOffset(files().length)
+  override def initialOffset(): Offset = ContainerOffset(0, "")
+  override def latestOffset(): Offset = {
+    val fs = files()
+    ContainerOffset(fs.length, fs.lastOption.getOrElse(""))
+  }
   override def deserializeOffset(json: String): Offset =
-    ContainerOffset(json.trim.toInt)
+    ContainerOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fs = files()
-    val s = start.asInstanceOf[ContainerOffset].n
-    val e = end.asInstanceOf[ContainerOffset].n
-    require(e <= fs.length,
-      s"offset $e beyond the ${fs.length} containers present — files were " +
-        "deleted from the landing zone under a running stream")
-    fs.slice(s, e).map(p => ContainerPartition(p): InputPartition).toArray
+    val so = start.asInstanceOf[ContainerOffset]
+    val eo = end.asInstanceOf[ContainerOffset]
+    require(eo.n <= fs.length,
+      s"offset ${eo.n} beyond the ${fs.length} containers present — files " +
+        "were deleted from the landing zone under a running stream")
+    // the committed POSITION must still hold the committed NAME — an
+    // out-of-order landing (or rename) shifts the lexicographic prefix
+    // and would silently remap offsets to different containers
+    def anchored(o: ContainerOffset, which: String): Unit =
+      if (o.n > 0 && o.last.nonEmpty)
+        require(fs(o.n - 1) == o.last,
+          s"landing-zone order violated: the $which offset committed " +
+            s"'${o.last}' at position ${o.n - 1} but that position now " +
+            s"holds '${fs(o.n - 1)}' — a container landed with a name " +
+            "sorting before already-committed files; refusing to plan a " +
+            "batch that would skip or double-read containers")
+    anchored(so, "start")
+    anchored(eo, "end")
+    fs.slice(so.n, eo.n).map(p => ContainerPartition(p): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ContainerReaderFactory(required, parse)
 }
 
-final case class ContainerOffset(n: Int)
+/** @param n    count of committed containers (lexicographic prefix length)
+  * @param last name of the container at position n−1 when committed —
+  *             the anchor that detects out-of-order landings ("" for the
+  *             initial offset and for legacy count-only checkpoints) */
+final case class ContainerOffset(n: Int, last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("n", n)
+    node.put("last", last)
+    m.writeValueAsString(node)
+  }
+}
+
+object ContainerOffset {
+  /** Accepts both the anchored form and a legacy bare-count checkpoint
+    * (pre-anchor streams restart with an empty anchor: same positions,
+    * order checking resumes from the next commit). */
+  def fromJson(json: String): ContainerOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      ContainerOffset(node.get("n").asInt(),
+        Option(node.get("last")).map(_.asText()).getOrElse(""))
+    } else ContainerOffset(t.toInt, "")
+  }
 }
 
 final case class ContainerPartition(path: String) extends InputPartition
@@ -292,27 +338,35 @@ final class ContainerReaderFactory(required: StructType,
       // conversion + emission per partition (the container decode
       // itself is whole-file by format)
       private val (fileSchema, allRows) = parse(path)
-      private def cell(r: Seq[Any])(n: String): Option[Any] = {
-        val i = fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
-        if (i >= 0) Some(r(i)) else None
+      // name→index resolved ONCE per reader, case-insensitively,
+      // first-wins on case-colliding names (indexWhere semantics) — the
+      // hot loop below then costs one hash lookup per filter column, not
+      // a linear scan of the schema per row
+      private val colIndex: Map[String, Int] =
+        fileSchema.fieldNames.zipWithIndex.reverseIterator
+          .map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> i }
+          .toMap
+      private def cell(r: Seq[Any])(n: String): Option[Any] =
+        colIndex.get(n.toLowerCase(java.util.Locale.ROOT)).map(r)
+      private val idx: Array[Int] = required.fieldNames.map { n =>
+        colIndex.getOrElse(n.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"container '$path' lacks required column '$n' " +
+              s"(has: ${fileSchema.fieldNames.mkString(", ")})"))
       }
-      private val rows = allRows.iterator
+      // stays LAZY: parse already holds the container's rows — a second
+      // materialization of the filtered view would double the footprint
+      private val it = allRows.iterator
         .filter(r => filters.forall(f => ContainerFilters.eval(f, cell(r))))
         .take(if (limit == Int.MaxValue) Int.MaxValue else limit)
-        .toSeq
-      private val idx = required.fieldNames.map { n =>
-        val i = fileSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
-        require(i >= 0, s"container '$path' lacks required column '$n' " +
-          s"(has: ${fileSchema.fieldNames.mkString(", ")})")
-        i
-      }
-      private val it = rows.iterator
       private var current: InternalRow = _
 
       override def next(): Boolean =
         if (it.hasNext) {
           val r = it.next()
-          current = InternalRow.fromSeq(idx.toSeq.map(i => toCatalyst(r(i))))
+          current = InternalRow.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              idx.map(i => toCatalyst(r(i)))))
           true
         } else false
 

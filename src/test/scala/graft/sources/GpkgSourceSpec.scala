@@ -128,6 +128,30 @@ class GpkgSourceSpec extends AnyFunSuite {
       s"filter did not reach the scan:\n$plan")
   }
 
+  test("partition reader is lazy and resolves filter columns case-insensitively in O(1)") {
+    import org.apache.spark.sql.types._
+    val fileSchema = StructType(Seq(
+      StructField("K", LongType), StructField("txt", StringType)))
+    // poison tail: any row past index 1 throws — proves (a) reader
+    // construction materializes nothing (the old .toSeq would force it)
+    // and (b) the pushed limit stops the pull, no second copy
+    val rows: Seq[Seq[Any]] = LazyList.from(0).map {
+      case 0 => Seq[Any](1L, "a")
+      case 1 => Seq[Any](5L, "b")
+      case _ => throw new IllegalStateException("reader forced rows beyond the pushed limit")
+    }
+    val factory = new ContainerReaderFactory(
+      StructType(Seq(StructField("K", LongType))),
+      (_: String) => (fileSchema, rows),
+      limit = 1,
+      // lowercase "k" vs schema "K": the precomputed index must match
+      filters = Array(org.apache.spark.sql.sources.GreaterThan("k", 0L)))
+    val reader = factory.createReader(ContainerPartition("mem"))
+    assert(reader.next(), "filter dropped a matching row")
+    assert(reader.get().getLong(0) == 1L)
+    assert(!reader.next(), "pushed limit not applied") // never touches the poison tail
+  }
+
   test("a container missing a required column fails with a readable error") {
     val paths = writeFixture("graft-dsv2-err", 1)
     val df = spark.read.format("gpkg").schema(

@@ -52,4 +52,43 @@ class GpkgStreamSpec extends AnyFunSuite {
     assert(all.toSet == Set(101L, 102L, 103L, 201L, 202L, 203L,
       301L, 302L, 303L, 401L, 402L, 403L))
   }
+
+  test("a container landing out of lexicographic order fails the stream loudly") {
+    val zone = Files.createTempDirectory("graft-gpkg-zone-ooo")
+    zone.toFile.deleteOnExit()
+    land(zone, "a01.gpkg", 100)
+    land(zone, "a02.gpkg", 200)
+    val schema = spark.read.format("gpkg")
+      .load(zone.resolve("a01.gpkg").toString).schema
+    val out = Files.createTempDirectory("graft-gpkg-ooo-out").toString
+    val ckpt = Files.createTempDirectory("graft-gpkg-ooo-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("gpkg").schema(schema)
+        .load(zone.toString)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000): Unit
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 6)
+    // a name sorting BEFORE the committed prefix shifts every offset —
+    // the committed (position, name) anchor must refuse to plan, not
+    // silently skip a01/a02's successor and re-read a shifted prefix
+    land(zone, "0a.gpkg", 900)
+    val e = intercept[Exception](drain())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("landing-zone order violated")),
+      s"misordered landing did not fail loudly: ${messages(e).mkString(" | ")}")
+  }
+
+  test("offset json round-trips the (count, anchor-name) pair and accepts legacy bare counts") {
+    val o = ContainerOffset(7, "/zone/a \"quoted\" \\ päth.gpkg")
+    assert(ContainerOffset.fromJson(o.json()) == o)
+    assert(ContainerOffset.fromJson("3") == ContainerOffset(3, ""))
+  }
 }
