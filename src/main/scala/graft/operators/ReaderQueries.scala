@@ -367,6 +367,32 @@ object ReaderQueries {
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
               FROM nation ORDER BY id""")),
 
+    // MULTI-CONTAINER landing-zone ingest (IngestPipeline.planDir —
+    // beyond the reference's single-file API): nation rows split across
+    // five gpkg containers in one directory, ingested as ONE connector
+    // read (one scan partition per container, SQLite walk on executors)
+    // through the same detect → discover → CRS → transform half as the
+    // single-file pipeline. IngestPipelineSpec asserts the scan is the
+    // connector's ContainerScan, not a driver-built union.
+    QuerySpec(
+      "pipeline_ingest_gpkg_dir",
+      (s, dir) => {
+        val zone = fixturePath(dir, "pipe_gpkg_zone")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+        geoRows(s, dir).grouped(5).zipWithIndex.foreach { case (g, i) =>
+          graft.sources.FormatWriters.writeGeoPackage(
+            s"$zone/part$i.gpkg", "nation_geo", "nkey", "nname", 4326, g)
+        }
+        val res = graft.plans.IngestPipeline.planDir(s, zone, "nation_zone", "public")
+        res.transformed
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            col("geom_wkt").as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // GeoPackage WRITE-BACK round-trip: nation rows with a WKT point
     // column run through GeoPackageSink.writeGeo (WKT → GPB geometry,
     // `_wkt` scaffolding dropped — the 2-phase PostGIS contract at the

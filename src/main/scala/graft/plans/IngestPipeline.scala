@@ -78,7 +78,12 @@ object IngestPipeline {
   }
 
   /** Format-dispatched lazy read — the `create_duckb_table` CTAS switch
-    * (core_processor.rs:391-428), as `DataFrameReader` calls. */
+    * (core_processor.rs:391-428), as `DataFrameReader` calls. The two
+    * binary container formats ride the DataSourceV2 connector tier
+    * (`format("gpkg")` / `format("shpzip")`), so their parse runs in the
+    * SCAN TASK on an executor — the reference-shaped end-to-end path and
+    * the ten-thousand-container ingest share one code path, and the
+    * driver touches only the schema-inference container. */
   def read(spark: SparkSession, path: String, fileType: FileType): DataFrame =
     fileType match {
       case FileType.Parquet =>
@@ -95,10 +100,44 @@ object IngestPipeline {
         if (FileTypeDetector.isCfbf(path)) graft.sources.XlsReader.read(spark, path)
         else graft.sources.XlsxReader.read(spark, path)
       case FileType.Shapefile =>
-        graft.sources.ShapefileReader.read(spark, path)
+        spark.read.format("shpzip").load(path)
       case FileType.Geopackage =>
-        graft.sources.GeoPackageReader.read(spark, path)
+        spark.read.format("gpkg").load(path)
     }
+
+  /** Multi-container landing-zone ingest (beyond the reference's
+    * single-file API): detect the container type from the FIRST file in
+    * lexicographic order, then plan ONE connector read over the whole
+    * directory — every container parses in its own scan task. The
+    * geometry/CRS/transform half is byte-identical to [[plan]]; the CRS
+    * is taken from the probe container (one landing zone = one source
+    * system = one CRS, the same contract the count-anchored streaming
+    * offset documents). */
+  def planDir(spark: SparkSession, dirPath: String, tableName: String,
+      schemaName: String): Result = {
+    val files = Option(new java.io.File(dirPath).listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no container files under '$dirPath'")
+    val fileType = FileTypeDetector.detect(files.head)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    require(fileType == FileType.Geopackage || fileType == FileType.Shapefile,
+      s"directory ingest supports the container formats (gpkg, zipped " +
+        s"shapefile); '${files.head}' detected as $fileType")
+    val cleaned = FileTypeDetector.cleanTableName(tableName)
+    val df = read(spark, dirPath, fileType)
+    val geometry = SchemaHeuristics.findGeometryColumns(df.schema, fileType)
+    if (geometry.names.isEmpty)
+      Result(fileType, cleaned, geometry, None, df)
+    else {
+      val crs = currentCrs(df, fileType, geometry, files.head)
+      if (!crs.toIntOption.exists(graft.functions.CrsTransform.SupportedEpsg.contains))
+        throw new IllegalArgumentException(
+          s"unsupported source CRS EPSG:$crs for '$dirPath' — " +
+            s"supported: ${graft.functions.CrsTransform.SupportedEpsg.toSeq.sorted.mkString(", ")}")
+      Result(fileType, cleaned, geometry, Some(crs),
+        GeoTransform(df, fileType, geometry, crs, TargetCrs))
+    }
+  }
 
   /** `get_crs_number` (geo_strategy.rs:21-72): per-format CRS source. */
   def currentCrs(

@@ -421,6 +421,36 @@ class IngestPipelineSpec extends AnyFunSuite {
       .getAs[String]("geom_wkt") == "POINT (-0.1275 51.5072)")
   }
 
+  test("pipeline container reads plan through the DSv2 connector (ContainerScan, not driver DataFrame)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def containerScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.collect { case c: graft.sources.ContainerScan => c }
+    // single-file reference-shaped path: gpkg
+    val res = IngestPipeline.plan(spark,
+      IngestJob("src/test/resources/fixtures/minimal.gpkg", "minimal.gpkg", "s"))
+    assert(containerScans(res.transformed).nonEmpty,
+      s"gpkg pipeline read is not a ContainerScan:\n${res.transformed.queryExecution.optimizedPlan}")
+    // multi-container landing zone: one connector scan over the whole
+    // directory, one partition per container
+    val zone = tmpDir
+    (1 to 3).foreach { i =>
+      FormatWriters.writeGeoPackage(zone.resolve(s"z$i.gpkg").toString,
+        "pts", "k", "name", 4326,
+        (1L to 2L).map(j => (i * 10L + j, s"c$i-$j", j * 1.0, j * 1.0)))
+    }
+    val multi = IngestPipeline.planDir(spark, zone.toString, "zone_tbl.gpkg", "s")
+    assert(multi.tableName == "zone_tbl")
+    assert(multi.geometry.names == Seq("geom"))
+    assert(containerScans(multi.transformed).nonEmpty)
+    assert(multi.transformed.rdd.getNumPartitions == 3,
+      "expected one scan partition per container")
+    val keys = multi.transformed.select("k").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(11L, 12L, 21L, 22L, 31L, 32L))
+    assert(multi.transformed.columns.contains("geom_wkt"))
+  }
+
   test("sqlite reader walks interior B-tree pages (3000-row table)") {
     val db = new SqliteReader("src/test/resources/fixtures/minimal.gpkg")
     val (cols, rows) = db.readTable("many")
