@@ -423,6 +423,34 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // The MULTI-PAGE write-back: the same sink round-trip as sink_gpkg
+    // but over customer (1.5k rows at sf0.01, 15k at sf0.1) — the
+    // container necessarily spans many leaf pages under interior B-tree
+    // fan-out, so the writer's tree construction (not just its
+    // single-leaf degenerate case) sits under the driver's hash gate.
+    QuerySpec(
+      "sink_gpkg_multipage",
+      (s, dir) => {
+        val outRoot = fixturePath(dir, "gpkg_sink_mp")
+        val sink = new graft.plans.GeoPackageSink(outRoot)
+        val src = Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("ckey"),
+            col("c_name").as("cname"),
+            graft.functions.GeoFunctions.stPointWkt(
+              col("c_custkey").cast("double"),
+              (col("c_custkey") % 90).cast("double")).as("geom_wkt"))
+        sink.dropTable("public", "customer_rt")
+        sink.writeGeo(src, "public", "customer_rt", Seq("geom"))
+        graft.sources.GeoPackageReader.read(s, s"$outRoot/public/customer_rt.gpkg")
+          .select(col("ckey").cast("long").as("ckey"), col("cname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("ckey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS cname,
+                     'POINT (' || CAST(c_custkey AS BIGINT)::VARCHAR || ' ' ||
+                     (CAST(c_custkey AS BIGINT) % 90)::VARCHAR || ')' AS wkt
+              FROM customer ORDER BY ckey""")),
+
     // Parquet point-lookup sink: write orders clustered on the key with
     // column BLOOM FILTERS and small row groups, read back with literal
     // point predicates. The plan must push the IN-filter into the scan

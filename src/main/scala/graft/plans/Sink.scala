@@ -110,12 +110,12 @@ final class GeoPackageSink(rootDir: String, srsId: Int = 4326) extends Sink {
       (if (wktNames(f.name)) f.name.stripSuffix("_wkt") else f.name) -> declared
     }.toSeq
     val fields = df.schema.fields
-    // toLocalIterator, NOT collect: pulls one partition at a time, so
-    // driver memory stays bounded even when a caller hands a large
-    // frame — the page writer's byte-budget guard then rejects it with
-    // a row/byte count instead of an OOM. A single-file SQLite
-    // container is inherently a single-writer, dimension-sized sink;
-    // the 100 TB path is parquet.
+    // toLocalIterator, NOT collect: pulls one partition at a time, and
+    // the page writer streams rows one leaf page at a time (multi-page
+    // B-tree with interior fan-out + overflow chains), so driver memory
+    // stays bounded at one partition + one page of cells. A single-file
+    // SQLite container is still inherently a single-writer sink; the
+    // 100 TB path is parquet.
     import scala.jdk.CollectionConverters._
     val rows = df.toLocalIterator().asScala.map { r =>
       fields.indices.map { i =>

@@ -222,10 +222,10 @@ object FormatWriters {
 
   /** Point-feature GeoPackage written from scratch (SQLite file format +
     * OGC GeoPackage spec): sqlite_master on page 1, gpkg_contents,
-    * gpkg_geometry_columns, and one feature table, each a single leaf
-    * B-tree page. Geometry rows carry a GPB (magic + flags + srs + WKB).
-    * Small-table writer by design: each table must fit one 4096-byte
-    * page (enforced), which a fixture always does. */
+    * gpkg_geometry_columns, and one feature table. Geometry rows carry a
+    * GPB (magic + flags + srs + WKB). The feature table grows past one
+    * page via interior B-tree pages and overflow chains (see
+    * [[writeGeoPackageTable]]). */
   def writeGeoPackage(path: String, table: String, keyField: String,
       nameField: String, srsId: Int,
       rows: Seq[(Long, String, Double, Double)]): Unit =
@@ -234,38 +234,27 @@ object FormatWriters {
       srsId = srsId, geomColumn = Some("geom"),
       rows = rows.iterator.map { case (k, n, x, y) => Seq(k, n, gpb(srsId, x, y)) })
 
-  /** General single-leaf-page GeoPackage writer — the write side of
-    * [[GeoPackageReader]] and the backing of [[graft.plans.GeoPackageSink]].
-    * `columns` are (name, SQLite decl type) pairs aligned with each row's
-    * values (Long / String / Double / Array[Byte] / null); a geometry
-    * column's values must already be GPB blobs (see [[gpbWrap]]).
+  /** General GeoPackage writer — the write side of [[GeoPackageReader]]
+    * and the backing of [[graft.plans.GeoPackageSink]]. `columns` are
+    * (name, SQLite decl type) pairs aligned with each row's values
+    * (Long / String / Double / Array[Byte] / null); a geometry column's
+    * values must already be GPB blobs (see [[gpbWrap]]).
     * `geomColumn = None` writes an attributes-only container (data_type
-    * "attributes", no gpkg_geometry_columns row). Same bounded scope as
-    * every writer here: driver-side, each table one 4096-byte page
-    * (enforced by `leafPage`'s require — ingest containers are small; the
-    * 100 TB path is parquet, never a single SQLite file). */
+    * "attributes", no gpkg_geometry_columns row).
+    *
+    * The feature table is a REAL multi-page table B-tree: leaves are
+    * packed greedily in rowid order, interior pages (type 0x05) fan out
+    * over them level by level, and any record larger than the spec's
+    * local-payload maximum spills to an overflow chain — the exact
+    * inverse of [[SqliteReader]]'s walk, which is also the round-trip
+    * proof (FormatWritersSpec + `sink_gpkg`'s hash oracle). Rows stream
+    * through one leaf at a time, so driver memory stays bounded at one
+    * page of cells plus the emitted file bytes; the writer is still a
+    * driver-side single-file emitter by design (an SQLite container has
+    * no split to distribute — the 100 TB path is parquet). */
   def writeGeoPackageTable(path: String, table: String,
       columns: Seq[(String, String)], srsId: Int,
       geomColumn: Option[String], rows: Iterator[Seq[Any]]): Unit = {
-    // Drain the row iterator UNDER the single-page byte budget: the
-    // caller may hand an unbounded iterator (GeoPackageSink streams
-    // toLocalIterator), so overflow must fail fast with counts — after
-    // buffering at most one page worth of cells — never first
-    // materialize everything and then trip leafPage's require.
-    val featureCells = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    var cellBytes = 0
-    rows.foreach { r =>
-      require(r.length == columns.length,
-        s"row arity ${r.length} != ${columns.length} columns")
-      val c = cell(featureCells.length + 1L, record(r))
-      cellBytes += c.length + 2 // + cell-pointer slot
-      require(8 + cellBytes <= PageSize,
-        s"GeoPackage feature table '$table' overflows its single 4 KiB page " +
-          s"after ${featureCells.length + 1} rows ($cellBytes cell bytes): this " +
-          "sink is a driver-side single-file emitter for dimension-sized " +
-          "frames — write large frames to parquet and sink only dimensions here")
-      featureCells += c
-    }
     val featureSql =
       s"CREATE TABLE $table (${columns.map { case (n, t) => s"$n $t" }.mkString(", ")})"
     val contentsSql =
@@ -273,27 +262,27 @@ object FormatWriters {
     val geomColsSql =
       "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, " +
         "geometry_type_name TEXT, srs_id INTEGER, z INTEGER, m INTEGER)"
-
     val dataType = if (geomColumn.isDefined) "features" else "attributes"
+
+    val pf = new SqlitePageFile
+    val masterPage = pf.allocate() // page 1: sqlite_master, filled last
+    var rowid = 0L
+    val featureRoot = pf.writeTable(rows.map { r =>
+      require(r.length == columns.length,
+        s"row arity ${r.length} != ${columns.length} columns")
+      rowid += 1
+      (rowid, record(r))
+    })
+    val contentsRoot = pf.writeTable(
+      Iterator((1L, record(Seq(table, dataType, srsId.toLong)))))
+    val geomColsRoot = pf.writeTable(geomColumn.iterator.map(g =>
+      (1L, record(Seq(table, g, "GEOMETRY", srsId.toLong, 0L, 0L)))))
     val masterCells = Seq(
-      masterRecord(1, "gpkg_contents", 2, contentsSql),
-      masterRecord(2, "gpkg_geometry_columns", 3, geomColsSql),
-      masterRecord(3, table, 4, featureSql))
-    val contentsCells = Seq(
-      cell(1, record(Seq(table, dataType, srsId.toLong))))
-    val geomColsCells = geomColumn.toSeq.map(g =>
-      cell(1, record(Seq(table, g, "GEOMETRY", srsId.toLong, 0L, 0L))))
-    val pages = Array(
-      leafPage(masterCells, reservedPrefix = 100),
-      leafPage(contentsCells),
-      leafPage(geomColsCells),
-      leafPage(featureCells.toSeq))
-    val out = new Array[Byte](PageSize * pages.length)
-    pages.zipWithIndex.foreach { case (p, i) =>
-      System.arraycopy(p, 0, out, i * PageSize, PageSize)
-    }
-    writeSqliteHeader(out, pages.length)
-    Files.write(Paths.get(path), out): Unit
+      masterRecord(1, "gpkg_contents", contentsRoot.toLong, contentsSql),
+      masterRecord(2, "gpkg_geometry_columns", geomColsRoot.toLong, geomColsSql),
+      masterRecord(3, table, featureRoot.toLong, featureSql))
+    pf.setPage(masterPage, leafPage(masterCells, reservedPrefix = 100))
+    Files.write(Paths.get(path), pf.toBytes): Unit
   }
 
   /** GeoPackage binary wrapper around arbitrary WKB: "GP", version 0,
@@ -308,6 +297,126 @@ object FormatWriters {
   }
 
   private val PageSize = 4096
+
+  /** Append-only SQLite page-file builder: whole table B-trees with
+    * greedy leaf packing, interior fan-out (page type 0x05), and
+    * overflow chains for oversized records — the write-side mirror of
+    * [[SqliteReader]]'s walk (its readPayload spill formula, inverted).
+    * Page numbers are 1-based; page 1 must be allocated first and filled
+    * by the caller with the sqlite_master leaf. */
+  private final class SqlitePageFile {
+    private val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+
+    def allocate(): Int = { pages += null; pages.length }
+
+    def setPage(no: Int, bytes: Array[Byte]): Unit = {
+      require(bytes.length == PageSize, s"page must be $PageSize bytes")
+      pages(no - 1) = bytes
+    }
+
+    def toBytes: Array[Byte] = {
+      val out = new Array[Byte](PageSize * pages.length)
+      pages.zipWithIndex.foreach { case (p, i) =>
+        require(p != null, s"page ${i + 1} allocated but never written")
+        System.arraycopy(p, 0, out, i * PageSize, PageSize)
+      }
+      writeSqliteHeader(out, pages.length)
+      out
+    }
+
+    // the spec's local-payload bounds for leaf table cells (usable page
+    // size = PageSize: the header declares 0 reserved bytes per page)
+    private val X = PageSize - 35
+    private val M = ((PageSize - 12) * 32) / 255 - 23
+
+    /** Leaf cell for (rowid, payload); payloads past the local maximum
+      * spill to an overflow chain allocated here. */
+    private def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] =
+      if (payload.length <= X)
+        varint(payload.length.toLong) ++ varint(rowid) ++ payload
+      else {
+        val total = payload.length
+        val k = M + ((total - M) % (PageSize - 4))
+        val local = if (k <= X) k else M
+        val chunks = payload.drop(local).grouped(PageSize - 4).toVector
+        val chain = chunks.map(_ => allocate())
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          val pg = new Array[Byte](PageSize)
+          val next = if (i + 1 < chain.length) chain(i + 1) else 0
+          ByteBuffer.wrap(pg).order(ByteOrder.BIG_ENDIAN).putInt(0, next)
+          System.arraycopy(chunk, 0, pg, 4, chunk.length)
+          setPage(chain(i), pg)
+        }
+        varint(total.toLong) ++ varint(rowid) ++ payload.take(local) ++
+          ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+            .putInt(chain.head).array()
+      }
+
+    /** Write a table B-tree from (ascending rowid, record payload) rows;
+      * returns the root page number. Streams one leaf of cells at a
+      * time — driver memory stays bounded regardless of table size. */
+    def writeTable(rows: Iterator[(Long, Array[Byte])]): Int = {
+      val leaves = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      val cur = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var curBytes = 0
+      var lastRowid = 0L
+      def flushLeaf(): Unit = {
+        val no = allocate()
+        setPage(no, leafPage(cur.toSeq))
+        leaves += ((no, lastRowid))
+        cur.clear(); curBytes = 0
+      }
+      rows.foreach { case (rid, payload) =>
+        val c = leafCell(rid, payload)
+        if (cur.nonEmpty &&
+            8 + 2 * (cur.length + 1) + curBytes + c.length > PageSize)
+          flushLeaf()
+        cur += c; curBytes += c.length; lastRowid = rid
+      }
+      if (cur.nonEmpty || leaves.isEmpty) flushLeaf()
+      buildInterior(leaves.toSeq)
+    }
+
+    // conservative interior fan-out: every child costs a pointer slot +
+    // 4-byte child page + worst-case 9-byte rowid varint
+    private val Fanout = (PageSize - 12) / (2 + 4 + 9)
+
+    /** Fold children up interior levels until one root remains. */
+    @scala.annotation.tailrec
+    private def buildInterior(children: Seq[(Int, Long)]): Int =
+      if (children.length == 1) children.head._1
+      else buildInterior(children.grouped(Fanout).map { g =>
+        val no = allocate()
+        setPage(no, interiorPage(g))
+        (no, g.last._2)
+      }.toSeq)
+
+    /** Interior table page (0x05): cells carry (left-child page, max
+      * rowid in that subtree) for all children but the last, which
+      * becomes the header's rightmost pointer. */
+    private def interiorPage(children: Seq[(Int, Long)]): Array[Byte] = {
+      val page = new Array[Byte](PageSize)
+      page(0) = 0x05
+      val cells = children.init.map { case (child, maxRowid) =>
+        ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          .putInt(child).array() ++ varint(maxRowid)
+      }
+      page(3) = ((cells.length >> 8) & 0xFF).toByte
+      page(4) = (cells.length & 0xFF).toByte
+      ByteBuffer.wrap(page).order(ByteOrder.BIG_ENDIAN)
+        .putInt(8, children.last._1)
+      var contentOff = PageSize
+      cells.zipWithIndex.foreach { case (c, i) =>
+        contentOff -= c.length
+        System.arraycopy(c, 0, page, contentOff, c.length)
+        page(12 + 2 * i) = ((contentOff >> 8) & 0xFF).toByte
+        page(12 + 2 * i + 1) = (contentOff & 0xFF).toByte
+      }
+      page(5) = ((contentOff >> 8) & 0xFF).toByte
+      page(6) = (contentOff & 0xFF).toByte
+      page
+    }
+  }
 
   private def writeSqliteHeader(file: Array[Byte], pageCount: Int): Unit = {
     val magic = "SQLite format 3 ".getBytes("US-ASCII")

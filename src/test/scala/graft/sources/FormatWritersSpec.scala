@@ -44,12 +44,46 @@ class FormatWritersSpec extends AnyFunSuite {
     }
   }
 
-  test("geopackage writer rejects tables that exceed one page instead of corrupting") {
-    val big = (1 to 200).map(i => (i.toLong, "y" * 100, 0.0, 0.0))
-    val e = intercept[IllegalArgumentException] {
-      FormatWriters.writeGeoPackage(tmp("big.gpkg"), "t", "k", "n", 4326, big)
+  test("geopackage writer spans leaf pages: 200 x 100-char rows round-trip intact") {
+    val big = (1 to 200).map(i => (i.toLong, s"r$i-" + "y" * 100, i * 1.0, -i * 1.0))
+    val path = tmp("big.gpkg")
+    FormatWriters.writeGeoPackage(path, "t", "k", "n", 4326, big)
+    val got = GeoPackageReader.read(spark, path).orderBy("k").collect()
+    assert(got.length == 200)
+    got.zip(big).foreach { case (r, (k, n, x, y)) =>
+      assert(r.getLong(0) == k && r.getString(1) == n)
+      val g = graft.functions.GeoFunctions.parseWkb(r.getAs[Array[Byte]]("geom")).get
+      assert(g.getCoordinate.x == x && g.getCoordinate.y == y)
     }
-    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("geopackage writer builds a multi-level interior tree (1 near-full-page row per leaf)") {
+    // ~3900-char payloads force one row per leaf -> 300 leaves, which
+    // exceeds the interior fan-out and forces TWO interior levels; the
+    // real SqliteReader walk is the proof the tree is well-formed
+    val rows = (1 to 300).map(i => (i.toLong, f"p$i%03d_" + "z" * 3890, 0.5, 1.5))
+    val path = tmp("deep.gpkg")
+    FormatWriters.writeGeoPackage(path, "deep", "k", "n", 4326, rows)
+    val got = GeoPackageReader.read(spark, path).orderBy("k").collect()
+    assert(got.length == 300)
+    assert(got.map(_.getLong(0)).toSeq == (1L to 300L))
+    assert(got(137).getString(1).startsWith("p138_"))
+    assert(got(137).getString(1).length == 3895)
+  }
+
+  test("geopackage writer spills oversized records to overflow chains") {
+    // 9000- and 20000-char strings exceed the local-payload maximum:
+    // 2- and 5-page overflow chains, read back byte-identical
+    val rows = Seq(
+      (1L, "a" * 9000, 1.0, 2.0),
+      (2L, "small", 3.0, 4.0),
+      (3L, "b" * 20000, 5.0, 6.0))
+    val path = tmp("ovf.gpkg")
+    FormatWriters.writeGeoPackage(path, "ovf", "k", "n", 4326, rows)
+    val got = GeoPackageReader.read(spark, path).orderBy("k").collect()
+    assert(got.map(_.getString(1)) sameElements Array("a" * 9000, "small", "b" * 20000))
+    val g = graft.functions.GeoFunctions.parseWkb(got(2).getAs[Array[Byte]]("geom")).get
+    assert(g.getCoordinate.x == 5.0 && g.getCoordinate.y == 6.0)
   }
 
   test("shapefile writer round-trips negative coords and short names") {
