@@ -81,6 +81,111 @@ object MultimodalQueries {
                      16 AS n_bytes
               FROM documents ORDER BY doc_id""")),
 
+    // The REAL byte path of the image tier: genuine BMP files (24-bit,
+    // BITMAPFILEHEADER + BITMAPINFOHEADER + stride-padded rows — a pure
+    // public struct layout, no codec needed) are encoded per doc with
+    // dims derived from doc_id and pixels from an md5 chain, then
+    // decoded by MediaCodecs.parseBmp reading the actual little-endian
+    // header offsets and walking rows by the 4-byte-aligned stride
+    // (padding skipped — arithmetic a fake header never exercises). The
+    // oracle recomputes every field independently: dims from doc_id,
+    // file size from the stride formula, pixel sum by slicing the same
+    // md5 hex at the same stride positions. Encoder and parser are
+    // independent layout implementations, so agreement is evidence, not
+    // tautology. Same mapPartitions batch shape as multimodal_decode.
+    QuerySpec(
+      "multimodal_decode_bmp",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(md5(col("text")), md5(md5(col("text"))),
+              md5(md5(md5(col("text"))))).as("hx"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, hx) =>
+              val pix = hx.grouped(2).map(h => Integer.parseInt(h, 16).toByte)
+              val bmp = graft.functions.MediaCodecs.encodeBmp24(
+                (id % 4 + 2).toInt, (id % 3 + 1).toInt, pix)
+              val hdr = graft.functions.MediaCodecs.parseBmp(bmp)
+              (id, hdr.width, hdr.height, hdr.bpp, hdr.fileSize,
+                graft.functions.MediaCodecs.bmpPixelSum(bmp))
+            }
+          }
+          .toDF("doc_id", "width", "height", "bpp", "file_size", "px_sum")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       MD5(text)||MD5(MD5(text))||MD5(MD5(MD5(text))) AS hx,
+                       CAST(doc_id % 4 + 2 AS INT) AS width,
+                       CAST(doc_id % 3 + 1 AS INT) AS height
+                FROM documents),
+              g AS (
+                SELECT doc_id, hx, width, height,
+                       ((width*3 + 3)//4)*4 AS stride
+                FROM d),
+              p AS (
+                SELECT doc_id, width, height, stride,
+                       ('0x'||SUBSTR(hx, CAST((r*stride + c)*2 + 1 AS INT), 2))::BIGINT AS byte
+                FROM g,
+                     (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS r),
+                     (SELECT UNNEST(GENERATE_SERIES(0, 14)) AS c)
+                WHERE r < height AND c < width*3)
+              SELECT doc_id, width, height, 24 AS bpp,
+                     CAST(54 + stride*height AS INT) AS file_size,
+                     CAST(SUM(byte) AS BIGINT) AS px_sum
+              FROM p GROUP BY doc_id, width, height, stride
+              ORDER BY doc_id""")),
+
+    // The REAL byte path of the audio tier: genuine RIFF/WAVE files
+    // (mono 8-bit PCM) encoded per doc — sample rate from doc_id,
+    // samples from an md5 chain, plus a deliberately ODD-sized LIST
+    // junk chunk between fmt and data — then decoded by
+    // MediaCodecs.parseWav, whose chunk WALK (id + size + word-align
+    // pad) must skip the junk to find fmt/data; fixed-offset "parsing"
+    // would read garbage. Output: format fields, duration, and the
+    // integer-exact PCM energy the oracle recomputes from the same hex.
+    QuerySpec(
+      "multimodal_decode_wav",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(md5(col("text")), md5(md5(col("text")))).as("hx"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, hx) =>
+              val samples = hx.grouped(2)
+                .map(h => Integer.parseInt(h, 16).toByte).toArray
+              val wav = graft.functions.MediaCodecs.encodeWavPcm8(
+                8000 + (id % 3).toInt * 4000, samples, junkChunk = true)
+              val (info, data) = graft.functions.MediaCodecs.parseWav(wav)
+              (id, info.sampleRate, info.channels, info.bitsPerSample,
+                info.nSamples, info.nSamples * 1000L / info.sampleRate,
+                graft.functions.MediaCodecs.pcm8Energy(data))
+            }
+          }
+          .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+            "duration_ms", "energy")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, MD5(text)||MD5(MD5(text)) AS hx,
+                       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+                FROM documents),
+              v AS (
+                SELECT doc_id, sample_rate,
+                       (('0x'||SUBSTR(hx, CAST(k*2+1 AS INT), 2))::BIGINT - 128) AS s
+                FROM d, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k))
+              SELECT doc_id, sample_rate, 1 AS channels, 8 AS bits,
+                     32 AS n_samples,
+                     CAST(32000 // sample_rate AS BIGINT) AS duration_ms,
+                     CAST(SUM(s*s) AS BIGINT) AS energy
+              FROM v GROUP BY doc_id, sample_rate ORDER BY doc_id""")),
+
     // Frame sampling — the video path: media as a fixed-layout binary
     // column of 16 4-byte "frames" (STUB bytes: an md5 chain over the
     // text, since no codecs ship in this container), stride-4 sampled
