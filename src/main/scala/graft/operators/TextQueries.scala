@@ -470,6 +470,97 @@ object TextQueries {
                      ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
               FROM c ORDER BY bucket""")),
 
+    // From-scratch BPE TRAINING (Sennrich et al. 2016 — the public
+    // byte-pair merge learner; graft.functions.Bpe): the corpus-sized
+    // work is one word-frequency aggregation, the merge loop runs
+    // driver-side over the bounded top-200 vocabulary (deterministic
+    // (count desc, word asc) order — the constant-size-model pattern of
+    // the unigram-LM tier), and the output is the 8-rule merge table.
+    // The oracle re-derives the SAME rules relationally: one unrolled
+    // CTE block per merge iteration (generated by Bpe.trainOracle from
+    // the same constants, the simhashPairCtes pattern), with left-greedy
+    // application exact in SQL via run-start parity. Equality of the
+    // two independently-expressed trainers IS the determinism proof.
+    QuerySpec(
+      "text_bpe_train",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        graft.functions.Bpe.trainOnCorpus(s, dir)
+          .map(m => (m.rank, m.lft, m.rgt, m.lft + m.rgt, m.count))
+          .toDF("rank", "lft", "rgt", "merged", "pair_count")
+          .orderBy("rank")
+      },
+      Some(graft.functions.Bpe.trainOracle)),
+
+    // BPE APPLICATION at corpus scale: the learned 8-rule model
+    // tokenizes the DISTINCT eligible words (kernel work ∝ vocabulary,
+    // not corpus — a mapPartitions over the deduplicated words), then
+    // broadcast-joins token counts back to every word occurrence for
+    // the per-doc rollup the packing/chunking tier consumes. The oracle
+    // replays training AND application end-to-end in SQL — the whole
+    // path from raw text to per-doc BPE token counts is hash-checked.
+    QuerySpec(
+      "text_bpe_apply",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val merges = graft.functions.Bpe.trainOnCorpus(s, dir)
+          .map(m => (m.lft, m.rgt))
+        val words = graft.functions.Bpe.eligibleWords(s, dir)
+        val tokenized = words.select("w").distinct().as[String]
+          .mapPartitions { it =>
+            it.map(w => (w, graft.functions.Bpe.tokenize(w, merges).length.toLong))
+          }.toDF("w", "n_tok")
+        words.join(broadcast(tokenized), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(length(col("w")).cast("long")).as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(graft.functions.Bpe.applyOracle)),
+
+    // Sequence packing over BPE TOKENS — text_pack's 512-token greedy
+    // binning re-expressed over what a real training pipeline measures
+    // (learned-subword counts, not whitespace splits): the per-doc BPE
+    // token count from the text_bpe_apply path (distinct-word kernel +
+    // broadcast join) feeds the same per-source cumulative window; docs
+    // with no eligible words pack at zero length (LEFT JOIN + 0). The
+    // packing plan's scale shape is unchanged — the tokenizer swap cost
+    // one broadcast join.
+    QuerySpec(
+      "text_pack_bpe",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val merges = graft.functions.Bpe.trainOnCorpus(s, dir)
+          .map(m => (m.lft, m.rgt))
+        val words = graft.functions.Bpe.eligibleWords(s, dir)
+        val tokenized = words.select("w").distinct().as[String]
+          .mapPartitions { it =>
+            it.map(w => (w, graft.functions.Bpe.tokenize(w, merges).length.toLong))
+          }.toDF("w", "w_tok")
+        val perDoc = words.join(broadcast(tokenized), "w")
+          .groupBy("doc_id").agg(sum(col("w_tok")).as("bpe_tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        docs(s, dir).select(col("doc_id"), col("source"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("bpe_tok"), lit(0L)).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(512)))
+          .groupBy("source", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some(graft.functions.Bpe.packOracle)),
+
     // Benchmark decontamination — the eval-overlap gate every pretraining
     // pipeline runs before training: a document is contaminated if it
     // shares any 4-token shingle with the held-out benchmark set (here the

@@ -37,4 +37,38 @@ class TextPackSpec extends AnyFunSuite {
         s"bin ${r.getString(0)}/${r.getLong(1)} holds ${r.getLong(3)} tokens")
     }
   }
+
+  test("BPE packing conserves documents and keeps bins contiguous") {
+    val packed = Registry.byName("text_pack_bpe").run(spark, dir).collect()
+    val totalDocs = Tables(spark, dir, "documents").count()
+    assert(packed.map(_.getLong(2)).sum == totalDocs,
+      "docs lost or duplicated in BPE packing")
+    packed.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0, s"$src: first bin not 0")
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a + 1 },
+        s"$src: bins not contiguous: ${bins.toSeq}")
+    }
+  }
+
+  test("BPE bin payloads respect the window plus last-doc overhang") {
+    val maxDoc = Registry.byName("text_bpe_apply").run(spark, dir)
+      .agg(max("n_tokens")).collect().head.getLong(0)
+    val packed = Registry.byName("text_pack_bpe").run(spark, dir).collect()
+    packed.foreach { r =>
+      assert(r.getLong(3) < 512 + maxDoc,
+        s"bin ${r.getString(0)}/${r.getLong(1)} holds ${r.getLong(3)} BPE tokens")
+    }
+  }
+
+  test("per-doc BPE token counts sit between word and char counts") {
+    // each eligible word is >= 1 token (merges never cross words) and
+    // <= its char count (merges only shrink segmentations)
+    val rows = Registry.byName("text_bpe_apply").run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(2) <= r.getLong(3),
+        s"doc ${r.getLong(0)}: tokens ${r.getLong(2)} outside [words ${r.getLong(1)}, chars ${r.getLong(3)}]")
+    }
+  }
 }
