@@ -60,15 +60,32 @@ object Bench {
     // percent; widespread 50%+ spreads or load ≫ core count mean the
     // totals are contention-inflated and per-query MINIMA are the only
     // comparable numbers. Full per-query spread map goes to the durable
-    // file; the compact stdout line carries just the three scalars.
+    // file; the compact stdout line carries the scalars, including an
+    // explicit `contended` verdict so no one has to hand-decompose a
+    // noisy round again.
     val spreads = allTimes.collect {
       case (name, ts) if ts.forall(_ >= 0) && ts.min > 0 =>
         name -> ((ts.max - ts.min) / ts.min * 100)
     }
     val maxSpread = if (spreads.nonEmpty) spreads.values.max else 0.0
+    val highSpreadFrac =
+      if (spreads.isEmpty) 0.0
+      else spreads.values.count(_ > 50.0).toDouble / spreads.size
+    val contended = loadStart > cpus.toDouble ||
+      highSpreadFrac > 0.15
+    // queries that reuse per-session materialized subtrees report
+    // marginal cost — flag them and give a total WITHOUT them, the
+    // number comparable across rounds regardless of cache state
+    val cached = Registry.all.filter(_.cacheAssisted).map(_.name)
+      .filter(results.contains).sorted
+    val totalExclCached = results
+      .filter { case (n, v) => v >= 0 && !cached.contains(n) }.values.sum
     val telemetryScalars =
       s""","load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)}""" +
-        s""","max_spread_pct":${f3(maxSpread)}"""
+        s""","max_spread_pct":${f3(maxSpread)}""" +
+        s""","high_spread_frac":${f3(highSpreadFrac)},"contended":$contended""" +
+        s""","cache_assisted":${cached.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","value_excl_cached":${f3(totalExclCached)}"""
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullJson = toJson(results, total, sfDir,

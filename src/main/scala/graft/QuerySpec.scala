@@ -15,6 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               the sketch, so timing `run` would measure the oracle
   *               scaffolding, not the fast path the operator exists for.
   *               Verify always checks `run`; None means Bench times `run`.
+  * @param cacheAssisted the query deliberately reuses a per-session
+  *               materialized subtree (e.g. the ensemble's published pair
+  *               checkpoints), so its best-of-N bench time measures the
+  *               marginal cost, not the end-to-end generators — Bench
+  *               flags these in its output and reports a total excluding
+  *               them so cross-round comparisons stay honest.
   *
   * Determinism contract (BASELINE.md): every query ends in a total-order
   * `ORDER BY`; double aggregation goes through DECIMAL(38,4) so partial-agg
@@ -27,7 +33,8 @@ final case class QuerySpec(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Option[(SparkSession, String) => DataFrame] = None)
+    bench: Option[(SparkSession, String) => DataFrame] = None,
+    cacheAssisted: Boolean = false)
 
 /** Aggregates every module's declared queries for SparkEntry. */
 object Registry {

@@ -48,10 +48,22 @@ class BenchOutputSpec extends AnyFunSuite {
   }
 
   test("contention-telemetry scalars keep the compact line bounded and well-formed") {
-    val tele = s""","load_avg_start":31.420,"load_avg_end":2.718,"max_spread_pct":153.021"""
+    val tele = s""","load_avg_start":31.420,"load_avg_end":2.718,"max_spread_pct":153.021""" +
+      s""","high_spread_frac":0.371,"contended":true""" +
+      s""","cache_assisted":["dedup_ensemble_components"],"value_excl_cached":97.310"""
     val line = Bench.compactJson(fake(Registry.all.size * 4), 1.0, "/sf", tele)
     assert(line.length < 1500, s"telemetry pushed the compact line to ${line.length} bytes")
     assert(line.contains("\"load_avg_start\":31.420") && line.endsWith(""""sf":"/sf"}"""))
+    assert(line.contains("\"contended\":true"))
+    assert(line.contains("\"value_excl_cached\":97.310"))
+  }
+
+  test("the registry declares the ensemble's cache-assisted timing") {
+    // the flag is what keeps cross-round comparisons honest — losing it
+    // silently would reintroduce the cache-hit-as-speedup artifact
+    val cached = Registry.all.filter(_.cacheAssisted).map(_.name)
+    assert(cached == Seq("dedup_ensemble_components"),
+      s"unexpected cache-assisted set: $cached")
   }
 
   test("full-map JSON round-trips every entry") {
