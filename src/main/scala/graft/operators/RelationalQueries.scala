@@ -1704,16 +1704,24 @@ object RelationalQueries {
       "sql_ctas",
       (s, dir) => {
         val tn = ctasName(dir)
-        sweepDeadStaging(); stagingShutdownHook
+        sweepDeadStaging(s); installStagingShutdownHook(s)
         Tables(s, dir, "orders").createOrReplaceTempView("orders_src")
         s.sql(s"DROP TABLE IF EXISTS $tn")
         s.sql(s"""CREATE TABLE $tn USING PARQUET AS
                   SELECT o_orderkey, o_orderstatus, o_totalprice
                   FROM orders_src WHERE o_totalprice > 1000""")
         s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS")
-        s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
-                         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
-                  FROM $tn GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+        val agg = s.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
+              FROM $tn GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+        // the verifying aggregate runs EAGERLY (bounded: one row per
+        // order status) so the staging table can be dropped here and
+        // now, not left for the shutdown hook — a long-lived session
+        // then never accumulates staging files at all
+        val rows = agg.collect()
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       },
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
                      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
@@ -2968,21 +2976,38 @@ object RelationalQueries {
   private[operators] def ctasName(dir: String): String =
     s"graft_ctas_${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
+  /** The session's warehouse directory as a local file — resolved from
+    * `spark.sql.warehouse.dir` (which may be an absolute file: URI or a
+    * cwd-relative default), never a hardcoded relative path: a caller
+    * that configured a shared warehouse must be swept THERE. */
+  private def warehouseDir(s: SparkSession): java.io.File = {
+    val raw = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    scala.util.Try(new java.io.File(new java.net.URI(raw)))
+      .getOrElse(new java.io.File(raw.stripPrefix("file:")))
+  }
+
   /** Sweeps warehouse leftovers of pid-keyed graft staging tables whose
     * owning process is GONE. The pid keying exists so concurrent runs
     * can't race each other's DDL — the flip side is that a crashed or
-    * finished JVM's staging files outlive it in the shared
-    * `spark-warehouse`; every sql_ctas run reclaims them here, so the
-    * warehouse can't accumulate dead staging data indefinitely. The own
-    * process's tables are additionally removed by [[stagingShutdownHook]]
-    * on clean exit. Catalog entries need no sweep: the default
-    * in-memory catalog dies with its JVM — only the FILES persist. */
-  private[operators] def sweepDeadStaging(): Unit = {
+    * finished JVM's staging files outlive it in the shared warehouse;
+    * every sql_ctas run reclaims them here, so the warehouse can't
+    * accumulate dead staging data indefinitely. Deletion is doubly
+    * gated: the pid must be absent AND the files older than a 1-hour
+    * safety window — on a SHARED warehouse (NFS), pid-liveness only
+    * means anything for same-host processes, and the age gate keeps
+    * another host's live staging out of reach. The own process's tables
+    * are additionally removed by [[installStagingShutdownHook]] on clean
+    * exit. Catalog entries need no sweep: the default in-memory catalog
+    * dies with its JVM — only the FILES persist. */
+  private[operators] def sweepDeadStaging(s: SparkSession): Unit = {
     val pat = "^graft_.*_p([0-9]+)$".r
-    Option(new java.io.File("spark-warehouse").listFiles()).getOrElse(Array.empty)
+    val safetyWindowMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
+    Option(warehouseDir(s).listFiles()).getOrElse(Array.empty)
       .foreach { f =>
         f.getName match {
-          case pat(pid) if !ProcessHandle.of(pid.toLong).isPresent => rmTree(f)
+          case pat(pid) if !ProcessHandle.of(pid.toLong).isPresent &&
+              now - f.lastModified() > safetyWindowMs => rmTree(f)
           case _ => ()
         }
       }
@@ -2994,15 +3019,19 @@ object RelationalQueries {
   }
 
   /** One-time JVM shutdown hook deleting THIS process's staging files —
-    * clean exits leave nothing for the next run's [[sweepDeadStaging]]. */
-  private lazy val stagingShutdownHook: Unit = {
-    val pid = ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Option(new java.io.File("spark-warehouse").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_") && f.getName.endsWith(s"_p$pid"))
-        .foreach(rmTree)))
-    ()
-  }
+    * clean exits leave nothing for the next run's [[sweepDeadStaging]].
+    * The warehouse path is captured at install time from the session's
+    * actual configuration. */
+  private val stagingHookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def installStagingShutdownHook(s: SparkSession): Unit =
+    if (stagingHookInstalled.compareAndSet(false, true)) {
+      val dir = warehouseDir(s)
+      val pid = ProcessHandle.current().pid()
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_") && f.getName.endsWith(s"_p$pid"))
+          .foreach(rmTree)))
+    }
 
   /** Bucketed-table name keyed on the sf dir AND the process: the bench
     * path reuses whatever table the name resolves to, so an unkeyed name
@@ -3018,18 +3047,12 @@ object RelationalQueries {
     * join key) in the session warehouse — the one-off write that makes
     * every later fact-fact join on this key exchange-free. */
   private def bucketedTables(s: SparkSession, dir: String): Unit = {
-    sweepDeadStaging(); stagingShutdownHook
+    sweepDeadStaging(s); installStagingShutdownHook(s)
     Seq(bucketedName("graft_b_orders", dir), bucketedName("graft_b_customer", dir))
       .foreach { tn =>
         s.sql(s"DROP TABLE IF EXISTS $tn")
-        val f = new java.io.File(s"spark-warehouse/$tn")
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            if (x.isDirectory) x.listFiles.foreach(rm)
-            x.delete(): Unit
-          }
-          rm(f)
-        }
+        val f = new java.io.File(warehouseDir(s), tn)
+        if (f.exists()) rmTree(f)
       }
     t(s, dir, "orders").write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")

@@ -103,9 +103,9 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     // the sink_partitioned layout claim: a per-source read over the
     // partitioned output must carry the predicate as a PartitionFilter
     // (pruned before any scan task), not a post-scan row filter
-    // pid-keyed so two concurrently running test JVMs can't race each
-    // other's overwrite/read in the shared tmpdir
-    val out = s"${sys.props("java.io.tmpdir")}/graft_scale_sinkpart_p${ProcessHandle.current().pid()}"
+    // fresh per-run dir (like the binaryFile census below): a reused
+    // fixed path could silently include a previous run's stale files
+    val out = java.nio.file.Files.createTempDirectory("graft_scale_sinkpart").toString
     graft.Tables(spark, dir, "documents")
       .write.mode("overwrite").partitionBy("source").parquet(out)
     val df = spark.read.parquet(out).filter(col("source") === "src1")
