@@ -1702,27 +1702,7 @@ object RelationalQueries {
     // join size-estimate to guesswork at 100 TB.
     QuerySpec(
       "sql_ctas",
-      (s, dir) => {
-        val tn = ctasName(dir)
-        sweepDeadStaging(s); installStagingShutdownHook(s)
-        Tables(s, dir, "orders").createOrReplaceTempView("orders_src")
-        s.sql(s"DROP TABLE IF EXISTS $tn")
-        s.sql(s"""CREATE TABLE $tn USING PARQUET AS
-                  SELECT o_orderkey, o_orderstatus, o_totalprice
-                  FROM orders_src WHERE o_totalprice > 1000""")
-        s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS")
-        val agg = s.sql(
-          s"""SELECT o_orderstatus, COUNT(*) AS n,
-                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
-              FROM $tn GROUP BY o_orderstatus ORDER BY o_orderstatus""")
-        // the verifying aggregate runs EAGERLY (bounded: one row per
-        // order status) so the staging table can be dropped here and
-        // now, not left for the shutdown hook — a long-lived session
-        // then never accumulates staging files at all
-        val rows = agg.collect()
-        s.sql(s"DROP TABLE IF EXISTS $tn")
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-      },
+      (s, dir) => ctasStage(s, dir, dropAfter = true),
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
                      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
               FROM orders WHERE o_totalprice > 1000
@@ -2975,6 +2955,31 @@ object RelationalQueries {
   /** CTAS staging-table name, keyed like [[bucketedName]]. */
   private[operators] def ctasName(dir: String): String =
     s"graft_ctas_${java.lang.Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+
+  /** The sql_ctas body: stage → ANALYZE → verifying aggregate. The
+    * aggregate runs EAGERLY (bounded: one row per order status) so with
+    * `dropAfter` the staging table is reclaimed here and now, not left
+    * for the shutdown hook — a long-lived session then never accumulates
+    * staging files at all. CboStatsSpec calls with `dropAfter = false`
+    * to inspect the ANALYZE statistics before dropping the table itself. */
+  private[operators] def ctasStage(s: SparkSession, dir: String,
+      dropAfter: Boolean): DataFrame = {
+    val tn = ctasName(dir)
+    sweepDeadStaging(s); installStagingShutdownHook(s)
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_src")
+    s.sql(s"DROP TABLE IF EXISTS $tn")
+    s.sql(s"""CREATE TABLE $tn USING PARQUET AS
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders_src WHERE o_totalprice > 1000""")
+    s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS")
+    val agg = s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 4) AS total
+          FROM $tn GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    val rows = agg.collect()
+    if (dropAfter) s.sql(s"DROP TABLE IF EXISTS $tn"): Unit
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
 
   /** The session's warehouse directory as a local file — resolved from
     * `spark.sql.warehouse.dir` (which may be an absolute file: URI or a
