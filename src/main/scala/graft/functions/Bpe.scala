@@ -209,6 +209,21 @@ object Bpe {
        |FROM wall JOIN tok USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `text_bpe_fertility`: tokens-per-word by language — the
+    * standard multilingual tokenizer-evaluation metric (a language whose
+    * words fragment into many subwords pays more sequence length per
+    * word of content). */
+  def fertilityOracle: String =
+    s"""WITH $fullChainCtes,
+       |wl AS (
+       |  SELECT wall.w, d.lang FROM wall JOIN documents d USING (doc_id))
+       |SELECT lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM wl JOIN tok USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Oracle for `text_pack_bpe`: per-doc BPE token counts feeding the
     * text_pack greedy 512-token binning (docs with no eligible words
     * pack at zero length, hence the LEFT JOIN). */

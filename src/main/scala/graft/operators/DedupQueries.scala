@@ -204,14 +204,32 @@ object DedupQueries {
   private val publishedPairs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Cheap corpus-version token — (name, length, mtime) digest of the
+    * dir's documents.parquet file set. Keying the published checkpoints
+    * on it means an in-session REWRITE of the corpus invalidates them
+    * (ADVICE r6: an unkeyed cache would serve stale pairs forever).
+    * Superseded entries linger until session end — bounded, they hold
+    * compact (long, long) pair frames whose blocks the ContextCleaner
+    * reclaims once unreferenced. */
+  private def corpusVersion(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val files =
+      if (root.isDirectory) Option(root.listFiles()).getOrElse(Array.empty)
+      else Array(root)
+    java.lang.Integer.toHexString(
+      files.filter(_.isFile).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode)
+  }
+
   /** Last-published MinHash-verified pair set (da, db) for the ensemble. */
   private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
-    publishedPairs.getOrElseUpdate((s, dir, "mh"),
+    publishedPairs.getOrElseUpdate((s, s"$dir@${corpusVersion(dir)}", "mh"),
       minhashPairs(s, dir).select(col("da"), col("db")).localCheckpoint())
 
   /** Last-published SimHash band pair set (da, db) for the ensemble. */
   private def simhashPairsShared(s: SparkSession, dir: String): DataFrame =
-    publishedPairs.getOrElseUpdate((s, dir, "sh"),
+    publishedPairs.getOrElseUpdate((s, s"$dir@${corpusVersion(dir)}", "sh"),
       simhashBandPairs(simhash64(s, dir))
         .select(col("doc_a").as("da"), col("doc_b").as("db")).localCheckpoint())
 

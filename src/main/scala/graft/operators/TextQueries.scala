@@ -521,6 +521,37 @@ object TextQueries {
       },
       Some(graft.functions.Bpe.applyOracle)),
 
+    // Tokenizer FERTILITY by language — tokens-per-word, the standard
+    // multilingual tokenizer-evaluation metric (a language whose words
+    // fragment into many subwords pays more sequence length per word of
+    // content, skewing its effective training mix). Same distinct-word
+    // kernel + broadcast join as text_bpe_apply; the rollup is by the
+    // document's language instead of its id — one extra broadcast-sized
+    // dimension join, nothing corpus-shaped moves.
+    QuerySpec(
+      "text_bpe_fertility",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val merges = graft.functions.Bpe.trainOnCorpus(s, dir)
+          .map(m => (m.lft, m.rgt))
+        val words = graft.functions.Bpe.eligibleWords(s, dir)
+        val tokenized = words.select("w").distinct().as[String]
+          .mapPartitions { it =>
+            it.map(w => (w, graft.functions.Bpe.tokenize(w, merges).length.toLong))
+          }.toDF("w", "w_tok")
+        words
+          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+          .join(broadcast(tokenized), "w")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("w_tok")).as("n_tokens"),
+            round(sum(col("w_tok")).cast("double") / count(lit(1)), 6)
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some(graft.functions.Bpe.fertilityOracle)),
+
     // Sequence packing over BPE TOKENS — text_pack's 512-token greedy
     // binning re-expressed over what a real training pipeline measures
     // (learned-subword counts, not whitespace splits): the per-doc BPE
