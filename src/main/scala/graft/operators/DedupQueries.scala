@@ -1017,6 +1017,70 @@ object DedupQueries {
                      MD5(COALESCE(STRING_AGG(CASE WHEN cnt = 1 THEN chunk END, ' ' ORDER BY idx), ''))
                        AS kept_digest
               FROM h JOIN c USING (hh)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet-style corpus-level line dedup (Wenzek et al. 2020 §3.1): the
+    // unit is a fixed 8-token "paragraph" segment (the corpus carries no
+    // newlines, so segment = non-overlapping token window — same
+    // granularity trick as dedup_spans), and unlike dedup_spans the FIRST
+    // occurrence in global (doc_id, idx) order SURVIVES — repeated
+    // boilerplate trains once instead of zero times. That keep-first
+    // semantics is what CCNet/ RefinedWeb actually ship; remove-all
+    // (dedup_spans) and keep-first (this) bracket the design space.
+    //
+    // Scale shape: the winner per segment hash is min(struct(doc_id,
+    // idx)) — a PARTIAL-AGGREGATING groupBy on the 8-byte hash, so a
+    // viral boilerplate line costs map-side combine, never a per-key
+    // sort (the row_number formulation would buffer the whole occurrence
+    // list of the hottest line on one task; min-struct doesn't).
+    // Verdict rejoins on the same hash (equi-join, AQE-sized), reassembly
+    // is a per-doc groupBy bounded by one document's segments. Two
+    // compact-key shuffles at 100 TB, nothing driver-side.
+    QuerySpec(
+      "dedup_lines",
+      (s, dir) => {
+        val segged = docs(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(t)/8.0) as int)-1), " +
+              "i -> concat_ws(' ', slice(t, i*8+1, 8)))")))
+          .withColumnRenamed("pos", "idx")
+          .withColumnRenamed("col", "seg")
+          .withColumn("h", h32(col("seg")))
+        val winners = segged.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+        segged.join(winners, "h")
+          .withColumn("keep",
+            col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            md5(concat_ws(" ", expr(
+              "transform(filter(array_sort(collect_list(struct(idx, keep, seg)))," +
+                " x -> x.keep), x -> x.seg)"))).as("kept_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              segs AS (
+                SELECT doc_id, i AS idx,
+                       ARRAY_TO_STRING(t[(i*8+1):(i*8+8)], ' ') AS seg
+                FROM (SELECT doc_id, t,
+                             UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(t)/8.0) AS INT) - 1)) AS i
+                      FROM toks)),
+              h AS (SELECT doc_id, idx, seg,
+                           ('0x'||SUBSTR(MD5(seg),1,8))::BIGINT AS hh
+                    FROM segs),
+              w AS (SELECT hh, MIN(ROW(doc_id, idx)) AS win FROM h GROUP BY hh)
+              SELECT doc_id,
+                     COUNT(*) AS n_segs,
+                     CAST(SUM(CASE WHEN ROW(doc_id, idx) = win THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                     MD5(COALESCE(STRING_AGG(
+                       CASE WHEN ROW(doc_id, idx) = win THEN seg END, ' ' ORDER BY idx), ''))
+                       AS kept_digest
+              FROM h JOIN w USING (hh)
               GROUP BY doc_id ORDER BY doc_id"""))
   )
 

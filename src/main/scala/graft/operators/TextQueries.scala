@@ -1472,6 +1472,175 @@ object TextQueries {
                       AND mean_word_len BETWEEN 3.5 AND 5.0
                       AND alpha_ratio >= 0.8
                       AND n_stopwords >= 2) AS keep
-              FROM m ORDER BY doc_id"""))
+              FROM m ORDER BY doc_id""")),
+
+    // In-engine classifier TRAINING: a multinomial Naive Bayes language
+    // classifier (the fastText-langid shape) learned entirely as
+    // aggregation — no gradient loop, no driver-side math. Train = one
+    // partial-aggregating groupBy on (lang, token) + a per-class total +
+    // the corpus vocab size; the model is add-one-smoothed token
+    // log-likelihoods, |vocab|×|classes| rows — the broadcastable
+    // constant every NB deployment ships. At 100 TB you train on a
+    // sample (the sampling tier feeds this) and the plan is unchanged;
+    // the full-corpus train here is still linear: one compact-key
+    // shuffle. Engine-parity: double division + LN + ROUND(6) on both
+    // sides (the text_entropy precedent).
+    QuerySpec(
+      "text_nb_train",
+      (s, dir) => nbModel(docs(s, dir))
+        .select(col("lang"), col("token"), col("cnt"), col("logp"))
+        .orderBy("lang", "token"),
+      Some(s"""WITH $NbModelCtes
+              SELECT lang, token, cnt, logp FROM model ORDER BY lang, token""")),
+
+    // The trained model APPLIED back over the corpus: per-doc class
+    // scores with exact multinomial semantics — absent-token mass counts
+    // via the smoothing floor (score_c = prior_c + n_tokens·floor_c +
+    // Σ_present tf·(logp − floor_c)), so the present-token join stays
+    // INNER and sparse instead of materializing |docs|×|vocab|. All
+    // score arithmetic runs in integer MICROS (the 6-decimal model terms
+    // ×1e6 as longs): exact like decimals — partial-agg order can't
+    // shift a sum — but codegen-cheap on the tf×classes-sized scoring
+    // relation. The only corpus-sized shuffles are the per-doc tf
+    // groupBy and the final per-doc score agg — the 5-row class table
+    // and the vocab×5 model broadcast. Self-train/self-apply keeps the
+    // oracle closed over one table; in production the model side is
+    // yesterday's sample train.
+    QuerySpec(
+      "text_nb_apply",
+      (s, dir) => {
+        val d = docs(s, dir)
+        // ONE tokenization serves both halves: the per-doc tf relation
+        // is the scoring input AND (summed over docs) the model's
+        // training counts — localCheckpoint because it feeds both sides
+        // (the contamination() precedent). n_tokens deliberately does
+        // NOT ride through the explode: an expression projected after a
+        // Generate is evaluated per exploded ROW, so size(split(text))
+        // here would re-run the regex split once per token instead of
+        // once per document (measured 7× on this query) — base computes
+        // it on the per-doc scan instead.
+        val tf = d.select(col("doc_id"), col("lang").as("actual"),
+            explode(toks).as("token"))
+          .groupBy("doc_id", "actual", "token")
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val modelDf = nbModelFromCounts(
+          tf.groupBy(col("actual").as("lang"), col("token"))
+            .agg(sum("tf").as("cnt")))
+        val model = broadcast(modelDf
+          .select(col("lang").as("m_lang"), col("token"),
+            round(col("logp") * 1e6).cast("long").as("lp"),
+            round(col("floor_lp") * 1e6).cast("long").as("fl")))
+        val classes = broadcast(
+          d.groupBy(col("lang").as("m_lang"))
+            .agg(count(lit(1)).as("n_cls"))
+            // doc total rides a 1-row broadcast (the tf-idf scalar
+            // shape), never a driver-side count
+            .crossJoin(broadcast(d.agg(count(lit(1)).as("n_all"))))
+            .join(modelDf.groupBy(col("lang").as("m_lang"))
+              .agg(first(col("floor_lp")).as("floor_lp")), "m_lang")
+            .select(col("m_lang"),
+              round(round(log(col("n_cls").cast("double") / col("n_all")), 6) * 1e6)
+                .cast("long").as("prior"),
+              round(col("floor_lp") * 1e6).cast("long").as("fl")))
+        val present = tf.join(model, "token")
+          .groupBy("doc_id", "m_lang")
+          .agg(sum(col("tf") * (col("lp") - col("fl"))).as("adj"))
+        val base = d.select(col("doc_id"), col("lang").as("actual"),
+            size(toks).as("n_tokens"))
+          .crossJoin(classes)
+        val scored = base
+          .join(present, Seq("doc_id", "m_lang"), "left")
+          .select(col("doc_id"), col("actual"), col("m_lang"),
+            round((col("prior") + col("fl") * col("n_tokens") +
+              coalesce(col("adj"), lit(0L))).cast("double") / 1e6, 6)
+              .as("score"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("m_lang").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("m_lang").as("pred"), col("actual"),
+            (col("m_lang") === col("actual")).as("correct"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $NbModelCtes,
+              nd AS (SELECT COUNT(*) AS n FROM documents),
+              classes AS (
+                SELECT lang AS m_lang,
+                       CAST(ROUND(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nd)), 6)
+                                  * 1e6) AS BIGINT) AS prior,
+                       CAST(ROUND(MIN(floor_lp) * 1e6) AS BIGINT) AS fl
+                FROM documents JOIN (SELECT lang AS l2, MIN(floor_lp) AS floor_lp
+                                     FROM model GROUP BY 1) f ON lang = f.l2
+                GROUP BY lang),
+              tf AS (
+                SELECT doc_id, actual, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, lang AS actual,
+                             UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token
+                      FROM documents)
+                GROUP BY doc_id, actual, token),
+              present AS (
+                SELECT doc_id, m.lang AS m_lang,
+                       SUM(tf * (CAST(ROUND(m.logp * 1e6) AS BIGINT)
+                                 - CAST(ROUND(m.floor_lp * 1e6) AS BIGINT))) AS adj
+                FROM tf JOIN model m USING (token)
+                GROUP BY doc_id, m.lang),
+              base AS (
+                SELECT d.doc_id, d.lang AS actual,
+                       LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+')) AS n_tokens,
+                       c.m_lang, c.prior, c.fl
+                FROM documents d CROSS JOIN classes c),
+              scored AS (
+                SELECT b.doc_id, b.actual, b.m_lang,
+                       ROUND(CAST(b.prior + b.fl * b.n_tokens
+                                  + COALESCE(p.adj, 0) AS DOUBLE) / 1e6, 6) AS score
+                FROM base b LEFT JOIN present p
+                  ON p.doc_id = b.doc_id AND p.m_lang = b.m_lang)
+              SELECT doc_id, m_lang AS pred, actual, m_lang = actual AS correct, score
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, m_lang ASC) AS rn
+                    FROM scored)
+              WHERE rn = 1 ORDER BY doc_id"""))
   )
+
+  /** Shared multinomial-NB model kernel behind `text_nb_train` /
+    * `text_nb_apply`: add-one-smoothed token log-likelihoods per class
+    * plus the class smoothing floor ln(1/(tot_c+V)) — the term an
+    * absent token contributes. One (lang, token) partial-agg shuffle;
+    * the per-class totals and the scalar vocab size are tiny broadcast
+    * relations. */
+  private def nbModel(d: DataFrame): DataFrame =
+    nbModelFromCounts(
+      d.select(col("lang"), explode(toks).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt")))
+
+  /** Smoothing half of [[nbModel]] over a prebuilt `(lang, token, cnt)`
+    * relation — apply feeds it the per-doc tf sums so one tokenization
+    * serves both training and scoring. */
+  private def nbModelFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+    val vocab = broadcast(
+      counts.select("token").distinct().agg(count(lit(1)).as("v")))
+    counts.join(broadcast(totals), "lang").crossJoin(vocab)
+      .select(col("lang"), col("token"), col("cnt"),
+        round(log((col("cnt") + 1).cast("double") / (col("tot") + col("v"))), 6)
+          .as("logp"),
+        round(log(lit(1.0) / (col("tot") + col("v"))), 6).as("floor_lp"))
+  }
+
+  /** DuckDB mirror of [[nbModel]], ending in
+    * `model(lang, token, cnt, logp, floor_lp)`. */
+  private val NbModelCtes: String =
+    """counts AS (
+      |  SELECT lang, token, COUNT(*) AS cnt
+      |  FROM (SELECT lang, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY lang, token),
+      |totals AS (SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang),
+      |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM counts),
+      |model AS (
+      |  SELECT c.lang, c.token, c.cnt,
+      |         ROUND(LN(CAST(c.cnt + 1 AS DOUBLE) / (t.tot + vocab.v)), 6) AS logp,
+      |         ROUND(LN(1.0 / (t.tot + vocab.v)), 6) AS floor_lp
+      |  FROM counts c JOIN totals t USING (lang) CROSS JOIN vocab)""".stripMargin
 }

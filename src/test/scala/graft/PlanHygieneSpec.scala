@@ -48,7 +48,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       // 1-row normalization-total broadcast (the text_tfidf scalar shape)
       "sample_mixture",
       // 1-row time-range-bounds broadcast driving the densification grid
-      "win_gapfill")
+      "win_gapfill",
+      // NB model kernel: 1-row vocab-size broadcast (train + apply), and
+      // apply additionally fans docs across the |classes|-row (5-row)
+      // class table — constant-size sides, not quadratic
+      "text_nb_train", "text_nb_apply")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
