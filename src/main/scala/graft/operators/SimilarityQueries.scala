@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import graft.functions.MmrSelect
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -995,6 +996,101 @@ object SimilarityQueries {
                             - (CAST(a.ms AS DOUBLE) / s.n)
                               * (CAST(b.ms AS DOUBLE) / s.n)) / 1e6, 6) + 0.0 AS cov
               FROM sums s JOIN marg a ON a.i = s.i JOIN marg b ON b.i = s.j
-              ORDER BY s.i, s.j"""))
+              ORDER BY s.i, s.j""")),
+
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): the
+    // re-ranking stage after top-k — greedily pick 8 of the top-20
+    // candidates maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-picked (λ=0.7), so near-duplicate hits stop crowding the
+    // result list. Decomposition: the CORPUS-sized work (top-20 pool
+    // per query) is the distributed brute scan topk_similarity
+    // declares; the pool's pairwise cosines are a pool²-bounded
+    // self-join; only the inherently-sequential greedy runs inside the
+    // MmrSelect Aggregator — per-group state ≤ 20·19 pre-rounded
+    // tuples, constant at any corpus size. The oracle replays the same
+    // greedy as a recursive CTE over the same pre-rounded relations:
+    // identical pick sequence, identical scores.
+    QuerySpec(
+      "rank_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val e = normed(s, dir)
+        val q = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"), col("e").as("q_e"),
+            col("nrm").as("q_nrm"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("e").as("c_e"),
+          col("nrm").as("c_nrm"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("neighbor_id"))
+        // top-20 pool; localCheckpoint because it feeds BOTH sides of
+        // the pairwise self-join (the contamination() precedent)
+        val pool = q.join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("rel",
+            round(dot(col("q_e"), col("c_e")) / (col("q_nrm") * col("c_nrm")), 6)
+              + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= MmrSelect.Pool)
+          .select("query_id", "neighbor_id", "c_e", "c_nrm", "rel")
+          .localCheckpoint()
+        val psim = pool.as("a").join(pool.as("b"),
+            col("a.query_id") === col("b.query_id") &&
+              col("a.neighbor_id") =!= col("b.neighbor_id"))
+          .select(col("a.query_id"), col("a.neighbor_id").as("a"),
+            col("a.rel").as("rel"), col("b.neighbor_id").as("b"),
+            (round(dot(col("a.c_e"), col("b.c_e"))
+              / (col("a.c_nrm") * col("b.c_nrm")), 6) + lit(0.0)).as("sim"))
+        psim.select(col("query_id"), col("a"), col("rel"), col("b"), col("sim"))
+          .as[(Long, Long, Double, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3, r._4, r._5))
+          .agg(MmrSelect.toColumn.name("sel"))
+          .toDF("query_id", "sel")
+          .select(col("query_id"), explode(col("sel")).as("s"))
+          .select(col("query_id"), col("s._1").as("rank"),
+            col("s._2").as("neighbor_id"), col("s._3").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH RECURSIVE $NormCtes,
+              q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 16),
+              sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.e AS ce, c.nrm AS cn,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+                             / (q.nrm * c.nrm), 6) + 0.0 AS rel
+                FROM q JOIN n c ON q.vec_id != c.vec_id),
+              pool AS (
+                SELECT query_id, neighbor_id, ce, cn, rel FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY rel DESC, neighbor_id) AS rn
+                  FROM sims) WHERE rn <= 20),
+              psim AS (
+                SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+                       ROUND((SELECT SUM(p) FROM (SELECT UNNEST(a.ce) * UNNEST(b.ce) AS p))
+                             / (a.cn * b.cn), 6) + 0.0 AS sim
+                FROM pool a JOIN pool b
+                  ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id),
+              cands AS (SELECT query_id, neighbor_id AS a, rel FROM pool),
+              sel AS (
+                SELECT query_id, 1 AS rank, a AS picked,
+                       ROUND(0.7*rel, 6) + 0.0 AS score, [a] AS ids
+                FROM (SELECT query_id, a, rel,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY rel DESC, a) AS rn
+                      FROM cands) WHERE rn = 1
+                UNION ALL
+                SELECT s.query_id, s.rank + 1, c.a, c.score, list_append(s.ids, c.a)
+                FROM sel s, LATERAL (
+                  SELECT x.a, ROUND(0.7*x.rel - 0.3*x.maxsim, 6) + 0.0 AS score
+                  FROM (SELECT c2.a, c2.rel,
+                               (SELECT MAX(p.sim) FROM psim p
+                                WHERE p.query_id = s.query_id AND p.a = c2.a
+                                  AND list_contains(s.ids, p.b)) AS maxsim
+                        FROM cands c2
+                        WHERE c2.query_id = s.query_id
+                          AND NOT list_contains(s.ids, c2.a)) x
+                  ORDER BY score DESC, x.a LIMIT 1) c
+                WHERE s.rank < 8)
+              SELECT query_id, rank, picked AS neighbor_id, score
+              FROM sel ORDER BY query_id, rank"""))
   )
 }

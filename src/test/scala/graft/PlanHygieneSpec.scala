@@ -52,7 +52,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // NB model kernel: 1-row vocab-size broadcast (train + apply), and
       // apply additionally fans docs across the |classes|-row (5-row)
       // class table — constant-size sides, not quadratic
-      "text_nb_train", "text_nb_apply")
+      "text_nb_train", "text_nb_apply",
+      // MMR's pool builder is the same bounded-16-row-query brute scan
+      // topk_similarity declares; everything after is pool²-bounded
+      "rank_mmr")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the

@@ -75,4 +75,52 @@ class Round7CurationSpec extends AnyFunSuite {
     // multinomial log-scores are strictly negative
     assert(out.filter(col("score") >= 0).isEmpty)
   }
+
+  test("mmr picks 8 distinct ranks per query, leads with pure relevance, and diversifies") {
+    val out = Registry.byName("rank_mmr").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val topk = Registry.byName("topk_similarity").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 16)
+    byQuery.foreach { case (qid, picks) =>
+      assert(picks.map(_._2).sorted.toSeq == (1 to 8), s"query $qid ranks: ${picks.toSeq}")
+      assert(picks.map(_._3).distinct.length == 8, s"query $qid repeated a pick")
+      // rank 1 is the pure-relevance winner — same as cosine top-1
+      val top1 = topk.filter(_._1 == qid).maxBy(t => (t._3, -t._2))._2
+      assert(picks.find(_._2 == 1).get._3 == top1,
+        s"query $qid rank-1 pick != cosine top-1 $top1")
+      // scores are non-increasing is NOT an MMR invariant (the diversity
+      // penalty can dip then recover), but every score must be ≤ the
+      // rank-1 score, which no later λ-blend can exceed
+      val s1 = picks.find(_._2 == 1).get._4
+      assert(picks.forall(_._4 <= s1), s"query $qid has a score above rank 1's")
+    }
+    // the point of MMR: across queries, the selected sets are more
+    // diverse than plain top-8 — compare mean pairwise cosine of the
+    // two selections (computed from raw embeddings)
+    val e = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def meanPairSim(sel: Seq[Long]): Double = {
+      val ps = for (i <- sel.indices; j <- i + 1 until sel.size)
+        yield cos(e(sel(i)), e(sel(j)))
+      ps.sum / ps.size
+    }
+    val mmrSim = byQuery.toSeq.map { case (_, picks) =>
+      meanPairSim(picks.sortBy(_._2).map(_._3).toSeq) }
+    // plain top-8 baseline recomputed directly (topk_similarity stops at 5)
+    val topSim = (0L until 16L).map { qid =>
+      val top8 = e.keys.filter(_ != qid).toSeq
+        .map(id => id -> cos(e(qid), e(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(8).map(_._1)
+      meanPairSim(top8)
+    }
+    assert(mmrSim.sum / mmrSim.size < topSim.sum / topSim.size,
+      f"MMR selections not more diverse: ${mmrSim.sum / mmrSim.size}%.4f vs ${topSim.sum / topSim.size}%.4f")
+  }
 }
