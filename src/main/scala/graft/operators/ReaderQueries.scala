@@ -166,6 +166,27 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY n_nationkey""")),
 
+    // KML (beyond-reference format coverage): Placemark extraction rides
+    // the BUILT-IN XML datasource (rowTag + explicit schema → parse in
+    // scan tasks, no driver DOM), geometry composed to WKT by codegen'd
+    // expressions, attributes as a map (ExtendedData names are data, not
+    // schema). Same nation fixture loop as scan_geojson, so the oracle
+    // is plain SQL over `nation`.
+    QuerySpec(
+      "scan_kml",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.kml")
+        graft.sources.FormatWriters.writeKml(
+          path, geoRows(s, dir), "n_nationkey")
+        graft.sources.KmlReader.read(s, path)
+          .select(col("data")("n_nationkey").cast("long").as("n_nationkey"),
+            col("name").as("n_name"), col("geometry").as("wkt"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                      $wktSql AS wkt
+               FROM nation ORDER BY n_nationkey""")),
+
     // JSON Lines: the de-facto LLM-corpus interchange format —
     // `spark.read.json` (line-delimited, schema-inferred) over a fixture
     // composed from nation rows. Splittable at scale (unlike multiLine

@@ -103,6 +103,8 @@ object IngestPipeline {
         spark.read.format("shpzip").load(path)
       case FileType.Geopackage =>
         spark.read.format("gpkg").load(path)
+      case FileType.Kml =>
+        graft.sources.KmlReader.read(spark, path)
     }
 
   /** Multi-container landing-zone ingest (beyond the reference's
@@ -153,6 +155,8 @@ object IngestPipeline {
       "4326" // geo_strategy.rs:48-54 — hard default for tabular sources
     case FileType.Geojson =>
       "4326" // GeoJSON spec (RFC 7946) mandates CRS84 == lon/lat WGS84
+    case FileType.Kml =>
+      "4326" // KML (OGC 07-147r2 §6.2) mandates WGS84 lon/lat
     case FileType.Geopackage =>
       // the reader stamped the SRS into the geometry field's metadata —
       // read it from the schema instead of re-walking the whole container

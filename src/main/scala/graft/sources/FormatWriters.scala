@@ -133,6 +133,37 @@ object FormatWriters {
     Files.write(Paths.get(path), doc.getBytes(UTF_8)): Unit
   }
 
+  /** KML 2.2 document (`scan_kml` fixture, beyond the reference — its
+    * detection never dispatches KML): one `<Placemark>` per row with the
+    * key in `<ExtendedData>` and a `<Point>` geometry, the OGC shape
+    * GDAL's KML driver reads. Coordinates are `lon,lat` (KML mandates
+    * WGS84 lon/lat order). */
+  def writeKml(path: String, rows: Seq[(Long, String, Double, Double)],
+      keyName: String): Unit = {
+    val parent = Paths.get(path).getParent
+    if (parent != null) Files.createDirectories(parent): Unit
+    def num(d: Double): String = {
+      require(!d.isNaN && !d.isInfinite, s"non-finite coordinate $d")
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    }
+    val marks = rows.map { case (k, n, x, y) =>
+      s"""    <Placemark>
+         |      <name>${xmlEscape(n)}</name>
+         |      <ExtendedData><Data name="$keyName"><value>$k</value></Data></ExtendedData>
+         |      <Point><coordinates>${num(x)},${num(y)}</coordinates></Point>
+         |    </Placemark>""".stripMargin
+    }.mkString("\n")
+    val doc =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<kml xmlns="http://www.opengis.net/kml/2.2">
+         |  <Document>
+         |$marks
+         |  </Document>
+         |</kml>
+         |""".stripMargin
+    Files.write(Paths.get(path), doc.getBytes(UTF_8)): Unit
+  }
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 

@@ -253,6 +253,39 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("geometry_wkt") == "POINT (-0.1 51.5)")
   }
 
+  test("placemarks.kml end-to-end: sniffed KML, ExtendedData map, WKT geometry") {
+    val body =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<kml xmlns="http://www.opengis.net/kml/2.2">
+        |  <Document>
+        |    <Placemark>
+        |      <name>Spot &amp; Co</name>
+        |      <ExtendedData><Data name="pop"><value>42</value></Data></ExtendedData>
+        |      <Point><coordinates>-0.1,51.5</coordinates></Point>
+        |    </Placemark>
+        |    <Placemark>
+        |      <name>Trail</name>
+        |      <LineString><coordinates>0,0 1,1 2,0.5</coordinates></LineString>
+        |    </Placemark>
+        |  </Document>
+        |</kml>
+        |""".stripMargin
+    val path = writeFile(tmpDir, "placemarks.kml", body.getBytes("UTF-8"))
+    // content sniff, not extension: same bytes under a neutral suffix
+    assert(FileTypeDetector.detect(path).toOption.contains(FileType.Kml))
+    val res = IngestPipeline.plan(spark, IngestJob(path, "placemarks.kml", "s"))
+    assert(res.fileType == FileType.Kml)
+    assert(res.geometry.names == Seq("geometry")) // reader-tagged, not name-matched
+    assert(res.crs.contains("4326"))
+    val rows = res.transformed.orderBy("name").collect()
+    val spot = rows.find(_.getAs[String]("name") == "Spot & Co").get
+    assert(spot.getAs[Map[String, String]]("data") == Map("pop" -> "42"))
+    assert(spot.getAs[String]("geometry_wkt") == "POINT (-0.1 51.5)")
+    val trail = rows.find(_.getAs[String]("name") == "Trail").get
+    assert(trail.getAs[Map[String, String]]("data") == Map.empty)
+    assert(trail.getAs[String]("geometry_wkt") == "LINESTRING (0 0, 1 1, 2 0.5)")
+  }
+
   test("geojson polygon + multilinestring geometries decode") {
     val body =
       """{"type":"FeatureCollection","features":[
