@@ -66,19 +66,7 @@ object MmrSelect extends Aggregator[
     picks.result()
   }
 
-  /** DuckDB ROUND(double, 6) semantics — round the ×1e6-SCALED double
-    * half-away-from-zero, then divide (NOT decimal-string rounding of x
-    * itself: for x = 0.7·0.371485 the scaled double is
-    * 260039.49999999997, which DuckDB rounds DOWN while x's shortest
-    * decimal form "0.2600395" would round up — measured divergence).
-    * HALF_UP on the scaled value's shortest decimal form matches C
-    * round() for every |y| ≤ 1e7 where doubles are dense. Plus the
-    * oracle's `+ 0.0` IEEE −0.0 normalization. */
-  private def round6(x: Double): Double = {
-    val r = java.math.BigDecimal.valueOf(x * 1e6)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
-    if (r == 0.0) 0.0 else r
-  }
+  private def round6(x: Double): Double = DuckRound.round6(x)
 
   override def bufferEncoder: Encoder[Seq[(Long, Double, Long, Double)]] =
     ExpressionEncoder()

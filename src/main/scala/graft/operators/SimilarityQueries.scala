@@ -40,6 +40,142 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
+  /** Upper-triangle covariance matrix `(i, j, s_pp, cov)` of the
+    * 1000×-quantized embeddings — exact integer moments (one CovMoments
+    * pass over the corpus), cov rounded to 6 decimals. Shared by
+    * `embedding_covariance` (the verified relation) and
+    * `embedding_pca_power` (its eigen consumer). */
+  private def covarianceTri(s: SparkSession, dir: String): DataFrame = {
+    val Tri = graft.functions.CovMoments.Tri
+    val covm = udaf(graft.functions.CovMoments)
+    val q = emb(s, dir).select(expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+    // (pos, element) rows of the packed moment buffer; localCheckpoint
+    // because three consumers (triangle, marginals, count) read it and
+    // physical plans never share subtrees — without the barrier the
+    // corpus aggregation would run three times
+    val m = q.agg(covm(col("q")).as("m"))
+      .select(posexplode(col("m"))).localCheckpoint()
+    // pos → (i, j) for the row-major upper triangle: one interpreted
+    // build of a 2080-element literal mapping, broadcast everywhere
+    val mapIJ = s.range(1).select(posexplode(expr(
+      """flatten(transform(sequence(0, 63), i ->
+           transform(sequence(i, 63), j -> struct(i AS i, j AS j))))""")))
+      .select(col("pos"), col("col.i"), col("col.j"))
+    val marg = m.filter(col("pos").between(Tri, Tri + 63))
+      .select((col("pos") - Tri).cast("int").as("mi"), col("col").as("ms"))
+    val n = m.filter(col("pos") === Tri + 64).select(col("col").as("n"))
+    m.filter(col("pos") < Tri)
+      .join(broadcast(mapIJ), "pos")
+      .crossJoin(broadcast(n))
+      .join(broadcast(marg).as("a"), col("a.mi") === col("i"))
+      .join(broadcast(marg).as("b"), col("b.mi") === col("j"))
+      // `+ 0.0` collapses IEEE -0.0 to +0.0 (DuckDB's ROUND preserves the
+      // sign of an underflowing negative, Spark's BigDecimal round does
+      // not — 3/2080 cells at sf0.01 diverged before this normalization)
+      .select(col("i"), col("j"), col("col").as("s_pp"),
+        (round((col("col").cast("double") / col("n")
+          - (col("a.ms").cast("double") / col("n"))
+            * (col("b.ms").cast("double") / col("n"))) / 1e6, 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Top principal component `(i, loading, eigenvalue)` — the
+    * PowerIterate eigen solve over [[covarianceTri]]'s constant-size
+    * matrix relation, shared by `embedding_pca_power` (the verified
+    * relation) and `embedding_pca_project` (its per-vector consumer). */
+  private def pcaTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = covarianceTri(s, dir)
+    val full = tri.select(col("i"), col("j"), col("cov"))
+      .unionAll(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    full.as[(Int, Int, Double)]
+      .groupByKey(_ => true)
+      .mapValues(identity)
+      .agg(graft.functions.PowerIterate.toColumn.name("pc"))
+      .toDF("g", "pc")
+      .select(explode(col("pc")).as("p"))
+      .select(col("p._1").as("i"), col("p._2").as("loading"),
+        col("p._3").as("eigenvalue"))
+  }
+
+  /** Oracle twin of [[covarianceTri]] (same CTEs as the
+    * embedding_covariance oracle), ending in `ctri(i, j, cov)`. */
+  private val CovTriCtes: String =
+    """q AS (
+      |  SELECT LIST_TRANSFORM(embedding,
+      |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cpairs AS (
+      |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, q[i+1] * q[j+1] AS p
+      |  FROM q, (SELECT UNNEST(RANGE(0, 64)) AS i),
+      |          (SELECT UNNEST(RANGE(0, 64)) AS j)
+      |  WHERE j >= i),
+      |csums AS (
+      |  SELECT i, j, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS s
+      |  FROM cpairs GROUP BY i, j),
+      |cmarg AS (
+      |  SELECT CAST(i AS INT) AS i, CAST(SUM(q[i+1]) AS BIGINT) AS ms
+      |  FROM q, (SELECT UNNEST(RANGE(0, 64)) AS i) GROUP BY i),
+      |ctri AS (
+      |  SELECT s.i, s.j,
+      |         ROUND((CAST(s.s AS DOUBLE) / s.n
+      |                - (CAST(a.ms AS DOUBLE) / s.n)
+      |                  * (CAST(b.ms AS DOUBLE) / s.n)) / 1e6, 6) + 0.0 AS cov
+      |  FROM csums s JOIN cmarg a ON a.i = s.i JOIN cmarg b ON b.i = s.j)""".stripMargin
+
+  /** Name of the converged-eigenvector CTE inside [[PcaCtes]]. */
+  private lazy val PcaLast = s"v${graft.functions.PowerIterate.Iters}"
+
+  /** The 20 power iterations as generated CTEs over [[CovTriCtes]] —
+    * matvec and norm as positional co-UNNEST sums (list order =
+    * ascending index, the NormCtes precedent), every coordinate rounded
+    * per iteration. Ends with `lam(l)` (Rayleigh eigenvalue) beside the
+    * converged vector [[PcaLast]]; shared by `embedding_pca_power` and
+    * `embedding_pca_project`. */
+  private lazy val PcaCtes: String = {
+    val iters = (1 to graft.functions.PowerIterate.Iters).map { k =>
+      // MATERIALIZED per iteration (the BPE-oracle precedent): without
+      // it DuckDB inlines each CTE at every reference and the
+      // evaluation tree doubles per iteration — 2^20 scans of the base
+      s"""wl$k AS MATERIALIZED (
+         |  SELECT LIST(w ORDER BY i) AS wv FROM (
+         |    SELECT c.i,
+         |           (SELECT SUM(p) FROM (SELECT UNNEST(c.ci) * UNNEST(v.v) AS p)) AS w
+         |    FROM cmat c, v${k - 1} v)),
+         |v$k AS MATERIALIZED (
+         |  SELECT LIST_TRANSFORM(wl.wv, x -> ROUND(x / n.nrm, 6) + 0.0) AS v
+         |  FROM wl$k wl,
+         |       (SELECT SQRT((SELECT SUM(y*y) FROM (SELECT UNNEST(wv) AS y))) AS nrm
+         |        FROM wl$k) n)""".stripMargin
+    }.mkString(",\n")
+    s"""$CovTriCtes,
+       |cfull AS (
+       |  SELECT i, j, cov FROM ctri
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM ctri WHERE i != j),
+       |cmat AS MATERIALIZED (SELECT i, LIST(cov ORDER BY j) AS ci FROM cfull GROUP BY i),
+       |v0 AS (SELECT LIST_TRANSFORM(RANGE(0, 64), x -> CAST(0.125 AS DOUBLE)) AS v),
+       |$iters,
+       |wf AS (
+       |  SELECT c.i,
+       |         (SELECT SUM(p) FROM (SELECT UNNEST(c.ci) * UNNEST(v.v) AS p)) AS w
+       |  FROM cmat c, $PcaLast v),
+       |wfl AS (SELECT LIST(w ORDER BY i) AS wv FROM wf),
+       |lam AS (
+       |  SELECT ROUND((SELECT SUM(p) FROM (SELECT UNNEST(v.v) * UNNEST(wl.wv) AS p)), 6)
+       |           + 0.0 AS l
+       |  FROM $PcaLast v, wfl wl)""".stripMargin
+  }
+
+  /** `embedding_pca_power` oracle: [[PcaCtes]] + the (i, loading,
+    * eigenvalue) projection of the converged state. */
+  private lazy val PcaOracleSql: String =
+    s"""WITH $PcaCtes
+       |SELECT CAST(g.i AS INT) AS i, v.v[g.i + 1] AS loading, lam.l AS eigenvalue
+       |FROM $PcaLast v, lam, (SELECT UNNEST(RANGE(0, 64)) AS i) g
+       |ORDER BY i""".stripMargin
+
   /** Oracle twin of [[normed]]: `n(vec_id, label, e, nrm)` CTEs (DuckDB
     * zips parallel unnests positionally; same left-to-right fold). */
   private val NormCtes =
@@ -942,40 +1078,7 @@ object SimilarityQueries {
     // LshBandKeys bridge); overflow headroom in CovMoments' Scaladoc.
     QuerySpec(
       "embedding_covariance",
-      (s, dir) => {
-        val Tri = graft.functions.CovMoments.Tri
-        val covm = udaf(graft.functions.CovMoments)
-        val q = emb(s, dir).select(expr(
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
-        // (pos, element) rows of the packed moment buffer; localCheckpoint
-        // because three consumers (triangle, marginals, count) read it and
-        // physical plans never share subtrees — without the barrier the
-        // corpus aggregation would run three times
-        val m = q.agg(covm(col("q")).as("m"))
-          .select(posexplode(col("m"))).localCheckpoint()
-        // pos → (i, j) for the row-major upper triangle: one interpreted
-        // build of a 2080-element literal mapping, broadcast everywhere
-        val mapIJ = s.range(1).select(posexplode(expr(
-          """flatten(transform(sequence(0, 63), i ->
-               transform(sequence(i, 63), j -> struct(i AS i, j AS j))))""")))
-          .select(col("pos"), col("col.i"), col("col.j"))
-        val marg = m.filter(col("pos").between(Tri, Tri + 63))
-          .select((col("pos") - Tri).cast("int").as("mi"), col("col").as("ms"))
-        val n = m.filter(col("pos") === Tri + 64).select(col("col").as("n"))
-        m.filter(col("pos") < Tri)
-          .join(broadcast(mapIJ), "pos")
-          .crossJoin(broadcast(n))
-          .join(broadcast(marg).as("a"), col("a.mi") === col("i"))
-          .join(broadcast(marg).as("b"), col("b.mi") === col("j"))
-          // `+ 0.0` collapses IEEE -0.0 to +0.0 (DuckDB's ROUND preserves the
-          // sign of an underflowing negative, Spark's BigDecimal round does
-          // not — 3/2080 cells at sf0.01 diverged before this normalization)
-          .select(col("i"), col("j"), col("col").as("s_pp"),
-            (round((col("col").cast("double") / col("n")
-              - (col("a.ms").cast("double") / col("n"))
-                * (col("b.ms").cast("double") / col("n"))) / 1e6, 6) + lit(0.0)).as("cov"))
-          .orderBy("i", "j")
-      },
+      (s, dir) => covarianceTri(s, dir).orderBy("i", "j"),
       Some("""WITH q AS (
                 SELECT LIST_TRANSFORM(embedding,
                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -997,6 +1100,73 @@ object SimilarityQueries {
                               * (CAST(b.ms AS DOUBLE) / s.n)) / 1e6, 6) + 0.0 AS cov
               FROM sums s JOIN marg a ON a.i = s.i JOIN marg b ON b.i = s.j
               ORDER BY s.i, s.j""")),
+
+    // In-engine PCA top component: dominant eigenvector of the 64×64
+    // covariance by 20 fixed power iterations. The corpus-sized work is
+    // the ONE exact-integer moment pass covarianceTri already runs; the
+    // (i, j, cov) matrix that reaches the PowerIterate Aggregator is
+    // CONSTANT-size, so the eigen solve is O(20·64²) on one task at any
+    // corpus scale — where a production system solves it. Lockstep: both
+    // engines start at v₀ = 0.125 (exact), compute matvec/norm sums in
+    // the same ascending order, and round every coordinate to 6 decimals
+    // each iteration, so fp drift cannot accumulate; the oracle unrolls
+    // the same 20 iterations as generated CTEs (the BPE-oracle pattern).
+    QuerySpec(
+      "embedding_pca_power",
+      (s, dir) => pcaTop(s, dir).orderBy("i"),
+      Some(PcaOracleSql)),
+
+    // PCA PROJECTION — the consumer that makes the eigenvector useful:
+    // every embedding scored by its centered projection onto the top
+    // component (the first coordinate a whitening / dimensionality-
+    // reduction pipeline keeps). The loading and mean vectors are
+    // constant-size single-row arrays broadcast to every task; the score
+    // is a per-row ascending-k fold (zero extra shuffle beyond the two
+    // constant aggregates), so the query costs one corpus pass more than
+    // embedding_pca_power at any scale. Lockstep: q/1000 centering uses
+    // the exact integer marginals, fold order is k-ascending on both
+    // engines, score rounded to 6.
+    QuerySpec(
+      "embedding_pca_project",
+      (s, dir) => {
+        // exact integer marginals (ms_k, n) → mean_k = ms_k/n/1000; the
+        // posexplode→groupBy is a partial-aggregating shuffle of 64
+        // compact keys
+        val q = emb(s, dir).select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+        val marg = q.select(posexplode(col("q")))
+          .groupBy("pos")
+          .agg(sum(col("col")).as("ms"), count(lit(1)).as("n"))
+          .select(col("pos").cast("int").as("i"),
+            (col("ms").cast("double") / col("n") / 1000.0).as("mu"))
+        // one 1-row frame carrying both 64-wide constant arrays
+        val arrs = pcaTop(s, dir).join(marg, "i")
+          .agg(
+            expr("transform(array_sort(collect_list(struct(i, loading))), s -> s.loading)").as("l"),
+            expr("transform(array_sort(collect_list(struct(i, mu))), s -> s.mu)").as("mu"))
+        q.crossJoin(broadcast(arrs))
+          .select(col("vec_id"),
+            (round(expr(
+              """aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+                |  (acc, k) -> acc + (q[k] / 1000.0 - mu[k]) * l[k])""".stripMargin), 6)
+              + lit(0.0)).as("score"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $PcaCtes,
+              |mq AS (
+              |  SELECT vec_id, LIST_TRANSFORM(embedding,
+              |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              |  FROM embeddings),
+              |cnt AS (SELECT COUNT(*) AS n FROM mq),
+              |mu AS (
+              |  SELECT LIST(CAST(ms AS DOUBLE) / n / 1000.0 ORDER BY i) AS mu
+              |  FROM cmarg, cnt)
+              |SELECT m.vec_id,
+              |       ROUND((SELECT SUM(p) FROM (
+              |                SELECT (UNNEST(m.q) / 1000.0 - UNNEST(mu.mu))
+              |                       * UNNEST(v.v) AS p)), 6) + 0.0 AS score
+              |FROM mq m, mu, $PcaLast v
+              |ORDER BY vec_id""".stripMargin)),
 
     // MMR diversified retrieval (Carbonell & Goldstein 1998): the
     // re-ranking stage after top-k — greedily pick 8 of the top-20

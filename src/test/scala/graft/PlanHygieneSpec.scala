@@ -38,6 +38,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "pipeline_curate_soft",
       "agg_sketch_union", "agg_sketch_intersect",
       "embedding_kmeans", "embedding_covariance", "graph_pagerank",
+      // PCA rides the covariance kernel's declared broadcast shapes; the
+      // eigen solve itself is a constant-size single-group aggregate,
+      // and the projection adds one 1-row loading/mean-array broadcast
+      "embedding_pca_power", "embedding_pca_project",
       // k broadcast centroids against every vector — the kmAssign shape
       // embedding_kmeans declares, reused for the SemDeDup clustering pass
       "dedup_semantic",
