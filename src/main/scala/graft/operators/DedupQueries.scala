@@ -1124,7 +1124,11 @@ object DedupQueries {
        |  FROM inter JOIN sizes ca ON ca.doc_id = da JOIN sizes cb ON cb.doc_id = db
        |  WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.3)""".stripMargin
 
-  private lazy val MinHashPairsCtes: String = {
+  /** The shared shingle→signature→band chain (CTEs `toks`/`idx`/`sh`/
+    * `sig`/`bands`), split out so the STREAMING near-dup oracle
+    * (`stream_neardup_minhash`) reuses the exact generated permutation
+    * family the batch pair queries verify against. */
+  private[operators] lazy val MinHashBandCtes: String = {
     val mins = (0 until K).map(i => s"MIN((${2 * i + 1}*h+${7919L * i}) % $P) AS s$i").mkString(", ")
     val bands = (0 until Bands).map(j =>
       s"SELECT doc_id, $j AS b, s${2 * j}::VARCHAR || '_' || s${2 * j + 1}::VARCHAR AS key FROM sig")
@@ -1134,7 +1138,11 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id,
        |       ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT AS h FROM idx),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |bands AS ($bands),
+       |bands AS ($bands)""".stripMargin
+  }
+
+  private lazy val MinHashPairsCtes: String = {
+    s"""$MinHashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
        |inter AS (SELECT da, db, COUNT(*) AS ic FROM cand

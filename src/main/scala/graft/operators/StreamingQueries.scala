@@ -169,6 +169,28 @@ object StreamingQueries {
                      ROUND(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 4) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Streaming MinHash-LSH NEAR-dup dedup executed as a stream and
+    // oracled — the continuous-ingest twin of dedup_minhash: stateless
+    // per-row signatures (same generated permutation family), one
+    // stateful operator holding ONE long (min doc_id) per occupied band
+    // bucket, first-wins flagging. The AvailableNow drain processes the
+    // corpus as a single batch, where streaming first-wins coincides with
+    // the exact batch rule "flagged ⇔ ∃ smaller doc_id sharing a band" —
+    // which DuckDB recomputes from the shared band CTEs. At 100 TB the
+    // only shuffle carries (bucket, doc_id) pairs and state is 8 bytes
+    // per distinct bucket — the smallest possible memory for continuous
+    // near-dup (no signatures or texts retained).
+    QuerySpec(
+      "stream_neardup_minhash",
+      (s, dir) => graft.streaming.DocStreams.neardupEffect(s, dir),
+      Some(s"""WITH ${DedupQueries.MinHashBandCtes},
+              |flagged AS (SELECT DISTINCT b.doc_id FROM bands a
+              |            JOIN bands b ON a.b = b.b AND a.key = b.key
+              |                        AND a.doc_id < b.doc_id)
+              |SELECT d.doc_id, f.doc_id IS NULL AS kept
+              |FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // foreachBatch CDC MERGE executed as a stream and oracled: the
     // change stream (events ∪ a deterministic gen-2 copy at ts+1h,
     // value+1000) folds micro-batch by micro-batch into a parquet state
