@@ -414,6 +414,30 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // KML landing-zone ingest: same planDir path as the gpkg zone, but
+    // the multi-file read needs NO custom connector — the built-in XML
+    // source lists and splits a directory natively, each file parsing in
+    // its own scan task. The cheapest proof that riding a built-in
+    // source buys the whole distributed-ingest story for free.
+    QuerySpec(
+      "pipeline_ingest_kml_dir",
+      (s, dir) => {
+        val zone = fixturePath(dir, "pipe_kml_zone")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+        geoRows(s, dir).grouped(5).zipWithIndex.foreach { case (g, i) =>
+          graft.sources.FormatWriters.writeKml(
+            s"$zone/part$i.kml", g, "nkey")
+        }
+        val res = graft.plans.IngestPipeline.planDir(s, zone, "nation_kml_zone", "public")
+        res.transformed
+          .select(col("data")("nkey").cast("long").as("nkey"),
+            col("name").as("nname"), col("geometry_wkt").as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // GeoPackage WRITE-BACK round-trip: nation rows with a WKT point
     // column run through GeoPackageSink.writeGeo (WKT → GPB geometry,
     // `_wkt` scaffolding dropped — the 2-phase PostGIS contract at the

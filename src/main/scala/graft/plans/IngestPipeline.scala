@@ -122,9 +122,11 @@ object IngestPipeline {
     require(files.nonEmpty, s"no container files under '$dirPath'")
     val fileType = FileTypeDetector.detect(files.head)
       .fold(e => throw new IllegalArgumentException(e), identity)
-    require(fileType == FileType.Geopackage || fileType == FileType.Shapefile,
+    require(fileType == FileType.Geopackage || fileType == FileType.Shapefile
+        || fileType == FileType.Kml,
       s"directory ingest supports the container formats (gpkg, zipped " +
-        s"shapefile); '${files.head}' detected as $fileType")
+        s"shapefile) and KML (whose XML source reads a directory " +
+        s"natively); '${files.head}' detected as $fileType")
     val cleaned = FileTypeDetector.cleanTableName(tableName)
     val df = read(spark, dirPath, fileType)
     val geometry = SchemaHeuristics.findGeometryColumns(df.schema, fileType)
