@@ -37,9 +37,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object DocStreams {
 
-  import graft.functions.MinHashSig.{K, P}
-  private val Bands = K / 2
-
   /** Streaming read of the documents parquet (schema from the batch
     * loader; `glob` widens to `*.parquet` for landing-zone tests). */
   def readDocuments(spark: SparkSession, dir: String,
@@ -54,30 +51,18 @@ object DocStreams {
 
   /** Stateless per-row LSH band keys `(doc_id, b, key)`: 3-shingle md5
     * hashes (the HashBridge form, so DuckDB reproduces them), 16
-    * min-fold signature rows, 8 bands of 2 signature rows each.
-    * Documents with fewer than 3 tokens produce no shingles and are
-    * dropped here — they cannot near-duplicate anything and are `kept`
-    * by definition downstream. */
-  def bandKeys(docs: DataFrame): DataFrame = {
-    val sig = array((0 until K).map { i =>
-      expr(s"array_min(transform(hs, h -> (h * ${2 * i + 1} + ${7919L * i}) % CAST($P AS BIGINT)))")
-    }: _*)
-    val bands = array((0 until Bands).map { j =>
-      struct(lit(j).as("b"),
-        concat_ws("_", col("sig")(2 * j), col("sig")(2 * j + 1)).as("key"))
-    }: _*)
+    * min-fold signature rows, 8 bands of 2 signature rows each — all in
+    * ONE compiled pass via the native [[graft.functions.MinHashBandKeys]]
+    * expression (the composed HOF form ran 16 interpreted array passes
+    * per row and measured ~9 s of the query's 10 s at sf0.1). Documents
+    * with fewer than 3 tokens produce no shingles and explode away here —
+    * they cannot near-duplicate anything and are `kept` by definition
+    * downstream. */
+  def bandKeys(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .withColumn("hs", expr(
-        """CASE WHEN size(t) >= 3 THEN
-          |  transform(sequence(0, size(t)-3),
-          |    i -> CAST(conv(substring(md5(concat(t[i],' ',t[i+1],' ',t[i+2])),1,8),16,10) AS BIGINT))
-          |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
-      .filter(size(col("hs")) > 0)
-      .withColumn("sig", sig)
-      .select(col("doc_id"), explode(bands).as("bd"))
-      .select(col("doc_id"), col("bd.b").as("b"), col("bd.key").as("key"))
-  }
+      .select(col("doc_id"),
+        graft.functions.MinHashBandKeys(split(trim(col("text")), "\\s+")).as("keys"))
+      .select(col("doc_id"), posexplode(col("keys")).as(Seq("b", "key")))
 
   /** Per-bucket first-wins flagging: state is the minimum doc_id ever
     * seen in the bucket; each arriving doc emits `(doc_id, flagged)` with
