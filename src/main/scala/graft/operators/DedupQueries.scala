@@ -655,6 +655,49 @@ object DedupQueries {
               SELECT doc_a, doc_b, hamming FROM pairs
               ORDER BY doc_a, doc_b""")),
 
+    // Winnowing PARTIAL-overlap detection (Schleimer et al. 2003 — the
+    // MOSS join): doc pairs sharing ≥3 winnow-selected fingerprints.
+    // Where MinHash measures whole-document set resemblance, winnowing
+    // GUARANTEES any shared run of ≥ K+W−1 = 7 tokens surfaces a common
+    // fingerprint — the detector for copied passages inside otherwise
+    // different documents. Scale shape: the winnow selection samples
+    // ~2/(W+1) = 0.4 of grams BEFORE anything shuffles (the native
+    // one-pass WinnowFingerprint expression, see text_winnow_fingerprint);
+    // hot fingerprints in >64 docs (boilerplate) are dropped like every
+    // other blocked family here, bounding the self-join at Σ|bucket|² ≤
+    // 64·|fp| at any corpus size.
+    QuerySpec(
+      "dedup_winnow",
+      (s, dir) => {
+        // distinct (doc, h) — positions don't matter for overlap; one
+        // compiled pass builds the fingerprints, localCheckpoint because
+        // the relation feeds the df gate and both self-join sides
+        val fp = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.WinnowFingerprint(split(trim(col("text")), "\\s+")).as("fp"))
+          .select(col("doc_id"), explode(col("fp")).as("f"))
+          .select(col("doc_id"), col("f.h").as("h"))
+          .distinct()
+          .localCheckpoint()
+        val kept = fp.join(
+          fp.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df").between(2, 64)).select("h"), "h")
+        kept.as("a").join(kept.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $WinnowCtes,
+              |fdoc AS (SELECT DISTINCT doc_id, h FROM winnow),
+              |keep AS (SELECT h FROM fdoc GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64),
+              |kept AS (SELECT f.doc_id, f.h FROM fdoc f JOIN keep k ON k.h = f.h)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Ensemble near-dup clustering — components over the UNION of the two
     // independent pair signals (MinHash-verified Jaccard ≥ 0.2 edges and
     // SimHash hamming ≤ 3 edges), the shape production dedup takes when
@@ -1140,6 +1183,30 @@ object DedupQueries {
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bands)""".stripMargin
   }
+
+  /** Oracle twin of the native WinnowFingerprint expression, ending in
+    * `winnow(doc_id, pos, h)` — K=4-token-gram md5-bridge hashes, W=4
+    * window MINs over the `h·2^20 + (2^20−1−pos)` encoding (min-h with
+    * rightmost-pos tie-break in one BIGINT key), full windows only,
+    * DISTINCT selections. Shared by `text_winnow_fingerprint` (the
+    * verified relation, TextQueries) and `dedup_winnow` (its overlap-join
+    * consumer). */
+  private[operators] lazy val WinnowCtes: String =
+    """wtoks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text),'\s+') AS t FROM documents),
+      |gidx AS (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-3)) AS i
+      |         FROM wtoks WHERE LEN(t) >= 4),
+      |wgrams AS (SELECT doc_id, i - 1 AS pos,
+      |           ('0x'||SUBSTR(MD5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]),1,8))::BIGINT AS h
+      |           FROM gidx),
+      |wkeys AS (SELECT doc_id, pos,
+      |          MIN(h * 1048576 + (1048575 - pos)) OVER (
+      |            PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+      |          FROM wgrams),
+      |winnow AS (SELECT DISTINCT doc_id,
+      |           CAST(1048575 - (mk % 1048576) AS INT) AS pos,
+      |           mk // 1048576 AS h
+      |           FROM wkeys WHERE pos >= 3)""".stripMargin
 
   private lazy val MinHashPairsCtes: String = {
     s"""$MinHashBandCtes,

@@ -185,6 +185,28 @@ object TextQueries {
                      MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
               FROM documents ORDER BY doc_id""")),
 
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS):
+    // per window of W=4 consecutive K=4-token-gram hashes, select the
+    // minimum (rightmost on ties); the distinct selections are the doc's
+    // fingerprint set, guaranteed to expose any shared run ≥ K+W−1 = 7
+    // tokens at ~0.4 gram density. The whole shingle→hash→winnow pipeline
+    // is ONE compiled pass per row (native WinnowFingerprint expression —
+    // same promote-on-evidence rationale as MinHashBandKeys), so the query
+    // is a zero-shuffle scan→project at any corpus size; the oracle
+    // re-derives the selection with window-frame MINs over an encoded
+    // (h, rightmost-pos) key. Consumer: dedup_winnow (DedupQueries).
+    QuerySpec(
+      "text_winnow_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), graft.functions.WinnowFingerprint(toks).as("fp"))
+          .select(col("doc_id"), explode(col("fp")).as("f"))
+          .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
+          .orderBy("doc_id", "pos"),
+      Some(s"""WITH ${DedupQueries.WinnowCtes}
+              |SELECT doc_id, pos, h FROM winnow
+              |ORDER BY doc_id, pos""".stripMargin)),
+
     // Canonical text normalization (the pre-tokenization cleanup stage of
     // a training pipeline): lowercase, strip non-alphanumerics to spaces,
     // collapse runs of whitespace, trim. Pure per-row codegen kernel —
