@@ -187,6 +187,27 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY n_nationkey""")),
 
+    // GML (second beyond-reference XML geo format): feature schema
+    // resolved from the .xsd SIDECAR the format ships (the GDAL driver
+    // shape — a tiny driver-side parse), the feature scan riding the
+    // built-in XML datasource in executor tasks; srsName sniffed from a
+    // bounded 4 KB prefix and stamped into schema metadata (the
+    // GeoPackage contract). Same nation fixture loop, plain-SQL oracle.
+    QuerySpec(
+      "scan_gml",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.gml")
+        graft.sources.FormatWriters.writeGml(
+          path, geoRows(s, dir), "fkey")
+        graft.sources.GmlReader.read(s, path)
+          .select(col("fkey").as("n_nationkey"),
+            col("fname").as("n_name"), col("geom").as("wkt"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                      $wktSql AS wkt
+               FROM nation ORDER BY n_nationkey""")),
+
     // JSON Lines: the de-facto LLM-corpus interchange format —
     // `spark.read.json` (line-delimited, schema-inferred) over a fixture
     // composed from nation rows. Splittable at scale (unlike multiLine

@@ -105,6 +105,8 @@ object IngestPipeline {
         spark.read.format("gpkg").load(path)
       case FileType.Kml =>
         graft.sources.KmlReader.read(spark, path)
+      case FileType.Gml =>
+        graft.sources.GmlReader.read(spark, path)
     }
 
   /** Multi-container landing-zone ingest (beyond the reference's
@@ -123,10 +125,10 @@ object IngestPipeline {
     val fileType = FileTypeDetector.detect(files.head)
       .fold(e => throw new IllegalArgumentException(e), identity)
     require(fileType == FileType.Geopackage || fileType == FileType.Shapefile
-        || fileType == FileType.Kml,
+        || fileType == FileType.Kml || fileType == FileType.Gml,
       s"directory ingest supports the container formats (gpkg, zipped " +
-        s"shapefile) and KML (whose XML source reads a directory " +
-        s"natively); '${files.head}' detected as $fileType")
+        s"shapefile) and the XML geo formats KML/GML (whose XML source " +
+        s"reads a directory natively); '${files.head}' detected as $fileType")
     val cleaned = FileTypeDetector.cleanTableName(tableName)
     val df = read(spark, dirPath, fileType)
     val geometry = SchemaHeuristics.findGeometryColumns(df.schema, fileType)
@@ -159,6 +161,14 @@ object IngestPipeline {
       "4326" // GeoJSON spec (RFC 7946) mandates CRS84 == lon/lat WGS84
     case FileType.Kml =>
       "4326" // KML (OGC 07-147r2 §6.2) mandates WGS84 lon/lat
+    case FileType.Gml =>
+      // the reader stamped the srsName sniff into the geometry field's
+      // metadata (bounded 4 KB prefix) — same schema-borne contract as
+      // GeoPackage's container SRS
+      df.schema.fields
+        .find(f => f.metadata.contains(graft.sources.GmlReader.CrsTag))
+        .map(_.metadata.getString(graft.sources.GmlReader.CrsTag))
+        .getOrElse("4326")
     case FileType.Geopackage =>
       // the reader stamped the SRS into the geometry field's metadata —
       // read it from the schema instead of re-walking the whole container

@@ -18,6 +18,9 @@ object FileType {
     * additive branch, never reachable by the ported decision-tree tests
     * (their inputs are magic-matched or '{'-prefixed or extension-matched). */
   case object Kml        extends FileType("KML")
+  /** Beyond-reference like [[Kml]]: GDAL's `st_read` accepts GML; schema
+    * resolves from the `.xsd` sidecar (GmlReader). */
+  case object Gml        extends FileType("GML")
   case object Excel      extends FileType("Excel")
   case object Csv        extends FileType("CSV")
   case object Parquet    extends FileType("Parquet")
@@ -89,6 +92,12 @@ object FileTypeDetector {
         // case-sensitive — XML element names are.
         else if (prefix.contains("<kml") &&
             prefix.contains("http://www.opengis.net/kml")) Right(FileType.Kml)
+        // GML content sniff (beyond-reference, same additive rationale):
+        // a gml-prefixed element plus the OGC GML namespace in the
+        // bounded prefix. Ordered after KML — KML never declares the gml
+        // namespace, so the branches are disjoint.
+        else if (prefix.contains("<gml:") &&
+            prefix.contains("http://www.opengis.net/gml")) Right(FileType.Gml)
         else {
           // Extension fallback for CSV (reference's own "hack", :305-314).
           val name = Paths.get(filePath).getFileName.toString

@@ -164,6 +164,63 @@ object FormatWriters {
     Files.write(Paths.get(path), doc.getBytes(UTF_8)): Unit
   }
 
+  /** GML 2.1 FeatureCollection + the `.xsd` SIDECAR GDAL's driver writes
+    * beside it (`scan_gml` fixture, beyond the reference): one
+    * `<graftfeat>` member per row with `fkey`/`fname` properties and a
+    * `gml:Point` geometry. `srsName` uses the LEGACY `EPSG:n` form
+    * (lon/lat storage order) unless `urnForm`, which emits
+    * `urn:ogc:def:crs:EPSG::n` and the official lat/lon axis order —
+    * exercising the reader's axis swap. */
+  def writeGml(path: String, rows: Seq[(Long, String, Double, Double)],
+      keyName: String, epsg: Int = 4326, urnForm: Boolean = false): Unit = {
+    val parent = Paths.get(path).getParent
+    if (parent != null) Files.createDirectories(parent): Unit
+    def num(d: Double): String = {
+      require(!d.isNaN && !d.isInfinite, s"non-finite coordinate $d")
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    }
+    val srs = if (urnForm) s"urn:ogc:def:crs:EPSG::$epsg" else s"EPSG:$epsg"
+    val members = rows.map { case (k, n, x, y) =>
+      val pos = if (urnForm) s"${num(y)} ${num(x)}" else s"${num(x)} ${num(y)}"
+      s"""  <gml:featureMember>
+         |    <graftfeat>
+         |      <geom><gml:Point srsName="$srs"><gml:pos>$pos</gml:pos></gml:Point></geom>
+         |      <$keyName>$k</$keyName>
+         |      <fname>${xmlEscape(n)}</fname>
+         |    </graftfeat>
+         |  </gml:featureMember>""".stripMargin
+    }.mkString("\n")
+    val doc =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+         |$members
+         |</gml:FeatureCollection>
+         |""".stripMargin
+    Files.write(Paths.get(path), doc.getBytes(UTF_8)): Unit
+    val xsd =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+         |           xmlns:gml="http://www.opengis.net/gml"
+         |           elementFormDefault="qualified">
+         |  <xs:complexType name="graftfeatType">
+         |    <xs:complexContent>
+         |      <xs:extension base="gml:AbstractFeatureType">
+         |        <xs:sequence>
+         |          <xs:element name="geom" type="gml:GeometryPropertyType"/>
+         |          <xs:element name="$keyName" type="xs:long"/>
+         |          <xs:element name="fname" type="xs:string"/>
+         |        </xs:sequence>
+         |      </xs:extension>
+         |    </xs:complexContent>
+         |  </xs:complexType>
+         |  <xs:element name="graftfeat" type="graftfeatType"
+         |              substitutionGroup="gml:_Feature"/>
+         |</xs:schema>
+         |""".stripMargin
+    Files.write(Paths.get(path.replaceAll("\\.[Gg][Mm][Ll]$", ".xsd")),
+      xsd.getBytes(UTF_8)): Unit
+  }
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 

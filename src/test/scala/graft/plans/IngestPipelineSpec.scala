@@ -286,6 +286,42 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(trail.getAs[String]("geometry_wkt") == "LINESTRING (0 0, 1 1, 2 0.5)")
   }
 
+  test("features.gml end-to-end: sniffed GML, XSD sidecar schema, 27700 → 4326") {
+    val gml = s"$tmpDir/features.gml"
+    // Greenwich Observatory in British National Grid eastings/northings
+    graft.sources.FormatWriters.writeGml(
+      gml, Seq((7L, "Greenwich", 538890.0, 177320.0)), "fkey", epsg = 27700)
+    // content sniff, not extension
+    assert(FileTypeDetector.detect(gml).toOption.contains(FileType.Gml))
+    val res = IngestPipeline.plan(spark, IngestJob(gml, "features.gml", "s"))
+    assert(res.fileType == FileType.Gml)
+    assert(res.geometry.names == Seq("geom")) // reader-tagged, not name-matched
+    assert(res.crs.contains("27700"))         // bounded srsName sniff
+    val row = res.transformed.collect()(0)
+    assert(row.getAs[Long]("fkey") == 7L)
+    assert(row.getAs[String]("fname") == "Greenwich")
+    // OSGB36 -> WGS84: Greenwich is ~(0.0, 51.48); closed-form transform
+    val wkt = row.getAs[String]("geom_wkt")
+    val Array(x, y) = wkt.stripPrefix("POINT (").stripSuffix(")").split(" ").map(_.toDouble)
+    assert(math.abs(x - 0.0) < 0.01 && math.abs(y - 51.478) < 0.01, wkt)
+  }
+
+  test("gml urn-form srsName declares lat/lon axis order; reader swaps to WKT x y") {
+    val gml = s"$tmpDir/urnfeat.gml"
+    graft.sources.FormatWriters.writeGml(
+      gml, Seq((1L, "Spot", -0.1, 51.5)), "fkey", epsg = 4326, urnForm = true)
+    val df = graft.sources.GmlReader.read(spark, gml)
+    val row = df.collect()(0)
+    assert(row.getAs[String]("geom") == "POINT (-0.1 51.5)")
+    // no-sidecar is a loud error, not a silent scan-inference pass
+    val orphan = writeFile(tmpDir, "orphan.gml",
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(gml)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GmlReader.read(spark, orphan)
+    }
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("geojson polygon + multilinestring geometries decode") {
     val body =
       """{"type":"FeatureCollection","features":[
