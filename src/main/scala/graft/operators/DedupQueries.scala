@@ -698,6 +698,49 @@ object DedupQueries {
               |GROUP BY 1, 2 HAVING COUNT(*) >= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // RECALL AUDIT of the banded MinHash detector against exact ground
+    // truth — the evaluation a production dedup pipeline runs before
+    // trusting an approximate detector at 100 TB. Ground truth is the
+    // prefix-filtering exact set-similarity join at the SAME J ≥ 0.2
+    // verify threshold (completeness proven in PrefixJoinSpec); detected
+    // is the 8-band/2-row LSH candidate set after exact verification.
+    // Precision is 1 by construction (candidates are verified), so the
+    // one number that matters is recall = detected/truth — banding theory
+    // puts P(detect | J=0.2) = 1−(1−0.2²)⁸ ≈ 0.28 at the threshold and
+    // ≈ 0.97 at J=0.5, so corpus recall lands between, weighted by where
+    // the true pairs sit. Pure composition of two already-blocked plans;
+    // the audit output is ONE row.
+    QuerySpec(
+      "dedup_recall_audit",
+      (s, dir) => {
+        val truth = prefixJoinQuery(0.2)(s, dir)
+          .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        val det = minhashPairs(s, dir)
+          .select(col("da"), col("db"), lit(1).as("hit"))
+        truth.join(det, Seq("da", "db"), "left")
+          .agg(count(lit(1)).as("truth_pairs"), count(col("hit")).as("detected_pairs"))
+          .select(lit(0.2).as("t"), col("truth_pairs"), col("detected_pairs"),
+            (round(col("detected_pairs").cast("double") / col("truth_pairs"), 6)
+              + lit(0.0)).as("recall"))
+      },
+      Some(s"""WITH $MinHashBandCtes,
+              |c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ic
+              |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2),
+              |truth AS (SELECT da, db FROM p
+              |          JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
+              |          WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.2),
+              |bcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |          FROM bands a JOIN bands b
+              |            ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+              |hits AS (SELECT t.da, b.da AS hit FROM truth t
+              |         LEFT JOIN bcand b ON b.da = t.da AND b.db = t.db)
+              |SELECT CAST(0.2 AS DOUBLE) AS t,
+              |       COUNT(*) AS truth_pairs, COUNT(hit) AS detected_pairs,
+              |       ROUND(CAST(COUNT(hit) AS DOUBLE) / COUNT(*), 6) + 0.0 AS recall
+              |FROM hits""".stripMargin)),
+
     // Ensemble near-dup clustering — components over the UNION of the two
     // independent pair signals (MinHash-verified Jaccard ≥ 0.2 edges and
     // SimHash hamming ≤ 3 edges), the shape production dedup takes when
