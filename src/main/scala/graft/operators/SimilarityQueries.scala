@@ -393,6 +393,56 @@ object SimilarityQueries {
       (s, dir) => topk(s, dir, sameLabelOnly = true),
       Some(CosineSql.format("AND q.label = c.label"))),
 
+    // RECALL@5 AUDIT of the IVF single-probe search against the exact
+    // brute-force ranking — the ANN twin of dedup_recall_audit, and the
+    // number an embedding pipeline tracks before narrowing nprobe at
+    // 100 TB (IVF with one probed cluster trades exactly this recall for
+    // its cluster-pruned scan). Per-query overlap of the two top-5 sets;
+    // both rankings share the deterministic (sim DESC, neighbor_id)
+    // tie-break and 6-decimal rounding, so the composition is as
+    // hash-stable as its parts. Cost = the two already-declared plans
+    // plus a 16×5-row join.
+    QuerySpec(
+      "topk_similarity_recall",
+      (s, dir) => {
+        val exact = topk(s, dir, sameLabelOnly = false)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = topk(s, dir, sameLabelOnly = true)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("hits"))
+          .select(col("query_id"), col("hits"),
+            round(col("hits").cast("double") / 5.0, 6).as("recall"))
+          .orderBy("query_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e,
+             |             SQRT((SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x))) AS nrm
+             |      FROM v),
+             |q AS (SELECT * FROM n WHERE vec_id < 16),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         q.label = c.label AS same,
+             |         ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(c.e) AS p))
+             |               / (q.nrm * c.nrm), 6) + 0.0 AS sim
+             |  FROM q JOIN n c ON q.vec_id != c.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id,
+             |                ROW_NUMBER() OVER (PARTITION BY query_id
+             |                                   ORDER BY sim DESC, neighbor_id) AS rn
+             |         FROM pairs) WHERE rn <= 5),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id,
+             |                ROW_NUMBER() OVER (PARTITION BY query_id
+             |                                   ORDER BY sim DESC, neighbor_id) AS rn
+             |         FROM pairs WHERE same) WHERE rn <= 5)
+             |SELECT e.query_id, COUNT(a.neighbor_id) AS hits,
+             |       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+             |FROM ex e LEFT JOIN ap a
+             |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
+
     // LSH-bucketed ANN (SURVEY.md §2.12 scale path): 128 signed-random-
     // projection bits → 16 band keys of 8 bits; candidate neighbors share
     // ≥1 band; exact cosine reranks the survivors. At 100 TB the band

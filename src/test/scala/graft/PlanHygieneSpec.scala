@@ -59,7 +59,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "text_nb_train", "text_nb_apply",
       // MMR's pool builder is the same bounded-16-row-query brute scan
       // topk_similarity declares; everything after is pool²-bounded
-      "rank_mmr")
+      "rank_mmr",
+      // the recall audit composes the two declared topk shapes (exact
+      // baseline + IVF) — the audit join itself is 16×5 rows
+      "topk_similarity_recall")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
