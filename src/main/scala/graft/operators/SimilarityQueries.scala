@@ -288,6 +288,60 @@ object SimilarityQueries {
         - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
       .agg(sum(col("d"))).collect()(0).getDouble(0)
 
+  /** Oracle twin of the two-iteration lockstep Lloyd loop (kmInit →
+    * kmAssign → kmUpdate ×2): CTEs `v`/`vn` … `a2`/`c2`, every distance
+    * and centroid component rounded to the shared 6-decimal grid so both
+    * engines enter each iteration with identical doubles. Shared by
+    * `embedding_kmeans` (the verified relation) and
+    * `topk_similarity_ivf2` (its index consumer). */
+  private lazy val KmeansCtes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |vn AS (SELECT vec_id, e,
+      |              (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS vn2
+      |       FROM v),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, LIST_TRANSFORM(e, x -> ROUND(x, 6)) AS c
+      |       FROM v WHERE vec_id < 8),
+      |n0 AS (SELECT cid, c,
+      |              (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+      |       FROM c0),
+      |d1 AS (SELECT v.vec_id, k.cid,
+      |              ROUND(v.vn2 + k.cn2
+      |                    - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+      |                    6) AS d
+      |       FROM vn v CROSS JOIN n0 k),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |u1 AS (SELECT cid, pos,
+      |              ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |                    / COUNT(*), 6) AS val
+      |       FROM (SELECT a1.cid, UNNEST(v.e) AS x,
+      |                    UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
+      |             FROM a1 JOIN v USING (vec_id))
+      |       GROUP BY cid, pos),
+      |c1 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u1 GROUP BY cid),
+      |n1 AS (SELECT cid, c,
+      |              (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+      |       FROM c1),
+      |d2 AS (SELECT v.vec_id, k.cid,
+      |              ROUND(v.vn2 + k.cn2
+      |                    - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+      |                    6) AS d
+      |       FROM vn v CROSS JOIN n1 k),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |u2 AS (SELECT cid, pos,
+      |              ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |                    / COUNT(*), 6) AS val
+      |       FROM (SELECT a2.cid, UNNEST(v.e) AS x,
+      |                    UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
+      |             FROM a2 JOIN v USING (vec_id))
+      |       GROUP BY cid, pos),
+      |c2 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u2 GROUP BY cid)""".stripMargin
+
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
   private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
     val e = normed(s, dir)
@@ -442,6 +496,77 @@ object SimilarityQueries {
              |FROM ex e LEFT JOIN ap a
              |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
              |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
+
+    // TRUE IVF, multi-probe: the production answer to the recall gap the
+    // audit above measures. The coarse quantizer is the lockstep
+    // two-iteration Lloyd kmeans (embedding_kmeans's exact centroid
+    // relation — 8 TRAINED cells instead of the label proxy); each query
+    // probes its nprobe=2 nearest centroids and exact cosine reranks the
+    // union of those cells. At 100 TB: embeddings PRE-PARTITIONED by
+    // cid, probes prune to 2/8 of the corpus per query with zero scan of
+    // the rest, and the 8-row centroid table broadcasts — the standard
+    // IVF serving shape. Oracle extends the shared KmeansCtes with the
+    // same probe/rerank, every distance on the 6-decimal lockstep grid.
+    QuerySpec(
+      "topk_similarity_ivf2",
+      (s, dir) => {
+        val v = kmVectors(s, dir)
+        val c0 = kmInit(v)
+        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
+        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2).localCheckpoint()
+        val wp = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+        val probes = v.filter(col("vec_id") < 16)
+          .withColumn("vn2", dot(col("e"), col("e")))
+          .crossJoin(broadcast(c2.withColumn("cn2", dot(col("c"), col("c")))))
+          .select(col("vec_id").as("query_id"), col("cid"),
+            round(col("vn2") + col("cn2") - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= 2)
+          .select("query_id", "cid")
+        val n = v.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val cand = broadcast(probes).join(a2, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        cand
+          .join(n.as("q"), col("q.vec_id") === col("query_id"))
+          .join(n.as("c"), col("c.vec_id") === col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 6) + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some(s"""WITH $KmeansCtes,
+              |n2c AS (SELECT cid, c,
+              |               (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+              |        FROM c2),
+              |qd AS (SELECT v.vec_id AS query_id, k.cid,
+              |              ROUND(v.vn2 + k.cn2
+              |                    - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+              |                    6) AS d
+              |       FROM vn v CROSS JOIN n2c k WHERE v.vec_id < 16),
+              |probes AS (SELECT query_id, cid FROM (
+              |             SELECT query_id, cid,
+              |                    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                       ORDER BY d, cid) AS rn
+              |             FROM qd) WHERE rn <= 2),
+              |nn AS (SELECT vec_id, e, SQRT(vn2) AS nrm FROM vn),
+              |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+              |         FROM probes p JOIN a2 a ON a.cid = p.cid
+              |         WHERE a.vec_id != p.query_id),
+              |rnk AS (SELECT c.query_id, c.neighbor_id,
+              |               ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(n.e) AS p))
+              |                     / (q.nrm * n.nrm), 6) + 0.0 AS sim
+              |        FROM cand c JOIN nn q ON q.vec_id = c.query_id
+              |                    JOIN nn n ON n.vec_id = c.neighbor_id)
+              |SELECT query_id, neighbor_id, sim FROM (
+              |  SELECT query_id, neighbor_id, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id
+              |                            ORDER BY sim DESC, neighbor_id) AS rn
+              |  FROM rnk) WHERE rn <= 5
+              |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)),
 
     // LSH-bucketed ANN (SURVEY.md §2.12 scale path): 128 signed-random-
     // projection bits → 16 band keys of 8 bits; candidate neighbors share
@@ -1062,52 +1187,7 @@ object SimilarityQueries {
             .as("centroid_sum"))
         counts.join(checks, "cid").orderBy("cid")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              vn AS (SELECT vec_id, e,
-                            (SELECT SUM(x*x) FROM (SELECT UNNEST(e) AS x)) AS vn2
-                     FROM v),
-              c0 AS (SELECT CAST(vec_id AS INT) AS cid, LIST_TRANSFORM(e, x -> ROUND(x, 6)) AS c
-                     FROM v WHERE vec_id < 8),
-              n0 AS (SELECT cid, c,
-                            (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
-                     FROM c0),
-              d1 AS (SELECT v.vec_id, k.cid,
-                            ROUND(v.vn2 + k.cn2
-                                  - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
-                                  6) AS d
-                     FROM vn v CROSS JOIN n0 k),
-              a1 AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid,
-                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                       FROM d1) WHERE rn = 1),
-              u1 AS (SELECT cid, pos,
-                            ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-                                  / COUNT(*), 6) AS val
-                     FROM (SELECT a1.cid, UNNEST(v.e) AS x,
-                                  UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
-                           FROM a1 JOIN v USING (vec_id))
-                     GROUP BY cid, pos),
-              c1 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u1 GROUP BY cid),
-              n1 AS (SELECT cid, c,
-                            (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
-                     FROM c1),
-              d2 AS (SELECT v.vec_id, k.cid,
-                            ROUND(v.vn2 + k.cn2
-                                  - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
-                                  6) AS d
-                     FROM vn v CROSS JOIN n1 k),
-              a2 AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid,
-                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                       FROM d2) WHERE rn = 1),
-              u2 AS (SELECT cid, pos,
-                            ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-                                  / COUNT(*), 6) AS val
-                     FROM (SELECT a2.cid, UNNEST(v.e) AS x,
-                                  UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
-                           FROM a2 JOIN v USING (vec_id))
-                     GROUP BY cid, pos),
-              c2 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u2 GROUP BY cid)
+      Some(s"""WITH $KmeansCtes
               SELECT k.cid, k.n_vecs,
                      CAST((SELECT SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)))
                            FROM (SELECT UNNEST(c2.c) AS x)) AS DOUBLE) AS centroid_sum

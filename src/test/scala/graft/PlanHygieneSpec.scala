@@ -62,7 +62,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "rank_mmr",
       // the recall audit composes the two declared topk shapes (exact
       // baseline + IVF) — the audit join itself is 16×5 rows
-      "topk_similarity_recall")
+      "topk_similarity_recall",
+      // true IVF rides the kmAssign 8-centroid-broadcast shape
+      // embedding_kmeans declares, plus a 32-row probe broadcast
+      "topk_similarity_ivf2")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
