@@ -191,6 +191,27 @@ object StreamingQueries {
               |FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // Streaming PASSAGE-level dedup — the winnowing twin of the MinHash
+    // stream above, and the continuous form of dedup_winnow's detector:
+    // a document arriving on the stream is flagged iff it repeats ANY
+    // winnow-selected passage fingerprint an earlier document carried
+    // (the streaming boilerplate filter). Stateless per-row fingerprints
+    // via the native WinnowFingerprint kernel; the one stateful operator
+    // holds 8 bytes (min doc_id) per distinct passage; the only shuffle
+    // carries (fingerprint, doc_id) pairs at the winnowed ~0.4 gram
+    // density. Single-batch drain ⇒ exact batch rule, recomputed by
+    // DuckDB from the shared WinnowCtes chain.
+    QuerySpec(
+      "stream_passage_dedup",
+      (s, dir) => graft.streaming.DocStreams.passageDedupEffect(s, dir),
+      Some(s"""WITH ${DedupQueries.WinnowCtes},
+              |fdoc AS (SELECT DISTINCT doc_id, h FROM winnow),
+              |flagged AS (SELECT DISTINCT b.doc_id FROM fdoc a
+              |            JOIN fdoc b ON a.h = b.h AND a.doc_id < b.doc_id)
+              |SELECT d.doc_id, f.doc_id IS NULL AS kept
+              |FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // foreachBatch CDC MERGE executed as a stream and oracled: the
     // change stream (events ∪ a deterministic gen-2 copy at ts+1h,
     // value+1000) folds micro-batch by micro-batch into a parquet state

@@ -91,6 +91,36 @@ object DocStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(flagGroup)
   }
 
+  /** Streaming PASSAGE-level flags `(doc_id, flagged)` — the winnowing
+    * twin of [[neardupFlags]]: stateless per-row winnow fingerprints
+    * (the same native WinnowFingerprint kernel the batch queries run),
+    * the same single min-doc_id-per-bucket stateful operator keyed by
+    * fingerprint hash. A document is flagged iff it repeats ANY
+    * passage fingerprint an earlier document already carried — the
+    * streaming boilerplate filter: 8 bytes of state per distinct
+    * passage, no texts retained. */
+  def passageFlags(docs: DataFrame): Dataset[(Long, Boolean)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprint(split(trim(col("text")), "\\s+")).as("fp"))
+      .select(col("doc_id"), explode(col("fp")).as("f"))
+      .select(col("f.h").cast("string").as("_1"), col("doc_id").as("_2"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(flagGroup)
+  }
+
+  /** `stream_passage_dedup`: [[passageFlags]] executed with the same
+    * AvailableNow drain + batch-corpus re-join contract as
+    * [[neardupEffect]] — the single-batch drain makes streaming
+    * first-wins coincide with the exact batch rule "flagged ⇔ ∃ smaller
+    * doc_id sharing a winnow fingerprint", which DuckDB recomputes from
+    * the shared WinnowCtes chain. */
+  def passageDedupEffect(spark: SparkSession, dir: String): DataFrame =
+    drainFlags(spark, dir, passageFlags(readDocuments(spark, dir)), "passage")
+
   /** `stream_neardup_minhash`: the streaming dedup EXECUTED (readStream →
     * flatMapGroupsWithState → AvailableNow drain into a memory sink) and
     * made oracle-visible: survivors are re-joined to the batch corpus so
@@ -98,17 +128,24 @@ object DocStreams {
     * batch rule from the same generated band CTEs. The memory sink is
     * the verification surface only — production writes [[neardupFlags]]
     * to a real sink and filters on it. */
-  def neardupEffect(spark: SparkSession, dir: String): DataFrame = {
-    val flags = neardupFlags(readDocuments(spark, dir))
-      .toDF("doc_id", "flagged")
-    val sink = s"graft_neardup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+  def neardupEffect(spark: SparkSession, dir: String): DataFrame =
+    drainFlags(spark, dir, neardupFlags(readDocuments(spark, dir)), "neardup")
+
+  /** Shared drain: AvailableNow into a memory sink (the verification
+    * surface — production writes the flag relation to a real sink),
+    * per-doc OR over bucket verdicts, survivors re-joined to the batch
+    * corpus so fingerprint-less docs surface as kept. */
+  private def drainFlags(spark: SparkSession, dir: String,
+      flagDs: Dataset[(Long, Boolean)], tag: String): DataFrame = {
+    val flags = flagDs.toDF("doc_id", "flagged")
+    val sink = s"graft_${tag}_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
     val q = flags.writeStream
       .format("memory")
       .queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-neardup").toString)
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$tag").toString)
       .start()
     require(q.awaitTermination(120000),
       "streaming drain timed out - partial sink contents would masquerade as results")

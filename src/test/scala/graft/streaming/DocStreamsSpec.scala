@@ -35,6 +35,36 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(flagged.nonEmpty, "fixture corpus should contain near-dups")
   }
 
+  test("passage stream flags a doc repeating an earlier doc's passage only") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta" // K+W-1 = 7 tokens
+    val docs = Seq(
+      (10L, s"one two three four five $shared six seven eight nine ten"),
+      (20L, s"red orange yellow green blue $shared indigo violet pink gray white"),
+      (30L, "entirely different words with no copied passage anywhere in sight at all")
+    ).toDF("doc_id", "text")
+    // flatMapGroupsWithState requires a streaming Dataset — write a tiny
+    // zone and stream it
+    val zone = java.nio.file.Files.createTempDirectory("graft-passage-zone").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(zone)
+    val flags = DocStreams.passageFlags(
+      DocStreams.readDocuments(spark, zone, glob = "*.parquet"))
+      .toDF("doc_id", "flagged")
+    val sink = "graft_passage_spec"
+    val q = flags.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-passage-ckpt").toString)
+      .start()
+    assert(q.awaitTermination(120000))
+    val perDoc = spark.table(sink).groupBy("doc_id")
+      .agg(max("flagged").as("f")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!perDoc(10L), "first carrier of the passage keeps")
+    assert(perDoc(20L), "the doc repeating the 7-token passage is flagged")
+    assert(!perDoc.getOrElse(30L, false), "unrelated doc never flagged")
+  }
+
   test("bucket state persists across micro-batches: a later-landing copy is flagged") {
     import java.nio.file.Files
     val zone = Files.createTempDirectory("graft-neardup-zone").toString
