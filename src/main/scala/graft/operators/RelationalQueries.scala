@@ -211,6 +211,39 @@ object RelationalQueries {
               WHERE ('0x'||SUBSTR(MD5(l_orderkey::VARCHAR||'_'||l_linenumber::VARCHAR),1,8))::BIGINT % 20 = 0
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // Weighted PRIORITY SAMPLING (Duffield, Lund & Thorup 2007, JACM):
+    // the fixed-size weighted sample a curation pipeline draws when docs
+    // have unequal importance (here w = n_chars+1, the stand-in for any
+    // quality weight): priority q = w/u with u uniform on (0,1], keep
+    // the top-k by q — inclusion probability ∝ min(1, w/τ) with τ the
+    // (k+1)-th priority, unbiased subset-sum estimates by design. Two
+    // engine-determinism choices make it oracle-exact where seeded
+    // sample() can never be: u derives from the md5 bridge (same
+    // "randomness" on both engines), and q = w·2³²/(h+1) uses ONLY
+    // IEEE-exact operations (integer-valued multiply, one correctly-
+    // rounded division — no libm transcendentals whose last ulp could
+    // differ). Scale shape: orderBy+limit plans as TakeOrderedAndProject
+    // — per-partition top-k heaps, driver merges k·partitions rows, no
+    // global sort of the corpus.
+    QuerySpec(
+      "sample_priority",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") + 1).cast("long").as("w"),
+            graft.functions.HashBridge.h32(col("doc_id").cast("string")).as("h"))
+          .withColumn("pr",
+            col("w").cast("double") * lit(4294967296.0) / (col("h") + lit(1.0)))
+          .orderBy(col("pr").desc, col("doc_id"))
+          .limit(64)
+          .select(col("doc_id"), col("w"),
+            (round(col("pr"), 6) + lit(0.0)).as("priority")),
+      Some("""SELECT doc_id, w, ROUND(pr, 6) + 0.0 AS priority FROM (
+                SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS w,
+                       CAST(n_chars + 1 AS DOUBLE) * 4294967296.0 /
+                         (('0x'||SUBSTR(MD5(doc_id::VARCHAR),1,8))::BIGINT + 1.0) AS pr
+                FROM documents)
+              ORDER BY pr DESC, doc_id LIMIT 64""")),
+
     // Stratified mixture sampling — the domain-weighting idiom for
     // training-data mixtures: each source keeps a different deterministic
     // hash-mod fraction (50% / 20% / 5%), so re-runs, retries, and any

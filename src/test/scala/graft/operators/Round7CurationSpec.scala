@@ -123,4 +123,20 @@ class Round7CurationSpec extends AnyFunSuite {
     assert(mmrSim.sum / mmrSim.size < topSim.sum / topSim.size,
       f"MMR selections not more diverse: ${mmrSim.sum / mmrSim.size}%.4f vs ${topSim.sum / topSim.size}%.4f")
   }
+
+  test("sample_priority plans as TakeOrdered and skews toward heavy docs") {
+    val df = Registry.byName("sample_priority").run(spark, dir)
+    // per-partition top-k heaps + driver merge, never a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      df.queryExecution.executedPlan.toString.linesIterator.take(5).mkString("\n"))
+    val rows = df.collect()
+    assert(rows.length == 64)
+    // inclusion probability ∝ min(1, w/τ): the sampled mean weight must
+    // exceed the corpus mean (the entire point of weighting)
+    val sampledMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = Tables(spark, dir, "documents")
+      .agg(avg(col("n_chars") + 1)).collect()(0).getDouble(0)
+    assert(sampledMean > corpusMean,
+      f"weighted sample not weight-skewed: $sampledMean%.1f <= $corpusMean%.1f")
+  }
 }
