@@ -244,6 +244,59 @@ object RelationalQueries {
                 FROM documents)
               ORDER BY pr DESC, doc_id LIMIT 64""")),
 
+    // The estimator that justifies priority sampling: the Horvitz-
+    // Thompson subset-sum estimate Σ max(wᵢ, τ) over the top-k sample
+    // (τ = the (k+1)-th priority) is UNBIASED for the true Σw — this
+    // query puts the estimate beside the exact total and the relative
+    // error, the check a pipeline runs before trusting sample-based
+    // corpus statistics. Corpus-sized work is one TakeOrdered(65) pass
+    // + one exact-sum aggregate; the rank/τ/estimate arithmetic runs on
+    // the 65 surviving rows (the post-TakeOrdered global window is
+    // 65 rows, not the corpus). Terms round to the 6-decimal grid and
+    // sum as DECIMAL so partial order can't move the estimate.
+    QuerySpec(
+      "sample_priority_estimate",
+      (s, dir) => {
+        val pr = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") + 1).cast("long").as("w"),
+            graft.functions.HashBridge.h32(col("doc_id").cast("string")).as("h"))
+          .withColumn("pr",
+            col("w").cast("double") * lit(4294967296.0) / (col("h") + lit(1.0)))
+        val top65 = pr.orderBy(col("pr").desc, col("doc_id")).limit(65)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("pr").desc, col("doc_id"))))
+          .localCheckpoint()
+        val tau = top65.filter(col("rn") === 65)
+          .select(round(col("pr"), 6).as("tau"))
+        val est = top65.filter(col("rn") <= 64)
+          .crossJoin(broadcast(tau))
+          .agg(sum(round(greatest(col("w").cast("double"), col("tau")), 6)
+            .cast("decimal(28,6)")).cast("double").as("est"))
+        val tot = pr.agg(sum(col("w")).as("true_total"))
+        est.crossJoin(broadcast(tau)).crossJoin(broadcast(tot))
+          .select(lit(64).as("k"), col("tau"),
+            col("est").as("estimated_total"), col("true_total"),
+            (round((col("est") - col("true_total")) / col("true_total"), 6)
+              + lit(0.0)).as("rel_err"))
+      },
+      Some("""WITH pr AS (
+             |  SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS w,
+             |         CAST(n_chars + 1 AS DOUBLE) * 4294967296.0 /
+             |           (('0x'||SUBSTR(MD5(doc_id::VARCHAR),1,8))::BIGINT + 1.0) AS pr
+             |  FROM documents),
+             |top65 AS (SELECT * FROM (
+             |            SELECT doc_id, w, pr,
+             |                   ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id) AS rn
+             |            FROM pr) WHERE rn <= 65),
+             |tau AS (SELECT ROUND(pr, 6) AS tau FROM top65 WHERE rn = 65),
+             |est AS (SELECT CAST(SUM(CAST(ROUND(GREATEST(CAST(w AS DOUBLE), tau), 6)
+             |                             AS DECIMAL(28,6))) AS DOUBLE) AS est
+             |        FROM top65, tau WHERE rn <= 64),
+             |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS true_total FROM pr)
+             |SELECT 64 AS k, tau, est AS estimated_total, true_total,
+             |       ROUND((est - true_total) / true_total, 6) + 0.0 AS rel_err
+             |FROM est, tau, tot""".stripMargin)),
+
     // Stratified mixture sampling — the domain-weighting idiom for
     // training-data mixtures: each source keeps a different deterministic
     // hash-mod fraction (50% / 20% / 5%), so re-runs, retries, and any

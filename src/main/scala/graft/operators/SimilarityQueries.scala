@@ -1195,6 +1195,44 @@ object SimilarityQueries {
               JOIN c2 USING (cid)
               ORDER BY k.cid""")),
 
+    // Clustering QUALITY relation — per-cluster within-cluster sum of
+    // squared distances (the Lloyd objective kmObjective's law spec
+    // asserts, now a first-class audited output): the number that tells
+    // an IVF operator whether its cells are tight enough to serve
+    // (sibling of the audit family — dedup_recall_audit,
+    // topk_similarity_recall, text_nb_confusion). Distances ride the
+    // same 8-row centroid broadcast as assignment; the per-cid DECIMAL
+    // sum is partial-agg order-independent.
+    QuerySpec(
+      "embedding_kmeans_quality",
+      (s, dir) => {
+        val v = kmVectors(s, dir)
+        val c0 = kmInit(v)
+        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
+        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2)
+        v.join(a2, "vec_id")
+          .join(broadcast(c2), "cid")
+          .select(col("cid"),
+            round(dot(col("e"), col("e")) + dot(col("c"), col("c"))
+              - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("d").cast("decimal(18,6)")).cast("double").as("wss"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH $KmeansCtes,
+              |n2c AS (SELECT cid, c,
+              |               (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+              |        FROM c2),
+              |dist AS (SELECT a.cid,
+              |                ROUND(v.vn2 + k.cn2
+              |                      - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+              |                      6) AS d
+              |         FROM vn v JOIN a2 a USING (vec_id) JOIN n2c k ON k.cid = a.cid)
+              |SELECT cid, COUNT(*) AS n_vecs,
+              |       CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS wss
+              |FROM dist GROUP BY cid ORDER BY cid""".stripMargin)),
+
     // Dimension covariance matrix — the one-pass sufficient statistic
     // behind PCA / whitening / feature-correlation pruning of an
     // embedding corpus. Single corpus scan through the compiled

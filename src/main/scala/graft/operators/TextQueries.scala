@@ -1530,7 +1530,43 @@ object TextQueries {
     // yesterday's sample train.
     QuerySpec(
       "text_nb_apply",
-      (s, dir) => {
+      (s, dir) => nbPredictions(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $NbApplyCtes
+              SELECT doc_id, m_lang AS pred, actual, m_lang = actual AS correct, score
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, m_lang ASC) AS rn
+                    FROM scored)
+              WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Language-ID CONFUSION MATRIX — the evaluation completing the NB
+    // classifier tier (train → apply → evaluate), and the third member
+    // of the audit family (dedup_recall_audit, topk_similarity_recall):
+    // per (actual, predicted) doc counts, the table a curation pipeline
+    // reads before trusting a language gate. One extra partial-agg
+    // shuffle of ≤|langs|² compact keys over the shared prediction
+    // relation — nothing corpus-sized beyond what apply already does.
+    QuerySpec(
+      "text_nb_confusion",
+      (s, dir) =>
+        nbPredictions(s, dir)
+          .groupBy(col("actual"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "pred"),
+      Some(s"""WITH $NbApplyCtes,
+              |preds AS (
+              |  SELECT actual, m_lang AS pred
+              |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |                                     ORDER BY score DESC, m_lang ASC) AS rn
+              |        FROM scored)
+              |  WHERE rn = 1)
+              |SELECT actual, pred, COUNT(*) AS n FROM preds
+              |GROUP BY actual, pred ORDER BY actual, pred""".stripMargin))
+  )
+
+  /** Shared prediction relation behind `text_nb_apply` /
+    * `text_nb_confusion`: argmax-scored (doc_id, pred, actual, correct,
+    * score), exactly the apply query minus its final ORDER BY. */
+  private def nbPredictions(s: SparkSession, dir: String): DataFrame = {
         val d = docs(s, dir)
         // ONE tokenization serves both halves: the per-doc tf relation
         // is the scoring input AND (summed over docs) the model's
@@ -1583,9 +1619,13 @@ object TextQueries {
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("m_lang").as("pred"), col("actual"),
             (col("m_lang") === col("actual")).as("correct"), col("score"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH $NbModelCtes,
+  }
+
+  /** Oracle twin of [[nbPredictions]] minus the argmax: CTEs ending in
+    * `scored(doc_id, actual, m_lang, score)`, shared by the apply and
+    * confusion oracles. */
+  private lazy val NbApplyCtes: String =
+    s"""$NbModelCtes,
               nd AS (SELECT COUNT(*) AS n FROM documents),
               classes AS (
                 SELECT lang AS m_lang,
@@ -1617,13 +1657,7 @@ object TextQueries {
                        ROUND(CAST(b.prior + b.fl * b.n_tokens
                                   + COALESCE(p.adj, 0) AS DOUBLE) / 1e6, 6) AS score
                 FROM base b LEFT JOIN present p
-                  ON p.doc_id = b.doc_id AND p.m_lang = b.m_lang)
-              SELECT doc_id, m_lang AS pred, actual, m_lang = actual AS correct, score
-              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                                 ORDER BY score DESC, m_lang ASC) AS rn
-                    FROM scored)
-              WHERE rn = 1 ORDER BY doc_id"""))
-  )
+                  ON p.doc_id = b.doc_id AND p.m_lang = b.m_lang)"""
 
   /** Shared multinomial-NB model kernel behind `text_nb_train` /
     * `text_nb_apply`: add-one-smoothed token log-likelihoods per class

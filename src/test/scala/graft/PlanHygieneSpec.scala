@@ -65,7 +65,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "topk_similarity_recall",
       // true IVF rides the kmAssign 8-centroid-broadcast shape
       // embedding_kmeans declares, plus a 32-row probe broadcast
-      "topk_similarity_ivf2")
+      "topk_similarity_ivf2",
+      // WSS audit rides the same kmAssign centroid-broadcast shape
+      "embedding_kmeans_quality")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
