@@ -35,12 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       b(children)
     })
 
-  /** EPSG codes arrive from SQL text as literal ints — the expressions
-    * take them as constructor parameters, not children. */
-  private def epsg(e: Expression): Int = e match {
+  /** Constructor-parameter ints (EPSG codes, band/bit counts) arrive
+    * from SQL text as literal ints — the expressions take them as
+    * constructor parameters, not children. */
+  private def intLit(e: Expression): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
-      s"EPSG argument must be an integer literal, got $other")
+      s"argument must be an integer literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -80,14 +81,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(arity("st_astext_wkt", 1)(c => StAsTextFromWkt(c(0))))
     ext.injectFunction(arity("st_astext_hexwkb", 1)(c => StAsTextFromHexWkb(c(0))))
     ext.injectFunction(arity("st_point_transform_wkt", 4)(c =>
-      StPointTransformWkt(c(0), c(1), epsg(c(2)), epsg(c(3)))))
+      StPointTransformWkt(c(0), c(1), intLit(c(2)), intLit(c(3)))))
     ext.injectFunction(arity("st_transform_wkb_wkt", 3)(c =>
-      StTransformWkbToWkt(c(0), epsg(c(1)), epsg(c(2)))))
+      StTransformWkbToWkt(c(0), intLit(c(1)), intLit(c(2)))))
     ext.injectFunction(arity("st_transform_wkt_wkt", 3)(c =>
-      StTransformWktToWkt(c(0), epsg(c(1)), epsg(c(2)))))
+      StTransformWktToWkt(c(0), intLit(c(1)), intLit(c(2)))))
     ext.injectFunction(arity("st_centroid_x_wkt", 1)(c => CentroidFromWkt(c(0), axisX = true)))
     ext.injectFunction(arity("st_centroid_y_wkt", 1)(c => CentroidFromWkt(c(0), axisX = false)))
     ext.injectFunction(arity("infer_crs", 4)(c => InferCrs(c)))
+
+    // The one-pass dedup kernels for SQL-text callers (round 7): the
+    // streaming near-dup signature and the winnowing fingerprint ride
+    // the same registration path as dot_product.
+    ext.injectFunction(arity("minhash_band_keys", 1)(c =>
+      graft.functions.MinHashBandKeys(c(0))))
+    ext.injectFunction(arity("winnow_fingerprint", 1)(c =>
+      graft.functions.WinnowFingerprint(c(0))))
+    ext.injectFunction(arity("lsh_band_keys", 3)(c =>
+      graft.functions.LshBandKeys(c(0), intLit(c(1)), intLit(c(2)))))
 
     // UDTF tier: the native shingle Generator for LATERAL VIEW callers
     ext.injectFunction((

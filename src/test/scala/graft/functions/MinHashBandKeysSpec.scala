@@ -63,6 +63,16 @@ class MinHashBandKeysSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("SQL surface via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT minhash_band_keys(split('a b c d e', ' ')) AS k")
+      .collect()(0).getSeq[String](0)
+    assert(r.length == 8)
+    val direct = Seq(Seq("a", "b", "c", "d", "e")).toDF("t")
+      .select(MinHashBandKeys(col("t"))).collect()(0).getSeq[String](0)
+    assert(r == direct)
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(50)
       .select(split(concat_ws(" ", lit("tok"), col("id"), lit("a b c d")), " ").as("t"))

@@ -77,6 +77,17 @@ class WinnowFingerprintSpec extends AnyFunSuite {
     assert(n >= 10 && n <= 94, s"selected $n of 94 windows")
   }
 
+  test("SQL surface via GraftExtensions") {
+    val toks = (1 to 12).map(i => s"t$i").mkString(" ")
+    val r = spark.sql(
+      s"SELECT winnow_fingerprint(split('$toks', ' ')) AS fp")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val direct = Seq((1 to 12).map(i => s"t$i")).toDF("t")
+      .select(WinnowFingerprint(col("t"))).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(r == direct && r.nonEmpty)
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(30)
       .select(split(concat_ws(" ", lit("a b c"), col("id"), lit("d e f g")), " ").as("t"))
