@@ -468,6 +468,117 @@ object TextQueries {
                      ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_ratio
               FROM counts GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The FULL published Gopher/MassiveText repetition battery (Rae et
+    // al. 2021, Table A1) — the single top-bigram ratio above is one rung
+    // of a nine-metric ladder: the fraction of characters inside the most
+    // frequent n-gram for n ∈ {2,3,4}, and the fraction of characters
+    // COVERED by any duplicated n-gram for n ∈ {5..10} (positional
+    // coverage, so overlapping duplicates never double-count — the
+    // detail that makes the published metric a fraction ≤ 1). Thresholds
+    // are the paper's (0.20/0.18/0.16, 0.15/0.14/0.13/0.12/0.11/0.10).
+    // The synthetic corpus has no natural ≥5-gram duplication, so — the
+    // text_scrub precedent — every 3rd doc gets its own first 12 tokens
+    // appended twice in BOTH engines, making the gate provably
+    // discriminate. Scale shape: the metric is strictly per-document, so
+    // the plan is a ZERO-SHUFFLE scan→project — one compiled
+    // RepetitionStats pass per row computes all nine numerators plus the
+    // shared denominator (the relational formulation — 9-way gram
+    // explode, count shuffle, positional-coverage distinct, three joins
+    // — measured 6.1 s at sf0.1 and lives on as the DuckDB oracle, an
+    // independent restatement of the rule). Embarrassingly parallel and
+    // linear at 100 TB. Docs under 12 tokens are out of scope in both
+    // engines (Gopher's own min-length gate drops them first).
+    QuerySpec(
+      "text_repetition_full",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t0"))
+          .filter(size(col("t0")) >= 12)
+          .withColumn("t",
+            when(col("doc_id") % 3 === 0,
+              concat(col("t0"), slice(col("t0"), 1, 12), slice(col("t0"), 1, 12)))
+              .otherwise(col("t0")))
+          .select(col("doc_id"), graft.functions.RepetitionStats(col("t")).as("r"))
+        def f(num: String) =
+          round(col(s"r.$num").cast("double") / col("r.tot"), 6)
+        val wide = base.select(col("doc_id"),
+          f("top2").as("top_2"), f("top3").as("top_3"), f("top4").as("top_4"),
+          f("cov5").as("dup_5"), f("cov6").as("dup_6"), f("cov7").as("dup_7"),
+          f("cov8").as("dup_8"), f("cov9").as("dup_9"), f("cov10").as("dup_10"))
+        wide.withColumn("keep",
+            col("top_2") <= 0.20 && col("top_3") <= 0.18 && col("top_4") <= 0.16 &&
+            col("dup_5") <= 0.15 && col("dup_6") <= 0.14 && col("dup_7") <= 0.13 &&
+            col("dup_8") <= 0.12 && col("dup_9") <= 0.11 && col("dup_10") <= 0.10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base0 AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t0
+                FROM documents),
+              base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN t0 || t0[1:12] || t0[1:12]
+                            ELSE t0 END AS t
+                FROM base0 WHERE LEN(t0) >= 12),
+              tot AS (
+                SELECT doc_id, SUM(LEN(tok)) AS tot
+                FROM (SELECT doc_id, UNNEST(t) AS tok FROM base)
+                GROUP BY doc_id),
+              poslen AS (
+                SELECT doc_id, i - 1 AS pos, LEN(t[i]) AS toklen
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t))) AS i
+                      FROM base)),
+              withn AS (
+                SELECT doc_id, t, UNNEST(GENERATE_SERIES(2, 10)) AS n FROM base),
+              grams AS (
+                SELECT doc_id, n, i - 1 AS s, ARRAY_TO_STRING(t[i:i+n-1], ' ') AS g
+                FROM (SELECT doc_id, t, n,
+                             UNNEST(GENERATE_SERIES(1, LEN(t) - n + 1)) AS i
+                      FROM withn)),
+              cnt AS (
+                SELECT doc_id, n, g, COUNT(*) AS c,
+                       LEN(REPLACE(g, ' ', '')) AS charlen
+                FROM grams GROUP BY doc_id, n, g),
+              top AS (
+                SELECT doc_id, n, c * charlen AS topchars
+                FROM cnt WHERE n <= 4
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                           ORDER BY c DESC, charlen DESC) = 1),
+              dupg AS (SELECT doc_id, n, g FROM cnt WHERE c >= 2 AND n >= 5),
+              covpos AS (
+                SELECT DISTINCT doc_id, n, pos
+                FROM (SELECT gr.doc_id, gr.n,
+                             UNNEST(GENERATE_SERIES(gr.s, gr.s + gr.n - 1)) AS pos
+                      FROM grams gr JOIN dupg USING (doc_id, n, g))),
+              cov AS (
+                SELECT doc_id, n, SUM(toklen) AS covchars
+                FROM covpos JOIN poslen USING (doc_id, pos)
+                GROUP BY doc_id, n),
+              m AS (
+                SELECT doc_id, n, ROUND(CAST(topchars AS DOUBLE) / tot, 6) AS f
+                FROM top JOIN tot USING (doc_id)
+                UNION ALL
+                SELECT doc_id, n, ROUND(CAST(covchars AS DOUBLE) / tot, 6) AS f
+                FROM cov JOIN tot USING (doc_id)),
+              wide AS (
+                SELECT tot.doc_id,
+                       COALESCE(MAX(CASE WHEN n = 2 THEN f END), 0) AS top_2,
+                       COALESCE(MAX(CASE WHEN n = 3 THEN f END), 0) AS top_3,
+                       COALESCE(MAX(CASE WHEN n = 4 THEN f END), 0) AS top_4,
+                       COALESCE(MAX(CASE WHEN n = 5 THEN f END), 0) AS dup_5,
+                       COALESCE(MAX(CASE WHEN n = 6 THEN f END), 0) AS dup_6,
+                       COALESCE(MAX(CASE WHEN n = 7 THEN f END), 0) AS dup_7,
+                       COALESCE(MAX(CASE WHEN n = 8 THEN f END), 0) AS dup_8,
+                       COALESCE(MAX(CASE WHEN n = 9 THEN f END), 0) AS dup_9,
+                       COALESCE(MAX(CASE WHEN n = 10 THEN f END), 0) AS dup_10
+                FROM tot LEFT JOIN m USING (doc_id)
+                GROUP BY tot.doc_id)
+              SELECT doc_id, top_2, top_3, top_4,
+                     dup_5, dup_6, dup_7, dup_8, dup_9, dup_10,
+                     (top_2 <= 0.20 AND top_3 <= 0.18 AND top_4 <= 0.16 AND
+                      dup_5 <= 0.15 AND dup_6 <= 0.14 AND dup_7 <= 0.13 AND
+                      dup_8 <= 0.12 AND dup_9 <= 0.11 AND dup_10 <= 0.10) AS keep
+              FROM wide ORDER BY doc_id""")),
+
     // Sequence-length histogram — the distribution every training
     // pipeline computes before batch packing (how many docs land in each
     // 16-token bucket, and what share of the corpus that is). One scan +

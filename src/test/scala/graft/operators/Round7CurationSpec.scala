@@ -139,4 +139,72 @@ class Round7CurationSpec extends AnyFunSuite {
     assert(sampledMean > corpusMean,
       f"weighted sample not weight-skewed: $sampledMean%.1f <= $corpusMean%.1f")
   }
+
+  test("repetition battery: dup coverage is monotone non-increasing in n") {
+    // a duplicated n-gram's two occurrences make every constituent
+    // (n-1)-gram duplicated too, so the covered-position set at n-1 is a
+    // superset of the one at n: dup_5 >= dup_6 >= ... >= dup_10 per doc
+    // (up to the 1e-6 rounding each fraction carries independently)
+    val out = Registry.byName("text_repetition_full").run(spark, dir)
+    val cols = Seq("dup_5", "dup_6", "dup_7", "dup_8", "dup_9", "dup_10")
+    val bad = out.filter(cols.sliding(2).map { case Seq(a, b) =>
+      col(a) < col(b) - lit(1e-6)
+    }.reduce(_ || _))
+    assert(bad.isEmpty, s"coverage not monotone: ${bad.take(3).mkString(", ")}")
+  }
+
+  test("repetition battery: discriminates on both ladders and stays in [0,1]") {
+    val out = Registry.byName("text_repetition_full").run(spark, dir).cache()
+    try {
+      val all = Seq("top_2", "top_3", "top_4",
+        "dup_5", "dup_6", "dup_7", "dup_8", "dup_9", "dup_10")
+      assert(out.filter(all.map(c => col(c) < 0 || col(c) > 1).reduce(_ || _)).isEmpty)
+      // every injection-carrying doc must be caught by the dup ladder
+      val injectedKept = out.filter(col("doc_id") % 3 === 0 && col("keep")).count()
+      assert(injectedKept == 0, s"$injectedKept injected docs passed the gate")
+      // and the clean majority must survive, else the gate is a constant
+      val clean = out.filter(col("doc_id") % 3 =!= 0)
+      val cleanKept = clean.filter(col("keep")).count()
+      assert(cleanKept * 2 > clean.count(),
+        s"gate rejects the clean majority: $cleanKept of ${clean.count()}")
+    } finally out.unpersist()
+  }
+
+  test("RepetitionStats kernel matches an independent brute-force restatement") {
+    // random token arrays with a small alphabet (forces real n-gram
+    // collisions at every n), checked against a from-scratch Scala
+    // groupBy formulation — no shared code with the kernel's
+    // prefix-sum/hashmap loop
+    val rnd = new scala.util.Random(7)
+    val docsArr: Seq[Seq[String]] = (0 until 60).map { _ =>
+      val m = 12 + rnd.nextInt(40)
+      (0 until m).map(_ => ("tok" + rnd.nextInt(6)).take(3 + rnd.nextInt(4)))
+    }
+    def brute(t: Seq[String]): Seq[Long] = {
+      val tot = t.map(_.length.toLong).sum
+      val tops = (2 to 4).map { n =>
+        val gs = t.sliding(n).toSeq
+        val byG = gs.groupBy(identity).toSeq.map { case (g, occ) =>
+          (occ.size.toLong, g.map(_.length).sum.toLong) }
+        val best = byG.max // count, tie → longer gram
+        best._1 * best._2
+      }
+      val covs = (5 to 10).map { n =>
+        val gs = t.sliding(n).toSeq.zipWithIndex
+        val dup = gs.groupBy(_._1).filter(_._2.size >= 2)
+        val pos = dup.values.flatten.flatMap { case (_, s) => s until s + n }.toSet
+        pos.toSeq.map(p => t(p).length.toLong).sum
+      }
+      tot +: (tops ++ covs)
+    }
+    import spark.implicits._
+    val got = docsArr.toDF("t")
+      .select(graft.functions.RepetitionStats(col("t")).as("r"))
+      .select((Seq(col("r.tot")) ++ (2 to 4).map(n => col(s"r.top$n")) ++
+        (5 to 10).map(n => col(s"r.cov$n"))): _*)
+      .collect().map(_.toSeq.map(_.asInstanceOf[Long]))
+    docsArr.zip(got).zipWithIndex.foreach { case ((t, g), i) =>
+      assert(g == brute(t), s"doc $i: tokens=$t kernel=$g brute=${brute(t)}")
+    }
+  }
 }
