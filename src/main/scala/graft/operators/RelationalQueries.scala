@@ -297,6 +297,70 @@ object RelationalQueries {
              |       ROUND((est - true_total) / true_total, 6) + 0.0 AS rel_err
              |FROM est, tau, tot""".stripMargin)),
 
+    // Delete-a-group JACKKNIFE confidence interval (Quenouille/Tukey;
+    // the delete-a-group form is the survey-statistics standard, Kott
+    // 2001) for a corpus statistic — the error bar a pipeline attaches
+    // to any sampled or full-corpus metric. Unlike bootstrap resampling
+    // it needs NO randomness: docs hash into G=32 groups, the statistic
+    // (mean n_chars) is recomputed leaving each group out, and the
+    // jackknife variance (G−1)/G·Σ(θ_g−θ̄)² is assembled from those 32
+    // replicates. Scale shape: corpus-sized work is ONE 32-key partial
+    // aggregate (sum+count per group); every replicate θ_g comes from
+    // the group table by subtraction — no second corpus pass, no
+    // per-replicate scan (the naive formulation scans G times). FP
+    // determinism: θ_g rounds to the 6-decimal grid and lives as
+    // DECIMAL(18,6); deviations square as DECIMAL(12,6)² (exact, scale
+    // 12 on both engines — wide enough that Spark's precision capping
+    // never engages) and only the final sqrt runs in double (correctly
+    // rounded IEEE, same input bits → same output bits).
+    QuerySpec(
+      "eval_jackknife_ci",
+      (s, dir) => {
+        val g = Tables(s, dir, "documents")
+          .groupBy((col("doc_id") % 32).as("g"))
+          .agg(sum(col("n_chars")).as("sg"), count(lit(1)).as("ng"))
+        val tot = g.agg(sum(col("sg")).as("st"), sum(col("ng")).as("nt"))
+        val th = g.crossJoin(broadcast(tot)) // 1 row, always broadcastable
+          .select(round((col("st") - col("sg")).cast("double") /
+              (col("nt") - col("ng")), 6).cast("decimal(18,6)").as("th"))
+          .localCheckpoint() // consumed by bar AND ssq
+        val bar = th.agg(round(sum(col("th")).cast("double") / 32, 6)
+          .cast("decimal(18,6)").as("bar"))
+        val ssq = th.crossJoin(broadcast(bar))
+          .agg(sum((col("th") - col("bar")).cast("decimal(12,6)") *
+            (col("th") - col("bar")).cast("decimal(12,6)")).cast("double").as("ssq"))
+        val se = round(sqrt(lit(31.0) * col("ssq") / 32), 6)
+        tot.crossJoin(broadcast(ssq))
+          .select(lit(32).as("n_groups"),
+            round(col("st").cast("double") / col("nt"), 6).as("estimate"),
+            se.as("se_jack"),
+            (round(round(col("st").cast("double") / col("nt"), 6) - lit(1.96) * se, 6)
+              + lit(0.0)).as("ci_lo"),
+            (round(round(col("st").cast("double") / col("nt"), 6) + lit(1.96) * se, 6)
+              + lit(0.0)).as("ci_hi"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id % 32 AS g, SUM(n_chars) AS sg, COUNT(*) AS ng
+             |  FROM documents GROUP BY doc_id % 32),
+             |tot AS (SELECT SUM(sg) AS st, SUM(ng) AS nt FROM g),
+             |th AS (SELECT CAST(ROUND(CAST(st - sg AS DOUBLE) / (nt - ng), 6)
+             |                  AS DECIMAL(18,6)) AS th
+             |       FROM g, tot),
+             |bar AS (SELECT CAST(ROUND(CAST(SUM(th) AS DOUBLE) / 32, 6)
+             |                   AS DECIMAL(18,6)) AS bar FROM th),
+             |ssq AS (SELECT CAST(SUM(CAST(th - bar AS DECIMAL(12,6)) *
+             |                         CAST(th - bar AS DECIMAL(12,6))) AS DOUBLE)
+             |          AS ssq
+             |        FROM th, bar)
+             |SELECT 32 AS n_groups,
+             |       ROUND(CAST(st AS DOUBLE) / nt, 6) AS estimate,
+             |       ROUND(SQRT(31.0 * ssq / 32), 6) AS se_jack,
+             |       ROUND(ROUND(CAST(st AS DOUBLE) / nt, 6) -
+             |             1.96 * ROUND(SQRT(31.0 * ssq / 32), 6), 6) + 0.0 AS ci_lo,
+             |       ROUND(ROUND(CAST(st AS DOUBLE) / nt, 6) +
+             |             1.96 * ROUND(SQRT(31.0 * ssq / 32), 6), 6) + 0.0 AS ci_hi
+             |FROM tot, ssq""".stripMargin)),
+
     // Stratified mixture sampling — the domain-weighting idiom for
     // training-data mixtures: each source keeps a different deterministic
     // hash-mod fraction (50% / 20% / 5%), so re-runs, retries, and any

@@ -1216,6 +1216,78 @@ object TextQueries {
               FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Kneser–Ney smoothing (Kneser & Ney 1995; the interpolated form of
+    // Chen & Goodman 1998) — the published upgrade over the add-α bigram
+    // above, and what an actual LM-based quality scorer ships: absolute
+    // discounting D=0.75 with the freed mass backed off to the
+    // CONTINUATION distribution P_cont(w) = N1+(·w)/N1+(··) (how many
+    // distinct contexts a word follows, not how often it occurs — the
+    // fix for "san francisco"-style words that are frequent but
+    // unpredictive). P(w₂|w₁) = (max(c₁₂−D,0) + D·N1+(w₁·)·P_cont(w₂))
+    // / c₁ — sums to exactly 1 over the vocab per context (law-checked
+    // in Round7CurationSpec). Scale shape: the corpus is scanned once
+    // into the c₁₂ count relation (localCheckpoint barrier — FOUR model
+    // aggregates consume it); every smoothing ingredient (c₁, N1+(w₁·),
+    // N1+(·w₂), N1+(··)) is a second-level aggregate OF THE MODEL, not
+    // another corpus pass, and the smoothed table is assembled by
+    // model-sized joins so the corpus-sized stream joins ONCE on
+    // (w₁,w₂). Same determinism bridge as the add-α twin: per-bigram ln
+    // rounded to 6, decimal-summed.
+    QuerySpec(
+      "text_lm_kneser_ney",
+      (s, dir) => {
+        val bi = docs(s, dir).select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint()
+        val ctx = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+          count(lit(1)).as("n1f"))
+        val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val nall = c12.agg(count(lit(1)).as("nall"))
+        val model = c12.join(ctx, "w1").join(cont, "w2")
+          .crossJoin(broadcast(nall)) // 1 row, always broadcastable
+          .select(col("w1"), col("w2"),
+            round(log(
+              (greatest(col("c12") - 0.75, lit(0.0)) +
+                lit(0.75) * col("n1f") * col("n1b") / col("nall")) / col("c1")), 6)
+              .cast("decimal(18,6)").as("logp"))
+        bi.join(model, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            (round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0))
+              .as("avg_logprob"))
+          .withColumn("keep", col("avg_logprob") > -3.39)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+              bi AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i
+                      FROM t WHERE LEN(t) >= 2)),
+              c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+              ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f
+                      FROM c12 GROUP BY w1),
+              cont AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY w2),
+              nall AS (SELECT COUNT(*) AS nall FROM c12),
+              model AS (
+                SELECT w1, w2,
+                       CAST(ROUND(LN((GREATEST(c12 - 0.75, 0.0) +
+                                      0.75 * n1f * n1b / nall) / c1), 6)
+                            AS DECIMAL(18,6)) AS logp
+                FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nall)
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) + 0.0
+                       AS avg_logprob,
+                     ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) + 0.0 > -3.39
+                       AS keep
+              FROM bi JOIN model USING (w1, w2)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling" — the public
     // hashed-n-gram recipe): score every raw document by how much its
@@ -1606,6 +1678,80 @@ object TextQueries {
                       AND alpha_ratio >= 0.8
                       AND n_stopwords >= 2) AS keep
               FROM m ORDER BY doc_id""")),
+
+    // The published C4 cleaning heuristics (Raffel et al. 2020, §2.2 —
+    // the other canonical quality battery beside Gopher's): keep only
+    // lines ending in terminal punctuation, with ≥5 words, and without
+    // the word "javascript"; drop whole pages with fewer than 3 retained
+    // sentences, any "lorem ipsum", or a curly brace. The synthetic
+    // corpus has no line structure or punctuation, so — the text_scrub /
+    // repetition-battery precedent — lines are reconstructed as 10-token
+    // segments and the trigger features are injected deterministically
+    // in BOTH engines (arithmetic on (doc_id, line-idx), no RNG): ~70%
+    // of lines get terminal '.', every 37th (doc·7+i) line a leading
+    // "javascript", every 41st/43rd doc a trailing "lorem ipsum"/"{" —
+    // so every rule provably discriminates AND is applied to real
+    // strings (endswith/contains on the built line), not to the
+    // injection flags. Scale shape: the whole battery is per-document
+    // higher-order functions — a ZERO-SHUFFLE scan→project before the
+    // output sort, linear at 100 TB; C4's cross-page three-sentence-span
+    // dedup is the separate dedup_spans operator.
+    QuerySpec(
+      "text_c4_filter",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("t", toks)
+          .filter(size(col("t")) >= 1)
+          .withColumn("lines", expr(
+            """transform(sequence(0, cast(ceil(size(t)/10.0) as int) - 1),
+               i -> concat(
+                 case when (doc_id * 7 + i) % 37 = 0 then 'javascript ' else '' end,
+                 concat_ws(' ', slice(t, i*10+1, 10)),
+                 case when (doc_id + i) % 10 < 7 then '.' else '' end))"""))
+          .withColumn("kept", expr(
+            """filter(lines, x ->
+                 (endswith(x, '.') or endswith(x, '!') or endswith(x, '?')
+                  or endswith(x, '"')) and
+                 size(split(x, ' ')) >= 5 and not contains(x, 'javascript'))"""))
+          .withColumn("page", expr(
+            """concat(concat_ws(' ', lines),
+                 case when doc_id % 41 = 0 then ' lorem ipsum' else '' end,
+                 case when doc_id % 43 = 0 then ' {' else '' end)"""))
+          .select(
+            col("doc_id"),
+            size(col("lines")).cast("long").as("n_lines"),
+            size(col("kept")).cast("long").as("n_kept"),
+            (size(col("kept")) >= 3 &&
+              !expr("contains(page, 'lorem ipsum')") &&
+              !expr("contains(page, '{')")).as("keep"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+                FROM documents),
+              l AS (
+                SELECT doc_id,
+                       [CASE WHEN (doc_id * 7 + i) % 37 = 0
+                             THEN 'javascript ' ELSE '' END ||
+                        ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ') ||
+                        CASE WHEN (doc_id + i) % 10 < 7 THEN '.' ELSE '' END
+                        FOR i IN GENERATE_SERIES(0, CAST(CEIL(LEN(t)/10.0) AS INT) - 1)]
+                         AS lines
+                FROM t WHERE LEN(t) >= 1),
+              k AS (
+                SELECT doc_id, lines,
+                       LIST_FILTER(lines, x ->
+                         (ENDS_WITH(x, '.') OR ENDS_WITH(x, '!') OR
+                          ENDS_WITH(x, '?') OR ENDS_WITH(x, '"')) AND
+                         LEN(STRING_SPLIT(x, ' ')) >= 5 AND
+                         NOT CONTAINS(x, 'javascript')) AS kept,
+                       ARRAY_TO_STRING(lines, ' ') ||
+                         CASE WHEN doc_id % 41 = 0 THEN ' lorem ipsum' ELSE '' END ||
+                         CASE WHEN doc_id % 43 = 0 THEN ' {' ELSE '' END AS page
+                FROM l)
+              SELECT doc_id, LEN(lines) AS n_lines, LEN(kept) AS n_kept,
+                     (LEN(kept) >= 3 AND NOT CONTAINS(page, 'lorem ipsum')
+                      AND NOT CONTAINS(page, '{')) AS keep
+              FROM k ORDER BY doc_id""")),
 
     // In-engine classifier TRAINING: a multinomial Naive Bayes language
     // classifier (the fastText-langid shape) learned entirely as

@@ -170,6 +170,55 @@ class Round7CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("c4 filter discriminates on every injected rule and keeps a clean majority") {
+    val out = Registry.byName("text_c4_filter").run(spark, dir).cache()
+    try {
+      // page-level injections are fatal regardless of line quality
+      assert(out.filter(col("doc_id") % 41 === 0 && col("keep")).count() == 0,
+        "a lorem-ipsum doc passed")
+      assert(out.filter(col("doc_id") % 43 === 0 && col("keep")).count() == 0,
+        "a curly-brace doc passed")
+      // the line rules genuinely drop lines (kept < lines somewhere) but
+      // not everything (gate would be a constant)
+      assert(out.filter(col("n_kept") < col("n_lines")).count() > 0)
+      val clean = out.filter(col("doc_id") % 41 =!= 0 && col("doc_id") % 43 =!= 0)
+      val kept = clean.filter(col("keep")).count()
+      assert(kept * 2 > clean.count(),
+        s"gate rejects the clean majority: $kept of ${clean.count()}")
+      assert(kept < clean.count(), "3-sentence rule never fires on clean docs")
+    } finally out.unpersist()
+  }
+
+  test("Kneser-Ney: P(.|w1) sums to exactly 1 over the vocabulary per context") {
+    // independent restatement over the FULL vocab (the query only scores
+    // seen bigrams; this check includes the unseen backoff mass, so it
+    // validates the discount/continuation constants end-to-end)
+    val bi = Tables(spark, dir, "documents")
+      .select(split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).cache()
+    try {
+      val ctx = c12.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val nall = c12.count().toDouble
+      val top3 = ctx.orderBy(col("c1").desc).limit(3)
+      val mass = top3.crossJoin(cont) // every vocab word as candidate w2
+        .join(c12, Seq("w1", "w2"), "left")
+        .select(col("w1"),
+          ((greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0)) +
+            lit(0.75) * col("n1f") * col("n1b") / nall) / col("c1")).as("p"))
+        .groupBy("w1").agg(sum("p").as("mass"))
+        .collect()
+      assert(mass.length == 3)
+      mass.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+        s"context ${r.getString(0)}: mass ${r.getDouble(1)}"))
+    } finally c12.unpersist()
+  }
+
   test("RepetitionStats kernel matches an independent brute-force restatement") {
     // random token arrays with a small alphabet (forces real n-gram
     // collisions at every n), checked against a from-scratch Scala
