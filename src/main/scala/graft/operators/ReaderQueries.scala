@@ -350,6 +350,32 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // GeoParquet 1.0.0 (the public OGC-track spec): ordinary parquet
+    // whose footer key-value metadata declares WKB geometry columns +
+    // CRS. The metadata resolve is one driver-side footer probe; the
+    // DATA path is Spark's own parquet source — pruning, pushdown,
+    // row-group skipping, and distributed scan tasks for free, which is
+    // exactly why the format wins at 100 TB over container formats that
+    // need custom connectors. The crs column comes from the reader's
+    // schema-metadata stamp (the GeoPackage/GML CRS contract), so the
+    // oracle checks the metadata round-trip, not just the rows.
+    QuerySpec(
+      "scan_geoparquet",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.geoparquet")
+        graft.sources.GeoParquet.write(path, geoRows(s, dir), 4326)
+        val df = graft.sources.GeoParquet.read(s, path)
+        val crs = df.schema("geometry").metadata
+          .getString(graft.sources.GeoParquet.CrsTag)
+        df.select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geometry")).as("wkt"),
+            lit(crs).as("crs"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt, 'EPSG:4326' AS crs
+               FROM nation ORDER BY nkey""")),
+
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from
     // nation rows runs detect → read → coordinate-pair discovery → CRS
