@@ -376,6 +376,33 @@ object ReaderQueries {
                       $wktSql AS wkt, 'EPSG:4326' AS crs
                FROM nation ORDER BY nkey""")),
 
+    // The ingest pipeline's GEOPARQUET branch end-to-end: detection sees
+    // ordinary parquet (PAR1 — GeoParquet IS parquet), the read
+    // dispatch's one footer probe routes to the GeoParquet reader, the
+    // DECLARED CRS wins over the row probe (IngestPipeline.currentCrs),
+    // the WKB geometry transforms to WKT, and the query reads the SINK
+    // OUTPUT back — the same sink-hash pattern as pipeline_ingest, so
+    // footer-declared geodata is driver-visible end to end. Coordinates
+    // end in .5 so JTS WKT is string-composable in the oracle.
+    QuerySpec(
+      "pipeline_ingest_geoparquet",
+      (s, dir) => {
+        val base = fixturePath(dir, "pipe_geopq")
+        val gpqPath = base + "_nation.parquet"
+        val outRoot = base + "_sink"
+        graft.sources.GeoParquet.write(gpqPath,
+          geoRows(s, dir).map { case (k, n, x, y) => (k, n, x + 0.5, y + 0.5) },
+          4326)
+        graft.Graft.processFileToParquet(s, gpqPath, "nation_geopq.parquet", outRoot)
+        s.read.parquet(s"$outRoot/public/nation_geopq")
+          .select(col("nkey"), col("nname"), col("geometry_wkt").as("wkt"))
+          .orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                     'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || '.5 ' ||
+                     (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
+              FROM nation ORDER BY nkey""")),
+
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from
     // nation rows runs detect → read → coordinate-pair discovery → CRS

@@ -87,7 +87,13 @@ object IngestPipeline {
   def read(spark: SparkSession, path: String, fileType: FileType): DataFrame =
     fileType match {
       case FileType.Parquet =>
-        spark.read.parquet(path)
+        // detection sees PAR1 either way; GeoParquet is parquet whose
+        // footer declares its geometry — one driver-side footer probe
+        // routes it so the declared CRS (not the row probe) drives the
+        // transform, and the data path stays Spark's parquet source
+        if (graft.sources.GeoParquet.isGeoParquet(path))
+          graft.sources.GeoParquet.read(spark, path)
+        else spark.read.parquet(path)
       case FileType.Csv =>
         // header+infer+tolerate mirrors read_csv(ignore_errors, header)
         spark.read.option("header", true).option("inferSchema", true)
@@ -154,7 +160,14 @@ object IngestPipeline {
     case FileType.Shapefile =>
       prjCrs(sourcePath).getOrElse("4326")
     case FileType.Parquet =>
-      CrsInference.inferCrs(df, geometry.names)
+      // a GeoParquet footer DECLARES its CRS (stamped into the schema by
+      // the reader) — declaration beats the ≤10-row probe; plain parquet
+      // still goes through the reference-mirrored inference chain
+      df.schema.fields
+        .find(f => f.metadata.contains(graft.sources.GeoParquet.CrsTag))
+        .map(_.metadata.getString(graft.sources.GeoParquet.CrsTag)
+          .stripPrefix("EPSG:"))
+        .getOrElse(CrsInference.inferCrs(df, geometry.names))
     case FileType.Csv | FileType.Excel =>
       "4326" // geo_strategy.rs:48-54 — hard default for tabular sources
     case FileType.Geojson =>

@@ -80,12 +80,24 @@ object GeoParquet {
     } finally writer.close()
   }
 
+  /** Raw `geo` footer value, if the file is parquet and declares one. */
+  def geoMetadata(path: String): Option[String] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) None
+    else scala.util.Try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      try Option(rd.getFooter.getFileMetaData.getKeyValueMetaData.get("geo"))
+      finally rd.close()
+    }.toOption.flatten
+  }
+
+  /** The ingest dispatch probe: parquet that declares geometry. */
+  def isGeoParquet(path: String): Boolean = geoMetadata(path).isDefined
+
   /** Resolve the `geo` footer metadata of one container file. */
   private def footerGeo(path: String): (String, String) = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
-    val kv = try rd.getFooter.getFileMetaData.getKeyValueMetaData finally rd.close()
-    val geo = kv.get("geo")
+    val geo = geoMetadata(path).orNull
     require(geo != null,
       s"$path carries no GeoParquet 'geo' footer metadata — read it as plain parquet")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -736,4 +736,25 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(transcript.toSeq == expected,
       s"DDL transcript diverged:\n${transcript.mkString("\n---\n")}")
   }
+
+  test("geoparquet end-to-end: footer-declared 27700 beats the row probe, reprojects") {
+    // BNG eastings/northings around Greenwich: the value-range probe
+    // would ALSO say 27700 here, so make the declaration the only
+    // correct source by using coordinates a lon/lat probe could
+    // misread — large values prove the declared CRS drove the path
+    val p = s"$tmpDir/decl.parquet"
+    graft.sources.GeoParquet.write(
+      p, Seq((7L, "Greenwich", 538890.0, 177320.0)), 27700)
+    assert(graft.sources.FileTypeDetector.detect(p) ==
+      Right(graft.sources.FileType.Parquet)) // GeoParquet IS parquet
+    val res = IngestPipeline.plan(spark, IngestJob(p, "decl.parquet", "s"))
+    assert(res.crs.contains("27700"), res.crs)
+    assert(res.geometry.names == Seq("geometry"))
+    val row = res.transformed.collect()(0)
+    assert(row.getAs[String]("nname") == "Greenwich")
+    val wkt = row.getAs[String]("geometry_wkt")
+    val Array(x, y) = wkt.stripPrefix("POINT (").stripSuffix(")")
+      .split(" ").map(_.toDouble)
+    assert(math.abs(x - 0.0) < 0.01 && math.abs(y - 51.478) < 0.01, wkt)
+  }
 }
