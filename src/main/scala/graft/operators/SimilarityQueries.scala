@@ -919,6 +919,180 @@ object SimilarityQueries {
                 FROM pairs) WHERE rn <= 5
               ORDER BY query_id, sim DESC, neighbor_id""")),
 
+    // IVF-PQ (Jégou, Douze & Schmid 2011, "Product Quantization for
+    // Nearest Neighbor Search" §IV) — the composition FAISS ships as its
+    // production index, assembled here from the two rungs already
+    // verified separately: the coarse quantizer is the lockstep
+    // two-iteration Lloyd kmeans (embedding_kmeans / ivf2's exact cell
+    // relation), and PQ codes the RESIDUAL e − c(cell) rather than the
+    // raw vector (the paper's key move — residuals concentrate near 0,
+    // so the same codebook budget buys far less distortion). Queries
+    // probe their nprobe=2 nearest cells; each probe gets its OWN ADC
+    // table built from the query's residual against THAT cell (§IV-A:
+    // the residual depends on the probed cell); candidates score as M
+    // table lookups + a sum, and the top-20 rerank with exact float
+    // cosine (the ladder's uniform pattern). Residuals live on the
+    // integer grid round((e−c)·1000) — both engines reach c over the
+    // shared 6-decimal lockstep, so subtraction, rounding, and every
+    // squared distance are bit-exact with no tolerance. At 100 TB:
+    // corpus-sized work is one cid-keyed equi-join (residuals), the
+    // n×M code relation, and a code-table join against a broadcast
+    // (query × probe × subspace × centroid) ADC table; probes prune to
+    // 2/8 of the corpus BEFORE any scoring, and full-precision vectors
+    // are fetched only for the ≤20 survivors — the exact serving shape
+    // of a billion-vector FAISS deployment. Codebooks sample residual
+    // subvectors deterministically (vec_id < 16 — production trains
+    // them with the same Lloyd machinery, topk_similarity_pq's
+    // documented stance).
+    QuerySpec(
+      "topk_similarity_ivfpq",
+      (s, dir) => {
+        val M = 4; val Sub = 16
+        val sqd = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        val v = kmVectors(s, dir)
+        val c0 = kmInit(v)
+        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
+        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2).localCheckpoint()
+        // residuals on the integer grid: one cid equi-join + an 8-row
+        // centroid broadcast; the only corpus-sized shuffle in the build
+        val res = v.join(a2, "vec_id").join(broadcast(c2), "cid")
+          .select(col("vec_id"), col("cid"), expr(
+            "zip_with(e, c, (x, y) -> CAST(round((x - y) * 1000, 0) AS BIGINT))").as("rq"))
+        val subs = res
+          .select(col("vec_id"), col("cid"), posexplode(expr(
+            s"transform(sequence(0, ${M - 1}), s -> slice(rq, s * $Sub + 1, $Sub))")))
+          .select(col("vec_id"), col("pos").as("s"), col("col").as("sub"))
+          .localCheckpoint() // codebook + code assignment both consume it
+        val cb = subs.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("pcid"), col("s"), col("sub").as("csub"))
+        val wc = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("pcid"))
+        val codes = subs.join(broadcast(cb), "s")
+          .withColumn("d", expr(sqd.format("sub", "csub")))
+          .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("s"), col("pcid").as("code"))
+        // nprobe=2 coarse probes (ivf2's exact probe relation)
+        val wp = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+        val probes = v.filter(col("vec_id") < 16)
+          .withColumn("vn2", dot(col("e"), col("e")))
+          .crossJoin(broadcast(c2.withColumn("cn2", dot(col("c"), col("c")))))
+          .select(col("vec_id").as("query_id"), col("cid"),
+            round(col("vn2") + col("cn2") - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= 2)
+          .select("query_id", "cid")
+        // per-probe ADC tables from the query's residual vs THAT cell
+        val qsubs = probes
+          .join(v.select(col("vec_id").as("query_id"), col("e")), "query_id")
+          .join(broadcast(c2), "cid")
+          .select(col("query_id"), col("cid"), posexplode(expr(
+            s"""transform(sequence(0, ${M - 1}), s -> slice(
+               |zip_with(e, c, (x, y) -> CAST(round((x - y) * 1000, 0) AS BIGINT)),
+               |s * $Sub + 1, $Sub))""".stripMargin)))
+          .select(col("query_id"), col("cid"), col("pos").as("qs"), col("col").as("qsub"))
+        val dt = qsubs.join(broadcast(cb), col("s") === col("qs"))
+          .withColumn("qd", expr(sqd.format("qsub", "csub")))
+          .select(col("query_id"), col("cid"), col("qs"), col("pcid"), col("qd"))
+        // candidates = vectors of the probed cells; score = M lookups
+        val cand0 = broadcast(probes).join(a2, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("cid"), col("vec_id").as("neighbor_id"))
+        val approx = cand0
+          .join(codes, col("neighbor_id") === codes("vec_id"))
+          .join(broadcast(dt),
+            dt("query_id") === cand0("query_id") && dt("cid") === cand0("cid") &&
+              col("qs") === col("s") && col("pcid") === col("code"))
+          .groupBy(cand0("query_id").as("query_id"), col("neighbor_id"))
+          .agg(sum(col("qd")).as("ad"))
+        val wq = Window.partitionBy("query_id").orderBy(col("ad"), col("neighbor_id"))
+        val cand = approx
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val n = v.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        cand
+          .join(n.as("q2"), col("q2.vec_id") === col("query_id"))
+          .join(n.as("c2x"), col("c2x.vec_id") === col("neighbor_id"))
+          .withColumn("sim",
+            round(dot(col("q2.e"), col("c2x.e")) / (col("q2.nrm") * col("c2x.nrm")), 6) + lit(0.0))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "sim")
+          .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+      },
+      Some(s"""WITH $KmeansCtes,
+              |resx AS (SELECT a2.vec_id, a2.cid, UNNEST(v.e) AS x, UNNEST(c2.c) AS y,
+              |                UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
+              |         FROM a2 JOIN v USING (vec_id) JOIN c2 USING (cid)),
+              |res AS (SELECT vec_id, cid,
+              |               LIST(CAST(ROUND((x - y) * 1000) AS BIGINT) ORDER BY pos) AS rq
+              |        FROM resx GROUP BY vec_id, cid),
+              |subs AS (SELECT vec_id, s, rq[(s*16+1):(s*16+16)] AS sub
+              |         FROM res, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS s)),
+              |cb AS (SELECT CAST(vec_id AS INT) AS pcid, s, sub AS csub
+              |       FROM subs WHERE vec_id < 16),
+              |pd AS (SELECT t.vec_id, t.s, c.pcid,
+              |              (SELECT SUM((a-b)*(a-b))
+              |               FROM (SELECT UNNEST(t.sub) AS a, UNNEST(c.csub) AS b)) AS d
+              |       FROM subs t JOIN cb c ON c.s = t.s),
+              |codes AS (SELECT vec_id, s, pcid AS code FROM (
+              |            SELECT vec_id, s, pcid,
+              |                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+              |                                      ORDER BY d, pcid) AS rn
+              |            FROM pd) WHERE rn = 1),
+              |n2c AS (SELECT cid, c,
+              |               (SELECT SUM(x*x) FROM (SELECT UNNEST(c) AS x)) AS cn2
+              |        FROM c2),
+              |qdst AS (SELECT v.vec_id AS query_id, k.cid,
+              |                ROUND(v.vn2 + k.cn2
+              |                      - 2 * (SELECT SUM(p) FROM (SELECT UNNEST(v.e) * UNNEST(k.c) AS p)),
+              |                      6) AS d
+              |         FROM vn v CROSS JOIN n2c k WHERE v.vec_id < 16),
+              |probes AS (SELECT query_id, cid FROM (
+              |             SELECT query_id, cid,
+              |                    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                       ORDER BY d, cid) AS rn
+              |             FROM qdst) WHERE rn <= 2),
+              |qresx AS (SELECT p.query_id, p.cid, UNNEST(v.e) AS x, UNNEST(c2.c) AS y,
+              |                 UNNEST(RANGE(1, LEN(v.e) + 1)) AS pos
+              |          FROM probes p JOIN v ON v.vec_id = p.query_id
+              |                        JOIN c2 ON c2.cid = p.cid),
+              |qres AS (SELECT query_id, cid,
+              |                LIST(CAST(ROUND((x - y) * 1000) AS BIGINT) ORDER BY pos) AS rq
+              |         FROM qresx GROUP BY query_id, cid),
+              |qsubs AS (SELECT query_id, cid, s, rq[(s*16+1):(s*16+16)] AS qsub
+              |          FROM qres, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS s)),
+              |dt AS (SELECT q.query_id, q.cid, q.s, c.pcid,
+              |              (SELECT SUM((a-b)*(a-b))
+              |               FROM (SELECT UNNEST(q.qsub) AS a, UNNEST(c.csub) AS b)) AS qd
+              |       FROM qsubs q JOIN cb c ON c.s = q.s),
+              |cand0 AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id
+              |          FROM probes p JOIN a2 a ON a.cid = p.cid
+              |          WHERE a.vec_id != p.query_id),
+              |approx AS (SELECT c0.query_id, c0.neighbor_id, SUM(dt.qd) AS ad
+              |           FROM cand0 c0
+              |           JOIN codes k ON k.vec_id = c0.neighbor_id
+              |           JOIN dt ON dt.query_id = c0.query_id AND dt.cid = c0.cid
+              |                  AND dt.s = k.s AND dt.pcid = k.code
+              |           GROUP BY c0.query_id, c0.neighbor_id),
+              |cand AS (SELECT query_id, neighbor_id FROM (
+              |           SELECT query_id, neighbor_id,
+              |                  ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                     ORDER BY ad, neighbor_id) AS rn
+              |           FROM approx) WHERE rn <= 20),
+              |nn AS (SELECT vec_id, e, SQRT(vn2) AS nrm FROM vn),
+              |rnk AS (SELECT c.query_id, c.neighbor_id,
+              |               ROUND((SELECT SUM(p) FROM (SELECT UNNEST(q.e) * UNNEST(n.e) AS p))
+              |                     / (q.nrm * n.nrm), 6) + 0.0 AS sim
+              |        FROM cand c JOIN nn q ON q.vec_id = c.query_id
+              |                    JOIN nn n ON n.vec_id = c.neighbor_id)
+              |SELECT query_id, neighbor_id, sim FROM (
+              |  SELECT query_id, neighbor_id, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id
+              |                            ORDER BY sim DESC, neighbor_id) AS rn
+              |  FROM rnk) WHERE rn <= 5
+              |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)),
+
     // Binary (1-bit sign) quantization ANN — the fifth index family and
     // the bottom rung of the quantization ladder (float32 → SQ8 → PQ →
     // 1 bit/dim): each 64-dim vector compresses to TWO 32-bit sign

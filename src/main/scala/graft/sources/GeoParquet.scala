@@ -66,6 +66,11 @@ object GeoParquet {
          |"bbox":[${xs.min},${ys.min},${xs.max},${ys.max}]}}}""".stripMargin
       .replace("\n", "")
     val conf = new org.apache.hadoop.conf.Configuration()
+    // idempotent like the other fixture writers: re-planning a query in
+    // the same session rewrites the container (file + hadoop .crc twin)
+    val f = new java.io.File(path)
+    f.delete()
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
     val writer = ExampleParquetWriter.builder(new Path(path))
       .withConf(conf)
       .withType(schema)

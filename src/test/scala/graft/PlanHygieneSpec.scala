@@ -67,7 +67,20 @@ class PlanHygieneSpec extends AnyFunSuite {
       // embedding_kmeans declares, plus a 32-row probe broadcast
       "topk_similarity_ivf2",
       // WSS audit rides the same kmAssign centroid-broadcast shape
-      "embedding_kmeans_quality")
+      "embedding_kmeans_quality",
+      // IVF-PQ composes the ivf2 probe shape (8-row centroid broadcast
+      // crossJoin) with PQ's bounded codebook broadcasts
+      "topk_similarity_ivfpq",
+      // HT estimator: 1-row tau / exact-total broadcasts (tf-idf scalar
+      // shape) over the 65-row TakeOrdered survivors
+      "sample_priority_estimate",
+      // jackknife: 1-row group-total / replicate-mean / ssq broadcasts
+      "eval_jackknife_ci",
+      // KN smoothing: 1-row N1+(··) model-normalizer broadcast
+      "text_lm_kneser_ney",
+      // rides the same nbPredictions relation text_nb_apply declares
+      // (1-row doc-total + 5-row class broadcasts)
+      "text_nb_confusion")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
