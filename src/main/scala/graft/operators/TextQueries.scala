@@ -1817,8 +1817,188 @@ object TextQueries {
               |        FROM scored)
               |  WHERE rn = 1)
               |SELECT actual, pred, COUNT(*) AS n FROM preds
-              |GROUP BY actual, pred ORDER BY actual, pred""".stripMargin))
+              |GROUP BY actual, pred ORDER BY actual, pred""".stripMargin)),
+
+    // In-engine LOGISTIC REGRESSION training — the fastText-style linear
+    // quality/language gate every production curation stack trains (the
+    // GPT-3 / LLaMA quality-filter shape), completing the classifier
+    // tier beside the generative NB twin: binary target y = (lang='en'),
+    // features = hashed-token bucket FRACTIONS (D=16 buckets over the
+    // md5 bridge, plus a bias feature at b=-1), trained by FOUR
+    // full-batch gradient-descent steps at lr=4.0. Scale shape: the
+    // corpus tokenizes ONCE into the per-doc feature relation
+    // (localCheckpoint — it feeds every iteration and the gate); each
+    // iteration is two compact-key shuffles over it (per-doc score agg,
+    // per-bucket gradient agg) against the 17-row broadcast weight
+    // vector — the model is CONSTANT-size in corpus size, so at 100 TB
+    // you run the same K passes (or train on a sample; plan unchanged —
+    // the NB stance). FP determinism (the PowerIterate lockstep
+    // precedent): features and weights live on the 6-decimal grid as
+    // DECIMAL(18,6); scores and gradients are exact decimal sums of
+    // scale-12 products (partial-agg order can't move them); only the
+    // sigmoid runs in double (correctly-rounded IEEE ops on identical
+    // input bits), re-anchored to the grid by ROUND(…,6) each
+    // iteration so drift cannot accumulate. The DuckDB oracle re-runs
+    // the SAME four iterations as generated MATERIALIZED CTEs.
+    QuerySpec(
+      "text_lr_train",
+      (s, dir) => {
+        val (ft, base) = lrFeatures(s, dir)
+        val nd = base.agg(count(lit(1)).as("nd"))
+        lrWeights(s, ft, nd)
+          .select(col("b").as("feature"),
+            (round(col("w").cast("double"), 6) + lit(0.0)).as("weight"))
+          .orderBy("feature")
+      },
+      Some(s"""WITH $LrCtes
+              |SELECT b AS feature, ROUND(CAST(w AS DOUBLE), 6) + 0.0 AS weight
+              |FROM w$LrIters ORDER BY feature""".stripMargin)),
+
+    // The trained LR model APPLIED back over the corpus: per-doc
+    // sigmoid probability, the ≥0.5 keep decision, and correctness
+    // against the label — the gate a pipeline actually runs (and the
+    // evaluation row the lr-vs-prior audit in Round7CurationSpec
+    // reads). One more score pass over the checkpointed feature
+    // relation against the final 17-row broadcast — apply adds NOTHING
+    // corpus-shaped beyond one compact aggregate.
+    QuerySpec(
+      "text_lr_gate",
+      (s, dir) => {
+        val (ft, base) = lrFeatures(s, dir)
+        val nd = base.agg(count(lit(1)).as("nd"))
+        val w = lrWeights(s, ft, nd)
+        ft.join(broadcast(w), "b")
+          .groupBy("doc_id", "y").agg(sum(col("x") * col("w")).as("s"))
+          .select(col("doc_id"), (col("y") > lit(0.5)).as("is_en"),
+            (round(lit(1.0) / (lit(1.0) + exp(-col("s").cast("double"))), 6)
+              + lit(0.0)).as("p"))
+          .withColumn("pred", col("p") >= 0.5)
+          .withColumn("correct", col("pred") === col("is_en"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $LrCtes,
+              |sg AS (SELECT ft.doc_id, ft.y, SUM(ft.x * w.w) AS s
+              |       FROM ft JOIN w$LrIters w USING (b)
+              |       GROUP BY ft.doc_id, ft.y)
+              |SELECT doc_id, y > 0.5 AS is_en,
+              |       ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6) + 0.0 AS p,
+              |       ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6) + 0.0 >= 0.5
+              |         AS pred,
+              |       (ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6) + 0.0 >= 0.5)
+              |         = (y > 0.5) AS correct
+              |FROM sg ORDER BY doc_id""".stripMargin))
   )
+
+  // ---- logistic-regression kernel (text_lr_train / text_lr_gate) ----
+
+  private val LrD = 16
+  private val LrIters = 4
+  private val LrEta = 4.0
+
+  /** Per-doc hashed-bucket feature relation `(doc_id, y, b, x)` — token
+    * fractions on the 6-decimal grid plus a bias row per doc — and the
+    * per-doc `(doc_id, y, n)` base. ONE tokenization; localCheckpoint
+    * because every GD iteration and the gate consume it. */
+  private[operators] def lrFeatures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select(col("doc_id"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+        .cast("decimal(18,6)").as("y"),
+      toks.as("t"))
+    // n computed on the per-doc scan, never after the explode (the
+    // nbPredictions 7×-regex pitfall)
+    val base = d.select(col("doc_id"), col("y"), size(col("t")).as("n"))
+    val tf = d.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"),
+        (graft.functions.HashBridge.h32(col("tok")) % LrD).cast("int").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val ft = tf.join(base, "doc_id")
+      .select(col("doc_id"), col("y"), col("b"),
+        round(col("cnt") / col("n"), 6).cast("decimal(18,6)").as("x"))
+      .unionAll(base.select(col("doc_id"), col("y"),
+        lit(-1).cast("int").as("b"), lit(1.0).cast("decimal(18,6)").as("x")))
+      .localCheckpoint()
+    (ft, base)
+  }
+
+  /** [[LrIters]] lockstep full-batch GD steps from w=0; returns the
+    * final 17-row `(b, w)` weight relation. Checkpointed per iteration
+    * (the kmeans lockstep pattern) so the plan stays iteration-sized. */
+  private[operators] def lrWeights(s: SparkSession, ft: DataFrame, nd: DataFrame): DataFrame =
+    lrWeightsIters(s, ft, nd, LrIters)
+
+  /** [[lrWeights]] stopped after `iters` steps — the spec's hook for the
+    * monotone-loss law. */
+  private[operators] def lrWeightsIters(
+      s: SparkSession, ft: DataFrame, nd: DataFrame, iters: Int): DataFrame = {
+    var w = s.range(-1, LrD).select(col("id").cast("int").as("b"),
+      lit(0.0).cast("decimal(18,6)").as("w"))
+    for (_ <- 1 to iters) {
+      val sc = ft.join(broadcast(w), "b")
+        .groupBy("doc_id", "y").agg(sum(col("x") * col("w")).as("s"))
+      val r = sc.select(col("doc_id"),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("s").cast("double"))), 6)
+          .cast("decimal(18,6)") - col("y")).cast("decimal(18,6)").as("r"))
+      val g = ft.join(r, "doc_id")
+        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+      w = w.join(g, Seq("b"), "left").crossJoin(broadcast(nd))
+        .select(col("b"),
+          round(col("w").cast("double")
+            - lit(LrEta) * coalesce(col("g"), lit(0)).cast("double") / col("nd"), 6)
+            .cast("decimal(18,6)").as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** DuckDB mirror of the LR kernel: the feature relation + the
+    * [[LrIters]] GD iterations unrolled as generated MATERIALIZED CTEs
+    * (the PcaCtes precedent), ending in `w$LrIters(b, w)` with `ft` and
+    * `nd` in scope for the gate. */
+  private lazy val LrCtes: String = {
+    val iters = (1 to LrIters).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT ft.doc_id, ft.y, SUM(ft.x * w.w) AS s
+         |  FROM ft JOIN w${k - 1} w USING (b) GROUP BY ft.doc_id, ft.y),
+         |p$k AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |         CAST(ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6)
+         |              AS DECIMAL(18,6)) AS p
+         |  FROM s$k),
+         |g$k AS MATERIALIZED (
+         |  SELECT ft.b, SUM(CAST(p.p - ft.y AS DECIMAL(18,6)) * ft.x) AS g
+         |  FROM ft JOIN p$k p USING (doc_id) GROUP BY ft.b),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.b,
+         |         CAST(ROUND(CAST(w.w AS DOUBLE)
+         |                    - $LrEta * CAST(COALESCE(g.g, 0) AS DOUBLE) / nd.nd, 6)
+         |              AS DECIMAL(18,6)) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (b), nd)""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+       |              AS DECIMAL(18,6)) AS y,
+       |         STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, y, LEN(t) AS n FROM d),
+       |tf AS (
+       |  SELECT doc_id,
+       |         CAST(('0x'||SUBSTR(MD5(tok),1,8))::BIGINT % $LrD AS INT) AS b,
+       |         COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, UNNEST(t) AS tok FROM d)
+       |  GROUP BY doc_id, b),
+       |ft AS MATERIALIZED (
+       |  SELECT tf.doc_id, base.y, tf.b,
+       |         CAST(ROUND(CAST(cnt AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS x
+       |  FROM tf JOIN base USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, CAST(-1 AS INT) AS b, CAST(1.0 AS DECIMAL(18,6)) AS x
+       |  FROM base),
+       |nd AS (SELECT COUNT(*) AS nd FROM base),
+       |w0 AS (SELECT CAST(b AS INT) AS b, CAST(0.0 AS DECIMAL(18,6)) AS w
+       |       FROM (SELECT UNNEST(RANGE(-1, $LrD)) AS b)),
+       |$iters""".stripMargin
+  }
 
   /** Shared prediction relation behind `text_nb_apply` /
     * `text_nb_confusion`: argmax-scored (doc_id, pred, actual, correct,
