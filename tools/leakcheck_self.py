@@ -29,7 +29,7 @@ PATTERNS = {
         re.M),
     "internal-url": re.compile(
         r"https?://(?![\w.-]*(?:example\.com|\bex\.com|localhost|127\.0\.0\.1|"
-        r"sqlite\.org|apache\.org|epsg\.(?:io|org)|opengeospatial\.org|"
+        r"sqlite\.org|apache\.org|epsg\.(?:io|org)|opengeospatial\.org|opengis\.net|"
         r"openxmlformats\.org|w3\.org|purl\.org|ietf\.org|wikipedia\.org|"
         r"arxiv\.org|github\.com|postgis\.net|duckdb\.org|microsoft\.com|"
         r"ecma-international\.org)([/\s\"')]|$))[\w.-]+"),
