@@ -1886,7 +1886,103 @@ object TextQueries {
               |         AS pred,
               |       (ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6) + 0.0 >= 0.5)
               |         = (y > 0.5) AS correct
-              |FROM sg ORDER BY doc_id""".stripMargin))
+              |FROM sg ORDER BY doc_id""".stripMargin)),
+
+    // DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    // the published recipe's relational core): per-domain EXCESS LOSS =
+    // mean token log-loss under a REFERENCE model trained on the whole
+    // corpus minus under the domain's OWN model (the achievable loss),
+    // mixture weight ∝ exp(excess) — upweight the domains the
+    // generalist underfits most. The full paper trains proxy LMs with
+    // Group DRO; the engine-native form uses the add-0.5 unigram LM the
+    // text tier already ships (text_unigram_logprob's exact smoothing),
+    // which preserves the decision structure: domains whose token
+    // distribution diverges from the corpus get weight. Scale shape:
+    // the corpus tokenizes ONCE into the (source, token, cnt) relation
+    // (localCheckpoint — both models and both loss sums read it); the
+    // reference model is one token-keyed aggregate of it, the own-model
+    // log-prob is computed INLINE on the same rows (no corpus-model
+    // self-join), and the softmax runs over the ≤|domains| relation.
+    // Nothing after the first shuffle is corpus-sized — at 100 TB the
+    // mixture table is still 20 rows. Determinism: per-token ln rounded
+    // to 6 then decimal-summed (the unigram precedent); the softmax
+    // numerators round to the 6-grid as DECIMAL so their sum is exact
+    // and partial-agg order can't move any weight.
+    QuerySpec(
+      "text_domain_mixture",
+      (s, dir) => {
+        val st = docs(s, dir).select(col("source"), explode(toks).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val vocab = broadcast(
+          st.select("token").distinct().agg(count(lit(1)).as("v")))
+        val refTot = broadcast(st.agg(sum("cnt").as("rt")))
+        val refModel = st.groupBy("token").agg(sum("cnt").as("rc"))
+          .crossJoin(vocab).crossJoin(refTot)
+          .select(col("token"),
+            round(log((col("rc") + 0.5) / (col("rt") + lit(0.5) * col("v"))), 6)
+              .cast("decimal(18,6)").as("reflp"))
+        val ownTot = st.groupBy("source").agg(sum("cnt").as("ot"))
+        val losses = st.join(refModel, "token")
+          .join(broadcast(ownTot), "source").crossJoin(vocab)
+          .groupBy("source").agg(
+            sum(col("cnt") * col("reflp")).as("rs"),
+            sum(col("cnt") *
+              round(log((col("cnt") + 0.5) / (col("ot") + lit(0.5) * col("v"))), 6)
+                .cast("decimal(18,6)")).as("os"),
+            sum("cnt").as("nt"))
+          .select(col("source"),
+            (round(-col("rs").cast("double") / col("nt"), 6) + lit(0.0)).as("ref_loss"),
+            (round(-col("os").cast("double") / col("nt"), 6) + lit(0.0)).as("own_loss"))
+        val ex = losses
+          .withColumn("excess",
+            (round(greatest(col("ref_loss") - col("own_loss"), lit(0.0)), 6)
+              + lit(0.0)))
+          .withColumn("eexp", round(exp(col("excess")), 6).cast("decimal(18,6)"))
+          .localCheckpoint() // ≤|domains| rows; feeds the softmax total + output
+        val se = ex.agg(sum(col("eexp")).as("se"))
+        ex.crossJoin(broadcast(se))
+          .select(col("source"), col("ref_loss"), col("own_loss"), col("excess"),
+            (round(col("eexp").cast("double") / col("se").cast("double"), 6)
+              + lit(0.0)).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS MATERIALIZED (
+             |  SELECT source, token, COUNT(*) AS cnt
+             |  FROM (SELECT source,
+             |               UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token
+             |        FROM documents)
+             |  GROUP BY source, token),
+             |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM st),
+             |reftot AS (SELECT SUM(cnt) AS rt FROM st),
+             |refmodel AS (
+             |  SELECT token,
+             |         CAST(ROUND(LN((SUM(cnt) + 0.5) / (rt + 0.5 * v)), 6)
+             |              AS DECIMAL(18,6)) AS reflp
+             |  FROM st, vocab, reftot GROUP BY token, rt, v),
+             |owntot AS (SELECT source, SUM(cnt) AS ot FROM st GROUP BY source),
+             |losses AS (
+             |  SELECT st.source,
+             |         ROUND(-CAST(SUM(st.cnt * r.reflp) AS DOUBLE)
+             |               / SUM(st.cnt), 6) + 0.0 AS ref_loss,
+             |         ROUND(-CAST(SUM(st.cnt *
+             |                 CAST(ROUND(LN((st.cnt + 0.5) / (o.ot + 0.5 * v)), 6)
+             |                      AS DECIMAL(18,6))) AS DOUBLE)
+             |               / SUM(st.cnt), 6) + 0.0 AS own_loss
+             |  FROM st JOIN refmodel r USING (token)
+             |          JOIN owntot o ON o.source = st.source, vocab
+             |  GROUP BY st.source),
+             |ex AS MATERIALIZED (
+             |  SELECT source, ref_loss, own_loss,
+             |         ROUND(GREATEST(ref_loss - own_loss, 0.0), 6) + 0.0 AS excess,
+             |         CAST(ROUND(EXP(ROUND(GREATEST(ref_loss - own_loss, 0.0), 6)), 6)
+             |              AS DECIMAL(18,6)) AS eexp
+             |  FROM losses),
+             |se AS (SELECT SUM(eexp) AS se FROM ex)
+             |SELECT source, ref_loss, own_loss, excess,
+             |       ROUND(CAST(eexp AS DOUBLE) / CAST(se AS DOUBLE), 6) + 0.0 AS weight
+             |FROM ex, se ORDER BY source""".stripMargin))
   )
 
   // ---- logistic-regression kernel (text_lr_train / text_lr_gate) ----

@@ -80,7 +80,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "text_lm_kneser_ney",
       // rides the same nbPredictions relation text_nb_apply declares
       // (1-row doc-total + 5-row class broadcasts)
-      "text_nb_confusion")
+      "text_nb_confusion",
+      // softmax over the ≤|domains| mixture relation: 1-row exp-total
+      // broadcast (the tf-idf scalar shape)
+      "text_domain_mixture")
 
   // One broken query must not blind the audit for the other ~150
   // (VERDICT r4 #3): evaluate per query, collect failures, assert at the
