@@ -99,6 +99,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.WinnowFingerprint(c(0))))
     ext.injectFunction(arity("lsh_band_keys", 3)(c =>
       graft.functions.LshBandKeys(c(0), intLit(c(1)), intLit(c(2)))))
+    // the Gopher repetition battery's one-pass kernel, same path
+    ext.injectFunction(arity("repetition_stats", 1)(c =>
+      graft.functions.RepetitionStats(c(0))))
 
     // UDTF tier: the native shingle Generator for LATERAL VIEW callers
     ext.injectFunction((

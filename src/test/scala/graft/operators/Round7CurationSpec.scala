@@ -219,6 +219,17 @@ class Round7CurationSpec extends AnyFunSuite {
     } finally c12.unpersist()
   }
 
+  test("RepetitionStats reaches SQL-text callers via GraftExtensions") {
+    import spark.implicits._
+    val sqlRow = spark.sql(
+      "SELECT repetition_stats(split('a b a b a b c', ' ')) AS r")
+      .select(col("r.tot"), col("r.top2"), col("r.cov5")).collect()(0)
+    val direct = Seq(Seq("a", "b", "a", "b", "a", "b", "c")).toDF("t")
+      .select(graft.functions.RepetitionStats(col("t")).as("r"))
+      .select(col("r.tot"), col("r.top2"), col("r.cov5")).collect()(0)
+    assert(sqlRow == direct, s"SQL $sqlRow != Column API $direct")
+  }
+
   test("RepetitionStats kernel matches an independent brute-force restatement") {
     // random token arrays with a small alphabet (forces real n-gram
     // collisions at every n), checked against a from-scratch Scala
