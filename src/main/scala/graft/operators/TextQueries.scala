@@ -1819,6 +1819,133 @@ object TextQueries {
               |SELECT actual, pred, COUNT(*) AS n FROM preds
               |GROUP BY actual, pred ORDER BY actual, pred""".stripMargin)),
 
+    // Per-class PRECISION / RECALL / F1 — the summary a pipeline owner
+    // actually reads off the confusion matrix before trusting a language
+    // gate (macro metrics are what the published langid evaluations
+    // report). Everything after the shared prediction relation runs on
+    // the ≤|langs|² confusion rows: TP is the diagonal, FP/FN are the
+    // column/row sums minus it — two tiny aggregates and a join, nothing
+    // corpus-sized beyond what apply already does. Ratios round to the
+    // 6-grid from exact integer counts so the hash oracle is trivial;
+    // a class never predicted defines precision = 0 (the CASE both
+    // engines spell identically).
+    QuerySpec(
+      "text_nb_prf",
+      (s, dir) => {
+        val cm = nbPredictions(s, dir)
+          .groupBy(col("actual"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // ≤25 rows; feeds tp, row sums, col sums
+        val tp = cm.filter(col("actual") === col("pred"))
+          .select(col("actual").as("lang"), col("n").as("tp"))
+        val act = cm.groupBy(col("actual").as("lang")).agg(sum("n").as("na"))
+        val prd = cm.groupBy(col("pred").as("lang")).agg(sum("n").as("np"))
+        val prf = act.join(prd, Seq("lang"), "left")
+          .join(tp, Seq("lang"), "left")
+          .select(col("lang"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            (coalesce(col("np"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+            (col("na") - coalesce(col("tp"), lit(0L))).as("fn"))
+          .withColumn("precision",
+            when(col("tp") + col("fp") === 0, lit(0.0))
+              .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+              + lit(0.0))
+          .withColumn("recall",
+            (round(col("tp").cast("double") / (col("tp") + col("fn")), 6) + lit(0.0)))
+        prf.withColumn("f1",
+            when(col("precision") + col("recall") === 0, lit(0.0))
+              .otherwise(round(
+                lit(2.0) * col("precision") * col("recall")
+                  / (col("precision") + col("recall")), 6)) + lit(0.0))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $NbApplyCtes,
+              |preds AS (
+              |  SELECT actual, m_lang AS pred
+              |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |                                     ORDER BY score DESC, m_lang ASC) AS rn
+              |        FROM scored)
+              |  WHERE rn = 1),
+              |cm AS MATERIALIZED (
+              |  SELECT actual, pred, COUNT(*) AS n FROM preds GROUP BY actual, pred),
+              |tp AS (SELECT actual AS lang, n AS tp FROM cm WHERE actual = pred),
+              |act AS (SELECT actual AS lang, SUM(n) AS na FROM cm GROUP BY actual),
+              |prd AS (SELECT pred AS lang, SUM(n) AS np FROM cm GROUP BY pred),
+              |cnts AS (
+              |  SELECT a.lang, CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+              |         CAST(COALESCE(p.np, 0) - COALESCE(t.tp, 0) AS BIGINT) AS fp,
+              |         CAST(a.na - COALESCE(t.tp, 0) AS BIGINT) AS fn
+              |  FROM act a LEFT JOIN prd p USING (lang) LEFT JOIN tp t USING (lang)),
+              |prf AS (
+              |  SELECT lang, tp, fp, fn,
+              |         CASE WHEN tp + fp = 0 THEN 0.0
+              |              ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END + 0.0
+              |           AS precision,
+              |         ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) + 0.0 AS recall
+              |  FROM cnts)
+              |SELECT lang, tp, fp, fn, precision, recall,
+              |       CASE WHEN precision + recall = 0 THEN 0.0
+              |            ELSE ROUND(2.0 * precision * recall
+              |                       / (precision + recall), 6) END + 0.0 AS f1
+              |FROM prf ORDER BY lang""".stripMargin)),
+
+    // HELD-OUT evaluation — the honest version of the self-train
+    // numbers above: NB trains on folds 1–4 of a doc_id % 5 split
+    // (pure modulo, identical in both engines) and is scored ONLY on
+    // the unseen fold 0, against the train-majority-class baseline on
+    // that same fold. This is the generalization check a pipeline runs
+    // before trusting a gate — self-apply accuracy overstates a
+    // memorizing model; a holdout can't. Same plan family as apply
+    // (the split is two pushdown filters over the one tokenization);
+    // the summary is a 1-row aggregate of the fold's predictions.
+    QuerySpec(
+      "text_nb_holdout",
+      (s, dir) => {
+        val preds = nbPredictions(s, dir, testFold = Some(0))
+        val maj = docs(s, dir).filter(col("doc_id") % 5 =!= 0)
+          .groupBy("lang").agg(count(lit(1)).as("c"))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("c").desc, col("lang"))))
+          .filter(col("rn") === 1).select(col("lang").as("mlang"))
+        preds.crossJoin(broadcast(maj))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+            sum(when(col("actual") === col("mlang"), 1L).otherwise(0L))
+              .as("n_majority"))
+          .select(col("n_test"), col("n_correct"),
+            (round(col("n_correct").cast("double") / col("n_test"), 6)
+              + lit(0.0)).as("accuracy"),
+            (round(col("n_majority").cast("double") / col("n_test"), 6)
+              + lit(0.0)).as("baseline"))
+          .withColumn("beats_baseline", col("accuracy") > col("baseline"))
+      },
+      Some(s"""WITH ${nbApplyCtes("doc_id % 5 != 0", "doc_id % 5 = 0")},
+              |preds AS (
+              |  SELECT actual, m_lang = actual AS correct
+              |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |                                     ORDER BY score DESC, m_lang ASC) AS rn
+              |        FROM scored)
+              |  WHERE rn = 1),
+              |maj AS (
+              |  SELECT lang AS mlang FROM (
+              |    SELECT lang, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang) AS rn
+              |    FROM documents WHERE doc_id % 5 != 0 GROUP BY lang)
+              |  WHERE rn = 1),
+              |agg AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+              |         CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS n_correct,
+              |         CAST(SUM(CASE WHEN actual = mlang THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS n_majority
+              |  FROM preds, maj)
+              |SELECT n_test, n_correct,
+              |       ROUND(CAST(n_correct AS DOUBLE) / n_test, 6) + 0.0 AS accuracy,
+              |       ROUND(CAST(n_majority AS DOUBLE) / n_test, 6) + 0.0 AS baseline,
+              |       ROUND(CAST(n_correct AS DOUBLE) / n_test, 6)
+              |         > ROUND(CAST(n_majority AS DOUBLE) / n_test, 6)
+              |         AS beats_baseline
+              |FROM agg""".stripMargin)),
+
     // In-engine LOGISTIC REGRESSION training — the fastText-style linear
     // quality/language gate every production curation stack trains (the
     // GPT-3 / LLaMA quality-filter shape), completing the classifier
@@ -2099,8 +2226,16 @@ object TextQueries {
   /** Shared prediction relation behind `text_nb_apply` /
     * `text_nb_confusion`: argmax-scored (doc_id, pred, actual, correct,
     * score), exactly the apply query minus its final ORDER BY. */
-  private def nbPredictions(s: SparkSession, dir: String): DataFrame = {
+  private def nbPredictions(s: SparkSession, dir: String,
+      testFold: Option[Int] = None): DataFrame = {
         val d = docs(s, dir)
+        // holdout split on doc_id % 5 (pure modulo — deterministic and
+        // identical in both engines): train = the other four folds,
+        // score = the held-out fold; None = self-train/self-apply
+        def trainSide(df: DataFrame): DataFrame =
+          testFold.map(f => df.filter(col("doc_id") % 5 =!= f)).getOrElse(df)
+        def scoreSide(df: DataFrame): DataFrame =
+          testFold.map(f => df.filter(col("doc_id") % 5 === f)).getOrElse(df)
         // ONE tokenization serves both halves: the per-doc tf relation
         // is the scoring input AND (summed over docs) the model's
         // training counts — localCheckpoint because it feeds both sides
@@ -2116,28 +2251,28 @@ object TextQueries {
           .agg(count(lit(1)).as("tf"))
           .localCheckpoint()
         val modelDf = nbModelFromCounts(
-          tf.groupBy(col("actual").as("lang"), col("token"))
+          trainSide(tf).groupBy(col("actual").as("lang"), col("token"))
             .agg(sum("tf").as("cnt")))
         val model = broadcast(modelDf
           .select(col("lang").as("m_lang"), col("token"),
             round(col("logp") * 1e6).cast("long").as("lp"),
             round(col("floor_lp") * 1e6).cast("long").as("fl")))
         val classes = broadcast(
-          d.groupBy(col("lang").as("m_lang"))
+          trainSide(d).groupBy(col("lang").as("m_lang"))
             .agg(count(lit(1)).as("n_cls"))
             // doc total rides a 1-row broadcast (the tf-idf scalar
             // shape), never a driver-side count
-            .crossJoin(broadcast(d.agg(count(lit(1)).as("n_all"))))
+            .crossJoin(broadcast(trainSide(d).agg(count(lit(1)).as("n_all"))))
             .join(modelDf.groupBy(col("lang").as("m_lang"))
               .agg(first(col("floor_lp")).as("floor_lp")), "m_lang")
             .select(col("m_lang"),
               round(round(log(col("n_cls").cast("double") / col("n_all")), 6) * 1e6)
                 .cast("long").as("prior"),
               round(col("floor_lp") * 1e6).cast("long").as("fl")))
-        val present = tf.join(model, "token")
+        val present = scoreSide(tf).join(model, "token")
           .groupBy("doc_id", "m_lang")
           .agg(sum(col("tf") * (col("lp") - col("fl"))).as("adj"))
-        val base = d.select(col("doc_id"), col("lang").as("actual"),
+        val base = scoreSide(d).select(col("doc_id"), col("lang").as("actual"),
             size(toks).as("n_tokens"))
           .crossJoin(classes)
         val scored = base
@@ -2157,9 +2292,14 @@ object TextQueries {
   /** Oracle twin of [[nbPredictions]] minus the argmax: CTEs ending in
     * `scored(doc_id, actual, m_lang, score)`, shared by the apply and
     * confusion oracles. */
-  private lazy val NbApplyCtes: String =
-    s"""$NbModelCtes,
-              nd AS (SELECT COUNT(*) AS n FROM documents),
+  private lazy val NbApplyCtes: String = nbApplyCtes("TRUE", "TRUE")
+
+  /** [[NbApplyCtes]] with a train/score split: the model and class
+    * priors read only `trainWhere` docs, the scored relation only
+    * `scoreWhere` docs — the holdout oracle's generator. */
+  private def nbApplyCtes(trainWhere: String, scoreWhere: String): String =
+    s"""${nbModelCtes(trainWhere)},
+              nd AS (SELECT COUNT(*) AS n FROM documents WHERE $trainWhere),
               classes AS (
                 SELECT lang AS m_lang,
                        CAST(ROUND(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nd)), 6)
@@ -2167,12 +2307,13 @@ object TextQueries {
                        CAST(ROUND(MIN(floor_lp) * 1e6) AS BIGINT) AS fl
                 FROM documents JOIN (SELECT lang AS l2, MIN(floor_lp) AS floor_lp
                                      FROM model GROUP BY 1) f ON lang = f.l2
+                WHERE $trainWhere
                 GROUP BY lang),
               tf AS (
                 SELECT doc_id, actual, token, COUNT(*) AS tf
                 FROM (SELECT doc_id, lang AS actual,
                              UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token
-                      FROM documents)
+                      FROM documents WHERE $scoreWhere)
                 GROUP BY doc_id, actual, token),
               present AS (
                 SELECT doc_id, m.lang AS m_lang,
@@ -2184,7 +2325,7 @@ object TextQueries {
                 SELECT d.doc_id, d.lang AS actual,
                        LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+')) AS n_tokens,
                        c.m_lang, c.prior, c.fl
-                FROM documents d CROSS JOIN classes c),
+                FROM documents d CROSS JOIN classes c WHERE $scoreWhere),
               scored AS (
                 SELECT b.doc_id, b.actual, b.m_lang,
                        ROUND(CAST(b.prior + b.fl * b.n_tokens
@@ -2219,11 +2360,14 @@ object TextQueries {
 
   /** DuckDB mirror of [[nbModel]], ending in
     * `model(lang, token, cnt, logp, floor_lp)`. */
-  private val NbModelCtes: String =
-    """counts AS (
+  private lazy val NbModelCtes: String = nbModelCtes("TRUE")
+
+  /** [[NbModelCtes]] restricted to `trainWhere` docs. */
+  private def nbModelCtes(trainWhere: String): String =
+    s"""counts AS (
       |  SELECT lang, token, COUNT(*) AS cnt
-      |  FROM (SELECT lang, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token
-      |        FROM documents)
+      |  FROM (SELECT lang, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token
+      |        FROM documents WHERE $trainWhere)
       |  GROUP BY lang, token),
       |totals AS (SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang),
       |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM counts),

@@ -78,9 +78,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "eval_jackknife_ci",
       // KN smoothing: 1-row N1+(··) model-normalizer broadcast
       "text_lm_kneser_ney",
-      // rides the same nbPredictions relation text_nb_apply declares
-      // (1-row doc-total + 5-row class broadcasts)
-      "text_nb_confusion",
+      // ride the same nbPredictions relation text_nb_apply declares
+      // (1-row doc-total + 5-row class broadcasts; holdout adds the
+      // 1-row train-majority broadcast)
+      "text_nb_confusion", "text_nb_prf", "text_nb_holdout",
       // softmax over the ≤|domains| mixture relation: 1-row exp-total
       // broadcast (the tf-idf scalar shape)
       "text_domain_mixture")
