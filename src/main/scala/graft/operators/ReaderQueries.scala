@@ -403,6 +403,66 @@ object ReaderQueries {
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
               FROM nation ORDER BY nkey""")),
 
+    // Arrow IPC stream scan (the official columnar interchange format —
+    // what dataloaders and feature stores hand batches around in,
+    // beyond-reference like xlsx): ONE driver-side schema sniff off the
+    // stream's first message, then batch decode runs INSIDE scan tasks
+    // (binaryFile ships each container to an executor; arrow-vector —
+    // the classes Spark itself bundles — walks the batches one at a
+    // time, so per-task peak memory is one record batch). Fixture
+    // written by the INDEPENDENT encoder half, so the reader is proven
+    // on real Arrow bytes against the nation oracle.
+    QuerySpec(
+      "scan_arrow_ipc",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.arrows")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("rkey",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("measure",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        val rows = nationRows(s, dir).map { case (k, n, r) =>
+          org.apache.spark.sql.Row(k, n, r, k + 0.25)
+        }
+        graft.sources.ArrowIpc.write(path, rows, schema)
+        graft.sources.ArrowIpc.read(s, path).orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                     CAST(n_regionkey AS BIGINT) AS rkey,
+                     CAST(n_nationkey AS BIGINT) + 0.25 AS measure
+              FROM nation ORDER BY nkey""")),
+
+    // The directory form — an Arrow LANDING ZONE: several .arrows
+    // containers with one shared schema scanned as ONE distributed
+    // read (binaryFile lists the zone; one decode task per container —
+    // the gpkg-dir ingest stance). Containers split nation by region
+    // parity, so the union equals the table and a dropped or
+    // double-read container breaks the hash.
+    QuerySpec(
+      "scan_arrow_dir",
+      (s, dir) => {
+        val zone = fixturePath(dir, "arrow_zone")
+        new java.io.File(zone).mkdirs()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val all = nationRows(s, dir)
+        Seq(0, 1).foreach { par =>
+          val rows = all.filter(_._3 % 2 == par)
+            .map { case (k, n, _) => org.apache.spark.sql.Row(k, n) }
+          graft.sources.ArrowIpc.write(s"$zone/part$par.arrows", rows, schema)
+        }
+        graft.sources.ArrowIpc.read(s, zone).orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname
+              FROM nation ORDER BY nkey""")),
+
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from
     // nation rows runs detect → read → coordinate-pair discovery → CRS
