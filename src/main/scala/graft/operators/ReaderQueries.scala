@@ -522,6 +522,40 @@ object ReaderQueries {
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
               FROM nation ORDER BY id""")),
 
+    // The ingest pipeline's ARROW branch end-to-end: detection sniffs
+    // the IPC continuation marker (additive branch — the reference
+    // never saw Arrow), the read dispatch decodes batches executor-side
+    // via ArrowIpc, the heuristics find no coordinate pair (plain
+    // tabular columns → NonGeoStrategy identity, the reference's
+    // non_geo_strategy shape), and the query reads the SINK OUTPUT back
+    // — the same sink-hash pattern as pipeline_ingest, so the columnar
+    // interchange path is driver-visible end to end.
+    QuerySpec(
+      "pipeline_ingest_arrow",
+      (s, dir) => {
+        val base = fixturePath(dir, "pipe_arrow")
+        val arrowPath = base + "_nation.arrows"
+        val outRoot = base + "_sink"
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("measure",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        graft.sources.ArrowIpc.write(arrowPath,
+          nationRows(s, dir).map { case (k, n, _) =>
+            org.apache.spark.sql.Row(k, n, k + 0.25)
+          }, schema)
+        graft.Graft.processFileToParquet(s, arrowPath, "nation_arrow.arrows", outRoot)
+        s.read.parquet(s"$outRoot/public/nation_arrow")
+          .select(col("nkey"), col("nname"), col("measure"))
+          .orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                     CAST(n_nationkey AS BIGINT) + 0.25 AS measure
+              FROM nation ORDER BY nkey""")),
+
     // MULTI-CONTAINER landing-zone ingest (IngestPipeline.planDir —
     // beyond the reference's single-file API): nation rows split across
     // five gpkg containers in one directory, ingested as ONE connector

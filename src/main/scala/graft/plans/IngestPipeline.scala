@@ -113,6 +113,10 @@ object IngestPipeline {
         graft.sources.KmlReader.read(spark, path)
       case FileType.Gml =>
         graft.sources.GmlReader.read(spark, path)
+      case FileType.Arrow =>
+        // executor-side batch decode (binaryFile + arrow-vector); a
+        // directory landing zone rides the same call
+        graft.sources.ArrowIpc.read(spark, path)
     }
 
   /** Multi-container landing-zone ingest (beyond the reference's
@@ -168,8 +172,9 @@ object IngestPipeline {
         .map(_.metadata.getString(graft.sources.GeoParquet.CrsTag)
           .stripPrefix("EPSG:"))
         .getOrElse(CrsInference.inferCrs(df, geometry.names))
-    case FileType.Csv | FileType.Excel =>
+    case FileType.Csv | FileType.Excel | FileType.Arrow =>
       "4326" // geo_strategy.rs:48-54 — hard default for tabular sources
+              // (Arrow carries no CRS metadata — same tabular stance)
     case FileType.Geojson =>
       "4326" // GeoJSON spec (RFC 7946) mandates CRS84 == lon/lat WGS84
     case FileType.Kml =>

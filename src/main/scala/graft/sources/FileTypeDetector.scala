@@ -24,6 +24,9 @@ object FileType {
   case object Excel      extends FileType("Excel")
   case object Csv        extends FileType("CSV")
   case object Parquet    extends FileType("Parquet")
+  /** Arrow IPC (beyond-reference like KML/GML): the columnar
+    * interchange format training dataloaders exchange. */
+  case object Arrow      extends FileType("Arrow")
 }
 
 /** File-type detection: magic numbers, then content sniff, then extension —
@@ -160,6 +163,14 @@ object FileTypeDetector {
       Some(FileType.Parquet)
     case b if startsWith(b, SqliteHeader) =>
       Some(FileType.Geopackage)
+    // Arrow IPC, both encodings (additive branch, beyond the ported
+    // decision tree — the reference never saw Arrow): the FILE format's
+    // ARROW1 magic, or the STREAM format's IPC continuation marker
+    // prefixing the schema message (every modern writer emits it).
+    case b if startsWith(b, "ARROW1".getBytes(StandardCharsets.US_ASCII)) =>
+      Some(FileType.Arrow)
+    case b if startsWith(b, Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)) =>
+      Some(FileType.Arrow)
     case _ => None
   }
 
