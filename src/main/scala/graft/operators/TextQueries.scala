@@ -2015,6 +2015,72 @@ object TextQueries {
               |         = (y > 0.5) AS correct
               |FROM sg ORDER BY doc_id""".stripMargin)),
 
+    // LR HELD-OUT evaluation — the loss-space generalization check (the
+    // NB holdout's twin, but in the metric GD actually optimizes):
+    // weights train on folds 1–4 of the doc_id % 5 split, the unseen
+    // fold scores, and the held-out mean log-loss sits beside the null
+    // model's ln 2. A memorizing model can ace self-apply loss; it
+    // cannot beat ln 2 on unseen docs unless the learned weights
+    // actually generalize. Same plan family as the gate: the split is
+    // two pushdown filters over the one checkpointed feature relation,
+    // the summary one 1-row aggregate of rounded per-doc losses
+    // (decimal-summed so partial-agg order can't move the mean).
+    QuerySpec(
+      "text_lr_holdout",
+      (s, dir) => {
+        val (ft, base) = lrFeatures(s, dir)
+        val ftt = ft.filter(col("doc_id") % 5 =!= 0)
+        val nd = base.filter(col("doc_id") % 5 =!= 0).agg(count(lit(1)).as("nd"))
+        val w = lrWeights(s, ftt, nd)
+        val scored = ft.filter(col("doc_id") % 5 === 0)
+          .join(broadcast(w), "b")
+          .groupBy("doc_id", "y").agg(sum(col("x") * col("w")).as("s"))
+          .select(col("y"),
+            (round(lit(1.0) / (lit(1.0) + exp(-col("s").cast("double"))), 6)
+              + lit(0.0)).as("p"))
+        scored.select(col("y"), col("p"),
+            round(-(col("y").cast("double") * log(col("p"))
+              + (lit(1.0) - col("y").cast("double")) * log(lit(1.0) - col("p"))), 6)
+              .cast("decimal(18,6)").as("l"),
+            ((col("p") >= 0.5) === (col("y") > 0.5)).as("correct"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+            sum(col("l")).as("ls"))
+          .select(col("n_test"), col("n_correct"),
+            (round(col("n_correct").cast("double") / col("n_test"), 6) + lit(0.0))
+              .as("accuracy"),
+            (round(col("ls").cast("double") / col("n_test"), 6) + lit(0.0))
+              .as("holdout_loss"))
+          .withColumn("null_loss", round(lit(math.log(2.0)), 6) + lit(0.0))
+          .withColumn("beats_null", col("holdout_loss") < col("null_loss"))
+      },
+      Some(s"""WITH ${lrCtesOver("doc_id % 5 != 0")},
+              |sg AS (SELECT ft.doc_id, ft.y, SUM(ft.x * w.w) AS s
+              |       FROM ft JOIN w$LrIters w USING (b)
+              |       WHERE ft.doc_id % 5 = 0
+              |       GROUP BY ft.doc_id, ft.y),
+              |pp AS (SELECT y,
+              |              ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6) + 0.0 AS p
+              |       FROM sg),
+              |pl AS (SELECT y, p,
+              |              CAST(ROUND(-(CAST(y AS DOUBLE) * LN(p)
+              |                           + (1.0 - CAST(y AS DOUBLE)) * LN(1.0 - p)), 6)
+              |                   AS DECIMAL(18,6)) AS l,
+              |              (p >= 0.5) = (y > 0.5) AS correct
+              |       FROM pp),
+              |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+              |               CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+              |                 AS n_correct,
+              |               SUM(l) AS ls
+              |        FROM pl)
+              |SELECT n_test, n_correct,
+              |       ROUND(CAST(n_correct AS DOUBLE) / n_test, 6) + 0.0 AS accuracy,
+              |       ROUND(CAST(ls AS DOUBLE) / n_test, 6) + 0.0 AS holdout_loss,
+              |       ROUND(LN(2.0), 6) + 0.0 AS null_loss,
+              |       ROUND(CAST(ls AS DOUBLE) / n_test, 6) + 0.0
+              |         < ROUND(LN(2.0), 6) + 0.0 AS beats_null
+              |FROM agg""".stripMargin)),
+
     // DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
     // Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
     // the published recipe's relational core): per-domain EXCESS LOSS =
@@ -2177,11 +2243,17 @@ object TextQueries {
     * [[LrIters]] GD iterations unrolled as generated MATERIALIZED CTEs
     * (the PcaCtes precedent), ending in `w$LrIters(b, w)` with `ft` and
     * `nd` in scope for the gate. */
-  private lazy val LrCtes: String = {
+  private lazy val LrCtes: String = lrCtesOver("TRUE")
+
+  /** [[LrCtes]] with the GD iterations training on the `ftt` subset
+    * (`trainWhere` over the feature relation) — `ft` stays in scope for
+    * scoring, which is how the holdout oracle scores the unseen fold.
+    * `TRUE` reproduces the self-train default exactly. */
+  private def lrCtesOver(trainWhere: String): String = {
     val iters = (1 to LrIters).map { k =>
       s"""s$k AS MATERIALIZED (
          |  SELECT ft.doc_id, ft.y, SUM(ft.x * w.w) AS s
-         |  FROM ft JOIN w${k - 1} w USING (b) GROUP BY ft.doc_id, ft.y),
+         |  FROM ftt ft JOIN w${k - 1} w USING (b) GROUP BY ft.doc_id, ft.y),
          |p$k AS MATERIALIZED (
          |  SELECT doc_id, y,
          |         CAST(ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6)
@@ -2189,7 +2261,7 @@ object TextQueries {
          |  FROM s$k),
          |g$k AS MATERIALIZED (
          |  SELECT ft.b, SUM(CAST(p.p - ft.y AS DECIMAL(18,6)) * ft.x) AS g
-         |  FROM ft JOIN p$k p USING (doc_id) GROUP BY ft.b),
+         |  FROM ftt ft JOIN p$k p USING (doc_id) GROUP BY ft.b),
          |w$k AS MATERIALIZED (
          |  SELECT w.b,
          |         CAST(ROUND(CAST(w.w AS DOUBLE)
@@ -2217,7 +2289,8 @@ object TextQueries {
        |  UNION ALL
        |  SELECT doc_id, y, CAST(-1 AS INT) AS b, CAST(1.0 AS DECIMAL(18,6)) AS x
        |  FROM base),
-       |nd AS (SELECT COUNT(*) AS nd FROM base),
+       |ftt AS MATERIALIZED (SELECT * FROM ft WHERE $trainWhere),
+       |nd AS (SELECT COUNT(*) AS nd FROM base WHERE $trainWhere),
        |w0 AS (SELECT CAST(b AS INT) AS b, CAST(0.0 AS DECIMAL(18,6)) AS w
        |       FROM (SELECT UNNEST(RANGE(-1, $LrD)) AS b)),
        |$iters""".stripMargin
