@@ -403,6 +403,72 @@ object ReaderQueries {
                      (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
               FROM nation ORDER BY nkey""")),
 
+    // FlatGeobuf 3 scan — GDAL's streaming-first geo container, parsed
+    // by the FROM-SCRATCH FlatBuffers kernel (vtable walk, size-prefixed
+    // buffers, packed-index skip — sources/FlatBuffers.scala): the
+    // modern-format pair-completer beside GeoParquet. Same split as the
+    // connector tier: driver reads only the header for the schema +
+    // CRS; feature decode runs in scan tasks (binaryFile, one task per
+    // container). Geometry lands as WKB with the header CRS stamped
+    // into field metadata (the GeoPackage schema-borne contract).
+    QuerySpec(
+      "scan_flatgeobuf",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation.fgb")
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        graft.sources.FlatGeobuf.write(path, "nation_fgb", props,
+          geoRows(s, dir).map { case (k, n, x, y) =>
+            (org.apache.spark.sql.Row(k, n), (x, y))
+          })
+        val df = graft.sources.FlatGeobuf.read(s, path)
+        val crs = df.schema("geom").metadata
+          .getString(graft.sources.FlatGeobuf.CrsTag)
+        df.select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"),
+            lit(crs).as("crs"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt, '4326' AS crs
+               FROM nation ORDER BY nkey""")),
+
+    // The ingest pipeline's FLATGEOBUF branch end-to-end: detection
+    // sniffs the fgb\x03fgb\x00 magic, the read decodes executor-side,
+    // the generic blob-named-geom heuristic finds the geometry, the
+    // header CRS (4326 here, so the WKT stays string-composable for the
+    // hash oracle — the 27700 header path is spec-asserted in
+    // IngestPipelineSpec instead) flows through the transform half, and
+    // the sink output reads back under the hash oracle — the full geo
+    // path on a from-scratch binary format.
+    QuerySpec(
+      "pipeline_ingest_flatgeobuf",
+      (s, dir) => {
+        val base = fixturePath(dir, "pipe_fgb")
+        val fgbPath = base + "_nation.fgb"
+        val outRoot = base + "_sink"
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        graft.sources.FlatGeobuf.write(fgbPath, "nation_fgb", props,
+          geoRows(s, dir).map { case (k, n, x, y) =>
+            (org.apache.spark.sql.Row(k, n), (x + 0.5, y + 0.5))
+          })
+        graft.Graft.processFileToParquet(s, fgbPath, "nation_fgb.fgb", outRoot)
+        s.read.parquet(s"$outRoot/public/nation_fgb")
+          .select(col("nkey"), col("nname"), col("geom_wkt").as("wkt"))
+          .orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                     'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || '.5 ' ||
+                     (CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || '.5)' AS wkt
+              FROM nation ORDER BY nkey""")),
+
     // Arrow IPC stream scan (the official columnar interchange format —
     // what dataloaders and feature stores hand batches around in,
     // beyond-reference like xlsx): ONE driver-side schema sniff off the

@@ -117,6 +117,10 @@ object IngestPipeline {
         // executor-side batch decode (binaryFile + arrow-vector); a
         // directory landing zone rides the same call
         graft.sources.ArrowIpc.read(spark, path)
+      case FileType.Flatgeobuf =>
+        // executor-side feature decode (binaryFile + the from-scratch
+        // flatbuffers walk); WKB geometry + schema-borne CRS
+        graft.sources.FlatGeobuf.read(spark, path)
     }
 
   /** Multi-container landing-zone ingest (beyond the reference's
@@ -194,6 +198,13 @@ object IngestPipeline {
         .find(f => f.metadata.contains(graft.sources.GeoPackageReader.CrsTag))
         .map(_.metadata.getString(graft.sources.GeoPackageReader.CrsTag))
         .orElse(graft.sources.GeoPackageReader.srsId(sourcePath))
+        .getOrElse("4326")
+    case FileType.Flatgeobuf =>
+      // the header's Crs table, stamped into the geometry field by the
+      // reader — the same schema-borne contract as GeoPackage/GML
+      df.schema.fields
+        .find(f => f.metadata.contains(graft.sources.FlatGeobuf.CrsTag))
+        .map(_.metadata.getString(graft.sources.FlatGeobuf.CrsTag))
         .getOrElse("4326")
   }
 

@@ -27,6 +27,9 @@ object FileType {
   /** Arrow IPC (beyond-reference like KML/GML): the columnar
     * interchange format training dataloaders exchange. */
   case object Arrow      extends FileType("Arrow")
+  /** FlatGeobuf 3 (beyond-reference): GDAL's streaming-first geo
+    * container beside gpkg/shapefile. */
+  case object Flatgeobuf extends FileType("FlatGeobuf")
 }
 
 /** File-type detection: magic numbers, then content sniff, then extension —
@@ -171,6 +174,10 @@ object FileTypeDetector {
       Some(FileType.Arrow)
     case b if startsWith(b, Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)) =>
       Some(FileType.Arrow)
+    // FlatGeobuf 3 magic: fgb, version 3, fgb, patch 0 (additive branch
+    // like Arrow/KML/GML — the reference never saw it)
+    case b if startsWith(b, graft.sources.FlatGeobuf.Magic) =>
+      Some(FileType.Flatgeobuf)
     case _ => None
   }
 

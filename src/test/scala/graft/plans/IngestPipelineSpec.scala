@@ -757,4 +757,28 @@ class IngestPipelineSpec extends AnyFunSuite {
       .split(" ").map(_.toDouble)
     assert(math.abs(x - 0.0) < 0.01 && math.abs(y - 51.478) < 0.01, wkt)
   }
+
+  test("flatgeobuf end-to-end: header 27700 drives the OSGB reprojection") {
+    // Greenwich easting/northing in a from-scratch .fgb container: the
+    // header's Crs table (not any value probe) must select the
+    // closed-form OSGB inverse — same contract as the GeoParquet twin
+    val p = s"$tmpDir/decl.fgb"
+    val props = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nname",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    graft.sources.FlatGeobuf.write(p, "decl", props,
+      Seq((org.apache.spark.sql.Row("Greenwich"), (538890.0, 177320.0))),
+      epsg = 27700)
+    assert(graft.sources.FileTypeDetector.detect(p) ==
+      Right(graft.sources.FileType.Flatgeobuf))
+    val res = IngestPipeline.plan(spark, IngestJob(p, "decl.fgb", "s"))
+    assert(res.crs.contains("27700"), res.crs)
+    assert(res.geometry.names == Seq("geom"))
+    val row = res.transformed.collect()(0)
+    assert(row.getAs[String]("nname") == "Greenwich")
+    val wkt = row.getAs[String]("geom_wkt")
+    val Array(x, y) = wkt.stripPrefix("POINT (").stripSuffix(")")
+      .split(" ").map(_.toDouble)
+    assert(math.abs(x - 0.0) < 0.01 && math.abs(y - 51.478) < 0.01, wkt)
+  }
 }
