@@ -60,55 +60,82 @@ object ArrowIpc {
         val bytes = r.getAs[Array[Byte]](0)
         val alloc = new RootAllocator()
         val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
-        try {
-          val fileSchema = toSpark(reader.getVectorSchemaRoot.getSchema)
-          require(fileSchema == schema,
+        val fileSchema =
+          try toSpark(reader.getVectorSchemaRoot.getSchema)
+          catch { case e: Throwable => reader.close(); alloc.close(); throw e }
+        if (fileSchema != schema) {
+          reader.close(); alloc.close()
+          throw new IllegalArgumentException(
             s"arrow container schema $fileSchema != landing-zone schema $schema")
-          val out = Seq.newBuilder[Row]
-          while (reader.loadNextBatch()) {
-            val root = reader.getVectorSchemaRoot
-            var i = 0
-            while (i < root.getRowCount) {
-              out += Row.fromSeq(root.getFieldVectors.asScala.toSeq.map(cell(_, i)))
-              i += 1
+        }
+        // LAZY per-batch walk — only one decoded batch's Rows live at a
+        // time (the reader reuses its VectorSchemaRoot, so each batch is
+        // copied out before the next loads); the allocator closes when
+        // the last batch drains. No whole-container row materialization.
+        new Iterator[Row] {
+          private var batch: Array[Row] = Array.empty
+          private var i = 0
+          private var open = true
+          private def advance(): Unit = {
+            while (open && i >= batch.length) {
+              if (reader.loadNextBatch()) {
+                val root = reader.getVectorSchemaRoot
+                val vs = root.getFieldVectors.asScala.toSeq
+                batch = Array.tabulate(root.getRowCount)(j =>
+                  Row.fromSeq(vs.map(cell(_, j))))
+                i = 0
+              } else { reader.close(); alloc.close(); open = false }
             }
           }
-          out.result().iterator
-        } finally { reader.close(); alloc.close() }
+          def hasNext: Boolean = { advance(); open && i < batch.length }
+          def next(): Row = {
+            advance()
+            if (!hasNext) throw new NoSuchElementException
+            val out = batch(i); i += 1; out
+          }
+        }
       }
     }
     s.createDataFrame(rows, schema)
   }
 
-  /** Fixture/dev writer: one Arrow stream with a single record batch —
-    * the independent encoder half that proves the reader parses real
-    * Arrow bytes, not its own invention. */
-  def write(path: String, rows: Seq[Row], schema: StructType): Unit = {
+  /** Fixture/dev writer — the independent encoder half that proves the
+    * reader parses real Arrow bytes, not its own invention. `batchRows`
+    * splits the stream into multiple record batches (the shape real
+    * producers emit, and what exercises the reader's lazy batch walk). */
+  def write(path: String, rows: Seq[Row], schema: StructType,
+      batchRows: Int = Int.MaxValue): Unit = {
     val alloc = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(toArrow(schema), alloc)
       try {
-        root.allocateNew()
-        rows.zipWithIndex.foreach { case (row, i) =>
-          schema.fields.zipWithIndex.foreach { case (f, j) =>
-            (f.dataType, root.getVector(j)) match {
-              case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
-              case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
-              case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
-              case (StringType, v: VarCharVector) =>
-                v.setSafe(i, row.getString(j).getBytes("UTF-8"))
-              case (t, v) => throw new IllegalArgumentException(
-                s"unsupported fixture type $t -> ${v.getClass.getSimpleName}")
-            }
-          }
-        }
-        root.setRowCount(rows.length)
         val f = new java.io.File(path)
         f.delete() // rewrite-idempotent like the other fixture writers
         val out = new FileOutputStream(f)
         try {
           val w = new ArrowStreamWriter(root, null, out.getChannel)
-          try { w.start(); w.writeBatch(); w.end() } finally w.close()
+          try {
+            w.start()
+            rows.grouped(math.max(1, batchRows)).foreach { group =>
+              root.allocateNew()
+              group.zipWithIndex.foreach { case (row, i) =>
+                schema.fields.zipWithIndex.foreach { case (fd, j) =>
+                  (fd.dataType, root.getVector(j)) match {
+                    case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
+                    case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
+                    case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
+                    case (StringType, v: VarCharVector) =>
+                      v.setSafe(i, row.getString(j).getBytes("UTF-8"))
+                    case (t, v) => throw new IllegalArgumentException(
+                      s"unsupported fixture type $t -> ${v.getClass.getSimpleName}")
+                  }
+                }
+              }
+              root.setRowCount(group.length)
+              w.writeBatch()
+            }
+            w.end()
+          } finally w.close()
         } finally out.close()
       } finally root.close()
     } finally alloc.close()

@@ -32,6 +32,16 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(ArrowIpc.sparkSchema(p) == schema)
   }
 
+  test("multi-batch streams decode lazily across batch boundaries") {
+    val p = tmp("mb.arrows")
+    val rows = (0L until 100L).map(i => Row(i, s"r$i"))
+    ArrowIpc.write(p, rows, schema, batchRows = 7) // 15 batches
+    val back = ArrowIpc.read(spark, p).orderBy("k").collect()
+    assert(back.length == 100)
+    assert(back.map(_.getLong(0)).toSeq == (0L until 100L))
+    assert(back(41) == Row(41L, "r41"))
+  }
+
   test("a landing zone decodes one task per container") {
     val d = java.nio.file.Files.createTempDirectory("arrowzone").toFile
     d.deleteOnExit()
