@@ -648,6 +648,36 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // FlatGeobuf landing-zone ingest: planDir over a directory of .fgb
+    // containers — one binaryFile scan task per container, the
+    // from-scratch flatbuffers walk on executors, one shared header
+    // schema (asserted per file), CRS from the probe container. The
+    // streaming-first container format's ten-thousand-file story.
+    QuerySpec(
+      "pipeline_ingest_fgb_dir",
+      (s, dir) => {
+        val zone = fixturePath(dir, "pipe_fgb_zone")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zone))
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        geoRows(s, dir).grouped(5).zipWithIndex.foreach { case (g, i) =>
+          graft.sources.FlatGeobuf.write(s"$zone/part$i.fgb", "nation_fgb",
+            props, g.map { case (k, n, x, y) =>
+              (org.apache.spark.sql.Row(k, n), (x, y))
+            })
+        }
+        val res = graft.plans.IngestPipeline.planDir(s, zone, "nation_fgb_zone", "public")
+        res.transformed
+          .select(col("nkey"), col("nname"), col("geom_wkt").as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // KML landing-zone ingest: same planDir path as the gpkg zone, but
     // the multi-file read needs NO custom connector — the built-in XML
     // source lists and splits a directory natively, each file parsing in

@@ -139,10 +139,12 @@ object IngestPipeline {
     val fileType = FileTypeDetector.detect(files.head)
       .fold(e => throw new IllegalArgumentException(e), identity)
     require(fileType == FileType.Geopackage || fileType == FileType.Shapefile
-        || fileType == FileType.Kml || fileType == FileType.Gml,
+        || fileType == FileType.Kml || fileType == FileType.Gml
+        || fileType == FileType.Flatgeobuf || fileType == FileType.Arrow,
       s"directory ingest supports the container formats (gpkg, zipped " +
-        s"shapefile) and the XML geo formats KML/GML (whose XML source " +
-        s"reads a directory natively); '${files.head}' detected as $fileType")
+        s"shapefile, fgb, arrow) and the XML geo formats KML/GML (whose " +
+        s"XML source reads a directory natively); '${files.head}' " +
+        s"detected as $fileType")
     val cleaned = FileTypeDetector.cleanTableName(tableName)
     val df = read(spark, dirPath, fileType)
     val geometry = SchemaHeuristics.findGeometryColumns(df.schema, fileType)
