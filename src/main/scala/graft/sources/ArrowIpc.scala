@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
-import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader, ArrowStreamWriter, SeekableReadChannel}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -34,17 +35,37 @@ import scala.jdk.CollectionConverters._
   */
 object ArrowIpc {
 
-  /** Spark schema from the stream's schema message — driver-side, reads
-    * only the head of the file. */
+  private val FileMagic = "ARROW1".getBytes("US-ASCII")
+
+  private def isFileFormat(head: Array[Byte]): Boolean =
+    head.length >= 6 && head.take(6).sameElements(FileMagic)
+
+  /** Spark schema from the container's schema message — driver-side,
+    * metadata-sized (stream: the first message; file: the footer via a
+    * seekable channel). Both IPC encodings are handled, matching the
+    * detector's two magic branches. */
   def sparkSchema(path: String): StructType = {
     val alloc = new RootAllocator()
     try {
-      val in = new FileInputStream(path)
-      try {
-        val reader = new ArrowStreamReader(in, alloc)
-        try toSpark(reader.getVectorSchemaRoot.getSchema)
-        finally reader.close()
-      } finally in.close()
+      val head = {
+        val in = new FileInputStream(path)
+        try { val b = new Array[Byte](6); in.read(b); b } finally in.close()
+      }
+      if (isFileFormat(head)) {
+        val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
+        try {
+          val reader = new ArrowFileReader(new SeekableReadChannel(ch), alloc)
+          try toSpark(reader.getVectorSchemaRoot.getSchema)
+          finally reader.close()
+        } finally ch.close()
+      } else {
+        val in = new FileInputStream(path)
+        try {
+          val reader = new ArrowStreamReader(in, alloc)
+          try toSpark(reader.getVectorSchemaRoot.getSchema)
+          finally reader.close()
+        } finally in.close()
+      }
     } finally alloc.close()
   }
 
@@ -59,7 +80,13 @@ object ArrowIpc {
       parts.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](0)
         val alloc = new RootAllocator()
-        val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+        // per-container encoding dispatch — a zone may mix the two IPC
+        // encodings of one schema
+        val reader: ArrowReader =
+          if (isFileFormat(bytes))
+            new ArrowFileReader(new SeekableReadChannel(
+              new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
+          else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
         val fileSchema =
           try toSpark(reader.getVectorSchemaRoot.getSchema)
           catch { case e: Throwable => reader.close(); alloc.close(); throw e }
@@ -104,7 +131,7 @@ object ArrowIpc {
     * splits the stream into multiple record batches (the shape real
     * producers emit, and what exercises the reader's lazy batch walk). */
   def write(path: String, rows: Seq[Row], schema: StructType,
-      batchRows: Int = Int.MaxValue): Unit = {
+      batchRows: Int = Int.MaxValue, fileFormat: Boolean = false): Unit = {
     val alloc = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(toArrow(schema), alloc)
@@ -113,7 +140,10 @@ object ArrowIpc {
         f.delete() // rewrite-idempotent like the other fixture writers
         val out = new FileOutputStream(f)
         try {
-          val w = new ArrowStreamWriter(root, null, out.getChannel)
+          val w =
+            if (fileFormat)
+              new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
+            else new ArrowStreamWriter(root, null, out.getChannel)
           try {
             w.start()
             rows.grouped(math.max(1, batchRows)).foreach { group =>

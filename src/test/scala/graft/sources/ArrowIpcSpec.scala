@@ -42,6 +42,25 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back(41) == Row(41L, "r41"))
   }
 
+  test("ARROW1 file-format containers read too, and zones may mix encodings") {
+    val d = java.nio.file.Files.createTempDirectory("arrowmix").toFile
+    d.deleteOnExit()
+    ArrowIpc.write(new java.io.File(d, "a.arrows").getPath,
+      (0L until 10L).map(i => Row(i, s"s$i")), schema)
+    ArrowIpc.write(new java.io.File(d, "b.arrow").getPath,
+      (10L until 20L).map(i => Row(i, s"s$i")), schema, fileFormat = true)
+    // the file-format container carries the ARROW1 magic the detector keys on
+    val head = java.nio.file.Files.readAllBytes(
+      new java.io.File(d, "b.arrow").toPath).take(6)
+    assert(new String(head, "US-ASCII") == "ARROW1")
+    assert(FileTypeDetector.detect(new java.io.File(d, "b.arrow").getPath) ==
+      Right(FileType.Arrow))
+    assert(ArrowIpc.sparkSchema(new java.io.File(d, "b.arrow").getPath) == schema)
+    val back = ArrowIpc.read(spark, d.getPath).orderBy("k").collect()
+    assert(back.length == 20)
+    assert(back.map(_.getLong(0)).toSeq == (0L until 20L))
+  }
+
   test("a landing zone decodes one task per container") {
     val d = java.nio.file.Files.createTempDirectory("arrowzone").toFile
     d.deleteOnExit()
