@@ -23,6 +23,25 @@ object Bench {
     val queries = Registry.all
       .filter(q => only.forall(_.contains(q.name)))
       .map(q => q.name -> q.bench.getOrElse(q.run)).toMap
+    // Quiesce gate BEFORE any work of our own: every past round where
+    // bench overlapped the test suite produced a contended artifact
+    // (r8: high_spread_frac 0.392) whose totals can't be compared across
+    // rounds. Bounded wait for external load to drain, then proceed
+    // regardless (the contended flag below still tells the truth).
+    // Runs before warmup — after warmup the 1-min load would mostly
+    // measure our own 32-thread burn. Disable with
+    // SPARK_GRAFT_BENCH_QUIESCE=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE", "1") != "0") {
+      val quietBelow = cpus.toDouble
+      val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
+      var load = loadAvg()
+      while (load > quietBelow && System.nanoTime() < deadline) {
+        System.err.println(
+          f"BENCH: load $load%.2f > $quietBelow%.1f — waiting for quiet machine")
+        Thread.sleep(30000)
+        load = loadAvg()
+      }
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }

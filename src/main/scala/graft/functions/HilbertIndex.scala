@@ -39,26 +39,8 @@ case class HilbertIndex(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[Long] & 0xFFFFL
-    var y = b.asInstanceOf[Long] & 0xFFFFL
-    var d = 0L
-    var s = 32768L
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1L else 0L
-      val ry = if ((y & s) > 0) 1L else 0L
-      d += s * s * ((3L * rx) ^ ry)
-      if (ry == 0) {
-        if (rx == 1) {
-          x = s - 1 - x
-          y = s - 1 - y
-        }
-        val t = x; x = y; y = t
-      }
-      s >>= 1
-    }
-    d
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (xa, ya) => {
@@ -98,5 +80,29 @@ object HilbertIndex {
   def apply(x: Column, y: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(HilbertIndex(Bridge.expression(x), Bridge.expression(y)))
+  }
+
+  /** The xy2d walk itself, for non-expression callers (the FlatGeobuf
+    * packed-index writer orders features along the same curve). Inputs
+    * masked to 16 bits; result in [0, 2^32). */
+  def xy2d(xa: Long, ya: Long): Long = {
+    var x = xa & 0xFFFFL
+    var y = ya & 0xFFFFL
+    var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
   }
 }

@@ -436,6 +436,39 @@ object ReaderQueries {
                       $wktSql AS wkt, '4326' AS crs
                FROM nation ORDER BY nkey""")),
 
+    // Index-driven bbox read — the format's reason to exist (GDAL rides
+    // the same packed Hilbert R-tree): the fixture is written WITH the
+    // spec's index (nodeSize 4 → a 3-level tree over 25 features), and
+    // the scan walks 40-byte index nodes to decode ONLY features whose
+    // leaf bbox intersects the query bbox — at 100 TB a selective bbox
+    // over a landing zone decodes a bbox-proportional sliver, never the
+    // corpus (FlatGeobufSpec proves the pruning with a decode counter;
+    // this query proves the ANSWER against a DuckDB bbox predicate).
+    QuerySpec(
+      "scan_flatgeobuf_bbox",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_idx.fgb")
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        graft.sources.FlatGeobuf.write(path, "nation_fgb", props,
+          geoRows(s, dir).map { case (k, n, x, y) =>
+            (org.apache.spark.sql.Row(k, n), (x, y))
+          }, indexNodeSize = 4)
+        graft.sources.FlatGeobuf.readBbox(s, path, 4.0, 5.0, 18.0, 35.0)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation
+               WHERE CAST(n_nationkey AS BIGINT) BETWEEN 4 AND 18
+                 AND CAST(n_regionkey AS BIGINT) * 10 BETWEEN 5 AND 35
+               ORDER BY nkey""")),
+
     // The ingest pipeline's FLATGEOBUF branch end-to-end: detection
     // sniffs the fgb\x03fgb\x00 magic, the read decodes executor-side,
     // the generic blob-named-geom heuristic finds the geometry, the

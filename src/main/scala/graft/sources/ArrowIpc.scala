@@ -47,9 +47,13 @@ object ArrowIpc {
   def sparkSchema(path: String): StructType = {
     val alloc = new RootAllocator()
     try {
+      // readNBytes, not read: a single read() may legally return fewer
+      // than 6 bytes (network/overlay filesystems), and stale zeros in
+      // the tail would misclassify an ARROW1 file container as stream
+      // format and fail the schema probe
       val head = {
         val in = new FileInputStream(path)
-        try { val b = new Array[Byte](6); in.read(b); b } finally in.close()
+        try in.readNBytes(6) finally in.close()
       }
       if (isFileFormat(head)) {
         val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
@@ -87,11 +91,23 @@ object ArrowIpc {
             new ArrowFileReader(new SeekableReadChannel(
               new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
           else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+        // idempotent cleanup shared by the drain path, the failure path,
+        // and early task termination: a partially-consumed iterator
+        // (pushed limit / take() / task abort) must not leak the reader
+        // or the allocator per container
+        var open = true
+        def closeAll(): Unit = if (open) {
+          open = false
+          try reader.close() finally alloc.close()
+        }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => closeAll())
         val fileSchema =
           try toSpark(reader.getVectorSchemaRoot.getSchema)
-          catch { case e: Throwable => reader.close(); alloc.close(); throw e }
+          catch { case e: Throwable => closeAll(); throw e }
         if (fileSchema != schema) {
-          reader.close(); alloc.close()
+          closeAll()
           throw new IllegalArgumentException(
             s"arrow container schema $fileSchema != landing-zone schema $schema")
         }
@@ -102,16 +118,20 @@ object ArrowIpc {
         new Iterator[Row] {
           private var batch: Array[Row] = Array.empty
           private var i = 0
-          private var open = true
           private def advance(): Unit = {
             while (open && i >= batch.length) {
-              if (reader.loadNextBatch()) {
-                val root = reader.getVectorSchemaRoot
-                val vs = root.getFieldVectors.asScala.toSeq
-                batch = Array.tabulate(root.getRowCount)(j =>
-                  Row.fromSeq(vs.map(cell(_, j))))
-                i = 0
-              } else { reader.close(); alloc.close(); open = false }
+              // a decode failure inside loadNextBatch or cell() must
+              // close before propagating — the exception may be caught
+              // upstream with the task still running
+              try {
+                if (reader.loadNextBatch()) {
+                  val root = reader.getVectorSchemaRoot
+                  val vs = root.getFieldVectors.asScala.toSeq
+                  batch = Array.tabulate(root.getRowCount)(j =>
+                    Row.fromSeq(vs.map(cell(_, j))))
+                  i = 0
+                } else closeAll()
+              } catch { case e: Throwable => closeAll(); throw e }
             }
           }
           def hasNext: Boolean = { advance(); open && i < batch.length }

@@ -172,7 +172,18 @@ object FileTypeDetector {
     // prefixing the schema message (every modern writer emits it).
     case b if startsWith(b, "ARROW1".getBytes(StandardCharsets.US_ASCII)) =>
       Some(FileType.Arrow)
-    case b if startsWith(b, Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)) =>
+    // Four 0xFF bytes alone are NOT unique to the IPC continuation
+    // marker; require the 4-byte LE metadata length that must follow it
+    // to be plausible — positive, 8-byte aligned (the encapsulated
+    // message format pads the schema flatbuffer so the body starts on an
+    // 8-byte boundary), and bounded — so unrelated binaries fall through
+    // to content/extension dispatch instead of the Arrow reader.
+    case b if startsWith(b, Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)) &&
+        b.length >= 8 && {
+          val len = java.nio.ByteBuffer.wrap(b, 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          len > 0 && len % 8 == 0 && len < (1 << 30)
+        } =>
       Some(FileType.Arrow)
     // FlatGeobuf 3 magic: fgb, version 3, fgb, patch 0 (additive branch
     // like Arrow/KML/GML — the reference never saw it)

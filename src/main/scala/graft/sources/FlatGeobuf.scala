@@ -64,9 +64,17 @@ object FlatGeobuf {
   // --------------------------------------------------------------- write
 
   /** One .fgb layer: Point features with Long/Double/String properties.
-    * `rows` pairs each property Row (matching `props`) with its (x, y). */
+    * `rows` pairs each property Row (matching `props`) with its (x, y).
+    *
+    * `indexNodeSize` > 0 writes the spec's packed Hilbert R-tree between
+    * header and features (features reordered along the Hilbert curve of
+    * the layer extent, leaf offsets = feature byte offsets, internal
+    * offsets = first-child node index) — the layout GDAL's bbox reads
+    * ride; 0 (the default) writes no index, the full-scan engine's
+    * historical stance. */
   def write(path: String, layerName: String, props: StructType,
-      rows: Seq[(Row, (Double, Double))], epsg: Int = 4326): Unit = {
+      rows: Seq[(Row, (Double, Double))], epsg: Int = 4326,
+      indexNodeSize: Int = 0): Unit = {
     def colType(dt: DataType): Int = dt match {
       case LongType => ColLong
       case DoubleType => ColDouble
@@ -74,6 +82,7 @@ object FlatGeobuf {
       case other => throw new IllegalArgumentException(
         s"unsupported fgb property type $other")
     }
+    val indexed = indexNodeSize > 0 && rows.nonEmpty
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
       out.write(Magic)
@@ -99,27 +108,133 @@ object FlatGeobuf {
       hb.slotOffset(HColumns, colsVec)
       hb.slotScalar(HFeaturesCount, rows.length.toLong, 8)
       // default is 16 — 0 must be written explicitly to disable the index
-      hb.slotScalar(HIndexNodeSize, 0L, 2)
+      hb.slotScalar(HIndexNodeSize, (if (indexed) indexNodeSize else 0).toLong, 2)
       hb.slotOffset(HCrs, crsOff)
       val header = hb.finish(hb.endTable())
       writeSizePrefixed(out, header)
-      // features
-      rows.foreach { case (row, (x, y)) =>
-        val fb = new FlatBuffers.Builder
-        val propBytes = encodeProps(props, row)
-        val propOff =
-          if (propBytes.isEmpty) -1 else fb.createByteVector(propBytes)
-        val xyOff = fb.createDoubleVector(Seq(x, y))
-        fb.startTable()
-        fb.slotOffset(GXy, xyOff)
-        fb.slotScalar(GType, GeomPoint.toLong, 1)
-        val geomOff = fb.endTable()
-        fb.startTable()
-        fb.slotOffset(FGeometry, geomOff)
-        if (propOff >= 0) fb.slotOffset(FProperties, propOff)
-        writeSizePrefixed(out, fb.finish(fb.endTable()))
+      // features, Hilbert-ordered when indexed (the index's leaf order
+      // IS the feature order — offsets are computed over this layout)
+      val ordered = if (indexed) hilbertOrder(rows) else rows
+      val featBufs = ordered.map { case (row, (x, y)) =>
+        (featureBytes(props, row, x, y), x, y)
       }
+      if (indexed) {
+        var off = 0L
+        val items = featBufs.map { case (buf, x, y) =>
+          val o = off; off += 4L + buf.length; (x, y, o)
+        }
+        out.write(packIndex(items, indexNodeSize))
+      }
+      featBufs.foreach { case (buf, _, _) => writeSizePrefixed(out, buf) }
     } finally out.close()
+  }
+
+  /** One Feature flatbuffer (unprefixed). */
+  private def featureBytes(props: StructType, row: Row,
+      x: Double, y: Double): Array[Byte] = {
+    val fb = new FlatBuffers.Builder
+    val propBytes = encodeProps(props, row)
+    val propOff =
+      if (propBytes.isEmpty) -1 else fb.createByteVector(propBytes)
+    val xyOff = fb.createDoubleVector(Seq(x, y))
+    fb.startTable()
+    fb.slotOffset(GXy, xyOff)
+    fb.slotScalar(GType, GeomPoint.toLong, 1)
+    val geomOff = fb.endTable()
+    fb.startTable()
+    fb.slotOffset(FGeometry, geomOff)
+    if (propOff >= 0) fb.slotOffset(FProperties, propOff)
+    fb.finish(fb.endTable())
+  }
+
+  /** Features sorted by Hilbert position of their point on the 2^16 grid
+    * over the layer extent (the spec's sort; ties keep input order). */
+  private def hilbertOrder(
+      rows: Seq[(Row, (Double, Double))]): Seq[(Row, (Double, Double))] = {
+    val xs = rows.map(_._2._1); val ys = rows.map(_._2._2)
+    val (minX, maxX) = (xs.min, xs.max)
+    val (minY, maxY) = (ys.min, ys.max)
+    val w = math.max(maxX - minX, java.lang.Double.MIN_NORMAL)
+    val h = math.max(maxY - minY, java.lang.Double.MIN_NORMAL)
+    def grid(v: Double, lo: Double, span: Double): Long =
+      math.min(65535L, math.floor((v - lo) / span * 65536.0).toLong)
+    rows.sortBy { case (_, (x, y)) =>
+      graft.functions.HilbertIndex.xy2d(grid(x, minX, w), grid(y, minY, h))
+    }
+  }
+
+  /** Serialized packed R-tree over `items` = (x, y, featureByteOffset) in
+    * leaf (Hilbert) order. Storage is root-first, leaves last; every node
+    * is 40 LE bytes: f64 minX/minY/maxX/maxY + u64 offset (leaf: feature
+    * byte offset; internal: index of its first child node). */
+  private[sources] def packIndex(
+      items: Seq[(Double, Double, Long)], nodeSize: Int): Array[Byte] = {
+    val ns = math.max(2, math.min(nodeSize, 65535))
+    val bounds = levelBounds(items.length.toLong, ns)
+    val numNodes = bounds.head._2 // leaves end = total node count
+    val minXs = new Array[Double](numNodes)
+    val minYs = new Array[Double](numNodes)
+    val maxXs = new Array[Double](numNodes)
+    val maxYs = new Array[Double](numNodes)
+    val offs = new Array[Long](numNodes)
+    val leafStart = bounds.head._1
+    items.zipWithIndex.foreach { case ((x, y, o), i) =>
+      minXs(leafStart + i) = x; minYs(leafStart + i) = y
+      maxXs(leafStart + i) = x; maxYs(leafStart + i) = y
+      offs(leafStart + i) = o
+    }
+    // build parents bottom-up: parent bbox = union of its ≤ns children,
+    // parent offset = first child's NODE INDEX
+    var lvl = 0
+    while (lvl < bounds.length - 1) {
+      val (cs, ce) = bounds(lvl)
+      var pos = cs
+      var parent = bounds(lvl + 1)._1
+      while (pos < ce) {
+        val first = pos
+        var mnx = Double.PositiveInfinity; var mny = Double.PositiveInfinity
+        var mxx = Double.NegativeInfinity; var mxy = Double.NegativeInfinity
+        var j = 0
+        while (j < ns && pos < ce) {
+          mnx = math.min(mnx, minXs(pos)); mny = math.min(mny, minYs(pos))
+          mxx = math.max(mxx, maxXs(pos)); mxy = math.max(mxy, maxYs(pos))
+          pos += 1; j += 1
+        }
+        minXs(parent) = mnx; minYs(parent) = mny
+        maxXs(parent) = mxx; maxYs(parent) = mxy
+        offs(parent) = first.toLong
+        parent += 1
+      }
+      lvl += 1
+    }
+    val bb = ByteBuffer.allocate(numNodes * 40).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < numNodes) {
+      bb.putDouble(minXs(i)); bb.putDouble(minYs(i))
+      bb.putDouble(maxXs(i)); bb.putDouble(maxYs(i))
+      bb.putLong(offs(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Per-level [start, end) node-index bounds, LEAF LEVEL FIRST in the
+    * returned seq; storage order in the file is root-first, so the leaf
+    * level occupies the LAST numItems slots. Same do-while reduction as
+    * [[packedIndexSize]] (a 1-item tree still has a root). */
+  private[sources] def levelBounds(numItems: Long, nodeSize: Int): Seq[(Int, Int)] = {
+    val ns = math.max(2, math.min(nodeSize, 65535)).toLong
+    var n = numItems
+    val perLevel = scala.collection.mutable.ArrayBuffer(n)
+    var done = false
+    while (!done) { n = (n + ns - 1) / ns; perLevel += n; done = n == 1 }
+    val numNodes = perLevel.sum
+    var end = numNodes
+    perLevel.map { size =>
+      val b = (math.toIntExact(end - size), math.toIntExact(end))
+      end -= size
+      b
+    }.toSeq
   }
 
   private def writeSizePrefixed(out: DataOutputStream, buf: Array[Byte]): Unit = {
@@ -269,13 +384,139 @@ object FlatGeobuf {
     (name, schema, epsg, props, feats)
   }
 
+  /** Bbox-pruned distributed read: when a container carries the packed
+    * Hilbert R-tree, ONLY features whose index nodes intersect the bbox
+    * are decoded — the index walk touches 40-byte node records, never
+    * feature flatbuffers, so a selective read of a 100 TB landing zone
+    * decodes a bbox-proportional sliver instead of every feature (the
+    * format's reason to exist; GDAL does the same). Index-free
+    * containers fall back to decode-all + filter. `decoded` (optional)
+    * counts feature DECODES — the pruning proof: on an indexed container
+    * it ends ≪ featuresCount for a selective bbox. */
+  def readBbox(s: SparkSession, path: String,
+      minX: Double, minY: Double, maxX: Double, maxY: Double,
+      decoded: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val (_, schema, _) = sparkSchema(headFile(path))
+    val expected = schema
+    val bin = s.read.format("binaryFile").load(path).select(col("content"))
+    val rows = bin.rdd.mapPartitions { parts =>
+      parts.flatMap { r =>
+        val (fileSchema, props, feats) =
+          parseBbox(r.getAs[Array[Byte]](0), minX, minY, maxX, maxY, decoded)
+        require(fileSchema == expected,
+          s"fgb container schema $fileSchema != landing-zone schema $expected")
+        feats.map { case (xy, propBytes) =>
+          Row.fromSeq(decodeProps(props, propBytes) :+ pointWkb(xy(0), xy(1)))
+        }
+      }
+    }
+    s.createDataFrame(rows, schema)
+  }
+
+  /** Container-level bbox scan: index-driven candidate decode when the
+    * packed R-tree is present, full-scan + filter when not. Returns only
+    * features whose point lies inside the bbox (the residual check —
+    * index candidates are node-bbox intersections). */
+  private[sources] def parseBbox(bytes: Array[Byte],
+      minX: Double, minY: Double, maxX: Double, maxY: Double,
+      decoded: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (StructType, Array[(String, Int)], Iterator[(Array[Double], Array[Byte])]) = {
+    require(bytes.length > 8 && bytes.take(8).sameElements(Magic),
+      "not a FlatGeobuf 3 container")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(8)
+    val headerLen = bb.getInt
+    require(headerLen > 0 && headerLen <= bb.remaining(),
+      s"implausible fgb buffer size $headerLen")
+    val header = new Array[Byte](headerLen); bb.get(header)
+    val (_, schema, _, props, (featCount, nodeSize)) = parseHeader(header)
+    def decodeAt(pos: Int): (Array[Double], Array[Byte]) = {
+      decoded.foreach(_.add(1L))
+      bb.position(pos)
+      val len = bb.getInt
+      require(len > 0 && len <= bb.remaining(), s"implausible fgb buffer size $len")
+      val buf = new Array[Byte](len); bb.get(buf)
+      val f = FlatBuffers.root(buf)
+      val geom = f.getTable(FGeometry).getOrElse(
+        throw new IllegalArgumentException("fgb feature without geometry"))
+      require(geom.getByte(GType, GeomPoint) == GeomPoint, "non-Point feature")
+      val xyVp = geom.vectorPos(GXy)
+      require(xyVp >= 0 && geom.vectorLen(xyVp) >= 2, "fgb point without xy")
+      val pvp = f.vectorPos(FProperties)
+      (geom.doublesAt(xyVp), if (pvp < 0) Array.empty[Byte] else f.bytesAt(pvp))
+    }
+    def inBbox(xy: Array[Double]): Boolean =
+      xy(0) >= minX && xy(0) <= maxX && xy(1) >= minY && xy(1) <= maxY
+    if (nodeSize > 0 && featCount > 0) {
+      val indexPos = bb.position()
+      val featuresPos = indexPos + packedIndexSize(featCount, nodeSize)
+      val candidates =
+        searchIndex(bb, indexPos, featCount, nodeSize, minX, minY, maxX, maxY)
+      val feats = candidates.iterator
+        .map(off => decodeAt(featuresPos + math.toIntExact(off)))
+        .filter { case (xy, _) => inBbox(xy) }
+      (schema, props, feats)
+    } else {
+      // no index: sequential decode-all + filter (every decode counted)
+      var pos = bb.position()
+      val feats = new Iterator[(Array[Double], Array[Byte])] {
+        def hasNext: Boolean = bytes.length - pos >= 4
+        def next(): (Array[Double], Array[Byte]) = {
+          val out = decodeAt(pos)
+          pos = bb.position()
+          out
+        }
+      }.filter { case (xy, _) => inBbox(xy) }
+      (schema, props, feats)
+    }
+  }
+
+  /** Packed R-tree walk: depth-first from the root (node 0), visiting
+    * only subtrees whose node bbox intersects the query bbox; returns
+    * feature byte offsets of intersecting LEAF nodes in index order.
+    * Reads 40-byte node records straight off the container buffer. */
+  private[sources] def searchIndex(bb: ByteBuffer, indexPos: Int,
+      numItems: Long, nodeSize: Int,
+      minX: Double, minY: Double, maxX: Double, maxY: Double): Seq[Long] = {
+    val ns = math.max(2, math.min(nodeSize, 65535))
+    val bounds = levelBounds(numItems, ns) // leaf level first
+    val topLevel = bounds.length - 1
+    val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // (firstNodeIndex, level) work stack — the root group is node 0
+    val stack = scala.collection.mutable.Stack((0, topLevel))
+    while (stack.nonEmpty) {
+      val (first, level) = stack.pop()
+      val levelEnd = bounds(level)._2
+      val end = math.min(first + ns, levelEnd)
+      var pos = first
+      while (pos < end) {
+        val base = indexPos + pos * 40
+        val nMinX = bb.getDouble(base)
+        val nMinY = bb.getDouble(base + 8)
+        val nMaxX = bb.getDouble(base + 16)
+        val nMaxY = bb.getDouble(base + 24)
+        val off = bb.getLong(base + 32)
+        if (nMinX <= maxX && nMaxX >= minX && nMinY <= maxY && nMaxY >= minY) {
+          if (level == 0) results += off
+          else stack.push((math.toIntExact(off), level - 1))
+        }
+        pos += 1
+      }
+    }
+    results.toSeq
+  }
+
   /** Packed Hilbert R-tree byte size (spec's level recurrence): every
-    * node entry is 40 bytes (4 × f64 bbox + u64 offset). */
+    * node entry is 40 bytes (4 × f64 bbox + u64 offset). The reduction
+    * runs AT LEAST once (do-while semantics): a single-item tree still
+    * has a root ABOVE its leaf — 2 nodes, 80 bytes — so an
+    * externally-written indexed single-feature file skips correctly. */
   private[sources] def packedIndexSize(numItems: Long, nodeSize: Int): Int = {
     val ns = math.max(2, math.min(nodeSize, 65535)).toLong
     var n = numItems
     var total = n
-    while (n != 1) { n = (n + ns - 1) / ns; total += n }
+    var done = false
+    while (!done) { n = (n + ns - 1) / ns; total += n; done = n == 1 }
     math.toIntExact(total * 40)
   }
 

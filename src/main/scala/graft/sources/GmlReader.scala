@@ -105,11 +105,12 @@ object GmlReader {
           .filter(_.getName.toLowerCase.endsWith(".gml")).sortBy(_.getName)
           .headOption.map(_.getAbsolutePath).getOrElse(path)
       else path
+    // readNBytes, not a single read(): a short first read would truncate
+    // the sniffed prefix and an srsName landing beyond it would silently
+    // default the CRS to 4326 — a wrong-answer fallback, not a crash
     val prefix = scala.util.Using.resource(
       new java.io.FileInputStream(dataFile)) { in =>
-      val buf = new Array[Byte](4096)
-      val n = math.max(in.read(buf), 0)
-      new String(buf.take(n), java.nio.charset.StandardCharsets.UTF_8)
+      new String(in.readNBytes(4096), java.nio.charset.StandardCharsets.UTF_8)
     }
     "srsName=\"([^\"]+)\"".r.findFirstMatchIn(prefix) match {
       case Some(m) =>

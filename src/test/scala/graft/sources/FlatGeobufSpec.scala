@@ -67,7 +67,93 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(FlatGeobuf.packedIndexSize(3, 16) == 4 * 40)
     // 100 items @16: 100 + 7 + 1 = 108 nodes
     assert(FlatGeobuf.packedIndexSize(100, 16) == 108 * 40)
-    assert(FlatGeobuf.packedIndexSize(1, 16) == 40)
+    // the spec's size reduction is a DO-while: a single item still has a
+    // root above its leaf — 2 nodes, 80 bytes (40 was the r7 latent bug:
+    // an externally-indexed single-feature file mis-skipped its index)
+    assert(FlatGeobuf.packedIndexSize(1, 16) == 2 * 40)
+    // 17 items @16: 17 + 2 + 1 = 20 nodes
+    assert(FlatGeobuf.packedIndexSize(17, 16) == 20 * 40)
+  }
+
+  test("packIndex 1-item layout is hand-verifiable: root then leaf") {
+    val bytes = FlatGeobuf.packIndex(Seq((3.0, 4.0, 123L)), 16)
+    assert(bytes.length == 80)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // root: bbox = the single point, offset = first-child node index 1
+    assert(bb.getDouble(0) == 3.0 && bb.getDouble(8) == 4.0 &&
+      bb.getDouble(16) == 3.0 && bb.getDouble(24) == 4.0)
+    assert(bb.getLong(32) == 1L)
+    // leaf: same bbox, offset = feature byte offset
+    assert(bb.getDouble(40) == 3.0 && bb.getLong(72) == 123L)
+  }
+
+  test("single-feature INDEXED file round-trips (the r7 mis-skip case)") {
+    val p = tmp("one_idx.fgb")
+    FlatGeobuf.write(p, "one", props,
+      Seq((Row(9L, "solo", 2.5), (7.0, 8.0))), indexNodeSize = 16)
+    val back = FlatGeobuf.read(spark, p).collect()
+    assert(back.length == 1 && back(0).getLong(0) == 9L)
+  }
+
+  test("indexed write round-trips through the full-scan read path") {
+    val p = tmp("idx.fgb")
+    val rows = (0L until 25L).map(i =>
+      (Row(i, s"n$i", i * 0.5), (i.toDouble, (i % 5).toDouble * 10)))
+    FlatGeobuf.write(p, "grid", props, rows, indexNodeSize = 4)
+    val back = FlatGeobuf.read(spark, p).orderBy("k").collect()
+    assert(back.length == 25)
+    assert(back.map(_.getLong(0)).toSeq == (0L until 25L))
+  }
+
+  test("bbox read uses the index: outside-bbox features are NEVER decoded") {
+    val p = tmp("bbox.fgb")
+    val rows = (0L until 25L).map(i =>
+      (Row(i, s"n$i", i * 0.5), (i.toDouble, (i % 5).toDouble * 10)))
+    FlatGeobuf.write(p, "grid", props, rows, indexNodeSize = 4)
+    // collect WITHOUT orderBy: a sort's range-partitioner sampling pass
+    // recomputes the scan RDD and would double every accumulator count
+    val acc = spark.sparkContext.longAccumulator("fgb_decoded")
+    val got = FlatGeobuf.readBbox(spark, p, 3.0, 0.0, 9.0, 45.0, Some(acc))
+      .collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == (3L to 9L))
+    // pruning proof: the index walk decoded only candidate leaves, a
+    // strict subset of the 25 features (candidates ARE exact for points)
+    assert(acc.value == 7, s"decoded ${acc.value} features, want 7")
+    // index-free files fall back to decode-all + filter: same answer,
+    // every feature decoded
+    val p2 = tmp("noidx.fgb")
+    FlatGeobuf.write(p2, "grid", props, rows)
+    val acc2 = spark.sparkContext.longAccumulator("fgb_decoded_all")
+    val got2 = FlatGeobuf.readBbox(spark, p2, 3.0, 0.0, 9.0, 45.0, Some(acc2))
+      .collect()
+    assert(got2.map(_.getLong(0)).sorted.toSeq == (3L to 9L))
+    assert(acc2.value == 25)
+  }
+
+  test("bbox search on a handcrafted EXTERNAL index (not this writer's)") {
+    // two points far apart, nodeSize 16 → 3 nodes (2 leaves + root);
+    // bytes laid out by hand from the published PackedRTree layout, so
+    // the reader is proven against the spec, not against packIndex
+    val bb = java.nio.ByteBuffer.allocate(3 * 40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // root covers both, first child at node index 1
+    bb.putDouble(0.0); bb.putDouble(0.0); bb.putDouble(100.0); bb.putDouble(100.0)
+    bb.putLong(1L)
+    // leaf A at (10,10), feature offset 0
+    bb.putDouble(10.0); bb.putDouble(10.0); bb.putDouble(10.0); bb.putDouble(10.0)
+    bb.putLong(0L)
+    // leaf B at (90,90), feature offset 555
+    bb.putDouble(90.0); bb.putDouble(90.0); bb.putDouble(90.0); bb.putDouble(90.0)
+    bb.putLong(555L)
+    val buf = java.nio.ByteBuffer.wrap(bb.array())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hitA = FlatGeobuf.searchIndex(buf, 0, 2, 16, 0.0, 0.0, 50.0, 50.0)
+    assert(hitA == Seq(0L))
+    val hitB = FlatGeobuf.searchIndex(buf, 0, 2, 16, 80.0, 80.0, 95.0, 95.0)
+    assert(hitB == Seq(555L))
+    val none = FlatGeobuf.searchIndex(buf, 0, 2, 16, 40.0, 40.0, 60.0, 60.0)
+    assert(none.isEmpty)
   }
 
   test("garbage magic and truncated buffers fail loudly") {
