@@ -71,6 +71,33 @@ object ReaderQueries {
     "'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || ' ' || " +
       "(CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || ')'"
 
+  /** The embeddings table re-encoded as a genuine Arrow stream container
+    * (list<float32> vectors, int32 label, µs timestamp; multi-batch) —
+    * the landing-zone fixture shared by `scan_arrow_embeddings` and
+    * `topk_similarity_arrow`. Fixture-writer collect (bounded corpus
+    * re-encode, the same class as the other fixture composers — a real
+    * zone would be written by the producing pipeline, not collected). */
+  private[operators] def arrowEmbeddingsZone(s: SparkSession, dir: String): String = {
+    val path = fixturePath(dir, "embeddings.arrows")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true),
+        nullable = true),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
+    val rows = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        timestamp_seconds(col("vec_id")).as("ts"))
+      .orderBy("vec_id").collect().toSeq
+    graft.sources.ArrowIpc.write(path, rows, schema, batchRows = 128)
+    path
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // binaryFile: Spark's built-in opaque-blob source — THE ingest shape
@@ -561,6 +588,34 @@ object ReaderQueries {
       },
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname
               FROM nation ORDER BY nkey""")),
+
+    // Arrow as an EMBEDDING interchange zone — the payload an LLM
+    // feature store actually emits: list<float32> vectors + a µs
+    // timestamp beside scalar metadata, multi-batch. The fixture is the
+    // whole embeddings table re-encoded as genuine Arrow stream bytes by
+    // the independent writer half; the read-back norm must hash-match
+    // the norm DuckDB computes from the PARQUET originals — any
+    // float32 corruption in list decode breaks 6-decimal parity.
+    // topk_similarity_arrow (SimilarityQueries) chains this zone into
+    // the similarity ladder end-to-end.
+    QuerySpec(
+      "scan_arrow_embeddings",
+      (s, dir) => {
+        val path = arrowEmbeddingsZone(s, dir)
+        val df = graft.sources.ArrowIpc.read(s, path)
+        df.select(col("vec_id"), col("label"), col("ts"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(sqrt(graft.functions.DotProduct(
+              col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))), 6).as("nrm"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, label,
+                     TIMESTAMP '1970-01-01 00:00:00' + vec_id * INTERVAL 1 SECOND AS ts,
+                     len(embedding) AS dim,
+                     ROUND(SQRT((SELECT SUM(x*x) FROM
+                       (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
+              FROM embeddings ORDER BY vec_id""")),
 
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from

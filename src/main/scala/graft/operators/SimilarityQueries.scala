@@ -34,11 +34,15 @@ object SimilarityQueries {
 
   /** (vec_id, label, e, nrm) — the shared L2-normalization stage every
     * similarity query starts from (single definition, so the fold order
-    * the exact-float oracle depends on can never diverge). */
-  private def normed(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
+    * the exact-float oracle depends on can never diverge). `normedFrom`
+    * takes any (vec_id, label, embedding) relation — the Arrow-landing-
+    * zone twin feeds the SAME stage, proving source-independence. */
+  private[operators] def normedFrom(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    normedFrom(emb(s, dir))
 
   /** Upper-triangle covariance matrix `(i, j, s_pp, cov)` of the
     * 1000×-quantized embeddings — exact integer moments (one CovMoments
@@ -343,8 +347,10 @@ object SimilarityQueries {
       |c2 AS (SELECT cid, LIST(val ORDER BY pos) AS c FROM u2 GROUP BY cid)""".stripMargin
 
   /** Shared Spark-side top-k: queries = vec_id < 16, rank by rounded cosine. */
-  private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame = {
-    val e = normed(s, dir)
+  private def topk(s: SparkSession, dir: String, sameLabelOnly: Boolean): DataFrame =
+    topkOver(normed(s, dir), sameLabelOnly)
+
+  private[operators] def topkOver(e: DataFrame, sameLabelOnly: Boolean): DataFrame = {
     val q = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("e").as("q_e"), col("nrm").as("q_nrm"))
@@ -375,6 +381,23 @@ object SimilarityQueries {
     QuerySpec(
       "topk_similarity",
       (s, dir) => topk(s, dir, sameLabelOnly = false),
+      Some(CosineSql.format(""))),
+
+    // The similarity ladder fed from an ARROW LANDING ZONE end-to-end:
+    // the embeddings corpus re-encoded as genuine list<float32> Arrow
+    // stream bytes (ReaderQueries.arrowEmbeddingsZone — the interchange
+    // format a feature store actually emits), scanned by the Arrow
+    // reader, then the IDENTICAL normalization + brute-force top-k
+    // stage as topk_similarity. Hash-matching the parquet-sourced
+    // oracle proves the Arrow path is a drop-in source for the whole
+    // ladder — no float32 precision or row loss crossing the format.
+    QuerySpec(
+      "topk_similarity_arrow",
+      (s, dir) => {
+        val zone = ReaderQueries.arrowEmbeddingsZone(s, dir)
+        topkOver(normedFrom(graft.sources.ArrowIpc.read(s, zone)),
+          sameLabelOnly = false)
+      },
       Some(CosineSql.format(""))),
 
     // Maximum-inner-product search via the norm-augmentation reduction

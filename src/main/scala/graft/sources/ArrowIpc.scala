@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader, ArrowStreamWriter, SeekableReadChannel}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -28,10 +29,12 @@ import scala.jdk.CollectionConverters._
   * stream through the allocator one at a time; per-task peak memory is
   * one record batch, not the file.
   *
-  * Type coverage mirrors what the engine's tables need: Int64 ↔ long,
-  * Utf8 ↔ string, Float64 ↔ double, Int32 ↔ int — the four types every
-  * Arrow producer emits; anything else fails loudly (no silent
-  * coercion).
+  * Type coverage: Int64 ↔ long, Utf8 ↔ string, Float64 ↔ double,
+  * Int32 ↔ int (the four types every Arrow producer emits), plus the
+  * embedding-interchange trio an LLM feature store actually hands
+  * around — Float32 ↔ float, list&lt;float32&gt; ↔ array&lt;float&gt;,
+  * timestamp[µs, UTC] ↔ timestamp. Anything else fails loudly (no
+  * silent coercion).
   */
 object ArrowIpc {
 
@@ -170,15 +173,35 @@ object ArrowIpc {
               root.allocateNew()
               group.zipWithIndex.foreach { case (row, i) =>
                 schema.fields.zipWithIndex.foreach { case (fd, j) =>
-                  (fd.dataType, root.getVector(j)) match {
-                    case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
-                    case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
-                    case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
-                    case (StringType, v: VarCharVector) =>
-                      v.setSafe(i, row.getString(j).getBytes("UTF-8"))
-                    case (t, v) => throw new IllegalArgumentException(
-                      s"unsupported fixture type $t -> ${v.getClass.getSimpleName}")
-                  }
+                  // an unset slot stays null (fresh validity bits after
+                  // allocateNew), so null cells just skip the write
+                  if (!row.isNullAt(j))
+                    (fd.dataType, root.getVector(j)) match {
+                      case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
+                      case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
+                      case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
+                      case (FloatType, v: Float4Vector) => v.setSafe(i, row.getFloat(j))
+                      case (StringType, v: VarCharVector) =>
+                        v.setSafe(i, row.getString(j).getBytes("UTF-8"))
+                      case (TimestampType, v: TimeStampMicroTZVector) =>
+                        val ins = row.get(j) match {
+                          case t: java.sql.Timestamp => t.toInstant
+                          case t: java.time.Instant => t
+                          case o => throw new IllegalArgumentException(
+                            s"timestamp cell expects Timestamp/Instant, got ${o.getClass}")
+                        }
+                        v.setSafe(i, Math.addExact(
+                          Math.multiplyExact(ins.getEpochSecond, 1000000L),
+                          (ins.getNano / 1000).toLong))
+                      case (ArrayType(FloatType, _), v: ListVector) =>
+                        val w = v.getWriter
+                        w.setPosition(i)
+                        w.startList()
+                        row.getSeq[Float](j).foreach(x => w.float4().writeFloat4(x))
+                        w.endList()
+                      case (t, v) => throw new IllegalArgumentException(
+                        s"unsupported fixture type $t -> ${v.getClass.getSimpleName}")
+                    }
                 }
               }
               root.setRowCount(group.length)
@@ -205,35 +228,75 @@ object ArrowIpc {
       case b: BigIntVector => b.get(i)
       case n: IntVector => n.get(i)
       case d: Float8Vector => d.get(i)
+      case f: Float4Vector => f.get(i)
       case s: VarCharVector => new String(s.get(i), "UTF-8")
+      case t: TimeStampMicroTZVector =>
+        val micros = t.get(i)
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case l: ListVector =>
+        // copy the slice out element-wise off the CHILD vector — the
+        // row must outlive the reused VectorSchemaRoot
+        val child = l.getDataVector
+        val from = l.getElementStartIndex(i)
+        val to = l.getElementEndIndex(i)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          Array.tabulate(to - from)(j => cell(child, from + j)))
       case other => throw new IllegalArgumentException(
         s"unsupported arrow vector ${other.getClass.getSimpleName}")
     }
 
+  /** Atomic arrow→spark type mapping; list handled one level up. */
+  private def atomicToSpark(t: ArrowType, name: String): DataType = t match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.Utf8 => StringType
+    case ts: ArrowType.Timestamp if ts.getUnit == TimeUnit.MICROSECOND =>
+      TimestampType
+    case other => throw new IllegalArgumentException(
+      s"unsupported arrow type $other for field $name")
+  }
+
   private def toSpark(a: ArrowSchema): StructType = StructType(
     a.getFields.asScala.toSeq.map { f =>
       val t = f.getType match {
-        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-        case fp: ArrowType.FloatingPoint
-            if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-        case _: ArrowType.Utf8 => StringType
-        case other => throw new IllegalArgumentException(
-          s"unsupported arrow type $other for field ${f.getName}")
+        case _: ArrowType.List =>
+          val el = f.getChildren.get(0)
+          ArrayType(atomicToSpark(el.getType, s"${f.getName}.element"),
+            containsNull = el.isNullable)
+        case other => atomicToSpark(other, f.getName)
       }
       StructField(f.getName, t, f.isNullable)
     })
 
+  private def atomicToArrow(dt: DataType, name: String): ArrowType = dt match {
+    case LongType => new ArrowType.Int(64, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    case other => throw new IllegalArgumentException(
+      s"unsupported spark type $other for field $name")
+  }
+
   private def toArrow(s: StructType): ArrowSchema = new ArrowSchema(
     s.fields.map { f =>
-      val t: ArrowType = f.dataType match {
-        case LongType => new ArrowType.Int(64, true)
-        case IntegerType => new ArrowType.Int(32, true)
-        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-        case StringType => ArrowType.Utf8.INSTANCE
-        case other => throw new IllegalArgumentException(
-          s"unsupported spark type $other for field ${f.name}")
+      f.dataType match {
+        case ArrayType(el, containsNull) =>
+          val child = new Field("element",
+            new FieldType(containsNull, atomicToArrow(el, s"${f.name}.element"), null),
+            null)
+          new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+            java.util.List.of(child))
+        case other =>
+          new Field(f.name,
+            new FieldType(f.nullable, atomicToArrow(other, f.name), null), null)
       }
-      new Field(f.name, new FieldType(f.nullable, t, null), null)
     }.toList.asJava)
 }

@@ -75,6 +75,51 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(df.select("k").distinct().count() == 15)
   }
 
+  test("embedding interchange types: float32, list<float32>, timestamp") {
+    val p = tmp("emb.arrows")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true),
+      StructField("score", FloatType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
+    val t0 = java.time.Instant.parse("2024-03-01T12:34:56.123456Z")
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -1.25f, 3.0f), 0.75f, t0),
+      Row(2L, Seq.empty[Float], -2.5f, java.time.Instant.EPOCH),
+      Row(3L, null, null, null))
+    ArrowIpc.write(p, rows, embSchema, batchRows = 2)
+    assert(ArrowIpc.sparkSchema(p) == embSchema)
+    val back = ArrowIpc.read(spark, p).orderBy("vec_id").collect()
+    assert(back.length == 3)
+    assert(back(0).getSeq[Float](1) == Seq(0.5f, -1.25f, 3.0f))
+    assert(back(0).getFloat(2) == 0.75f)
+    // µs precision survives the round-trip exactly
+    assert(back(0).getTimestamp(3).toInstant == t0)
+    assert(back(1).getSeq[Float](1).isEmpty)
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2) && back(2).isNullAt(3))
+  }
+
+  test("unsupported types still fail loudly (no silent coercion)") {
+    // list<utf8> is outside the declared coverage — both directions throw
+    intercept[IllegalArgumentException] {
+      ArrowIpc.write(tmp("ls.arrows"), Seq(Row(Seq("a"))),
+        StructType(Seq(StructField("xs",
+          ArrayType(StringType, containsNull = false), nullable = false))))
+    }
+  }
+
+  test("pushed limit / partial consumption leaves no stranded allocator") {
+    val p = tmp("lim.arrows")
+    ArrowIpc.write(p, (0L until 50L).map(i => Row(i, s"x$i")), schema,
+      batchRows = 5)
+    // limit(1) abandons the batch iterator mid-container — the task
+    // completion listener must close reader+allocator, and subsequent
+    // full reads of the same container must still work
+    assert(ArrowIpc.read(spark, p).limit(1).collect().length == 1)
+    assert(ArrowIpc.read(spark, p).count() == 50)
+  }
+
   test("garbage bytes and schema-skewed zones fail loudly") {
     val p = tmp("bad.arrows")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
