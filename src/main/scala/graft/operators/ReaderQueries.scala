@@ -496,6 +496,36 @@ object ReaderQueries {
                  AND CAST(n_regionkey AS BIGINT) * 10 BETWEEN 5 AND 35
                ORDER BY nkey""")),
 
+    // The SAME FlatGeobuf container through the DSv2 connector tier
+    // (`format("fgb")`, graft.sources.FgbSource — the ContainerSource
+    // scaffold shared with gpkg/shpzip): identical rows under the
+    // identical oracle, but with column pruning, pushed limit+filters,
+    // file-size statistics (broadcastable dims), and the streaming
+    // micro-batch half — one connector story for all four container
+    // formats. FgbArrowSourceSpec asserts the pushdowns and drains a
+    // growing landing zone.
+    QuerySpec(
+      "scan_fgb_dsv2",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_dsv2.fgb")
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        graft.sources.FlatGeobuf.write(path, "nation_fgb", props,
+          geoRows(s, dir).map { case (k, n, x, y) =>
+            (org.apache.spark.sql.Row(k, n), (x, y))
+          })
+        s.read.format("fgb").load(path)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // The ingest pipeline's FLATGEOBUF branch end-to-end: detection
     // sniffs the fgb\x03fgb\x00 magic, the read decodes executor-side,
     // the generic blob-named-geom heuristic finds the geometry, the
@@ -616,6 +646,33 @@ object ReaderQueries {
                      ROUND(SQRT((SELECT SUM(x*x) FROM
                        (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
               FROM embeddings ORDER BY vec_id""")),
+
+    // The SAME Arrow embedding zone through the DSv2 connector tier
+    // (`format("arrow")`, graft.sources.ArrowSource): identical values
+    // under the identical oracle — including list<float32> crossing the
+    // InternalRow boundary as ArrayData and the µs timestamp as micros —
+    // plus pruning/pushdown/statistics/streaming from the shared
+    // ContainerSource scaffold. A pushed filter (vec_id < 250) proves
+    // source-side filtering evaluates on external values pre-conversion.
+    QuerySpec(
+      "scan_arrow_dsv2",
+      (s, dir) => {
+        val zone = arrowEmbeddingsZone(s, dir)
+        s.read.format("arrow").load(zone)
+          .filter(col("vec_id") < 250)
+          .select(col("vec_id"), col("label"), col("ts"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(sqrt(graft.functions.DotProduct(
+              col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))), 6).as("nrm"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, label,
+                     TIMESTAMP '1970-01-01 00:00:00' + vec_id * INTERVAL 1 SECOND AS ts,
+                     len(embedding) AS dim,
+                     ROUND(SQRT((SELECT SUM(x*x) FROM
+                       (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
+              FROM embeddings WHERE vec_id < 250 ORDER BY vec_id""")),
 
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from

@@ -222,6 +222,32 @@ object ArrowIpc {
     else path
   }
 
+  /** Whole-container parse in external types (Long/Int/Double/Float/
+    * String/Seq[Float]/Instant) — the [[ContainerSource]] DSv2 contract
+    * (`spark.read.format("arrow")`). Both IPC encodings accepted. */
+  def parsed(path: String): (StructType, Seq[Seq[Any]]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val alloc = new RootAllocator()
+    val reader: ArrowReader =
+      if (isFileFormat(bytes))
+        new ArrowFileReader(new SeekableReadChannel(
+          new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
+      else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    try {
+      val schema = toSpark(reader.getVectorSchemaRoot.getSchema)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        val vs = root.getFieldVectors.asScala.toSeq
+        var j = 0
+        while (j < root.getRowCount) { rows += vs.map(cell(_, j)); j += 1 }
+      }
+      (schema, rows.toSeq)
+    } finally {
+      try reader.close() finally alloc.close()
+    }
+  }
+
   private def cell(v: org.apache.arrow.vector.FieldVector, i: Int): Any =
     if (v.isNull(i)) null
     else v match {

@@ -310,6 +310,18 @@ object FlatGeobuf {
     else path
   }
 
+  /** Whole-container parse in external types — the [[ContainerSource]]
+    * DSv2 contract (`spark.read.format("fgb")`): geometry as WKB bytes,
+    * properties as Long/Double/String. */
+  def parsed(path: String): (StructType, Seq[Seq[Any]]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (_, schema, _, props, feats) = parseAll(bytes)
+    val rows = feats.map { case (xy, pb) =>
+      decodeProps(props, pb) :+ pointWkb(xy(0), xy(1))
+    }.toSeq
+    (schema, rows)
+  }
+
   private def readSizePrefixed(in: java.io.DataInputStream): Array[Byte] = {
     val lenB = new Array[Byte](4); in.readFully(lenB)
     val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt

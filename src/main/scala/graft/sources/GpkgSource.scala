@@ -63,6 +63,23 @@ final class ShpZipSource extends ContainerSource {
     ShapefileReader.parsed _
 }
 
+/** FlatGeobuf connector: `spark.read.format("fgb").load(...)` — the
+  * same pruning / pushed limit+filter / statistics / streaming
+  * micro-batch tier as gpkg, over the from-scratch FlatBuffers walk. */
+final class FgbSource extends ContainerSource {
+  override def shortName(): String = "fgb"
+  override def parse: String => (StructType, Seq[Seq[Any]]) =
+    FlatGeobuf.parsed _
+}
+
+/** Arrow IPC connector: `spark.read.format("arrow").load(...)` — both
+  * IPC encodings, embedding interchange types included. */
+final class ArrowSource extends ContainerSource {
+  override def shortName(): String = "arrow"
+  override def parse: String => (StructType, Seq[Seq[Any]]) =
+    ArrowIpc.parsed _
+}
+
 object ContainerSource {
   /** Load paths from DSv2 options: `load(p)` arrives as `path`,
     * `load(p1, p2, ...)` as a JSON string array under `paths`. */
@@ -376,7 +393,14 @@ final class ContainerReaderFactory(required: StructType,
       private def toCatalyst(v: Any): Any = v match {
         case s: String => UTF8String.fromString(s)
         case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-        case other => other // Long / Double / Array[Byte] / null map 1:1
+        case ins: java.time.Instant =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(ins)
+        case ts: java.sql.Timestamp =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+        case seq: Seq[_] =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            seq.map(toCatalyst).toArray)
+        case other => other // Long / Int / Double / Float / Array[Byte] / null map 1:1
       }
     }
   }

@@ -1,0 +1,141 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** FlatGeobuf + Arrow promoted to the ContainerSource DSv2 tier: the
+  * same pruning / pushed-filter / per-container-partition / streaming
+  * claims GpkgSourceSpec proves for gpkg, over the other two container
+  * formats — one connector story for all four. Row parity against the
+  * driver-side readers; oracles (scan_fgb_dsv2 / scan_arrow_dsv2) vouch
+  * for the values.
+  */
+class FgbArrowSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val fgbProps = StructType(Seq(
+    StructField("k", LongType, nullable = true),
+    StructField("name", StringType, nullable = true)))
+
+  private def fgbZone(dirName: String, n: Int): Seq[String] = {
+    val dir = Files.createTempDirectory(dirName)
+    dir.toFile.deleteOnExit()
+    (1 to n).map { i =>
+      val p = dir.resolve(s"part$i.fgb").toString
+      FlatGeobuf.write(p, "pts", fgbProps,
+        (1L to 5L).map(j => (Row(i * 100L + j, s"f$i-$j"),
+          (j * 1.0, -j * 1.0))))
+      p
+    }
+  }
+
+  private val arrowSchema = StructType(Seq(
+    StructField("vec_id", LongType, nullable = true),
+    StructField("emb", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("ts", TimestampType, nullable = true)))
+
+  private def arrowZone(dirName: String, n: Int): Seq[String] = {
+    val dir = Files.createTempDirectory(dirName)
+    dir.toFile.deleteOnExit()
+    (1 to n).map { i =>
+      val p = dir.resolve(s"part$i.arrows").toString
+      ArrowIpc.write(p, (1L to 4L).map(j => Row(i * 10L + j,
+        Seq(j.toFloat, -j.toFloat),
+        java.time.Instant.ofEpochSecond(i * 1000L + j))), arrowSchema)
+      p
+    }
+  }
+
+  test("fgb connector: one partition per container, rows match the driver reader") {
+    val paths = fgbZone("graft-fgb-dsv2", 3)
+    val dsv2 = spark.read.format("fgb").load(paths: _*)
+    assert(dsv2.rdd.getNumPartitions == 3)
+    val got = dsv2.orderBy("k").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    val driver = paths.map(FlatGeobuf.read(spark, _)).reduce(_.unionAll(_))
+      .orderBy("k").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq; case x => x
+      })
+    assert(got.toSeq == driver.toSeq && got.length == 15)
+  }
+
+  test("fgb connector: pruning and filters reach the scan") {
+    val paths = fgbZone("graft-fgb-push", 2)
+    val df = spark.read.format("fgb").load(paths: _*)
+      .filter(col("k") > 103L).select("k")
+    assert(df.collect().map(_.getLong(0)).toSet ==
+      Set(104L, 105L, 201L, 202L, 203L, 204L, 205L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[k]"), s"no pruning:\n$plan")
+    assert(plan.contains("GreaterThan(k,103"), s"filter not pushed:\n$plan")
+  }
+
+  test("arrow connector: list<float32> and timestamps cross the InternalRow boundary") {
+    val paths = arrowZone("graft-arrow-dsv2", 2)
+    val df = spark.read.format("arrow").load(paths: _*)
+    assert(df.rdd.getNumPartitions == 2)
+    val got = df.orderBy("vec_id").collect()
+    assert(got.length == 8)
+    assert(got(0).getLong(0) == 11L)
+    assert(got(0).getSeq[Float](1) == Seq(1.0f, -1.0f))
+    assert(got(0).getTimestamp(2).toInstant ==
+      java.time.Instant.ofEpochSecond(1001L))
+    // parity with the driver-side reader
+    val driver = paths.map(ArrowIpc.read(spark, _)).reduce(_.unionAll(_))
+      .orderBy("vec_id").collect()
+    assert(got.map(_.toSeq.map {
+      case s: Seq[_] => s.toList; case x => x
+    }).toSeq == driver.map(_.toSeq.map {
+      case s: Seq[_] => s.toList; case x => x
+    }).toSeq)
+  }
+
+  test("arrow connector: pushed filter evaluates on external values pre-conversion") {
+    val paths = arrowZone("graft-arrow-push", 2)
+    val df = spark.read.format("arrow").load(paths: _*)
+      .filter(col("vec_id") >= 21L).select("vec_id")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(21L, 22L, 23L, 24L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(vec_id,21"), s"not pushed:\n$plan")
+  }
+
+  test("fgb landing-zone stream drains new containers exactly once across a restart") {
+    val zone = Files.createTempDirectory("graft-fgb-zone")
+    zone.toFile.deleteOnExit()
+    def land(name: String, base: Long): Unit =
+      FlatGeobuf.write(zone.resolve(name).toString, "pts", fgbProps,
+        (1L to 3L).map(j => (Row(base + j, s"$name-$j"), (j * 1.0, j * 1.0))))
+    land("a01.fgb", 100)
+    land("a02.fgb", 200)
+    val schema = spark.read.format("fgb")
+      .load(zone.resolve("a01.fgb").toString).schema
+    val out = Files.createTempDirectory("graft-fgb-zone-out").toString
+    val ckpt = Files.createTempDirectory("graft-fgb-zone-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("fgb").schema(schema)
+        .load(zone.toString)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000): Unit
+    }
+    drain()
+    assert(spark.read.parquet(out).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(101L, 102L, 103L, 201L, 202L, 203L))
+    land("b01.fgb", 300)
+    drain()
+    val all = spark.read.parquet(out).select("k").collect().map(_.getLong(0))
+    assert(all.length == 9, s"exactly-once violated: ${all.length} rows")
+    assert(all.toSet == Set(101L, 102L, 103L, 201L, 202L, 203L, 301L, 302L, 303L))
+  }
+}
