@@ -975,6 +975,11 @@ object SimilarityQueries {
           "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
         val v = kmVectors(s, dir)
         val c0 = kmInit(v)
+        // c1's checkpoint stays although its subtree is consumed once:
+        // kmAssign's broadcast-build references the centroid relation
+        // from inside the assignment plan, and measured quiet runs are
+        // ~1.8× SLOWER without the barrier (3.8 s vs 2.2 s at sf0.1) —
+        // the removal was tried in round 9 and reverted on measurement
         val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
         val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2).localCheckpoint()
         // residuals on the integer grid: one cid equi-join + an 8-row

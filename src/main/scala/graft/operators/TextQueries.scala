@@ -2354,12 +2354,20 @@ object TextQueries {
             round((col("prior") + col("fl") * col("n_tokens") +
               coalesce(col("adj"), lit(0L))).cast("double") / 1e6, 6)
               .as("score"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("m_lang").asc)
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("m_lang").as("pred"), col("actual"),
-            (col("m_lang") === col("actual")).as("correct"), col("score"))
+        // argmax as min_by over (−score, m_lang): a partial-aggregating
+        // groupBy (map-side combine, no sort exchange) where the
+        // row_number window needed a full per-doc sort — the agg_mode
+        // pattern. Struct comparison is lexicographic, so −score desc →
+        // score max, ties to the lowest m_lang, exactly the old window
+        // order.
+        scored.groupBy("doc_id")
+          .agg(min_by(
+            struct(col("m_lang"), col("actual"), col("score")),
+            struct(negate(col("score")), col("m_lang"))).as("top"))
+          .select(col("doc_id"), col("top.m_lang").as("pred"),
+            col("top.actual").as("actual"),
+            (col("top.m_lang") === col("top.actual")).as("correct"),
+            col("top.score").as("score"))
   }
 
   /** Oracle twin of [[nbPredictions]] minus the argmax: CTEs ending in
