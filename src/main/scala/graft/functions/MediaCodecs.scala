@@ -175,4 +175,180 @@ object MediaCodecs {
     }
     sum
   }
+
+  // ------------------------------------------------------------------ PNG
+  // The COMPRESSED-format class BMP/WAV never exercise: chunk framing
+  // with CRC32 integrity, zlib (JDK Deflater/Inflater — no codec
+  // library), and the five adaptive scanline filters whose REVERSAL is
+  // where real PNG decoders break. RGB8 (colour type 2, bit depth 8,
+  // no interlace) — the shape the encoder emits and the tier needs.
+
+  final case class PngHeader(width: Int, height: Int, bitDepth: Int, colorType: Int)
+
+  val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val b = ByteBuffer.allocate(12 + data.length) // PNG ints are BE
+    b.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** Paeth predictor (PNG spec §9.4): nearest of left/above/upper-left
+    * to p = a + b − c, ties a > b > c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** RGB8 PNG encoder: signature, IHDR, one zlib IDAT, IEND. Scanlines
+    * are forward-filtered rotating through ALL FIVE spec filters
+    * (row r uses filter r % 5), so a decoder that botches any reversal
+    * breaks the pixel sum. `pixelFill` supplies raw RGB bytes row-major;
+    * exhausted → 0. */
+  def encodePng(width: Int, height: Int, pixelFill: Iterator[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate dims ${width}x$height")
+    val bpp = 3
+    val raw = Array.fill(height, width * bpp)(
+      if (pixelFill.hasNext) pixelFill.next() else 0.toByte)
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](width * bpp)
+    var r = 0
+    while (r < height) {
+      val row = raw(r)
+      val f = r % 5
+      filtered.write(f)
+      var c = 0
+      while (c < row.length) {
+        val x = row(c) & 0xFF
+        val a = if (c >= bpp) row(c - bpp) & 0xFF else 0
+        val b = prev(c) & 0xFF
+        val ul = if (c >= bpp) prev(c - bpp) & 0xFF else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, ul)
+        }
+        filtered.write(v & 0xFF)
+        c += 1
+      }
+      prev = row
+      r += 1
+    }
+    val fb = filtered.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(fb); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, colour type 2 (RGB)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    PngSig ++ pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", comp.toByteArray) ++ pngChunk("IEND", Array.empty)
+  }
+
+  /** Chunk walk + inflate + filter reversal: verifies the signature and
+    * EVERY chunk CRC, concatenates IDAT segments (the spec allows
+    * splitting), inflates to exactly height·(1 + width·3) filtered
+    * bytes, reverses the per-row filter, and returns the raw RGB bytes.
+    * Ancillary chunks are skipped; structural damage fails loudly. */
+  def decodePng(bytes: Array[Byte]): (PngHeader, Array[Byte]) = {
+    require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig),
+      "not a PNG: bad signature")
+    val bb = ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = 8
+    var hdr: PngHeader = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      require(pos + 8 <= bytes.length, "truncated PNG: chunk header cut off")
+      val len = bb.getInt(pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated PNG: $typ declares $len bytes beyond the buffer")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == bb.getInt(pos + 8 + len),
+        s"PNG chunk $typ fails CRC — corrupt container")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR must be 13 bytes, got $len")
+          hdr = PngHeader(bb.getInt(pos + 8), bb.getInt(pos + 12),
+            bytes(pos + 16) & 0xFF, bytes(pos + 17) & 0xFF)
+          require(hdr.bitDepth == 8 && hdr.colorType == 2,
+            s"decoder covers RGB8 (depth 8, colour 2); got " +
+              s"depth ${hdr.bitDepth}, colour ${hdr.colorType}")
+          require(bytes(pos + 20) == 0, "interlaced PNG not supported")
+        case "IDAT" =>
+          require(hdr != null, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunk — skipped, CRC already verified
+      }
+      pos += 12 + len
+    }
+    require(hdr != null, "PNG without IHDR")
+    val bpp = 3
+    val rowBytes = hdr.width * bpp
+    val expect = hdr.height * (1 + rowBytes)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val fb = new Array[Byte](expect)
+    var got = 0
+    while (got < expect && !infl.finished()) {
+      val n = infl.inflate(fb, got, expect - got)
+      require(n > 0 || !infl.needsInput, "truncated IDAT stream")
+      got += n
+    }
+    val trailing = infl.inflate(new Array[Byte](1))
+    infl.end()
+    require(got == expect && trailing == 0,
+      s"IDAT inflates to $got bytes (+$trailing extra), want exactly $expect")
+    // reverse the per-row filter in place row by row
+    val raw = new Array[Byte](hdr.height * rowBytes)
+    var r = 0
+    while (r < hdr.height) {
+      val f = fb(r * (1 + rowBytes)) & 0xFF
+      require(f <= 4, s"unknown PNG filter $f on row $r")
+      val src = r * (1 + rowBytes) + 1
+      val dst = r * rowBytes
+      var c = 0
+      while (c < rowBytes) {
+        val x = fb(src + c) & 0xFF
+        val a = if (c >= bpp) raw(dst + c - bpp) & 0xFF else 0
+        val b = if (r > 0) raw(dst - rowBytes + c) & 0xFF else 0
+        val ul = if (r > 0 && c >= bpp) raw(dst - rowBytes + c - bpp) & 0xFF else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, ul)
+        }
+        raw(dst + c) = (v & 0xFF).toByte
+        c += 1
+      }
+      r += 1
+    }
+    (hdr, raw)
+  }
+
+  /** Σ of raw RGB bytes — the decode-parity scalar the oracle recomputes
+    * from the same md5 chain (filters + deflate must round-trip). */
+  def pngPixelSum(raw: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < raw.length) { sum += raw(i) & 0xFF; i += 1 }
+    sum
+  }
 }

@@ -139,6 +139,55 @@ object MultimodalQueries {
               FROM p GROUP BY doc_id, width, height, stride
               ORDER BY doc_id""")),
 
+    // The COMPRESSED-format class (BMP/WAV are raw struct layouts): real
+    // PNG containers per doc — chunk framing with CRC32, zlib IDAT via
+    // the JDK Inflater, and the five adaptive scanline filters rotated
+    // across rows so EVERY reversal (Sub/Up/Average/Paeth) is on the
+    // hash path. The decoder walks chunks, verifies CRCs, inflates, and
+    // reverses filters back to the raw RGB bytes; the oracle recomputes
+    // the pixel sum from the SAME md5 chain — filters + deflate must
+    // round-trip exactly or the sum breaks. Dims sized so the 48-byte
+    // chain covers the largest 4x4 RGB image. Same mapPartitions batch
+    // shape as the other decode queries.
+    QuerySpec(
+      "multimodal_decode_png",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(md5(col("text")), md5(md5(col("text"))),
+              md5(md5(md5(col("text"))))).as("hx"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, hx) =>
+              val pix = hx.grouped(2).map(h => Integer.parseInt(h, 16).toByte)
+              val png = graft.functions.MediaCodecs.encodePng(
+                (id % 3 + 2).toInt, (id % 4 + 1).toInt, pix)
+              val (hdr, raw) = graft.functions.MediaCodecs.decodePng(png)
+              (id, hdr.width, hdr.height, hdr.bitDepth, hdr.colorType,
+                graft.functions.MediaCodecs.pngPixelSum(raw))
+            }
+          }
+          .toDF("doc_id", "width", "height", "bit_depth", "color_type", "px_sum")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       MD5(text)||MD5(MD5(text))||MD5(MD5(MD5(text))) AS hx,
+                       CAST(doc_id % 3 + 2 AS INT) AS width,
+                       CAST(doc_id % 4 + 1 AS INT) AS height
+                FROM documents),
+              p AS (
+                SELECT doc_id, width, height,
+                       ('0x'||SUBSTR(hx, i*2 + 1, 2))::BIGINT AS byte
+                FROM d, (SELECT UNNEST(GENERATE_SERIES(0, 47)) AS i)
+                WHERE i < width*3*height)
+              SELECT doc_id, width, height, 8 AS bit_depth, 2 AS color_type,
+                     CAST(SUM(byte) AS BIGINT) AS px_sum
+              FROM p GROUP BY doc_id, width, height
+              ORDER BY doc_id""")),
+
     // The REAL byte path of the audio tier: genuine RIFF/WAVE files
     // (mono 8-bit PCM) encoded per doc — sample rate from doc_id,
     // samples from an md5 chain, plus a deliberately ODD-sized LIST

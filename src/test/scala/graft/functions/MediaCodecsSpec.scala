@@ -78,4 +78,45 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](parseWav(nonPcm))
       .getMessage.contains("non-PCM"))
   }
+
+  test("png round-trips raw RGB through all five scanline filters") {
+    // 6 rows → filters 0..4 plus a repeat; deterministic pseudo-pixels
+    val w = 5; val h = 6
+    val pix = Array.tabulate(w * 3 * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = encodePng(w, h, pix.iterator)
+    assert(png.take(8).sameElements(MediaCodecs.PngSig))
+    val (hdr, raw) = decodePng(png)
+    assert(hdr == MediaCodecs.PngHeader(w, h, 8, 2))
+    assert(raw.toSeq == pix.toSeq, "filter reversal did not invert the encoder")
+    assert(pngPixelSum(raw) == pix.map(_ & 0xFF).map(_.toLong).sum)
+  }
+
+  test("png single-row and single-pixel edge shapes survive") {
+    val one = encodePng(1, 1, Iterator(1.toByte, 2.toByte, 3.toByte))
+    assert(decodePng(one)._2.toSeq == Seq[Byte](1, 2, 3))
+    val row = encodePng(4, 1, Iterator.continually(200.toByte).take(12))
+    assert(decodePng(row)._2.forall(b => (b & 0xFF) == 200))
+  }
+
+  test("png malformed containers fail loudly, never garbage-decode") {
+    val good = encodePng(3, 2, Iterator.tabulate(18)(i => i.toByte))
+    // bad signature
+    val sig = good.clone(); sig(1) = 'Q'.toByte
+    assert(intercept[IllegalArgumentException](decodePng(sig))
+      .getMessage.contains("signature"))
+    // flip one IDAT payload byte -> CRC mismatch (IDAT starts after
+    // 8-byte sig + 25-byte IHDR chunk; +8 header puts us in its data)
+    val crc = good.clone(); crc(8 + 25 + 8) = (crc(8 + 25 + 8) ^ 0x5A).toByte
+    assert(intercept[IllegalArgumentException](decodePng(crc))
+      .getMessage.contains("CRC"))
+    // truncation mid-chunk
+    assert(intercept[IllegalArgumentException](
+      decodePng(good.take(good.length - 6)))
+      .getMessage.toLowerCase.contains("truncated"))
+    // declared length overrunning the buffer
+    val over = good.clone()
+    java.nio.ByteBuffer.wrap(over).putInt(8, 1 << 20) // IHDR len field
+    assert(intercept[IllegalArgumentException](decodePng(over))
+      .getMessage.contains("beyond the buffer"))
+  }
 }
