@@ -685,6 +685,53 @@ object TextQueries {
       },
       Some(graft.functions.Bpe.fertilityOracle)),
 
+    // The OTHER published tokenizer family beside BPE: the unigram-LM
+    // (SentencePiece, Kudo 2018) subword model — candidate pieces scored
+    // by occurrence-weighted frequency over the bounded vocabulary,
+    // integer Viterbi costs on the round(ln,6)·1e6 grid, minimum-cost
+    // segmentation with a (cost, piece-count, path) total order. Output
+    // is the trained model relation: used pieces with usage counts. The
+    // oracle replays candidate scoring relationally and unrolls the
+    // Viterbi DP as one generated CTE block per prefix length
+    // (UnigramTokenizer.trainOracle — the Bpe.trainOracle stance).
+    QuerySpec(
+      "text_sp_unigram_train",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        graft.functions.UnigramTokenizer.trainOnCorpus(s, dir)
+          .map { case (p, u, _) => (p, u) }
+          .toDF("piece", "cnt")
+          .orderBy(col("cnt").desc, col("piece"))
+      },
+      Some(graft.functions.UnigramTokenizer.trainOracle)),
+
+    // Unigram-LM tokenizer APPLIED: Viterbi-segment the vocabulary once
+    // (driver, bounded — the same distinct-word kernel stance as
+    // text_bpe_apply), broadcast the per-word piece counts, and roll up
+    // token accounting per document over vocabulary-covered words. At
+    // 100 TB the corpus-sized work is one broadcast join + partial agg.
+    QuerySpec(
+      "text_sp_unigram_apply",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (vocab, cost) = graft.functions.UnigramTokenizer.model(s, dir)
+        val segmented = vocab.map { case (w, _) =>
+          (w, graft.functions.UnigramTokenizer.viterbi(w, cost)
+            .getOrElse(throw new IllegalStateException(
+              s"vocab word '$w' unsegmentable")).length.toLong)
+        }.toDF("w", "n_tok")
+        graft.functions.Bpe.eligibleWords(s, dir)
+          .join(broadcast(segmented), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(length(col("w")).cast("long")).as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(graft.functions.UnigramTokenizer.applyOracle)),
+
     // Sequence packing over BPE TOKENS — text_pack's 512-token greedy
     // binning re-expressed over what a real training pipeline measures
     // (learned-subword counts, not whitespace splits): the per-doc BPE
