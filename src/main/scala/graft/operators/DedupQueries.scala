@@ -32,6 +32,87 @@ object DedupQueries {
 
   private def h32(c: Column): Column = graft.functions.HashBridge.h32(c)
 
+  // ---- exact substring dedup (Lee et al. 2021 shingle-cover form) ----
+
+  /** Guarantee length in tokens. */
+  private[operators] val SubstrL = 8
+
+  /** (doc_id, pos, tok, cov) — cov = 1 iff the token is covered by some
+    * non-canonical L-shingle occurrence and must be removed. Exposed for
+    * DedupSubstringSpec's guarantee law. */
+  private[operators] def substringCoverage(s: SparkSession, dir: String): DataFrame =
+    substringCoverageOf(docs(s, dir))
+
+  private[operators] def substringCoverageOf(d: DataFrame): DataFrame = {
+    val L = SubstrL
+    val spl = d
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("l"))
+    val tk = spl.select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "tok")))
+    // one L-shingle per start position, keyed by its md5 digest — the
+    // digest (not the text) is what shuffles
+    val sh = spl.filter(size(col("l")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(l) - ${L - 1}),
+           |          i -> struct(i - 1 AS pos,
+           |                      md5(array_join(slice(l, i, $L), ' ')) AS d))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.d").as("d"))
+    // canonical occurrence per shingle = min (doc_id, pos): a partial-
+    // aggregating min(struct), never a per-shingle sort
+    val canon = sh.groupBy("d")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val dups = sh.join(canon, "d")
+      .filter(col("doc_id") =!= col("c.doc_id") || col("pos") =!= col("c.pos"))
+      .select(col("doc_id"), col("pos"), lit(1).as("isdup"))
+    // a dup START at p covers tokens p..p+L-1 → token i is covered iff a
+    // dup start exists in [i-L+1, i]: one per-doc window over the dense
+    // posexplode positions (rows == range here)
+    val wcov = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(L - 1), 0)
+    tk.join(dups, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(coalesce(col("isdup"), lit(0))).over(wcov))
+      .select(col("doc_id"), col("pos"), col("tok"), col("cov"))
+  }
+
+  private def dedupExactSubstring(s: SparkSession, dir: String): DataFrame =
+    substringCoverage(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("cov")).cast("long").as("n_removed"),
+        array_join(expr(
+          "transform(filter(array_sort(collect_list(struct(pos, tok, cov))), " +
+            "x -> x.cov = 0), x -> x.tok)"), " ").as("kept_text"))
+      .orderBy("doc_id")
+
+  private val DedupSubstringOracle: String =
+    s"""WITH spl AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l FROM documents),
+       |tk AS (
+       |  SELECT doc_id, UNNEST(generate_series(1, len(l))) - 1 AS pos,
+       |         UNNEST(l) AS tok FROM spl),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS pos, MD5(array_to_string(l[i:i+${SubstrL - 1}], ' ')) AS d
+       |  FROM (SELECT doc_id, l,
+       |               UNNEST(generate_series(1, len(l) - ${SubstrL - 1})) AS i
+       |        FROM spl)),
+       |dups AS (
+       |  SELECT doc_id, pos, 1 AS isdup FROM (
+       |    SELECT doc_id, pos,
+       |           ROW_NUMBER() OVER (PARTITION BY d ORDER BY doc_id, pos) AS rn
+       |    FROM sh) WHERE rn > 1),
+       |cov AS (
+       |  SELECT tk.doc_id, tk.pos, tk.tok,
+       |         MAX(COALESCE(isdup, 0)) OVER (
+       |           PARTITION BY tk.doc_id ORDER BY tk.pos
+       |           ROWS BETWEEN ${SubstrL - 1} PRECEDING AND CURRENT ROW) AS cov
+       |  FROM tk LEFT JOIN dups
+       |    ON tk.doc_id = dups.doc_id AND tk.pos = dups.pos)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |       CAST(SUM(cov) AS BIGINT) AS n_removed,
+       |       COALESCE(STRING_AGG(tok, ' ' ORDER BY pos) FILTER (WHERE cov = 0), '')
+       |         AS kept_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // MinHash permutation family: THE single source of truth is MinHashSig
   // (the UDAF the Spark side of agg_minhash executes); the oracle strings
   // below are generated from the same constants so they cannot drift.
@@ -528,6 +609,24 @@ object DedupQueries {
   }
 
   def specs: Seq[QuerySpec] = Seq(
+
+    // Exact SUBSTRING dedup with a length GUARANTEE (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better" —
+    // published with suffix arrays; here the equivalent shingle-cover
+    // formulation): every repeated passage of ≥ L tokens contains a
+    // repeated L-shingle, so removing all tokens covered by any
+    // NON-CANONICAL L-shingle occurrence (canonical = min (doc_id, pos)
+    // per shingle) certifies that no fully-surviving L-token window
+    // occurs twice anywhere in the output — the guarantee neither fixed
+    // chunks nor winnowing give (DedupSubstringSpec proves it as a law
+    // over the real corpus). 100 TB shape: shingles shuffle as 32-char
+    // md5 digests + (doc_id, pos) — never text; canonical selection is
+    // a partial-aggregating min(struct); coverage is one per-doc window
+    // over dense positions. L = 8 tokens.
+    QuerySpec(
+      "dedup_exact_substring",
+      (s, dir) => dedupExactSubstring(s, dir),
+      Some(DedupSubstringOracle)),
 
     // Exact dedup: group by content digest, keep the smallest doc_id.
     // Shuffles 16-byte md5 keys, not document bodies — the 100 TB shape.
