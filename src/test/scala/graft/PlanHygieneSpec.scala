@@ -20,6 +20,9 @@ class PlanHygieneSpec extends AnyFunSuite {
   // quadratic)
   private val allowedQuadratic =
     Set("join_cross", "topk_similarity", "topk_similarity_sq",
+      // the SAME brute baseline fed from the Arrow landing zone — the
+      // source swap is the point, the shape is topk_similarity's
+      "topk_similarity_arrow",
       // binary-hamming prefilter: the same bounded-16-row broadcast
       // non-equi scan as the SQ prefilter, over 32×-narrower sign words
       "topk_similarity_binary", "text_tfidf",
