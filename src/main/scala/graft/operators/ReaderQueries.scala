@@ -674,6 +674,42 @@ object ReaderQueries {
                        (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
               FROM embeddings WHERE vec_id < 250 ORDER BY vec_id""")),
 
+    // The remaining practical Arrow scalar types a real producer emits:
+    // bool (bit-packed), date32[day], and opaque BINARY payloads (the
+    // multimodal blob shape) — written and read back as genuine Arrow
+    // bytes, value-checked against DuckDB recomputing each column from
+    // the nation originals (the binary payload decodes back to the
+    // source string, proving no byte corruption crossing the format).
+    QuerySpec(
+      "scan_arrow_mixed",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_mixed.arrows")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("flag",
+            org.apache.spark.sql.types.BooleanType, nullable = false),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.DateType, nullable = false),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType, nullable = false)))
+        val rows = nationRows(s, dir).map { case (k, n, _) =>
+          org.apache.spark.sql.Row(k, k % 2 == 0,
+            java.time.LocalDate.ofEpochDay(k * 31),
+            n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        graft.sources.ArrowIpc.write(path, rows, schema, batchRows = 7)
+        graft.sources.ArrowIpc.read(s, path)
+          .select(col("nkey"), col("flag"), col("d"),
+            col("payload").cast("string").as("pay"))
+          .orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+                     CAST(n_nationkey AS BIGINT) % 2 = 0 AS flag,
+                     DATE '1970-01-01' + CAST(CAST(n_nationkey AS BIGINT) * 31 AS INT) AS d,
+                     n_name AS pay
+              FROM nation ORDER BY nkey""")),
+
     // Full ingest pipeline end-to-end (reference: process_file,
     // core_processor.rs:463-476): a coordinate-pair CSV composed from
     // nation rows runs detect → read → coordinate-pair discovery → CRS
@@ -916,6 +952,44 @@ object ReaderQueries {
     // groups instead of the table — I/O proportional to matches, not
     // corpus. The probe keys are literals (0, 7, 123, 1400 exist at
     // every SF) so the pushdown is a static filter, the cheapest form.
+    // FlatGeobuf WRITE-BACK with the packed Hilbert index, at MULTI-LEVEL
+    // scale: customer (1.5k rows at sf0.01, 15k at sf0.1) written as one
+    // indexed container (nodeSize 16 → 3-4 tree levels), then read back
+    // through the INDEX-DRIVEN bbox path — so the writer's Hilbert
+    // ordering, level layout, parent bboxes, and first-child offsets all
+    // sit under the driver's hash gate against a DuckDB coordinate
+    // predicate, not just the spec's 25-row fixtures. The collect is the
+    // single-container fixture-writer class (sink_gpkg's stance).
+    QuerySpec(
+      "sink_fgb_indexed",
+      (s, dir) => {
+        val path = fixturePath(dir, "fgb_sink_cust.fgb")
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ckey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("cname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val rows = Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("ckey"),
+            col("c_name").as("cname"))
+          .orderBy("ckey").collect()
+          .map(r => (org.apache.spark.sql.Row(r.getLong(0), r.getString(1)),
+            ((r.getLong(0) % 100).toDouble, (r.getLong(0) % 90).toDouble)))
+        graft.sources.FlatGeobuf.write(path, "cust", props, rows.toSeq,
+          indexNodeSize = 16)
+        graft.sources.FlatGeobuf.readBbox(s, path, 10.0, 10.0, 30.0, 40.0)
+          .select(col("ckey"), col("cname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("ckey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS cname,
+                     'POINT (' || (CAST(c_custkey AS BIGINT) % 100)::VARCHAR || ' ' ||
+                     (CAST(c_custkey AS BIGINT) % 90)::VARCHAR || ')' AS wkt
+              FROM customer
+              WHERE CAST(c_custkey AS BIGINT) % 100 BETWEEN 10 AND 30
+                AND CAST(c_custkey AS BIGINT) % 90 BETWEEN 10 AND 40
+              ORDER BY ckey""")),
+
     QuerySpec(
       "sink_parquet_bloom",
       (s, dir) => {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader, ArrowStreamWriter, SeekableReadChannel}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
@@ -183,6 +183,18 @@ object ArrowIpc {
                       case (FloatType, v: Float4Vector) => v.setSafe(i, row.getFloat(j))
                       case (StringType, v: VarCharVector) =>
                         v.setSafe(i, row.getString(j).getBytes("UTF-8"))
+                      case (BooleanType, v: BitVector) =>
+                        v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+                      case (BinaryType, v: VarBinaryVector) =>
+                        v.setSafe(i, row.getAs[Array[Byte]](j))
+                      case (DateType, v: DateDayVector) =>
+                        val days = row.get(j) match {
+                          case d: java.time.LocalDate => d.toEpochDay
+                          case d: java.sql.Date => d.toLocalDate.toEpochDay
+                          case o => throw new IllegalArgumentException(
+                            s"date cell expects Date/LocalDate, got ${o.getClass}")
+                        }
+                        v.setSafe(i, math.toIntExact(days))
                       case (TimestampType, v: TimeStampMicroTZVector) =>
                         val ins = row.get(j) match {
                           case t: java.sql.Timestamp => t.toInstant
@@ -256,6 +268,9 @@ object ArrowIpc {
       case d: Float8Vector => d.get(i)
       case f: Float4Vector => f.get(i)
       case s: VarCharVector => new String(s.get(i), "UTF-8")
+      case b: BitVector => b.get(i) == 1
+      case b: VarBinaryVector => b.get(i)
+      case d: DateDayVector => java.time.LocalDate.ofEpochDay(d.get(i).toLong)
       case t: TimeStampMicroTZVector =>
         val micros = t.get(i)
         java.time.Instant.ofEpochSecond(
@@ -282,6 +297,10 @@ object ArrowIpc {
     case fp: ArrowType.FloatingPoint
         if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
     case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Binary => BinaryType
+    case d: ArrowType.Date if d.getUnit ==
+        org.apache.arrow.vector.types.DateUnit.DAY => DateType
     case ts: ArrowType.Timestamp if ts.getUnit == TimeUnit.MICROSECOND =>
       TimestampType
     case other => throw new IllegalArgumentException(
@@ -306,6 +325,9 @@ object ArrowIpc {
     case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
     case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
     case StringType => ArrowType.Utf8.INSTANCE
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
     case other => throw new IllegalArgumentException(
       s"unsupported spark type $other for field $name")

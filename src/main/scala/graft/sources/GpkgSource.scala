@@ -393,6 +393,7 @@ final class ContainerReaderFactory(required: StructType,
       private def toCatalyst(v: Any): Any = v match {
         case s: String => UTF8String.fromString(s)
         case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
         case ins: java.time.Instant =>
           org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(ins)
         case ts: java.sql.Timestamp =>

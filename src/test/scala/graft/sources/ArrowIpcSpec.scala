@@ -100,6 +100,27 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back(2).isNullAt(1) && back(2).isNullAt(2) && back(2).isNullAt(3))
   }
 
+  test("bool, binary, and date32 round-trip exactly") {
+    val p = tmp("mixed.arrows")
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("blob", BinaryType, nullable = true),
+      StructField("d", DateType, nullable = true)))
+    val rows = Seq(
+      Row(1L, true, Array[Byte](0, 1, -1, 127), java.time.LocalDate.of(2024, 2, 29)),
+      Row(2L, false, Array.empty[Byte], java.time.LocalDate.ofEpochDay(0)),
+      Row(3L, null, null, null))
+    ArrowIpc.write(p, rows, sch)
+    assert(ArrowIpc.sparkSchema(p) == sch)
+    val back = ArrowIpc.read(spark, p).orderBy("k").collect()
+    assert(back(0).getBoolean(1) && !back(1).getBoolean(1))
+    assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](0, 1, -1, 127))
+    assert(back(1).getAs[Array[Byte]](2).isEmpty)
+    assert(back(0).getDate(3).toLocalDate == java.time.LocalDate.of(2024, 2, 29))
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2) && back(2).isNullAt(3))
+  }
+
   test("unsupported types still fail loudly (no silent coercion)") {
     // list<utf8> is outside the declared coverage — both directions throw
     intercept[IllegalArgumentException] {
