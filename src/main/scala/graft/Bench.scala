@@ -42,6 +42,11 @@ object Bench {
         load = loadAvg()
       }
     }
+    // External-load proxy captured BEFORE any work of our own: once the
+    // warmup's 32-thread burn starts, the 1-min load average measures US
+    // (observed 8+ right after warmup on an otherwise idle box), so a
+    // post-warmup reading can't distinguish contention from self-load.
+    val loadPreWarmup = loadAvg()
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
@@ -90,8 +95,18 @@ object Bench {
     val highSpreadFrac =
       if (spreads.isEmpty) 0.0
       else spreads.values.count(_ > 50.0).toDouble / spreads.size
-    val contended = loadStart > cpus.toDouble ||
-      highSpreadFrac > 0.15
+    // contention verdict from signals that actually mean contention:
+    // external load BEFORE our own work started, and wide spreads among
+    // the ≥0.5 s queries — a 0.2 s query jitters ±50% from GC/JIT alone
+    // on a quiet box, so the all-queries fraction (still reported) reads
+    // "contended" even when per-query minima are perfectly comparable
+    val slowSpreads = spreads.filter { case (n, _) =>
+      results.get(n).exists(_ >= 0.5) }
+    val slowSpreadFrac =
+      if (slowSpreads.isEmpty) 0.0
+      else slowSpreads.values.count(_ > 50.0).toDouble / slowSpreads.size
+    val contended = loadPreWarmup > cpus.toDouble ||
+      slowSpreadFrac > 0.30
     // queries that reuse per-session materialized subtrees report
     // marginal cost — flag them and give a total WITHOUT them, the
     // number comparable across rounds regardless of cache state
@@ -100,9 +115,11 @@ object Bench {
     val totalExclCached = results
       .filter { case (n, v) => v >= 0 && !cached.contains(n) }.values.sum
     val telemetryScalars =
-      s""","load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)}""" +
+      s""","load_avg_pre_warmup":${f3(loadPreWarmup)}""" +
+        s""","load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)}""" +
         s""","max_spread_pct":${f3(maxSpread)}""" +
-        s""","high_spread_frac":${f3(highSpreadFrac)},"contended":$contended""" +
+        s""","high_spread_frac":${f3(highSpreadFrac)}""" +
+        s""","slow_spread_frac":${f3(slowSpreadFrac)},"contended":$contended""" +
         s""","cache_assisted":${cached.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","value_excl_cached":${f3(totalExclCached)}"""
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f3(v) }
