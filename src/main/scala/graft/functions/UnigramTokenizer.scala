@@ -74,7 +74,20 @@ object UnigramTokenizer {
   /** Minimum-cost segmentation; ties break (piece-count asc, then
     * space-joined path asc). Returns None when some prefix has no
     * decomposition (a char outside the piece table). */
-  def viterbi(w: String, cost: Map[String, Long]): Option[Vector[String]] = {
+  def viterbi(w: String, cost: Map[String, Long]): Option[Vector[String]] =
+    viterbiWith(w, cost.get _)
+
+  /** [[viterbi]] with a single-char UNK fallback cost, so EVERY word
+    * segments (the SentencePiece byte-fallback stance at char
+    * granularity): unknown single chars cost `unkCost`; unknown
+    * multi-char pieces stay unusable. */
+  def viterbiAll(w: String, cost: Map[String, Long], unkCost: Long): Vector[String] =
+    viterbiWith(w, p => cost.get(p)
+      .orElse(if (p.length == 1) Some(unkCost) else None))
+      .getOrElse(throw new IllegalStateException(s"unsegmentable '$w'"))
+
+  private def viterbiWith(w: String,
+      costOf: String => Option[Long]): Option[Vector[String]] = {
     final case class St(cost: Long, n: Int, path: String, pieces: List[String])
     def better(a: St, b: St): Boolean =
       a.cost < b.cost || (a.cost == b.cost &&
@@ -88,7 +101,7 @@ object UnigramTokenizer {
       while (j < i) {
         if (dp(j) != null) {
           val piece = w.substring(j, i)
-          cost.get(piece) match {
+          costOf(piece) match {
             case Some(c) =>
               val cand = St(dp(j).cost + c, dp(j).n + 1,
                 if (dp(j).path.isEmpty) piece else dp(j).path + " " + piece,
@@ -108,21 +121,29 @@ object UnigramTokenizer {
   /** Bounded model from the corpus: ONE distributed word-frequency
     * aggregation → top-VocabSize collect (the Bpe.trainOnCorpus class of
     * bounded driver materialization) → candidate scoring. Returns
-    * (vocabulary with freqs, piece → integer cost). */
-  def model(s: SparkSession, dir: String): (Seq[(String, Long)], Map[String, Long]) = {
+    * (vocabulary with freqs, piece → integer cost, candidate score
+    * total — the denominator the UNK fallback cost derives from). */
+  def model(s: SparkSession, dir: String)
+      : (Seq[(String, Long)], Map[String, Long], Long) = {
     import org.apache.spark.sql.functions._
     val vocab = Bpe.eligibleWords(s, dir)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w"))
       .limit(Bpe.VocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    (vocab, costs(candidates(vocab)))
+    val cands = candidates(vocab)
+    (vocab, costs(cands), cands.map(_._2).sum)
   }
+
+  /** UNK fallback = the cost of a score-1 piece under the model total —
+    * deterministic and SQL-replayable like every other cost. */
+  def unkCost(total: Long): Long =
+    math.round(DuckRound.round6(-math.log(1.0 / total.toDouble)) * 1e6)
 
   /** Viterbi-segment the vocabulary and count occurrence-weighted piece
     * usage — the trained model relation (piece, usage, cost). */
   def trainOnCorpus(s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
-    val (vocab, cost) = model(s, dir)
+    val (vocab, cost, _) = model(s, dir)
     val usage = scala.collection.mutable.Map.empty[String, Long]
     vocab.foreach { case (w, f) =>
       viterbi(w, cost).getOrElse(
@@ -139,8 +160,8 @@ object UnigramTokenizer {
     * candidate pieces (`kept`), integer costs (`pc`), and the unrolled
     * Viterbi DP `dp1..dp20` whose level-k rows hold THE best
     * decomposition of each word's k-prefix. */
-  private def coreCtes: String = {
-    val word = s"""wall AS MATERIALIZED (
+  private def modelCtes: String =
+    s"""wall AS MATERIALIZED (
        |  SELECT doc_id, LOWER(t) AS w FROM (
        |    SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS t
        |    FROM documents)
@@ -164,56 +185,71 @@ object UnigramTokenizer {
        |    FROM sub WHERE LENGTH(p) > 1) WHERE rn <= $CandSize),
        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM kept),
        |pc AS MATERIALIZED (
-       |  SELECT p, c,
+       |  SELECT p,
        |         CAST(ROUND(ROUND(-LN(c / t), 6) * 1e6, 0) AS BIGINT) AS cost
-       |  FROM kept, tot),
-       |dp0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost,
-       |               0 AS n, '' AS path FROM w0)""".stripMargin
-    // level k: best decomposition of each k-prefix, extending any of the
-    // previous MaxPiece levels by one piece; ROW_NUMBER's (cost, n,
-    // path) order IS the Scala tie-break
+       |  FROM kept, tot)""".stripMargin
+
+  /** Unrolled Viterbi DP over `rel(w, f)` against piece table
+    * `pieces(p, cost)`: levels `<pre>dp1..dp20`, final `<pre>seg`. Level
+    * k holds THE best decomposition of each word's k-prefix;
+    * ROW_NUMBER's (cost, n, path) order IS the Scala tie-break. */
+  private def dpCtes(rel: String, pieces: String, pre: String): String = {
+    val dp0 = s"""${pre}dp0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |               0 AS n, '' AS path FROM $rel)""".stripMargin
     val levels = (1 to MaxWord).map { k =>
       val froms = (math.max(0, k - MaxPiece) until k)
-        .map(j => s"SELECT * FROM dp$j").mkString(" UNION ALL ")
-      s"""dp$k AS MATERIALIZED (
+        .map(j => s"SELECT * FROM ${pre}dp$j").mkString(" UNION ALL ")
+      s"""${pre}dp$k AS MATERIALIZED (
          |  SELECT w, f, pos, cost, n, path FROM (
          |    SELECT u.w, u.f, $k AS pos,
-         |           u.cost + pc.cost AS cost, u.n + 1 AS n,
-         |           CASE WHEN u.path = '' THEN pc.p
-         |                ELSE u.path || ' ' || pc.p END AS path,
+         |           u.cost + $pieces.cost AS cost, u.n + 1 AS n,
+         |           CASE WHEN u.path = '' THEN $pieces.p
+         |                ELSE u.path || ' ' || $pieces.p END AS path,
          |           ROW_NUMBER() OVER (PARTITION BY u.w ORDER BY
-         |             u.cost + pc.cost, u.n + 1,
-         |             CASE WHEN u.path = '' THEN pc.p
-         |                  ELSE u.path || ' ' || pc.p END) AS rn
+         |             u.cost + $pieces.cost, u.n + 1,
+         |             CASE WHEN u.path = '' THEN $pieces.p
+         |                  ELSE u.path || ' ' || $pieces.p END) AS rn
          |    FROM ($froms) u
-         |    JOIN pc ON pc.p = SUBSTR(u.w, u.pos + 1, $k - u.pos)
+         |    JOIN $pieces ON $pieces.p = SUBSTR(u.w, u.pos + 1, $k - u.pos)
          |    WHERE LENGTH(u.w) >= $k) WHERE rn = 1)""".stripMargin
     }
-    val seg = s"""seg AS MATERIALIZED (
+    val seg = s"""${pre}seg AS MATERIALIZED (
        |  SELECT w, f, n, path FROM (${(1 to MaxWord)
-        .map(k => s"SELECT * FROM dp$k").mkString(" UNION ALL ")})
+        .map(k => s"SELECT * FROM ${pre}dp$k").mkString(" UNION ALL ")})
        |  WHERE pos = LENGTH(w))""".stripMargin
-    (word +: levels :+ seg).mkString(",\n")
+    (dp0 +: levels :+ seg).mkString(",\n")
   }
 
   /** Oracle for `text_sp_unigram_train`: piece usage counts over the
     * Viterbi-segmented vocabulary. */
   def trainOracle: String =
-    s"""WITH $coreCtes,
+    s"""WITH $modelCtes,
+       |${dpCtes("w0", "pc", "")},
        |usage AS (SELECT UNNEST(STRING_SPLIT(path, ' ')) AS piece, f FROM seg)
        |SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
        |FROM usage GROUP BY piece
        |ORDER BY cnt DESC, piece""".stripMargin
 
   /** Oracle for `text_sp_unigram_apply`: per-document token accounting
-    * over vocabulary words (the bounded model's coverage — words beyond
-    * the vocab are out of scope on both sides identically). */
+    * over EVERY eligible word — corpus chars outside the piece table
+    * fall back to score-1 single-char UNK pieces (the byte-fallback
+    * stance at char granularity), so coverage is total on both sides. */
   def applyOracle: String =
-    s"""WITH $coreCtes
+    s"""WITH $modelCtes,
+       |dw AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM wall GROUP BY w),
+       |unkpc AS (
+       |  SELECT p, CAST(ROUND(ROUND(-LN(1.0 / t), 6) * 1e6, 0) AS BIGINT) AS cost
+       |  FROM (SELECT DISTINCT SUBSTR(w, i, 1) AS p
+       |        FROM (SELECT w, UNNEST(GENERATE_SERIES(1, LENGTH(w))) AS i FROM dw)
+       |        WHERE SUBSTR(w, i, 1) NOT IN (SELECT p FROM pc)), tot),
+       |pcall AS MATERIALIZED (
+       |  SELECT p, cost FROM pc UNION ALL SELECT p, cost FROM unkpc),
+       |${dpCtes("dw", "pcall", "a")}
        |SELECT doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
        |       CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars
-       |FROM wall JOIN seg USING (w)
+       |FROM wall JOIN aseg USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -706,24 +706,29 @@ object TextQueries {
       },
       Some(graft.functions.UnigramTokenizer.trainOracle)),
 
-    // Unigram-LM tokenizer APPLIED: Viterbi-segment the vocabulary once
-    // (driver, bounded — the same distinct-word kernel stance as
-    // text_bpe_apply), broadcast the per-word piece counts, and roll up
-    // token accounting per document over vocabulary-covered words. At
-    // 100 TB the corpus-sized work is one broadcast join + partial agg.
+    // Unigram-LM tokenizer APPLIED over EVERY eligible word: the
+    // distinct-words relation Viterbi-segments in executor tasks against
+    // the broadcast piece-cost map (the text_bpe_apply kernel stance —
+    // work ∝ vocabulary, never corpus), with corpus chars outside the
+    // piece table falling back to deterministic score-1 single-char UNK
+    // pieces (the SentencePiece byte-fallback stance at char
+    // granularity) so coverage is total. Token counts broadcast-join
+    // back for the per-doc rollup.
     QuerySpec(
       "text_sp_unigram_apply",
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val (vocab, cost) = graft.functions.UnigramTokenizer.model(s, dir)
-        val segmented = vocab.map { case (w, _) =>
-          (w, graft.functions.UnigramTokenizer.viterbi(w, cost)
-            .getOrElse(throw new IllegalStateException(
-              s"vocab word '$w' unsegmentable")).length.toLong)
-        }.toDF("w", "n_tok")
-        graft.functions.Bpe.eligibleWords(s, dir)
-          .join(broadcast(segmented), "w")
+        val (_, cost, total) = graft.functions.UnigramTokenizer.model(s, dir)
+        val unk = graft.functions.UnigramTokenizer.unkCost(total)
+        val words = graft.functions.Bpe.eligibleWords(s, dir)
+        val tokenized = words.select("w").distinct().as[String]
+          .mapPartitions { it =>
+            it.map(w => (w,
+              graft.functions.UnigramTokenizer.viterbiAll(w, cost, unk)
+                .length.toLong))
+          }.toDF("w", "n_tok")
+        words.join(broadcast(tokenized), "w")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
             sum(col("n_tok")).as("n_tokens"),

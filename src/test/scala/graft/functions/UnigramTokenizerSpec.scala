@@ -50,6 +50,15 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert(viterbi("axe", Map("a" -> 1L, "e" -> 1L)).isEmpty)
   }
 
+  test("viterbiAll's UNK fallback segments everything, single chars only") {
+    val cost = Map("a" -> 100L, "e" -> 100L, "ax" -> 90L)
+    // 'x' is unknown: usable only as a single-char UNK piece
+    assert(viterbiAll("axe", cost, 500L) == Vector("ax", "e"))
+    assert(viterbiAll("xxa", cost, 500L) == Vector("x", "x", "a"))
+    // an unknown MULTI-char piece never materializes out of thin air
+    assert(viterbiAll("qq", Map.empty, 500L) == Vector("q", "q"))
+  }
+
   test("costs are positive integers on the decimal grid") {
     val c = costs(Seq(("a", 10L), ("b", 30L)))
     assert(c.values.forall(_ > 0L))
