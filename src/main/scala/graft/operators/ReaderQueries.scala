@@ -496,6 +496,56 @@ object ReaderQueries {
                  AND CAST(n_regionkey AS BIGINT) * 10 BETWEEN 5 AND 35
                ORDER BY nkey""")),
 
+    // Mixed-geometry FlatGeobuf layer — Point / LineString / Polygon in
+    // ONE container (header type Unknown(0), per-feature types, the
+    // spec's mixed-layer convention; polygons exercise the `ends` ring
+    // vector): geometry kind cycles on n_nationkey % 3, every WKT
+    // integer-composable so the DuckDB oracle rebuilds the exact strings
+    // the JTS writer emits from the decoded WKB. This is the coverage
+    // the reference gets free from GDAL's st_read — closed here on the
+    // from-scratch FlatBuffers walk.
+    QuerySpec(
+      "scan_flatgeobuf_geoms",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_geoms.fgb")
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val rows = geoRows(s, dir).map { case (k, n, x, y) =>
+          val (xi, yi) = (x.toLong, y.toLong)
+          val wkt = k % 3 match {
+            case 0 => s"POINT ($xi $yi)"
+            case 1 => s"LINESTRING ($xi $yi, ${xi + 1} ${yi + 1})"
+            case _ => s"POLYGON (($xi $yi, ${xi + 1} $yi, " +
+              s"${xi + 1} ${yi + 1}, $xi ${yi + 1}, $xi $yi))"
+          }
+          (org.apache.spark.sql.Row(k, n), wkt)
+        }
+        graft.sources.FlatGeobuf.writeGeo(path, "nation_geoms", props,
+          rows, indexNodeSize = 4)
+        graft.sources.FlatGeobuf.read(s, path)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some("""SELECT nkey, nname,
+                     CASE nkey % 3
+                       WHEN 0 THEN 'POINT (' || x || ' ' || y || ')'
+                       WHEN 1 THEN 'LINESTRING (' || x || ' ' || y || ', ' ||
+                                   (x + 1) || ' ' || (y + 1) || ')'
+                       ELSE 'POLYGON ((' || x || ' ' || y || ', ' ||
+                            (x + 1) || ' ' || y || ', ' ||
+                            (x + 1) || ' ' || (y + 1) || ', ' ||
+                            x || ' ' || (y + 1) || ', ' || x || ' ' || y || '))'
+                     END AS wkt
+              FROM (SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                           CAST(n_nationkey AS BIGINT) AS x,
+                           CAST(n_regionkey AS BIGINT) * 10 AS y
+                    FROM nation)
+              ORDER BY nkey""")),
+
     // The SAME FlatGeobuf container through the DSv2 connector tier
     // (`format("fgb")`, graft.sources.FgbSource — the ContainerSource
     // scaffold shared with gpkg/shpzip): identical rows under the

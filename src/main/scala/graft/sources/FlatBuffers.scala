@@ -93,6 +93,13 @@ object FlatBuffers {
       val dup = buf.duplicate(); dup.position(vp + 4); dup.get(out)
       out
     }
+    /** u32 vector (e.g. FlatGeobuf's ring/part `ends`) — values fit Int
+      * here (coordinate counts), read unsigned-safe via Long masking. */
+    def uintsAt(vp: Int): Array[Int] = {
+      val n = vectorLen(vp)
+      Array.tabulate(n)(i =>
+        java.lang.Math.toIntExact(buf.getInt(vp + 4 + i * 4).toLong & 0xFFFFFFFFL))
+    }
   }
 
   /** Root table of a finished (non-size-prefixed) buffer. */
@@ -179,6 +186,14 @@ object FlatBuffers {
     def createByteVector(xs: Array[Byte]): Int = {
       prep(4, xs.length)
       putBytes(xs)
+      putInt(xs.length)
+      here
+    }
+
+    /** u32 vector (FlatGeobuf `ends`). */
+    def createUIntVector(xs: Seq[Int]): Int = {
+      prep(4, xs.length * 4)
+      xs.reverseIterator.foreach(putInt)
       putInt(xs.length)
       here
     }

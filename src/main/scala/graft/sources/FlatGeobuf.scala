@@ -53,13 +53,90 @@ object FlatGeobuf {
   // Feature.fbs / Geometry.fbs field ids
   private val FGeometry = 0
   private val FProperties = 1
+  private val GEnds = 0
   private val GXy = 1
   private val GType = 6
   // GeometryType / ColumnType enum values (spec)
+  private val GeomUnknown = 0
   private val GeomPoint = 1
+  private val GeomLineString = 3
+  private val GeomPolygon = 5
   private val ColLong = 7
   private val ColDouble = 10
   private val ColString = 11
+
+  /** Decoded FGB geometry: flat xy coords + the spec's `ends` vector
+    * (exclusive end index PER COORDINATE PAIR of each ring/part; empty =
+    * single ring/part). Point / LineString / Polygon — the OGC simple
+    * shapes the engine's other geo readers compose. */
+  private[sources] final case class FgbGeom(
+      gtype: Int, xy: Array[Double], ends: Array[Int]) {
+    def envelope: (Double, Double, Double, Double) = {
+      var mnx = Double.PositiveInfinity; var mny = Double.PositiveInfinity
+      var mxx = Double.NegativeInfinity; var mxy = Double.NegativeInfinity
+      var i = 0
+      while (i + 1 < xy.length) {
+        mnx = math.min(mnx, xy(i)); mxx = math.max(mxx, xy(i))
+        mny = math.min(mny, xy(i + 1)); mxy = math.max(mxy, xy(i + 1))
+        i += 2
+      }
+      (mnx, mny, mxx, mxy)
+    }
+  }
+
+  private[sources] object FgbGeom {
+    /** Driver/fixture-side WKT → FgbGeom via JTS (the library the geo
+      * kernel already ships). */
+    def fromWkt(wkt: String): FgbGeom = {
+      import org.locationtech.jts.geom.{LineString, Point, Polygon}
+      val g = new org.locationtech.jts.io.WKTReader().read(wkt)
+      def flat(cs: Array[org.locationtech.jts.geom.Coordinate]): Array[Double] =
+        cs.flatMap(c => Array(c.x, c.y))
+      g match {
+        case p: Point => FgbGeom(GeomPoint, Array(p.getX, p.getY), Array.empty)
+        case l: LineString =>
+          FgbGeom(GeomLineString, flat(l.getCoordinates), Array.empty)
+        case pg: Polygon =>
+          val rings = pg.getExteriorRing +:
+            (0 until pg.getNumInteriorRing).map(pg.getInteriorRingN)
+          val xy = rings.toArray.flatMap(r => flat(r.getCoordinates))
+          var acc = 0
+          val ends = rings.map { r => acc += r.getNumPoints; acc }.toArray
+          FgbGeom(GeomPolygon, xy, ends)
+        case other => throw new IllegalArgumentException(
+          s"unsupported fgb geometry ${other.getGeometryType} (Point/LineString/Polygon)")
+      }
+    }
+  }
+
+  /** FgbGeom → little-endian WKB (the geometry contract the geo kernel's
+    * stAsTextFromWkb consumes). */
+  private[sources] def geomWkb(g: FgbGeom): Array[Byte] = g.gtype match {
+    case GeomPoint =>
+      require(g.xy.length >= 2, "fgb point without xy")
+      pointWkb(g.xy(0), g.xy(1))
+    case GeomLineString =>
+      val n = g.xy.length / 2
+      val bb = ByteBuffer.allocate(9 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(2); bb.putInt(n)
+      g.xy.foreach(bb.putDouble)
+      bb.array()
+    case GeomPolygon =>
+      val ends = if (g.ends.isEmpty) Array(g.xy.length / 2) else g.ends
+      val bb = ByteBuffer.allocate(9 + 4 * ends.length + 8 * g.xy.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(3); bb.putInt(ends.length)
+      var start = 0
+      ends.foreach { end =>
+        bb.putInt(end - start)
+        var i = start * 2
+        while (i < end * 2) { bb.putDouble(g.xy(i)); i += 1 }
+        start = end
+      }
+      bb.array()
+    case other => throw new IllegalArgumentException(
+      s"unsupported fgb geometry type $other (Point/LineString/Polygon)")
+  }
 
   // --------------------------------------------------------------- write
 
@@ -74,7 +151,26 @@ object FlatGeobuf {
     * historical stance. */
   def write(path: String, layerName: String, props: StructType,
       rows: Seq[(Row, (Double, Double))], epsg: Int = 4326,
-      indexNodeSize: Int = 0): Unit = {
+      indexNodeSize: Int = 0): Unit =
+    writeGeoms(path, layerName, props,
+      rows.map { case (r, (x, y)) =>
+        (r, FgbGeom(GeomPoint, Array(x, y), Array.empty[Int]))
+      }, epsg, indexNodeSize)
+
+  /** General-geometry layer: each row pairs its properties with a WKT
+    * Point / LineString / Polygon (holes included). Mixed-type layers
+    * write header geometry type Unknown(0) with per-feature types — the
+    * spec's mixed-layer convention. */
+  def writeGeo(path: String, layerName: String, props: StructType,
+      rows: Seq[(Row, String)], epsg: Int = 4326,
+      indexNodeSize: Int = 0): Unit =
+    writeGeoms(path, layerName, props,
+      rows.map { case (r, wkt) => (r, FgbGeom.fromWkt(wkt)) },
+      epsg, indexNodeSize)
+
+  private def writeGeoms(path: String, layerName: String, props: StructType,
+      rows: Seq[(Row, FgbGeom)], epsg: Int,
+      indexNodeSize: Int): Unit = {
     def colType(dt: DataType): Int = dt match {
       case LongType => ColLong
       case DoubleType => ColDouble
@@ -83,6 +179,8 @@ object FlatGeobuf {
         s"unsupported fgb property type $other")
     }
     val indexed = indexNodeSize > 0 && rows.nonEmpty
+    val gtypes = rows.map(_._2.gtype).distinct
+    val headerGeomType = if (gtypes.length == 1) gtypes.head else GeomUnknown
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
       out.write(Magic)
@@ -104,7 +202,7 @@ object FlatGeobuf {
       val nameOff = hb.createString(layerName)
       hb.startTable()
       hb.slotOffset(HName, nameOff)
-      hb.slotScalar(HGeometryType, GeomPoint.toLong, 1)
+      hb.slotScalar(HGeometryType, headerGeomType.toLong, 1)
       hb.slotOffset(HColumns, colsVec)
       hb.slotScalar(HFeaturesCount, rows.length.toLong, 8)
       // default is 16 — 0 must be written explicitly to disable the index
@@ -115,31 +213,37 @@ object FlatGeobuf {
       // features, Hilbert-ordered when indexed (the index's leaf order
       // IS the feature order — offsets are computed over this layout)
       val ordered = if (indexed) hilbertOrder(rows) else rows
-      val featBufs = ordered.map { case (row, (x, y)) =>
-        (featureBytes(props, row, x, y), x, y)
+      val featBufs = ordered.map { case (row, g) =>
+        (featureBytes(props, row, g), g)
       }
       if (indexed) {
         var off = 0L
-        val items = featBufs.map { case (buf, x, y) =>
-          val o = off; off += 4L + buf.length; (x, y, o)
+        val items = featBufs.map { case (buf, g) =>
+          val o = off; off += 4L + buf.length
+          val (mnx, mny, mxx, mxy) = g.envelope
+          (mnx, mny, mxx, mxy, o)
         }
         out.write(packIndex(items, indexNodeSize))
       }
-      featBufs.foreach { case (buf, _, _) => writeSizePrefixed(out, buf) }
+      featBufs.foreach { case (buf, _) => writeSizePrefixed(out, buf) }
     } finally out.close()
   }
 
-  /** One Feature flatbuffer (unprefixed). */
+  /** One Feature flatbuffer (unprefixed). `ends` emitted only for
+    * multi-ring geometries (the spec omits it for single parts). */
   private def featureBytes(props: StructType, row: Row,
-      x: Double, y: Double): Array[Byte] = {
+      g: FgbGeom): Array[Byte] = {
     val fb = new FlatBuffers.Builder
     val propBytes = encodeProps(props, row)
     val propOff =
       if (propBytes.isEmpty) -1 else fb.createByteVector(propBytes)
-    val xyOff = fb.createDoubleVector(Seq(x, y))
+    val endsOff =
+      if (g.ends.length > 1) fb.createUIntVector(g.ends.toSeq) else -1
+    val xyOff = fb.createDoubleVector(g.xy.toSeq)
     fb.startTable()
+    if (endsOff >= 0) fb.slotOffset(GEnds, endsOff)
     fb.slotOffset(GXy, xyOff)
-    fb.slotScalar(GType, GeomPoint.toLong, 1)
+    fb.slotScalar(GType, g.gtype.toLong, 1)
     val geomOff = fb.endTable()
     fb.startTable()
     fb.slotOffset(FGeometry, geomOff)
@@ -147,28 +251,33 @@ object FlatGeobuf {
     fb.finish(fb.endTable())
   }
 
-  /** Features sorted by Hilbert position of their point on the 2^16 grid
-    * over the layer extent (the spec's sort; ties keep input order). */
-  private def hilbertOrder(
-      rows: Seq[(Row, (Double, Double))]): Seq[(Row, (Double, Double))] = {
-    val xs = rows.map(_._2._1); val ys = rows.map(_._2._2)
-    val (minX, maxX) = (xs.min, xs.max)
-    val (minY, maxY) = (ys.min, ys.max)
+  /** Features sorted by Hilbert position of their envelope center on the
+    * 2^16 grid over the layer extent (the spec's sort; ties keep input
+    * order). */
+  private def hilbertOrder(rows: Seq[(Row, FgbGeom)]): Seq[(Row, FgbGeom)] = {
+    val centers = rows.map { case (_, g) =>
+      val (mnx, mny, mxx, mxy) = g.envelope
+      ((mnx + mxx) / 2, (mny + mxy) / 2)
+    }
+    val (minX, maxX) = (centers.map(_._1).min, centers.map(_._1).max)
+    val (minY, maxY) = (centers.map(_._2).min, centers.map(_._2).max)
     val w = math.max(maxX - minX, java.lang.Double.MIN_NORMAL)
     val h = math.max(maxY - minY, java.lang.Double.MIN_NORMAL)
     def grid(v: Double, lo: Double, span: Double): Long =
       math.min(65535L, math.floor((v - lo) / span * 65536.0).toLong)
-    rows.sortBy { case (_, (x, y)) =>
-      graft.functions.HilbertIndex.xy2d(grid(x, minX, w), grid(y, minY, h))
-    }
+    rows.zip(centers).sortBy { case (_, (cx, cy)) =>
+      graft.functions.HilbertIndex.xy2d(grid(cx, minX, w), grid(cy, minY, h))
+    }.map(_._1)
   }
 
-  /** Serialized packed R-tree over `items` = (x, y, featureByteOffset) in
-    * leaf (Hilbert) order. Storage is root-first, leaves last; every node
-    * is 40 LE bytes: f64 minX/minY/maxX/maxY + u64 offset (leaf: feature
-    * byte offset; internal: index of its first child node). */
+  /** Serialized packed R-tree over `items` = (minX, minY, maxX, maxY,
+    * featureByteOffset) in leaf (Hilbert) order. Storage is root-first,
+    * leaves last; every node is 40 LE bytes: f64 bbox + u64 offset
+    * (leaf: feature byte offset; internal: index of its first child
+    * node). */
   private[sources] def packIndex(
-      items: Seq[(Double, Double, Long)], nodeSize: Int): Array[Byte] = {
+      items: Seq[(Double, Double, Double, Double, Long)],
+      nodeSize: Int): Array[Byte] = {
     val ns = math.max(2, math.min(nodeSize, 65535))
     val bounds = levelBounds(items.length.toLong, ns)
     val numNodes = bounds.head._2 // leaves end = total node count
@@ -178,9 +287,9 @@ object FlatGeobuf {
     val maxYs = new Array[Double](numNodes)
     val offs = new Array[Long](numNodes)
     val leafStart = bounds.head._1
-    items.zipWithIndex.foreach { case ((x, y, o), i) =>
-      minXs(leafStart + i) = x; minYs(leafStart + i) = y
-      maxXs(leafStart + i) = x; maxYs(leafStart + i) = y
+    items.zipWithIndex.foreach { case ((mnx, mny, mxx, mxy, o), i) =>
+      minXs(leafStart + i) = mnx; minYs(leafStart + i) = mny
+      maxXs(leafStart + i) = mxx; maxYs(leafStart + i) = mxy
       offs(leafStart + i) = o
     }
     // build parents bottom-up: parent bbox = union of its ≤ns children,
@@ -294,8 +403,8 @@ object FlatGeobuf {
           parseAll(r.getAs[Array[Byte]](0))
         require(fileSchema == expected,
           s"fgb container schema $fileSchema != landing-zone schema $expected")
-        feats.map { case (xy, propBytes) =>
-          Row.fromSeq(decodeProps(props, propBytes) :+ pointWkb(xy(0), xy(1)))
+        feats.map { case (g, propBytes) =>
+          Row.fromSeq(decodeProps(props, propBytes) :+ geomWkb(g))
         }
       }
     }
@@ -316,8 +425,8 @@ object FlatGeobuf {
   def parsed(path: String): (StructType, Seq[Seq[Any]]) = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val (_, schema, _, props, feats) = parseAll(bytes)
-    val rows = feats.map { case (xy, pb) =>
-      decodeProps(props, pb) :+ pointWkb(xy(0), xy(1))
+    val rows = feats.map { case (g, pb) =>
+      decodeProps(props, pb) :+ geomWkb(g)
     }.toSeq
     (schema, rows)
   }
@@ -330,12 +439,14 @@ object FlatGeobuf {
     buf
   }
 
-  /** (name, schema, epsg, propTypes, featureCount/indexNodeSize). */
+  /** (name, schema, epsg, propTypes, (featureCount, indexNodeSize,
+    * headerGeometryType)). */
   private def parseHeader(
-      header: Array[Byte]): (String, StructType, Int, Array[(String, Int)], (Long, Int)) = {
+      header: Array[Byte]): (String, StructType, Int, Array[(String, Int)], (Long, Int, Int)) = {
     val h = FlatBuffers.root(header)
     val gt = h.getByte(HGeometryType)
-    require(gt == GeomPoint, s"unsupported fgb geometry type $gt (Point only)")
+    require(Set(GeomUnknown, GeomPoint, GeomLineString, GeomPolygon)(gt),
+      s"unsupported fgb geometry type $gt (Point/LineString/Polygon/mixed)")
     val name = h.getString(HName).getOrElse("layer")
     val epsg = h.getTable(HCrs).map(_.getInt(CrsCode, 4326)).getOrElse(4326)
     val colsVp = h.vectorPos(HColumns)
@@ -359,13 +470,37 @@ object FlatGeobuf {
     val schema = StructType(
       fields :+ StructField("geom", BinaryType, nullable = false, meta))
     (name, schema, epsg,
-      cols, (h.getLong(HFeaturesCount), h.getShort(HIndexNodeSize, 16)))
+      cols, (h.getLong(HFeaturesCount), h.getShort(HIndexNodeSize, 16), gt))
+  }
+
+  /** Decode one Feature flatbuffer into (geometry, property bytes). The
+    * geometry type comes from the feature, falling back to the header's
+    * (the spec's homogeneous-layer convention); Unknown on both fails
+    * loudly. */
+  private def decodeFeature(buf: Array[Byte], headerGt: Int): (FgbGeom, Array[Byte]) = {
+    val f = FlatBuffers.root(buf)
+    val geom = f.getTable(FGeometry).getOrElse(
+      throw new IllegalArgumentException("fgb feature without geometry"))
+    val gt = geom.getByte(GType, headerGt) match {
+      case GeomUnknown => headerGt
+      case t => t
+    }
+    require(Set(GeomPoint, GeomLineString, GeomPolygon)(gt),
+      s"unsupported fgb feature geometry type $gt")
+    val xyVp = geom.vectorPos(GXy)
+    require(xyVp >= 0 && geom.vectorLen(xyVp) >= 2, "fgb geometry without xy")
+    val xy = geom.doublesAt(xyVp)
+    val endsVp = geom.vectorPos(GEnds)
+    val ends = if (endsVp < 0) Array.empty[Int] else geom.uintsAt(endsVp)
+    val pvp = f.vectorPos(FProperties)
+    val pb = if (pvp < 0) Array.empty[Byte] else f.bytesAt(pvp)
+    (FgbGeom(gt, xy, ends), pb)
   }
 
   /** Full container parse: header + (skipped index) + features. */
   private def parseAll(bytes: Array[Byte])
       : (String, StructType, Int, Array[(String, Int)],
-         Iterator[(Array[Double], Array[Byte])]) = {
+         Iterator[(FgbGeom, Array[Byte])]) = {
     require(bytes.length > 8 && bytes.take(8).sameElements(Magic),
       "not a FlatGeobuf 3 container")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -375,23 +510,12 @@ object FlatGeobuf {
       require(len > 0 && len <= bb.remaining(), s"implausible fgb buffer size $len")
       val out = new Array[Byte](len); bb.get(out); out
     }
-    val (name, schema, epsg, props, (featCount, nodeSize)) = parseHeader(sized())
+    val (name, schema, epsg, props, (featCount, nodeSize, gt)) = parseHeader(sized())
     if (nodeSize > 0 && featCount > 0)
       bb.position(bb.position() + packedIndexSize(featCount, nodeSize))
-    val feats = new Iterator[(Array[Double], Array[Byte])] {
+    val feats = new Iterator[(FgbGeom, Array[Byte])] {
       def hasNext: Boolean = bb.remaining() >= 4
-      def next(): (Array[Double], Array[Byte]) = {
-        val f = FlatBuffers.root(sized())
-        val geom = f.getTable(FGeometry).getOrElse(
-          throw new IllegalArgumentException("fgb feature without geometry"))
-        require(geom.getByte(GType, GeomPoint) == GeomPoint, "non-Point feature")
-        val xyVp = geom.vectorPos(GXy)
-        require(xyVp >= 0 && geom.vectorLen(xyVp) >= 2, "fgb point without xy")
-        val xy = geom.doublesAt(xyVp)
-        val pvp = f.vectorPos(FProperties)
-        val pb = if (pvp < 0) Array.empty[Byte] else f.bytesAt(pvp)
-        (xy, pb)
-      }
+      def next(): (FgbGeom, Array[Byte]) = decodeFeature(sized(), gt)
     }
     (name, schema, epsg, props, feats)
   }
@@ -417,8 +541,8 @@ object FlatGeobuf {
           parseBbox(r.getAs[Array[Byte]](0), minX, minY, maxX, maxY, decoded)
         require(fileSchema == expected,
           s"fgb container schema $fileSchema != landing-zone schema $expected")
-        feats.map { case (xy, propBytes) =>
-          Row.fromSeq(decodeProps(props, propBytes) :+ pointWkb(xy(0), xy(1)))
+        feats.map { case (g, propBytes) =>
+          Row.fromSeq(decodeProps(props, propBytes) :+ geomWkb(g))
         }
       }
     }
@@ -432,7 +556,7 @@ object FlatGeobuf {
   private[sources] def parseBbox(bytes: Array[Byte],
       minX: Double, minY: Double, maxX: Double, maxY: Double,
       decoded: Option[org.apache.spark.util.LongAccumulator] = None)
-      : (StructType, Array[(String, Int)], Iterator[(Array[Double], Array[Byte])]) = {
+      : (StructType, Array[(String, Int)], Iterator[(FgbGeom, Array[Byte])]) = {
     require(bytes.length > 8 && bytes.take(8).sameElements(Magic),
       "not a FlatGeobuf 3 container")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -441,24 +565,22 @@ object FlatGeobuf {
     require(headerLen > 0 && headerLen <= bb.remaining(),
       s"implausible fgb buffer size $headerLen")
     val header = new Array[Byte](headerLen); bb.get(header)
-    val (_, schema, _, props, (featCount, nodeSize)) = parseHeader(header)
-    def decodeAt(pos: Int): (Array[Double], Array[Byte]) = {
+    val (_, schema, _, props, (featCount, nodeSize, gt)) = parseHeader(header)
+    def decodeAt(pos: Int): (FgbGeom, Array[Byte]) = {
       decoded.foreach(_.add(1L))
       bb.position(pos)
       val len = bb.getInt
       require(len > 0 && len <= bb.remaining(), s"implausible fgb buffer size $len")
       val buf = new Array[Byte](len); bb.get(buf)
-      val f = FlatBuffers.root(buf)
-      val geom = f.getTable(FGeometry).getOrElse(
-        throw new IllegalArgumentException("fgb feature without geometry"))
-      require(geom.getByte(GType, GeomPoint) == GeomPoint, "non-Point feature")
-      val xyVp = geom.vectorPos(GXy)
-      require(xyVp >= 0 && geom.vectorLen(xyVp) >= 2, "fgb point without xy")
-      val pvp = f.vectorPos(FProperties)
-      (geom.doublesAt(xyVp), if (pvp < 0) Array.empty[Byte] else f.bytesAt(pvp))
+      decodeFeature(buf, gt)
     }
-    def inBbox(xy: Array[Double]): Boolean =
-      xy(0) >= minX && xy(0) <= maxX && xy(1) >= minY && xy(1) <= maxY
+    // envelope-intersection residual (GDAL's fgb spatial filter is
+    // bbox-level too; exact geometry predicates run downstream) — for
+    // points the envelope IS the point, so the filter stays exact there
+    def hits(g: FgbGeom): Boolean = {
+      val (mnx, mny, mxx, mxy) = g.envelope
+      mnx <= maxX && mxx >= minX && mny <= maxY && mxy >= minY
+    }
     if (nodeSize > 0 && featCount > 0) {
       val indexPos = bb.position()
       val featuresPos = indexPos + packedIndexSize(featCount, nodeSize)
@@ -466,19 +588,19 @@ object FlatGeobuf {
         searchIndex(bb, indexPos, featCount, nodeSize, minX, minY, maxX, maxY)
       val feats = candidates.iterator
         .map(off => decodeAt(featuresPos + math.toIntExact(off)))
-        .filter { case (xy, _) => inBbox(xy) }
+        .filter { case (g, _) => hits(g) }
       (schema, props, feats)
     } else {
       // no index: sequential decode-all + filter (every decode counted)
       var pos = bb.position()
-      val feats = new Iterator[(Array[Double], Array[Byte])] {
+      val feats = new Iterator[(FgbGeom, Array[Byte])] {
         def hasNext: Boolean = bytes.length - pos >= 4
-        def next(): (Array[Double], Array[Byte]) = {
+        def next(): (FgbGeom, Array[Byte]) = {
           val out = decodeAt(pos)
           pos = bb.position()
           out
         }
-      }.filter { case (xy, _) => inBbox(xy) }
+      }.filter { case (g, _) => hits(g) }
       (schema, props, feats)
     }
   }

@@ -76,7 +76,7 @@ class FlatGeobufSpec extends AnyFunSuite {
   }
 
   test("packIndex 1-item layout is hand-verifiable: root then leaf") {
-    val bytes = FlatGeobuf.packIndex(Seq((3.0, 4.0, 123L)), 16)
+    val bytes = FlatGeobuf.packIndex(Seq((3.0, 4.0, 3.0, 4.0, 123L)), 16)
     assert(bytes.length == 80)
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -154,6 +154,46 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(hitB == Seq(555L))
     val none = FlatGeobuf.searchIndex(buf, 0, 2, 16, 40.0, 40.0, 60.0, 60.0)
     assert(none.isEmpty)
+  }
+
+  test("mixed Point/LineString/Polygon layer round-trips through WKT") {
+    import org.apache.spark.sql.functions.col
+    val p = tmp("mixed.fgb")
+    val wkts = Seq(
+      "POINT (3 4)",
+      "LINESTRING (0 0, 5 5, 10 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      // polygon with a hole: two rings exercise the `ends` vector
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    val rows = wkts.zipWithIndex.map { case (w, i) =>
+      (Row(i.toLong, s"g$i", null), w)
+    }
+    FlatGeobuf.writeGeo(p, "mixed", props, rows)
+    val back = FlatGeobuf.read(spark, p)
+      .select(col("k"),
+        graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+      .orderBy("k").collect()
+    assert(back.map(_.getString(1)).toSeq == wkts,
+      s"WKT round-trip drifted: ${back.map(_.getString(1)).mkString(" | ")}")
+  }
+
+  test("indexed mixed-geometry bbox read prunes on envelopes") {
+    val p = tmp("mixedidx.fgb")
+    val rows = (0L until 20L).map { i =>
+      val x = i.toDouble * 10
+      val wkt =
+        if (i % 2 == 0) s"POINT ($x 5)"
+        else s"LINESTRING ($x 0, ${x + 2} 4)"
+      (Row(i, s"g$i", null), wkt)
+    }
+    FlatGeobuf.writeGeo(p, "mixedidx", props, rows, indexNodeSize = 4)
+    val acc = spark.sparkContext.longAccumulator("fgb_mixed_decoded")
+    // bbox x ∈ [38, 63] overlaps features at x ∈ {40,50,60} (+ the line
+    // starting at 30 reaches 32 < 38 — outside): ids 4..6 → 38..62
+    val got = FlatGeobuf.readBbox(spark, p, 38.0, 0.0, 63.0, 10.0, Some(acc))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(4L, 5L, 6L), s"got $got")
+    assert(acc.value < 20, s"no pruning: decoded ${acc.value} of 20")
   }
 
   test("garbage magic and truncated buffers fail loudly") {
