@@ -67,6 +67,16 @@ object ReaderQueries {
     fixtureRoot.resolve(
       java.lang.Integer.toHexString(dir.hashCode) + "_" + name).toString
 
+  /** Best-effort recursive delete under the fixture root (re-runnable
+    * stream fixtures rebuild zone/sink/checkpoint per invocation). */
+  private def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(c => deleteRecursively(c.getPath))
+    f.delete(): Unit
+  }
+
   private val wktSql =
     "'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || ' ' || " +
       "(CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || ')'"
@@ -697,6 +707,52 @@ object ReaderQueries {
                        (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
               FROM embeddings ORDER BY vec_id""")),
 
+    // The connector tier's STREAMING half under the HASH ORACLE (it was
+    // spec-only): a 3-container FlatGeobuf landing zone drained by real
+    // readStream micro-batches (AvailableNow + checkpoint) into a
+    // parquet sink, whose read-back must equal the nation oracle — so
+    // the name-anchored offset planning, per-container partitions, and
+    // the executor-side FlatBuffers walk all sit under the driver's hash
+    // gate end-to-end. Zone/sink/checkpoint rebuilt per invocation, so
+    // repeated runs (verify + bench passes) stay deterministic.
+    QuerySpec(
+      "stream_fgb_zone",
+      (s, dir) => {
+        val root = fixturePath(dir, "fgb_stream")
+        val zone = root + "_zone"; val out = root + "_out"
+        val ckpt = root + "_ckpt"
+        Seq(zone, out, ckpt).foreach(deleteRecursively)
+        new java.io.File(zone).mkdirs()
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val all = geoRows(s, dir)
+        Seq(0, 1, 2).foreach { part =>
+          graft.sources.FlatGeobuf.write(s"$zone/part$part.fgb", "nation_fgb",
+            props, all.filter(_._1 % 3 == part).map { case (k, n, x, y) =>
+              (org.apache.spark.sql.Row(k, n), (x, y))
+            })
+        }
+        val schema = s.read.format("fgb").load(s"$zone/part0.fgb").schema
+        val q = s.readStream.format("fgb").schema(schema).load(zone)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        s.read.parquet(out)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // The SAME Arrow embedding zone through the DSv2 connector tier
     // (`format("arrow")`, graft.sources.ArrowSource): identical values
     // under the identical oracle — including list<float32> crossing the
@@ -723,6 +779,25 @@ object ReaderQueries {
                      ROUND(SQRT((SELECT SUM(x*x) FROM
                        (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
               FROM embeddings WHERE vec_id < 250 ORDER BY vec_id""")),
+
+    // DICTIONARY-ENCODED Arrow — the wire shape of every pandas/pyarrow
+    // CATEGORICAL column (utf8 values shipped once in a dictionary
+    // batch, rows as int32 indices): the fixture writes genuine
+    // dictionary messages via DictionaryProvider/DictionaryEncoder, and
+    // the reader resolves the value type from the dictionary (the
+    // in-memory field is index-typed), decodes each batch against it,
+    // and must reproduce the categorical strings under the hash oracle.
+    QuerySpec(
+      "scan_arrow_dict",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_dict.arrows")
+        graft.sources.ArrowIpc.writeDictFixture(path,
+          nationRows(s, dir).map { case (k, _, r) => (k, s"R$r") })
+        graft.sources.ArrowIpc.read(s, path).orderBy("nkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+                     'R' || CAST(n_regionkey AS BIGINT)::VARCHAR AS cat
+              FROM nation ORDER BY nkey""")),
 
     // The remaining practical Arrow scalar types a real producer emits:
     // bool (bit-packed), date32[day], and opaque BINARY payloads (the

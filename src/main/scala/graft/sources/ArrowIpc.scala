@@ -58,20 +58,21 @@ object ArrowIpc {
         val in = new FileInputStream(path)
         try in.readNBytes(6) finally in.close()
       }
+      def schemaOf(reader: ArrowReader): StructType =
+        try {
+          // dictionary value types live in dictionary BATCHES — a
+          // dict-declaring schema costs one batch load at probe time
+          if (hasDictFields(reader)) reader.loadNextBatch(): Unit
+          toSpark(reader.getVectorSchemaRoot.getSchema, dictResolver(reader))
+        } finally reader.close()
       if (isFileFormat(head)) {
         val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
-        try {
-          val reader = new ArrowFileReader(new SeekableReadChannel(ch), alloc)
-          try toSpark(reader.getVectorSchemaRoot.getSchema)
-          finally reader.close()
-        } finally ch.close()
+        try schemaOf(new ArrowFileReader(new SeekableReadChannel(ch), alloc))
+        finally ch.close()
       } else {
         val in = new FileInputStream(path)
-        try {
-          val reader = new ArrowStreamReader(in, alloc)
-          try toSpark(reader.getVectorSchemaRoot.getSchema)
-          finally reader.close()
-        } finally in.close()
+        try schemaOf(new ArrowStreamReader(in, alloc))
+        finally in.close()
       }
     } finally alloc.close()
   }
@@ -106,9 +107,12 @@ object ArrowIpc {
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null)
           tc.addTaskCompletionListener[Unit](_ => closeAll())
-        val fileSchema =
-          try toSpark(reader.getVectorSchemaRoot.getSchema)
-          catch { case e: Throwable => closeAll(); throw e }
+        val (fileSchema, preloaded) =
+          try {
+            val pre = hasDictFields(reader) && reader.loadNextBatch()
+            (toSpark(reader.getVectorSchemaRoot.getSchema,
+              dictResolver(reader)), pre)
+          } catch { case e: Throwable => closeAll(); throw e }
         if (fileSchema != schema) {
           closeAll()
           throw new IllegalArgumentException(
@@ -121,17 +125,22 @@ object ArrowIpc {
         new Iterator[Row] {
           private var batch: Array[Row] = Array.empty
           private var i = 0
+          private var pending = preloaded // dict probe already loaded one
           private def advance(): Unit = {
             while (open && i >= batch.length) {
               // a decode failure inside loadNextBatch or cell() must
               // close before propagating — the exception may be caught
               // upstream with the task still running
               try {
-                if (reader.loadNextBatch()) {
+                val loaded =
+                  if (pending) { pending = false; true }
+                  else reader.loadNextBatch()
+                if (loaded) {
                   val root = reader.getVectorSchemaRoot
-                  val vs = root.getFieldVectors.asScala.toSeq
-                  batch = Array.tabulate(root.getRowCount)(j =>
+                  val (vs, toClose) = decodedView(reader)
+                  try batch = Array.tabulate(root.getRowCount)(j =>
                     Row.fromSeq(vs.map(cell(_, j))))
+                  finally toClose.foreach(_.close())
                   i = 0
                 } else closeAll()
               } catch { case e: Throwable => closeAll(); throw e }
@@ -226,6 +235,54 @@ object ArrowIpc {
     } finally alloc.close()
   }
 
+  /** Fixture writer for DICTIONARY-ENCODED containers — the shape every
+    * pandas/pyarrow categorical column ships as: a bigint key beside a
+    * utf8 column encoded as int32 indices into a dictionary batch
+    * (DictionaryProvider + DictionaryEncoder, real IPC dictionary
+    * messages on the wire). Proves the reader's decode against genuine
+    * encoded bytes, not its own invention. */
+  def writeDictFixture(path: String, rows: Seq[(Long, String)]): Unit = {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val alloc = new RootAllocator()
+    try {
+      val dictVals = rows.map(_._2).distinct.sorted
+      val dictVec = new VarCharVector("cat_dict", alloc)
+      dictVec.allocateNew()
+      dictVals.zipWithIndex.foreach { case (v, i) =>
+        dictVec.setSafe(i, v.getBytes("UTF-8")) }
+      dictVec.setValueCount(dictVals.length)
+      try {
+        val dict = new Dictionary(dictVec,
+          new DictionaryEncoding(7L, false, new ArrowType.Int(32, true)))
+        val dataVec = new VarCharVector("cat", alloc)
+        dataVec.allocateNew()
+        rows.zipWithIndex.foreach { case ((_, v), i) =>
+          dataVec.setSafe(i, v.getBytes("UTF-8")) }
+        dataVec.setValueCount(rows.length)
+        val encoded =
+          try DictionaryEncoder.encode(dataVec, dict)
+            .asInstanceOf[org.apache.arrow.vector.FieldVector]
+          finally dataVec.close()
+        val keyVec = new BigIntVector("nkey", alloc)
+        keyVec.allocateNew()
+        rows.zipWithIndex.foreach { case ((k, _), i) => keyVec.setSafe(i, k) }
+        keyVec.setValueCount(rows.length)
+        val root = new VectorSchemaRoot(
+          java.util.List.of[org.apache.arrow.vector.FieldVector](keyVec, encoded))
+        try {
+          val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+          new java.io.File(path).delete()
+          val out = new FileOutputStream(path)
+          try {
+            val w = new ArrowStreamWriter(root, provider, out.getChannel)
+            try { w.start(); w.writeBatch(); w.end() } finally w.close()
+          } finally out.close()
+        } finally root.close()
+      } finally dictVec.close()
+    } finally alloc.close()
+  }
+
   private def headFile(path: String): String = {
     val f = new java.io.File(path)
     if (f.isDirectory)
@@ -246,13 +303,19 @@ object ArrowIpc {
           new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
       else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
     try {
-      val schema = toSpark(reader.getVectorSchemaRoot.getSchema)
+      var pending = hasDictFields(reader) && reader.loadNextBatch()
+      val schema = toSpark(reader.getVectorSchemaRoot.getSchema,
+        dictResolver(reader))
       val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-      while (reader.loadNextBatch()) {
+      var loaded = if (pending) { pending = false; true } else reader.loadNextBatch()
+      while (loaded) {
         val root = reader.getVectorSchemaRoot
-        val vs = root.getFieldVectors.asScala.toSeq
-        var j = 0
-        while (j < root.getRowCount) { rows += vs.map(cell(_, j)); j += 1 }
+        val (vs, toClose) = decodedView(reader)
+        try {
+          var j = 0
+          while (j < root.getRowCount) { rows += vs.map(cell(_, j)); j += 1 }
+        } finally toClose.foreach(_.close())
+        loaded = reader.loadNextBatch()
       }
       (schema, rows.toSeq)
     } finally {
@@ -307,17 +370,60 @@ object ArrowIpc {
       s"unsupported arrow type $other for field $name")
   }
 
-  private def toSpark(a: ArrowSchema): StructType = StructType(
+  private def noDicts(id: Long): ArrowType = throw new IllegalArgumentException(
+    s"dictionary-encoded field (id $id) in a context without a dictionary provider")
+
+  private def toSpark(a: ArrowSchema,
+      dictValueType: Long => ArrowType = noDicts): StructType = StructType(
     a.getFields.asScala.toSeq.map { f =>
       val t = f.getType match {
         case _: ArrowType.List =>
           val el = f.getChildren.get(0)
           ArrayType(atomicToSpark(el.getType, s"${f.getName}.element"),
             containsNull = el.isNullable)
+        // a dictionary-encoded field's in-memory type is the INDEX type;
+        // the Spark type is the dictionary's VALUE type
+        case _ if f.getDictionary != null =>
+          atomicToSpark(dictValueType(f.getDictionary.getId), f.getName)
         case other => atomicToSpark(other, f.getName)
       }
       StructField(f.getName, t, f.isNullable)
     })
+
+  private def hasDictFields(reader: ArrowReader): Boolean =
+    reader.getVectorSchemaRoot.getSchema.getFields.asScala
+      .exists(_.getDictionary != null)
+
+  /** Value-type resolver over a reader's dictionary provider. Stream
+    * containers deliver dictionary batches with the FIRST record batch,
+    * so callers preload one batch (keeping it pending for the row walk)
+    * before resolving. */
+  private def dictResolver(reader: ArrowReader): Long => ArrowType =
+    id => {
+      val d = reader.lookup(id)
+      require(d != null, s"dictionary $id never arrived in the stream")
+      d.getVector.getField.getType
+    }
+
+  /** Per-batch vector view with dictionary columns DECODED to their
+    * value vectors; second element = decoded vectors to close after the
+    * batch is copied out. */
+  private def decodedView(reader: ArrowReader)
+      : (Seq[org.apache.arrow.vector.FieldVector],
+         Seq[org.apache.arrow.vector.ValueVector]) = {
+    val vs = reader.getVectorSchemaRoot.getFieldVectors.asScala.toSeq
+    val pairs = vs.map { fv =>
+      val enc = fv.getField.getDictionary
+      if (enc == null) (fv, None)
+      else {
+        val dec = org.apache.arrow.vector.dictionary.DictionaryEncoder
+          .decode(fv, reader.lookup(enc.getId))
+          .asInstanceOf[org.apache.arrow.vector.FieldVector]
+        (dec, Some(dec: org.apache.arrow.vector.ValueVector))
+      }
+    }
+    (pairs.map(_._1), pairs.flatMap(_._2))
+  }
 
   private def atomicToArrow(dt: DataType, name: String): ArrowType = dt match {
     case LongType => new ArrowType.Int(64, true)

@@ -121,6 +121,21 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back(2).isNullAt(1) && back(2).isNullAt(2) && back(2).isNullAt(3))
   }
 
+  test("dictionary-encoded categoricals decode to their value strings") {
+    val p = tmp("dict.arrows")
+    val rows = (0L until 30L).map(i => (i, s"cat${i % 4}"))
+    ArrowIpc.writeDictFixture(p, rows)
+    // the probe resolves the VALUE type (string), not the int32 index
+    val sch = ArrowIpc.sparkSchema(p)
+    assert(sch("cat").dataType == StringType, s"got ${sch("cat").dataType}")
+    val back = ArrowIpc.read(spark, p).orderBy("nkey").collect()
+    assert(back.length == 30)
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == rows)
+    // the DSv2 connector rides the same decode
+    val dsv2 = spark.read.format("arrow").load(p).orderBy("nkey").collect()
+    assert(dsv2.map(r => (r.getLong(0), r.getString(1))).toSeq == rows)
+  }
+
   test("unsupported types still fail loudly (no silent coercion)") {
     // list<utf8> is outside the declared coverage — both directions throw
     intercept[IllegalArgumentException] {
