@@ -15,19 +15,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Layout: 8-byte magic `fgb\x03fgb\x00`, size-prefixed Header
   * flatbuffer, optional packed Hilbert R-tree, then one size-prefixed
-  * Feature flatbuffer per feature. The writer emits
-  * `index_node_size = 0` (no index — legal per spec, and the right
-  * choice for a full-scan engine); the reader SKIPS a present index
-  * using the spec's packed-tree size recurrence, so externally-written
-  * indexed files scan too.
+  * Feature flatbuffer per feature. The writer can emit the index
+  * (features Hilbert-ordered, envelope leaf bboxes — [[readBbox]]
+  * prunes on it) or `index_node_size = 0` for plain scans; the reader
+  * handles both, skipping or walking a present index as asked.
   *
-  * Scope: Point geometry and Long/Double/String property columns — the
-  * shapes the engine's tables use; anything else fails loudly. Read
-  * path mirrors ArrowIpc: driver-side header sniff for the schema, the
-  * feature decode runs INSIDE scan tasks (binaryFile + mapPartitions,
-  * one task per container). Geometry lands as a WKB point column with
-  * the CRS stamped into field metadata (the GeoPackage schema-borne
-  * contract).
+  * Scope: the OGC simple-feature family — Point / LineString / Polygon
+  * (holes) / MultiPoint / MultiLineString / MultiPolygon (nested
+  * `parts` Geometry tables) — with Long/Double/String property columns;
+  * anything else fails loudly. Read path mirrors ArrowIpc: driver-side
+  * header sniff for the schema, the feature decode runs INSIDE scan
+  * tasks (binaryFile + mapPartitions, one task per container). Geometry
+  * lands as a WKB column with the CRS stamped into field metadata (the
+  * GeoPackage schema-borne contract).
   */
 object FlatGeobuf {
 
@@ -56,11 +56,17 @@ object FlatGeobuf {
   private val GEnds = 0
   private val GXy = 1
   private val GType = 6
-  // GeometryType / ColumnType enum values (spec)
+  // GeometryType / ColumnType enum values (spec — GeometryType follows
+  // the ISO WKB codes: LineString = 2, Polygon = 3, so an
+  // externally-written container's types map 1:1)
   private val GeomUnknown = 0
   private val GeomPoint = 1
-  private val GeomLineString = 3
-  private val GeomPolygon = 5
+  private val GeomLineString = 2
+  private val GeomPolygon = 3
+  private val GeomMultiPoint = 4
+  private val GeomMultiLineString = 5
+  private val GeomMultiPolygon = 6
+  private val GParts = 7
   private val ColLong = 7
   private val ColDouble = 10
   private val ColString = 11
@@ -70,7 +76,8 @@ object FlatGeobuf {
     * single ring/part). Point / LineString / Polygon — the OGC simple
     * shapes the engine's other geo readers compose. */
   private[sources] final case class FgbGeom(
-      gtype: Int, xy: Array[Double], ends: Array[Int]) {
+      gtype: Int, xy: Array[Double], ends: Array[Int],
+      parts: Seq[FgbGeom] = Seq.empty) {
     def envelope: (Double, Double, Double, Double) = {
       var mnx = Double.PositiveInfinity; var mny = Double.PositiveInfinity
       var mxx = Double.NegativeInfinity; var mxy = Double.NegativeInfinity
@@ -80,6 +87,11 @@ object FlatGeobuf {
         mny = math.min(mny, xy(i + 1)); mxy = math.max(mxy, xy(i + 1))
         i += 2
       }
+      parts.foreach { p =>
+        val (a, b, c, d) = p.envelope
+        mnx = math.min(mnx, a); mny = math.min(mny, b)
+        mxx = math.max(mxx, c); mxy = math.max(mxy, d)
+      }
       (mnx, mny, mxx, mxy)
     }
   }
@@ -87,9 +99,11 @@ object FlatGeobuf {
   private[sources] object FgbGeom {
     /** Driver/fixture-side WKT → FgbGeom via JTS (the library the geo
       * kernel already ships). */
-    def fromWkt(wkt: String): FgbGeom = {
-      import org.locationtech.jts.geom.{LineString, Point, Polygon}
-      val g = new org.locationtech.jts.io.WKTReader().read(wkt)
+    def fromWkt(wkt: String): FgbGeom =
+      fromJts(new org.locationtech.jts.io.WKTReader().read(wkt))
+
+    private def fromJts(g: org.locationtech.jts.geom.Geometry): FgbGeom = {
+      import org.locationtech.jts.geom.{LineString, MultiLineString, MultiPoint, MultiPolygon, Point, Polygon}
       def flat(cs: Array[org.locationtech.jts.geom.Coordinate]): Array[Double] =
         cs.flatMap(c => Array(c.x, c.y))
       g match {
@@ -103,8 +117,22 @@ object FlatGeobuf {
           var acc = 0
           val ends = rings.map { r => acc += r.getNumPoints; acc }.toArray
           FgbGeom(GeomPolygon, xy, ends)
+        case mp: MultiPoint =>
+          FgbGeom(GeomMultiPoint, flat(mp.getCoordinates), Array.empty)
+        case ml: MultiLineString =>
+          val lines = (0 until ml.getNumGeometries)
+            .map(ml.getGeometryN(_).asInstanceOf[LineString])
+          val xy = lines.toArray.flatMap(l => flat(l.getCoordinates))
+          var acc = 0
+          val ends = lines.map { l => acc += l.getNumPoints; acc }.toArray
+          FgbGeom(GeomMultiLineString, xy, ends)
+        case mpg: MultiPolygon =>
+          // the spec nests polygons as child Geometry tables (`parts`)
+          val polys = (0 until mpg.getNumGeometries)
+            .map(i => fromJts(mpg.getGeometryN(i)))
+          FgbGeom(GeomMultiPolygon, Array.empty, Array.empty, polys)
         case other => throw new IllegalArgumentException(
-          s"unsupported fgb geometry ${other.getGeometryType} (Point/LineString/Polygon)")
+          s"unsupported fgb geometry ${other.getGeometryType}")
       }
     }
   }
@@ -134,8 +162,39 @@ object FlatGeobuf {
         start = end
       }
       bb.array()
+    case GeomMultiPoint =>
+      val n = g.xy.length / 2
+      val out = new java.io.ByteArrayOutputStream()
+      val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.put(1.toByte); hdr.putInt(4); hdr.putInt(n)
+      out.write(hdr.array())
+      var i = 0
+      while (i + 1 < g.xy.length) {
+        out.write(pointWkb(g.xy(i), g.xy(i + 1))); i += 2
+      }
+      out.toByteArray
+    case GeomMultiLineString =>
+      val ends = if (g.ends.isEmpty) Array(g.xy.length / 2) else g.ends
+      val out = new java.io.ByteArrayOutputStream()
+      val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.put(1.toByte); hdr.putInt(5); hdr.putInt(ends.length)
+      out.write(hdr.array())
+      var start = 0
+      ends.foreach { end =>
+        out.write(geomWkb(FgbGeom(GeomLineString,
+          g.xy.slice(start * 2, end * 2), Array.empty)))
+        start = end
+      }
+      out.toByteArray
+    case GeomMultiPolygon =>
+      val out = new java.io.ByteArrayOutputStream()
+      val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.put(1.toByte); hdr.putInt(6); hdr.putInt(g.parts.length)
+      out.write(hdr.array())
+      g.parts.foreach(p => out.write(geomWkb(p)))
+      out.toByteArray
     case other => throw new IllegalArgumentException(
-      s"unsupported fgb geometry type $other (Point/LineString/Polygon)")
+      s"unsupported fgb geometry type $other")
   }
 
   // --------------------------------------------------------------- write
@@ -237,18 +296,31 @@ object FlatGeobuf {
     val propBytes = encodeProps(props, row)
     val propOff =
       if (propBytes.isEmpty) -1 else fb.createByteVector(propBytes)
-    val endsOff =
-      if (g.ends.length > 1) fb.createUIntVector(g.ends.toSeq) else -1
-    val xyOff = fb.createDoubleVector(g.xy.toSeq)
-    fb.startTable()
-    if (endsOff >= 0) fb.slotOffset(GEnds, endsOff)
-    fb.slotOffset(GXy, xyOff)
-    fb.slotScalar(GType, g.gtype.toLong, 1)
-    val geomOff = fb.endTable()
+    val geomOff = geomTable(fb, g)
     fb.startTable()
     fb.slotOffset(FGeometry, geomOff)
     if (propOff >= 0) fb.slotOffset(FProperties, propOff)
     fb.finish(fb.endTable())
+  }
+
+  /** One Geometry flatbuffer table — recursive for multipolygons, whose
+    * polygons nest as child Geometry tables in the `parts` vector (each
+    * child finishes before the parent starts: canonical construction
+    * order). */
+  private def geomTable(fb: FlatBuffers.Builder, g: FgbGeom): Int = {
+    val partOffs = g.parts.map(p => geomTable(fb, p))
+    val partsVec =
+      if (partOffs.nonEmpty) fb.createOffsetVector(partOffs) else -1
+    val endsOff =
+      if (g.ends.length > 1) fb.createUIntVector(g.ends.toSeq) else -1
+    val xyOff =
+      if (g.xy.nonEmpty) fb.createDoubleVector(g.xy.toSeq) else -1
+    fb.startTable()
+    if (endsOff >= 0) fb.slotOffset(GEnds, endsOff)
+    if (xyOff >= 0) fb.slotOffset(GXy, xyOff)
+    fb.slotScalar(GType, g.gtype.toLong, 1)
+    if (partsVec >= 0) fb.slotOffset(GParts, partsVec)
+    fb.endTable()
   }
 
   /** Features sorted by Hilbert position of their envelope center on the
@@ -481,20 +553,35 @@ object FlatGeobuf {
     val f = FlatBuffers.root(buf)
     val geom = f.getTable(FGeometry).getOrElse(
       throw new IllegalArgumentException("fgb feature without geometry"))
-    val gt = geom.getByte(GType, headerGt) match {
-      case GeomUnknown => headerGt
-      case t => t
-    }
-    require(Set(GeomPoint, GeomLineString, GeomPolygon)(gt),
-      s"unsupported fgb feature geometry type $gt")
-    val xyVp = geom.vectorPos(GXy)
-    require(xyVp >= 0 && geom.vectorLen(xyVp) >= 2, "fgb geometry without xy")
-    val xy = geom.doublesAt(xyVp)
-    val endsVp = geom.vectorPos(GEnds)
-    val ends = if (endsVp < 0) Array.empty[Int] else geom.uintsAt(endsVp)
+    val g = decodeGeom(geom, headerGt)
     val pvp = f.vectorPos(FProperties)
     val pb = if (pvp < 0) Array.empty[Byte] else f.bytesAt(pvp)
-    (FgbGeom(gt, xy, ends), pb)
+    (g, pb)
+  }
+
+  /** Geometry table → FgbGeom — recursive for multipolygon `parts`
+    * (children default to Polygon, the spec's nesting). */
+  private def decodeGeom(geom: FlatBuffers.Table, defaultGt: Int): FgbGeom = {
+    val gt = geom.getByte(GType, defaultGt) match {
+      case GeomUnknown => defaultGt
+      case t => t
+    }
+    require(gt >= GeomPoint && gt <= GeomMultiPolygon,
+      s"unsupported fgb feature geometry type $gt")
+    if (gt == GeomMultiPolygon) {
+      val pvp = geom.vectorPos(GParts)
+      require(pvp >= 0, "fgb multipolygon without parts")
+      val parts = (0 until geom.vectorLen(pvp))
+        .map(i => decodeGeom(geom.tableAt(pvp, i), GeomPolygon))
+      FgbGeom(gt, Array.empty, Array.empty, parts)
+    } else {
+      val xyVp = geom.vectorPos(GXy)
+      require(xyVp >= 0 && geom.vectorLen(xyVp) >= 2, "fgb geometry without xy")
+      val xy = geom.doublesAt(xyVp)
+      val endsVp = geom.vectorPos(GEnds)
+      val ends = if (endsVp < 0) Array.empty[Int] else geom.uintsAt(endsVp)
+      FgbGeom(gt, xy, ends)
+    }
   }
 
   /** Full container parse: header + (skipped index) + features. */

@@ -164,7 +164,13 @@ class FlatGeobufSpec extends AnyFunSuite {
       "LINESTRING (0 0, 5 5, 10 0)",
       "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
       // polygon with a hole: two rings exercise the `ends` vector
-      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      // the multi family: ends as part offsets, and multipolygon's
+      // nested child Geometry tables (`parts`)
+      "MULTIPOINT ((1 1), (2 2), (3 3))",
+      "MULTILINESTRING ((0 0, 1 1), (5 5, 6 6, 7 7))",
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+        "((5 5, 8 5, 8 8, 5 8, 5 5), (6 6, 7 6, 7 7, 6 7, 6 6)))")
     val rows = wkts.zipWithIndex.map { case (w, i) =>
       (Row(i.toLong, s"g$i", null), w)
     }
