@@ -45,17 +45,21 @@ object GeoFunctions {
 
   def toWkb(g: Geometry): Array[Byte] = new WKBWriter(2).write(g)
 
-  /** Rebuild with XY-only coordinates (`ST_Force2D`). */
+  /** Rebuild with XY-only coordinates (`ST_Force2D`). GeometryEditor,
+    * NOT GeometryTransformer: the transformer's buildGeometry COLLAPSES
+    * a single-element MULTILINESTRING/MULTIPOLYGON to its lone part
+    * (ST_Force2D never changes the geometry type), which silently
+    * rewrote 1-part multis read from FlatGeobuf/GeoJSON. */
   def force2D(g: Geometry): Geometry = {
-    val edited = new org.locationtech.jts.geom.util.GeometryTransformer {
-      override def transformCoordinates(
-          cs: org.locationtech.jts.geom.CoordinateSequence,
-          parent: Geometry): org.locationtech.jts.geom.CoordinateSequence = {
+    import org.locationtech.jts.geom.util.GeometryEditor
+    val editor = new GeometryEditor(geomFactory)
+    editor.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: org.locationtech.jts.geom.CoordinateSequence,
+          geometry: Geometry): org.locationtech.jts.geom.CoordinateSequence = {
         val coords = Array.tabulate(cs.size)(i => new CoordinateXY(cs.getX(i), cs.getY(i)))
         geomFactory.getCoordinateSequenceFactory.create(coords.asInstanceOf[Array[Coordinate]])
       }
-    }
-    edited.transform(g)
+    })
   }
 
   def centroid(g: Geometry): (Double, Double) = {

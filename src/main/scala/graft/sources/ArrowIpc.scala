@@ -214,11 +214,20 @@ object ArrowIpc {
                         v.setSafe(i, Math.addExact(
                           Math.multiplyExact(ins.getEpochSecond, 1000000L),
                           (ins.getNano / 1000).toLong))
-                      case (ArrayType(FloatType, _), v: ListVector) =>
+                      case (ArrayType(el, _), v: ListVector) =>
                         val w = v.getWriter
                         w.setPosition(i)
                         w.startList()
-                        row.getSeq[Float](j).foreach(x => w.float4().writeFloat4(x))
+                        row.getSeq[Any](j).foreach { x =>
+                          el match {
+                            case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
+                            case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
+                            case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
+                            case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
+                            case other => throw new IllegalArgumentException(
+                              s"unsupported list element type $other")
+                          }
+                        }
                         w.endList()
                       case (t, v) => throw new IllegalArgumentException(
                         s"unsupported fixture type $t -> ${v.getClass.getSimpleName}")

@@ -517,8 +517,9 @@ object FlatGeobuf {
       header: Array[Byte]): (String, StructType, Int, Array[(String, Int)], (Long, Int, Int)) = {
     val h = FlatBuffers.root(header)
     val gt = h.getByte(HGeometryType)
-    require(Set(GeomUnknown, GeomPoint, GeomLineString, GeomPolygon)(gt),
-      s"unsupported fgb geometry type $gt (Point/LineString/Polygon/mixed)")
+    require(gt >= GeomUnknown && gt <= GeomMultiPolygon,
+      s"unsupported fgb geometry type $gt " +
+        "(Point/LineString/Polygon + multis + mixed)")
     val name = h.getString(HName).getOrElse("layer")
     val epsg = h.getTable(HCrs).map(_.getInt(CrsCode, 4326)).getOrElse(4326)
     val colsVp = h.vectorPos(HColumns)

@@ -121,6 +121,22 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back(2).isNullAt(1) && back(2).isNullAt(2) && back(2).isNullAt(3))
   }
 
+  test("list<double> and list<bigint> round-trip beside list<float32>") {
+    val p = tmp("lists.arrows")
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", ArrayType(DoubleType, containsNull = false), nullable = true),
+      StructField("l", ArrayType(LongType, containsNull = false), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(0.25, -1e100, 3.5), Seq(Long.MaxValue, 0L)),
+      Row(2L, Seq.empty[Double], null))
+    ArrowIpc.write(p, rows, sch)
+    val back = ArrowIpc.read(spark, p).orderBy("k").collect()
+    assert(back(0).getSeq[Double](1) == Seq(0.25, -1e100, 3.5))
+    assert(back(0).getSeq[Long](2) == Seq(Long.MaxValue, 0L))
+    assert(back(1).getSeq[Double](1).isEmpty && back(1).isNullAt(2))
+  }
+
   test("dictionary-encoded categoricals decode to their value strings") {
     val p = tmp("dict.arrows")
     val rows = (0L until 30L).map(i => (i, s"cat${i % 4}"))

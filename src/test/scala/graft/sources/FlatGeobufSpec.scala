@@ -202,6 +202,58 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(acc.value < 20, s"no pruning: decoded ${acc.value} of 20")
   }
 
+  test("property: seeded random mixed layers round-trip, indexed and plain") {
+    val rnd = new scala.util.Random(41)
+    def square(x: Int, y: Int, s: Int): String =
+      s"($x $y, ${x + s} $y, ${x + s} ${y + s}, $x ${y + s}, $x $y)"
+    def randWkt(): String = rnd.nextInt(6) match {
+      case 0 => s"POINT (${rnd.nextInt(100)} ${rnd.nextInt(100)})"
+      case 1 =>
+        val pts = (0 to 1 + rnd.nextInt(3))
+          .map(_ => s"${rnd.nextInt(100)} ${rnd.nextInt(100)}").mkString(", ")
+        s"LINESTRING ($pts)"
+      case 2 =>
+        val (x, y) = (rnd.nextInt(80), rnd.nextInt(80))
+        if (rnd.nextBoolean()) s"POLYGON (${square(x, y, 10)})"
+        else s"POLYGON (${square(x, y, 10)}, ${square(x + 2, y + 2, 3)})"
+      case 3 =>
+        val pts = (0 to rnd.nextInt(3))
+          .map(_ => s"(${rnd.nextInt(100)} ${rnd.nextInt(100)})").mkString(", ")
+        s"MULTIPOINT ($pts)"
+      case 4 =>
+        val ls = (0 to rnd.nextInt(2)).map { _ =>
+          s"(${rnd.nextInt(100)} ${rnd.nextInt(100)}, ${rnd.nextInt(100)} ${rnd.nextInt(100)})"
+        }.mkString(", ")
+        s"MULTILINESTRING ($ls)"
+      case _ =>
+        val polys = (0 to rnd.nextInt(2)).map { _ =>
+          s"(${square(rnd.nextInt(80), rnd.nextInt(80), 5 + rnd.nextInt(5))})"
+        }.mkString(", ")
+        s"MULTIPOLYGON ($polys)"
+    }
+    val reader = new org.locationtech.jts.io.WKTReader()
+    import org.apache.spark.sql.functions.col
+    for (iter <- 1 to 4) {
+      val rows = (0 until (5 + rnd.nextInt(15))).map { i =>
+        (Row(i.toLong, s"f$i", rnd.nextInt(100).toDouble), randWkt())
+      }
+      val p = tmp(s"prop$iter.fgb")
+      FlatGeobuf.writeGeo(p, "prop", props, rows,
+        indexNodeSize = if (iter % 2 == 0) 3 else 0)
+      val back = FlatGeobuf.read(spark, p)
+        .select(col("k"),
+          graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(back.length == rows.length)
+      rows.zip(back).foreach { case ((row, wkt), (k, got)) =>
+        assert(row.getLong(0) == k)
+        // geometry EQUALITY, not string equality — formatting is JTS's
+        assert(reader.read(wkt).equalsExact(reader.read(got)),
+          s"iter $iter k=$k: wrote '$wkt', read '$got'")
+      }
+    }
+  }
+
   test("garbage magic and truncated buffers fail loudly") {
     val p = tmp("bad.fgb")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
