@@ -73,18 +73,21 @@ object GeoFunctions {
   /** Reproject every vertex with [[CrsTransform]] (always lon-lat order). */
   def transformGeom(g: Geometry, srcEpsg: Int, dstEpsg: Int): Geometry = {
     if (srcEpsg == dstEpsg) return g
-    val tr = new org.locationtech.jts.geom.util.GeometryTransformer {
-      override def transformCoordinates(
-          cs: org.locationtech.jts.geom.CoordinateSequence,
-          parent: Geometry): org.locationtech.jts.geom.CoordinateSequence = {
+    // GeometryEditor for the same reason as force2D: reprojection must
+    // never change the geometry TYPE, and GeometryTransformer's
+    // buildGeometry collapses 1-element multis to their lone part
+    import org.locationtech.jts.geom.util.GeometryEditor
+    val editor = new GeometryEditor(geomFactory)
+    editor.edit(g, new GeometryEditor.CoordinateSequenceOperation {
+      override def edit(cs: org.locationtech.jts.geom.CoordinateSequence,
+          geometry: Geometry): org.locationtech.jts.geom.CoordinateSequence = {
         val coords = Array.tabulate(cs.size) { i =>
           val (x, y) = CrsTransform.transform(cs.getX(i), cs.getY(i), srcEpsg, dstEpsg)
           new Coordinate(x, y)
         }
         geomFactory.getCoordinateSequenceFactory.create(coords)
       }
-    }
-    tr.transform(g)
+    })
   }
 
   // --------------------------------------------------------------- columns

@@ -140,4 +140,23 @@ class GeoKernelSpec extends AnyFunSuite {
     val (ex, ey) = CrsTransform.lonLatToWebMercator(10, 10)
     assert(math.abs(cs(1).x - ex) < 1e-9 && math.abs(cs(1).y - ey) < 1e-9)
   }
+
+  test("force2D and transformGeom NEVER change the geometry type") {
+    // the GeometryTransformer formulation collapsed 1-element multis to
+    // their lone part (ST_Force2D / reprojection are type-preserving by
+    // contract) — pin the law over every shape incl. the degenerate ones
+    val wkts = Seq(
+      "POINT (1 2)", "LINESTRING (0 0, 1 1)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "MULTIPOINT ((1 1))", "MULTILINESTRING ((0 0, 1 1))",
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    wkts.foreach { w =>
+      val g = GeoFunctions.parseWkt(w).get
+      assert(GeoFunctions.force2D(g).getGeometryType == g.getGeometryType,
+        s"force2D changed type of $w")
+      assert(GeoFunctions.transformGeom(g, 4326, 3857).getGeometryType
+        == g.getGeometryType, s"transformGeom changed type of $w")
+    }
+  }
 }
