@@ -743,7 +743,13 @@ object ReaderQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        // a timed-out drain must fail LOUDLY, never read a half-written
+        // sink while the stream is still committing
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "stream_fgb_zone: AvailableNow drain did not finish in 120 s")
+        }
         s.read.parquet(out)
           .select(col("nkey"), col("nname"),
             graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))

@@ -107,16 +107,24 @@ object ArrowIpc {
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null)
           tc.addTaskCompletionListener[Unit](_ => closeAll())
-        val (fileSchema, preloaded) =
+        val (fileSchemaOpt, preloaded) =
           try {
             val pre = hasDictFields(reader) && reader.loadNextBatch()
-            (toSpark(reader.getVectorSchemaRoot.getSchema,
-              dictResolver(reader)), pre)
+            val sch =
+              try Some(toSpark(reader.getVectorSchemaRoot.getSchema,
+                dictResolver(reader)))
+              catch {
+                // a legal empty dict container: no batches → no value
+                // type → also no rows, so it cannot corrupt the zone
+                case _: MissingDictionary if !pre => None
+              }
+            (sch, pre)
           } catch { case e: Throwable => closeAll(); throw e }
-        if (fileSchema != schema) {
+        if (fileSchemaOpt.isEmpty) closeAll()
+        fileSchemaOpt.filter(_ != schema).foreach { fs =>
           closeAll()
           throw new IllegalArgumentException(
-            s"arrow container schema $fileSchema != landing-zone schema $schema")
+            s"arrow container schema $fs != landing-zone schema $schema")
         }
         // LAZY per-batch walk — only one decoded batch's Rows live at a
         // time (the reader reuses its VectorSchemaRoot, so each batch is
@@ -136,11 +144,7 @@ object ArrowIpc {
                   if (pending) { pending = false; true }
                   else reader.loadNextBatch()
                 if (loaded) {
-                  val root = reader.getVectorSchemaRoot
-                  val (vs, toClose) = decodedView(reader)
-                  try batch = Array.tabulate(root.getRowCount)(j =>
-                    Row.fromSeq(vs.map(cell(_, j))))
-                  finally toClose.foreach(_.close())
+                  batch = copyBatch(reader).map(Row.fromSeq)
                   i = 0
                 } else closeAll()
               } catch { case e: Throwable => closeAll(); throw e }
@@ -219,6 +223,11 @@ object ArrowIpc {
                         w.setPosition(i)
                         w.startList()
                         row.getSeq[Any](j).foreach { x =>
+                          // null.asInstanceOf[Float] would silently write
+                          // 0.0 — uphold the no-silent-coercion contract
+                          require(x != null, s"null list element in " +
+                            s"'${fd.name}' — the fixture writer takes " +
+                            "non-null elements only")
                           el match {
                             case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
                             case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
@@ -312,18 +321,13 @@ object ArrowIpc {
           new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
       else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
     try {
-      var pending = hasDictFields(reader) && reader.loadNextBatch()
+      val pending = hasDictFields(reader) && reader.loadNextBatch()
       val schema = toSpark(reader.getVectorSchemaRoot.getSchema,
         dictResolver(reader))
       val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-      var loaded = if (pending) { pending = false; true } else reader.loadNextBatch()
+      var loaded = pending || reader.loadNextBatch()
       while (loaded) {
-        val root = reader.getVectorSchemaRoot
-        val (vs, toClose) = decodedView(reader)
-        try {
-          var j = 0
-          while (j < root.getRowCount) { rows += vs.map(cell(_, j)); j += 1 }
-        } finally toClose.foreach(_.close())
+        rows ++= copyBatch(reader)
         loaded = reader.loadNextBatch()
       }
       (schema, rows.toSeq)
@@ -360,10 +364,16 @@ object ArrowIpc {
         s"unsupported arrow vector ${other.getClass.getSimpleName}")
     }
 
-  /** Atomic arrow→spark type mapping; list handled one level up. */
+  /** Atomic arrow→spark type mapping; list handled one level up. The
+    * accepted set must match what [[cell]] can decode EXACTLY — a type
+    * accepted here but unhandled there would pass the driver-side schema
+    * probe and then crash every scan task (so: SIGNED ints only — the
+    * unsigned vectors are different classes — and timestamps must carry
+    * a timezone: a tz-naive timestamp[µs] is NTZ semantics, not an
+    * instant, and arrives as TimeStampMicroVector, not the TZ variant). */
   private def atomicToSpark(t: ArrowType, name: String): DataType = t match {
-    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case i: ArrowType.Int if i.getBitWidth == 64 && i.getIsSigned => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 && i.getIsSigned => IntegerType
     case fp: ArrowType.FloatingPoint
         if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
     case fp: ArrowType.FloatingPoint
@@ -373,7 +383,9 @@ object ArrowIpc {
     case _: ArrowType.Binary => BinaryType
     case d: ArrowType.Date if d.getUnit ==
         org.apache.arrow.vector.types.DateUnit.DAY => DateType
-    case ts: ArrowType.Timestamp if ts.getUnit == TimeUnit.MICROSECOND =>
+    case ts: ArrowType.Timestamp
+        if ts.getUnit == TimeUnit.MICROSECOND &&
+          ts.getTimezone != null && ts.getTimezone.nonEmpty =>
       TimestampType
     case other => throw new IllegalArgumentException(
       s"unsupported arrow type $other for field $name")
@@ -407,12 +419,32 @@ object ArrowIpc {
     * containers deliver dictionary batches with the FIRST record batch,
     * so callers preload one batch (keeping it pending for the row walk)
     * before resolving. */
+  /** Raised when a dictionary-encoded container carries no dictionary
+    * batch (a legal EMPTY stream): the value type is unknowable, so the
+    * schema probe fails loudly — but a zone read treats the container
+    * as zero rows (see read()). */
+  private final class MissingDictionary(id: Long)
+      extends IllegalArgumentException(
+        s"dictionary $id never arrived — an empty dictionary-encoded " +
+          "container has no value type to infer")
+
   private def dictResolver(reader: ArrowReader): Long => ArrowType =
     id => {
       val d = reader.lookup(id)
-      require(d != null, s"dictionary $id never arrived in the stream")
+      if (d == null) throw new MissingDictionary(id)
       d.getVector.getField.getType
     }
+
+  /** Copy the CURRENT batch out of the reader's reused root — raw cell
+    * values per row, dictionary columns decoded, decoded vectors closed
+    * — the ONE implementation both the lazy read() walk and the eager
+    * DSv2 parsed() drain share. */
+  private def copyBatch(reader: ArrowReader): Array[Seq[Any]] = {
+    val root = reader.getVectorSchemaRoot
+    val (vs, toClose) = decodedView(reader)
+    try Array.tabulate(root.getRowCount)(j => vs.map(cell(_, j)))
+    finally toClose.foreach(_.close())
+  }
 
   /** Per-batch vector view with dictionary columns DECODED to their
     * value vectors; second element = decoded vectors to close after the

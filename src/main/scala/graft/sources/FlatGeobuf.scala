@@ -585,20 +585,33 @@ object FlatGeobuf {
     }
   }
 
-  /** Full container parse: header + (skipped index) + features. */
-  private def parseAll(bytes: Array[Byte])
-      : (String, StructType, Int, Array[(String, Int)],
-         Iterator[(FgbGeom, Array[Byte])]) = {
+  /** Validated container prologue shared by every parse path: magic
+    * check + size-prefixed header read; returns the buffer positioned
+    * AFTER the header (at the index or first feature) plus the parsed
+    * header tuple. */
+  private def openContainer(bytes: Array[Byte])
+      : (ByteBuffer, (String, StructType, Int, Array[(String, Int)], (Long, Int, Int))) = {
     require(bytes.length > 8 && bytes.take(8).sameElements(Magic),
       "not a FlatGeobuf 3 container")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     bb.position(8)
+    val len = bb.getInt
+    require(len > 0 && len <= bb.remaining(), s"implausible fgb buffer size $len")
+    val header = new Array[Byte](len); bb.get(header)
+    (bb, parseHeader(header))
+  }
+
+  /** Full container parse: header + (skipped index) + features. */
+  private def parseAll(bytes: Array[Byte])
+      : (String, StructType, Int, Array[(String, Int)],
+         Iterator[(FgbGeom, Array[Byte])]) = {
+    val (bb, (name, schema, epsg, props, (featCount, nodeSize, gt))) =
+      openContainer(bytes)
     def sized(): Array[Byte] = {
       val len = bb.getInt
       require(len > 0 && len <= bb.remaining(), s"implausible fgb buffer size $len")
       val out = new Array[Byte](len); bb.get(out); out
     }
-    val (name, schema, epsg, props, (featCount, nodeSize, gt)) = parseHeader(sized())
     if (nodeSize > 0 && featCount > 0)
       bb.position(bb.position() + packedIndexSize(featCount, nodeSize))
     val feats = new Iterator[(FgbGeom, Array[Byte])] {
@@ -645,15 +658,8 @@ object FlatGeobuf {
       minX: Double, minY: Double, maxX: Double, maxY: Double,
       decoded: Option[org.apache.spark.util.LongAccumulator] = None)
       : (StructType, Array[(String, Int)], Iterator[(FgbGeom, Array[Byte])]) = {
-    require(bytes.length > 8 && bytes.take(8).sameElements(Magic),
-      "not a FlatGeobuf 3 container")
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    bb.position(8)
-    val headerLen = bb.getInt
-    require(headerLen > 0 && headerLen <= bb.remaining(),
-      s"implausible fgb buffer size $headerLen")
-    val header = new Array[Byte](headerLen); bb.get(header)
-    val (_, schema, _, props, (featCount, nodeSize, gt)) = parseHeader(header)
+    val (bb, (_, schema, _, props, (featCount, nodeSize, gt))) =
+      openContainer(bytes)
     def decodeAt(pos: Int): (FgbGeom, Array[Byte]) = {
       decoded.foreach(_.add(1L))
       bb.position(pos)

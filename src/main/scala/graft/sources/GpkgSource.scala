@@ -197,15 +197,22 @@ private[sources] object ContainerFilters {
   }
 
   /** None = incomparable (null or type mismatch) → row survives to the
-    * residual; NULL comparisons are filtered like SQL (non-match). */
+    * residual; NULL comparisons are filtered like SQL (non-match).
+    * Int/Float cells (the Arrow connector's int32/float32 columns)
+    * normalize to Long/Double first so they actually prune at the
+    * source instead of falling through to the residual. */
   private def cmp(cell: Option[Any], v: Any): Option[Int] = (cell, v) match {
     case (Some(null), _) => None // null never matches a comparison
+    case (Some(x: Int), n) => cmp(Some(x.toLong), n)
+    case (Some(x: Float), n) => cmp(Some(x.toDouble), n)
     case (Some(x: Long), n: Long) => Some(java.lang.Long.compare(x, n))
     case (Some(x: Long), n: Int) => Some(java.lang.Long.compare(x, n.toLong))
     case (Some(x: Double), n: Double) => Some(java.lang.Double.compare(x, n))
     case (Some(x: Double), n: Int) => Some(java.lang.Double.compare(x, n.toDouble))
     case (Some(x: Double), n: Long) => Some(java.lang.Double.compare(x, n.toDouble))
+    case (Some(x: Double), n: Float) => Some(java.lang.Double.compare(x, n.toDouble))
     case (Some(x: Long), n: Double) => Some(java.lang.Double.compare(x.toDouble, n))
+    case (Some(x: Long), n: Float) => Some(java.lang.Double.compare(x.toDouble, n.toDouble))
     case (Some(x: String), s: String) => Some(x.compareTo(s))
     case _ => None
   }
