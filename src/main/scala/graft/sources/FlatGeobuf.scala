@@ -66,6 +66,7 @@ object FlatGeobuf {
   private val GeomMultiPoint = 4
   private val GeomMultiLineString = 5
   private val GeomMultiPolygon = 6
+  private val GeomCollection = 7
   private val GParts = 7
   private val ColLong = 7
   private val ColDouble = 10
@@ -131,6 +132,11 @@ object FlatGeobuf {
           val polys = (0 until mpg.getNumGeometries)
             .map(i => fromJts(mpg.getGeometryN(i)))
           FgbGeom(GeomMultiPolygon, Array.empty, Array.empty, polys)
+        case gc: org.locationtech.jts.geom.GeometryCollection =>
+          // heterogeneous children nest exactly like multipolygon parts
+          val kids = (0 until gc.getNumGeometries)
+            .map(i => fromJts(gc.getGeometryN(i)))
+          FgbGeom(GeomCollection, Array.empty, Array.empty, kids)
         case other => throw new IllegalArgumentException(
           s"unsupported fgb geometry ${other.getGeometryType}")
       }
@@ -186,10 +192,10 @@ object FlatGeobuf {
         start = end
       }
       out.toByteArray
-    case GeomMultiPolygon =>
+    case GeomMultiPolygon | GeomCollection =>
       val out = new java.io.ByteArrayOutputStream()
       val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.put(1.toByte); hdr.putInt(6); hdr.putInt(g.parts.length)
+      hdr.put(1.toByte); hdr.putInt(g.gtype); hdr.putInt(g.parts.length)
       out.write(hdr.array())
       g.parts.foreach(p => out.write(geomWkb(p)))
       out.toByteArray
@@ -517,9 +523,9 @@ object FlatGeobuf {
       header: Array[Byte]): (String, StructType, Int, Array[(String, Int)], (Long, Int, Int)) = {
     val h = FlatBuffers.root(header)
     val gt = h.getByte(HGeometryType)
-    require(gt >= GeomUnknown && gt <= GeomMultiPolygon,
+    require(gt >= GeomUnknown && gt <= GeomCollection,
       s"unsupported fgb geometry type $gt " +
-        "(Point/LineString/Polygon + multis + mixed)")
+        "(the 7 OGC simple-feature types + mixed)")
     val name = h.getString(HName).getOrElse("layer")
     val epsg = h.getTable(HCrs).map(_.getInt(CrsCode, 4326)).getOrElse(4326)
     val colsVp = h.vectorPos(HColumns)
@@ -567,13 +573,16 @@ object FlatGeobuf {
       case GeomUnknown => defaultGt
       case t => t
     }
-    require(gt >= GeomPoint && gt <= GeomMultiPolygon,
+    require(gt >= GeomPoint && gt <= GeomCollection,
       s"unsupported fgb feature geometry type $gt")
-    if (gt == GeomMultiPolygon) {
+    if (gt == GeomMultiPolygon || gt == GeomCollection) {
       val pvp = geom.vectorPos(GParts)
-      require(pvp >= 0, "fgb multipolygon without parts")
+      require(pvp >= 0, s"fgb geometry type $gt without parts")
+      // multipolygon children default to Polygon; collection children
+      // must declare their own types (Unknown default fails loudly)
+      val childDefault = if (gt == GeomMultiPolygon) GeomPolygon else GeomUnknown
       val parts = (0 until geom.vectorLen(pvp))
-        .map(i => decodeGeom(geom.tableAt(pvp, i), GeomPolygon))
+        .map(i => decodeGeom(geom.tableAt(pvp, i), childDefault))
       FgbGeom(gt, Array.empty, Array.empty, parts)
     } else {
       val xyVp = geom.vectorPos(GXy)

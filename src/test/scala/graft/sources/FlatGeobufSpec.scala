@@ -170,7 +170,10 @@ class FlatGeobufSpec extends AnyFunSuite {
       "MULTIPOINT ((1 1), (2 2), (3 3))",
       "MULTILINESTRING ((0 0, 1 1), (5 5, 6 6, 7 7))",
       "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
-        "((5 5, 8 5, 8 8, 5 8, 5 5), (6 6, 7 6, 7 7, 6 7, 6 6)))")
+        "((5 5, 8 5, 8 8, 5 8, 5 5), (6 6, 7 6, 7 7, 6 7, 6 6)))",
+      // heterogeneous collection: children carry their OWN types
+      "GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 3 3), " +
+        "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1)))")
     val rows = wkts.zipWithIndex.map { case (w, i) =>
       (Row(i.toLong, s"g$i", null), w)
     }
