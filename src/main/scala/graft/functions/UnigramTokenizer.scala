@@ -230,13 +230,11 @@ object UnigramTokenizer {
        |FROM usage GROUP BY piece
        |ORDER BY cnt DESC, piece""".stripMargin
 
-  /** Oracle for `text_sp_unigram_apply`: per-document token accounting
-    * over EVERY eligible word — corpus chars outside the piece table
-    * fall back to score-1 single-char UNK pieces (the byte-fallback
-    * stance at char granularity), so coverage is total on both sides. */
-  def applyOracle: String =
-    s"""WITH $modelCtes,
-       |dw AS MATERIALIZED (
+  /** Distinct corpus words + UNK-extended piece table + the apply DP —
+    * the total-coverage segmentation chain applyOracle and
+    * fertilityOracle share. */
+  private def applyChainCtes: String =
+    s"""dw AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM wall GROUP BY w),
        |unkpc AS (
        |  SELECT p, CAST(ROUND(ROUND(-LN(1.0 / t), 6) * 1e6, 0) AS BIGINT) AS cost
@@ -245,11 +243,35 @@ object UnigramTokenizer {
        |        WHERE SUBSTR(w, i, 1) NOT IN (SELECT p FROM pc)), tot),
        |pcall AS MATERIALIZED (
        |  SELECT p, cost FROM pc UNION ALL SELECT p, cost FROM unkpc),
-       |${dpCtes("dw", "pcall", "a")}
+       |${dpCtes("dw", "pcall", "a")}""".stripMargin
+
+  /** Oracle for `text_sp_unigram_apply`: per-document token accounting
+    * over EVERY eligible word — corpus chars outside the piece table
+    * fall back to score-1 single-char UNK pieces (the byte-fallback
+    * stance at char granularity), so coverage is total on both sides. */
+  def applyOracle: String =
+    s"""WITH $modelCtes,
+       |$applyChainCtes
        |SELECT doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
        |       CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars
        |FROM wall JOIN aseg USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `text_sp_unigram_fertility`: tokens-per-word by
+    * LANGUAGE over the same total-coverage segmentation — the
+    * multilingual tokenizer-evaluation metric, unigram twin of
+    * Bpe.fertilityOracle. */
+  def fertilityOracle: String =
+    s"""WITH $modelCtes,
+       |$applyChainCtes,
+       |wl AS (
+       |  SELECT wall.w, d.lang FROM wall JOIN documents d USING (doc_id))
+       |SELECT lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM wl JOIN aseg USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -737,6 +737,38 @@ object TextQueries {
       },
       Some(graft.functions.UnigramTokenizer.applyOracle)),
 
+    // Unigram-tokenizer FERTILITY by language — the multilingual
+    // evaluation metric (tokens-per-word decides each language's
+    // effective share of a fixed token budget), over the SAME
+    // total-coverage UNK-fallback segmentation as the apply query, so
+    // the two tokenizer families (BPE / unigram) carry the same
+    // first-class evaluation surface. One broadcast join beyond apply.
+    QuerySpec(
+      "text_sp_unigram_fertility",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (_, cost, total) = graft.functions.UnigramTokenizer.model(s, dir)
+        val unk = graft.functions.UnigramTokenizer.unkCost(total)
+        val words = graft.functions.Bpe.eligibleWords(s, dir)
+        val tokenized = words.select("w").distinct().as[String]
+          .mapPartitions { it =>
+            it.map(w => (w,
+              graft.functions.UnigramTokenizer.viterbiAll(w, cost, unk)
+                .length.toLong))
+          }.toDF("w", "n_tok")
+        words
+          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+          .join(broadcast(tokenized), "w")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_tok")).as("n_tokens"),
+            round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some(graft.functions.UnigramTokenizer.fertilityOracle)),
+
     // Sequence packing over BPE TOKENS — text_pack's 512-token greedy
     // binning re-expressed over what a real training pipeline measures
     // (learned-subword counts, not whitespace splits): the per-doc BPE
