@@ -719,15 +719,7 @@ object TextQueries {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val (_, cost, total) = graft.functions.UnigramTokenizer.model(s, dir)
-        val unk = graft.functions.UnigramTokenizer.unkCost(total)
-        val words = graft.functions.Bpe.eligibleWords(s, dir)
-        val tokenized = words.select("w").distinct().as[String]
-          .mapPartitions { it =>
-            it.map(w => (w,
-              graft.functions.UnigramTokenizer.viterbiAll(w, cost, unk)
-                .length.toLong))
-          }.toDF("w", "n_tok")
+        val (words, tokenized) = unigramTokenized(s, dir)
         words.join(broadcast(tokenized), "w")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
@@ -748,15 +740,7 @@ object TextQueries {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val (_, cost, total) = graft.functions.UnigramTokenizer.model(s, dir)
-        val unk = graft.functions.UnigramTokenizer.unkCost(total)
-        val words = graft.functions.Bpe.eligibleWords(s, dir)
-        val tokenized = words.select("w").distinct().as[String]
-          .mapPartitions { it =>
-            it.map(w => (w,
-              graft.functions.UnigramTokenizer.viterbiAll(w, cost, unk)
-                .length.toLong))
-          }.toDF("w", "n_tok")
+        val (words, tokenized) = unigramTokenized(s, dir)
         words
           .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
           .join(broadcast(tokenized), "w")
@@ -2383,6 +2367,24 @@ object TextQueries {
   /** Shared prediction relation behind `text_nb_apply` /
     * `text_nb_confusion`: argmax-scored (doc_id, pred, actual, correct,
     * score), exactly the apply query minus its final ORDER BY. */
+  /** The unigram tokenize-count kernel shared by apply and fertility:
+    * (every eligible word occurrence, distinct words Viterbi-segmented
+    * executor-side against the broadcast UNK-extended piece table). */
+  private def unigramTokenized(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val spark = s
+    import spark.implicits._
+    val (_, cost, total) = graft.functions.UnigramTokenizer.model(s, dir)
+    val unk = graft.functions.UnigramTokenizer.unkCost(total)
+    val words = graft.functions.Bpe.eligibleWords(s, dir)
+    val tokenized = words.select("w").distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w,
+          graft.functions.UnigramTokenizer.viterbiAll(w, cost, unk)
+            .length.toLong))
+      }.toDF("w", "n_tok")
+    (words, tokenized)
+  }
+
   private def nbPredictions(s: SparkSession, dir: String,
       testFold: Option[Int] = None): DataFrame = {
         val d = docs(s, dir)

@@ -20,10 +20,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * prunes on it) or `index_node_size = 0` for plain scans; the reader
   * handles both, skipping or walking a present index as asked.
   *
-  * Scope: the OGC simple-feature family — Point / LineString / Polygon
-  * (holes) / MultiPoint / MultiLineString / MultiPolygon (nested
-  * `parts` Geometry tables) — with Long/Double/String property columns;
-  * anything else fails loudly. Read path mirrors ArrowIpc: driver-side
+  * Scope: all SEVEN OGC simple-feature types — Point / LineString /
+  * Polygon (holes) / MultiPoint / MultiLineString / MultiPolygon /
+  * GeometryCollection (the last two as nested `parts` Geometry tables)
+  * — with Long/Double/String property columns; anything else fails
+  * loudly. Read path mirrors ArrowIpc: driver-side
   * header sniff for the schema, the feature decode runs INSIDE scan
   * tasks (binaryFile + mapPartitions, one task per container). Geometry
   * lands as a WKB column with the CRS stamped into field metadata (the
@@ -104,6 +105,8 @@ object FlatGeobuf {
       fromJts(new org.locationtech.jts.io.WKTReader().read(wkt))
 
     private def fromJts(g: org.locationtech.jts.geom.Geometry): FgbGeom = {
+      require(!g.isEmpty,
+        s"empty ${g.getGeometryType} — fgb features carry real geometry")
       import org.locationtech.jts.geom.{LineString, MultiLineString, MultiPoint, MultiPolygon, Point, Polygon}
       def flat(cs: Array[org.locationtech.jts.geom.Coordinate]): Array[Double] =
         cs.flatMap(c => Array(c.x, c.y))
@@ -223,9 +226,10 @@ object FlatGeobuf {
       }, epsg, indexNodeSize)
 
   /** General-geometry layer: each row pairs its properties with a WKT
-    * Point / LineString / Polygon (holes included). Mixed-type layers
-    * write header geometry type Unknown(0) with per-feature types — the
-    * spec's mixed-layer convention. */
+    * geometry of any of the seven OGC simple-feature types (empties
+    * rejected loudly). Mixed-type layers write header geometry type
+    * Unknown(0) with per-feature types — the spec's mixed-layer
+    * convention. */
   def writeGeo(path: String, layerName: String, props: StructType,
       rows: Seq[(Row, String)], epsg: Int = 4326,
       indexNodeSize: Int = 0): Unit =
@@ -576,13 +580,17 @@ object FlatGeobuf {
     require(gt >= GeomPoint && gt <= GeomCollection,
       s"unsupported fgb feature geometry type $gt")
     if (gt == GeomMultiPolygon || gt == GeomCollection) {
+      // a missing parts vector is an externally-written EMPTY geometry:
+      // zero parts compose a valid empty WKB (our own writer refuses to
+      // emit empties, but a reader must not reject a legal file)
       val pvp = geom.vectorPos(GParts)
-      require(pvp >= 0, s"fgb geometry type $gt without parts")
       // multipolygon children default to Polygon; collection children
       // must declare their own types (Unknown default fails loudly)
       val childDefault = if (gt == GeomMultiPolygon) GeomPolygon else GeomUnknown
-      val parts = (0 until geom.vectorLen(pvp))
-        .map(i => decodeGeom(geom.tableAt(pvp, i), childDefault))
+      val parts =
+        if (pvp < 0) Seq.empty[FgbGeom]
+        else (0 until geom.vectorLen(pvp))
+          .map(i => decodeGeom(geom.tableAt(pvp, i), childDefault))
       FgbGeom(gt, Array.empty, Array.empty, parts)
     } else {
       val xyVp = geom.vectorPos(GXy)

@@ -209,7 +209,7 @@ class FlatGeobufSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(41)
     def square(x: Int, y: Int, s: Int): String =
       s"($x $y, ${x + s} $y, ${x + s} ${y + s}, $x ${y + s}, $x $y)"
-    def randWkt(): String = rnd.nextInt(6) match {
+    def randWkt(): String = rnd.nextInt(7) match {
       case 0 => s"POINT (${rnd.nextInt(100)} ${rnd.nextInt(100)})"
       case 1 =>
         val pts = (0 to 1 + rnd.nextInt(3))
@@ -228,11 +228,15 @@ class FlatGeobufSpec extends AnyFunSuite {
           s"(${rnd.nextInt(100)} ${rnd.nextInt(100)}, ${rnd.nextInt(100)} ${rnd.nextInt(100)})"
         }.mkString(", ")
         s"MULTILINESTRING ($ls)"
-      case _ =>
+      case 5 =>
         val polys = (0 to rnd.nextInt(2)).map { _ =>
           s"(${square(rnd.nextInt(80), rnd.nextInt(80), 5 + rnd.nextInt(5))})"
         }.mkString(", ")
         s"MULTIPOLYGON ($polys)"
+      case _ =>
+        s"GEOMETRYCOLLECTION (POINT (${rnd.nextInt(100)} ${rnd.nextInt(100)}), " +
+          s"LINESTRING (${rnd.nextInt(100)} ${rnd.nextInt(100)}, " +
+          s"${rnd.nextInt(100)} ${rnd.nextInt(100)}))"
     }
     val reader = new org.locationtech.jts.io.WKTReader()
     import org.apache.spark.sql.functions.col
