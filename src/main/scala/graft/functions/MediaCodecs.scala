@@ -307,7 +307,15 @@ object MediaCodecs {
     var got = 0
     while (got < expect && !infl.finished()) {
       val n = infl.inflate(fb, got, expect - got)
-      require(n > 0 || !infl.needsInput, "truncated IDAT stream")
+      // n == 0 mid-stream is always terminal: needsInput means the
+      // deflate data ran out (truncated), and a zero-progress inflater
+      // that is neither finished nor awaiting input is a stall — the
+      // FDICT preset-dictionary case (needsDictionary true with input
+      // still buffered) would otherwise spin this loop forever
+      require(n > 0,
+        if (infl.needsDictionary)
+          "IDAT requires a preset dictionary (zlib FDICT) — unsupported"
+        else "truncated IDAT stream")
       got += n
     }
     val trailing = infl.inflate(new Array[Byte](1))

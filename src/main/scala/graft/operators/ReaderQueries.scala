@@ -81,31 +81,22 @@ object ReaderQueries {
     "'POINT (' || CAST(n_nationkey AS BIGINT)::VARCHAR || ' ' || " +
       "(CAST(n_regionkey AS BIGINT) * 10)::VARCHAR || ')'"
 
-  /** The embeddings table re-encoded as a genuine Arrow stream container
-    * (list<float32> vectors, int32 label, µs timestamp; multi-batch) —
-    * the landing-zone fixture shared by `scan_arrow_embeddings` and
-    * `topk_similarity_arrow`. Fixture-writer collect (bounded corpus
-    * re-encode, the same class as the other fixture composers — a real
-    * zone would be written by the producing pipeline, not collected). */
+  /** The embeddings table re-encoded as a genuine Arrow stream landing
+    * zone (list<float32> vectors, int32 label, µs timestamp; multi-batch,
+    * multi-container) — shared by `scan_arrow_embeddings` and
+    * `topk_similarity_arrow`. Written DISTRIBUTED through the DSv2
+    * connector's write half (`df.write.format("arrow")`): one container
+    * per partition, executor-side, no driver collect — the same path a
+    * producing pipeline at 100 TB takes. */
   private[operators] def arrowEmbeddingsZone(s: SparkSession, dir: String): String = {
-    val path = fixturePath(dir, "embeddings.arrows")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, containsNull = true),
-        nullable = true),
-      org.apache.spark.sql.types.StructField("label",
-        org.apache.spark.sql.types.IntegerType, nullable = true),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType, nullable = true)))
-    val rows = Tables(s, dir, "embeddings")
+    val zone = fixturePath(dir, "embeddings_arrow_zone")
+    Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
         timestamp_seconds(col("vec_id")).as("ts"))
-      .orderBy("vec_id").collect().toSeq
-    graft.sources.ArrowIpc.write(path, rows, schema, batchRows = 128)
-    path
+      .repartition(2, col("vec_id"))
+      .write.format("arrow").option("batchRows", "128")
+      .mode("overwrite").save(zone)
+    zone
   }
 
   def specs: Seq[QuerySpec] = Seq(
@@ -786,6 +777,36 @@ object ReaderQueries {
                        (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
               FROM embeddings WHERE vec_id < 250 ORDER BY vec_id""")),
 
+    // BODY-COMPRESSED Arrow — the other wire shape real pyarrow/pandas
+    // zones ship: record-batch bodies compressed with LZ4_FRAME or ZSTD
+    // (pyarrow's common write default). A MIXED zone — one lz4
+    // container, one zstd, one uncompressed, each produced by the DSv2
+    // write half with a different `codec` option — must read back as one
+    // table hash-equal to the source through the connector: the
+    // per-buffer decompression (CommonsCompressionFactory over Spark's
+    // own commons-compress + zstd-jni jars) sits under the driver's
+    // oracle, not just a unit fixture. At 100 TB compression is the
+    // difference between shipping 100 TB and ~30 TB over the wire, and
+    // the decode stays per-batch inside the scan task.
+    QuerySpec(
+      "scan_arrow_compressed",
+      (s, dir) => {
+        val zone = fixturePath(dir, "arrow_codec_zone")
+        def part(m: Int) = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 3 === m)
+          .select(col("c_custkey").as("ckey"), col("c_name").as("cname"),
+            col("c_acctbal").as("bal"))
+          .repartition(1)
+        part(0).write.format("arrow").option("codec", "lz4")
+          .mode("overwrite").save(zone)
+        part(1).write.format("arrow").option("codec", "zstd")
+          .mode("append").save(zone)
+        part(2).write.format("arrow").mode("append").save(zone)
+        s.read.format("arrow").load(zone).orderBy("ckey")
+      },
+      Some("""SELECT c_custkey AS ckey, c_name AS cname, c_acctbal AS bal
+              FROM customer ORDER BY ckey""")),
+
     // DICTIONARY-ENCODED Arrow — the wire shape of every pandas/pyarrow
     // CATEGORICAL column (utf8 values shipped once in a dictionary
     // batch, rows as int32 indices): the fixture writes genuine
@@ -1089,25 +1110,32 @@ object ReaderQueries {
     // through the INDEX-DRIVEN bbox path — so the writer's Hilbert
     // ordering, level layout, parent bboxes, and first-child offsets all
     // sit under the driver's hash gate against a DuckDB coordinate
-    // predicate, not just the spec's 25-row fixtures. The collect is the
-    // single-container fixture-writer class (sink_gpkg's stance).
+    // predicate, not just the spec's 25-row fixtures.
     QuerySpec(
       "sink_fgb_indexed",
       (s, dir) => {
-        val path = fixturePath(dir, "fgb_sink_cust.fgb")
-        val props = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ckey",
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("cname",
-            org.apache.spark.sql.types.StringType, nullable = true)))
-        val rows = Tables(s, dir, "customer")
+        // DSv2 write half (`df.write.format("fgb")`): the indexed
+        // container is produced by a WRITE TASK on the executor — the
+        // Hilbert ordering, packed-tree layout and header all happen
+        // inside the task; the driver never sees a feature. One
+        // partition because a packed R-tree spans one container by
+        // construction (the index is per-file in the spec).
+        val out = fixturePath(dir, "fgb_sink_cust_zone")
+        Tables(s, dir, "customer")
           .select(col("c_custkey").cast("long").as("ckey"),
-            col("c_name").as("cname"))
-          .orderBy("ckey").collect()
-          .map(r => (org.apache.spark.sql.Row(r.getLong(0), r.getString(1)),
-            ((r.getLong(0) % 100).toDouble, (r.getLong(0) % 90).toDouble)))
-        graft.sources.FlatGeobuf.write(path, "cust", props, rows.toSeq,
-          indexNodeSize = 16)
+            col("c_name").as("cname"),
+            concat(lit("POINT ("), col("c_custkey").cast("long") % 100,
+              lit(" "), col("c_custkey").cast("long") % 90, lit(")")).as("wkt"))
+          .repartition(1)
+          .write.format("fgb")
+          .option("layer", "cust").option("indexNodeSize", "16")
+          .mode("overwrite").save(out)
+        val path = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".fgb")) match {
+          case Array(one) => one.getPath
+          case more => throw new IllegalStateException(
+            s"expected exactly one container, got ${more.length}")
+        }
         graft.sources.FlatGeobuf.readBbox(s, path, 10.0, 10.0, 30.0, 40.0)
           .select(col("ckey"), col("cname"),
             graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
@@ -1120,6 +1148,70 @@ object ReaderQueries {
               WHERE CAST(c_custkey AS BIGINT) % 100 BETWEEN 10 AND 30
                 AND CAST(c_custkey AS BIGINT) % 90 BETWEEN 10 AND 40
               ORDER BY ckey""")),
+
+    // Distributed MULTI-partition FlatGeobuf write → connector read
+    // round trip: `df.write.format("fgb")` lands one container per
+    // partition (three write tasks here, each running the whole
+    // FlatBuffers encode executor-side), then `format("fgb").load(zone)`
+    // plans one scan task per container. The hash oracle covers the full
+    // geometry + property round trip through BOTH connector halves — the
+    // write-side twin of the "one connector story" the read tier already
+    // tells. At 100 TB this is the landing-zone produce path: N
+    // partitions → N containers → N parallel consumers, no driver rows.
+    QuerySpec(
+      "sink_fgb_dsv2",
+      (s, dir) => {
+        val out = fixturePath(dir, "fgb_dsv2_zone")
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("ckey"),
+            col("c_name").as("cname"),
+            concat(lit("POINT ("), col("c_custkey").cast("long") % 100,
+              lit(" "), col("c_custkey").cast("long") % 90, lit(")")).as("wkt"))
+          .repartition(3, col("ckey"))
+          .write.format("fgb").option("layer", "cust")
+          .mode("overwrite").save(out)
+        s.read.format("fgb").load(out)
+          .select(col("ckey"), col("cname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("ckey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS cname,
+                     'POINT (' || (CAST(c_custkey AS BIGINT) % 100)::VARCHAR || ' ' ||
+                     (CAST(c_custkey AS BIGINT) % 90)::VARCHAR || ')' AS wkt
+              FROM customer ORDER BY ckey""")),
+
+    // Distributed multi-partition Arrow IPC write → connector read round
+    // trip (`df.write.format("arrow")`): four write tasks stream record
+    // batches executor-side (512-row batches — per-task memory is one
+    // batch, not the partition), job-commit renames make the zone appear
+    // atomically, and the read-back aggregate must hash-match the
+    // pre-sink table through DuckDB. Exercises long/string/double/
+    // timestamp cells crossing the InternalRow→Arrow boundary in BOTH
+    // directions.
+    QuerySpec(
+      "sink_arrow_dsv2",
+      (s, dir) => {
+        val out = fixturePath(dir, "arrow_dsv2_zone")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"))
+          .repartition(4)
+          .write.format("arrow").option("batchRows", "512")
+          .mode("overwrite").save(out)
+        s.read.format("arrow").load(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,4)")).cast("double")
+              .as("total_price"),
+            max(col("o_orderdate")).as("last_date"),
+            min(col("o_orderkey")).as("first_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price,
+                     MAX(o_orderdate) AS last_date,
+                     MIN(o_orderkey) AS first_key
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     QuerySpec(
       "sink_parquet_bloom",

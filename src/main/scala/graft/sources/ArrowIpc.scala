@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, TimeStampMicroVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader, ArrowStreamWriter, SeekableReadChannel}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
@@ -33,12 +33,35 @@ import scala.jdk.CollectionConverters._
   * Int32 ↔ int (the four types every Arrow producer emits), plus the
   * embedding-interchange trio an LLM feature store actually hands
   * around — Float32 ↔ float, list&lt;float32&gt; ↔ array&lt;float&gt;,
-  * timestamp[µs, UTC] ↔ timestamp. Anything else fails loudly (no
-  * silent coercion).
+  * timestamp[µs, UTC] ↔ timestamp, tz-naive timestamp[µs] ↔
+  * timestamp_ntz (the default shape pandas/pyarrow writers emit).
+  * Anything else fails loudly (no silent coercion).
   */
 object ArrowIpc {
 
   private val FileMagic = "ARROW1".getBytes("US-ASCII")
+
+  /** Body-decompression factory for every reader this object constructs:
+    * real pyarrow/pandas zones routinely ship LZ4_FRAME- or
+    * ZSTD-compressed record-batch bodies (pyarrow compresses by default
+    * in several write paths), and a reader built without a factory
+    * throws an opaque arrow-internal error on the first such batch.
+    * CommonsCompressionFactory handles both codecs via jars Spark
+    * already bundles (commons-compress, zstd-jni) — uncompressed
+    * batches pass through untouched. */
+  private val Decompress =
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+
+  private def codecType(name: String)
+      : org.apache.arrow.vector.compression.CompressionUtil.CodecType =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "lz4" | "lz4_frame" =>
+        org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+      case "zstd" =>
+        org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD
+      case other => throw new IllegalArgumentException(
+        s"unsupported arrow codec '$other' (lz4 | zstd)")
+    }
 
   private def isFileFormat(head: Array[Byte]): Boolean =
     head.length >= 6 && head.take(6).sameElements(FileMagic)
@@ -67,11 +90,12 @@ object ArrowIpc {
         } finally reader.close()
       if (isFileFormat(head)) {
         val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
-        try schemaOf(new ArrowFileReader(new SeekableReadChannel(ch), alloc))
+        try schemaOf(new ArrowFileReader(new SeekableReadChannel(ch), alloc,
+          Decompress))
         finally ch.close()
       } else {
         val in = new FileInputStream(path)
-        try schemaOf(new ArrowStreamReader(in, alloc))
+        try schemaOf(new ArrowStreamReader(in, alloc, Decompress))
         finally in.close()
       }
     } finally alloc.close()
@@ -93,8 +117,10 @@ object ArrowIpc {
         val reader: ArrowReader =
           if (isFileFormat(bytes))
             new ArrowFileReader(new SeekableReadChannel(
-              new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
-          else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+              new ByteArrayReadableSeekableByteChannel(bytes)), alloc,
+              Decompress)
+          else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc,
+            Decompress)
         // idempotent cleanup shared by the drain path, the failure path,
         // and early task termination: a partially-consumed iterator
         // (pushed limit / take() / task abort) must not leak the reader
@@ -167,7 +193,8 @@ object ArrowIpc {
     * splits the stream into multiple record batches (the shape real
     * producers emit, and what exercises the reader's lazy batch walk). */
   def write(path: String, rows: Seq[Row], schema: StructType,
-      batchRows: Int = Int.MaxValue, fileFormat: Boolean = false): Unit = {
+      batchRows: Int = Int.MaxValue, fileFormat: Boolean = false,
+      codec: Option[String] = None): Unit = {
     val alloc = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(toArrow(schema), alloc)
@@ -176,72 +203,27 @@ object ArrowIpc {
         f.delete() // rewrite-idempotent like the other fixture writers
         val out = new FileOutputStream(f)
         try {
+          val ct = codec.map(codecType)
           val w =
-            if (fileFormat)
-              new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, out.getChannel)
-            else new ArrowStreamWriter(root, null, out.getChannel)
+            if (fileFormat) ct match {
+              case Some(c) => new org.apache.arrow.vector.ipc.ArrowFileWriter(
+                root, null, out.getChannel, null,
+                org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+                Decompress, c)
+              case None => new org.apache.arrow.vector.ipc.ArrowFileWriter(
+                root, null, out.getChannel)
+            } else ct match {
+              case Some(c) => new ArrowStreamWriter(root, null, out.getChannel,
+                org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+                Decompress, c)
+              case None => new ArrowStreamWriter(root, null, out.getChannel)
+            }
           try {
             w.start()
             rows.grouped(math.max(1, batchRows)).foreach { group =>
               root.allocateNew()
               group.zipWithIndex.foreach { case (row, i) =>
-                schema.fields.zipWithIndex.foreach { case (fd, j) =>
-                  // an unset slot stays null (fresh validity bits after
-                  // allocateNew), so null cells just skip the write
-                  if (!row.isNullAt(j))
-                    (fd.dataType, root.getVector(j)) match {
-                      case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
-                      case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
-                      case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
-                      case (FloatType, v: Float4Vector) => v.setSafe(i, row.getFloat(j))
-                      case (StringType, v: VarCharVector) =>
-                        v.setSafe(i, row.getString(j).getBytes("UTF-8"))
-                      case (BooleanType, v: BitVector) =>
-                        v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
-                      case (BinaryType, v: VarBinaryVector) =>
-                        v.setSafe(i, row.getAs[Array[Byte]](j))
-                      case (DateType, v: DateDayVector) =>
-                        val days = row.get(j) match {
-                          case d: java.time.LocalDate => d.toEpochDay
-                          case d: java.sql.Date => d.toLocalDate.toEpochDay
-                          case o => throw new IllegalArgumentException(
-                            s"date cell expects Date/LocalDate, got ${o.getClass}")
-                        }
-                        v.setSafe(i, math.toIntExact(days))
-                      case (TimestampType, v: TimeStampMicroTZVector) =>
-                        val ins = row.get(j) match {
-                          case t: java.sql.Timestamp => t.toInstant
-                          case t: java.time.Instant => t
-                          case o => throw new IllegalArgumentException(
-                            s"timestamp cell expects Timestamp/Instant, got ${o.getClass}")
-                        }
-                        v.setSafe(i, Math.addExact(
-                          Math.multiplyExact(ins.getEpochSecond, 1000000L),
-                          (ins.getNano / 1000).toLong))
-                      case (ArrayType(el, _), v: ListVector) =>
-                        val w = v.getWriter
-                        w.setPosition(i)
-                        w.startList()
-                        row.getSeq[Any](j).foreach { x =>
-                          // null.asInstanceOf[Float] would silently write
-                          // 0.0 — uphold the no-silent-coercion contract
-                          require(x != null, s"null list element in " +
-                            s"'${fd.name}' — the fixture writer takes " +
-                            "non-null elements only")
-                          el match {
-                            case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
-                            case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
-                            case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
-                            case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
-                            case other => throw new IllegalArgumentException(
-                              s"unsupported list element type $other")
-                          }
-                        }
-                        w.endList()
-                      case (t, v) => throw new IllegalArgumentException(
-                        s"unsupported fixture type $t -> ${v.getClass.getSimpleName}")
-                    }
-                }
+                setRow(root, schema, row, i)
               }
               root.setRowCount(group.length)
               w.writeBatch()
@@ -251,6 +233,121 @@ object ArrowIpc {
         } finally out.close()
       } finally root.close()
     } finally alloc.close()
+  }
+
+  /** One row into the root's vectors at slot `i` — the cell-encoding
+    * core shared by the fixture writer above and the streaming DSv2
+    * sink below. An unset slot stays null (fresh validity bits after
+    * allocateNew), so null cells just skip the write. */
+  private def setRow(root: VectorSchemaRoot, schema: StructType,
+      row: Row, i: Int): Unit =
+    schema.fields.zipWithIndex.foreach { case (fd, j) =>
+      if (!row.isNullAt(j))
+        (fd.dataType, root.getVector(j)) match {
+          case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
+          case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
+          case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
+          case (FloatType, v: Float4Vector) => v.setSafe(i, row.getFloat(j))
+          case (StringType, v: VarCharVector) =>
+            v.setSafe(i, row.getString(j).getBytes("UTF-8"))
+          case (BooleanType, v: BitVector) =>
+            v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+          case (BinaryType, v: VarBinaryVector) =>
+            v.setSafe(i, row.getAs[Array[Byte]](j))
+          case (DateType, v: DateDayVector) =>
+            val days = row.get(j) match {
+              case d: java.time.LocalDate => d.toEpochDay
+              case d: java.sql.Date => d.toLocalDate.toEpochDay
+              case o => throw new IllegalArgumentException(
+                s"date cell expects Date/LocalDate, got ${o.getClass}")
+            }
+            v.setSafe(i, math.toIntExact(days))
+          case (TimestampType, v: TimeStampMicroTZVector) =>
+            val ins = row.get(j) match {
+              case t: java.sql.Timestamp => t.toInstant
+              case t: java.time.Instant => t
+              case o => throw new IllegalArgumentException(
+                s"timestamp cell expects Timestamp/Instant, got ${o.getClass}")
+            }
+            v.setSafe(i, Math.addExact(
+              Math.multiplyExact(ins.getEpochSecond, 1000000L),
+              (ins.getNano / 1000).toLong))
+          case (TimestampNTZType, v: TimeStampMicroVector) =>
+            val ldt = row.get(j) match {
+              case t: java.time.LocalDateTime => t
+              case o => throw new IllegalArgumentException(
+                s"ntz timestamp cell expects LocalDateTime, got ${o.getClass}")
+            }
+            v.setSafe(i, Math.addExact(
+              Math.multiplyExact(ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+              (ldt.getNano / 1000).toLong))
+          case (ArrayType(el, _), v: ListVector) =>
+            val w = v.getWriter
+            w.setPosition(i)
+            w.startList()
+            row.getSeq[Any](j).foreach { x =>
+              // null.asInstanceOf[Float] would silently write
+              // 0.0 — uphold the no-silent-coercion contract
+              require(x != null, s"null list element in " +
+                s"'${fd.name}' — the arrow writer takes " +
+                "non-null elements only")
+              el match {
+                case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
+                case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
+                case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
+                case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
+                case other => throw new IllegalArgumentException(
+                  s"unsupported list element type $other")
+              }
+            }
+            w.endList()
+          case (t, v) => throw new IllegalArgumentException(
+            s"unsupported arrow write type $t -> ${v.getClass.getSimpleName}")
+        }
+    }
+
+  /** Executor-side streaming sink — the [[ContainerWriteSupport]] leg of
+    * `df.write.format("arrow")`: record batches of `batchRows` flushed
+    * as rows arrive, so per-task peak memory is one batch regardless of
+    * partition size. */
+  def sink(path: String, schema: StructType, batchRows: Int,
+      codec: Option[String] = None): ContainerSink = {
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
+    new ContainerSink {
+      private val alloc = new RootAllocator()
+      private val root = VectorSchemaRoot.create(toArrow(schema), alloc)
+      private val out = new FileOutputStream(path)
+      private val w = codec.map(codecType) match {
+        case Some(c) => new ArrowStreamWriter(root, null, out.getChannel,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT, Decompress, c)
+        case None => new ArrowStreamWriter(root, null, out.getChannel)
+      }
+      w.start()
+      root.allocateNew()
+      private var i = 0
+      override def append(row: Row): Unit = {
+        setRow(root, schema, row, i)
+        i += 1
+        if (i >= batchRows) flushBatch()
+      }
+      private def flushBatch(): Unit = if (i > 0) {
+        root.setRowCount(i)
+        w.writeBatch()
+        root.allocateNew()
+        i = 0
+      }
+      override def finish(): Unit = {
+        flushBatch()
+        try { w.end(); w.close() }
+        finally { try out.close() finally { root.close(); alloc.close() } }
+      }
+      override def abort(): Unit = {
+        def quiet(f: => Unit): Unit = try f catch { case _: Throwable => () }
+        quiet(w.close()); quiet(out.close())
+        quiet(root.close()); quiet(alloc.close())
+        new java.io.File(path).delete(): Unit
+      }
+    }
   }
 
   /** Fixture writer for DICTIONARY-ENCODED containers — the shape every
@@ -318,8 +415,9 @@ object ArrowIpc {
     val reader: ArrowReader =
       if (isFileFormat(bytes))
         new ArrowFileReader(new SeekableReadChannel(
-          new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
-      else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+          new ByteArrayReadableSeekableByteChannel(bytes)), alloc, Decompress)
+      else new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc,
+        Decompress)
     try {
       val pending = hasDictFields(reader) && reader.loadNextBatch()
       val schema = toSpark(reader.getVectorSchemaRoot.getSchema,
@@ -352,6 +450,12 @@ object ArrowIpc {
         java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros, 1000000L),
           Math.floorMod(micros, 1000000L) * 1000L)
+      case t: TimeStampMicroVector => // tz-naive: wall-clock LocalDateTime
+        val micros = t.get(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       case l: ListVector =>
         // copy the slice out element-wise off the CHILD vector — the
         // row must outlive the reused VectorSchemaRoot
@@ -387,6 +491,12 @@ object ArrowIpc {
         if ts.getUnit == TimeUnit.MICROSECOND &&
           ts.getTimezone != null && ts.getTimezone.nonEmpty =>
       TimestampType
+    // tz-NAIVE micros are wall-clock semantics — Spark's TimestampNTZ,
+    // the shape most real pyarrow/pandas writers emit by default
+    case ts: ArrowType.Timestamp
+        if ts.getUnit == TimeUnit.MICROSECOND &&
+          (ts.getTimezone == null || ts.getTimezone.isEmpty) =>
+      TimestampNTZType
     case other => throw new IllegalArgumentException(
       s"unsupported arrow type $other for field $name")
   }
@@ -476,6 +586,7 @@ object ArrowIpc {
     case BinaryType => ArrowType.Binary.INSTANCE
     case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
     case other => throw new IllegalArgumentException(
       s"unsupported spark type $other for field $name")
   }

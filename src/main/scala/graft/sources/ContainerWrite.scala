@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import java.io.File
+
+/** Distributed WRITE half of the container connector tier
+  * (`df.write.format("fgb"|"arrow").save(dir)`).
+  *
+  * The reference's whole job is a write (geo_strategy.rs:350-421 hands a
+  * final CTAS to PostGIS); its Spark re-expression must not funnel the
+  * dataset through the driver. Here each write TASK emits one container
+  * file for its partition, executor-side — a 1000-partition DataFrame
+  * lands as 1000 containers written by 1000 parallel tasks, the layout a
+  * landing-zone consumer (this repo's own `format("fgb"|"arrow")` read
+  * tier, one scan task per container) wants anyway. The driver never
+  * sees a row.
+  *
+  * Commit protocol is the classic two-phase v1 algorithm: tasks write to
+  * dot-prefixed `.part-*.inprogress` temps (invisible to the read tier,
+  * which skips hidden files), task commit reports the temp, and JOB
+  * commit renames all temps to their final `part-NNNNN-task.ext` names —
+  * so a failed or partially-executed write leaves no visible container,
+  * and speculative duplicate attempts die at the job-commit boundary
+  * (only the committed task's message is renamed). On a cluster the
+  * target is shared storage (the same premise every Hadoop committer
+  * rests on); renames are metadata-only there.
+  *
+  * Container formats are single-file units: the per-partition sink may
+  * buffer ITS OWN partition when the format needs whole-layer knowledge
+  * (FlatGeobuf's header feature count + packed Hilbert index), which is
+  * bounded by partition sizing — the executor-memory contract every
+  * Spark shuffle already holds — never by corpus size. The Arrow sink
+  * streams record batches and holds only `batchRows` rows at a time.
+  */
+trait ContainerSink {
+  /** Append one row (external types, matching the write schema). */
+  def append(row: Row): Unit
+  /** Finalize the container (flush, trailer, close). */
+  def finish(): Unit
+  /** Best-effort cleanup on task failure. */
+  def abort(): Unit
+}
+
+/** Per-format factory for executor-side single-container sinks; a
+  * serializable object shipped inside the writer factory. */
+trait ContainerWriteSupport extends Serializable {
+  /** Container file extension (also the truncate-scope suffix). */
+  def extension: String
+  def newSink(path: String, schema: StructType,
+      options: Map[String, String]): ContainerSink
+}
+
+final class ContainerWriteBuilder(format: String, schema: StructType,
+    dir: String, ws: ContainerWriteSupport, options: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateAll = false
+  // mode("overwrite") arrives as a truncate of the whole target
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ContainerBatchWrite(format, schema, dir, ws, options, truncateAll)
+  }
+}
+
+final class ContainerBatchWrite(format: String, schema: StructType,
+    dir: String, ws: ContainerWriteSupport, options: Map[String, String],
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val d = new File(dir)
+    require(d.isDirectory || d.mkdirs(),
+      s"cannot create $format write target directory $dir")
+    if (truncate)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith("." + ws.extension))
+        .foreach(f => require(f.delete(), s"cannot truncate ${f.getPath}"))
+    new ContainerDataWriterFactory(schema, dir, ws, options)
+  }
+
+  /** Job commit: rename every committed task's temp to its final name.
+    * Until this point no visible container exists, so readers of the
+    * zone never observe a half-written job. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ContainerCommit(tmp, dst) if tmp.nonEmpty =>
+        val src = new File(tmp)
+        require(src.renameTo(new File(dst)),
+          s"container commit rename failed: $tmp -> $dst")
+      case _ => ()
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ContainerCommit(tmp, _) if tmp.nonEmpty => new File(tmp).delete(): Unit
+      case _ => ()
+    }
+}
+
+/** @param tmp in-progress path ("" = empty partition, nothing written)
+  * @param dst final container path the job commit renames to */
+final case class ContainerCommit(tmp: String, dst: String)
+    extends WriterCommitMessage
+
+final class ContainerDataWriterFactory(schema: StructType, dir: String,
+    ws: ContainerWriteSupport, options: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ContainerDataWriter(schema, dir, ws, options, partitionId, taskId)
+}
+
+final class ContainerDataWriter(schema: StructType, dir: String,
+    ws: ContainerWriteSupport, options: Map[String, String],
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  // task-attempt-unique temp (dot prefix keeps it invisible to the read
+  // tier and to Spark's own file listings until job commit renames it)
+  private val stem = f"part-$partitionId%05d-$taskId.${ws.extension}"
+  private val tmpFile = new File(dir, s".$stem.inprogress")
+  private val dstFile = new File(dir, stem)
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  // opened on first row: an empty partition writes no container at all
+  // (a zero-feature container would be legal but useless, and skipping
+  // it keeps zone listings proportional to data, not to partition count)
+  private var sink: ContainerSink = null
+
+  override def write(record: InternalRow): Unit = {
+    if (sink == null) sink = ws.newSink(tmpFile.getPath, schema, options)
+    sink.append(toScala(record).asInstanceOf[Row])
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (sink == null) ContainerCommit("", "")
+    else { sink.finish(); ContainerCommit(tmpFile.getPath, dstFile.getPath) }
+
+  override def abort(): Unit = if (sink != null) sink.abort()
+  override def close(): Unit = ()
+}
+
+/** FlatGeobuf write support: schema = one StringType `wkt` geometry
+  * column + Long/Double/String property columns. Options: `layer`
+  * (header layer name), `epsg`, `indexNodeSize` (>0 writes the packed
+  * Hilbert R-tree; features reordered along the curve per container).
+  * The sink buffers its own partition — the header's feature count and
+  * the index's layout need the whole layer — which is the partition-
+  * sized memory contract, never the corpus. */
+object FgbWriteSupport extends ContainerWriteSupport {
+  override def extension: String = "fgb"
+  override def newSink(path: String, schema: StructType,
+      options: Map[String, String]): ContainerSink = new ContainerSink {
+    private val wktIdx = {
+      val i = schema.fieldNames.indexOf("wkt")
+      require(i >= 0 &&
+          schema.fields(i).dataType == org.apache.spark.sql.types.StringType,
+        s"fgb write needs a string geometry column named 'wkt'; " +
+          s"schema is ${schema.simpleString}")
+      i
+    }
+    private val propFields =
+      schema.fields.zipWithIndex.filter(_._2 != wktIdx)
+    private val props = StructType(propFields.map(_._1))
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Row, String)]
+    override def append(row: Row): Unit = {
+      require(!row.isNullAt(wktIdx), "fgb write: null wkt geometry")
+      buf += ((Row.fromSeq(propFields.toIndexedSeq.map { case (_, i) => row.get(i) }),
+        row.getString(wktIdx)))
+    }
+    override def finish(): Unit =
+      FlatGeobuf.writeGeo(path, options.getOrElse("layer", "layer"),
+        props, buf.toSeq,
+        epsg = options.getOrElse("epsg", "4326").toInt,
+        indexNodeSize = options.getOrElse("indexnodesize", "0").toInt)
+    override def abort(): Unit = new File(path).delete(): Unit
+  }
+}
+
+/** Arrow IPC stream write support: streaming record batches of
+  * `batchRows` (default 1024) rows — per-task peak memory is one batch.
+  * Type coverage is [[ArrowIpc]]'s interchange set. Option `codec`
+  * (`lz4` | `zstd`) compresses record-batch bodies — the wire shape
+  * default pyarrow writers produce. */
+object ArrowWriteSupport extends ContainerWriteSupport {
+  override def extension: String = "arrows"
+  override def newSink(path: String, schema: StructType,
+      options: Map[String, String]): ContainerSink =
+    ArrowIpc.sink(path, schema,
+      options.getOrElse("batchrows", "1024").toInt,
+      options.get("codec"))
+}

@@ -598,6 +598,19 @@ object FlatGeobuf {
       val xy = geom.doublesAt(xyVp)
       val endsVp = geom.vectorPos(GEnds)
       val ends = if (endsVp < 0) Array.empty[Int] else geom.uintsAt(endsVp)
+      // the WKB emitter sizes its buffer assuming `ends` exactly
+      // partitions xy — an externally-written container whose ends
+      // vector is non-monotonic or doesn't land on the point count
+      // would otherwise produce silent trailing zeros or an
+      // out-of-bounds read instead of a loud reject
+      if (ends.nonEmpty) {
+        require(ends.head > 0 &&
+            ends.iterator.sliding(2).withPartial(false).forall(p => p(0) < p(1)),
+          s"fgb geometry ends vector not strictly increasing: [${ends.mkString(",")}]")
+        require(ends.last == xy.length / 2,
+          s"fgb geometry ends vector last=${ends.last} does not partition " +
+            s"the ${xy.length / 2} points")
+      }
       FgbGeom(gt, xy, ends)
     }
   }

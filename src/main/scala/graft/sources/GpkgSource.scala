@@ -33,6 +33,11 @@ abstract class ContainerSource extends TableProvider with DataSourceRegister {
   /** Full container parse: (inferred schema, rows in external types). */
   def parse: String => (StructType, Seq[Seq[Any]])
 
+  /** Write half, when the format has one ([[ContainerWriteSupport]]):
+    * enables `df.write.format(shortName).save(dir)` — one container per
+    * partition, written executor-side. None = read-only connector. */
+  def writeSupport: Option[ContainerWriteSupport] = None
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = ContainerSource.paths(options).flatMap(ContainerSource.containerFiles)
     require(paths.nonEmpty,
@@ -44,7 +49,8 @@ abstract class ContainerSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new ContainerTable(shortName(), schema,
-      ContainerSource.paths(new CaseInsensitiveStringMap(properties)), parse)
+      ContainerSource.paths(new CaseInsensitiveStringMap(properties)), parse,
+      writeSupport)
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -70,6 +76,8 @@ final class FgbSource extends ContainerSource {
   override def shortName(): String = "fgb"
   override def parse: String => (StructType, Seq[Seq[Any]]) =
     FlatGeobuf.parsed _
+  override def writeSupport: Option[ContainerWriteSupport] =
+    Some(FgbWriteSupport)
 }
 
 /** Arrow IPC connector: `spark.read.format("arrow").load(...)` — both
@@ -78,6 +86,8 @@ final class ArrowSource extends ContainerSource {
   override def shortName(): String = "arrow"
   override def parse: String => (StructType, Seq[Seq[Any]]) =
     ArrowIpc.parsed _
+  override def writeSupport: Option[ContainerWriteSupport] =
+    Some(ArrowWriteSupport)
 }
 
 object ContainerSource {
@@ -92,12 +102,16 @@ object ContainerSource {
   /** A path argument may be a container FILE or a landing-zone
     * DIRECTORY of containers: directories expand to their regular files
     * in lexicographic order — the order the streaming offset below is
-    * defined over. */
+    * defined over. Hidden files (dot/underscore prefixes — the Hadoop
+    * convention, and this tier's own in-progress write temps) are
+    * skipped, so a zone mid-write never exposes partial containers. */
   private[sources] def containerFiles(path: String): Seq[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+        .filter(c => c.isFile &&
+          !c.getName.startsWith(".") && !c.getName.startsWith("_"))
+        .map(_.getAbsolutePath).sorted.toSeq
     else Seq(path)
   }
 
@@ -114,14 +128,38 @@ object ContainerSource {
 }
 
 final class ContainerTable(format: String, tableSchema: StructType,
-    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
-    extends Table with SupportsRead {
+    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]),
+    writeSupport: Option[ContainerWriteSupport] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"$format(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    // overwrite mode needs TRUNCATE alongside BATCH_WRITE
+    if (writeSupport.isDefined) {
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+    }
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ContainerScanBuilder(format, tableSchema, paths, parse)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val ws = writeSupport.getOrElse(throw new UnsupportedOperationException(
+      s"$format is a read-only connector"))
+    // a write targets exactly one zone directory (each partition lands
+    // as one container inside it)
+    require(paths.length == 1,
+      s"$format write needs exactly one target directory, got $paths")
+    import scala.jdk.CollectionConverters._
+    val opts = info.options().asCaseSensitiveMap().asScala
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    new ContainerWriteBuilder(format, info.schema(), paths.head, ws, opts)
+  }
 }
 
 final class ContainerScanBuilder(format: String, full: StructType,
@@ -403,6 +441,8 @@ final class ContainerReaderFactory(required: StructType,
         case d: java.time.LocalDate => d.toEpochDay.toInt
         case ins: java.time.Instant =>
           org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(ins)
+        case ldt: java.time.LocalDateTime => // TimestampNTZ wall-clock
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(ldt)
         case ts: java.sql.Timestamp =>
           org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
         case seq: Seq[_] =>

@@ -152,6 +152,56 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(dsv2.map(r => (r.getLong(0), r.getString(1))).toSeq == rows)
   }
 
+  test("lz4/zstd body-compressed batches decode — stream, file, and zones") {
+    val rows = (0L until 500L).map(i => Row(i, s"some-reasonably-long-value-$i"))
+    // stream format, both codecs, multi-batch
+    for (codec <- Seq("lz4", "zstd")) {
+      val pc = tmp(s"c-$codec.arrows")
+      val pu = tmp(s"u-$codec.arrows")
+      ArrowIpc.write(pc, rows, schema, batchRows = 64, codec = Some(codec))
+      ArrowIpc.write(pu, rows, schema, batchRows = 64)
+      val cb = java.nio.file.Files.size(java.nio.file.Paths.get(pc))
+      val ub = java.nio.file.Files.size(java.nio.file.Paths.get(pu))
+      assert(cb < ub, s"$codec container ($cb B) not smaller than plain ($ub B)")
+      val back = ArrowIpc.read(spark, pc).orderBy("k").collect()
+      assert(back.length == 500)
+      assert(back(123) == Row(123L, "some-reasonably-long-value-123"))
+    }
+    // ARROW1 file format compressed
+    val pf = tmp("c.arrow")
+    ArrowIpc.write(pf, rows, schema, batchRows = 64, fileFormat = true,
+      codec = Some("zstd"))
+    assert(ArrowIpc.read(spark, pf).count() == 500)
+    // mixed zone: lz4 + zstd + plain containers, one schema
+    val dir = java.nio.file.Files.createTempDirectory("arrowmix").toFile
+    dir.deleteOnExit()
+    ArrowIpc.write(new java.io.File(dir, "a.arrows").getPath,
+      rows.take(100), schema, codec = Some("lz4"))
+    ArrowIpc.write(new java.io.File(dir, "b.arrows").getPath,
+      rows.slice(100, 200), schema, codec = Some("zstd"))
+    ArrowIpc.write(new java.io.File(dir, "c.arrows").getPath,
+      rows.drop(200), schema)
+    assert(ArrowIpc.read(spark, dir.getPath).count() == 500)
+    // the DSv2 parse path decompresses too
+    val (sch, parsedRows) = ArrowIpc.parsed(new java.io.File(dir, "a.arrows").getPath)
+    assert(sch == schema && parsedRows.length == 100)
+  }
+
+  test("ntz timestamps (tz-naive micros) round-trip as TimestampNTZ") {
+    val ntzSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("t", TimestampNTZType, nullable = true)))
+    val rows = (0L until 10L).map(i =>
+      Row(i, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(i)))
+    val p = tmp("ntz.arrows")
+    ArrowIpc.write(p, rows, ntzSchema)
+    assert(ArrowIpc.sparkSchema(p) == ntzSchema)
+    val back = ArrowIpc.read(spark, p).orderBy("k").collect()
+    assert(back.length == 10)
+    assert(back(3).getAs[java.time.LocalDateTime](1) ==
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 3))
+  }
+
   test("unsupported types still fail loudly (no silent coercion)") {
     // list<utf8> is outside the declared coverage — both directions throw
     intercept[IllegalArgumentException] {

@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Distributed DSv2 container writes (`df.write.format("fgb"|"arrow")`)
+  * — multi-partition round trips through the connector READ tier, the
+  * commit protocol's temp/rename discipline, overwrite truncation, and
+  * the plan-level guarantee that the write is a V2 job (executor-side),
+  * not a driver collect. */
+class ContainerWriteSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"cw-$tag").toFile.getAbsolutePath
+
+  test("arrow: multi-partition write round-trips through format(\"arrow\") read") {
+    import s.implicits._
+    val dir = tmpDir("arrow-rt")
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+      .withColumn("score", col("id").cast("double") / 7.0)
+      .withColumn("vec", array(col("id").cast("float"),
+        (col("id") + 1).cast("float")))
+      .repartition(4)
+    df.write.format("arrow").option("batchRows", "64").mode("append").save(dir)
+
+    val files = new java.io.File(dir).listFiles().filter(_.isFile)
+    assert(files.count(_.getName.endsWith(".arrows")) === 4,
+      "one container per partition")
+    assert(!files.exists(_.getName.endsWith(".inprogress")),
+      "no temps survive job commit")
+
+    val back = s.read.format("arrow").load(dir)
+    // nullability round-trips through the Arrow field metadata exactly
+    assert(back.schema === df.schema)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "name", "score", "vec"))
+    assert(back.count() === 1000)
+    val got = back.orderBy("id").collect()
+    assert(got(17).getLong(0) === 17L)
+    assert(got(17).getString(1) === "n17")
+    assert(got(17).getDouble(2) === 17.0 / 7.0)
+    assert(got(17).getSeq[Float](3) === Seq(17.0f, 18.0f))
+  }
+
+  test("arrow: empty partitions write no container") {
+    import s.implicits._
+    val dir = tmpDir("arrow-empty")
+    (0L until 3L).toDF("id").repartition(8)
+      .write.format("arrow").mode("append").save(dir)
+    val n = new java.io.File(dir).listFiles().count(_.getName.endsWith(".arrows"))
+    assert(n <= 3 && n >= 1, s"only non-empty partitions land, got $n")
+    assert(s.read.format("arrow").load(dir).count() === 3)
+  }
+
+  test("arrow: overwrite truncates previous containers, append adds") {
+    import s.implicits._
+    val dir = tmpDir("arrow-modes")
+    (0L until 10L).toDF("id").repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    (10L until 20L).toDF("id").repartition(2)
+      .write.format("arrow").mode("append").save(dir)
+    assert(s.read.format("arrow").load(dir).count() === 20)
+    (0L until 5L).toDF("id").repartition(1)
+      .write.format("arrow").mode("overwrite").save(dir)
+    assert(s.read.format("arrow").load(dir).count() === 5)
+  }
+
+  test("fgb: multi-partition write round-trips, geometry + props intact") {
+    import s.implicits._
+    val dir = tmpDir("fgb-rt")
+    val df = (0L until 200L).toDF("k")
+      .withColumn("nm", concat(lit("f"), col("k")))
+      .withColumn("wkt", concat(lit("POINT ("), col("k") % 50, lit(" "),
+        col("k") % 40, lit(")")))
+      .repartition(3)
+    df.write.format("fgb").option("layer", "pts").mode("append").save(dir)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fgb"))
+    assert(files.length === 3)
+
+    val back = s.read.format("fgb").load(dir)
+    // fgb read surfaces geometry as WKB `geom` + the property columns
+    assert(back.columns.toSet === Set("k", "nm", "geom"))
+    assert(back.count() === 200)
+    val one = back.filter(col("k") === 123L)
+      .select(col("nm"),
+        graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("w"))
+      .collect()
+    assert(one.length === 1)
+    assert(one(0).getString(0) === "f123")
+    assert(one(0).getString(1) === "POINT (23 3)")
+  }
+
+  test("fgb: indexed single-container write serves the bbox read path") {
+    import s.implicits._
+    val dir = tmpDir("fgb-idx")
+    (0L until 300L).toDF("k")
+      .withColumn("wkt", concat(lit("POINT ("), col("k") % 100, lit(" "),
+        col("k") % 90, lit(")")))
+      .repartition(1)
+      .write.format("fgb")
+      .option("layer", "pts").option("indexNodeSize", "16").mode("append").save(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fgb")).head
+    val got = FlatGeobuf.readBbox(s, file.getPath, 10.0, 10.0, 20.0, 20.0)
+      .count()
+    val want = (0L until 300L).count(k =>
+      k % 100 >= 10 && k % 100 <= 20 && k % 90 >= 10 && k % 90 <= 20)
+    assert(got === want.toLong)
+  }
+
+  test("fgb: write without a wkt column fails loudly") {
+    import s.implicits._
+    val dir = tmpDir("fgb-nowkt")
+    val e = intercept[Exception] {
+      (0L until 4L).toDF("k").write.format("fgb").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("write plan is a V2 batch job, not a driver collect") {
+    import s.implicits._
+    // the observable contract: the logical plan Spark runs for save() is
+    // AppendData/OverwriteByExpression over our ContainerTable — rows
+    // flow through DataWriterFactory tasks. Verify by listening for the
+    // executed plan's node name.
+    val dir = tmpDir("arrow-plan")
+    var planSeen: String = null
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.executedPlan.toString.contains("ContainerBatchWrite") ||
+            qe.optimizedPlan.toString.contains("ContainerTable") ||
+            qe.executedPlan.nodeName.contains("AppendData") ||
+            qe.executedPlan.nodeName.contains("Overwrite"))
+          planSeen = qe.executedPlan.nodeName
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      (0L until 10L).toDF("id").repartition(2)
+        .write.format("arrow").mode("append").save(dir)
+      // listener delivery is async — bounded wait
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (planSeen == null && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(planSeen != null, "expected a V2 write node in the executed plan")
+    } finally s.listenerManager.unregister(listener)
+  }
+}
