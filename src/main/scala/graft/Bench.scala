@@ -33,7 +33,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_QUIESCE=0.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE", "1") != "0") {
       val quietBelow = cpus.toDouble
-      val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
+      // 30-minute refuse-and-retry (was 15): three rounds of driver
+      // artifacts shipped contended because a co-tenant was still
+      // draining when the gate gave up. Still bounded — the driver
+      // must get SOME artifact — but the honest `contended` flag below
+      // records whether the gate ultimately lost the wait.
+      val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
       var load = loadAvg()
       while (load > quietBelow && System.nanoTime() < deadline) {
         System.err.println(
@@ -41,6 +46,9 @@ object Bench {
         Thread.sleep(30000)
         load = loadAvg()
       }
+      if (load > quietBelow)
+        System.err.println(f"BENCH: proceeding CONTENDED after 30 min " +
+          f"(load $load%.2f) — treat this artifact's totals as noisy")
     }
     // External-load proxy captured BEFORE any work of our own: once the
     // warmup's 32-thread burn starts, the 1-min load average measures US

@@ -398,6 +398,94 @@ object ArrowIpc {
     } finally alloc.close()
   }
 
+  /** Fixture writer for DELTA dictionary batches — the IPC spec's
+    * `isDelta=true` mid-stream dictionary APPEND (a producer streaming a
+    * growing categorical emits new values as deltas instead of
+    * re-shipping the dictionary). ArrowStreamWriter never emits deltas,
+    * so the messages are serialized by hand: schema, initial dictionary
+    * (ids into `firstVals`), record batch 1, a delta batch carrying
+    * `deltaVals` (dictionary becomes firstVals ++ deltaVals), record
+    * batch 2 whose indices may reference the appended region, EOS.
+    * `rows` are (nkey, cat) with cat indexed into the COMBINED value
+    * list; `split` = row count of batch 1 (its cats must index into
+    * firstVals only — enforced loudly). */
+  def writeDictDeltaFixture(path: String, firstVals: Seq[String],
+      deltaVals: Seq[String], rows: Seq[(Long, String)], split: Int): Unit = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch, MessageSerializer}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    import org.apache.arrow.vector.VectorUnloader
+    val all = firstVals ++ deltaVals
+    require(all.distinct == all, "dictionary values must be unique")
+    val idx = all.zipWithIndex.toMap
+    rows.take(split).foreach { case (_, c) =>
+      require(idx(c) < firstVals.length,
+        s"batch-1 value '$c' not in the initial dictionary")
+    }
+    val encoding = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+    val alloc = new RootAllocator()
+    try {
+      val keyField = new Field("nkey",
+        new FieldType(true, new ArrowType.Int(64, true), null), null)
+      // the IPC SCHEMA MESSAGE declares a dict-encoded field with its
+      // VALUE type (utf8) — the int32 index type travels inside the
+      // DictionaryEncoding; the record-batch BODY carries the index
+      // vector, so the in-memory field is int32 (this is exactly the
+      // toMessageFormat conversion ArrowStreamWriter does internally)
+      val catMsgField = new Field("cat",
+        new FieldType(true, ArrowType.Utf8.INSTANCE, encoding), null)
+      val catField = new Field("cat",
+        new FieldType(true, new ArrowType.Int(32, true), encoding), null)
+      val schema = new ArrowSchema(java.util.List.of(keyField, catMsgField))
+      // nullable: the reader reconstructs the dictionary vector from the
+      // schema's value type with the standard 3-buffer varchar layout —
+      // a non-nullable field here would serialize a layout the loader
+      // can't consume
+      val valueField = new Field("cat_values",
+        new FieldType(true, ArrowType.Utf8.INSTANCE, null), null)
+
+      def dictBatch(vals: Seq[String], isDelta: Boolean): ArrowDictionaryBatch = {
+        val v = valueField.createVector(alloc).asInstanceOf[VarCharVector]
+        v.allocateNew()
+        vals.zipWithIndex.foreach { case (s, i) => v.setSafe(i, s.getBytes("UTF-8")) }
+        v.setValueCount(vals.length)
+        val root = new VectorSchemaRoot(java.util.List.of(valueField),
+          java.util.List.of[org.apache.arrow.vector.FieldVector](v))
+        try new ArrowDictionaryBatch(7L, new VectorUnloader(root).getRecordBatch, isDelta)
+        finally root.close()
+      }
+      def recBatch(part: Seq[(Long, String)]) = {
+        val kv = keyField.createVector(alloc).asInstanceOf[BigIntVector]
+        val cv = catField.createVector(alloc).asInstanceOf[IntVector]
+        kv.allocateNew(); cv.allocateNew()
+        part.zipWithIndex.foreach { case ((k, c), i) =>
+          kv.setSafe(i, k); cv.setSafe(i, idx(c))
+        }
+        kv.setValueCount(part.length); cv.setValueCount(part.length)
+        val root = new VectorSchemaRoot(java.util.List.of(keyField, catField),
+          java.util.List.of[org.apache.arrow.vector.FieldVector](kv, cv))
+        try new VectorUnloader(root).getRecordBatch finally root.close()
+      }
+
+      new java.io.File(path).delete()
+      val out = new FileOutputStream(path)
+      try {
+        val ch = new WriteChannel(out.getChannel)
+        MessageSerializer.serialize(ch, schema)
+        val d1 = dictBatch(firstVals, isDelta = false)
+        try MessageSerializer.serialize(ch, d1) finally d1.close()
+        val b1 = recBatch(rows.take(split))
+        try MessageSerializer.serialize(ch, b1) finally b1.close()
+        val d2 = dictBatch(deltaVals, isDelta = true)
+        try MessageSerializer.serialize(ch, d2) finally d2.close()
+        val b2 = recBatch(rows.drop(split))
+        try MessageSerializer.serialize(ch, b2) finally b2.close()
+        org.apache.arrow.vector.ipc.ArrowStreamWriter.writeEndOfStream(ch,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT)
+      } finally out.close()
+    } finally alloc.close()
+  }
+
   private def headFile(path: String): String = {
     val f = new java.io.File(path)
     if (f.isDirectory)

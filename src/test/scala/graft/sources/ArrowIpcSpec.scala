@@ -202,6 +202,38 @@ class ArrowIpcSpec extends AnyFunSuite {
       java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 3))
   }
 
+  test("delta dictionary batches append mid-stream (isDelta=true)") {
+    // batch 1 references the initial dictionary {ALPHA, BETA}; the delta
+    // adds GAMMA; batch 2 references the appended region. Per-batch
+    // decode must see the dictionary state AS OF its batch.
+    val p = tmp("delta.arrows")
+    val rows = Seq((1L, "ALPHA"), (2L, "BETA"), (3L, "ALPHA"),
+      (4L, "GAMMA"), (5L, "BETA"), (6L, "GAMMA"))
+    ArrowIpc.writeDictDeltaFixture(p, Seq("ALPHA", "BETA"), Seq("GAMMA"),
+      rows, split = 3)
+    val sch = ArrowIpc.sparkSchema(p)
+    assert(sch == StructType(Seq(
+      StructField("nkey", LongType, nullable = true),
+      StructField("cat", StringType, nullable = true))))
+    val back = ArrowIpc.read(spark, p).orderBy("nkey").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == rows)
+    // the DSv2 parse path replays the same delta
+    val (s2, parsed) = ArrowIpc.parsed(p)
+    assert(s2 == sch)
+    assert(parsed.map(r => (r(0), r(1))) == rows)
+    // and a zone mixing a delta container beside a plain dict container
+    val dir = java.nio.file.Files.createTempDirectory("deltazone").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(dir.getPath, "a.arrows"))
+    ArrowIpc.writeDictFixture(new java.io.File(dir, "b.arrows").getPath,
+      Seq((7L, "ALPHA"), (8L, "GAMMA")))
+    val zone = ArrowIpc.read(spark, dir.getPath).orderBy("nkey").collect()
+    assert(zone.length == 8)
+    assert(zone.map(_.getString(1)).toSeq ==
+      Seq("ALPHA", "BETA", "ALPHA", "GAMMA", "BETA", "GAMMA", "ALPHA", "GAMMA"))
+  }
+
   test("unsupported types still fail loudly (no silent coercion)") {
     // list<utf8> is outside the declared coverage — both directions throw
     intercept[IllegalArgumentException] {
