@@ -750,6 +750,36 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // 3D (XYZ) FlatGeobuf — the container shape GDAL writes for any
+    // z-bearing source: per-geometry z vectors + the header has_z flag.
+    // The fixture is written as genuine POINT Z features, decoded into
+    // ISO Z-coded WKB (1001), and the query forces 2D for transport —
+    // the reference's ST_Force2D stance (geo_strategy.rs:283-289) —
+    // so the DuckDB hash gate covers the whole z decode + normalize
+    // chain. Z fidelity itself is asserted in FlatGeobufSpec.
+    QuerySpec(
+      "scan_flatgeobuf_z",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_z.fgb")
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val rows = geoRows(s, dir).map { case (k, n, x, y) =>
+          (org.apache.spark.sql.Row(k, n),
+            s"POINT Z (${x.toLong} ${y.toLong} ${k * 2})")
+        }
+        graft.sources.FlatGeobuf.writeGeo(path, "nation_z", props, rows)
+        s.read.format("fgb").load(path)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // The SAME Arrow embedding zone through the DSv2 connector tier
     // (`format("arrow")`, graft.sources.ArrowSource): identical values
     // under the identical oracle — including list<float32> crossing the

@@ -41,6 +41,8 @@ object FlatGeobuf {
   // Header.fbs field ids
   private val HName = 0
   private val HGeometryType = 2
+  private val HHasZ = 3
+  private val HHasM = 4
   private val HColumns = 7
   private val HFeaturesCount = 8
   private val HIndexNodeSize = 9
@@ -56,6 +58,8 @@ object FlatGeobuf {
   private val FProperties = 1
   private val GEnds = 0
   private val GXy = 1
+  private val GZ = 2   // per-point z values (feature.fbs: Geometry.z)
+  private val GM = 3   // per-point m measures (validated, dropped — see decodeGeom)
   private val GType = 6
   // GeometryType / ColumnType enum values (spec — GeometryType follows
   // the ISO WKB codes: LineString = 2, Polygon = 3, so an
@@ -79,7 +83,10 @@ object FlatGeobuf {
     * shapes the engine's other geo readers compose. */
   private[sources] final case class FgbGeom(
       gtype: Int, xy: Array[Double], ends: Array[Int],
-      parts: Seq[FgbGeom] = Seq.empty) {
+      parts: Seq[FgbGeom] = Seq.empty,
+      z: Array[Double] = Array.empty) {
+    /** XYZ anywhere in the tree (drives header has_z + WKB dimension). */
+    def hasZ: Boolean = z.nonEmpty || parts.exists(_.hasZ)
     def envelope: (Double, Double, Double, Double) = {
       var mnx = Double.PositiveInfinity; var mny = Double.PositiveInfinity
       var mxx = Double.NegativeInfinity; var mxy = Double.NegativeInfinity
@@ -110,26 +117,42 @@ object FlatGeobuf {
       import org.locationtech.jts.geom.{LineString, MultiLineString, MultiPoint, MultiPolygon, Point, Polygon}
       def flat(cs: Array[org.locationtech.jts.geom.Coordinate]): Array[Double] =
         cs.flatMap(c => Array(c.x, c.y))
+      // XYZ coordinates (e.g. "POINT Z (1 2 3)") carry z into the
+      // container's per-point z vector; all-or-none per geometry — a
+      // mixed 2D/3D coordinate list has no defined z vector
+      def zOf(cs: Array[org.locationtech.jts.geom.Coordinate]): Array[Double] = {
+        val have = cs.count(c => !c.getZ.isNaN)
+        if (have == 0) Array.empty[Double]
+        else if (have == cs.length) cs.map(_.getZ)
+        else throw new IllegalArgumentException(
+          "mixed XY/XYZ coordinates in one geometry")
+      }
       g match {
-        case p: Point => FgbGeom(GeomPoint, Array(p.getX, p.getY), Array.empty)
+        case p: Point =>
+          FgbGeom(GeomPoint, Array(p.getX, p.getY), Array.empty,
+            Seq.empty, zOf(p.getCoordinates))
         case l: LineString =>
-          FgbGeom(GeomLineString, flat(l.getCoordinates), Array.empty)
+          FgbGeom(GeomLineString, flat(l.getCoordinates), Array.empty,
+            Seq.empty, zOf(l.getCoordinates))
         case pg: Polygon =>
           val rings = pg.getExteriorRing +:
             (0 until pg.getNumInteriorRing).map(pg.getInteriorRingN)
           val xy = rings.toArray.flatMap(r => flat(r.getCoordinates))
           var acc = 0
           val ends = rings.map { r => acc += r.getNumPoints; acc }.toArray
-          FgbGeom(GeomPolygon, xy, ends)
+          val z = zOf(rings.toArray.flatMap(_.getCoordinates))
+          FgbGeom(GeomPolygon, xy, ends, Seq.empty, z)
         case mp: MultiPoint =>
-          FgbGeom(GeomMultiPoint, flat(mp.getCoordinates), Array.empty)
+          FgbGeom(GeomMultiPoint, flat(mp.getCoordinates), Array.empty,
+            Seq.empty, zOf(mp.getCoordinates))
         case ml: MultiLineString =>
           val lines = (0 until ml.getNumGeometries)
             .map(ml.getGeometryN(_).asInstanceOf[LineString])
           val xy = lines.toArray.flatMap(l => flat(l.getCoordinates))
           var acc = 0
           val ends = lines.map { l => acc += l.getNumPoints; acc }.toArray
-          FgbGeom(GeomMultiLineString, xy, ends)
+          val z = zOf(lines.toArray.flatMap(_.getCoordinates))
+          FgbGeom(GeomMultiLineString, xy, ends, Seq.empty, z)
         case mpg: MultiPolygon =>
           // the spec nests polygons as child Geometry tables (`parts`)
           val polys = (0 until mpg.getNumGeometries)
@@ -147,63 +170,75 @@ object FlatGeobuf {
   }
 
   /** FgbGeom → little-endian WKB (the geometry contract the geo kernel's
-    * stAsTextFromWkb consumes). */
-  private[sources] def geomWkb(g: FgbGeom): Array[Byte] = g.gtype match {
-    case GeomPoint =>
-      require(g.xy.length >= 2, "fgb point without xy")
-      pointWkb(g.xy(0), g.xy(1))
-    case GeomLineString =>
-      val n = g.xy.length / 2
-      val bb = ByteBuffer.allocate(9 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
-      bb.put(1.toByte); bb.putInt(2); bb.putInt(n)
-      g.xy.foreach(bb.putDouble)
-      bb.array()
-    case GeomPolygon =>
-      val ends = if (g.ends.isEmpty) Array(g.xy.length / 2) else g.ends
-      val bb = ByteBuffer.allocate(9 + 4 * ends.length + 8 * g.xy.length)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      bb.put(1.toByte); bb.putInt(3); bb.putInt(ends.length)
-      var start = 0
-      ends.foreach { end =>
-        bb.putInt(end - start)
-        var i = start * 2
-        while (i < end * 2) { bb.putDouble(g.xy(i)); i += 1 }
-        start = end
-      }
-      bb.array()
-    case GeomMultiPoint =>
-      val n = g.xy.length / 2
-      val out = new java.io.ByteArrayOutputStream()
-      val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.put(1.toByte); hdr.putInt(4); hdr.putInt(n)
-      out.write(hdr.array())
-      var i = 0
-      while (i + 1 < g.xy.length) {
-        out.write(pointWkb(g.xy(i), g.xy(i + 1))); i += 2
-      }
-      out.toByteArray
-    case GeomMultiLineString =>
-      val ends = if (g.ends.isEmpty) Array(g.xy.length / 2) else g.ends
-      val out = new java.io.ByteArrayOutputStream()
-      val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.put(1.toByte); hdr.putInt(5); hdr.putInt(ends.length)
-      out.write(hdr.array())
-      var start = 0
-      ends.foreach { end =>
-        out.write(geomWkb(FgbGeom(GeomLineString,
-          g.xy.slice(start * 2, end * 2), Array.empty)))
-        start = end
-      }
-      out.toByteArray
-    case GeomMultiPolygon | GeomCollection =>
-      val out = new java.io.ByteArrayOutputStream()
-      val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.put(1.toByte); hdr.putInt(g.gtype); hdr.putInt(g.parts.length)
-      out.write(hdr.array())
-      g.parts.foreach(p => out.write(geomWkb(p)))
-      out.toByteArray
-    case other => throw new IllegalArgumentException(
-      s"unsupported fgb geometry type $other")
+    * stAsTextFromWkb consumes). XYZ geometries emit the ISO Z codes
+    * (base + 1000, three doubles per point) — JTS parses them and the
+    * kernel's toWkt2D/force2D normalize downstream, matching the
+    * reference's ST_Force2D transport stance (geo_strategy.rs:283-289). */
+  private[sources] def geomWkb(g: FgbGeom): Array[Byte] = {
+    val dim = if (g.hasZ) 3 else 2
+    def code(base: Int): Int = if (dim == 3) base + 1000 else base
+    // point i (pair index into xy / index into z)
+    def putPt(bb: ByteBuffer, i: Int): Unit = {
+      bb.putDouble(g.xy(2 * i)); bb.putDouble(g.xy(2 * i + 1))
+      if (dim == 3) bb.putDouble(g.z(i))
+    }
+    def slice(gt: Int, from: Int, to: Int): FgbGeom =
+      FgbGeom(gt, g.xy.slice(from * 2, to * 2), Array.empty, Seq.empty,
+        if (g.z.isEmpty) Array.empty else g.z.slice(from, to))
+    g.gtype match {
+      case GeomPoint =>
+        require(g.xy.length >= 2, "fgb point without xy")
+        val bb = ByteBuffer.allocate(5 + 8 * dim).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(code(1)); putPt(bb, 0)
+        bb.array()
+      case GeomLineString =>
+        val n = g.xy.length / 2
+        val bb = ByteBuffer.allocate(9 + 8 * dim * n).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(code(2)); bb.putInt(n)
+        (0 until n).foreach(putPt(bb, _))
+        bb.array()
+      case GeomPolygon =>
+        val ends = if (g.ends.isEmpty) Array(g.xy.length / 2) else g.ends
+        val bb = ByteBuffer.allocate(9 + 4 * ends.length + 8 * dim * (g.xy.length / 2))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(code(3)); bb.putInt(ends.length)
+        var start = 0
+        ends.foreach { end =>
+          bb.putInt(end - start)
+          (start until end).foreach(putPt(bb, _))
+          start = end
+        }
+        bb.array()
+      case GeomMultiPoint =>
+        val n = g.xy.length / 2
+        val out = new java.io.ByteArrayOutputStream()
+        val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+        hdr.put(1.toByte); hdr.putInt(code(4)); hdr.putInt(n)
+        out.write(hdr.array())
+        (0 until n).foreach(i => out.write(geomWkb(slice(GeomPoint, i, i + 1))))
+        out.toByteArray
+      case GeomMultiLineString =>
+        val ends = if (g.ends.isEmpty) Array(g.xy.length / 2) else g.ends
+        val out = new java.io.ByteArrayOutputStream()
+        val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+        hdr.put(1.toByte); hdr.putInt(code(5)); hdr.putInt(ends.length)
+        out.write(hdr.array())
+        var start = 0
+        ends.foreach { end =>
+          out.write(geomWkb(slice(GeomLineString, start, end)))
+          start = end
+        }
+        out.toByteArray
+      case GeomMultiPolygon | GeomCollection =>
+        val out = new java.io.ByteArrayOutputStream()
+        val hdr = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+        hdr.put(1.toByte); hdr.putInt(code(g.gtype)); hdr.putInt(g.parts.length)
+        out.write(hdr.array())
+        g.parts.foreach(p => out.write(geomWkb(p)))
+        out.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"unsupported fgb geometry type $other")
+    }
   }
 
   // --------------------------------------------------------------- write
@@ -272,6 +307,8 @@ object FlatGeobuf {
       hb.startTable()
       hb.slotOffset(HName, nameOff)
       hb.slotScalar(HGeometryType, headerGeomType.toLong, 1)
+      // spec bool flag: set when any feature carries a z vector
+      if (rows.exists(_._2.hasZ)) hb.slotScalar(HHasZ, 1L, 1)
       hb.slotOffset(HColumns, colsVec)
       hb.slotScalar(HFeaturesCount, rows.length.toLong, 8)
       // default is 16 — 0 must be written explicitly to disable the index
@@ -325,9 +362,12 @@ object FlatGeobuf {
       if (g.ends.length > 1) fb.createUIntVector(g.ends.toSeq) else -1
     val xyOff =
       if (g.xy.nonEmpty) fb.createDoubleVector(g.xy.toSeq) else -1
+    val zOff =
+      if (g.z.nonEmpty) fb.createDoubleVector(g.z.toSeq) else -1
     fb.startTable()
     if (endsOff >= 0) fb.slotOffset(GEnds, endsOff)
     if (xyOff >= 0) fb.slotOffset(GXy, xyOff)
+    if (zOff >= 0) fb.slotOffset(GZ, zOff)
     fb.slotScalar(GType, g.gtype.toLong, 1)
     if (partsVec >= 0) fb.slotOffset(GParts, partsVec)
     fb.endTable()
@@ -598,6 +638,19 @@ object FlatGeobuf {
       val xy = geom.doublesAt(xyVp)
       val endsVp = geom.vectorPos(GEnds)
       val ends = if (endsVp < 0) Array.empty[Int] else geom.uintsAt(endsVp)
+      // per-point z vector (3D containers — GDAL writes these for any
+      // XYZ source); must partition exactly like xy. m measures are
+      // linear-reference values, not geometry: validated for shape,
+      // then dropped (the engine's kernel is 2D+Z, matching the
+      // reference's ST_Force2D transport).
+      val zVp = geom.vectorPos(GZ)
+      val z = if (zVp < 0) Array.empty[Double] else geom.doublesAt(zVp)
+      require(z.isEmpty || z.length == xy.length / 2,
+        s"fgb z vector length ${z.length} != ${xy.length / 2} points")
+      val mVp = geom.vectorPos(GM)
+      if (mVp >= 0)
+        require(geom.vectorLen(mVp) == xy.length / 2,
+          s"fgb m vector length ${geom.vectorLen(mVp)} != ${xy.length / 2} points")
       // the WKB emitter sizes its buffer assuming `ends` exactly
       // partitions xy — an externally-written container whose ends
       // vector is non-monotonic or doesn't land on the point count
@@ -611,7 +664,7 @@ object FlatGeobuf {
           s"fgb geometry ends vector last=${ends.last} does not partition " +
             s"the ${xy.length / 2} points")
       }
-      FgbGeom(gt, xy, ends)
+      FgbGeom(gt, xy, ends, Seq.empty, z)
     }
   }
 

@@ -261,6 +261,57 @@ class FlatGeobufSpec extends AnyFunSuite {
     }
   }
 
+  test("XYZ geometries round-trip: z vectors, has_z header, ISO Z WKB") {
+    val zprops = StructType(Seq(StructField("k", LongType, nullable = true)))
+    val p = tmp("z.fgb")
+    val wkts = Seq(
+      "POINT Z (1 2 5)",
+      "LINESTRING Z (0 0 1, 3 4 2, 6 0 3)",
+      "POLYGON Z ((0 0 9, 4 0 9, 4 4 9, 0 0 9))",
+      "MULTIPOINT Z ((1 1 7), (2 2 8))",
+      "MULTILINESTRING Z ((0 0 1, 1 1 2), (2 2 3, 3 3 4))",
+      "MULTIPOLYGON Z (((0 0 5, 1 0 5, 1 1 5, 0 0 5)), ((9 9 6, 10 9 6, 10 10 6, 9 9 6)))")
+    FlatGeobuf.writeGeo(p, "z", zprops,
+      wkts.zipWithIndex.map { case (w, i) => (Row(i.toLong), w) })
+    val (_, rows) = FlatGeobuf.parsed(p)
+    assert(rows.length == wkts.length)
+    val rdr = new org.locationtech.jts.io.WKBReader()
+    val byK = rows.map(r => r(0).asInstanceOf[Long] ->
+      rdr.read(r(1).asInstanceOf[Array[Byte]])).toMap
+    // z survives the container + WKB round trip on every shape
+    assert(byK(0L).getCoordinate.getZ == 5.0)
+    assert(byK(1L).getCoordinates.map(_.getZ).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(byK(2L).getCoordinates.map(_.getZ).forall(_ == 9.0))
+    assert(byK(3L).getCoordinates.map(_.getZ).toSeq == Seq(7.0, 8.0))
+    assert(byK(4L).getCoordinates.map(_.getZ).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(byK(5L).getGeometryN(1).getCoordinates.map(_.getZ).forall(_ == 6.0))
+    // forced-2D transport drops z without disturbing xy or type
+    assert(graft.functions.GeoFunctions.toWkt2D(
+      rdr.read(FlatGeobuf.geomWkb(FlatGeobuf.FgbGeom.fromWkt("POINT Z (1 2 5)"))))
+      == "POINT (1 2)")
+    // mixed 2D/3D layers: each feature keeps its own dimension
+    val p2 = tmp("zmix.fgb")
+    FlatGeobuf.writeGeo(p2, "zmix", zprops,
+      Seq((Row(0L), "POINT (1 1)"), (Row(1L), "POINT Z (2 2 2)")))
+    val (_, rows2) = FlatGeobuf.parsed(p2)
+    val g0 = rdr.read(rows2.find(_(0) == 0L).get(1).asInstanceOf[Array[Byte]])
+    val g1 = rdr.read(rows2.find(_(0) == 1L).get(1).asInstanceOf[Array[Byte]])
+    assert(g0.getCoordinate.getZ.isNaN && g1.getCoordinate.getZ == 2.0)
+  }
+
+  test("indexed XYZ layer: bbox read works on 2D envelopes of 3D features") {
+    val zprops = StructType(Seq(StructField("k", LongType, nullable = true)))
+    val p = tmp("zidx.fgb")
+    val rows = (0 until 50).map { i =>
+      (Row(i.toLong), s"POINT Z (${i % 10} ${i / 10} ${i * 2})")
+    }
+    FlatGeobuf.writeGeo(p, "zidx", zprops, rows, indexNodeSize = 4)
+    val hits = FlatGeobuf.readBbox(spark, p, 2.0, 1.0, 4.0, 3.0).collect()
+    val want = (0 until 50).count(i =>
+      i % 10 >= 2 && i % 10 <= 4 && i / 10 >= 1 && i / 10 <= 3)
+    assert(hits.length == want)
+  }
+
   test("garbage magic and truncated buffers fail loudly") {
     val p = tmp("bad.fgb")
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
