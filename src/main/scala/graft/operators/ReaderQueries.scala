@@ -296,6 +296,31 @@ object ReaderQueries {
                      CAST(n_regionkey AS BIGINT) AS n_regionkey
               FROM nation ORDER BY n_nationkey""")),
 
+    // Multi-sheet workbook, data buried behind a cover sheet — the shape
+    // real human-authored workbooks take (the reference's read_xlsx only
+    // ever reads the first sheet: core_processor.rs:407-412). The `sheet`
+    // option selects by workbook NAME, resolved name → r:id → rels
+    // target over worksheet parts that are deliberately NOT sheetN.xml —
+    // so a pass proves the whole ECMA-376 workbook graph walk, and the
+    // hash gate proves the right sheet's cells came back (the decoy
+    // sheet holds different rows).
+    QuerySpec(
+      "scan_xlsx_sheet",
+      (s, dir) => {
+        val path = fixturePath(dir, "nation_sheets.xlsx")
+        val hdr = ("n_nationkey", "n_name", "n_regionkey")
+        graft.sources.FormatWriters.writeXlsxSheets(path, Seq(
+          ("summary", hdr, Seq((999L, "DECOY", 999L))),
+          ("data", hdr, nationRows(s, dir))))
+        graft.sources.XlsxReader.read(s, path, sheet = Some("data"))
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // Zipped shapefile: .shp point records + .dbf attributes, joined
     // positionally by the reader (reference: core_processor.rs:399-406
     // st_read /vsizip/). DBF names are capped at 10 chars, hence the

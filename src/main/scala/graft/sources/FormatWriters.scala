@@ -94,6 +94,47 @@ object FormatWriters {
     Files.write(Paths.get(path), zip): Unit
   }
 
+  /** Multi-sheet xlsx with a REAL workbook.xml + rels graph: named
+    * sheets in workbook order, worksheet parts deliberately NOT named
+    * sheetN.xml — so reading any sheet but the first must resolve
+    * name → r:id → relationship target, the path real workbooks
+    * (which bury data behind cover/summary sheets) force. */
+  def writeXlsxSheets(path: String,
+      sheets: Seq[(String, (String, String, String), Seq[(Long, String, Long)])]): Unit = {
+    def inline(s: String): String =
+      s"""<c t="inlineStr"><is><t>${xmlEscape(s)}</t></is></c>"""
+    def num(v: Long): String = s"<c><v>$v</v></c>"
+    val parts = sheets.zipWithIndex.map { case ((_, header, rows), si) =>
+      val headerXml =
+        s"<row r=\"1\">${inline(header._1)}${inline(header._2)}${inline(header._3)}</row>"
+      val dataXml = rows.zipWithIndex.map { case ((k, n, r), i) =>
+        s"""<row r="${i + 2}">${num(k)}${inline(n)}${num(r)}</row>"""
+      }.mkString
+      val sheetXml =
+        s"""<?xml version="1.0"?>
+           |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+           |$headerXml$dataXml
+           |</sheetData></worksheet>""".stripMargin
+      s"xl/worksheets/ws${si + 1}.xml" -> sheetXml.getBytes(UTF_8)
+    }
+    val wb =
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"""" +
+        """ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        sheets.zipWithIndex.map { case ((name, _, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString + "</sheets></workbook>"
+    val rels =
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        sheets.indices.map { i =>
+          s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/ws${i + 1}.xml"/>"""
+        }.mkString + "</Relationships>"
+    val zip = zipOf(
+      (Seq("[Content_Types].xml" -> "<Types/>".getBytes(UTF_8),
+        "xl/workbook.xml" -> wb.getBytes(UTF_8),
+        "xl/_rels/workbook.xml.rels" -> rels.getBytes(UTF_8)) ++ parts): _*)
+    Files.write(Paths.get(path), zip): Unit
+  }
+
   /** Coordinate-pair xlsx (id, name, longitude, latitude) — the Excel leg
     * of the ingest-pipeline oracle (`pipeline_ingest_xlsx`). Doubles are
     * written with plain toString ("13.5"), which XlsxReader's inference

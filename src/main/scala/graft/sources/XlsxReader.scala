@@ -22,8 +22,9 @@ import scala.xml.XML
   */
 object XlsxReader {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val (header, rows) = parse(path)
+  def read(spark: SparkSession, path: String,
+      sheet: Option[String] = None): DataFrame = {
+    val (header, rows) = parse(path, sheet)
     toDataFrame(spark, header, rows)
   }
 
@@ -46,7 +47,14 @@ object XlsxReader {
   /** Raw cells: header row + data rows, each cell an Option[String] in
     * sheet order. Legacy `.xls` (CFBF container) is detected upstream but
     * unsupported here, with a clear error (SURVEY.md §2.1). */
-  def parse(path: String): (Seq[String], Seq[Array[Option[String]]]) = {
+  /** @param sheet select a worksheet by its workbook NAME (real
+    *               workbooks bury data behind cover/summary sheets);
+    *               None = the first sheet in workbook order — the
+    *               reference's read_xlsx default (core_processor.rs:
+    *               407-412). An unknown name fails loudly, listing the
+    *               names the workbook actually has. */
+  def parse(path: String, sheet: Option[String] = None)
+      : (Seq[String], Seq[Array[Option[String]]]) = {
     // legacy .xls is a CFBF container, not a zip: check the magic BEFORE
     // ZipFile so the caller gets routed instead of an opaque "error in
     // opening zip file"
@@ -71,17 +79,31 @@ object XlsxReader {
           ((si \ "t") ++ (si \ "r" \ "t")).map(_.text).mkString).toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
 
-      // FIRST sheet in workbook.xml order (the user-visible order), resolved
-      // through the workbook rels — a reordered workbook stores Sheet3 as
-      // the first <sheet> entry, and sheet parts need not be named sheetN
+      // Sheet selection: by NAME when asked, else the FIRST sheet in
+      // workbook.xml order (the user-visible order). Resolution goes
+      // through the workbook rels — a reordered workbook stores Sheet3
+      // as the first <sheet> entry, and sheet parts need not be named
+      // sheetN. The sheetN fallback only serves minimal fixtures with
+      // no rels graph, and only for the first-sheet default (an
+      // explicit name cannot be honored without the workbook graph).
       val sheetName: String = {
         val fromWorkbook =
           for {
             wb <- entryBytes("xl/workbook.xml")
             rels <- entryBytes("xl/_rels/workbook.xml.rels")
             wbXml = XML.loadString(new String(wb, "UTF-8"))
-            firstSheet <- (wbXml \ "sheets" \ "sheet").headOption
-            rid = firstSheet.attributes.asAttrMap.collectFirst {
+            allSheets = wbXml \ "sheets" \ "sheet"
+            chosen <- sheet match {
+              case Some(nm) =>
+                val hit = allSheets.find(sh => (sh \ "@name").text == nm)
+                if (hit.isEmpty)
+                  throw new IllegalArgumentException(
+                    s"sheet '$nm' not in '$path' — workbook has: " +
+                      allSheets.map(sh => (sh \ "@name").text).mkString(", "))
+                hit
+              case None => allSheets.headOption
+            }
+            rid = chosen.attributes.asAttrMap.collectFirst {
               case (k, v) if k == "r:id" || k.endsWith(":id") || k == "id" => v
             }.getOrElse("")
             relsXml = XML.loadString(new String(rels, "UTF-8"))
@@ -90,16 +112,21 @@ object XlsxReader {
               .map(r => (r \ "@Target").text)
           } yield if (target.startsWith("/")) target.stripPrefix("/")
                   else s"xl/${target.stripPrefix("./")}"
+        sheet.foreach { nm =>
+          require(fromWorkbook.isDefined,
+            s"cannot resolve sheet '$nm' in '$path': the workbook has no " +
+              "rels graph to map sheet names to worksheet parts")
+        }
         fromWorkbook.filter(zf.getEntry(_) != null)
           .orElse((1 to 20).map(i => s"xl/worksheets/sheet$i.xml")
             .find(zf.getEntry(_) != null))
           .getOrElse(throw new IllegalArgumentException(s"no worksheet found in '$path'"))
       }
-      val sheet = XML.loadString(new String(entryBytes(sheetName).get, "UTF-8"))
+      val sheetXml = XML.loadString(new String(entryBytes(sheetName).get, "UTF-8"))
 
       // row r is optional too: absent means "previous row + 1" (ECMA-376)
       var lastRow = 0
-      val parsedRows: Seq[(Int, Map[Int, String])] = (sheet \\ "row").map { row =>
+      val parsedRows: Seq[(Int, Map[Int, String])] = (sheetXml \\ "row").map { row =>
         val rowIdx = (row \ "@r").text.toIntOption.getOrElse(lastRow + 1)
         lastRow = rowIdx
         // the cell reference attribute is OPTIONAL (ECMA-376): when absent,

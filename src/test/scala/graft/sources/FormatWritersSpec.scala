@@ -112,4 +112,36 @@ class FormatWritersSpec extends AnyFunSuite {
     val xdf = XlsxReader.read(spark, xp)
     assert(xdf.collect()(0).getAs[String]("txt") == "a<b&c>d")
   }
+
+  test("multi-sheet xlsx: name selection resolves through the rels graph") {
+    val d = java.nio.file.Files.createTempDirectory("xlsxsheets").toFile
+    d.deleteOnExit()
+    val p = new java.io.File(d, "multi.xlsx").getPath
+    FormatWriters.writeXlsxSheets(p, Seq(
+      ("cover", ("a", "b", "c"), Seq((1L, "x", 1L))),
+      ("Datos Útiles", ("k", "n", "r"), Seq((10L, "alpha", 2L), (20L, "beta", 3L))),
+      ("notes", ("a", "b", "c"), Seq.empty)))
+    // default = first sheet in workbook order
+    val (h0, r0) = XlsxReader.parse(p)
+    assert(h0 == Seq("a", "b", "c") && r0.length == 1)
+    // by name (incl. non-ASCII), worksheet parts are ws2.xml not sheet2.xml
+    val (h1, r1) = XlsxReader.parse(p, Some("Datos Útiles"))
+    assert(h1 == Seq("k", "n", "r"))
+    assert(r1.map(_.apply(1).get).toSeq == Seq("alpha", "beta"))
+    // empty data sheet still yields its header
+    val (h2, r2) = XlsxReader.parse(p, Some("notes"))
+    assert(h2 == Seq("a", "b", "c") && r2.isEmpty)
+    // unknown name: loud, lists what exists
+    val e = intercept[IllegalArgumentException] {
+      XlsxReader.parse(p, Some("nope"))
+    }
+    assert(e.getMessage.contains("cover") && e.getMessage.contains("notes"))
+    // explicit name over a rels-less minimal fixture: loud, not silent first-sheet
+    val pm = new java.io.File(d, "minimal.xlsx").getPath
+    FormatWriters.writeXlsx(pm, ("a", "b", "c"), Seq((1L, "x", 1L)))
+    intercept[IllegalArgumentException] {
+      XlsxReader.parse(pm, Some("anything"))
+    }
+  }
+
 }
