@@ -2039,15 +2039,15 @@ object TextQueries {
       "text_lr_train",
       (s, dir) => {
         val (ft, base) = lrFeatures(s, dir)
-        val nd = base.agg(count(lit(1)).as("nd"))
-        lrWeights(s, ft, nd)
+        selfTrainedLrWeights(s, dir, ft, base)
           .select(col("b").as("feature"),
             (round(col("w").cast("double"), 6) + lit(0.0)).as("weight"))
           .orderBy("feature")
       },
       Some(s"""WITH $LrCtes
               |SELECT b AS feature, ROUND(CAST(w AS DOUBLE), 6) + 0.0 AS weight
-              |FROM w$LrIters ORDER BY feature""".stripMargin)),
+              |FROM w$LrIters ORDER BY feature""".stripMargin),
+      cacheAssisted = true),
 
     // The trained LR model APPLIED back over the corpus: per-doc
     // sigmoid probability, the ≥0.5 keep decision, and correctness
@@ -2060,8 +2060,7 @@ object TextQueries {
       "text_lr_gate",
       (s, dir) => {
         val (ft, base) = lrFeatures(s, dir)
-        val nd = base.agg(count(lit(1)).as("nd"))
-        val w = lrWeights(s, ft, nd)
+        val w = selfTrainedLrWeights(s, dir, ft, base)
         ft.join(broadcast(w), "b")
           .groupBy("doc_id", "y").agg(sum(col("x") * col("w")).as("s"))
           .select(col("doc_id"), (col("y") > lit(0.5)).as("is_en"),
@@ -2081,7 +2080,8 @@ object TextQueries {
               |         AS pred,
               |       (ROUND(1.0 / (1.0 + EXP(-CAST(s AS DOUBLE))), 6) + 0.0 >= 0.5)
               |         = (y > 0.5) AS correct
-              |FROM sg ORDER BY doc_id""".stripMargin)),
+              |FROM sg ORDER BY doc_id""".stripMargin),
+      cacheAssisted = true),
 
     // LR HELD-OUT evaluation — the loss-space generalization check (the
     // NB holdout's twin, but in the metric GD actually optimizes):
@@ -2147,7 +2147,8 @@ object TextQueries {
               |       ROUND(LN(2.0), 6) + 0.0 AS null_loss,
               |       ROUND(CAST(ls AS DOUBLE) / n_test, 6) + 0.0
               |         < ROUND(LN(2.0), 6) + 0.0 AS beats_null
-              |FROM agg""".stripMargin)),
+              |FROM agg""".stripMargin),
+      cacheAssisted = true),
 
     // DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
     // Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
@@ -2252,11 +2253,52 @@ object TextQueries {
   private val LrIters = 4
   private val LrEta = 4.0
 
+  /** Published LR feature relations, keyed like DedupQueries'
+    * publishedPairs (session + corpus-version): the tokenize→explode→
+    * hash-bucket relation is identical across the whole LR family
+    * (train/gate/holdout — the registry's slowest quiet entries at
+    * 1.5-2.6 s each), so the first caller pays it once per session and
+    * the family reuses the checkpoint. The consuming QuerySpecs are
+    * flagged cacheAssisted so Bench reports them honestly. */
+  private val publishedLrFeatures = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val publishedLrWeights = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Corpus-version token (DedupQueries.corpusVersion's twin): keys the
+    * published LR relations so an in-session corpus rewrite invalidates
+    * them instead of serving stale features. */
+  private def lrCorpusVersion(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val files =
+      if (root.isDirectory) Option(root.listFiles()).getOrElse(Array.empty)
+      else Array(root)
+    java.lang.Integer.toHexString(
+      files.filter(_.isFile).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode)
+  }
+
+  private[operators] def lrFeatures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    publishedLrFeatures.getOrElseUpdate((s, s"$dir@${lrCorpusVersion(dir)}"),
+      lrFeaturesUncached(s, dir))
+  }
+
+  /** The SELF-TRAINED weight relation train and gate share — identical
+    * inputs, identical 4-iteration GD, so one 17-row checkpoint serves
+    * both (holdout trains on its own fold subset and stays separate). */
+  private[operators] def selfTrainedLrWeights(s: SparkSession, dir: String,
+      ft: DataFrame, base: DataFrame): DataFrame =
+    publishedLrWeights.getOrElseUpdate((s, s"$dir@${lrCorpusVersion(dir)}"), {
+      val nd = base.agg(count(lit(1)).as("nd"))
+      lrWeights(s, ft, nd).localCheckpoint()
+    })
+
   /** Per-doc hashed-bucket feature relation `(doc_id, y, b, x)` — token
     * fractions on the 6-decimal grid plus a bias row per doc — and the
     * per-doc `(doc_id, y, n)` base. ONE tokenization; localCheckpoint
     * because every GD iteration and the gate consume it. */
-  private[operators] def lrFeatures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def lrFeaturesUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir).select(col("doc_id"),
       when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
         .cast("decimal(18,6)").as("y"),
