@@ -1235,6 +1235,34 @@ object ReaderQueries {
                      (CAST(c_custkey AS BIGINT) % 90)::VARCHAR || ')' AS wkt
               FROM customer ORDER BY ckey""")),
 
+    // GeoPackage through the SAME distributed write half: two write
+    // tasks each lay out a full SQLite page file (B-tree leaves +
+    // interiors + GPB geometry blobs) executor-side, and the zone read
+    // plans one scan task per container. Complements sink_gpkg (the
+    // PostGIS-sink analog, single-container by design) with the
+    // landing-zone produce shape.
+    QuerySpec(
+      "sink_gpkg_dsv2",
+      (s, dir) => {
+        val out = fixturePath(dir, "gpkg_dsv2_zone")
+        Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            graft.functions.GeoFunctions.stPointWkt(
+              col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double") * 10).as("wkt"))
+          .repartition(2, col("nkey"))
+          .write.format("gpkg").option("table", "nation_rt")
+          .mode("overwrite").save(out)
+        s.read.format("gpkg").load(out)
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // Distributed multi-partition Arrow IPC write → connector read round
     // trip (`df.write.format("arrow")`): four write tasks stream record
     // batches executor-side (512-row batches — per-task memory is one

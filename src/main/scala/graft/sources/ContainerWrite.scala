@@ -177,6 +177,65 @@ object FgbWriteSupport extends ContainerWriteSupport {
   }
 }
 
+/** GeoPackage write support: schema = an optional StringType `wkt`
+  * geometry column (any OGC simple-feature WKT → GPB blob) +
+  * Long/Double/String/Binary attribute columns; without `wkt` the
+  * container is attributes-only (data_type "attributes"). Options:
+  * `table` (layer name), `epsg`. The sink buffers its partition —
+  * the SQLite B-tree needs the whole table to lay out pages — the
+  * same partition-sized contract as fgb. */
+object GpkgWriteSupport extends ContainerWriteSupport {
+  override def extension: String = "gpkg"
+  override def newSink(path: String, schema: StructType,
+      options: Map[String, String]): ContainerSink = new ContainerSink {
+    import org.apache.spark.sql.types._
+    private val wktIdx = schema.fieldNames.indexOf("wkt")
+    if (wktIdx >= 0)
+      require(schema.fields(wktIdx).dataType == StringType,
+        s"gpkg write: 'wkt' must be a string column, got " +
+          schema.fields(wktIdx).dataType)
+    private val srs = options.getOrElse("epsg", "4326").toInt
+    private val attrFields = schema.fields.zipWithIndex.filter(_._2 != wktIdx)
+    private def declType(dt: DataType): String = dt match {
+      case LongType | IntegerType => "INTEGER"
+      case DoubleType | FloatType => "REAL"
+      case StringType => "TEXT"
+      case BinaryType => "BLOB"
+      case other => throw new IllegalArgumentException(
+        s"unsupported gpkg attribute type $other")
+    }
+    private val columns = attrFields.map { case (f, _) =>
+      f.name -> declType(f.dataType)
+    }.toSeq ++ (if (wktIdx >= 0) Seq("geom" -> "BLOB") else Nil)
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    override def append(row: Row): Unit = {
+      val attrs = attrFields.toIndexedSeq.map { case (f, i) =>
+        if (row.isNullAt(i)) null
+        else f.dataType match {
+          case IntegerType => row.getInt(i).toLong
+          case FloatType => row.getFloat(i).toDouble
+          case _ => row.get(i)
+        }
+      }
+      val geom =
+        if (wktIdx < 0) Nil
+        else {
+          require(!row.isNullAt(wktIdx), "gpkg write: null wkt geometry")
+          val g = graft.functions.GeoFunctions.parseWkt(row.getString(wktIdx))
+            .getOrElse(throw new IllegalArgumentException(
+              s"gpkg write: unparseable wkt '${row.getString(wktIdx)}'"))
+          Seq(FormatWriters.gpbWrap(srs, graft.functions.GeoFunctions.toWkb(g)))
+        }
+      buf += (attrs ++ geom)
+    }
+    override def finish(): Unit =
+      FormatWriters.writeGeoPackageTable(path,
+        options.getOrElse("table", "layer"), columns, srs,
+        if (wktIdx >= 0) Some("geom") else None, buf.iterator)
+    override def abort(): Unit = new File(path).delete(): Unit
+  }
+}
+
 /** Arrow IPC stream write support: streaming record batches of
   * `batchRows` (default 1024) rows — per-task peak memory is one batch.
   * Type coverage is [[ArrowIpc]]'s interchange set. Option `codec`

@@ -60,6 +60,8 @@ final class GpkgSource extends ContainerSource {
   override def shortName(): String = "gpkg"
   override def parse: String => (StructType, Seq[Seq[Any]]) =
     GeoPackageReader.parsed _
+  override def writeSupport: Option[ContainerWriteSupport] =
+    Some(GpkgWriteSupport)
 }
 
 /** Zipped-shapefile connector: `spark.read.format("shpzip").load(...)`. */

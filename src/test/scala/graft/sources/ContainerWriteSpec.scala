@@ -124,6 +124,46 @@ class ContainerWriteSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("gpkg: multi-partition write round-trips through format(\"gpkg\") read") {
+    import s.implicits._
+    val dir = tmpDir("gpkg-rt")
+    (0L until 120L).toDF("k")
+      .withColumn("nm", concat(lit("g"), col("k")))
+      .withColumn("score", col("k").cast("double") / 3.0)
+      .withColumn("wkt", concat(lit("POINT ("), col("k") % 20, lit(" "),
+        col("k") % 15, lit(")")))
+      .repartition(2)
+      .write.format("gpkg").option("table", "pts").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".gpkg")) === 2)
+    val back = s.read.format("gpkg").load(dir)
+    assert(back.count() === 120)
+    val one = back.filter(col("k") === 77L).collect()
+    assert(one.length === 1)
+    val r = one(0)
+    assert(r.getAs[String]("nm") === "g77")
+    assert(r.getAs[Double]("score") === 77.0 / 3.0)
+    val wkb = r.getAs[Array[Byte]](back.columns.indexOf("geom"))
+    val g = new org.locationtech.jts.io.WKBReader().read(wkb)
+    assert(g.toText === "POINT (17 2)")
+  }
+
+  test("gpkg: attributes-only write (no wkt column) lands a plain table") {
+    import s.implicits._
+    val dir = tmpDir("gpkg-attr")
+    (0L until 10L).toDF("k")
+      .withColumn("nm", concat(lit("a"), col("k")))
+      .repartition(1)
+      .write.format("gpkg").option("table", "t").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gpkg")).head
+    // readable through the raw sqlite walk: no geometry column declared
+    val db = new SqliteReader(f.getPath)
+    val (cols, rows) = db.readTable("t")
+    assert(cols.map(_.toLowerCase) === Seq("k", "nm"))
+    assert(rows.length === 10)
+  }
+
   test("write plan is a V2 batch job, not a driver collect") {
     import s.implicits._
     // the observable contract: the logical plan Spark runs for save() is
