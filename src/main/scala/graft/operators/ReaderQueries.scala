@@ -775,6 +775,58 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // BOTH streaming connector halves chained: a FlatGeobuf landing
+    // zone drained by readStream.format("fgb") (name-anchored offsets,
+    // per-container scan tasks), transformed (WKB → WKT in-stream), and
+    // landed by writeStream.format("arrow") — the DSv2 STREAMING WRITE:
+    // one container per epoch+partition with deterministic names
+    // (replayed epochs re-commit idempotently — the exactly-once
+    // contract), temps invisible until epoch commit. Read-back through
+    // the batch connector must equal the nation oracle, so offsets,
+    // epochs, commit renames, and both binary walks all sit under one
+    // hash gate. At 100 TB this is a continuous ingest pipe: zone in,
+    // zone out, no driver rows, checkpointed restart.
+    QuerySpec(
+      "stream_arrow_sink",
+      (s, dir) => {
+        val root = fixturePath(dir, "arrow_stream_sink")
+        val zone = root + "_zone"; val out = root + "_out"
+        val ckpt = root + "_ckpt"
+        Seq(zone, out, ckpt).foreach(deleteRecursively)
+        new java.io.File(zone).mkdirs()
+        val props = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nkey",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("nname",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val all = geoRows(s, dir)
+        Seq(0, 1, 2).foreach { part =>
+          graft.sources.FlatGeobuf.write(s"$zone/part$part.fgb", "nation_fgb",
+            props, all.filter(_._1 % 3 == part).map { case (k, n, x, y) =>
+              (org.apache.spark.sql.Row(k, n), (x, y))
+            })
+        }
+        val schema = s.read.format("fgb").load(s"$zone/part0.fgb").schema
+        val q = s.readStream.format("fgb").schema(schema).load(zone)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .writeStream.format("arrow")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "stream_arrow_sink: AvailableNow drain did not finish in 120 s")
+        }
+        s.read.format("arrow").load(out).orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // 3D (XYZ) FlatGeobuf — the container shape GDAL writes for any
     // z-bearing source: per-geometry z vectors + the header has_z flag.
     // The fixture is written as genuine POINT Z features, decoded into

@@ -63,6 +63,9 @@ final class ContainerWriteBuilder(format: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ContainerBatchWrite(format, schema, dir, ws, options, truncateAll)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new ContainerStreamingWrite(format, schema, dir, ws, options)
   }
 }
 
@@ -100,6 +103,57 @@ final class ContainerBatchWrite(format: String, schema: StructType,
     }
 }
 
+/** Streaming half of the write tier (`df.writeStream.format("fgb"|
+  * "arrow"|"gpkg")`): each micro-batch epoch lands one container per
+  * non-empty partition, named `part-<epoch>-<partition>.<ext>` —
+  * DETERMINISTIC per (epoch, partition), so a replayed epoch after a
+  * crash re-commits the same final names (delete + rename = idempotent,
+  * the exactly-once contract checkpointed streams need). Epoch-prefixed
+  * names are also monotonically increasing, which is exactly the
+  * landing-zone order the streaming READ half's name-anchored offset
+  * demands — a graft stream can land a zone another graft stream
+  * tails. */
+final class ContainerStreamingWrite(format: String, schema: StructType,
+    dir: String, ws: ContainerWriteSupport, options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val d = new File(dir)
+    require(d.isDirectory || d.mkdirs(),
+      s"cannot create $format streaming write target directory $dir")
+    new ContainerStreamingWriterFactory(schema, dir, ws, options)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ContainerCommit(tmp, dst) if tmp.nonEmpty =>
+        val d = new File(dst)
+        // a replayed epoch overwrites its own previous containers
+        if (d.exists()) require(d.delete(), s"cannot replace $dst")
+        require(new File(tmp).renameTo(d),
+          s"epoch $epochId commit rename failed: $tmp -> $dst")
+      case _ => ()
+    }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ContainerCommit(tmp, _) if tmp.nonEmpty => new File(tmp).delete(): Unit
+      case _ => ()
+    }
+}
+
+final class ContainerStreamingWriterFactory(schema: StructType, dir: String,
+    ws: ContainerWriteSupport, options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ContainerDataWriter(schema, dir, ws, options, partitionId, taskId,
+      epoch = Some(epochId))
+}
+
 /** @param tmp in-progress path ("" = empty partition, nothing written)
   * @param dst final container path the job commit renames to */
 final case class ContainerCommit(tmp: String, dst: String)
@@ -114,12 +168,19 @@ final class ContainerDataWriterFactory(schema: StructType, dir: String,
 
 final class ContainerDataWriter(schema: StructType, dir: String,
     ws: ContainerWriteSupport, options: Map[String, String],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    epoch: Option[Long] = None) extends DataWriter[InternalRow] {
 
-  // task-attempt-unique temp (dot prefix keeps it invisible to the read
-  // tier and to Spark's own file listings until job commit renames it)
-  private val stem = f"part-$partitionId%05d-$taskId.${ws.extension}"
-  private val tmpFile = new File(dir, s".$stem.inprogress")
+  // batch: taskId in the final name (uniqueness across jobs into one
+  // zone). streaming: DETERMINISTIC (epoch, partition) final name so a
+  // replayed epoch re-commits idempotently. The temp always carries the
+  // taskId — concurrent speculative attempts must not collide — and its
+  // dot prefix keeps it invisible to the read tier until commit.
+  private val stem = epoch match {
+    case Some(e) => f"part-$e%05d-$partitionId%05d.${ws.extension}"
+    case None => f"part-$partitionId%05d-$taskId.${ws.extension}"
+  }
+  private val tmpFile = new File(dir, s".$stem.$taskId.inprogress")
   private val dstFile = new File(dir, stem)
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   // opened on first row: an empty partition writes no container at all

@@ -14,9 +14,11 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   * Primary role: generate deterministic reader-oracle fixtures from
   * corpus rows at query time (ReaderQueries), which makes every custom
   * binary reader verifiable against DuckDB SQL that composes the same
-  * rows. They are driver-side single-file emitters by design — the same
-  * position as the readers (an ingest container has no split to
-  * distribute).
+  * rows. Each call emits ONE container — single-file by format, no split
+  * to distribute — but the caller decides where it runs: fixture
+  * composers invoke these on the driver, while the DSv2 write half
+  * ([[ContainerWriteSupport]]) invokes them INSIDE write tasks, one
+  * container per partition on the executors.
   */
 object FormatWriters {
 
@@ -377,10 +379,10 @@ object FormatWriters {
     * local-payload maximum spills to an overflow chain — the exact
     * inverse of [[SqliteReader]]'s walk, which is also the round-trip
     * proof (FormatWritersSpec + `sink_gpkg`'s hash oracle). Rows stream
-    * through one leaf at a time, so driver memory stays bounded at one
-    * page of cells plus the emitted file bytes; the writer is still a
-    * driver-side single-file emitter by design (an SQLite container has
-    * no split to distribute — the 100 TB path is parquet). */
+    * through one leaf at a time, so memory stays bounded at one page of
+    * cells plus the emitted file bytes. One call = one container (an
+    * SQLite file has no split to distribute); the DSv2 write half runs
+    * this inside write tasks, one container per partition. */
   def writeGeoPackageTable(path: String, table: String,
       columns: Seq[(String, String)], srsId: Int,
       geomColumn: Option[String], rows: Iterator[Seq[Any]]): Unit = {

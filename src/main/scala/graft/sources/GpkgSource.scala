@@ -143,6 +143,7 @@ final class ContainerTable(format: String, tableSchema: StructType,
     if (writeSupport.isDefined) {
       caps.add(TableCapability.BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
   }

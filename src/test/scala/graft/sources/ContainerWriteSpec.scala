@@ -164,6 +164,39 @@ class ContainerWriteSpec extends AnyFunSuite {
     assert(rows.length === 10)
   }
 
+  test("streaming write: fgb zone stream -> arrow container sink, exactly-once names") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-w")
+    val zone = s"$root/zone"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(zone).mkdirs()
+    val props = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("nm", StringType, nullable = true)))
+    // 3 containers land in the zone; the stream drains them micro-batch-wise
+    (0 until 3).foreach { part =>
+      FlatGeobuf.write(s"$zone/part$part.fgb", "t", props,
+        (0L until 10L).map(i => (org.apache.spark.sql.Row(part * 10 + i, s"v${part * 10 + i}"),
+          (i.toDouble, i.toDouble))))
+    }
+    val schema = s.read.format("fgb").load(s"$zone/part0.fgb").schema
+    val q = s.readStream.format("fgb").schema(schema).load(zone)
+      .select(col("k"), col("nm")) // drop geom: exercise pruned streaming write
+      .writeStream.format("arrow")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    val files = new java.io.File(out).listFiles().filter(_.isFile)
+    assert(files.forall(f => !f.getName.endsWith(".inprogress")))
+    assert(files.forall(_.getName.matches("part-\\d{5}-\\d{5}\\.arrows")),
+      s"epoch-deterministic names, got ${files.map(_.getName).mkString(",")}")
+    val back = s.read.format("arrow").load(out)
+    assert(back.count() === 30)
+    assert(back.orderBy("k").collect().map(_.getLong(0)).toSeq === (0L until 30L))
+  }
+
   test("write plan is a V2 batch job, not a driver collect") {
     import s.implicits._
     // the observable contract: the logical plan Spark runs for save() is
