@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.StructType
 import java.io.File
 
 /** Distributed WRITE half of the container connector tier
-  * (`df.write.format("fgb"|"arrow").save(dir)`).
+  * (`df.write.format("fgb"|"arrow"|"gpkg").save(dir)`, and
+  * `df.writeStream` for continuous landing — [[ContainerStreamingWrite]]).
   *
   * The reference's whole job is a write (geo_strategy.rs:350-421 hands a
   * final CTAS to PostGIS); its Spark re-expression must not funnel the

@@ -58,11 +58,14 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(line.contains("\"value_excl_cached\":97.310"))
   }
 
-  test("the registry declares the ensemble's cache-assisted timing") {
+  test("the registry declares every cache-assisted timing") {
     // the flag is what keeps cross-round comparisons honest — losing it
-    // silently would reintroduce the cache-hit-as-speedup artifact
-    val cached = Registry.all.filter(_.cacheAssisted).map(_.name)
-    assert(cached == Seq("dedup_ensemble_components"),
+    // silently would reintroduce the cache-hit-as-speedup artifact.
+    // Current set: the ensemble's published pair checkpoints + the LR
+    // family's shared feature/weight relations (round 10).
+    val cached = Registry.all.filter(_.cacheAssisted).map(_.name).sorted
+    assert(cached == Seq("dedup_ensemble_components", "text_lr_gate",
+      "text_lr_holdout", "text_lr_train"),
       s"unexpected cache-assisted set: $cached")
   }
 

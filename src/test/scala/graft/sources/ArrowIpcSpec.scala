@@ -234,6 +234,21 @@ class ArrowIpcSpec extends AnyFunSuite {
       Seq("ALPHA", "BETA", "ALPHA", "GAMMA", "BETA", "GAMMA", "ALPHA", "GAMMA"))
   }
 
+  test("truncated compressed containers fail loudly, not silently short") {
+    val rows = (0L until 300L).map(i => Row(i, s"padding-padding-padding-$i"))
+    val p = tmp("trunc.arrows")
+    ArrowIpc.write(p, rows, schema, batchRows = 50, codec = Some("zstd"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val cut = tmp("cut.arrows")
+    // cut inside the compressed body of a middle batch
+    java.nio.file.Files.write(java.nio.file.Paths.get(cut),
+      bytes.take(bytes.length / 2))
+    val e = intercept[Exception] { ArrowIpc.parsed(cut) }
+    assert(e != null)
+    // distributed path too — the task must throw, not return fewer rows
+    intercept[Exception] { ArrowIpc.read(spark, cut).count() }
+  }
+
   test("unsupported types still fail loudly (no silent coercion)") {
     // list<utf8> is outside the declared coverage — both directions throw
     intercept[IllegalArgumentException] {
