@@ -138,7 +138,8 @@ object ReaderQueries {
             element_at(col("tags"), 2).as("tag2"),
             explode(col("entries")).as("e"))
           .select(col("id"), col("name"), col("region"), col("tag2"),
-            col("e.seq").as("seq"), col("e.val").as("val"))
+            col("e.seq").cast("long").as("seq"),
+            col("e.val").cast("long").as("val"))
           .orderBy("id", "seq")
       },
       Some("""WITH e AS (
@@ -913,6 +914,76 @@ object ReaderQueries {
       },
       Some("""SELECT c_custkey AS ckey, c_name AS cname, c_acctbal AS bal
               FROM customer ORDER BY ckey""")),
+
+    // Landing-zone COMPACTION for the container tier — the small-file
+    // problem at 100 TB is not parquet-only: a streaming producer lands
+    // one container per epoch+partition, and ten thousand tiny .arrows
+    // files make every zone read plan ten thousand tasks. The compactor
+    // is the connector tier composed with itself: an 8-container zone
+    // read (8 scan tasks) repartitioned and re-landed as 2 containers,
+    // entirely executor-side — layout_compact's stance, container
+    // edition. The file-count assertion pins that compaction actually
+    // happened; the hash oracle pins losslessness.
+    QuerySpec(
+      "layout_arrow_compact",
+      (s, dir) => {
+        val zoneSmall = fixturePath(dir, "arrow_small_zone")
+        val zoneBig = fixturePath(dir, "arrow_compact_zone")
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").as("ckey"), col("c_name").as("cname"),
+            col("c_acctbal").as("bal"))
+          .repartition(8, col("ckey"))
+          .write.format("arrow").mode("overwrite").save(zoneSmall)
+        s.read.format("arrow").load(zoneSmall)
+          .repartition(2, col("ckey"))
+          .write.format("arrow").mode("overwrite").save(zoneBig)
+        val n = new java.io.File(zoneBig).listFiles()
+          .count(_.getName.endsWith(".arrows"))
+        require(n == 2, s"compaction produced $n containers, want 2")
+        s.read.format("arrow").load(zoneBig).orderBy("ckey")
+      },
+      Some("""SELECT c_custkey AS ckey, c_name AS cname, c_acctbal AS bal
+              FROM customer ORDER BY ckey""")),
+
+    // Distributed zone FORMAT CONVERSION — the reference's entire job
+    // is converting geo containers into another store
+    // (core_processor.rs: gpkg/shp/geojson → PostGIS); here the same
+    // conversion runs zone-to-zone through both connector halves: a
+    // 3-container GeoPackage zone is read (3 scan tasks, SQLite walk
+    // executor-side), geometry re-serialized WKB→WKT in-plan, and
+    // re-landed as a 2-container FlatGeobuf zone (2 write tasks,
+    // FlatBuffers encode executor-side). No driver rows, no format
+    // library — and the read-back hash must equal the nation oracle, so
+    // BOTH binary codecs and both halves of the write protocol sit
+    // under one gate.
+    QuerySpec(
+      "pipeline_zone_convert",
+      (s, dir) => {
+        val gz = fixturePath(dir, "convert_gpkg_zone")
+        val fz = fixturePath(dir, "convert_fgb_zone")
+        Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            graft.functions.GeoFunctions.stPointWkt(
+              col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double") * 10).as("wkt"))
+          .repartition(3, col("nkey"))
+          .write.format("gpkg").option("table", "nation_c")
+          .mode("overwrite").save(gz)
+        s.read.format("gpkg").load(gz)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .repartition(2, col("nkey"))
+          .write.format("fgb").option("layer", "nation_c")
+          .mode("overwrite").save(fz)
+        s.read.format("fgb").load(fz)
+          .select(col("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
 
     // DICTIONARY-ENCODED Arrow — the wire shape of every pandas/pyarrow
     // CATEGORICAL column (utf8 values shipped once in a dictionary
