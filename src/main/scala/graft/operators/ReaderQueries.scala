@@ -945,6 +945,41 @@ object ReaderQueries {
       Some("""SELECT c_custkey AS ckey, c_name AS cname, c_acctbal AS bal
               FROM customer ORDER BY ckey""")),
 
+    // bbox SPATIAL FILTER through the connector — GDAL's st_read
+    // spatial_filter as a DSv2 read option: `format("fgb")
+    // .option("bbox", ...)` makes every scan task run the packed-
+    // Hilbert-tree candidate walk instead of a full decode (the
+    // readBbox pruning, counter-proven in FlatGeobufSpec, now reachable
+    // from plain reader syntax — and from readStream, which tails a
+    // zone with the filter applied per container). The indexed
+    // container is itself produced by the DSv2 write, so write-index →
+    // option-pruned-read round-trips under one oracle.
+    QuerySpec(
+      "scan_fgb_bbox_dsv2",
+      (s, dir) => {
+        val out = fixturePath(dir, "fgb_bbox_dsv2_zone")
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("ckey"),
+            col("c_name").as("cname"),
+            concat(lit("POINT ("), col("c_custkey").cast("long") % 100,
+              lit(" "), col("c_custkey").cast("long") % 90, lit(")")).as("wkt"))
+          .repartition(1)
+          .write.format("fgb")
+          .option("layer", "cust").option("indexNodeSize", "16")
+          .mode("overwrite").save(out)
+        s.read.format("fgb").option("bbox", "10,10,30,40").load(out)
+          .select(col("ckey"), col("cname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("ckey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS cname,
+                     'POINT (' || (CAST(c_custkey AS BIGINT) % 100)::VARCHAR || ' ' ||
+                     (CAST(c_custkey AS BIGINT) % 90)::VARCHAR || ')' AS wkt
+              FROM customer
+              WHERE CAST(c_custkey AS BIGINT) % 100 BETWEEN 10 AND 30
+                AND CAST(c_custkey AS BIGINT) % 90 BETWEEN 10 AND 40
+              ORDER BY ckey""")),
+
     // Distributed zone FORMAT CONVERSION — the reference's entire job
     // is converting geo containers into another store
     // (core_processor.rs: gpkg/shp/geojson → PostGIS); here the same

@@ -553,6 +553,21 @@ object FlatGeobuf {
     (schema, rows)
   }
 
+  /** [[parsed]] with a bbox spatial filter — the [[ContainerSource]]
+    * options hook behind `spark.read.format("fgb").option("bbox", ...)`:
+    * indexed containers decode ONLY R-tree candidate features (the
+    * readBbox pruning, now reachable through the connector), index-free
+    * containers fall back to decode-all + envelope filter. */
+  def parsedBbox(path: String, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): (StructType, Seq[Seq[Any]]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (schema, props, feats) = parseBbox(bytes, minX, minY, maxX, maxY)
+    val rows = feats.map { case (g, pb) =>
+      decodeProps(props, pb) :+ geomWkb(g)
+    }.toSeq
+    (schema, rows)
+  }
+
   private def readSizePrefixed(in: java.io.DataInputStream): Array[Byte] = {
     val lenB = new Array[Byte](4); in.readFully(lenB)
     val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt

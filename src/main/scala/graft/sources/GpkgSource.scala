@@ -38,6 +38,14 @@ abstract class ContainerSource extends TableProvider with DataSourceRegister {
     * partition, written executor-side. None = read-only connector. */
   def writeSupport: Option[ContainerWriteSupport] = None
 
+  /** Options-aware parse hook: a format may specialize the container
+    * walk from READ options (fgb: `bbox` → index-driven candidate
+    * decode). Default ignores options. The specialized parse flows into
+    * batch scans AND the streaming micro-batch tier — an option-scoped
+    * stream tails the zone with the same filter applied per container. */
+  def parseFor(options: Map[String, String])
+      : String => (StructType, Seq[Seq[Any]]) = parse
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = ContainerSource.paths(options).flatMap(ContainerSource.containerFiles)
     require(paths.nonEmpty,
@@ -47,10 +55,16 @@ abstract class ContainerSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    val opts = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala
+        .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    }
     new ContainerTable(shortName(), schema,
-      ContainerSource.paths(new CaseInsensitiveStringMap(properties)), parse,
-      writeSupport)
+      ContainerSource.paths(new CaseInsensitiveStringMap(properties)),
+      parseFor(opts), writeSupport)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -80,6 +94,19 @@ final class FgbSource extends ContainerSource {
     FlatGeobuf.parsed _
   override def writeSupport: Option[ContainerWriteSupport] =
     Some(FgbWriteSupport)
+  /** `option("bbox", "minX,minY,maxX,maxY")` — GDAL-style spatial
+    * filter: indexed containers decode only packed-Hilbert-tree
+    * candidates inside the scan task. */
+  override def parseFor(options: Map[String, String])
+      : String => (StructType, Seq[Seq[Any]]) =
+    options.get("bbox") match {
+      case Some(b) =>
+        val c = b.split(",").map(_.trim.toDouble)
+        require(c.length == 4,
+          s"bbox option needs 'minX,minY,maxX,maxY', got '$b'")
+        FlatGeobuf.parsedBbox(_, c(0), c(1), c(2), c(3))
+      case None => parse
+    }
 }
 
 /** Arrow IPC connector: `spark.read.format("arrow").load(...)` — both

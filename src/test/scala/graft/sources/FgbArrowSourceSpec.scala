@@ -138,4 +138,33 @@ class FgbArrowSourceSpec extends AnyFunSuite {
     assert(all.length == 9, s"exactly-once violated: ${all.length} rows")
     assert(all.toSet == Set(101L, 102L, 103L, 201L, 202L, 203L, 301L, 302L, 303L))
   }
+
+  test("fgb bbox option prunes through the connector (indexed + plain)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fgbbbox").toFile
+    dir.deleteOnExit()
+    // one indexed, one index-free container in the same zone — the
+    // option must serve both (tree walk vs decode-all + filter)
+    def df(lo: Long, hi: Long) = (lo until hi).toDF("k")
+      .withColumn("wkt", concat(lit("POINT ("), col("k") % 50, lit(" "),
+        col("k") % 40, lit(")")))
+    df(0, 200).repartition(1).write.format("fgb")
+      .option("layer", "a").option("indexNodeSize", "8")
+      .mode("append").save(dir.getPath)
+    df(200, 300).repartition(1).write.format("fgb")
+      .option("layer", "b").mode("append").save(dir.getPath)
+    val got = spark.read.format("fgb").option("bbox", "10,10,20,20")
+      .load(dir.getPath)
+      .select(col("k")).as[Long].collect().sorted
+    val want = (0L until 300L)
+      .filter(k => k % 50 >= 10 && k % 50 <= 20 && k % 40 >= 10 && k % 40 <= 20)
+    assert(got.toSeq == want)
+    // malformed bbox is loud
+    val e = intercept[Exception] {
+      spark.read.format("fgb").option("bbox", "1,2,3").load(dir.getPath).count()
+    }
+    assert(e.getMessage.contains("bbox"))
+  }
+
 }
