@@ -645,6 +645,68 @@ object DedupQueries {
     // → candidate pairs → exact-Jaccard verify ≥ 0.2. At 100 TB the band
     // self-join is the only shuffle that grows with corpus size, and it
     // carries (doc_id, 2-long band key) rows only.
+    // INCREMENTAL dedup — the production shape at 100 TB: yesterday's
+    // corpus is a PUBLISHED band-key catalog; today's batch never
+    // re-clusters history, it probes the catalog with its own band keys
+    // (an equi-join sized by the new batch, not the corpus), verifies
+    // candidates by exact Jaccard, and labels each new doc dup-of-history
+    // or fresh. Here the catalog is doc_id % 5 != 0 and the batch is
+    // % 5 == 0, so the oracle can replay the split exactly; in
+    // production the catalog is a table the previous run wrote. The
+    // plan: one banded equi-join + a candidates-only verify join + a
+    // batch-sized left join — nothing corpus².
+    QuerySpec(
+      "dedup_incremental",
+      (s, dir) => {
+        val minhashSig = udaf(graft.functions.MinHashSig)
+        val sets = shingleHashes(docs(s, dir).repartition(col("doc_id")), "doc_id")
+          .groupBy("doc_id")
+          .agg(minhashSig(col("h")).as("sig"), collect_set(col("h")).as("hs"))
+          .withColumn("c", size(col("hs")))
+          .localCheckpoint() // feeds the band probe and both verify sides
+        val bands = sets.select(col("doc_id"),
+          explode(array((0 until Bands).map(j =>
+            struct(lit(j).as("b"),
+              concat_ws("_", col("sig")(2 * j), col("sig")(2 * j + 1)).as("key"))): _*)).as("bd"))
+          .select(col("doc_id"), col("bd.b").as("b"), col("bd.key").as("key"))
+        val catBands = bands.filter(col("doc_id") % 5 =!= 0)
+        val newBands = bands.filter(col("doc_id") % 5 === 0)
+        val cand = newBands.as("n").join(catBands.as("cat"),
+            col("n.b") === col("cat.b") && col("n.key") === col("cat.key"))
+          .select(col("n.doc_id").as("nd"), col("cat.doc_id").as("cd"))
+          .distinct()
+        val verified = cand
+          .join(sets.select(col("doc_id").as("nd"), col("hs").as("hn"),
+            col("c").as("cn")), "nd")
+          .join(sets.select(col("doc_id").as("cd"), col("hs").as("hc"),
+            col("c").as("cc")), "cd")
+          .withColumn("ic", size(array_intersect(col("hn"), col("hc"))))
+          .filter(col("ic").cast("double") /
+            (col("cn") + col("cc") - col("ic")) >= 0.2)
+        val hits = verified.groupBy("nd")
+          .agg(count(lit(1)).as("nh"), min(col("cd")).as("first_match"))
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+          .join(hits, col("doc_id") === col("nd"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nh"), lit(0L)).as("n_hits"),
+            col("nh").isNotNull.as("is_dup"),
+            col("first_match"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $MinHashPairsCtes,
+              |hits AS (
+              |  SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS nd,
+              |         CASE WHEN da % 5 = 0 THEN db ELSE da END AS cd
+              |  FROM jpairs
+              |  WHERE (da % 5 = 0) != (db % 5 = 0)),
+              |agg AS (SELECT nd, COUNT(*) AS nh, MIN(cd) AS first_match
+              |        FROM hits GROUP BY nd)
+              |SELECT d.doc_id, COALESCE(a.nh, 0) AS n_hits,
+              |       a.nh IS NOT NULL AS is_dup, a.first_match
+              |FROM documents d LEFT JOIN agg a ON a.nd = d.doc_id
+              |WHERE d.doc_id % 5 = 0
+              |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec(
       "dedup_minhash",
       (s, dir) =>
