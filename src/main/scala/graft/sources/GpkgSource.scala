@@ -175,7 +175,8 @@ final class ContainerTable(format: String, tableSchema: StructType,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ContainerScanBuilder(format, tableSchema, paths, parse)
+    new ContainerScanBuilder(format, tableSchema, paths, parse,
+      Option(options.get("maxfilesperbatch")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -193,7 +194,8 @@ final class ContainerTable(format: String, tableSchema: StructType,
 }
 
 final class ContainerScanBuilder(format: String, full: StructType,
-    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]))
+    paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]),
+    maxFilesPerBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -223,7 +225,8 @@ final class ContainerScanBuilder(format: String, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ContainerScan(format, required, paths, parse, limit, pushed)
+    new ContainerScan(format, required, paths, parse, limit, pushed,
+      maxFilesPerBatch)
 }
 
 /** Row-level evaluation of pushed source filters over external values
@@ -289,7 +292,8 @@ private[sources] object ContainerFilters {
 final class ContainerScan(format: String, required: StructType,
     paths: Seq[String], parse: String => (StructType, Seq[Seq[Any]]),
     limit: Int = Int.MaxValue,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    maxFilesPerBatch: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -322,7 +326,7 @@ final class ContainerScan(format: String, required: StructType,
       (if (filters.nonEmpty) s" pushed=[${filters.mkString(",")}]" else "")
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ContainerMicroBatchStream(required, paths, parse)
+    new ContainerMicroBatchStream(required, paths, parse, maxFilesPerBatch)
 }
 
 /** Streaming half of the connector tier: `spark.readStream
@@ -342,12 +346,47 @@ final class ContainerScan(format: String, required: StructType,
   * exactly where the last batch committed (GpkgStreamSpec executes the
   * restart and the misordered-landing failure). */
 final class ContainerMicroBatchStream(required: StructType, roots: Seq[String],
-    parse: String => (StructType, Seq[Seq[Any]]))
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    parse: String => (StructType, Seq[Seq[Any]]),
+    maxFilesPerBatch: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  maxFilesPerBatch.foreach(n => require(n > 0,
+    s"maxFilesPerBatch must be positive, got $n"))
 
   private def files(): Seq[String] =
     roots.flatMap(ContainerSource.containerFiles).distinct.sorted
+
+  // Trigger.AvailableNow contract: pin the zone's end at prepare time,
+  // then drain to exactly that point (in maxFilesPerBatch-sized epochs
+  // when admission control is on) and stop — containers landing during
+  // the drain belong to the NEXT run, never half-processed by this one.
+  private var availableNowEnd: Option[ContainerOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val fs = files()
+    availableNowEnd = Some(ContainerOffset(fs.length, fs.lastOption.getOrElse("")))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerBatch.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled endpoint: cap this batch at `maxFiles` new
+    * containers past `start`; under AvailableNow never pass the pinned
+    * end. The anchor name is recomputed for the capped position so the
+    * order check stays exact. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val fs = files()
+    val hardEnd = availableNowEnd.map(_.n).getOrElse(fs.length)
+    val startN = start.asInstanceOf[ContainerOffset].n
+    val capped = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(hardEnd, startN + mf.maxFiles())
+      case _ => hardEnd
+    }
+    ContainerOffset(capped,
+      if (capped > 0 && capped <= fs.length) fs(capped - 1) else "")
+  }
 
   override def initialOffset(): Offset = ContainerOffset(0, "")
   override def latestOffset(): Offset = {

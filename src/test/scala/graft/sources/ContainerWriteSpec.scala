@@ -197,6 +197,38 @@ class ContainerWriteSpec extends AnyFunSuite {
     assert(back.orderBy("k").collect().map(_.getLong(0)).toSeq === (0L until 30L))
   }
 
+  test("AvailableNow + maxFilesPerBatch drains in admission-sized epochs") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-adm")
+    val zone = s"$root/zone"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(zone).mkdirs()
+    val props = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("nm", StringType, nullable = true)))
+    (0 until 5).foreach { part =>
+      FlatGeobuf.write(s"$zone/part$part.fgb", "t", props,
+        (0L until 4L).map(i => (org.apache.spark.sql.Row(part * 4 + i, s"v$i"),
+          (i.toDouble, i.toDouble))))
+    }
+    val schema = s.read.format("fgb").load(s"$zone/part0.fgb").schema
+    val q = s.readStream.format("fgb").schema(schema)
+      .option("maxFilesPerBatch", "2").load(zone)
+      .select(col("k"), col("nm"))
+      .writeStream.format("arrow")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "admission-controlled drain timed out")
+    // 5 containers at 2 per epoch = 3 epochs; epoch id is the first
+    // number in the sink's deterministic part-<epoch>-<partition> names
+    val epochs = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrows"))
+      .map(_.getName.split("-")(1)).distinct
+    assert(epochs.length === 3, s"expected 3 epochs, got ${epochs.toSeq}")
+    assert(s.read.format("arrow").load(out).count() === 20)
+  }
+
   test("write plan is a V2 batch job, not a driver collect") {
     import s.implicits._
     // the observable contract: the logical plan Spark runs for save() is
