@@ -753,7 +753,11 @@ object ReaderQueries {
             })
         }
         val schema = s.read.format("fgb").load(s"$zone/part0.fgb").schema
-        val q = s.readStream.format("fgb").schema(schema).load(zone)
+        // maxFilesPerBatch=1: the AvailableNow drain runs THREE real
+        // micro-batch epochs (admission control), not one fused batch —
+        // offset anchoring and epoch commits repeat per container
+        val q = s.readStream.format("fgb").schema(schema)
+          .option("maxFilesPerBatch", "1").load(zone)
           .writeStream.format("parquet")
           .option("path", out)
           .option("checkpointLocation", ckpt)
@@ -827,6 +831,48 @@ object ReaderQueries {
       Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
+
+    // CONTINUOUS embedding ingest: the arrow landing zone (produced by
+    // the DSv2 batch WRITE) tailed by readStream.format("arrow") in
+    // admission-sized epochs and drained to parquet — the feature-store
+    // shape at 100 TB (vectors land as .arrows drops, the pipeline
+    // tails the zone). The read-back norm hash must match the parquet
+    // originals through DuckDB, so the streaming arrow decode
+    // (list<float32>, µs timestamps, per-epoch offsets) sits under the
+    // same gate as the batch legs.
+    QuerySpec(
+      "stream_arrow_zone",
+      (s, dir) => {
+        val zone = arrowEmbeddingsZone(s, dir)
+        val root = fixturePath(dir, "arrow_zone_stream")
+        val out = root + "_out"; val ckpt = root + "_ckpt"
+        Seq(out, ckpt).foreach(deleteRecursively)
+        val schema = s.read.format("arrow").load(zone).schema
+        val q = s.readStream.format("arrow").schema(schema)
+          .option("maxFilesPerBatch", "1").load(zone)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "stream_arrow_zone: AvailableNow drain did not finish in 120 s")
+        }
+        s.read.parquet(out)
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(sqrt(graft.functions.DotProduct(
+              col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))), 6).as("nrm"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, label, len(embedding) AS dim,
+                     ROUND(SQRT((SELECT SUM(x*x) FROM
+                       (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x))), 6) AS nrm
+              FROM embeddings ORDER BY vec_id""")),
 
     // 3D (XYZ) FlatGeobuf — the container shape GDAL writes for any
     // z-bearing source: per-geometry z vectors + the header has_z flag.
