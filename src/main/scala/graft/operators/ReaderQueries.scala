@@ -991,6 +991,36 @@ object ReaderQueries {
       Some("""SELECT c_custkey AS ckey, c_name AS cname, c_acctbal AS bal
               FROM customer ORDER BY ckey""")),
 
+    // DICTIONARY-ENCODED writes through the connector: `option("dict",
+    // "lang,source")` ships the two low-cardinality document columns as
+    // int32 indices into stream dictionaries that grow by DELTA batches
+    // — each distinct value crosses the wire once per container, the
+    // 10-100× categorical shrink a 100 TB metadata zone lives on. Three
+    // write tasks each build their own dictionaries; the read-back
+    // (delta replay per batch, proven in ArrowIpcSpec) must hash-match
+    // the per-source/lang rollup of the parquet originals.
+    QuerySpec(
+      "sink_arrow_dict_dsv2",
+      (s, dir) => {
+        val out = fixturePath(dir, "arrow_dict_zone")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartition(3, col("doc_id"))
+          .write.format("arrow")
+          .option("dict", "lang,source").option("batchRows", "128")
+          .mode("overwrite").save(out)
+        s.read.format("arrow").load(out)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source", "lang")
+      },
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     MIN(doc_id) AS first_doc
+              FROM documents GROUP BY source, lang ORDER BY source, lang""")),
+
     // bbox SPATIAL FILTER through the connector — GDAL's st_read
     // spatial_filter as a DSv2 read option: `format("fgb")
     // .option("bbox", ...)` makes every scan task run the packed-

@@ -242,8 +242,16 @@ object ArrowIpc {
   private def setRow(root: VectorSchemaRoot, schema: StructType,
       row: Row, i: Int): Unit =
     schema.fields.zipWithIndex.foreach { case (fd, j) =>
+      setCell(fd, root.getVector(j), row, i, j)
+    }
+
+  /** One cell into `vec` at slot `i` from `row(j)` — the per-column body
+    * of [[setRow]], also used by the dictionary sink for its non-encoded
+    * columns. */
+  private def setCell(fd: StructField,
+      vec: org.apache.arrow.vector.FieldVector, row: Row, i: Int, j: Int): Unit = {
       if (!row.isNullAt(j))
-        (fd.dataType, root.getVector(j)) match {
+        (fd.dataType, vec) match {
           case (LongType, v: BigIntVector) => v.setSafe(i, row.getLong(j))
           case (IntegerType, v: IntVector) => v.setSafe(i, row.getInt(j))
           case (DoubleType, v: Float8Vector) => v.setSafe(i, row.getDouble(j))
@@ -304,7 +312,7 @@ object ArrowIpc {
           case (t, v) => throw new IllegalArgumentException(
             s"unsupported arrow write type $t -> ${v.getClass.getSimpleName}")
         }
-    }
+  }
 
   /** Executor-side streaming sink — the [[ContainerWriteSupport]] leg of
     * `df.write.format("arrow")`: record batches of `batchRows` flushed
@@ -345,6 +353,140 @@ object ArrowIpc {
         def quiet(f: => Unit): Unit = try f catch { case _: Throwable => () }
         quiet(w.close()); quiet(out.close())
         quiet(root.close()); quiet(alloc.close())
+        new java.io.File(path).delete(): Unit
+      }
+    }
+  }
+
+  /** DICTIONARY-encoding sink — the producer half of the categorical
+    * story: selected string columns ship as int32 indices into a stream
+    * dictionary that GROWS BY DELTA BATCHES, so each distinct value
+    * crosses the wire exactly once no matter how many rows repeat it —
+    * at 100 TB a low-cardinality `source`/`lang` column shrinks 10-100×.
+    * Wire bytes are hand-serialized (MessageSerializer): schema in
+    * message format (value-typed dict fields + DictionaryEncoding), a
+    * FULL dictionary before the first record batch, `isDelta=true`
+    * appends whenever a later batch introduces new values, EOS trailer.
+    * The reader half replays exactly this shape (delta support proven in
+    * ArrowIpcSpec against hand-built fixtures; this sink's output reads
+    * back through the same code). Per-sink memory: `batchRows` rows plus
+    * the value→id map (cardinality-sized — the point of the encoding). */
+  def dictSink(path: String, schema: StructType, dictCols: Seq[String],
+      batchRows: Int): ContainerSink = {
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
+    val unknown = dictCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"dict columns not in schema: $unknown")
+    dictCols.foreach(c => require(schema(c).dataType == StringType,
+      s"dict column '$c' must be string, is ${schema(c).dataType}"))
+    new ContainerSink {
+      import org.apache.arrow.vector.ipc.WriteChannel
+      import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch, MessageSerializer}
+      import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+      import org.apache.arrow.vector.VectorUnloader
+
+      private val alloc = new RootAllocator()
+      private val dictId: Map[String, Long] =
+        dictCols.zipWithIndex.map { case (c, i) => c -> (100L + i) }.toMap
+      private def enc(c: String) =
+        new DictionaryEncoding(dictId(c), false, new ArrowType.Int(32, true))
+      // schema MESSAGE carries the VALUE type; record-batch bodies carry
+      // the int32 index vectors (the toMessageFormat convention)
+      private val msgSchema = new ArrowSchema(schema.fields.map { f =>
+        if (dictId.contains(f.name))
+          new Field(f.name, new FieldType(f.nullable, ArrowType.Utf8.INSTANCE,
+            enc(f.name)), null)
+        else fieldOf(f)
+      }.toList.asJava)
+      private val memFields: Array[Field] = schema.fields.map { f =>
+        if (dictId.contains(f.name))
+          new Field(f.name, new FieldType(f.nullable,
+            new ArrowType.Int(32, true), enc(f.name)), null)
+        else fieldOf(f)
+      }
+      private val valueField = new Field("values",
+        new FieldType(true, ArrowType.Utf8.INSTANCE, null), null)
+
+      new java.io.File(path).delete()
+      private val out = new FileOutputStream(path)
+      private val ch = new WriteChannel(out.getChannel)
+      MessageSerializer.serialize(ch, msgSchema)
+
+      // insertion-ordered value→id maps; ids are GLOBAL across batches
+      // (deltas append), so LinkedHashMap order IS the wire order
+      private val ids = dictCols.map(c =>
+        c -> scala.collection.mutable.LinkedHashMap.empty[String, Int]).toMap
+      private val sent = scala.collection.mutable.Map(dictCols.map(_ -> 0): _*)
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+      override def append(row: Row): Unit = {
+        buf += row
+        if (buf.length >= batchRows) flushBatch()
+      }
+
+      private def flushBatch(): Unit = if (buf.nonEmpty) {
+        // 1. dictionary growth first — the spec requires a value's
+        // dictionary entry on the wire before any batch references it
+        dictCols.foreach { c =>
+          val j = schema.fieldIndex(c)
+          val m = ids(c)
+          buf.foreach { r =>
+            if (!r.isNullAt(j)) {
+              val v = r.getString(j)
+              if (!m.contains(v)) m(v) = m.size
+            }
+          }
+          if (m.size > sent(c)) {
+            val newVals = m.keysIterator.drop(sent(c)).toSeq
+            val vv = valueField.createVector(alloc).asInstanceOf[VarCharVector]
+            vv.allocateNew()
+            newVals.zipWithIndex.foreach { case (v, i) =>
+              vv.setSafe(i, v.getBytes("UTF-8")) }
+            vv.setValueCount(newVals.length)
+            val root = new VectorSchemaRoot(java.util.List.of(valueField),
+              java.util.List.of[org.apache.arrow.vector.FieldVector](vv))
+            try {
+              // first send = the full dictionary; later sends = deltas
+              val db = new ArrowDictionaryBatch(dictId(c),
+                new VectorUnloader(root).getRecordBatch, sent(c) > 0)
+              try MessageSerializer.serialize(ch, db): Unit finally db.close()
+            } finally root.close()
+            sent(c) = m.size
+          }
+        }
+        // 2. the record batch: index vectors for dict columns, regular
+        // cells elsewhere
+        val vecs = memFields.map(_.createVector(alloc))
+        val root = new VectorSchemaRoot(
+          java.util.List.of(memFields.toSeq: _*),
+          java.util.List.of(vecs.toSeq: _*))
+        try {
+          root.allocateNew()
+          buf.zipWithIndex.foreach { case (r, i) =>
+            schema.fields.zipWithIndex.foreach { case (fd, j) =>
+              if (dictId.contains(fd.name)) {
+                if (!r.isNullAt(j))
+                  vecs(j).asInstanceOf[IntVector]
+                    .setSafe(i, ids(fd.name)(r.getString(j)))
+              } else setCell(fd, vecs(j), r, i, j)
+            }
+          }
+          root.setRowCount(buf.length)
+          val rb = new VectorUnloader(root).getRecordBatch
+          try MessageSerializer.serialize(ch, rb): Unit finally rb.close()
+        } finally root.close()
+        buf.clear()
+      }
+
+      override def finish(): Unit = {
+        flushBatch()
+        try ArrowStreamWriter.writeEndOfStream(ch,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT): Unit
+        finally { try out.close() finally alloc.close() }
+      }
+
+      override def abort(): Unit = {
+        def quiet(f: => Unit): Unit = try f catch { case _: Throwable => () }
+        quiet(out.close()); quiet(alloc.close())
         new java.io.File(path).delete(): Unit
       }
     }
@@ -679,18 +821,18 @@ object ArrowIpc {
       s"unsupported spark type $other for field $name")
   }
 
-  private def toArrow(s: StructType): ArrowSchema = new ArrowSchema(
-    s.fields.map { f =>
-      f.dataType match {
-        case ArrayType(el, containsNull) =>
-          val child = new Field("element",
-            new FieldType(containsNull, atomicToArrow(el, s"${f.name}.element"), null),
-            null)
-          new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
-            java.util.List.of(child))
-        case other =>
-          new Field(f.name,
-            new FieldType(f.nullable, atomicToArrow(other, f.name), null), null)
-      }
-    }.toList.asJava)
+  private def fieldOf(f: StructField): Field = f.dataType match {
+    case ArrayType(el, containsNull) =>
+      val child = new Field("element",
+        new FieldType(containsNull, atomicToArrow(el, s"${f.name}.element"), null),
+        null)
+      new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+        java.util.List.of(child))
+    case other =>
+      new Field(f.name,
+        new FieldType(f.nullable, atomicToArrow(other, f.name), null), null)
+  }
+
+  private def toArrow(s: StructType): ArrowSchema =
+    new ArrowSchema(s.fields.map(fieldOf).toList.asJava)
 }

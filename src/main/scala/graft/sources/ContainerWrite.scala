@@ -307,7 +307,19 @@ object ArrowWriteSupport extends ContainerWriteSupport {
   override def extension: String = "arrows"
   override def newSink(path: String, schema: StructType,
       options: Map[String, String]): ContainerSink =
-    ArrowIpc.sink(path, schema,
-      options.getOrElse("batchrows", "1024").toInt,
-      options.get("codec"))
+    options.get("dict") match {
+      // dictionary-encode the named string columns: values ship once
+      // (+ per-batch deltas), rows ship as int32 indices
+      case Some(cols) =>
+        require(!options.contains("codec"),
+          "dict and codec options are mutually exclusive " +
+            "(the dictionary sink hand-serializes its batches)")
+        ArrowIpc.dictSink(path, schema,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          options.getOrElse("batchrows", "1024").toInt)
+      case None =>
+        ArrowIpc.sink(path, schema,
+          options.getOrElse("batchrows", "1024").toInt,
+          options.get("codec"))
+    }
 }

@@ -229,6 +229,49 @@ class ContainerWriteSpec extends AnyFunSuite {
     assert(s.read.format("arrow").load(out).count() === 20)
   }
 
+  test("arrow dict option: values ship once, deltas mid-stream, smaller wire") {
+    import s.implicits._
+    val dirD = tmpDir("arrow-dict")
+    val dirP = tmpDir("arrow-plain")
+    // low-cardinality category that GROWS over the batch sequence:
+    // batchRows=64 over ordered ids means category c9 first appears
+    // mid-container -> a delta dictionary batch on the wire
+    def df = (0L until 1000L).toDF("id")
+      .withColumn("cat", concat(lit("category-name-"), (col("id") / 100).cast("long")))
+      .withColumn("payload", col("id") * 7)
+      .repartition(1).sortWithinPartitions("id")
+    df.write.format("arrow").option("dict", "cat").option("batchRows", "64")
+      .mode("overwrite").save(dirD)
+    df.write.format("arrow").option("batchRows", "64")
+      .mode("overwrite").save(dirP)
+    def only(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".arrows")).head
+    val (db, pb) = (only(dirD).length(), only(dirP).length())
+    assert(db < pb, s"dict container ($db B) not smaller than plain ($pb B)")
+    // decodes back identically through the connector (delta replay)
+    val back = s.read.format("arrow").load(dirD)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "cat", "payload"))
+    assert(back.count() === 1000)
+    val got = back.orderBy("id").collect()
+    assert(got(950).getString(1) === "category-name-9")
+    assert(got(0).getString(1) === "category-name-0")
+    assert(got(123).getLong(2) === 123L * 7)
+    // nulls in a dict column survive
+    val dirN = tmpDir("arrow-dictnull")
+    (0L until 10L).toDF("id")
+      .withColumn("cat", when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(lit("x")))
+      .repartition(1)
+      .write.format("arrow").option("dict", "cat").mode("overwrite").save(dirN)
+    val backN = s.read.format("arrow").load(dirN).orderBy("id").collect()
+    assert(backN(0).isNullAt(1) && backN(1).getString(1) === "x")
+    // misuse fails loudly
+    intercept[Exception] {
+      (0L until 4L).toDF("id").write.format("arrow")
+        .option("dict", "id").mode("overwrite").save(tmpDir("arrow-dictbad"))
+    }
+  }
+
   test("write plan is a V2 batch job, not a driver collect") {
     import s.implicits._
     // the observable contract: the logical plan Spark runs for save() is
