@@ -874,9 +874,17 @@ object DedupQueries {
     QuerySpec(
       "dedup_recall_audit",
       (s, dir) => {
-        val truth = prefixJoinQuery(0.2)(s, dir)
-          .select(col("doc_a").as("da"), col("doc_b").as("db"))
-        val det = minhashPairs(s, dir)
+        // both relations come from the per-(session, corpus) published
+        // checkpoints (the ensemble's pattern): the audit CONSUMES the
+        // detector and truth relations other queries already own, so it
+        // measures audit cost, not a third run of the generators —
+        // flagged cacheAssisted accordingly
+        val truth = publishedPairs.getOrElseUpdate(
+          (s, s"$dir@${corpusVersion(dir)}", "ppjoin0.2"),
+          prefixJoinQuery(0.2)(s, dir)
+            .select(col("doc_a").as("da"), col("doc_b").as("db"))
+            .localCheckpoint())
+        val det = minhashPairsShared(s, dir)
           .select(col("da"), col("db"), lit(1).as("hit"))
         truth.join(det, Seq("da", "db"), "left")
           .agg(count(lit(1)).as("truth_pairs"), count(col("hit")).as("detected_pairs"))
@@ -900,7 +908,8 @@ object DedupQueries {
               |SELECT CAST(0.2 AS DOUBLE) AS t,
               |       COUNT(*) AS truth_pairs, COUNT(hit) AS detected_pairs,
               |       ROUND(CAST(COUNT(hit) AS DOUBLE) / COUNT(*), 6) + 0.0 AS recall
-              |FROM hits""".stripMargin)),
+              |FROM hits""".stripMargin),
+      cacheAssisted = true),
 
     // Ensemble near-dup clustering — components over the UNION of the two
     // independent pair signals (MinHash-verified Jaccard ≥ 0.2 edges and

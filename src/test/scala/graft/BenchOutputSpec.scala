@@ -64,8 +64,8 @@ class BenchOutputSpec extends AnyFunSuite {
     // Current set: the ensemble's published pair checkpoints + the LR
     // family's shared feature/weight relations (round 10).
     val cached = Registry.all.filter(_.cacheAssisted).map(_.name).sorted
-    assert(cached == Seq("dedup_ensemble_components", "text_lr_gate",
-      "text_lr_holdout", "text_lr_train"),
+    assert(cached == Seq("dedup_ensemble_components", "dedup_recall_audit",
+      "text_lr_gate", "text_lr_holdout", "text_lr_train"),
       s"unexpected cache-assisted set: $cached")
   }
 
