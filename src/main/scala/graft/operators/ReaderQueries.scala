@@ -1497,6 +1497,34 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY nkey""")),
 
+    // The FOURTH container format's write half: zipped ESRI shapefile
+    // through the same distributed tier (Point + dBASE attrs — the
+    // format's own ceiling; rich layers belong in fgb/gpkg). Two write
+    // tasks each emit a complete .shp/.dbf/.prj zip; the read-back
+    // through the shpzip connector closes the read/write story for ALL
+    // FOUR container connectors under hash oracles.
+    QuerySpec(
+      "sink_shpzip_dsv2",
+      (s, dir) => {
+        val out = fixturePath(dir, "shpzip_dsv2_zone")
+        Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            graft.functions.GeoFunctions.stPointWkt(
+              col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double") * 10).as("wkt"))
+          .repartition(2, col("nkey"))
+          .write.format("shpzip").option("basename", "nation_rt")
+          .mode("overwrite").save(out)
+        s.read.format("shpzip").load(out)
+          .select(col("nkey").cast("long").as("nkey"), col("nname"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
+          .orderBy("nkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+                      $wktSql AS wkt
+               FROM nation ORDER BY nkey""")),
+
     // Distributed multi-partition Arrow IPC write → connector read round
     // trip (`df.write.format("arrow")`): four write tasks stream record
     // batches executor-side (512-row batches — per-task memory is one

@@ -298,6 +298,49 @@ object GpkgWriteSupport extends ContainerWriteSupport {
   }
 }
 
+/** Zipped-shapefile write support — completes the read/write story for
+  * all four container connectors. The ESRI format writer is Point-only
+  * with dBASE III attributes, so the accepted schema is exactly one
+  * LongType column, one StringType column, and a StringType `wkt`
+  * column of POINTs — anything else refuses loudly (shapefile is the
+  * legacy interchange leg; rich layers belong in fgb/gpkg). Options:
+  * `basename` (the zip's inner file stem). */
+object ShpZipWriteSupport extends ContainerWriteSupport {
+  override def extension: String = "zip"
+  override def newSink(path: String, schema: StructType,
+      options: Map[String, String]): ContainerSink = new ContainerSink {
+    import org.apache.spark.sql.types._
+    private val wktIdx = schema.fieldNames.indexOf("wkt")
+    require(wktIdx >= 0 && schema.fields(wktIdx).dataType == StringType,
+      s"shpzip write needs a string geometry column named 'wkt'; " +
+        s"schema is ${schema.simpleString}")
+    private val attrs = schema.fields.zipWithIndex.filter(_._2 != wktIdx)
+    require(attrs.length == 2 &&
+        attrs.count(_._1.dataType == LongType) == 1 &&
+        attrs.count(_._1.dataType == StringType) == 1,
+      "shpzip write takes exactly one bigint attribute, one string " +
+        s"attribute and the wkt point column; schema is ${schema.simpleString}")
+    private val (keyF, keyIdx) = { val a = attrs.find(_._1.dataType == LongType).get; (a._1.name, a._2) }
+    private val (nameF, nameIdx) = { val a = attrs.find(_._1.dataType == StringType).get; (a._1.name, a._2) }
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Double)]
+    override def append(row: Row): Unit = {
+      require(!row.isNullAt(wktIdx) && !row.isNullAt(keyIdx) && !row.isNullAt(nameIdx),
+        "shpzip write: null cell (the dBASE fixed-width records have no null encoding)")
+      val g = graft.functions.GeoFunctions.parseWkt(row.getString(wktIdx))
+        .getOrElse(throw new IllegalArgumentException(
+          s"shpzip write: unparseable wkt '${row.getString(wktIdx)}'"))
+      require(g.getGeometryType == "Point",
+        s"shpzip write is Point-only, got ${g.getGeometryType}")
+      val c = g.getCoordinate
+      buf += ((row.getLong(keyIdx), row.getString(nameIdx), c.x, c.y))
+    }
+    override def finish(): Unit =
+      FormatWriters.writeShapefileZip(path,
+        options.getOrElse("basename", "layer"), keyF, nameF, buf.toSeq)
+    override def abort(): Unit = new File(path).delete(): Unit
+  }
+}
+
 /** Arrow IPC stream write support: streaming record batches of
   * `batchRows` (default 1024) rows — per-task peak memory is one batch.
   * Type coverage is [[ArrowIpc]]'s interchange set. Option `codec`

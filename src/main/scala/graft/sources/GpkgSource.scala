@@ -83,6 +83,8 @@ final class ShpZipSource extends ContainerSource {
   override def shortName(): String = "shpzip"
   override def parse: String => (StructType, Seq[Seq[Any]]) =
     ShapefileReader.parsed _
+  override def writeSupport: Option[ContainerWriteSupport] =
+    Some(ShpZipWriteSupport)
 }
 
 /** FlatGeobuf connector: `spark.read.format("fgb").load(...)` — the

@@ -272,6 +272,28 @@ class ContainerWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("shpzip: point write round-trips through format(\"shpzip\") read") {
+    import s.implicits._
+    val dir = tmpDir("shp-rt")
+    (0L until 60L).toDF("nkey")
+      .withColumn("nname", concat(lit("s"), col("nkey")))
+      .withColumn("wkt", concat(lit("POINT ("), col("nkey") % 12, lit(" "),
+        col("nkey") % 7, lit(")")))
+      .repartition(2)
+      .write.format("shpzip").option("basename", "pts").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".zip")) === 2)
+    val back = s.read.format("shpzip").load(dir)
+    assert(back.count() === 60)
+    val r = back.filter(col("nkey") === 25L).collect()(0)
+    assert(r.getAs[String]("nname") === "s25")
+    // non-point geometry refuses loudly
+    intercept[Exception] {
+      (0L until 2L).toDF("k").withColumn("nm", lit("x"))
+        .withColumn("wkt", lit("LINESTRING (0 0, 1 1)"))
+        .write.format("shpzip").mode("append").save(tmpDir("shp-bad"))
+    }
+  }
+
   test("write plan is a V2 batch job, not a driver collect") {
     import s.implicits._
     // the observable contract: the logical plan Spark runs for save() is
