@@ -322,6 +322,34 @@ object ReaderQueries {
                      CAST(n_regionkey AS BIGINT) AS n_regionkey
               FROM nation ORDER BY n_nationkey""")),
 
+    // Excel through the DSv2 connector — the enterprise spreadsheet-dump
+    // ingest shape: a landing DIRECTORY of workbooks parses one scan
+    // task per file (the reference reads one file per job;
+    // core_processor.rs:407-412), with pruning/limit/statistics from
+    // the shared scaffold and the sheet option available per load. The
+    // nation rows are split across two workbooks; the zone read must
+    // hash-match the table.
+    QuerySpec(
+      "scan_xlsx_dsv2",
+      (s, dir) => {
+        val zone = fixturePath(dir, "xlsx_zone")
+        deleteRecursively(zone)
+        new java.io.File(zone).mkdirs()
+        val hdr = ("n_nationkey", "n_name", "n_regionkey")
+        val all = nationRows(s, dir)
+        graft.sources.FormatWriters.writeXlsx(
+          s"$zone/part0.xlsx", hdr, all.filter(_._1 % 2 == 0))
+        graft.sources.FormatWriters.writeXlsx(
+          s"$zone/part1.xlsx", hdr, all.filter(_._1 % 2 == 1))
+        s.read.format("xlsx").load(zone)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // Zipped shapefile: .shp point records + .dbf attributes, joined
     // positionally by the reader (reference: core_processor.rs:399-406
     // st_read /vsizip/). DBF names are capped at 10 chars, hence the

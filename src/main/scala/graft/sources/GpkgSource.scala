@@ -111,6 +111,21 @@ final class FgbSource extends ContainerSource {
     }
 }
 
+/** Excel connector: `spark.read.format("xlsx").load(...)` — a landing
+  * directory of workbooks parses one scan task per file (the enterprise
+  * spreadsheet-dump ingest shape); `option("sheet", name)` selects a
+  * worksheet by workbook name through the rels graph; legacy BIFF8
+  * `.xls` workbooks in the same zone dispatch to the CFBF reader
+  * transparently. Read-only (spreadsheets are an ingest format). */
+final class XlsxSource extends ContainerSource {
+  override def shortName(): String = "xlsx"
+  override def parse: String => (StructType, Seq[Seq[Any]]) =
+    XlsxReader.parsed(None) _
+  override def parseFor(options: Map[String, String])
+      : String => (StructType, Seq[Seq[Any]]) =
+    XlsxReader.parsed(options.get("sheet")) _
+}
+
 /** Arrow IPC connector: `spark.read.format("arrow").load(...)` — both
   * IPC encodings, embedding interchange types included. */
 final class ArrowSource extends ContainerSource {

@@ -28,6 +28,30 @@ object XlsxReader {
     toDataFrame(spark, header, rows)
   }
 
+  /** Whole-workbook parse in external types — the [[ContainerSource]]
+    * DSv2 contract (`spark.read.format("xlsx")`, optional `sheet`
+    * option): same header/inference/coercion as [[read]], one scan task
+    * per workbook when a landing directory of spreadsheets loads. Legacy
+    * .xls workbooks dispatch to [[XlsReader]] transparently (the two
+    * generations share the header+cells shape). */
+  def parsed(sheet: Option[String])(path: String): (StructType, Seq[Seq[Any]]) = {
+    val (header, rows) =
+      if (FileTypeDetector.isCfbf(path)) {
+        require(sheet.isEmpty,
+          "sheet selection is xlsx-only (BIFF8 .xls reads its first sheet)")
+        XlsReader.parse(path)
+      } else parse(path, sheet)
+    val types = inferTypes(header.length, rows)
+    val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t) })
+    val data = rows.map { r =>
+      header.indices.map { i =>
+        val v = if (i < r.length) r(i) else None
+        v.map(coerce(_, types(i))).orNull
+      }: Seq[Any]
+    }
+    (schema, data)
+  }
+
   /** Shared tail of both Excel generations ([[XlsReader]] produces the
     * same header+cells shape): per-column type inference + coercion. */
   private[sources] def toDataFrame(

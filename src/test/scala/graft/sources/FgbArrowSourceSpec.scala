@@ -167,4 +167,30 @@ class FgbArrowSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bbox"))
   }
 
+
+  test("xlsx connector: zone of workbooks, sheet option, mixed generations") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxzone").toFile
+    dir.deleteOnExit()
+    val hdr = ("k", "nm", "r")
+    FormatWriters.writeXlsx(new java.io.File(dir, "a.xlsx").getPath, hdr,
+      Seq((1L, "one", 10L), (2L, "two", 20L)))
+    FormatWriters.writeXlsx(new java.io.File(dir, "b.xlsx").getPath, hdr,
+      Seq((3L, "three", 30L)))
+    val zone = spark.read.format("xlsx").load(dir.getPath)
+    assert(zone.count() === 3)
+    assert(zone.columns.toSeq === Seq("k", "nm", "r"))
+    assert(zone.orderBy("k").collect().map(_.getString(1)).toSeq ===
+      Seq("one", "two", "three"))
+    // sheet option through the connector (rels-graph workbook)
+    val multi = new java.io.File(dir, "m.xlsx").getPath
+    FormatWriters.writeXlsxSheets(multi, Seq(
+      ("cover", hdr, Seq((9L, "decoy", 9L))),
+      ("data", hdr, Seq((7L, "seven", 70L)))))
+    val bySheet = spark.read.format("xlsx").option("sheet", "data").load(multi)
+    assert(bySheet.collect().map(_.getString(1)).toSeq === Seq("seven"))
+    // pushed limit + pruning still apply (shared scaffold)
+    val pruned = spark.read.format("xlsx").load(dir.getPath).select("nm").limit(2)
+    assert(pruned.collect().length === 2)
+  }
+
 }
