@@ -496,11 +496,21 @@ final class ContainerReaderFactory(required: StructType,
           .toMap
       private def cell(r: Seq[Any])(n: String): Option[Any] =
         colIndex.get(n.toLowerCase(java.util.Locale.ROOT)).map(r)
-      private val idx: Array[Int] = required.fieldNames.map { n =>
-        colIndex.getOrElse(n.toLowerCase(java.util.Locale.ROOT),
+      private val idx: Array[Int] = required.fields.map { f =>
+        val i = colIndex.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
           throw new IllegalArgumentException(
-            s"container '$path' lacks required column '$n' " +
+            s"container '$path' lacks required column '${f.name}' " +
               s"(has: ${fileSchema.fieldNames.mkString(", ")})"))
+        // types must match the zone schema EXACTLY — formats with
+        // per-file inference (xlsx) can legally drift (a column that is
+        // all-numeric in the head workbook but mixed in a later one),
+        // and a silently mistyped value would corrupt the InternalRow
+        require(fileSchema.fields(i).dataType == f.dataType,
+          s"container '$path' column '${f.name}' is " +
+            s"${fileSchema.fields(i).dataType.simpleString} but the zone " +
+            s"schema says ${f.dataType.simpleString} — zones need one " +
+            "schema (re-land the file or read it separately)")
+        i
       }
       // stays LAZY: parse already holds the container's rows — a second
       // materialization of the filtered view would double the footprint

@@ -193,4 +193,30 @@ class FgbArrowSourceSpec extends AnyFunSuite {
     assert(pruned.collect().length === 2)
   }
 
+
+  test("schema-drifted zone workbook fails loudly instead of corrupting rows") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxdrift").toFile
+    dir.deleteOnExit()
+    val hdr = ("k", "nm", "r")
+    FormatWriters.writeXlsx(new java.io.File(dir, "a.xlsx").getPath, hdr,
+      Seq((1L, "one", 10L)))
+    // same header, but k's cells are non-numeric in this workbook ->
+    // per-file inference yields string where the zone schema says long
+    FormatWriters.writeXlsx(new java.io.File(dir, "b.xlsx").getPath,
+      ("k2", "nm", "r"), Seq((2L, "two", 20L)))
+    // rename-based drift: craft via a two-sheet trick is overkill; use
+    // the real drift shape: a workbook whose k column is text
+    val drifted = new java.io.File(dir, "c.xlsx").getPath
+    FormatWriters.writeXlsxSheets(drifted, Seq(
+      ("s", ("k", "nm", "r"), Seq.empty)))
+    // empty data sheet infers string for all columns -> type drift on k/r
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").load(dir.getPath)
+        .select("k", "nm", "r").collect()
+    }
+    // either the missing-column or the drifted-type error — both loud,
+    // both name the offending container
+    assert(e.getMessage.contains(".xlsx"))
+  }
+
 }
