@@ -195,6 +195,31 @@ object ReaderQueries {
                       $wktSql AS wkt
                FROM nation ORDER BY n_nationkey""")),
 
+    // GeoJSON through the DSv2 connector — the tile-export / API-dump
+    // zone shape: a directory of FeatureCollection documents parses one
+    // scan task per file (the driver reads only the head file for the
+    // schema); nation features split across two documents must
+    // hash-match the table through the connector's pruning/limit tier.
+    QuerySpec(
+      "scan_geojson_dsv2",
+      (s, dir) => {
+        val zone = fixturePath(dir, "geojson_zone")
+        deleteRecursively(zone)
+        new java.io.File(zone).mkdirs()
+        val all = geoRows(s, dir)
+        graft.sources.FormatWriters.writeGeoJson(s"$zone/t0.geojson",
+          all.filter(_._1 % 2 == 0), "n_nationkey", "n_name")
+        graft.sources.FormatWriters.writeGeoJson(s"$zone/t1.geojson",
+          all.filter(_._1 % 2 == 1), "n_nationkey", "n_name")
+        s.read.format("geojson").load(zone)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+            graft.functions.GeoFunctions.stAsTextFromWkb(col("geometry")).as("wkt"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                      $wktSql AS wkt
+               FROM nation ORDER BY n_nationkey""")),
+
     // KML (beyond-reference format coverage): Placemark extraction rides
     // the BUILT-IN XML datasource (rowTag + explicit schema → parse in
     // scan tasks, no driver DOM), geometry composed to WKT by codegen'd

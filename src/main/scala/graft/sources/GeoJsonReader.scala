@@ -30,6 +30,16 @@ object GeoJsonReader {
     "MultiLineString", "Polygon", "MultiPolygon", "GeometryCollection")
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    val (schema, rows) = parsed(path)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq),
+        math.max(1, rows.length / 50000)), schema)
+  }
+
+  /** Whole-document parse in external types — the [[ContainerSource]]
+    * DSv2 contract (`spark.read.format("geojson")`): geometry as WKB
+    * bytes, properties widened per document exactly like [[read]]. */
+  def parsed(path: String): (StructType, Seq[Seq[Any]]) = {
     val root = mapper.readTree(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     // document kind by the RFC 7946 `type` member (presence checks alone
@@ -105,17 +115,16 @@ object GeoJsonReader {
     val schema = StructType(
       keys.zip(propTypes).map { case (k, t) => StructField(propName(k), t) } :+
         StructField("geometry", BinaryType))
-    val rows = cells.map { c =>
-      Row.fromSeq(c.zipWithIndex.map {
+    val rows: Seq[Seq[Any]] = cells.map { c =>
+      c.zipWithIndex.map {
         case (null, _) => null
         case (v, i) if i >= keys.length => v // geometry bytes
         case (v: Long, i) if propTypes(i) == DoubleType => v.toDouble
         case (v, i) if propTypes(i) == StringType && !v.isInstanceOf[String] => v.toString
         case (v, _) => v
-      })
+      }.toSeq
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000)), schema)
+    (schema, rows)
   }
 
   private val gf = new GeometryFactory()

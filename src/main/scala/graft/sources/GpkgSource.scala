@@ -111,6 +111,17 @@ final class FgbSource extends ContainerSource {
     }
 }
 
+/** GeoJSON connector: `spark.read.format("geojson").load(...)` — a
+  * landing directory of FeatureCollection/Feature/Geometry documents
+  * (tile exports, API dumps) parses one scan task per file; geometry
+  * lands as WKB, properties widen per document. Read-only (GeoJSON is
+  * text interchange; the write side is JSONL/GeoParquet territory). */
+final class GeoJsonSource extends ContainerSource {
+  override def shortName(): String = "geojson"
+  override def parse: String => (StructType, Seq[Seq[Any]]) =
+    GeoJsonReader.parsed _
+}
+
 /** Excel connector: `spark.read.format("xlsx").load(...)` — a landing
   * directory of workbooks parses one scan task per file (the enterprise
   * spreadsheet-dump ingest shape); `option("sheet", name)` selects a
