@@ -49,7 +49,8 @@ object Registry {
       operators.MultimodalQueries.specs ++
       operators.StreamingQueries.specs ++
       operators.GeoQueries.specs ++
-      operators.LayoutQueries.specs
+      operators.LayoutQueries.specs ++
+      operators.TableQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,320 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.plans.TxLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Versioned-table operators over the TxLog transaction log
+  * (plans/TxLog.scala): atomic multi-file commits, snapshot-isolated
+  * reads, time travel, an incremental change feed, data-neutral
+  * compaction, and vacuum. The reference rebuilds tables wholesale per
+  * ingested file (CTAS, core_processor.rs:391-428); these queries are
+  * the storage contract that pipeline needs the moment a 100 TB corpus
+  * has concurrent writers or versioned consumers.
+  *
+  * Oracle strategy: every commit's content is a deterministic slice of a
+  * driver table, so DuckDB can restate any VERSION's content as a WHERE
+  * clause over the original parquet — the log machinery (atomic publish,
+  * replay, checkpoints) sits entirely under the hash gate.
+  *
+  * Scale notes:
+  *  - The log holds file NAMES; rows move only through distributed
+  *    parquet writes (one file per partition, executor-side) and
+  *    pushdown-capable parquet reads. Nothing row-shaped crosses the
+  *    driver.
+  *  - Snapshot resolution is one checkpoint + a bounded log suffix, so
+  *    read planning stays O(1)-ish as the commit count grows.
+  *  - The change feed reads exactly the files ADDED in the version
+  *    range — incremental consumers never rescan the corpus, and
+  *    compaction (dataChange=false) cannot re-deliver rows to them.
+  */
+object TableQueries {
+
+  private val Dec = DecimalType(38, 4)
+
+  private def fixturePath(dir: String, name: String): String =
+    ReaderQueries.fixturePath(dir, name)
+
+  private def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(c => deleteRecursively(c.getPath))
+    f.delete(): Unit
+  }
+
+  // ---- shared versioned-orders fixture ------------------------------
+  // v1 append  orders WHERE o_orderkey % 3 = 0
+  // v2 append  orders WHERE o_orderkey % 3 = 1
+  // v3 overwrite orders WHERE o_orderkey % 3 = 2
+  // Deterministic slices, so the oracle restates any version as a
+  // predicate over the source table.
+
+  private def ordersAll(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+
+  private def ordersSlice(s: SparkSession, dir: String, m: Int): DataFrame =
+    ordersAll(s, dir).filter(col("o_orderkey") % 3 === m)
+
+  /** The orders table as one commit of 8 range-disjoint, key-sorted
+    * files — the layout zone-map pruning exists for. Returns the 10%
+    * key band [lo, hi] the stats/merge queries and their oracles share. */
+  private def rangeLayoutOrders(s: SparkSession, dir: String, table: String): (Long, Long) = {
+    deleteRecursively(table)
+    TxLog.append(
+      ordersAll(s, dir).repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      table)
+    val r = Tables(s, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    (mn + (mx - mn) * 3 / 10, mn + (mx - mn) * 4 / 10)
+  }
+
+  private def buildOrdersLog(s: SparkSession, dir: String, table: String): Unit = {
+    deleteRecursively(table)
+    TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)
+    TxLog.append(ordersSlice(s, dir, 1).repartition(2), table)
+    TxLog.overwrite(ordersSlice(s, dir, 2).repartition(2), table): Unit
+  }
+
+  /** Built once per (process, sf dir) and shared by the time-travel and
+    * change-feed consumers — the publishedPairs stance: consumers
+    * measure the marginal read, and are flagged cacheAssisted. */
+  private val sharedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedOrdersTable(s: SparkSession, dir: String): String =
+    sharedBuilt.computeIfAbsent(dir, _ => {
+      val table = fixturePath(dir, "txlog_orders_shared")
+      buildOrdersLog(s, dir, table)
+      table
+    })
+
+  private def ordersAgg(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("o_orderstatus")
+
+  private def ordersOracle(where: String): String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+               MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+               MAX(o_orderdate) AS last_date
+        FROM orders WHERE $where
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // HEAD read through the full commit protocol: two appends, then an
+    // overwrite that atomically swaps the table's contents. The read
+    // resolves the snapshot from the log (checkpoint + suffix) and must
+    // see ONLY the overwrite's slice — the append files are live on disk
+    // but dead in the log. Rebuilds its own log every run, so the bench
+    // time is the honest end-to-end cost of 3 commits + 1 snapshot read.
+    QuerySpec(
+      "table_snapshot_read",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_head")
+        buildOrdersLog(s, dir, table)
+        ordersAgg(TxLog.snapshot(s, table))
+      },
+      Some(ordersOracle("o_orderkey % 3 = 2"))),
+
+    // Time travel: the same log read AS OF version 2 — before the
+    // overwrite — must reproduce exactly the union of the two appended
+    // slices, though HEAD no longer contains either.
+    QuerySpec(
+      "table_time_travel",
+      (s, dir) =>
+        ordersAgg(TxLog.snapshot(s, sharedOrdersTable(s, dir), asOf = Some(2L))),
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)")),
+      cacheAssisted = true),
+
+    // Incremental change feed: a consumer checkpointed at v1 resumes
+    // with changes(1, 2) and must receive exactly commit 2's rows — the
+    // contract that lets a downstream 100 TB job process each ingest
+    // batch once, reading only the files that batch added.
+    QuerySpec(
+      "table_incremental",
+      (s, dir) =>
+        ordersAgg(TxLog.changes(s, sharedOrdersTable(s, dir), 1L, 2L)),
+      Some(ordersOracle("o_orderkey % 3 = 1")),
+      cacheAssisted = true),
+
+    // Compaction is layout-only: two 4-file appends (8 small files)
+    // compact to 2, the live-file count provably drops, the change feed
+    // across the compaction commit is provably EMPTY (dataChange=false —
+    // incremental consumers never see rewritten rows twice), and the
+    // post-compaction read hash-matches the pre-compaction content.
+    QuerySpec(
+      "table_compact_read",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_lineitem_compact")
+        deleteRecursively(table)
+        val base = Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"))
+        val v1 = TxLog.append(base.filter(col("l_linenumber") <= 3).repartition(4), table)
+        val v2 = TxLog.append(base.filter(col("l_linenumber") > 3).repartition(4), table)
+        val before = TxLog.liveFileCount(table)
+        val v3 = TxLog.compact(s, table, 2)
+        val after = TxLog.liveFileCount(table)
+        require(before == 8 && after <= 2,
+          s"compaction did not shrink layout: $before -> $after files")
+        require(v3 == v2 + 1 && !TxLog.history(table).last.dataChange,
+          "compaction must be a data-neutral commit")
+        require(TxLog.changes(s, table, v2, v3).isEmpty,
+          "change feed must skip the compaction commit")
+        require(v1 == 1L, s"unexpected first version $v1")
+        TxLog.snapshot(s, table)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(Dec)).cast("double").as("qty"),
+            sum(col("l_extendedprice").cast(Dec)).cast("double").as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+              FROM lineitem WHERE l_orderkey % 5 = 0
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Zone-map file skipping: the table is written as 8 range-disjoint
+    // files (repartitionByRange), so a 10%-of-keyspace range scan plans
+    // a PROVABLE minority of files from the log's per-file min/max —
+    // data skipping at the FILE LISTING level, before any scan task
+    // launches. The row filter still applies on top, so correctness
+    // never rests on the stats; the oracle recomputes the same band
+    // from the same MIN/MAX scalars.
+    QuerySpec(
+      "table_stats_prune",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_stats")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        val (df, planned, total) =
+          TxLog.snapshotRange(s, table, "o_orderkey", lo.toString, hi.toString)
+        require(planned < total && planned <= 3,
+          s"zone maps failed to skip: planned $planned of $total files")
+        ordersAgg(df)
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM orders, b
+              WHERE o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                   AND b.mn + (b.mx - b.mn) * 4 // 10
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // File-granular copy-on-write MERGE: updates confined to a 10% key
+    // band upsert through the log; zone maps prune the candidate files,
+    // a key semi-join finds the exact affected set, and the commit's
+    // remove list PROVES only a minority of files were rewritten — a
+    // merge touching 10% of the keyspace must not rewrite the table.
+    QuerySpec(
+      "table_merge_cow",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_merge")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        val updates = ordersAll(s, dir)
+          .filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        TxLog.merge(s, table, updates, "o_orderkey")
+        val last = TxLog.history(table).last
+        require(last.op == "merge" && last.remove.length <= 3 && last.remove.length >= 1,
+          s"copy-on-write merge rewrote ${last.remove.length} of 8 files")
+        ordersAgg(TxLog.snapshot(s, table))
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders),
+              merged AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                                AND b.mn + (b.mx - b.mn) * 4 // 10
+                             AND o_orderkey % 7 = 3
+                            THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                       CASE WHEN o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                                AND b.mn + (b.mx - b.mn) * 4 // 10
+                             AND o_orderkey % 7 = 3
+                            THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate
+                FROM orders, b)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM merged
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Exactly-once ingest: appends carry an (appId, batchId) token; a
+    // REPLAYED batch — here replayed with deliberately different (whole-
+    // corpus) content, so any leak breaks the hash — is skipped without
+    // touching the table. The foreachBatch sink contract at the log
+    // level: restarted streaming jobs re-commit idempotently.
+    QuerySpec(
+      "table_append_idempotent",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_nation_txn")
+        deleteRecursively(table)
+        val nation = Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            col("n_regionkey").cast("long").as("rkey"))
+        val app = "nation_loader"
+        TxLog.appendIdempotent(nation.filter(col("rkey") < 2), table, app, 0L)
+        TxLog.appendIdempotent(nation.filter(col("rkey") >= 2), table, app, 1L)
+        val replayed = TxLog.appendIdempotent(nation, table, app, 1L)
+        require(replayed.isEmpty && TxLog.latestVersion(table) == 2L,
+          "replayed batch must be skipped without a new version")
+        TxLog.snapshot(s, table)
+          .groupBy("rkey")
+          .agg(count(lit(1)).as("n"), min(col("nname")).as("first_name"))
+          .orderBy("rkey")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rkey, COUNT(*) AS n,
+                     MIN(n_name) AS first_name
+              FROM nation GROUP BY rkey ORDER BY rkey""")),
+
+    // Vacuum reclaims files dead at HEAD (here: v1's files, removed by
+    // the v2 overwrite) without touching the live snapshot; time travel
+    // to the vacuumed version then fails LOUDLY naming the missing
+    // files — the retention trade stated as behavior, not a comment.
+    QuerySpec(
+      "table_vacuum_head",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_nation_vacuum")
+        deleteRecursively(table)
+        val nation = Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            col("n_regionkey").cast("long").as("rkey"))
+        TxLog.append(nation.repartition(2), table)
+        TxLog.overwrite(nation.filter(col("rkey") < 3).repartition(2), table)
+        val reclaimed = TxLog.vacuum(table)
+        require(reclaimed >= 2, s"vacuum reclaimed only $reclaimed files")
+        val timeTravelDied =
+          try { TxLog.snapshot(s, table, asOf = Some(1L)).count(); false }
+          catch { case e: IllegalStateException => e.getMessage.contains("vacuumed") }
+        require(timeTravelDied, "time travel past vacuum must fail loudly")
+        TxLog.snapshot(s, table)
+          .groupBy("rkey")
+          .agg(count(lit(1)).as("n"), min(col("nname")).as("first_name"))
+          .orderBy("rkey")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rkey, COUNT(*) AS n,
+                     MIN(n_name) AS first_name
+              FROM nation WHERE n_regionkey < 3
+              GROUP BY rkey ORDER BY rkey"""))
+  )
+}

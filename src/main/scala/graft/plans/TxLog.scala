@@ -1,0 +1,626 @@
+package graft.plans
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** A from-scratch transaction log over immutable parquet files — the
+  * piece a 100 TB training-data store needs that a directory of parquet
+  * cannot give: ATOMIC multi-file commits (a half-written ingest batch is
+  * never visible), snapshot-isolated reads, time travel to any prior
+  * version, an incremental change feed between versions, and compaction
+  * that rewrites layout without changing data.
+  *
+  * The reference recreates tables wholesale per file (CTAS,
+  * core_processor.rs:391-428) and has no versioning surface at all; this
+  * is the storage contract its ingest pipeline would need the moment two
+  * writers or one writer + many readers share a corpus.
+  *
+  * Design (Spark-first, scale-first):
+  *  - Data files are written by ordinary `df.write.parquet` into a
+  *    commit-unique subdirectory — executor-side, one file per partition,
+  *    never moved and never mutated. The driver handles only the file
+  *    NAME list (O(files) strings, not rows).
+  *  - A commit is one small JSON file `_graft_log/<v020>.json` holding
+  *    {op, add[], remove[], schema, dataChange}. Readers replay the log;
+  *    the live set at version V is exactly (∪ add) − (∪ remove) over
+  *    commits 1..V, so a reader sees every commit entirely or not at all.
+  *  - Commit publication is an atomic create-if-absent: the record is
+  *    staged to a temp file and hard-linked to its version name
+  *    (`Files.createLink` fails atomically if the version exists — the
+  *    POSIX analogue of an object store's conditional PUT). Losing the
+  *    race re-reads the log, re-validates, and retries with the next
+  *    version — optimistic concurrency, no locks.
+  *  - Conflict rules: appends commute with everything (pure adds).
+  *    Overwrite recomputes its remove set (the then-live files) on every
+  *    retry. Compaction removes a FIXED file set; if a racing commit
+  *    already removed any of them the compaction aborts with
+  *    ConcurrentModificationException rather than resurrecting data.
+  *  - Every CheckpointEvery-th commit also writes a checkpoint JSON with
+  *    the full live-file list, so snapshot resolution reads one
+  *    checkpoint + a bounded log suffix — O(1)-ish at 10k commits, not
+  *    O(versions).
+  *  - Schema is pinned at commit time and enforced on append (loud
+  *    column-level error); overwrite may evolve it.
+  *
+  * At cluster scale the same layout works on any store with atomic
+  * create-if-absent (HDFS create, S3 conditional PUT); only `publish`
+  * would change.
+  */
+object TxLog {
+
+  private val LogDirName = "_graft_log"
+  private val CheckpointEvery = 10L
+  private val mapper = new ObjectMapper()
+
+  /** Per-file, per-column zone map recorded at commit time: `kind` is the
+    * comparison domain (`long` | `double` | `string`), min/max rendered as
+    * strings so the log stays schema-agnostic JSON. */
+  final case class ColStats(kind: String, min: String, max: String)
+
+  /** One log entry. `add`/`remove` are table-relative file paths;
+    * `dataChange=false` marks layout-only commits (compaction) that a
+    * change feed must skip; `stats` maps each ADDED file to its column
+    * zone maps; `txn` carries the (appId, batchId) idempotence token of a
+    * streaming append. */
+  final case class Commit(
+      version: Long,
+      op: String,
+      add: Seq[String],
+      remove: Seq[String],
+      schemaJson: String,
+      dataChange: Boolean,
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      txn: Option[(String, Long)] = None)
+
+  /** Resolved table state as of a version. `txns` holds the highest
+    * committed batchId per streaming appId — the exactly-once ledger. */
+  final case class Snapshot(
+      version: Long,
+      files: Seq[String],
+      schemaJson: String,
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      txns: Map[String, Long] = Map.empty)
+
+  // ------------------------------------------------------------------
+  // public API
+  // ------------------------------------------------------------------
+
+  /** Append `df` as a new commit. The parquet write runs distributed
+    * (one file per partition, executor-side); only names reach the log.
+    * Fails loudly if `df`'s schema does not match the table's. */
+  def append(df: DataFrame, table: String): Long = {
+    val (files, schemaJson, stats) = writeData(df, table)
+    commit(table, "append", files, dataChange = true, schemaJson = schemaJson,
+      stats = stats,
+      removePlan = { snap =>
+        if (snap.version > 0 && snap.schemaJson.nonEmpty)
+          requireSchemaMatch(snap.schemaJson, schemaJson, table)
+        Seq.empty
+      }).get
+  }
+
+  /** Exactly-once streaming append: commits carry an (appId, batchId)
+    * token, and a batch at or below the app's committed high-water mark
+    * is SKIPPED (returns None, table unchanged) — so a replayed
+    * foreachBatch epoch re-commits idempotently. The token is
+    * re-validated inside the publish retry loop, so two replays racing
+    * each other cannot double-commit; the loser's data files become
+    * vacuum-able orphans, never table content. */
+  def appendIdempotent(
+      df: DataFrame, table: String, appId: String, batchId: Long): Option[Long] = {
+    if (latestVersion(table) > 0 &&
+      replay(table, None).txns.get(appId).exists(_ >= batchId)) return None
+    val (files, schemaJson, stats) = writeData(df, table)
+    commit(table, "append", files, dataChange = true, schemaJson = schemaJson,
+      stats = stats, txn = Some(appId -> batchId),
+      removePlan = { snap =>
+        if (snap.version > 0 && snap.schemaJson.nonEmpty)
+          requireSchemaMatch(snap.schemaJson, schemaJson, table)
+        Seq.empty
+      })
+  }
+
+  /** Replace the table's content with `df` (schema may evolve). The
+    * remove set is recomputed from the then-live snapshot on every
+    * publish attempt, so a racing append loses no data silently — its
+    * rows are removed by THIS commit's semantics, visibly in the log. */
+  def overwrite(df: DataFrame, table: String): Long = {
+    val (files, schemaJson, stats) = writeData(df, table)
+    commit(table, "overwrite", files, dataChange = true, schemaJson = schemaJson,
+      stats = stats, removePlan = snap => snap.files).get
+  }
+
+  /** Rewrite the current live files into `numFiles` larger ones without
+    * changing data (`dataChange=false`: invisible to the change feed).
+    * Aborts with ConcurrentModificationException if a racing commit
+    * removed any input file first. */
+  def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
+    val snap = replay(table, None)
+    if (snap.files.isEmpty) return snap.version
+    val df = readFiles(spark, table, snap)
+      .repartition(numFiles)
+    val (files, _, stats) = writeData(df, table)
+    commit(table, "compact", files, dataChange = false, schemaJson = snap.schemaJson,
+      stats = stats,
+      removePlan = { now =>
+        val gone = snap.files.filterNot(now.files.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"compaction of $table@${snap.version} lost the race: inputs " +
+              s"already removed by a newer commit: ${gone.take(3).mkString(", ")}")
+        snap.files
+      }).get
+  }
+
+  /** File-granular copy-on-write MERGE (upsert `updates` by `keyCol`):
+    * candidate files are pruned by the updates' key RANGE against the
+    * log's zone maps, the exact affected set comes from a key semi-join
+    * over just the candidates' key column, and only affected files are
+    * rewritten (untouched files carry over by name). Update keys matching
+    * no live row insert. Aborts with ConcurrentModificationException if a
+    * racing commit removed an affected file first.
+    *
+    * At 100 TB this is the point of the log: a merge touching 0.1% of
+    * keys rewrites 0.1% of files, provable from the commit's remove set. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame, keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val snap = replay(table, None)
+    requireSchemaMatch(snap.schemaJson, nullable(updates.schema).json, table)
+    val range = updates.agg(
+      org.apache.spark.sql.functions.min(col(keyCol)).cast("string"),
+      org.apache.spark.sql.functions.max(col(keyCol)).cast("string")).head()
+    if (range.isNullAt(0)) return snap.version // empty updates: no-op
+    val cand = pruneFiles(snap, keyCol, range.getString(0), range.getString(1))
+    val affected: Seq[String] =
+      if (cand.isEmpty) Seq.empty
+      else {
+        val candKeys = readFiles(spark, table, snap.copy(files = cand))
+          .select(col(keyCol), input_file_name().as("__file"))
+        candKeys.join(updates.select(col(keyCol)).distinct(), keyCol)
+          .select("__file").distinct()
+          .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
+      }
+    if (affected.isEmpty) return append(updates, table)
+    val affectedRows = readFiles(spark, table, snap.copy(files = affected))
+    val merged = affectedRows
+      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates.select(affectedRows.columns.map(col).toSeq: _*))
+      .repartition(math.max(1, affected.length))
+    val (files, _, stats) = writeData(merged, table)
+    commit(table, "merge", files, dataChange = true, schemaJson = snap.schemaJson,
+      stats = stats,
+      removePlan = { now =>
+        val gone = affected.filterNot(now.files.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"merge on $table@${snap.version} lost the race: affected files " +
+              s"already removed by a newer commit: ${gone.take(3).mkString(", ")}")
+        affected
+      }).get
+  }
+
+  /** Snapshot-isolated read. `asOf=None` reads the head version;
+    * `asOf=Some(v)` time-travels (v must be ≤ head and its files must
+    * not have been vacuumed). The scan is a plain pushdown-capable
+    * parquet read over the live file list. */
+  def snapshot(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame =
+    readFiles(spark, table, replay(table, asOf))
+
+  /** Zone-map-pruned range scan: only files whose recorded [min, max] on
+    * `column` intersects [lo, hi] are planned (files without stats are
+    * conservatively scanned), then the row-level filter is applied on
+    * top — correctness never depends on the stats. Returns the filtered
+    * frame plus (planned, total) file counts so callers can PROVE the
+    * skipping. `lo`/`hi` are parsed per the recorded stats kind. */
+  def snapshotRange(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String, asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = replay(table, asOf)
+    val keep = pruneFiles(snap, column, lo, hi)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val colType = schema(column).dataType
+    val df = readFiles(spark, table, snap.copy(files = keep))
+      .filter(col(column) >= lit(lo).cast(colType) && col(column) <= lit(hi).cast(colType))
+    (df, keep.length, snap.files.length)
+  }
+
+  /** The live files whose zone map on `column` intersects [lo, hi]. */
+  def pruneFiles(snap: Snapshot, column: String, lo: String, hi: String): Seq[String] =
+    snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some(cs) => !(statLt(cs.kind, hi, cs.min) || statLt(cs.kind, cs.max, lo))
+        case None => true // no stats recorded: must scan
+      }
+    }
+
+  private def statLt(kind: String, a: String, b: String): Boolean = kind match {
+    case "long"   => a.toLong < b.toLong
+    case "double" => a.toDouble < b.toDouble
+    case _        => a < b
+  }
+
+  /** Rows ADDED by data-changing commits in (fromExclusive, toInclusive]
+    * — the incremental-consume contract: a downstream job that processed
+    * up to v resumes with changes(v, head). Compactions contribute
+    * nothing (dataChange=false). */
+  def changes(
+      spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val head = latestVersion(table)
+    require(fromExclusive >= 0 && toInclusive <= head && fromExclusive <= toInclusive,
+      s"change range ($fromExclusive, $toInclusive] invalid for $table at head $head")
+    val cs = readCommits(table, fromExclusive + 1, toInclusive)
+    val added = cs.filter(_.dataChange).flatMap(_.add)
+    val schemaJson = cs.lastOption.map(_.schemaJson)
+      .getOrElse(replay(table, Some(math.max(fromExclusive, 1L))).schemaJson)
+    readFiles(spark, table, Snapshot(toInclusive, added, schemaJson))
+  }
+
+  /** Current head version (0 = no commits yet). */
+  def latestVersion(table: String): Long = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) 0L
+    else listVersions(dir).lastOption.getOrElse(0L)
+  }
+
+  /** Delete data files no longer live at HEAD (failed-write orphans and
+    * files removed by overwrite/compact). Frees storage at the price of
+    * time travel to pre-vacuum versions — exactly the retention trade a
+    * production store tunes. Returns the number of files deleted. */
+  def vacuum(table: String): Int = {
+    val live = replay(table, None).files.toSet
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    var deleted = 0
+    val stream = Files.walk(dataRoot)
+    try {
+      stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => live.contains(relativize(table, p)))
+        .toList
+        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    } finally stream.close()
+    deleted
+  }
+
+  /** Full log (for audits and specs). */
+  def history(table: String): Seq[Commit] =
+    readCommits(table, 1L, latestVersion(table))
+
+  /** Live data-file count at `asOf` (head if None) — the layout metric
+    * compaction exists to shrink. */
+  def liveFileCount(table: String, asOf: Option[Long] = None): Int =
+    replay(table, asOf).files.length
+
+  // ------------------------------------------------------------------
+  // data-file writes
+  // ------------------------------------------------------------------
+
+  /** Write `df` as parquet under a commit-unique subdir; return the
+    * table-relative file list, the (nullable-normalized) schema, and
+    * per-file zone maps harvested from the parquet FOOTERS the write
+    * already produced — no second data pass; O(files) footer reads.
+    * (On a cluster the same harvest would ride the write tasks'
+    * commit messages; the footer is the storage-level source of truth
+    * either way.) */
+  private def writeData(
+      df: DataFrame, table: String): (Seq[String], String, Map[String, Map[String, ColStats]]) = {
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dataDir = Paths.get(table, "data", commitId)
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val files = Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s"data/$commitId/${f.getName}")
+      .sorted.toSeq
+    val stats = files.map { rel =>
+      rel -> fileStats(Paths.get(table, rel))
+    }.filter(_._2.nonEmpty).toMap
+    (files, nullable(df.schema).json, stats)
+  }
+
+  /** Harvest per-column min/max from one parquet footer. Only top-level
+    * columns in the pruning-safe comparison domains are kept: plain
+    * INT32/INT64 → long, FLOAT/DOUBLE → double, UTF8 BINARY → string.
+    * Logical types with their own comparison semantics (timestamps,
+    * decimals) are skipped — absence of stats just means "always scan",
+    * never a wrong prune. A column missing stats in ANY row group is
+    * dropped for the whole file. */
+  private def fileStats(path: Path): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path.toUri),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val perBlock: Seq[Map[String, ColStats]] = blocks.toSeq.map { b =>
+        b.getColumns.asScala.flatMap { cc =>
+          val pathParts = cc.getPath.toArray
+          val st = cc.getStatistics
+          if (pathParts.length != 1 || st == null || st.isEmpty || !st.hasNonNullValue) None
+          else {
+            val pt = cc.getPrimitiveType
+            val logical = Option(pt.getLogicalTypeAnnotation)
+            val kind = pt.getPrimitiveTypeName match {
+              case INT32 | INT64
+                if logical.forall(_.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]) =>
+                Some("long")
+              case FLOAT | DOUBLE => Some("double")
+              case BINARY
+                if logical.exists(_.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) =>
+                Some("string")
+              case _ => None
+            }
+            kind.map { k =>
+              val (mn, mx) = k match {
+                case "string" =>
+                  (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                case _ =>
+                  (st.genericGetMin.toString, st.genericGetMax.toString)
+              }
+              pathParts(0) -> ColStats(k, mn, mx)
+            }
+          }
+        }.toMap
+      }
+      if (perBlock.isEmpty) Map.empty
+      else perBlock.reduce { (a, b) =>
+        // a column survives only if every row group carries its stats
+        a.keySet.intersect(b.keySet).map { c =>
+          val (x, y) = (a(c), b(c))
+          c -> ColStats(x.kind,
+            if (statLt(x.kind, x.min, y.min)) x.min else y.min,
+            if (statLt(x.kind, y.max, x.max)) x.max else y.max)
+        }.toMap
+      }
+    } finally reader.close()
+  }
+
+  private def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  private def readFiles(spark: SparkSession, table: String, snap: Snapshot): DataFrame = {
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val paths = snap.files.map(f => Paths.get(table, f).toString)
+      paths.filterNot(p => Files.exists(Paths.get(p))) match {
+        case Seq() => spark.read.schema(schema).parquet(paths: _*)
+        case miss => throw new IllegalStateException(
+          s"table $table@${snap.version}: ${miss.length} live file(s) missing on " +
+            s"storage (vacuumed past this version?): ${miss.take(3).mkString(", ")}")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // log replay
+  // ------------------------------------------------------------------
+
+  private def logDir(table: String): Path = Paths.get(table, LogDirName)
+
+  private def listVersions(dir: Path): Seq[Long] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .toSeq.sorted
+    finally stream.close()
+  }
+
+  private def parseStats(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Map[String, ColStats]] =
+    if (node == null) Map.empty
+    else node.properties().asScala.map { fileEntry =>
+      fileEntry.getKey -> fileEntry.getValue.properties().asScala.map { colEntry =>
+        val v = colEntry.getValue
+        colEntry.getKey -> ColStats(
+          v.get("k").asText(), v.get("mn").asText(), v.get("mx").asText())
+      }.toMap
+    }.toMap
+
+  private def readCommit(table: String, version: Long): Commit = {
+    val node = mapper.readTree(
+      Files.readString(logDir(table).resolve(f"$version%020d.json")))
+    Commit(
+      version = node.get("version").asLong(),
+      op = node.get("op").asText(),
+      add = node.get("add").elements().asScala.map(_.asText()).toSeq,
+      remove = node.get("remove").elements().asScala.map(_.asText()).toSeq,
+      schemaJson = node.get("schema").asText(),
+      dataChange = node.get("dataChange").asBoolean(),
+      stats = parseStats(node.get("stats")),
+      txn = Option(node.get("txnApp")).map(a =>
+        a.asText() -> node.get("txnBatch").asLong()))
+  }
+
+  private def readCommits(table: String, from: Long, to: Long): Seq[Commit] =
+    (from to to).map(readCommit(table, _))
+
+  /** Latest checkpoint at or below `v`, if any. */
+  private def readCheckpoint(table: String, v: Long): Option[Snapshot] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val stream = Files.list(dir)
+    val cpv =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("\\d{20}\\.checkpoint\\.json") =>
+          n.stripSuffix(".checkpoint.json").toLong }
+        .filter(_ <= v).maxOption
+      finally stream.close()
+    cpv.map { cv =>
+      val node = mapper.readTree(
+        Files.readString(dir.resolve(f"$cv%020d.checkpoint.json")))
+      Snapshot(cv,
+        node.get("files").elements().asScala.map(_.asText()).toSeq,
+        node.get("schema").asText(),
+        stats = parseStats(node.get("stats")),
+        txns = Option(node.get("txns")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
+    }
+  }
+
+  /** Resolve the live state at `asOf` (head if None): start from the
+    * newest checkpoint ≤ v, replay the remaining suffix. */
+  private[plans] def replay(table: String, asOf: Option[Long]): Snapshot = {
+    val head = latestVersion(table)
+    val v = asOf.getOrElse(head)
+    if (head == 0)
+      throw new IllegalArgumentException(s"$table is not a graft table (no $LogDirName)")
+    require(v >= 1 && v <= head,
+      s"version $v out of range [1, $head] for table $table")
+    val start = readCheckpoint(table, v)
+    val base = start.getOrElse(Snapshot(0L, Seq.empty, ""))
+    val live = scala.collection.mutable.LinkedHashSet[String](base.files: _*)
+    val stats = scala.collection.mutable.Map[String, Map[String, ColStats]](base.stats.toSeq: _*)
+    val txns = scala.collection.mutable.Map[String, Long](base.txns.toSeq: _*)
+    var schemaJson = base.schemaJson
+    readCommits(table, base.version + 1, v).foreach { c =>
+      c.remove.foreach { f => live.remove(f); stats.remove(f) }
+      c.add.foreach(live.add)
+      c.stats.foreach { case (f, cs) => stats(f) = cs }
+      c.txn.foreach { case (app, batch) =>
+        txns(app) = math.max(batch, txns.getOrElse(app, Long.MinValue)) }
+      schemaJson = c.schemaJson
+    }
+    Snapshot(v, live.toSeq, schemaJson, stats.toMap, txns.toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // commit publication (optimistic concurrency)
+  // ------------------------------------------------------------------
+
+  /** Validate against the then-current snapshot, then atomically publish
+    * version head+1; on losing the create race, re-read and retry.
+    * `removePlan` runs INSIDE the loop so each attempt validates against
+    * fresh state (and is where conflicts throw); the idempotence token is
+    * likewise re-checked per attempt, so a duplicate batch returns None
+    * even when the duplicate landed mid-race. */
+  private def commit(
+      table: String,
+      op: String,
+      add: Seq[String],
+      dataChange: Boolean,
+      schemaJson: String,
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      txn: Option[(String, Long)] = None,
+      removePlan: Snapshot => Seq[String]): Option[Long] = {
+    val dir = logDir(table)
+    Files.createDirectories(dir)
+    var attempts = 0
+    while (attempts < 50) {
+      val head = latestVersion(table)
+      val snap = if (head == 0) Snapshot(0L, Seq.empty, "") else replay(table, None)
+      txn.foreach { case (app, batch) =>
+        if (snap.txns.get(app).exists(_ >= batch)) return None
+      }
+      val remove = removePlan(snap)
+      val version = head + 1
+      val rec = mapper.createObjectNode()
+      rec.put("version", version)
+      rec.put("op", op)
+      val addArr = rec.putArray("add"); add.foreach(addArr.add)
+      val remArr = rec.putArray("remove"); remove.foreach(remArr.add)
+      rec.put("schema", schemaJson)
+      rec.put("dataChange", dataChange)
+      if (stats.nonEmpty) {
+        val stNode = rec.putObject("stats")
+        stats.foreach { case (f, cols) =>
+          val fNode = stNode.putObject(f)
+          cols.foreach { case (c, cs) =>
+            val cNode = fNode.putObject(c)
+            cNode.put("k", cs.kind); cNode.put("mn", cs.min); cNode.put("mx", cs.max)
+          }
+        }
+      }
+      txn.foreach { case (app, batch) =>
+        rec.put("txnApp", app); rec.put("txnBatch", batch)
+      }
+      if (publish(dir, f"$version%020d.json", mapper.writeValueAsString(rec))) {
+        maybeCheckpoint(table, version)
+        return Some(version)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit to $table after $attempts attempts (livelock?)")
+  }
+
+  /** Atomic create-if-absent: stage to a temp name, hard-link to the
+    * target (fails atomically if the version was taken), unlink the
+    * stage. The one primitive an object-store port swaps out. */
+  private def publish(dir: Path, name: String, body: String): Boolean = {
+    val tmp = Files.createTempFile(dir, ".stage_", ".tmp")
+    try {
+      Files.writeString(tmp, body)
+      try { Files.createLink(dir.resolve(name), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Every CheckpointEvery-th version, persist the full live state so
+    * replay reads one checkpoint + a bounded suffix. Losing this race is
+    * harmless (same content under the same name). */
+  private def maybeCheckpoint(table: String, version: Long): Unit =
+    if (version % CheckpointEvery == 0) {
+      val snap = replay(table, Some(version))
+      val rec = mapper.createObjectNode()
+      rec.put("version", version)
+      val arr = rec.putArray("files"); snap.files.foreach(arr.add)
+      rec.put("schema", snap.schemaJson)
+      if (snap.stats.nonEmpty) {
+        val stNode = rec.putObject("stats")
+        snap.stats.foreach { case (f, cols) =>
+          val fNode = stNode.putObject(f)
+          cols.foreach { case (c, cs) =>
+            val cNode = fNode.putObject(c)
+            cNode.put("k", cs.kind); cNode.put("mn", cs.min); cNode.put("mx", cs.max)
+          }
+        }
+      }
+      if (snap.txns.nonEmpty) {
+        val txNode = rec.putObject("txns")
+        snap.txns.foreach { case (app, batch) => txNode.put(app, batch) }
+      }
+      publish(logDir(table), f"$version%020d.checkpoint.json",
+        mapper.writeValueAsString(rec)): Unit
+    }
+
+  private def requireSchemaMatch(tableJson: String, dfJson: String, table: String): Unit = {
+    val t = DataType.fromJson(tableJson).asInstanceOf[StructType]
+    val d = DataType.fromJson(dfJson).asInstanceOf[StructType]
+    val tCols = t.fields.map(f => f.name -> f.dataType)
+    val dCols = d.fields.map(f => f.name -> f.dataType)
+    if (!tCols.sameElements(dCols)) {
+      val extra = dCols.diff(tCols).map { case (n, dt) => s"$n:${dt.simpleString}" }
+      val missing = tCols.diff(dCols).map { case (n, dt) => s"$n:${dt.simpleString}" }
+      throw new IllegalArgumentException(
+        s"append schema mismatch on $table — table wants " +
+          s"[${missing.mkString(", ")}], append brings [${extra.mkString(", ")}]; " +
+          "use overwrite to evolve the schema")
+    }
+  }
+
+  private def relativize(table: String, p: Path): String =
+    Paths.get(table).toAbsolutePath.normalize
+      .relativize(p.toAbsolutePath.normalize).toString
+
+  /** `input_file_name()` yields a URI (`file:///…`); map it back to the
+    * table-relative name the log speaks. */
+  private def relativizeUri(table: String, uri: String): String = {
+    val p =
+      if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri))
+      else Paths.get(uri)
+    relativize(table, p)
+  }
+}
