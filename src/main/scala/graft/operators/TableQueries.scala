@@ -286,6 +286,62 @@ object TableQueries {
                      MIN(n_name) AS first_name
               FROM nation GROUP BY rkey ORDER BY rkey""")),
 
+    // The exactly-once token under REAL streaming machinery: a 3-file
+    // parquet landing zone drained by readStream (maxFilesPerTrigger=1 →
+    // one epoch per file) through foreachBatch → appendIdempotent, then
+    // the ENTIRE stream re-run against a FRESH checkpoint — the
+    // lost-checkpoint restart every production job eventually suffers.
+    // Every replayed epoch re-presents batchIds the txn ledger already
+    // holds, so the second drain must not add a single version, and the
+    // table hash still equals the one-pass oracle.
+    QuerySpec(
+      "stream_table_sink",
+      (s, dir) => {
+        val root = fixturePath(dir, "txlog_stream")
+        val zone = root + "_zone"; val table = root + "_table"
+        val ckpt1 = root + "_ckpt1"; val ckpt2 = root + "_ckpt2"
+        Seq(zone, table, ckpt1, ckpt2).foreach(deleteRecursively)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .repartition(3)
+          .write.parquet(zone)
+        val schema = s.read.parquet(zone).schema
+        def drain(ckpt: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(zone)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              TxLog.appendIdempotent(batch, table, "stream_table_sink", id): Unit
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          if (!q.awaitTermination(120000)) {
+            q.stop()
+            throw new IllegalStateException(
+              "stream_table_sink: AvailableNow drain did not finish in 120 s")
+          }
+        }
+        drain(ckpt1)
+        val v = TxLog.latestVersion(table)
+        require(v >= 2, s"expected multiple streamed commits, got $v")
+        drain(ckpt2) // restart with NO checkpoint: every epoch replays
+        require(TxLog.latestVersion(table) == v,
+          "replayed epochs must not double-ingest")
+        TxLog.snapshot(s, table)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(Dec)).cast("double").as("total_value"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+                     MIN(event_id) AS first_event, MAX(event_id) AS last_event
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Vacuum reclaims files dead at HEAD (here: v1's files, removed by
     // the v2 overwrite) without touching the live snapshot; time travel
     // to the vacuumed version then fails LOUDLY naming the missing
