@@ -1337,7 +1337,93 @@ object DedupQueries {
                        CASE WHEN ROW(doc_id, idx) = win THEN seg END, ' ' ORDER BY idx), ''))
                        AS kept_digest
               FROM h JOIN w USING (hh)
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Leakage-aware train/val/test split: assigning splits per DOCUMENT
+    // leaks near-duplicates across the train/test boundary (the test-set
+    // contamination failure every eval pipeline eventually ships);
+    // assigning per near-dup COMPONENT makes cross-split leakage
+    // structurally zero. Both strategies run side by side over the same
+    // verified MinHash pair relation and component labels: per-split doc
+    // counts plus the audited count of near-dup pairs crossing splits —
+    // 0 for the cluster strategy (required in-run: same component ⇒ same
+    // md5-bucket ⇒ same split), measurably > 0 for the naive baseline on
+    // this corpus. Deterministic md5 bucketing (80/10/10) keeps the
+    // assignment reproducible engine-to-engine and REBALANCE-FREE at
+    // 100 TB: no shuffle assigns splits, only the pair audit joins.
+    QuerySpec(
+      "pipeline_leakage_split",
+      (s, dir) => {
+        val pairs = minhashPairsShared(s, dir)
+        val comps = connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("lbl").as("component"))
+        val labeled = docs(s, dir).select(col("doc_id"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        def splitOf(c: Column): Column = {
+          val h = h32(concat(lit("split:"), c.cast("string"))) % 10
+          when(h <= 7, "train").when(h === 8, "val").otherwise("test")
+        }
+        val byCluster = labeled.select(col("doc_id"), splitOf(col("component")).as("split"))
+        val byDoc = labeled.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+        def leakCount(assign: DataFrame): Long = pairs
+          .join(assign.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+          .join(assign.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+          .filter(col("sa") =!= col("sb")).count()
+        val lc = leakCount(byCluster)
+        require(lc == 0,
+          s"cluster-level split leaked $lc near-dup pairs across splits")
+        val ld = leakCount(byDoc)
+        byCluster.groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .withColumn("strategy", lit("cluster")).withColumn("leaked_pairs", lit(lc))
+          .unionByName(
+            byDoc.groupBy("split").agg(count(lit(1)).as("n_docs"))
+              .withColumn("strategy", lit("doc")).withColumn("leaked_pairs", lit(ld)))
+          .select(col("strategy"), col("split"), col("n_docs"), col("leaked_pairs"))
+          .orderBy("strategy", "split")
+      },
+      Some(s"""WITH RECURSIVE $MinHashPairsCtes,
+           |e2 AS (SELECT da, db FROM jpairs UNION ALL SELECT db AS da, da AS db FROM jpairs),
+           |reach AS (
+           |  SELECT da AS src, db AS dst FROM e2
+           |  UNION
+           |  SELECT r.src, e.db AS dst FROM reach r JOIN e2 e ON e.da = r.dst),
+           |comp AS (
+           |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+           |  FROM reach GROUP BY src),
+           |labeled AS (
+           |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+           |asg AS (
+           |  SELECT 'cluster' AS strategy, doc_id,
+           |         CASE WHEN hb <= 7 THEN 'train' WHEN hb = 8 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |               ('0x'||SUBSTR(MD5('split:'||CAST(component AS VARCHAR)),1,8))::BIGINT % 10 AS hb
+           |        FROM labeled)
+           |  UNION ALL
+           |  SELECT 'doc' AS strategy, doc_id,
+           |         CASE WHEN hb <= 7 THEN 'train' WHEN hb = 8 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |               ('0x'||SUBSTR(MD5('split:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 AS hb
+           |        FROM labeled)),
+           |leaks AS (
+           |  SELECT a.strategy, COUNT(*) AS leaked
+           |  FROM jpairs p
+           |  JOIN asg a ON a.doc_id = p.da
+           |  JOIN asg b ON b.doc_id = p.db AND b.strategy = a.strategy
+           |  WHERE a.split <> b.split
+           |  GROUP BY a.strategy)
+           |SELECT a.strategy, a.split, COUNT(*) AS n_docs,
+           |       COALESCE(MAX(l.leaked), 0) AS leaked_pairs
+           |FROM asg a LEFT JOIN leaks l ON l.strategy = a.strategy
+           |GROUP BY a.strategy, a.split
+           |ORDER BY a.strategy, a.split""".stripMargin),
+      // rides the published pair checkpoint like the ensemble — Bench
+      // flags the timing as marginal-cost over the shared pair relation
+      cacheAssisted = true)
   )
 
   /** Shared DuckDB CTE chain reimplementing the exact MinHash+LSH

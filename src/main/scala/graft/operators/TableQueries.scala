@@ -286,6 +286,36 @@ object TableQueries {
                      MIN(n_name) AS first_name
               FROM nation GROUP BY rkey ORDER BY rkey""")),
 
+    // Schema evolution without rewrites: v2 appends a column v1's files
+    // never heard of (mergeSchema semantics — shared columns must keep
+    // their types, loudly). Snapshot reads apply the commit-time schema
+    // explicitly, so v1 rows surface the new column as NULL and time
+    // travel to v1 still sees the ORIGINAL two-column schema — at 100 TB
+    // adding a column costs one log entry, zero file rewrites.
+    QuerySpec(
+      "table_schema_evolution",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_nation_evolve")
+        deleteRecursively(table)
+        val nation = Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nkey"),
+            col("n_name").as("nname"),
+            col("n_regionkey").cast("long").as("rkey"))
+        TxLog.append(nation.filter(col("rkey") < 2).select("nkey", "nname"), table)
+        TxLog.appendEvolve(nation.filter(col("rkey") >= 2), table)
+        val v1Schema = TxLog.snapshot(s, table, asOf = Some(1L)).schema.fieldNames.toSeq
+        require(v1Schema == Seq("nkey", "nname"),
+          s"time travel must serve the pre-evolution schema, got $v1Schema")
+        TxLog.snapshot(s, table)
+          .groupBy(coalesce(col("rkey"), lit(-1L)).as("rkey_n"))
+          .agg(count(lit(1)).as("n"), min(col("nname")).as("first_name"))
+          .orderBy("rkey_n")
+      },
+      Some("""SELECT CASE WHEN n_regionkey < 2 THEN -1
+                          ELSE CAST(n_regionkey AS BIGINT) END AS rkey_n,
+                     COUNT(*) AS n, MIN(n_name) AS first_name
+              FROM nation GROUP BY 1 ORDER BY rkey_n""")),
+
     // The exactly-once token under REAL streaming machinery: a 3-file
     // parquet landing zone drained by readStream (maxFilesPerTrigger=1 →
     // one epoch per file) through foreachBatch → appendIdempotent, then

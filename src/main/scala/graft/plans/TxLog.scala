@@ -94,7 +94,7 @@ object TxLog {
     * Fails loudly if `df`'s schema does not match the table's. */
   def append(df: DataFrame, table: String): Long = {
     val (files, schemaJson, stats) = writeData(df, table)
-    commit(table, "append", files, dataChange = true, schemaJson = schemaJson,
+    commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats,
       removePlan = { snap =>
         if (snap.version > 0 && snap.schemaJson.nonEmpty)
@@ -115,7 +115,7 @@ object TxLog {
     if (latestVersion(table) > 0 &&
       replay(table, None).txns.get(appId).exists(_ >= batchId)) return None
     val (files, schemaJson, stats) = writeData(df, table)
-    commit(table, "append", files, dataChange = true, schemaJson = schemaJson,
+    commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, txn = Some(appId -> batchId),
       removePlan = { snap =>
         if (snap.version > 0 && snap.schemaJson.nonEmpty)
@@ -124,13 +124,44 @@ object TxLog {
       })
   }
 
+  /** Append `df` allowing NEW columns (Delta-style mergeSchema): columns
+    * shared with the table must keep their types (loud error otherwise);
+    * columns the table has and `df` lacks — and vice versa — read as
+    * NULL from the files that miss them, because every snapshot read
+    * applies the commit-time schema explicitly. The merged schema is
+    * recomputed against fresh state on every publish retry, so two
+    * concurrent evolutions compose instead of clobbering. */
+  def appendEvolve(df: DataFrame, table: String): Long = {
+    val (files, schemaJson, stats) = writeData(df, table)
+    commit(table, "append", files, dataChange = true,
+      schemaPlan = { snap =>
+        if (snap.version == 0 || snap.schemaJson.isEmpty) schemaJson
+        else mergeSchemas(snap.schemaJson, schemaJson, table)
+      },
+      stats = stats, removePlan = _ => Seq.empty).get
+  }
+
+  /** Table schema ++ the df-only columns; shared columns must agree. */
+  private def mergeSchemas(tableJson: String, dfJson: String, table: String): String = {
+    val t = DataType.fromJson(tableJson).asInstanceOf[StructType]
+    val d = DataType.fromJson(dfJson).asInstanceOf[StructType]
+    val clash = d.fields.flatMap { f =>
+      t.fields.find(_.name == f.name).filter(_.dataType != f.dataType)
+        .map(tf => s"${f.name}: table ${tf.dataType.simpleString} vs append ${f.dataType.simpleString}")
+    }
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"schema evolution on $table cannot change column types — ${clash.mkString("; ")}")
+    StructType(t.fields ++ d.fields.filterNot(f => t.fieldNames.contains(f.name))).json
+  }
+
   /** Replace the table's content with `df` (schema may evolve). The
     * remove set is recomputed from the then-live snapshot on every
     * publish attempt, so a racing append loses no data silently — its
     * rows are removed by THIS commit's semantics, visibly in the log. */
   def overwrite(df: DataFrame, table: String): Long = {
     val (files, schemaJson, stats) = writeData(df, table)
-    commit(table, "overwrite", files, dataChange = true, schemaJson = schemaJson,
+    commit(table, "overwrite", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, removePlan = snap => snap.files).get
   }
 
@@ -144,7 +175,7 @@ object TxLog {
     val df = readFiles(spark, table, snap)
       .repartition(numFiles)
     val (files, _, stats) = writeData(df, table)
-    commit(table, "compact", files, dataChange = false, schemaJson = snap.schemaJson,
+    commit(table, "compact", files, dataChange = false, schemaPlan = _ => snap.schemaJson,
       stats = stats,
       removePlan = { now =>
         val gone = snap.files.filterNot(now.files.contains)
@@ -191,7 +222,7 @@ object TxLog {
       .unionByName(updates.select(affectedRows.columns.map(col).toSeq: _*))
       .repartition(math.max(1, affected.length))
     val (files, _, stats) = writeData(merged, table)
-    commit(table, "merge", files, dataChange = true, schemaJson = snap.schemaJson,
+    commit(table, "merge", files, dataChange = true, schemaPlan = _ => snap.schemaJson,
       stats = stats,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
@@ -511,7 +542,7 @@ object TxLog {
       op: String,
       add: Seq[String],
       dataChange: Boolean,
-      schemaJson: String,
+      schemaPlan: Snapshot => String,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
       removePlan: Snapshot => Seq[String]): Option[Long] = {
@@ -531,7 +562,7 @@ object TxLog {
       rec.put("op", op)
       val addArr = rec.putArray("add"); add.foreach(addArr.add)
       val remArr = rec.putArray("remove"); remove.foreach(remArr.add)
-      rec.put("schema", schemaJson)
+      rec.put("schema", schemaPlan(snap))
       rec.put("dataChange", dataChange)
       if (stats.nonEmpty) {
         val stNode = rec.putObject("stats")

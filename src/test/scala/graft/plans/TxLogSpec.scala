@@ -203,6 +203,29 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, t).count() == 33)
   }
 
+  test("appendEvolve widens the schema; old files read NULL; type changes refuse") {
+    val t = freshTable("evolve")
+    TxLog.append(df(0 until 5, "a"), t) // (k, tag)
+    TxLog.appendEvolve(
+      (5 until 8).toDF("k").withColumn("tag", lit("b")).withColumn("score", lit(2.5)), t)
+    val head = TxLog.snapshot(spark, t)
+    assert(head.schema.fieldNames.toSeq == Seq("k", "tag", "score"))
+    assert(head.filter($"score".isNull).count() == 5) // v1 rows
+    assert(head.filter($"score" === 2.5).count() == 3)
+    // time travel serves the v1 schema
+    assert(TxLog.snapshot(spark, t, Some(1)).schema.fieldNames.toSeq == Seq("k", "tag"))
+    // evolving an EXISTING column's type is refused loudly
+    val bad = (8 until 9).toDF("k").withColumn("tag", lit(1L))
+    val e = intercept[IllegalArgumentException](TxLog.appendEvolve(bad, t))
+    assert(e.getMessage.contains("cannot change column types") && e.getMessage.contains("tag"))
+    // a strict append with the ORIGINAL narrow schema now fails (the
+    // table wants the evolved width); appendEvolve accepts it and the
+    // missing column reads NULL for those rows
+    intercept[IllegalArgumentException](TxLog.append(df(9 until 10, "c"), t))
+    TxLog.appendEvolve(df(9 until 10, "c"), t)
+    assert(TxLog.snapshot(spark, t).filter($"k" === 9 && $"score".isNull).count() == 1)
+  }
+
   test("reads of non-tables and out-of-range versions fail loudly") {
     val t = freshTable("errors")
     val e1 = intercept[IllegalArgumentException](TxLog.snapshot(spark, t))
