@@ -286,6 +286,38 @@ object TableQueries {
                      MIN(n_name) AS first_name
               FROM nation GROUP BY rkey ORDER BY rkey""")),
 
+    // The transaction log as a first-class DataSource: `spark.read
+    // .format("graft")` plans over the LOG's live-file list (dead files
+    // invisible by construction) through Spark's own vectorized parquet
+    // scan, and a plain WHERE band prunes files against the log's zone
+    // maps INSIDE Catalyst planning — proven here by reading the
+    // FileSourceScanExec's own planned-file count, which must be a
+    // minority of the 8 range files. versionAsOf pins the snapshot.
+    QuerySpec(
+      "scan_graft_dsv2",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_dsv2")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        val df = s.read.format("graft").option("versionAsOf", "1").load(table)
+          .filter(col("o_orderkey").between(lo, hi))
+        val planned = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.getOrElse(throw new IllegalStateException("no file scan in plan"))
+        require(planned < 8 && planned <= 3,
+          s"zone maps failed to prune inside planning: $planned of 8 files")
+        ordersAgg(df)
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM orders, b
+              WHERE o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                   AND b.mn + (b.mx - b.mn) * 4 // 10
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Schema evolution without rewrites: v2 appends a column v1's files
     // never heard of (mergeSchema semantics — shared columns must keep
     // their types, loudly). Snapshot reads apply the commit-time schema

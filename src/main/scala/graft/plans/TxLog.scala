@@ -328,6 +328,12 @@ object TxLog {
   def liveFileCount(table: String, asOf: Option[Long] = None): Int =
     replay(table, asOf).files.length
 
+  /** Resolved snapshot metadata (live files, schema, zone maps, txn
+    * ledger) at `asOf` — the planning surface the `graft` DataSource's
+    * FileIndex builds on. */
+  def snapshotInfo(table: String, asOf: Option[Long] = None): Snapshot =
+    replay(table, asOf)
+
   // ------------------------------------------------------------------
   // data-file writes
   // ------------------------------------------------------------------

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.plans.TxLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft` DataSource: log-backed FileIndex semantics — snapshot
+  * visibility, versionAsOf, and zone-map file pruning visible on the
+  * actual FileSourceScanExec. */
+class GraftLogSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graftsrc_$name").toString
+
+  private def scannedFiles(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.getOrElse(sys.error("no FileSourceScanExec in plan"))
+
+  test("format(graft) reads the live snapshot, not the directory") {
+    val t = freshTable("live")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")).repartition(2), t)
+    TxLog.overwrite((100 until 105).toDF("k").withColumn("tag", lit("b")).repartition(2), t)
+    // v1's files are still on disk but dead in the log — must be invisible
+    val out = spark.read.format("graft").load(t)
+    assert(out.select("k").as[Int].collect().toSet == (100 until 105).toSet)
+    // versionAsOf time-travels
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(t)
+    assert(v1.select("k").as[Int].collect().toSet == (0 until 10).toSet)
+  }
+
+  test("WHERE predicates prune files via zone maps inside planning") {
+    val t = freshTable("prune")
+    TxLog.append(
+      (0 until 100).toDF("k").withColumn("tag", concat(lit("v"), $"k" % 7))
+        .repartitionByRange(4, $"k").sortWithinPartitions("k"), t)
+    val all = spark.read.format("graft").load(t)
+    assert(scannedFiles(all) == 4)
+    val band = all.filter($"k" >= 30 && $"k" <= 45)
+    assert(scannedFiles(band) == 1, "a [25,50) band must plan exactly one range file")
+    assert(band.select("k").as[Int].collect().toSet == (30 to 45).toSet)
+    // a range beyond the data plans zero files and returns zero rows
+    val none = all.filter($"k" > 500)
+    assert(scannedFiles(none) == 0 && none.isEmpty)
+    // unsupported predicate shapes keep everything (conservative)
+    val opaque = all.filter(($"k" % 3) === 0)
+    assert(scannedFiles(opaque) == 4)
+    assert(opaque.count() == 34)
+    // string zone maps prune too
+    assert(scannedFiles(all.filter($"tag" === "zzz")) == 0)
+  }
+
+  test("schema-evolved tables read through the connector with NULL backfill") {
+    val t = freshTable("evolve")
+    TxLog.append((0 until 5).toDF("k").withColumn("tag", lit("a")), t)
+    TxLog.appendEvolve(
+      (5 until 8).toDF("k").withColumn("tag", lit("b")).withColumn("score", lit(1.5)), t)
+    val out = spark.read.format("graft").load(t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "tag", "score"))
+    assert(out.filter($"score".isNull).count() == 5)
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(t)
+      .schema.fieldNames.toSeq == Seq("k", "tag"))
+  }
+}
