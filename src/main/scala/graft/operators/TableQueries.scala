@@ -318,6 +318,56 @@ object TableQueries {
                                    AND b.mn + (b.mx - b.mn) * 4 // 10
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Hilbert-clustered compaction: a hash-partitioned write leaves every
+    // file spanning the FULL o_custkey range (zone maps prune nothing —
+    // required as the baseline), then `compact(clusterBy = custkey,
+    // orderkey)` rewrites the layout along the Hilbert curve using the
+    // global min/max ALREADY in the log's zone maps (no extra scan). The
+    // same custkey band must now plan strictly fewer files through the
+    // graft connector — multi-dimensional data skipping bought by a
+    // layout-only, change-feed-invisible commit.
+    QuerySpec(
+      "table_cluster_prune",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_cluster")
+        deleteRecursively(table)
+        TxLog.append(ordersAll(s, dir).repartition(8), table)
+        val r = Tables(s, dir, "orders")
+          .agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) * 45 / 100, mn + (mx - mn) * 55 / 100)
+        def planned(): Long = {
+          val df = s.read.format("graft").load(table)
+            .filter(col("o_custkey").between(lo, hi))
+          df.queryExecution.executedPlan.collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.totalNumberOfFiles
+          }.getOrElse(throw new IllegalStateException("no file scan in plan"))
+        }
+        val before = planned()
+        require(before == 8, s"hash layout should be unprunable, planned $before of 8")
+        TxLog.compact(s, table, 8, clusterBy = Seq("o_custkey", "o_orderkey"))
+        val after = planned()
+        require(after < before,
+          s"Hilbert clustering failed to shrink the plan: $after of $before files")
+        s.read.format("graft").load(table)
+          .filter(col("o_custkey").between(lo, hi))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+            min(col("o_custkey")).as("first_cust"),
+            max(col("o_custkey")).as("last_cust"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH b AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_custkey) AS first_cust, MAX(o_custkey) AS last_cust
+              FROM orders, b
+              WHERE o_custkey BETWEEN b.mn + (b.mx - b.mn) * 45 // 100
+                                  AND b.mn + (b.mx - b.mn) * 55 // 100
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Schema evolution without rewrites: v2 appends a column v1's files
     // never heard of (mergeSchema semantics — shared columns must keep
     // their types, loudly). Snapshot reads apply the commit-time schema

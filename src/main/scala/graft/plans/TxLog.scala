@@ -168,12 +168,40 @@ object TxLog {
   /** Rewrite the current live files into `numFiles` larger ones without
     * changing data (`dataChange=false`: invisible to the change feed).
     * Aborts with ConcurrentModificationException if a racing commit
-    * removed any input file first. */
-  def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
+    * removed any input file first.
+    *
+    * `clusterBy` (exactly two numeric columns) additionally arranges the
+    * rewrite along a HILBERT curve over both columns: each value is
+    * normalized into a 16-bit grid using the GLOBAL min/max already in
+    * the log's zone maps (no extra scan), rows range-partition + sort by
+    * the native HilbertIndex expression, and the resulting per-file zone
+    * maps become tight on BOTH dimensions — so a band predicate on
+    * either column prunes files after the compaction, the multi-
+    * dimensional clustering every large table eventually needs. */
+  def compact(
+      spark: SparkSession, table: String, numFiles: Int,
+      clusterBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, least, greatest, floor}
     val snap = replay(table, None)
     if (snap.files.isEmpty) return snap.version
-    val df = readFiles(spark, table, snap)
-      .repartition(numFiles)
+    val base = readFiles(spark, table, snap)
+    val df =
+      if (clusterBy.isEmpty) base.repartition(numFiles)
+      else {
+        require(clusterBy.length == 2,
+          s"clusterBy takes exactly two numeric columns, got $clusterBy")
+        val Seq(nx, ny) = clusterBy.map { c =>
+          val (lo, hi) = globalRange(snap, c).getOrElse(
+            throw new IllegalArgumentException(
+              s"clusterBy column '$c' lacks numeric zone maps in the live files of $table"))
+          val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+          least(greatest(
+            floor((col(c).cast("double") - lit(lo)) * 65535.0 / lit(span)).cast("long"),
+            lit(0L)), lit(65535L))
+        }
+        val key = graft.functions.HilbertIndex(nx, ny)
+        base.repartitionByRange(numFiles, key).sortWithinPartitions(key)
+      }
     val (files, _, stats) = writeData(df, table)
     commit(table, "compact", files, dataChange = false, schemaPlan = _ => snap.schemaJson,
       stats = stats,
@@ -273,6 +301,18 @@ object TxLog {
     case "long"   => a.toLong < b.toLong
     case "double" => a.toDouble < b.toDouble
     case _        => a < b
+  }
+
+  /** Global [min, max] of a numeric column across ALL live files' zone
+    * maps — None if any file lacks them (can't normalize safely). */
+  private def globalRange(snap: Snapshot, c: String): Option[(Double, Double)] = {
+    val per = snap.files.map(f => snap.stats.get(f).flatMap(_.get(c)))
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else {
+      val cs = per.flatten
+      if (cs.exists(s => s.kind != "long" && s.kind != "double")) None
+      else Some(cs.map(_.min.toDouble).min -> cs.map(_.max.toDouble).max)
+    }
   }
 
   /** Rows ADDED by data-changing commits in (fromExclusive, toInclusive]

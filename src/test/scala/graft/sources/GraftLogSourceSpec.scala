@@ -56,6 +56,30 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(scannedFiles(all.filter($"tag" === "zzz")) == 0)
   }
 
+  test("Hilbert-clustered compaction makes BOTH dimensions prunable") {
+    val t = freshTable("hilbert")
+    // decorrelated dims; hash-partitioned write → every file spans both
+    // full ranges, so zone maps prune NOTHING before clustering
+    val src = (0 until 4096).toDF("x")
+      .withColumn("y", ($"x" * 37L) % 4096)
+      .withColumn("payload", concat(lit("p"), $"x"))
+    TxLog.append(src.repartition(8), t)
+    def planned(f: DataFrame => DataFrame): Long =
+      scannedFiles(f(spark.read.format("graft").load(t)))
+    val xBand: DataFrame => DataFrame = _.filter($"x" >= 1800 && $"x" <= 2100)
+    val yBand: DataFrame => DataFrame = _.filter($"y" >= 1800 && $"y" <= 2100)
+    assert(planned(xBand) == 8 && planned(yBand) == 8,
+      "hash layout must be unprunable on both dims (the baseline)")
+    TxLog.compact(spark, t, 8, clusterBy = Seq("x", "y"))
+    val (px, py) = (planned(xBand), planned(yBand))
+    assert(px < 8 && py < 8, s"clustered layout must prune both dims: x=$px y=$py")
+    // content unchanged by the layout-only rewrite
+    assert(spark.read.format("graft").load(t).count() == 4096)
+    assert(xBand(spark.read.format("graft").load(t)).select("x").as[Int].collect().toSet ==
+      (1800 to 2100).toSet)
+    info(s"planned after clustering: x-band $px/8, y-band $py/8")
+  }
+
   test("schema-evolved tables read through the connector with NULL backfill") {
     val t = freshTable("evolve")
     TxLog.append((0 until 5).toDF("k").withColumn("tag", lit("a")), t)
