@@ -318,6 +318,35 @@ object TableQueries {
                                    AND b.mn + (b.mx - b.mn) * 4 // 10
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Copy-on-write DELETE: erasing a 10% key band from the range-
+    // partitioned layout rewrites ONLY the files containing matches
+    // (proven from the commit's remove list — a minority of 8), and the
+    // surviving table hash-matches the NOT-band oracle. NULL condition
+    // rows keep SQL DELETE semantics (kept). The governed-corpus erasure
+    // primitive: deleting 10% of keys must never rewrite 100% of files.
+    QuerySpec(
+      "table_delete_cow",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_delete")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        TxLog.delete(s, table,
+          col("o_orderkey").between(lo, hi) && col("o_orderkey") % 3 === 1)
+        val last = TxLog.history(table).last
+        require(last.op == "delete" && last.remove.length >= 1 && last.remove.length <= 3,
+          s"copy-on-write delete rewrote ${last.remove.length} of 8 files")
+        ordersAgg(TxLog.snapshot(s, table))
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM orders, b
+              WHERE NOT (o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                        AND b.mn + (b.mx - b.mn) * 4 // 10
+                         AND o_orderkey % 3 = 1)
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Hilbert-clustered compaction: a hash-partitioned write leaves every
     // file spanning the FULL o_custkey range (zone maps prune nothing —
     // required as the baseline), then `compact(clusterBy = custkey,

@@ -262,6 +262,41 @@ object TxLog {
       }).get
   }
 
+  /** File-granular copy-on-write DELETE: rows where `condition` is TRUE
+    * are removed (NULL keeps the row, SQL DELETE semantics); only files
+    * actually CONTAINING matching rows are rewritten, found by one
+    * column-pruned scan of the condition's inputs + input_file_name.
+    * Files whose every row matches are simply dropped (no empty rewrite).
+    * Aborts with ConcurrentModificationException if a racing commit
+    * removed an affected file first. The erasure primitive (GDPR-style
+    * per-key removal) a governed 100 TB corpus must support. */
+  def delete(
+      spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+    val snap = replay(table, None)
+    val full = readFiles(spark, table, snap)
+    val affected = full.filter(coalesce(condition, lit(false)))
+      .select(input_file_name().as("__file")).distinct()
+      .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
+    if (affected.isEmpty) return snap.version
+    val survivors = readFiles(spark, table, snap.copy(files = affected))
+      .filter(!coalesce(condition, lit(false)))
+    val (files, _, stats) =
+      if (survivors.isEmpty) (Seq.empty[String], "", Map.empty[String, Map[String, ColStats]])
+      else writeData(survivors.repartition(math.max(1, affected.length)), table)
+    commit(table, "delete", files, dataChange = true,
+      schemaPlan = _ => snap.schemaJson, stats = stats,
+      removePlan = { now =>
+        val gone = affected.filterNot(now.files.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"delete on $table@${snap.version} lost the race: affected files " +
+              s"already removed by a newer commit: ${gone.take(3).mkString(", ")}")
+        affected
+      }).get
+  }
+
   /** Snapshot-isolated read. `asOf=None` reads the head version;
     * `asOf=Some(v)` time-travels (v must be ≤ head and its files must
     * not have been vacuumed). The scan is a plain pushdown-capable

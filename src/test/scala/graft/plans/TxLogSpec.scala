@@ -226,6 +226,28 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, t).filter($"k" === 9 && $"score".isNull).count() == 1)
   }
 
+  test("delete rewrites only matching files; NULL keeps; all-match files just drop") {
+    val t = freshTable("delete")
+    val src = (0 until 100).toDF("k")
+      .withColumn("tag", when($"k" % 10 === 0, lit(null: String)).otherwise(lit("x")))
+    TxLog.append(src.repartitionByRange(4, $"k").sortWithinPartitions("k"), t)
+    // band delete: only the [25,50) file contains matches
+    TxLog.delete(spark, t, $"k" >= 30 && $"k" <= 45)
+    val h1 = TxLog.history(t).last
+    assert(h1.op == "delete" && h1.remove.length == 1)
+    assert(keys(TxLog.snapshot(spark, t)) == (0 until 100).toSet -- (30 to 45))
+    // NULL condition keeps rows (SQL DELETE semantics)
+    TxLog.delete(spark, t, when($"tag" === "never", lit(true)))
+    assert(TxLog.snapshot(spark, t).count() == 84)
+    // deleting an entire file's rows drops the file without a rewrite
+    TxLog.delete(spark, t, $"k" < 25)
+    val h3 = TxLog.history(t).last
+    assert(h3.op == "delete" && h3.add.isEmpty && h3.remove.length == 1)
+    assert(keys(TxLog.snapshot(spark, t)) == ((25 until 30) ++ (46 until 100)).toSet)
+    // time travel still sees the pre-delete state
+    assert(keys(TxLog.snapshot(spark, t, Some(1))) == (0 until 100).toSet)
+  }
+
   test("reads of non-tables and out-of-range versions fail loudly") {
     val t = freshTable("errors")
     val e1 = intercept[IllegalArgumentException](TxLog.snapshot(spark, t))
