@@ -62,9 +62,12 @@ class BenchOutputSpec extends AnyFunSuite {
     // the flag is what keeps cross-round comparisons honest — losing it
     // silently would reintroduce the cache-hit-as-speedup artifact.
     // Current set: the ensemble's published pair checkpoints + the LR
-    // family's shared feature/weight relations (round 10).
+    // family's shared feature/weight relations (round 10) + the
+    // leakage split (rides the published pairs) + the TxLog consumers
+    // of the shared versioned-orders fixture (round-10 continuation).
     val cached = Registry.all.filter(_.cacheAssisted).map(_.name).sorted
     assert(cached == Seq("dedup_ensemble_components", "dedup_recall_audit",
+      "pipeline_leakage_split", "table_incremental", "table_time_travel",
       "text_lr_gate", "text_lr_holdout", "text_lr_train"),
       s"unexpected cache-assisted set: $cached")
   }

@@ -80,6 +80,21 @@ class GraftLogSourceSpec extends AnyFunSuite {
     info(s"planned after clustering: x-band $px/8, y-band $py/8")
   }
 
+  test("SQL text reads the log via CREATE TEMPORARY VIEW ... USING graft") {
+    val t = freshTable("sql")
+    TxLog.append((0 until 50).toDF("k").withColumn("tag", lit("a")), t)
+    TxLog.overwrite((0 until 20).toDF("k").withColumn("tag", lit("b")), t)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_head " +
+      s"USING graft OPTIONS (path '$t')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_v1 " +
+      s"USING graft OPTIONS (path '$t', versionAsOf '1')")
+    val head = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(k) AS s FROM graft_sql_head WHERE k < 10").head
+    assert(head.getLong(0) == 10 && head.getLong(1) == 45)
+    val v1 = spark.sql("SELECT COUNT(*) AS n FROM graft_sql_v1").head
+    assert(v1.getLong(0) == 50, "the SQL view time-travels via the option")
+  }
+
   test("schema-evolved tables read through the connector with NULL backfill") {
     val t = freshTable("evolve")
     TxLog.append((0 until 5).toDF("k").withColumn("tag", lit("a")), t)
