@@ -318,6 +318,47 @@ object TableQueries {
                                    AND b.mn + (b.mx - b.mn) * 4 // 10
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Incremental materialized-view maintenance — what the change feed
+    // EXISTS for: a per-status aggregate STATE table (itself a versioned
+    // log table) is refreshed after each of three ingest batches by
+    // folding ONLY that batch's rows (changes(last, v)) into the prior
+    // state — each refresh reads the delta files plus a 3-row state,
+    // never the corpus. Counts and DECIMAL sums are algebraically
+    // mergeable, so the final state must hash-match the one-shot
+    // aggregate over everything. At 100 TB this is the nightly-rollup
+    // pattern: refresh cost tracks ingest volume, not table size.
+    QuerySpec(
+      "table_incremental_agg",
+      (s, dir) => {
+        val data = fixturePath(dir, "txlog_orders_iagg_data")
+        val state = fixturePath(dir, "txlog_orders_iagg_state")
+        Seq(data, state).foreach(deleteRecursively)
+        def agg(df: DataFrame): DataFrame = df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).as("total_dec"))
+        var last = 0L
+        (0 to 2).foreach { m =>
+          val v = TxLog.append(ordersSlice(s, dir, m).repartition(2), data)
+          val delta = agg(TxLog.changes(s, data, last, v))
+          val merged =
+            if (TxLog.latestVersion(state) == 0) delta
+            else TxLog.snapshot(s, state).unionByName(delta)
+              .groupBy("o_orderstatus")
+              .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
+          TxLog.overwrite(merged.repartition(1), state)
+          last = v
+        }
+        require(TxLog.latestVersion(state) == 3L,
+          "three refreshes must leave three state versions")
+        TxLog.snapshot(s, state)
+          .select(col("o_orderstatus"), col("n"),
+            col("total_dec").cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Copy-on-write DELETE: erasing a 10% key band from the range-
     // partitioned layout rewrites ONLY the files containing matches
     // (proven from the commit's remove list — a minority of 8), and the
