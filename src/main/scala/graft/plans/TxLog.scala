@@ -229,6 +229,15 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val snap = replay(table, None)
     requireSchemaMatch(snap.schemaJson, nullable(updates.schema).json, table)
+    // duplicate update keys make "upsert" ambiguous (both rows would
+    // land) — refuse loudly, like every MERGE implementation must
+    val dup = updates.groupBy(col(keyCol))
+      .count().filter(col("count") > 1).limit(3)
+      .collect().map(_.get(0))
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge updates carry duplicate $keyCol values (${dup.mkString(", ")}…): " +
+          "resolve to one row per key before merging")
     val range = updates.agg(
       org.apache.spark.sql.functions.min(col(keyCol)).cast("string"),
       org.apache.spark.sql.functions.max(col(keyCol)).cast("string")).head()

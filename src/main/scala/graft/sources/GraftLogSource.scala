@@ -57,10 +57,20 @@ final class GraftLogSource extends RelationProvider with DataSourceRegister {
   * dependency (the filters still run row-level after the scan). */
 final class GraftFileIndex(table: String, snap: TxLog.Snapshot) extends FileIndex {
 
-  private val statuses: Seq[(String, FileStatus)] = snap.files.map { rel =>
-    val f = new java.io.File(table, rel)
-    rel -> new FileStatus(f.length, false, 1, 128L * 1024 * 1024,
-      f.lastModified, new HPath(f.toURI))
+  private val statuses: Seq[(String, FileStatus)] = {
+    val missing = snap.files.filterNot(rel => new java.io.File(table, rel).isFile)
+    if (missing.nonEmpty)
+      // a 0-length FileStatus would scan as an empty file — SILENTLY
+      // wrong results for a time travel past vacuum; fail like the
+      // TxLog.snapshot read path instead
+      throw new IllegalStateException(
+        s"table $table@${snap.version}: ${missing.length} live file(s) missing on " +
+          s"storage (vacuumed past this version?): ${missing.take(3).mkString(", ")}")
+    snap.files.map { rel =>
+      val f = new java.io.File(table, rel)
+      rel -> new FileStatus(f.length, false, 1, 128L * 1024 * 1024,
+        f.lastModified, new HPath(f.toURI))
+    }
   }
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(new java.io.File(table).toURI))

@@ -175,6 +175,10 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.merge(spark, t, Seq(1000).toDF("k").withColumn("tag", lit("ins")), "k")
     assert(TxLog.history(t).last.op == "append")
     assert(TxLog.snapshot(spark, t).count() == 102)
+    // duplicate keys in updates make upsert ambiguous — refused loudly
+    val dup = Seq(7, 7).toDF("k").withColumn("tag", lit("d"))
+    val e = intercept[IllegalArgumentException](TxLog.merge(spark, t, dup, "k"))
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("idempotent appends skip replayed batches, even racing ones") {

@@ -33,6 +33,13 @@ class GraftLogSourceSpec extends AnyFunSuite {
     // versionAsOf time-travels
     val v1 = spark.read.format("graft").option("versionAsOf", "1").load(t)
     assert(v1.select("k").as[Int].collect().toSet == (0 until 10).toSet)
+    // time travel past a vacuum fails LOUDLY at plan time — a 0-length
+    // FileStatus would otherwise scan as empty and return silent wrongs
+    TxLog.vacuum(t)
+    val e = intercept[IllegalStateException](
+      spark.read.format("graft").option("versionAsOf", "1").load(t).count())
+    assert(e.getMessage.contains("vacuumed"))
+    assert(spark.read.format("graft").load(t).count() == 5)
   }
 
   test("WHERE predicates prune files via zone maps inside planning") {
