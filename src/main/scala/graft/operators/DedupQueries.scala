@@ -1339,6 +1339,80 @@ object DedupQueries {
               FROM h JOIN w USING (hh)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Cross-table fuzzy ENTITY RESOLUTION (catalog vs dirty feed): every
+    // feed record carries a deterministic 1-char typo (md5-chosen
+    // position, 'x'↔'q' substitution), and must still resolve to its
+    // catalog entity. Blocking is the pigeonhole SEGMENT scheme (Manku's
+    // hamming argument in edit-distance form): split each name into 3
+    // character segments — one substitution corrupts at most one, so ≥2
+    // segments match the catalog EXACTLY and the (segment-index, text,
+    // length) equi-join finds every true pair with zero recall loss,
+    // never an n² scan. Candidates verify with exact levenshtein ≤ 1.
+    // At 100 TB: segments are the shuffle key (compact strings), bucket
+    // sizes track entity-name frequency, and the verify join is
+    // candidate-bounded — the standard production ER shape.
+    QuerySpec(
+      "dedup_entity_resolution",
+      (s, dir) => {
+        val part = Tables(s, dir, "part")
+        val catalog = part.select(col("p_name").as("cn")).distinct()
+        val dirty = part
+          .select(col("p_partkey").as("rec_id"), col("p_name"))
+          .withColumn("pos", h32(col("p_name")) % length(col("p_name")))
+          .withColumn("och", expr("substr(p_name, CAST(pos + 1 AS INT), 1)"))
+          .withColumn("dn", expr(
+            "concat(substr(p_name, 1, CAST(pos AS INT)), " +
+              "CASE WHEN och = 'x' THEN 'q' ELSE 'x' END, " +
+              "substr(p_name, CAST(pos + 2 AS INT)))"))
+          .select(col("rec_id"), col("dn"))
+        def segmented(df: DataFrame, name: String): DataFrame = df
+          .withColumn("l", length(col(name)))
+          .select(col("*"), explode(expr(
+            s"array(struct(0 AS i, substr($name, 1, l DIV 3) AS seg), " +
+              s"struct(1 AS i, substr($name, l DIV 3 + 1, l DIV 3 * 2 - l DIV 3) AS seg), " +
+              s"struct(2 AS i, substr($name, l DIV 3 * 2 + 1) AS seg))")).as("sg"))
+          .select(df.columns.map(col) :+ col("l") :+
+            col("sg.i").as("i") :+ col("sg.seg").as("seg"): _*)
+        val cand = segmented(dirty, "dn")
+          .join(segmented(catalog, "cn"), Seq("i", "seg", "l"))
+          .select(col("rec_id"), col("dn"), col("cn")).distinct()
+        cand
+          .filter(levenshtein(col("dn"), col("cn")) <= 1)
+          .groupBy("rec_id", "dn")
+          .agg(count(lit(1)).as("n_matches"), min(col("cn")).as("first_match"))
+          .orderBy("rec_id")
+      },
+      Some("""WITH cat AS (SELECT DISTINCT p_name AS cn FROM part),
+           |d AS (SELECT p_partkey AS rec_id, p_name,
+           |             ('0x'||SUBSTR(MD5(p_name),1,8))::BIGINT % LEN(p_name) AS pos
+           |      FROM part),
+           |d2 AS (SELECT rec_id,
+           |              SUBSTR(p_name, 1, CAST(pos AS INT)) ||
+           |              (CASE WHEN SUBSTR(p_name, CAST(pos + 1 AS INT), 1) = 'x'
+           |                    THEN 'q' ELSE 'x' END) ||
+           |              SUBSTR(p_name, CAST(pos + 2 AS INT)) AS dn
+           |       FROM d),
+           |dseg AS (
+           |  SELECT rec_id, dn, LEN(dn) AS l, i,
+           |         CASE i WHEN 0 THEN SUBSTR(dn, 1, LEN(dn) // 3)
+           |                WHEN 1 THEN SUBSTR(dn, LEN(dn) // 3 + 1,
+           |                                   LEN(dn) // 3 * 2 - LEN(dn) // 3)
+           |                ELSE SUBSTR(dn, LEN(dn) // 3 * 2 + 1) END AS seg
+           |  FROM d2, (SELECT UNNEST([0, 1, 2]) AS i)),
+           |cseg AS (
+           |  SELECT cn, LEN(cn) AS l, i,
+           |         CASE i WHEN 0 THEN SUBSTR(cn, 1, LEN(cn) // 3)
+           |                WHEN 1 THEN SUBSTR(cn, LEN(cn) // 3 + 1,
+           |                                   LEN(cn) // 3 * 2 - LEN(cn) // 3)
+           |                ELSE SUBSTR(cn, LEN(cn) // 3 * 2 + 1) END AS seg
+           |  FROM cat, (SELECT UNNEST([0, 1, 2]) AS i)),
+           |cand AS (
+           |  SELECT DISTINCT d.rec_id, d.dn, c.cn
+           |  FROM dseg d JOIN cseg c ON c.i = d.i AND c.seg = d.seg AND c.l = d.l)
+           |SELECT rec_id, dn, COUNT(*) AS n_matches, MIN(cn) AS first_match
+           |FROM cand WHERE levenshtein(dn, cn) <= 1
+           |GROUP BY rec_id, dn ORDER BY rec_id""".stripMargin)),
+
     // Leakage-aware train/val/test split: assigning splits per DOCUMENT
     // leaks near-duplicates across the train/test boundary (the test-set
     // contamination failure every eval pipeline eventually ships);

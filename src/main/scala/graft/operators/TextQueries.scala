@@ -115,6 +115,71 @@ object TextQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // Distribution-drift monitor (PSI — the Population Stability Index
+    // every production data pipeline tracks before a new batch trains):
+    // each source's document-length distribution vs the corpus-wide
+    // reference over 8 fixed buckets, add-half smoothed so empty buckets
+    // contribute, PSI = Σ (q−p)·ln(q/p), flagged at the standard 0.2
+    // threshold. Per-bucket terms round to the 6-decimal grid and sum as
+    // exact DECIMAL, so partial-agg order can't move the flag. Scale:
+    // two partial-agg count shuffles + an 8-row-per-source dense grid —
+    // cost tracks source count, never corpus size.
+    QuerySpec(
+      "text_drift_psi",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val row = d.agg(max(col("n_chars")), count(lit(1))).head()
+        val (mx, n) = (row.getLong(0), row.getLong(1))
+        val bucketed = d.select(col("source"),
+          expr(s"CAST(n_chars * 8 DIV ${mx + 1} AS INT)").as("b"))
+        val corpus = bucketed.groupBy("b").agg(count(lit(1)).as("cb"))
+        val srcTot = bucketed.groupBy("source").agg(count(lit(1)).as("ns"))
+        val srcCnt = bucketed.groupBy("source", "b").agg(count(lit(1)).as("csb"))
+        val grid = srcTot.select(col("source"), col("ns"),
+          explode(expr("sequence(0, 7)")).as("b"))
+        val q = (col("csb") + 0.5) / (col("ns") + 4)
+        val p = (col("cb") + 0.5) / (lit(n) + lit(4))
+        grid
+          .join(srcCnt, Seq("source", "b"), "left")
+          .join(corpus, Seq("b"), "left")
+          .select(col("source"), col("ns"), col("b"),
+            coalesce(col("csb"), lit(0L)).as("csb"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+          .withColumn("term",
+            round((q - p) * log(q / p), 6).cast("decimal(18,6)"))
+          .groupBy("source")
+          .agg(sum(col("term")).as("psi_dec"))
+          .select(col("source"),
+            col("psi_dec").cast("double").as("psi"),
+            (col("psi_dec") > 0.2).as("drifted"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT MAX(n_chars) AS mx, COUNT(*) AS n FROM documents),
+           |bk AS (SELECT source, CAST(n_chars * 8 // (m.mx + 1) AS INT) AS b
+           |       FROM documents, m),
+           |corpus AS (SELECT b, COUNT(*) AS cb FROM bk GROUP BY b),
+           |st AS (SELECT source, COUNT(*) AS ns FROM bk GROUP BY source),
+           |sc AS (SELECT source, b, COUNT(*) AS csb FROM bk GROUP BY source, b),
+           |grid AS (SELECT st.source, st.ns, g.b
+           |         FROM st, (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS b) g),
+           |dense AS (
+           |  SELECT grid.source, grid.ns, grid.b,
+           |         COALESCE(sc.csb, 0) AS csb, COALESCE(corpus.cb, 0) AS cb
+           |  FROM grid
+           |  LEFT JOIN sc ON sc.source = grid.source AND sc.b = grid.b
+           |  LEFT JOIN corpus ON corpus.b = grid.b),
+           |terms AS (
+           |  SELECT source,
+           |         CAST(ROUND(((csb + 0.5) / (ns + 4)
+           |                     - (cb + 0.5) / ((SELECT n FROM m) + 4))
+           |                    * LN(((csb + 0.5) / (ns + 4))
+           |                         / ((cb + 0.5) / ((SELECT n FROM m) + 4))), 6)
+           |              AS DECIMAL(18,6)) AS term
+           |  FROM dense),
+           |psi AS (SELECT source, SUM(term) AS psi_dec FROM terms GROUP BY source)
+           |SELECT source, CAST(psi_dec AS DOUBLE) AS psi, psi_dec > 0.2 AS drifted
+           |FROM psi ORDER BY source""".stripMargin)),
+
     // The native shingle GENERATOR (functions/ShingleExplode — the UDTF
     // extension tier) driven through its SQL LATERAL VIEW surface: most
     // frequent 3-token shingles corpus-wide with a deterministic
