@@ -318,6 +318,32 @@ object TableQueries {
                                    AND b.mn + (b.mx - b.mn) * 4 // 10
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Metadata-only aggregates: COUNT(*) and MIN/MAX(o_orderkey) come
+    // from the LOG alone — per-file row counts and zone maps harvested
+    // at commit time — so not one scan task launches, at any table
+    // size. Parquet numeric min/max are attained values, which is what
+    // makes the fold exact (string stats may truncate; the API refuses
+    // them). The delete in the middle proves the metadata tracks
+    // mutation, not just appends.
+    QuerySpec(
+      "table_metadata_agg",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_meta")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(3), table)
+        TxLog.append(ordersSlice(s, dir, 1).repartition(3), table)
+        TxLog.delete(s, table, col("o_orderkey") % 3 === 0)
+        val n = TxLog.metadataCount(table).getOrElse(
+          throw new IllegalStateException("row counts missing from the log"))
+        val (mn, mx) = TxLog.metadataMinMax(table, "o_orderkey").getOrElse(
+          throw new IllegalStateException("o_orderkey zone maps missing"))
+        import s.implicits._
+        Seq((n, mn.toLong, mx.toLong)).toDF("n", "min_key", "max_key")
+      },
+      Some("""SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+                     MAX(o_orderkey) AS max_key
+              FROM orders WHERE o_orderkey % 3 = 1""")),
+
     // Incremental materialized-view maintenance — what the change feed
     // EXISTS for: a per-status aggregate STATE table (itself a versioned
     // log table) is refreshed after each of three ingest batches by

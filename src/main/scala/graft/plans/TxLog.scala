@@ -58,8 +58,15 @@ object TxLog {
 
   /** Per-file, per-column zone map recorded at commit time: `kind` is the
     * comparison domain (`long` | `double` | `string`), min/max rendered as
-    * strings so the log stays schema-agnostic JSON. */
+    * strings so the log stays schema-agnostic JSON. The per-file ROW
+    * COUNT rides in the same map under the reserved `RowCountKey` (kind
+    * `rows`, min = max = the count) — parquet footers carry it for free,
+    * and it is what makes COUNT(*) a metadata-only query. */
   final case class ColStats(kind: String, min: String, max: String)
+
+  /** Reserved stats key for the per-file row count (not a column name a
+    * parquet file can carry, so it cannot collide). */
+  val RowCountKey = "__row_count"
 
   /** One log entry. `add`/`remove` are table-relative file paths;
     * `dataChange=false` marks layout-only commits (compaction) that a
@@ -418,6 +425,36 @@ object TxLog {
   def snapshotInfo(table: String, asOf: Option[Long] = None): Snapshot =
     replay(table, asOf)
 
+  /** Exact COUNT(*) from the log alone — zero scan tasks, any table
+    * size. None if any live file predates row-count stats (the caller
+    * falls back to a scan, never a guess). */
+  def metadataCount(table: String, asOf: Option[Long] = None): Option[Long] = {
+    val snap = replay(table, asOf)
+    val per = snap.files.map(f => snap.stats.get(f).flatMap(_.get(RowCountKey)))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.map(_.min.toLong).sum)
+  }
+
+  /** Exact MIN/MAX of a NUMERIC column from the zone maps alone —
+    * parquet numeric min/max are attained values, so folding them over
+    * every live file is the true extremum. None when any file lacks the
+    * column's stats, or for string columns (parquet may truncate binary
+    * stats — refuse rather than risk a lie). Values rendered in the
+    * stats' string domain. */
+  def metadataMinMax(
+      table: String, column: String, asOf: Option[Long] = None): Option[(String, String)] = {
+    val snap = replay(table, asOf)
+    val per = snap.files.map(f => snap.stats.get(f).flatMap(_.get(column)))
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else {
+      val cs = per.flatten
+      val kind = cs.head.kind
+      if (cs.exists(_.kind != kind) || (kind != "long" && kind != "double")) None
+      else Some((
+        cs.map(_.min).reduce((a, b) => if (statLt(kind, a, b)) a else b),
+        cs.map(_.max).reduce((a, b) => if (statLt(kind, b, a)) a else b)))
+    }
+  }
+
   // ------------------------------------------------------------------
   // data-file writes
   // ------------------------------------------------------------------
@@ -492,16 +529,22 @@ object TxLog {
           }
         }.toMap
       }
-      if (perBlock.isEmpty) Map.empty
-      else perBlock.reduce { (a, b) =>
-        // a column survives only if every row group carries its stats
-        a.keySet.intersect(b.keySet).map { c =>
-          val (x, y) = (a(c), b(c))
-          c -> ColStats(x.kind,
-            if (statLt(x.kind, x.min, y.min)) x.min else y.min,
-            if (statLt(x.kind, y.max, x.max)) x.max else y.max)
-        }.toMap
-      }
+      val cols =
+        if (perBlock.isEmpty) Map.empty[String, ColStats]
+        else perBlock.reduce { (a, b) =>
+          // a column survives only if every row group carries its stats
+          a.keySet.intersect(b.keySet).map { c =>
+            val (x, y) = (a(c), b(c))
+            c -> ColStats(x.kind,
+              if (statLt(x.kind, x.min, y.min)) x.min else y.min,
+              if (statLt(x.kind, y.max, x.max)) x.max else y.max)
+          }.toMap
+        }
+      val rowCount = blocks.map(_.getRowCount).sum
+      // a user column named like the reserved key loses its zone map
+      // (conservative: that file just never prunes on it)
+      (cols - RowCountKey) +
+        (RowCountKey -> ColStats("rows", rowCount.toString, rowCount.toString))
     } finally reader.close()
   }
 

@@ -36,7 +36,8 @@ class RegistrySpec extends AnyFunSuite {
     "scan_agg_pushdown", "eval_jackknife_ci", "join_anti_nullaware",
     "sql_scalar_corr", "diag_skew", "sql_tpch_q6", "sql_tpch_q14",
     "sql_tpch_q19", "agg_sketch_union", "agg_sketch_intersect",
-    "dedup_recall_audit", "text_lr_holdout", "layout_compact")
+    "dedup_recall_audit", "text_lr_holdout", "layout_compact",
+    "table_metadata_agg")
 
   test("every multi-row oracle pins a total order (determinism contract)") {
     // the QuerySpec scaladoc contract: hash comparison is

@@ -252,6 +252,24 @@ class TxLogSpec extends AnyFunSuite {
     assert(keys(TxLog.snapshot(spark, t, Some(1))) == (0 until 100).toSet)
   }
 
+  test("metadata aggregates are exact and refuse what they can't prove") {
+    val t = freshTable("meta")
+    TxLog.append(df(0 until 40, "a"), t)
+    TxLog.append(df(100 until 110, "b"), t)
+    assert(TxLog.metadataCount(t).contains(50L))
+    assert(TxLog.metadataMinMax(t, "k").contains(("0", "109")))
+    // mutation-aware: delete shrinks the count through the rewrite
+    TxLog.delete(spark, t, $"k" >= 100)
+    assert(TxLog.metadataCount(t).contains(40L))
+    assert(TxLog.metadataMinMax(t, "k").contains(("0", "39")))
+    // time travel reads the old metadata
+    assert(TxLog.metadataCount(t, Some(2)).contains(50L))
+    // string columns refuse (parquet binary stats may truncate)
+    assert(TxLog.metadataMinMax(t, "tag").isEmpty)
+    // unknown columns refuse
+    assert(TxLog.metadataMinMax(t, "nope").isEmpty)
+  }
+
   test("reads of non-tables and out-of-range versions fail loudly") {
     val t = freshTable("errors")
     val e1 = intercept[IllegalArgumentException](TxLog.snapshot(spark, t))
