@@ -185,6 +185,56 @@ object SketchQueries {
           .select(col("l_suppkey"),
             CountMinSketch.estimate(col("sk"), col("l_suppkey")).as("est"))
           .orderBy("l_suppkey")
+      })),
+
+    // From-scratch mergeable t-digest (Dunning & Ertl 2019): the
+    // distributed quantile sketch whose k₁ scale function concentrates
+    // centroids at the TAILS — p95/p99 stay tight where rank-uniform
+    // sketches blur. Built per returnflag as a typed Aggregator
+    // (map-side combine ships ≤ ~2δ centroids per group per partition),
+    // then the TOLERANCE CONTRACT (the agg_approx_quantile stance:
+    // estimates are merge-order-dependent, verdicts are not): every
+    // estimate within 2% of the exact percentile, digest ≤ 300
+    // centroids. Merge/accuracy/monotonicity laws in TDigestSpec.
+    QuerySpec(
+      "agg_tdigest",
+      (s, dir) => {
+        val td = udaf(graft.functions.TDigest)
+        val qf = udf((d: Seq[Double], q: Double) =>
+          graft.functions.TDigest.quantile(d, q))
+        def within(est: org.apache.spark.sql.Column, exact: String) =
+          abs(est / col(exact) - 1) <= 0.02
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(td(col("l_extendedprice")).as("dig"),
+            expr("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))").as("e50"),
+            expr("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))").as("e95"),
+            expr("percentile(l_extendedprice, CAST(0.99 AS DOUBLE))").as("e99"))
+          .select(col("l_returnflag"),
+            within(qf(col("dig"), lit(0.5)), "e50").as("p50_within"),
+            within(qf(col("dig"), lit(0.95)), "e95").as("p95_within"),
+            within(qf(col("dig"), lit(0.99)), "e99").as("p99_within"),
+            (size(col("dig")) / 2 <= 300).as("compact"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, TRUE AS p50_within, TRUE AS p95_within,
+                     TRUE AS p99_within, TRUE AS compact
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      // Bench times the digest + estimates alone — the contract drags
+      // three exact percentiles (full sort per group) through the
+      // verified plan
+      bench = Some((s, dir) => {
+        val td = udaf(graft.functions.TDigest)
+        val qf = udf((d: Seq[Double], q: Double) =>
+          graft.functions.TDigest.quantile(d, q))
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(td(col("l_extendedprice")).as("dig"))
+          .select(col("l_returnflag"),
+            qf(col("dig"), lit(0.5)).as("p50"),
+            qf(col("dig"), lit(0.95)).as("p95"),
+            qf(col("dig"), lit(0.99)).as("p99"))
+          .orderBy("l_returnflag")
       }))
   )
 
