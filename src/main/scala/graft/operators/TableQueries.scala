@@ -318,6 +318,33 @@ object TableQueries {
                                    AND b.mn + (b.mx - b.mn) * 4 // 10
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Metadata-only RESTORE: version 3 overwrote the table with a bad
+    // ingest; restore(2) un-ships it as a NEW commit that re-points the
+    // live set at v2's files — zero bytes of data move (asserted: the
+    // data directory's file census is identical before/after), history
+    // stays append-only and auditable, and the restored head must
+    // hash-match v2's content. The incident-response primitive at any
+    // table size.
+    QuerySpec(
+      "table_restore",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_restore")
+        buildOrdersLog(s, dir, table) // v1 +slice0, v2 +slice1, v3 overwrite slice2
+        def census(): Int = {
+          def walk(f: java.io.File): Int =
+            if (f.isFile) 1
+            else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          walk(new java.io.File(table, "data"))
+        }
+        val before = census()
+        val v = TxLog.restore(table, 2L)
+        require(v == 4L && census() == before,
+          "restore must be a metadata-only commit (no data files written)")
+        require(TxLog.history(table).last.op == "restore")
+        ordersAgg(TxLog.snapshot(s, table))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
     // Metadata-only aggregates: COUNT(*) and MIN/MAX(o_orderkey) come
     // from the LOG alone — per-file row counts and zone maps harvested
     // at commit time — so not one scan task launches, at any table

@@ -313,6 +313,27 @@ object TxLog {
       }).get
   }
 
+  /** METADATA-ONLY rollback: make the table's head state equal version
+    * `toVersion` again, as a NEW commit (history is append-only — the
+    * bad versions stay auditable, time travel to them still works).
+    * No data moves: the commit removes the files live now and re-adds
+    * the files live then, with their original zone maps carried over.
+    * Requires `toVersion`'s files to still exist (not vacuumed). The
+    * incident-response primitive: un-shipping a bad ingest at any table
+    * size costs one JSON write. */
+  def restore(table: String, toVersion: Long): Long = {
+    val target = replay(table, Some(toVersion))
+    val missing = target.files.filterNot(f => Files.exists(Paths.get(table, f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $table to version $toVersion: ${missing.length} file(s) " +
+          s"vacuumed: ${missing.take(3).mkString(", ")}")
+    commit(table, "restore", target.files, dataChange = true,
+      schemaPlan = _ => target.schemaJson,
+      stats = target.stats,
+      removePlan = snap => snap.files.filterNot(target.files.contains)).get
+  }
+
   /** Snapshot-isolated read. `asOf=None` reads the head version;
     * `asOf=Some(v)` time-travels (v must be ≤ head and its files must
     * not have been vacuumed). The scan is a plain pushdown-capable

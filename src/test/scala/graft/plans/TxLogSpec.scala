@@ -270,6 +270,24 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.metadataMinMax(t, "nope").isEmpty)
   }
 
+  test("restore rolls back metadata-only, keeps history, refuses vacuumed targets") {
+    val t = freshTable("restore")
+    TxLog.append(df(0 until 10, "a"), t)
+    TxLog.overwrite(df(50 until 55, "b"), t)
+    TxLog.restore(t, 1L)
+    assert(keys(TxLog.snapshot(spark, t)) == (0 until 10).toSet)
+    // history is append-only: the bad version is still readable
+    assert(keys(TxLog.snapshot(spark, t, Some(2))) == (50 until 55).toSet)
+    assert(TxLog.history(t).map(_.op) == Seq("append", "overwrite", "restore"))
+    // restoring to the head state is a valid no-op-shaped commit
+    TxLog.restore(t, 3L)
+    assert(keys(TxLog.snapshot(spark, t)) == (0 until 10).toSet)
+    // vacuum kills dead versions; restore to them must refuse loudly
+    TxLog.vacuum(t)
+    val e = intercept[IllegalStateException](TxLog.restore(t, 2L))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("reads of non-tables and out-of-range versions fail loudly") {
     val t = freshTable("errors")
     val e1 = intercept[IllegalArgumentException](TxLog.snapshot(spark, t))
