@@ -521,6 +521,45 @@ object TableQueries {
                      COUNT(*) AS n, MIN(n_name) AS first_name
               FROM nation GROUP BY 1 ORDER BY rkey_n""")),
 
+    // The table as a STREAMING SOURCE: `readStream` follows the log's
+    // hard-linked change feed (adds-only, data-change commits only)
+    // with Structured Streaming's own exactly-once file checkpoints.
+    // Drain 1 consumes two appends; a compaction commits in between —
+    // it must contribute NOTHING to the stream (its rows already
+    // flowed); drain 2 under the SAME checkpoint picks up exactly the
+    // third append. Any duplicate or loss breaks the full-orders hash.
+    QuerySpec(
+      "stream_table_feed",
+      (s, dir) => {
+        val root = fixturePath(dir, "txlog_feed")
+        val table = root + "_table"; val out = root + "_out"
+        val ckpt = root + "_ckpt"
+        Seq(table, out, ckpt).foreach(deleteRecursively)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), table)
+        TxLog.compact(s, table, 1)
+        val feed = TxLog.feedDir(table)
+        val schema = TxLog.snapshot(s, table).schema
+        def drain(): Unit = {
+          val q = s.readStream.schema(schema).parquet(feed)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          if (!q.awaitTermination(120000)) {
+            q.stop()
+            throw new IllegalStateException(
+              "stream_table_feed: AvailableNow drain did not finish in 120 s")
+          }
+        }
+        drain()
+        TxLog.append(ordersSlice(s, dir, 2).repartition(2), table)
+        drain() // same checkpoint: exactly the new append's files
+        ordersAgg(s.read.parquet(out))
+      },
+      Some(ordersOracle("TRUE"))),
+
     // The exactly-once token under REAL streaming machinery: a 3-file
     // parquet landing zone drained by readStream (maxFilesPerTrigger=1 →
     // one epoch per file) through foreachBatch → appendIdempotent, then

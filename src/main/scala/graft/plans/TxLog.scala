@@ -435,6 +435,45 @@ object TxLog {
   def history(table: String): Seq[Commit] =
     readCommits(table, 1L, latestVersion(table))
 
+  // ------------------------------------------------------------------
+  // streaming change feed
+  // ------------------------------------------------------------------
+
+  private val FeedDirName = "_graft_feed"
+
+  /** The table's STREAMING change feed: a directory of hard links to
+    * every file added by a data-changing commit (compactions excluded),
+    * named `v<version>_<commit>_<file>` so replays are path-stable.
+    * `spark.readStream.parquet(feedDir(t))` then follows the log with
+    * Structured Streaming's own exactly-once file-source checkpoints —
+    * new commits surface as new files, deletes/compactions surface as
+    * nothing (the adds-only contract `changes()` already defines).
+    *
+    * Links are created best-effort right after each commit publishes;
+    * this call HEALS any gap (a writer that crashed between publish and
+    * linking) by replaying the log idempotently — so call it once
+    * before starting a stream. Hard links cost no storage and keep fed
+    * data readable even after a vacuum reclaims the original name. */
+  def feedDir(table: String): String = {
+    val dir = Paths.get(table, FeedDirName)
+    Files.createDirectories(dir)
+    history(table).filter(_.dataChange).foreach(c => linkFeed(table, c.version, c.add))
+    dir.toString
+  }
+
+  /** Idempotent: link-if-absent each added file under its feed name. */
+  private def linkFeed(table: String, version: Long, add: Seq[String]): Unit = {
+    val dir = Paths.get(table, FeedDirName)
+    if (!Files.isDirectory(dir)) return
+    add.foreach { rel =>
+      val flat = f"v$version%010d_" + rel.stripPrefix("data/").replace("/", "_")
+      val target = dir.resolve(flat)
+      if (!Files.exists(target))
+        try Files.createLink(target, Paths.get(table, rel))
+        catch { case _: FileAlreadyExistsException => () }
+    }
+  }
+
   /** Live data-file count at `asOf` (head if None) — the layout metric
     * compaction exists to shrink. */
   def liveFileCount(table: String, asOf: Option[Long] = None): Int =
@@ -732,6 +771,9 @@ object TxLog {
         rec.put("txnApp", app); rec.put("txnBatch", batch)
       }
       if (publish(dir, f"$version%020d.json", mapper.writeValueAsString(rec))) {
+        // feed freshness (only if a feed exists — feedDir() created it);
+        // a crash here is healed by the next feedDir() call
+        if (dataChange) linkFeed(table, version, add)
         maybeCheckpoint(table, version)
         return Some(version)
       }
