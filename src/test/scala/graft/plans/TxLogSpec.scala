@@ -288,6 +288,20 @@ class TxLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("a corrupt commit file fails the read loudly, never silently skips") {
+    val t = freshTable("corrupt")
+    TxLog.append(df(0 until 5, "a"), t)
+    TxLog.append(df(5 until 10, "b"), t)
+    val v2 = java.nio.file.Paths.get(t, "_graft_log", f"${2L}%020d.json")
+    java.nio.file.Files.writeString(v2,
+      java.nio.file.Files.readString(v2).take(20)) // truncate mid-JSON
+    // every path that must replay commit 2 now fails with a parse error
+    // rather than serving a partial table
+    intercept[Exception](TxLog.snapshot(spark, t).count())
+    intercept[Exception](TxLog.history(t))
+    assert(TxLog.latestVersion(t) == 2) // name listing alone never parses
+  }
+
   test("reads of non-tables and out-of-range versions fail loudly") {
     val t = freshTable("errors")
     val e1 = intercept[IllegalArgumentException](TxLog.snapshot(spark, t))
