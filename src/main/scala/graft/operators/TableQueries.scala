@@ -203,7 +203,7 @@ object TableQueries {
         val (lo, hi) = rangeLayoutOrders(s, dir, table)
         val (df, planned, total) =
           TxLog.snapshotRange(s, table, "o_orderkey", lo.toString, hi.toString)
-        require(planned < total && planned <= 3,
+        require(planned <= 3,
           s"zone maps failed to skip: planned $planned of $total files")
         ordersAgg(df)
       },
@@ -304,7 +304,7 @@ object TableQueries {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
             f.selectedPartitions.totalNumberOfFiles
         }.getOrElse(throw new IllegalStateException("no file scan in plan"))
-        require(planned < 8 && planned <= 3,
+        require(planned <= 3,
           s"zone maps failed to prune inside planning: $planned of 8 files")
         ordersAgg(df)
       },

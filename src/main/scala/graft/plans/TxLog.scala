@@ -148,18 +148,28 @@ object TxLog {
       stats = stats, removePlan = _ => Seq.empty).get
   }
 
-  /** Table schema ++ the df-only columns; shared columns must agree. */
+  /** Table schema ++ the df-only columns; shared columns must agree.
+    * Matching is CASE-INSENSITIVE (Spark's default resolution): a
+    * case-variant of an existing column would otherwise slip past the
+    * type check and leave the table with two ambiguously-resolving
+    * columns — refused loudly instead. */
   private def mergeSchemas(tableJson: String, dfJson: String, table: String): String = {
     val t = DataType.fromJson(tableJson).asInstanceOf[StructType]
     val d = DataType.fromJson(dfJson).asInstanceOf[StructType]
     val clash = d.fields.flatMap { f =>
-      t.fields.find(_.name == f.name).filter(_.dataType != f.dataType)
-        .map(tf => s"${f.name}: table ${tf.dataType.simpleString} vs append ${f.dataType.simpleString}")
+      t.fields.find(_.name.equalsIgnoreCase(f.name)).flatMap { tf =>
+        if (tf.name != f.name)
+          Some(s"${f.name}: table spells it ${tf.name} (case-insensitive clash)")
+        else if (tf.dataType != f.dataType)
+          Some(s"${f.name}: table ${tf.dataType.simpleString} vs append ${f.dataType.simpleString}")
+        else None
+      }
     }
     if (clash.nonEmpty)
       throw new IllegalArgumentException(
         s"schema evolution on $table cannot change column types — ${clash.mkString("; ")}")
-    StructType(t.fields ++ d.fields.filterNot(f => t.fieldNames.contains(f.name))).json
+    StructType(t.fields ++
+      d.fields.filterNot(f => t.fields.exists(_.name.equalsIgnoreCase(f.name)))).json
   }
 
   /** Replace the table's content with `df` (schema may evolve). The
@@ -298,9 +308,17 @@ object TxLog {
     if (affected.isEmpty) return snap.version
     val survivors = readFiles(spark, table, snap.copy(files = affected))
       .filter(!coalesce(condition, lit(false)))
-    val (files, _, stats) =
-      if (survivors.isEmpty) (Seq.empty[String], "", Map.empty[String, Map[String, ColStats]])
-      else writeData(survivors.repartition(math.max(1, affected.length)), table)
+    // write survivors unconditionally, then decide emptiness from the
+    // written row counts (already in the harvested stats) — one pass
+    // over the affected files instead of an isEmpty probe plus a write;
+    // all-matched files leave only vacuum-able empty orphans behind
+    val (files0, _, stats0) =
+      writeData(survivors.repartition(math.max(1, affected.length)), table)
+    val written = files0.map(f =>
+      stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
+    val (files, stats) =
+      if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
+      else (files0, stats0)
     commit(table, "delete", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       removePlan = { now =>
@@ -369,10 +387,22 @@ object TxLog {
       }
     }
 
-  private def statLt(kind: String, a: String, b: String): Boolean = kind match {
+  /** Kind-dispatched zone-map comparison — shared with the graft
+    * DataSource's FileIndex so the two pruning paths can never drift. */
+  private[graft] def statLt(kind: String, a: String, b: String): Boolean = kind match {
     case "long"   => a.toLong < b.toLong
     case "double" => a.toDouble < b.toDouble
     case _        => a < b
+  }
+
+  /** Loud shared guard: every live file of `snap` must exist on storage
+    * (a vacuumed file read silently as empty would be a wrong answer). */
+  private[graft] def requireLiveFilesExist(table: String, snap: Snapshot): Unit = {
+    val missing = snap.files.filterNot(f => Files.isRegularFile(Paths.get(table, f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"table $table@${snap.version}: ${missing.length} live file(s) missing on " +
+          s"storage (vacuumed past this version?): ${missing.take(3).mkString(", ")}")
   }
 
   /** Global [min, max] of a numeric column across ALL live files' zone
@@ -390,7 +420,15 @@ object TxLog {
   /** Rows ADDED by data-changing commits in (fromExclusive, toInclusive]
     * — the incremental-consume contract: a downstream job that processed
     * up to v resumes with changes(v, head). Compactions contribute
-    * nothing (dataChange=false). */
+    * nothing (dataChange=false).
+    *
+    * This is an ADDS-ONLY feed: it is exactly-once for append-only
+    * consumption (the ingest pattern). delete/merge/restore commits add
+    * files that REWRITE surviving rows, so their adds re-deliver those
+    * rows here — a consumer that must see updates/deletes as such reads
+    * snapshots or diffs two versions instead (the same boundary every
+    * adds-only change feed draws; `feedDir` applies the stricter
+    * ingest-ops-only filter for streaming consumers). */
   def changes(
       spark: SparkSession, table: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
@@ -441,27 +479,40 @@ object TxLog {
 
   private val FeedDirName = "_graft_feed"
 
-  /** The table's STREAMING change feed: a directory of hard links to
-    * every file added by a data-changing commit (compactions excluded),
-    * named `v<version>_<commit>_<file>` so replays are path-stable.
-    * `spark.readStream.parquet(feedDir(t))` then follows the log with
-    * Structured Streaming's own exactly-once file-source checkpoints —
-    * new commits surface as new files, deletes/compactions surface as
-    * nothing (the adds-only contract `changes()` already defines).
+  /** Commits whose adds are NEW data a feed consumer should train on.
+    * delete/restore/merge rewrite already-fed survivor rows into fresh
+    * files — re-linking those would duplicate them downstream — and
+    * compaction is layout-only; none of them feed. (A consumer that
+    * needs update/delete visibility reads snapshots or diffs versions;
+    * this feed is the ingest contract, like `changes()` for appends.) */
+  private val FeedOps = Set("append", "overwrite")
+
+  /** The table's STREAMING ingest feed: a directory of hard links to
+    * every file added by an INGEST commit (append/overwrite — see
+    * FeedOps), named `v<version>_<commit>_<file>` so replays are
+    * path-stable. `spark.readStream.parquet(feedDir(t))` then follows
+    * the log with Structured Streaming's own exactly-once file-source
+    * checkpoints — new ingests surface as new files; compactions,
+    * deletes, and restores surface as nothing.
     *
     * Links are created best-effort right after each commit publishes;
     * this call HEALS any gap (a writer that crashed between publish and
     * linking) by replaying the log idempotently — so call it once
     * before starting a stream. Hard links cost no storage and keep fed
-    * data readable even after a vacuum reclaims the original name. */
+    * data readable even after a vacuum reclaims the original name; an
+    * ingest whose files were vacuumed BEFORE any feed existed is
+    * unfeedable and skipped (its consumption window is simply gone). */
   def feedDir(table: String): String = {
     val dir = Paths.get(table, FeedDirName)
     Files.createDirectories(dir)
-    history(table).filter(_.dataChange).foreach(c => linkFeed(table, c.version, c.add))
+    history(table).filter(c => c.dataChange && FeedOps(c.op))
+      .foreach(c => linkFeed(table, c.version, c.add))
     dir.toString
   }
 
-  /** Idempotent: link-if-absent each added file under its feed name. */
+  /** Idempotent best-effort: link-if-absent each added file under its
+    * feed name. Never throws — a feed hiccup must not fail a commit
+    * that already published durably; feedDir()'s heal retries later. */
   private def linkFeed(table: String, version: Long, add: Seq[String]): Unit = {
     val dir = Paths.get(table, FeedDirName)
     if (!Files.isDirectory(dir)) return
@@ -470,7 +521,7 @@ object TxLog {
       val target = dir.resolve(flat)
       if (!Files.exists(target))
         try Files.createLink(target, Paths.get(table, rel))
-        catch { case _: FileAlreadyExistsException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -616,13 +667,9 @@ object TxLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val paths = snap.files.map(f => Paths.get(table, f).toString)
-      paths.filterNot(p => Files.exists(Paths.get(p))) match {
-        case Seq() => spark.read.schema(schema).parquet(paths: _*)
-        case miss => throw new IllegalStateException(
-          s"table $table@${snap.version}: ${miss.length} live file(s) missing on " +
-            s"storage (vacuumed past this version?): ${miss.take(3).mkString(", ")}")
-      }
+      requireLiveFilesExist(table, snap)
+      spark.read.schema(schema)
+        .parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
     }
   }
 
@@ -773,7 +820,7 @@ object TxLog {
       if (publish(dir, f"$version%020d.json", mapper.writeValueAsString(rec))) {
         // feed freshness (only if a feed exists — feedDir() created it);
         // a crash here is healed by the next feedDir() call
-        if (dataChange) linkFeed(table, version, add)
+        if (dataChange && FeedOps(op)) linkFeed(table, version, add)
         maybeCheckpoint(table, version)
         return Some(version)
       }

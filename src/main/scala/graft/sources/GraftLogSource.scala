@@ -58,14 +58,10 @@ final class GraftLogSource extends RelationProvider with DataSourceRegister {
 final class GraftFileIndex(table: String, snap: TxLog.Snapshot) extends FileIndex {
 
   private val statuses: Seq[(String, FileStatus)] = {
-    val missing = snap.files.filterNot(rel => new java.io.File(table, rel).isFile)
-    if (missing.nonEmpty)
-      // a 0-length FileStatus would scan as an empty file — SILENTLY
-      // wrong results for a time travel past vacuum; fail like the
-      // TxLog.snapshot read path instead
-      throw new IllegalStateException(
-        s"table $table@${snap.version}: ${missing.length} live file(s) missing on " +
-          s"storage (vacuumed past this version?): ${missing.take(3).mkString(", ")}")
+    // a 0-length FileStatus would scan as an empty file — SILENTLY
+    // wrong results for a time travel past vacuum; the shared guard
+    // fails like the TxLog.snapshot read path instead
+    TxLog.requireLiveFilesExist(table, snap)
     snap.files.map { rel =>
       val f = new java.io.File(table, rel)
       rel -> new FileStatus(f.length, false, 1, 128L * 1024 * 1024,
@@ -132,7 +128,11 @@ final class GraftFileIndex(table: String, snap: TxLog.Snapshot) extends FileInde
         case ("long", x: Int) => Some(x.toString)
         case ("long", x: Short) => Some(x.toString)
         case ("double", x: Double) => Some(x.toString)
-        case ("double", x: Float) => Some(x.toDouble.toString)
+        // Float stats were recorded via Float.toString ("0.7"), which
+        // toDouble parses as 0.7d; rendering the literal via toDouble
+        // first ("0.699999988...") would sit BELOW that and wrongly
+        // prune boundary files — stay in Float's own string domain
+        case ("double", x: Float) => Some(x.toString)
         case ("double", x: Long) => Some(x.toDouble.toString)
         case ("double", x: Int) => Some(x.toDouble.toString)
         case ("string", x: UTF8String) => Some(x.toString)
@@ -142,9 +142,6 @@ final class GraftFileIndex(table: String, snap: TxLog.Snapshot) extends FileInde
       rendered.map(cs -> _)
     }
 
-  private def lt(kind: String, a: String, b: String): Boolean = kind match {
-    case "long"   => a.toLong < b.toLong
-    case "double" => a.toDouble < b.toDouble
-    case _        => a < b
-  }
+  private def lt(kind: String, a: String, b: String): Boolean =
+    TxLog.statLt(kind, a, b)
 }

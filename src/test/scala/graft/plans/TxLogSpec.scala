@@ -288,6 +288,37 @@ class TxLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("the ingest feed skips delete/restore rewrites and survives vacuumed history") {
+    val t = freshTable("feedops")
+    TxLog.append(df(0 until 20, "a"), t)
+    TxLog.overwrite(df(100 until 110, "b"), t)
+    TxLog.vacuum(t) // v1's files are gone BEFORE any feed exists
+    def feedFiles(): Set[String] = {
+      val d = new java.io.File(TxLog.feedDir(t))
+      Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    }
+    // heal must not crash on the vacuumed v1 adds; v2's files link
+    val after = feedFiles()
+    assert(after.nonEmpty && after.forall(_.startsWith(f"v${2L}%010d")))
+    // delete rewrites survivors — the feed must NOT re-deliver them
+    TxLog.delete(spark, t, $"k" === 100)
+    assert(feedFiles() == after, "delete rewrites must not feed")
+    // restore re-points old files — also not new data
+    TxLog.restore(t, 2L)
+    assert(feedFiles() == after, "restore must not feed")
+    // a fresh append still feeds
+    TxLog.append(df(200 until 205, "c"), t)
+    assert(feedFiles().size > after.size)
+  }
+
+  test("schema evolution refuses case-variant column names") {
+    val t = freshTable("case")
+    TxLog.append(df(0 until 3, "a"), t) // (k, tag)
+    val bad = (3 until 5).toDF("K").withColumn("tag", lit("b"))
+    val e = intercept[IllegalArgumentException](TxLog.appendEvolve(bad, t))
+    assert(e.getMessage.contains("case-insensitive clash"))
+  }
+
   test("a corrupt commit file fails the read loudly, never silently skips") {
     val t = freshTable("corrupt")
     TxLog.append(df(0 until 5, "a"), t)

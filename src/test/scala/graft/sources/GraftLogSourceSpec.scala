@@ -63,6 +63,20 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(scannedFiles(all.filter($"tag" === "zzz")) == 0)
   }
 
+  test("float-literal predicates prune in Float's own string domain") {
+    val t = freshTable("float")
+    // boundary value 0.7f: stats record Float.toString ("0.7"); a
+    // literal rendered via toDouble ("0.699999988...") would wrongly
+    // prune the file holding it
+    TxLog.append(
+      Seq(0.1f, 0.3f, 0.7f).toDF("f").repartitionByRange(3, $"f"), t)
+    val all = spark.read.format("graft").load(t)
+    val hit = all.filter($"f" === lit(0.7f))
+    assert(scannedFiles(hit) == 1)
+    assert(hit.count() == 1, "the boundary file must not be pruned away")
+    assert(all.filter($"f" >= lit(0.7f)).count() == 1)
+  }
+
   test("Hilbert-clustered compaction makes BOTH dimensions prunable") {
     val t = freshTable("hilbert")
     // decorrelated dims; hash-partitioned write → every file spans both
