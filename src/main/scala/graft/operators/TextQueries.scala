@@ -2344,20 +2344,38 @@ object TextQueries {
         .mkString("|").hashCode)
   }
 
-  private[operators] def lrFeatures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    publishedLrFeatures.getOrElseUpdate((s, s"$dir@${lrCorpusVersion(dir)}"),
-      lrFeaturesUncached(s, dir))
+  /** getOrElseUpdate under the map's lock, evicting SUPERSEDED versions
+    * of the same (session, dir) first — repeated in-session corpus
+    * rewrites (ScaleStress-style loops) must not accumulate pinned
+    * checkpoint blocks for versions nothing will read again; the lock
+    * also makes the build run-once (TrieMap.getOrElseUpdate alone can
+    * build twice under a race, leaking an extra checkpoint). */
+  private def publishEvicting[V](
+      map: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      s: SparkSession, dir: String)(build: => V): V = map.synchronized {
+    val key = (s, s"$dir@${lrCorpusVersion(dir)}")
+    map.getOrElse(key, {
+      map.keysIterator
+        .filter(k => k._1 == s && k._2.startsWith(s"$dir@"))
+        .toList.foreach(map.remove)
+      val v = build
+      map.put(key, v)
+      v
+    })
   }
+
+  private[operators] def lrFeatures(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    publishEvicting(publishedLrFeatures, s, dir)(lrFeaturesUncached(s, dir))
 
   /** The SELF-TRAINED weight relation train and gate share — identical
     * inputs, identical 4-iteration GD, so one 17-row checkpoint serves
     * both (holdout trains on its own fold subset and stays separate). */
   private[operators] def selfTrainedLrWeights(s: SparkSession, dir: String,
       ft: DataFrame, base: DataFrame): DataFrame =
-    publishedLrWeights.getOrElseUpdate((s, s"$dir@${lrCorpusVersion(dir)}"), {
+    publishEvicting(publishedLrWeights, s, dir) {
       val nd = base.agg(count(lit(1)).as("nd"))
       lrWeights(s, ft, nd).localCheckpoint()
-    })
+    }
 
   /** Per-doc hashed-bucket feature relation `(doc_id, y, b, x)` — token
     * fractions on the 6-decimal grid plus a bias row per doc — and the

@@ -416,6 +416,12 @@ object ArrowIpc {
       private val ids = dictCols.map(c =>
         c -> scala.collection.mutable.LinkedHashMap.empty[String, Int]).toMap
       private val sent = scala.collection.mutable.Map(dictCols.map(_ -> 0): _*)
+      // the spec requires SOME dictionary batch on the wire before any
+      // record batch that references the dictionary id — even when the
+      // column is all-null so far (an absent dictionary makes the whole
+      // container unreadable); track the initial send separately from
+      // the value count so an EMPTY initial dictionary still ships
+      private val initialSent = scala.collection.mutable.Set.empty[String]
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
 
       override def append(row: Row): Unit = {
@@ -435,8 +441,14 @@ object ArrowIpc {
               if (!m.contains(v)) m(v) = m.size
             }
           }
-          if (m.size > sent(c)) {
-            val newVals = m.keysIterator.drop(sent(c)).toSeq
+          // an all-null-so-far column still needs its initial dictionary
+          // on the wire, but arrow-java's reader rejects a ZERO-entry
+          // dictionary batch (degenerate offsets buffer) — seed one
+          // unreferenced sentinel value instead (legal: dictionary
+          // entries need not be referenced; a later real "" reuses id 0)
+          if (m.isEmpty && !initialSent(c)) m("") = 0
+          if (m.size > sent(c) || !initialSent(c)) {
+            val newVals = m.keysIterator.drop(sent(c)).toSeq // may be empty
             val vv = valueField.createVector(alloc).asInstanceOf[VarCharVector]
             vv.allocateNew()
             newVals.zipWithIndex.foreach { case (v, i) =>
@@ -445,12 +457,14 @@ object ArrowIpc {
             val root = new VectorSchemaRoot(java.util.List.of(valueField),
               java.util.List.of[org.apache.arrow.vector.FieldVector](vv))
             try {
-              // first send = the full dictionary; later sends = deltas
+              // first send = the full (possibly empty) dictionary;
+              // later sends = deltas
               val db = new ArrowDictionaryBatch(dictId(c),
-                new VectorUnloader(root).getRecordBatch, sent(c) > 0)
+                new VectorUnloader(root).getRecordBatch, initialSent(c))
               try MessageSerializer.serialize(ch, db): Unit finally db.close()
             } finally root.close()
             sent(c) = m.size
+            initialSent += c
           }
         }
         // 2. the record batch: index vectors for dict columns, regular

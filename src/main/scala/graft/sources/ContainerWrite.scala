@@ -53,6 +53,11 @@ trait ContainerWriteSupport extends Serializable {
   def extension: String
   def newSink(path: String, schema: StructType,
       options: Map[String, String]): ContainerSink
+  /** Driver-side schema/options check, run at plan-build time — sinks
+    * only open on the first ROW, so without this an invalid schema over
+    * empty data commits silently and over real data fails late as an
+    * executor task error instead of before the job launches. */
+  def validate(schema: StructType, options: Map[String, String]): Unit = ()
 }
 
 final class ContainerWriteBuilder(format: String, schema: StructType,
@@ -61,12 +66,15 @@ final class ContainerWriteBuilder(format: String, schema: StructType,
   private var truncateAll = false
   // mode("overwrite") arrives as a truncate of the whole target
   override def truncate(): WriteBuilder = { truncateAll = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new ContainerBatchWrite(format, schema, dir, ws, options, truncateAll)
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new ContainerStreamingWrite(format, schema, dir, ws, options)
+  override def build(): Write = {
+    ws.validate(schema, options) // fail at plan time, not first-row time
+    new Write {
+      override def toBatch: BatchWrite =
+        new ContainerBatchWrite(format, schema, dir, ws, options, truncateAll)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new ContainerStreamingWrite(format, schema, dir, ws, options)
+    }
   }
 }
 
@@ -177,8 +185,12 @@ final class ContainerDataWriter(schema: StructType, dir: String,
   // replayed epoch re-commits idempotently. The temp always carries the
   // taskId — concurrent speculative attempts must not collide — and its
   // dot prefix keeps it invisible to the read tier until commit.
+  // epoch is padded to the full Long width: the name-anchored reader
+  // depends on lexicographic order matching commit order, and a 5-digit
+  // pad would sort epoch 100000 BEFORE 99999 — a crash-loop on a zone
+  // the sink itself produced, ~70 days into a 1/min stream
   private val stem = epoch match {
-    case Some(e) => f"part-$e%05d-$partitionId%05d.${ws.extension}"
+    case Some(e) => f"part-$e%019d-$partitionId%05d.${ws.extension}"
     case None => f"part-$partitionId%05d-$taskId.${ws.extension}"
   }
   private val tmpFile = new File(dir, s".$stem.$taskId.inprogress")
@@ -211,6 +223,13 @@ final class ContainerDataWriter(schema: StructType, dir: String,
   * sized memory contract, never the corpus. */
 object FgbWriteSupport extends ContainerWriteSupport {
   override def extension: String = "fgb"
+  override def validate(schema: StructType, options: Map[String, String]): Unit = {
+    val i = schema.fieldNames.indexOf("wkt")
+    require(i >= 0 &&
+        schema.fields(i).dataType == org.apache.spark.sql.types.StringType,
+      s"fgb write needs a string geometry column named 'wkt'; " +
+        s"schema is ${schema.simpleString}")
+  }
   override def newSink(path: String, schema: StructType,
       options: Map[String, String]): ContainerSink = new ContainerSink {
     private val wktIdx = {
@@ -221,13 +240,15 @@ object FgbWriteSupport extends ContainerWriteSupport {
           s"schema is ${schema.simpleString}")
       i
     }
+    // materialized once: append runs per ROW, and a per-call
+    // toIndexedSeq would allocate a fresh wrapper for every record
     private val propFields =
-      schema.fields.zipWithIndex.filter(_._2 != wktIdx)
-    private val props = StructType(propFields.map(_._1))
+      schema.fields.zipWithIndex.filter(_._2 != wktIdx).toIndexedSeq
+    private val props = StructType(propFields.map(_._1).toArray)
     private val buf = scala.collection.mutable.ArrayBuffer.empty[(Row, String)]
     override def append(row: Row): Unit = {
       require(!row.isNullAt(wktIdx), "fgb write: null wkt geometry")
-      buf += ((Row.fromSeq(propFields.toIndexedSeq.map { case (_, i) => row.get(i) }),
+      buf += ((Row.fromSeq(propFields.map { case (_, i) => row.get(i) }),
         row.getString(wktIdx)))
     }
     override def finish(): Unit =
@@ -248,6 +269,13 @@ object FgbWriteSupport extends ContainerWriteSupport {
   * same partition-sized contract as fgb. */
 object GpkgWriteSupport extends ContainerWriteSupport {
   override def extension: String = "gpkg"
+  override def validate(schema: StructType, options: Map[String, String]): Unit = {
+    val i = schema.fieldNames.indexOf("wkt")
+    if (i >= 0)
+      require(schema.fields(i).dataType == org.apache.spark.sql.types.StringType,
+        s"gpkg write: 'wkt' must be a string column, got " +
+          schema.fields(i).dataType)
+  }
   override def newSink(path: String, schema: StructType,
       options: Map[String, String]): ContainerSink = new ContainerSink {
     import org.apache.spark.sql.types._
@@ -257,7 +285,9 @@ object GpkgWriteSupport extends ContainerWriteSupport {
         s"gpkg write: 'wkt' must be a string column, got " +
           schema.fields(wktIdx).dataType)
     private val srs = options.getOrElse("epsg", "4326").toInt
-    private val attrFields = schema.fields.zipWithIndex.filter(_._2 != wktIdx)
+    // materialized once — append() runs per row (cf. FgbWriteSupport)
+    private val attrFields =
+      schema.fields.zipWithIndex.filter(_._2 != wktIdx).toIndexedSeq
     private def declType(dt: DataType): String = dt match {
       case LongType | IntegerType => "INTEGER"
       case DoubleType | FloatType => "REAL"
@@ -271,7 +301,7 @@ object GpkgWriteSupport extends ContainerWriteSupport {
     }.toSeq ++ (if (wktIdx >= 0) Seq("geom" -> "BLOB") else Nil)
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     override def append(row: Row): Unit = {
-      val attrs = attrFields.toIndexedSeq.map { case (f, i) =>
+      val attrs = attrFields.map { case (f, i) =>
         if (row.isNullAt(i)) null
         else f.dataType match {
           case IntegerType => row.getInt(i).toLong
@@ -307,6 +337,19 @@ object GpkgWriteSupport extends ContainerWriteSupport {
   * `basename` (the zip's inner file stem). */
 object ShpZipWriteSupport extends ContainerWriteSupport {
   override def extension: String = "zip"
+  override def validate(schema: StructType, options: Map[String, String]): Unit = {
+    import org.apache.spark.sql.types._
+    val wktIdx = schema.fieldNames.indexOf("wkt")
+    require(wktIdx >= 0 && schema.fields(wktIdx).dataType == StringType,
+      s"shpzip write needs a string geometry column named 'wkt'; " +
+        s"schema is ${schema.simpleString}")
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != wktIdx)
+    require(attrs.length == 2 &&
+        attrs.count(_._1.dataType == LongType) == 1 &&
+        attrs.count(_._1.dataType == StringType) == 1,
+      "shpzip write takes exactly one bigint attribute, one string " +
+        s"attribute and the wkt point column; schema is ${schema.simpleString}")
+  }
   override def newSink(path: String, schema: StructType,
       options: Map[String, String]): ContainerSink = new ContainerSink {
     import org.apache.spark.sql.types._
@@ -348,6 +391,17 @@ object ShpZipWriteSupport extends ContainerWriteSupport {
   * default pyarrow writers produce. */
 object ArrowWriteSupport extends ContainerWriteSupport {
   override def extension: String = "arrows"
+  override def validate(schema: StructType, options: Map[String, String]): Unit =
+    options.get("dict").foreach { cols =>
+      require(!options.contains("codec"),
+        "dict and codec options are mutually exclusive " +
+          "(the dictionary sink hand-serializes its batches)")
+      val missing = cols.split(",").map(_.trim).filter(_.nonEmpty)
+        .filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"dict option names absent columns: ${missing.mkString(", ")}; " +
+          s"schema is ${schema.simpleString}")
+    }
   override def newSink(path: String, schema: StructType,
       options: Map[String, String]): ContainerSink =
     options.get("dict") match {

@@ -51,7 +51,15 @@ abstract class ContainerSource extends TableProvider with DataSourceRegister {
     require(paths.nonEmpty,
       s"${shortName()} source needs at least one path (a container file, " +
         "or a directory already holding one for schema inference)")
-    parse(paths.head)._1
+    // inference must honor the SAME options the scan will (an xlsx
+    // `sheet` selection changes the schema; the options-blind `parse`
+    // would infer the cover sheet and fail every later batch)
+    val opts = {
+      import scala.jdk.CollectionConverters._
+      options.asCaseSensitiveMap().asScala
+        .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    }
+    parseFor(opts)(paths.head)._1
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

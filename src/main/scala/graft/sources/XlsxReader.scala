@@ -41,6 +41,14 @@ object XlsxReader {
           "sheet selection is xlsx-only (BIFF8 .xls reads its first sheet)")
         XlsReader.parse(path)
       } else parse(path, sheet)
+    inferAndCoerce(header, rows)
+  }
+
+  /** The ONE inference+coercion tail both call paths share — a fix to
+    * coercion or ragged-row padding applied here cannot diverge the
+    * connector path from the XlsxReader.read path. */
+  private def inferAndCoerce(header: Seq[String],
+      rows: Seq[Array[Option[String]]]): (StructType, Seq[Seq[Any]]) = {
     val types = inferTypes(header.length, rows)
     val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t) })
     val data = rows.map { r =>
@@ -57,15 +65,10 @@ object XlsxReader {
   private[sources] def toDataFrame(
       spark: SparkSession, header: Seq[String],
       rows: Seq[Array[Option[String]]]): DataFrame = {
-    val types = inferTypes(header.length, rows)
-    val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t) })
-    val data = rows.map { r =>
-      Row.fromSeq(header.indices.map { i =>
-        val v = if (i < r.length) r(i) else None
-        v.map(coerce(_, types(i))).orNull
-      })
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(data, math.max(1, data.length / 10000)), schema)
+    val (schema, data) = inferAndCoerce(header, rows)
+    val rdd = spark.sparkContext.parallelize(
+      data.map(Row.fromSeq), math.max(1, data.length / 10000))
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Raw cells: header row + data rows, each cell an Option[String] in
@@ -140,6 +143,12 @@ object XlsxReader {
           require(fromWorkbook.isDefined,
             s"cannot resolve sheet '$nm' in '$path': the workbook has no " +
               "rels graph to map sheet names to worksheet parts")
+          // with an EXPLICIT name the resolved target must exist — the
+          // sheetN.xml fallback below would silently serve the FIRST
+          // sheet's rows under the requested name
+          require(fromWorkbook.exists(zf.getEntry(_) != null),
+            s"sheet '$nm' in '$path' resolves to part " +
+              s"'${fromWorkbook.get}' which is missing from the archive")
         }
         fromWorkbook.filter(zf.getEntry(_) != null)
           .orElse((1 to 20).map(i => s"xl/worksheets/sheet$i.xml")

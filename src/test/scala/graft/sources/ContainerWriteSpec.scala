@@ -124,6 +124,50 @@ class ContainerWriteSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("invalid write schemas fail at PLAN time, even over empty data") {
+    import s.implicits._
+    // sinks open on the first ROW; without driver-side validation an
+    // empty frame with a broken schema would commit an empty zone
+    // silently and the error would only surface on a later real run
+    val dir = tmpDir("fgb-empty-invalid")
+    val e = intercept[Exception] {
+      (0L until 4L).toDF("k").filter($"k" < 0) // empty, and no wkt column
+        .write.format("fgb").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("wkt"))
+    val e2 = intercept[Exception] {
+      (0L until 4L).toDF("k").filter($"k" < 0)
+        .write.format("arrow").option("dict", "nope").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("absent columns"))
+  }
+
+  test("arrow dict: an all-null dictionary column still writes a readable container") {
+    import s.implicits._
+    val dir = tmpDir("arrow-dict-null")
+    // the dict column has NO non-null value before (or after) the first
+    // record batch — the spec still requires a dictionary batch on the
+    // wire before any batch referencing the id, else the zone is
+    // committed but permanently unreadable
+    (0L until 100L).toDF("id")
+      .withColumn("cat", lit(null).cast(StringType))
+      .repartition(1)
+      .write.format("arrow").option("dict", "cat").option("batchRows", "32")
+      .mode("overwrite").save(dir)
+    val back = s.read.format("arrow").load(dir)
+    assert(back.count() == 100)
+    assert(back.filter(col("cat").isNull).count() == 100)
+    // mixed case: nulls for the whole FIRST batch, values later
+    val dir2 = tmpDir("arrow-dict-latenull")
+    (0L until 100L).toDF("id")
+      .withColumn("cat", when($"id" >= 64, concat(lit("c"), $"id" % 3)))
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("arrow").option("dict", "cat").option("batchRows", "32")
+      .mode("overwrite").save(dir2)
+    val back2 = s.read.format("arrow").load(dir2)
+    assert(back2.filter(col("cat").isNotNull).count() == 36)
+  }
+
   test("gpkg: multi-partition write round-trips through format(\"gpkg\") read") {
     import s.implicits._
     val dir = tmpDir("gpkg-rt")
@@ -190,7 +234,10 @@ class ContainerWriteSpec extends AnyFunSuite {
     assert(q.awaitTermination(120000), "stream drain timed out")
     val files = new java.io.File(out).listFiles().filter(_.isFile)
     assert(files.forall(f => !f.getName.endsWith(".inprogress")))
-    assert(files.forall(_.getName.matches("part-\\d{5}-\\d{5}\\.arrows")),
+    // epoch padded to full Long width: lexicographic order must match
+    // commit order past epoch 99999 (the name-anchored reader's
+    // monotonicity contract)
+    assert(files.forall(_.getName.matches("part-\\d{19}-\\d{5}\\.arrows")),
       s"epoch-deterministic names, got ${files.map(_.getName).mkString(",")}")
     val back = s.read.format("arrow").load(out)
     assert(back.count() === 30)

@@ -193,6 +193,22 @@ class FgbArrowSourceSpec extends AnyFunSuite {
     assert(pruned.collect().length === 2)
   }
 
+  test("xlsx sheet option drives SCHEMA INFERENCE, not just the scan") {
+    // the motivating case: a cover sheet whose header DIFFERS from the
+    // data sheet — an options-blind inferSchema would serve the cover's
+    // columns and every batch would fail (or silently coerce)
+    val dir = java.nio.file.Files.createTempDirectory("xlsxcover").toFile
+    dir.deleteOnExit()
+    val wb = new java.io.File(dir, "c.xlsx").getPath
+    FormatWriters.writeXlsxSheets(wb, Seq(
+      ("readme", ("title", "author", "rev"), Seq((0L, "cover page", 1L))),
+      ("data", ("k", "nm", "r"), Seq((7L, "seven", 70L), (8L, "eight", 80L)))))
+    val df = spark.read.format("xlsx").option("sheet", "data").load(wb)
+    assert(df.columns.toSeq === Seq("k", "nm", "r"))
+    assert(df.orderBy("k").collect().map(_.getString(1)).toSeq ===
+      Seq("seven", "eight"))
+  }
+
 
   test("schema-drifted zone workbook fails loudly instead of corrupting rows") {
     val dir = java.nio.file.Files.createTempDirectory("xlsxdrift").toFile
