@@ -491,6 +491,54 @@ object TableQueries {
                                   AND b.mn + (b.mx - b.mn) * 55 // 100
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // STRING zone maps with truncation-safe semantics: a table keyed by
+    // a fixed-width string renders range-disjoint per-file string stats
+    // (short values ride exact; long values would record incremented-
+    // prefix BOUNDS — TxLogSpec pins that side), a plain string BETWEEN
+    // through the graft connector prunes files INSIDE planning in UTF-8
+    // byte order, and metadata-only MIN/MAX serves the string column
+    // because every stat is flagged exact — the pruning tier string-
+    // keyed layouts (URL-sorted crawls, id-prefixed shards) need.
+    QuerySpec(
+      "table_string_prune",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_strkey")
+        deleteRecursively(table)
+        val src = ordersAll(s, dir)
+          .withColumn("okey_s", lpad(col("o_orderkey").cast("string"), 12, "0"))
+        TxLog.append(
+          src.repartitionByRange(8, col("okey_s")).sortWithinPartitions("okey_s"),
+          table)
+        val r = Tables(s, dir, "orders")
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) * 3 / 10, mn + (mx - mn) * 4 / 10)
+        def pad(v: Long): String = f"$v%012d"
+        val df = s.read.format("graft").load(table)
+          .filter(col("okey_s") >= pad(lo) && col("okey_s") <= pad(hi))
+        val planned = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.getOrElse(throw new IllegalStateException("no file scan in plan"))
+        require(planned <= 3,
+          s"string zone maps failed to prune inside planning: $planned of 8 files")
+        val (smn, smx) = TxLog.metadataMinMax(table, "okey_s").getOrElse(
+          throw new IllegalStateException("exact string stats must serve min/max"))
+        require(smn == pad(mn) && smx == pad(mx),
+          s"string metadata min/max wrong: ($smn, $smx)")
+        ordersAgg(df)
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM orders, b
+              WHERE LPAD(CAST(o_orderkey AS VARCHAR), 12, '0')
+                      BETWEEN LPAD(CAST(b.mn + (b.mx - b.mn) * 3 // 10 AS VARCHAR), 12, '0')
+                          AND LPAD(CAST(b.mn + (b.mx - b.mn) * 4 // 10 AS VARCHAR), 12, '0')
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Schema evolution without rewrites: v2 appends a column v1's files
     // never heard of (mergeSchema semantics — shared columns must keep
     // their types, loudly). Snapshot reads apply the commit-time schema
@@ -631,7 +679,12 @@ object TableQueries {
             col("n_regionkey").cast("long").as("rkey"))
         TxLog.append(nation.repartition(2), table)
         TxLog.overwrite(nation.filter(col("rkey") < 3).repartition(2), table)
-        val reclaimed = TxLog.vacuum(table)
+        // default retention first: the just-dead files are younger than
+        // the grace window, so nothing may be reclaimed — the guard that
+        // keeps a concurrent writer's staged-but-uncommitted files alive
+        require(TxLog.vacuum(table) == 0,
+          "vacuum must respect the retention window for fresh orphans")
+        val reclaimed = TxLog.vacuum(table, olderThanMs = 0L)
         require(reclaimed >= 2, s"vacuum reclaimed only $reclaimed files")
         val timeTravelDied =
           try { TxLog.snapshot(s, table, asOf = Some(1L)).count(); false }

@@ -61,8 +61,18 @@ object TxLog {
     * strings so the log stays schema-agnostic JSON. The per-file ROW
     * COUNT rides in the same map under the reserved `RowCountKey` (kind
     * `rows`, min = max = the count) — parquet footers carry it for free,
-    * and it is what makes COUNT(*) a metadata-only query. */
-  final case class ColStats(kind: String, min: String, max: String)
+    * and it is what makes COUNT(*) a metadata-only query.
+    *
+    * `exact=false` marks BOUNDED string stats (Delta's approach): long
+    * string values are truncated to a [[StringStatPrefix]]-code-point
+    * prefix at harvest time — min's prefix is a valid lower bound, max's
+    * prefix gets its last code point incremented into a valid upper
+    * bound — so a 100 TB documents table never copies whole documents
+    * into the log. Bounds prune files soundly either way; only
+    * metadata-ONLY MIN/MAX (which must return attained values) refuses
+    * inexact stats. */
+  final case class ColStats(
+      kind: String, min: String, max: String, exact: Boolean = true)
 
   /** Reserved stats key for the per-file row count (not a column name a
     * parquet file can carry, so it cannot collide). */
@@ -276,6 +286,7 @@ object TxLog {
       .unionByName(updates.select(affectedRows.columns.map(col).toSeq: _*))
       .repartition(math.max(1, affected.length))
     val (files, _, stats) = writeData(merged, table)
+    val (rLo, rHi) = (range.getString(0), range.getString(1))
     commit(table, "merge", files, dataChange = true, schemaPlan = _ => snap.schemaJson,
       stats = stats,
       removePlan = { now =>
@@ -284,6 +295,27 @@ object TxLog {
           throw new java.util.ConcurrentModificationException(
             s"merge on $table@${snap.version} lost the race: affected files " +
               s"already removed by a newer commit: ${gone.take(3).mkString(", ")}")
+        // ConcurrentAppendException semantics: a racing commit that ADDED
+        // files whose key zone maps intersect the updates' key range may
+        // have landed the same keys after this merge's snapshot read —
+        // committing anyway would leave duplicate keys, breaking the
+        // uniqueness invariant merge enforces on its own input. Files
+        // without key stats can't prove disjointness and conflict
+        // conservatively; our own freshly written files are exempt.
+        val racedAdds = now.files
+          .filterNot(snap.files.contains).filterNot(files.contains)
+        val overlapping = racedAdds.filter { f =>
+          now.stats.get(f).flatMap(_.get(keyCol)) match {
+            case Some(cs) =>
+              !(statLt(cs.kind, rHi, cs.min) || statLt(cs.kind, cs.max, rLo))
+            case None => true
+          }
+        }
+        if (overlapping.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"merge on $table@${snap.version} conflicts with a concurrent " +
+              s"append intersecting its key range [$rLo, $rHi]: " +
+              overlapping.take(3).mkString(", "))
         affected
       }).get
   }
@@ -388,11 +420,30 @@ object TxLog {
     }
 
   /** Kind-dispatched zone-map comparison — shared with the graft
-    * DataSource's FileIndex so the two pruning paths can never drift. */
+    * DataSource's FileIndex so the two pruning paths can never drift.
+    * Strings compare as UNSIGNED UTF-8 BYTES, the order parquet computed
+    * the footer min/max in: Java's String.compareTo is UTF-16 code-unit
+    * order, which ranks supplementary-plane characters (surrogate pairs,
+    * 0xD800-prefixed) BELOW U+E000..U+FFFF while UTF-8 byte order ranks
+    * them above — comparing in the wrong domain would wrongly prune live
+    * files for data mixing emoji with that range. */
   private[graft] def statLt(kind: String, a: String, b: String): Boolean = kind match {
     case "long"   => a.toLong < b.toLong
     case "double" => a.toDouble < b.toDouble
-    case _        => a < b
+    case _        => utf8Lt(a, b)
+  }
+
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Loud shared guard: every live file of `snap` must exist on storage
@@ -449,20 +500,32 @@ object TxLog {
     else listVersions(dir).lastOption.getOrElse(0L)
   }
 
+  /** Default vacuum retention: orphans younger than this are kept (the
+    * Delta-style grace window). A concurrent writer stages its data
+    * files BEFORE its commit publishes; a retention-less vacuum racing
+    * that window would delete the staged files and let the commit
+    * publish pointing at nothing — permanently lost data at HEAD. */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Delete data files no longer live at HEAD (failed-write orphans and
-    * files removed by overwrite/compact). Frees storage at the price of
-    * time travel to pre-vacuum versions — exactly the retention trade a
-    * production store tunes. Returns the number of files deleted. */
-  def vacuum(table: String): Int = {
+    * files removed by overwrite/compact) that are OLDER than
+    * `olderThanMs` (mtime-based — see [[DefaultVacuumRetentionMs]]; pass
+    * 0 only when provably no writer is in flight). Frees storage at the
+    * price of time travel to pre-vacuum versions — exactly the retention
+    * trade a production store tunes. Returns the number of files
+    * deleted. */
+  def vacuum(table: String, olderThanMs: Long = DefaultVacuumRetentionMs): Int = {
     val live = replay(table, None).files.toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
     var deleted = 0
     val stream = Files.walk(dataRoot)
     try {
       stream.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
         .filterNot(p => live.contains(relativize(table, p)))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .toList
         .foreach { p => Files.deleteIfExists(p); deleted += 1 }
     } finally stream.close()
@@ -545,12 +608,14 @@ object TxLog {
     if (per.exists(_.isEmpty)) None else Some(per.flatten.map(_.min.toLong).sum)
   }
 
-  /** Exact MIN/MAX of a NUMERIC column from the zone maps alone —
-    * parquet numeric min/max are attained values, so folding them over
-    * every live file is the true extremum. None when any file lacks the
-    * column's stats, or for string columns (parquet may truncate binary
-    * stats — refuse rather than risk a lie). Values rendered in the
-    * stats' string domain. */
+  /** Exact MIN/MAX of a column from the zone maps alone — parquet
+    * numeric min/max are attained values, so folding them over every
+    * live file is the true extremum; string stats serve only when EVERY
+    * live file's stats are flagged exact (long values are recorded as
+    * truncated BOUNDS at harvest time — valid for pruning, refused here
+    * rather than risk returning a value the table never contained).
+    * None when any file lacks the column's stats or any string stat is
+    * inexact. Values rendered in the stats' string domain. */
   def metadataMinMax(
       table: String, column: String, asOf: Option[Long] = None): Option[(String, String)] = {
     val snap = replay(table, asOf)
@@ -559,7 +624,12 @@ object TxLog {
     else {
       val cs = per.flatten
       val kind = cs.head.kind
-      if (cs.exists(_.kind != kind) || (kind != "long" && kind != "double")) None
+      val servable = kind match {
+        case "long" | "double" => cs.forall(_.kind == kind)
+        case "string" => cs.forall(c => c.kind == kind && c.exact)
+        case _ => false
+      }
+      if (!servable) None
       else Some((
         cs.map(_.min).reduce((a, b) => if (statLt(kind, a, b)) a else b),
         cs.map(_.max).reduce((a, b) => if (statLt(kind, b, a)) a else b)))
@@ -627,15 +697,16 @@ object TxLog {
                 Some("string")
               case _ => None
             }
-            kind.map { k =>
-              val (mn, mx) = k match {
+            kind.flatMap { k =>
+              val cs = k match {
                 case "string" =>
-                  (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                  boundString(
+                    st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
                     st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
                 case _ =>
-                  (st.genericGetMin.toString, st.genericGetMax.toString)
+                  Some(ColStats(k, st.genericGetMin.toString, st.genericGetMax.toString))
               }
-              pathParts(0) -> ColStats(k, mn, mx)
+              cs.map(pathParts(0) -> _)
             }
           }
         }.toMap
@@ -643,12 +714,15 @@ object TxLog {
       val cols =
         if (perBlock.isEmpty) Map.empty[String, ColStats]
         else perBlock.reduce { (a, b) =>
-          // a column survives only if every row group carries its stats
+          // a column survives only if every row group carries its stats;
+          // a bounded (inexact) endpoint in any row group makes the
+          // merged file stats bounded too
           a.keySet.intersect(b.keySet).map { c =>
             val (x, y) = (a(c), b(c))
             c -> ColStats(x.kind,
               if (statLt(x.kind, x.min, y.min)) x.min else y.min,
-              if (statLt(x.kind, y.max, x.max)) x.max else y.max)
+              if (statLt(x.kind, y.max, x.max)) x.max else y.max,
+              exact = x.exact && y.exact)
           }.toMap
         }
       val rowCount = blocks.map(_.getRowCount).sum
@@ -657,6 +731,54 @@ object TxLog {
       (cols - RowCountKey) +
         (RowCountKey -> ColStats("rows", rowCount.toString, rowCount.toString))
     } finally reader.close()
+  }
+
+  /** Max code points a string zone-map endpoint may carry in the log —
+    * long values (document text!) are bounded at harvest time so the log
+    * stays metadata-sized at any value width. */
+  private[graft] val StringStatPrefix = 32
+
+  /** Bound a string min/max pair for the log: short values ride exact;
+    * long values truncate to a [[StringStatPrefix]]-code-point prefix —
+    * min's prefix is a valid lower bound as-is, max's prefix has its
+    * last code point incremented into a valid upper bound (skipping the
+    * surrogate range so the result stays valid UTF-8). None when no
+    * upper bound exists (a prefix of all U+10FFFF — then the column
+    * simply never prunes for this file, the conservative direction). */
+  private[graft] def boundString(mn: String, mx: String): Option[ColStats] = {
+    def cps(s: String): Int = s.codePointCount(0, s.length)
+    def prefix(s: String): String =
+      s.substring(0, s.offsetByCodePoints(0, StringStatPrefix))
+    val longMin = cps(mn) > StringStatPrefix
+    val longMax = cps(mx) > StringStatPrefix
+    if (!longMin && !longMax) Some(ColStats("string", mn, mx))
+    else {
+      val bmn = if (longMin) prefix(mn) else mn
+      val bmx = if (longMax) incrementLastCp(prefix(mx)) else Some(mx)
+      bmx.map(m => ColStats("string", bmn, m, exact = false))
+    }
+  }
+
+  /** The least string strictly greater than every string with prefix `p`:
+    * increment p's last code point (jumping the unencodable surrogate
+    * block); on overflow (U+10FFFF) drop it and increment the previous.
+    * None if p is entirely U+10FFFF. */
+  private def incrementLastCp(p: String): Option[String] = {
+    val cs = p.codePoints().toArray
+    var i = cs.length - 1
+    while (i >= 0) {
+      var c = cs(i) + 1
+      if (c >= 0xD800 && c <= 0xDFFF) c = 0xE000
+      if (c <= 0x10FFFF) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < i) { sb.appendCodePoint(cs(j)); j += 1 }
+        sb.appendCodePoint(c)
+        return Some(sb.toString)
+      }
+      i -= 1
+    }
+    None
   }
 
   private def nullable(s: StructType): StructType =
@@ -695,7 +817,10 @@ object TxLog {
       fileEntry.getKey -> fileEntry.getValue.properties().asScala.map { colEntry =>
         val v = colEntry.getValue
         colEntry.getKey -> ColStats(
-          v.get("k").asText(), v.get("mn").asText(), v.get("mx").asText())
+          v.get("k").asText(), v.get("mn").asText(), v.get("mx").asText(),
+          // absent = exact (logs written before bounded stats existed
+          // stored full values)
+          exact = Option(v.get("x")).forall(_.asBoolean()))
       }.toMap
     }.toMap
 
@@ -811,6 +936,7 @@ object TxLog {
           cols.foreach { case (c, cs) =>
             val cNode = fNode.putObject(c)
             cNode.put("k", cs.kind); cNode.put("mn", cs.min); cNode.put("mx", cs.max)
+            if (!cs.exact) cNode.put("x", false): Unit
           }
         }
       }
@@ -859,6 +985,7 @@ object TxLog {
           cols.foreach { case (c, cs) =>
             val cNode = fNode.putObject(c)
             cNode.put("k", cs.kind); cNode.put("mn", cs.min); cNode.put("mx", cs.max)
+            if (!cs.exact) cNode.put("x", false): Unit
           }
         }
       }

@@ -188,7 +188,13 @@ final class ContainerDataWriter(schema: StructType, dir: String,
   // epoch is padded to the full Long width: the name-anchored reader
   // depends on lexicographic order matching commit order, and a 5-digit
   // pad would sort epoch 100000 BEFORE 99999 — a crash-loop on a zone
-  // the sink itself produced, ~70 days into a 1/min stream
+  // the sink itself produced, ~70 days into a 1/min stream. The r10
+  // widening from %05d is safe precisely because no zone written by the
+  // narrow format persists (every zone in this repo's lifetime is
+  // rebuilt per run); a deployment carrying legacy 5-digit zones would
+  // instead need the reader to unify part-<e>%05d / %019d stems before
+  // adopting the wide pad — restated here so the constraint travels
+  // with the code
   private val stem = epoch match {
     case Some(e) => f"part-$e%019d-$partitionId%05d.${ws.extension}"
     case None => f"part-$partitionId%05d-$taskId.${ws.extension}"

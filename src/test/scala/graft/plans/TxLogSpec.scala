@@ -132,13 +132,16 @@ class TxLogSpec extends AnyFunSuite {
     val t = freshTable("vacuum")
     TxLog.append(df(0 until 10, "a"), t)
     TxLog.overwrite(df(10 until 15, "b"), t)
-    val freed = TxLog.vacuum(t)
+    // default retention: the just-dead files are inside the grace
+    // window that protects a concurrent writer's staged files
+    assert(TxLog.vacuum(t) == 0, "retention must keep fresh orphans")
+    val freed = TxLog.vacuum(t, olderThanMs = 0L)
     assert(freed >= 1, s"freed $freed")
     assert(keys(TxLog.snapshot(spark, t)) == (10 until 15).toSet)
     val e = intercept[IllegalStateException](TxLog.snapshot(spark, t, Some(1)).count())
     assert(e.getMessage.contains("vacuumed"))
     // vacuum again: nothing left to free
-    assert(TxLog.vacuum(t) == 0)
+    assert(TxLog.vacuum(t, olderThanMs = 0L) == 0)
   }
 
   test("zone maps prune files and never change results") {
@@ -264,8 +267,11 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.metadataMinMax(t, "k").contains(("0", "39")))
     // time travel reads the old metadata
     assert(TxLog.metadataCount(t, Some(2)).contains(50L))
-    // string columns refuse (parquet binary stats may truncate)
-    assert(TxLog.metadataMinMax(t, "tag").isEmpty)
+    // short string columns serve exactly (stats flagged exact); the
+    // delete above dropped every "b" row, so head min/max is ("a","a")
+    // while time travel still sees ("a","b")
+    assert(TxLog.metadataMinMax(t, "tag").contains(("a", "a")))
+    assert(TxLog.metadataMinMax(t, "tag", Some(2)).contains(("a", "b")))
     // unknown columns refuse
     assert(TxLog.metadataMinMax(t, "nope").isEmpty)
   }
@@ -283,7 +289,7 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.restore(t, 3L)
     assert(keys(TxLog.snapshot(spark, t)) == (0 until 10).toSet)
     // vacuum kills dead versions; restore to them must refuse loudly
-    TxLog.vacuum(t)
+    TxLog.vacuum(t, olderThanMs = 0L)
     val e = intercept[IllegalStateException](TxLog.restore(t, 2L))
     assert(e.getMessage.contains("vacuumed"))
   }
@@ -292,7 +298,7 @@ class TxLogSpec extends AnyFunSuite {
     val t = freshTable("feedops")
     TxLog.append(df(0 until 20, "a"), t)
     TxLog.overwrite(df(100 until 110, "b"), t)
-    TxLog.vacuum(t) // v1's files are gone BEFORE any feed exists
+    TxLog.vacuum(t, olderThanMs = 0L) // v1's files are gone BEFORE any feed exists
     def feedFiles(): Set[String] = {
       val d = new java.io.File(TxLog.feedDir(t))
       Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
@@ -340,5 +346,89 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.append(df(0 until 3, "a"), t)
     val e2 = intercept[IllegalArgumentException](TxLog.snapshot(spark, t, Some(9)))
     assert(e2.getMessage.contains("out of range"))
+  }
+
+  test("long string stats record truncated BOUNDS: prune soundly, refuse metadata min/max") {
+    val t = freshTable("strbound")
+    // two range-disjoint files keyed by a LONG string (> 32 code
+    // points) whose discriminating digits sit INSIDE the recorded
+    // prefix: file A holds 000…-499…, file B holds 500…-999…
+    val pad = "x" * 40
+    val src = (0 until 1000).toDF("i")
+      .withColumn("s", concat(format_string("%03d", $"i"), lit(pad)))
+      .withColumn("k", $"i")
+    TxLog.append(src.repartitionByRange(2, $"s").sortWithinPartitions("s"), t)
+    val snap = TxLog.snapshotInfo(t)
+    val stats = snap.files.flatMap(f => snap.stats(f).get("s"))
+    assert(stats.length == 2)
+    assert(stats.forall(!_.exact), "3+40-char values must record bounded stats")
+    assert(stats.forall(c => c.min.length <= 33 && c.max.length <= 33),
+      s"bounds must stay prefix-sized, got ${stats.map(s => (s.min.length, s.max.length))}")
+    // bounds are VALID: a band inside file B's range plans only file B,
+    // and the row filter on top returns exactly the band
+    val (dfB, planned, total) =
+      TxLog.snapshotRange(spark, t, "s", "700", "721")
+    assert(total == 2 && planned == 1, s"planned $planned of $total")
+    assert(dfB.count() == 21)
+    // metadata-only MIN/MAX refuses inexact string stats
+    assert(TxLog.metadataMinMax(t, "s").isEmpty,
+      "bounded string stats must not serve as attained extrema")
+  }
+
+  test("string stat comparisons run in UTF-8 byte order, not UTF-16 code units") {
+    // U+E000 (one UTF-16 code unit 0xE000) vs U+1F600 emoji (surrogate
+    // pair starting 0xD83D): Java String order puts the emoji FIRST,
+    // UTF-8 byte order (= code-point order) puts it LAST. Files split on
+    // that boundary must prune by the UTF-8 order parquet stats use.
+    val t = freshTable("utf8ord")
+    val pua = ""
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji < pua, "precondition: UTF-16 order ranks the emoji below U+E000")
+    val src = Seq("a", "b", pua, emoji).toDF("s")
+    TxLog.append(src.repartition(1), t)
+    // parquet's UTF-8 max is the EMOJI; UTF-16 comparison would claim
+    // max(=emoji) < lo(=U+E000) and prune the band's only file away
+    val (dfE, planned, total) =
+      TxLog.snapshotRange(spark, t, "s", pua, emoji)
+    assert(total == 1 && planned == 1,
+      s"UTF-16 ordering wrongly pruned the live file: planned $planned of $total")
+    assert(dfE.count() == 2)
+  }
+
+  test("merge aborts when a concurrent append intersects its key range") {
+    val t = freshTable("mergerace")
+    val src = (0 until 100).toDF("k").withColumn("tag", lit("old"))
+    TxLog.append(src.repartitionByRange(4, $"k").sortWithinPartitions("k"), t)
+    val upd = Seq(30, 31).toDF("k").withColumn("tag", lit("new"))
+    // racer lands an overlapping key AFTER merge reads its snapshot
+    val racer = new Thread(() => {
+      Thread.sleep(700)
+      TxLog.append(Seq(31).toDF("k").withColumn("tag", lit("race")), t): Unit
+    })
+    racer.start()
+    val outcome =
+      try { TxLog.merge(spark, t, upd, "k"); "committed" }
+      catch { case _: java.util.ConcurrentModificationException => "aborted" }
+    racer.join()
+    // either the merge published first (the racer's append then landed a
+    // duplicate AFTER it — allowed, appends commute) or the merge saw the
+    // intersecting add and aborted; what must NEVER happen is a merge
+    // that published AFTER the racer while claiming uniqueness
+    if (outcome == "aborted") {
+      val out = TxLog.snapshot(spark, t)
+      assert(out.filter($"tag" === "new").count() == 0, "aborted merge must leave no rows")
+    }
+    // a merge against quiesced state with a DISJOINT concurrent append
+    // commits fine: appends outside the key range commute
+    val racer2 = new Thread(() => {
+      Thread.sleep(700)
+      TxLog.append(Seq(5000).toDF("k").withColumn("tag", lit("far")), t): Unit
+    })
+    racer2.start()
+    TxLog.merge(spark, t, Seq(60, 61).toDF("k").withColumn("tag", lit("new2")), "k")
+    racer2.join()
+    val out2 = TxLog.snapshot(spark, t)
+    assert(out2.filter($"tag" === "new2").count() == 2)
+    assert(out2.filter($"k" === 5000).count() == 1)
   }
 }
