@@ -318,6 +318,59 @@ object TableQueries {
                                    AND b.mn + (b.mx - b.mn) * 4 // 10
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // The WRITE half of the connector: `df.write.format("graft")` commits
+    // through the transaction log — two multi-partition appends then an
+    // overwrite, all through `save(path)`, with the op sequence and
+    // one-file-per-partition layout asserted from the log itself. The
+    // read-back goes through the same connector, so the whole round trip
+    // (distributed parquet write → atomic commit → log-planned scan)
+    // sits under the hash oracle. Closes the r10 wall where writers had
+    // to call the TxLog Scala API.
+    QuerySpec(
+      "sink_graft_dsv2",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_writer")
+        deleteRecursively(table)
+        ordersSlice(s, dir, 0).repartition(2)
+          .write.format("graft").mode("append").save(table)
+        ordersSlice(s, dir, 1).repartition(2)
+          .write.format("graft").mode("append").save(table)
+        ordersSlice(s, dir, 2).repartition(2)
+          .write.format("graft").mode("overwrite").save(table)
+        val h = TxLog.history(table)
+        require(h.map(_.op) == Seq("append", "append", "overwrite"),
+          s"writer API must commit through the log, got ${h.map(_.op)}")
+        require(h.forall(_.add.length == 2),
+          "each commit must land one file per partition, executor-side")
+        ordersAgg(s.read.format("graft").load(table))
+      },
+      Some(ordersOracle("o_orderkey % 3 = 2"))),
+
+    // SQL-first ingest: INSERT INTO a `CREATE TEMPORARY VIEW … USING
+    // graft` target commits through the log (InsertableRelation), and
+    // the SAME view — whose LogicalRelation was pinned at creation —
+    // serves the post-insert state, because the log-backed FileIndex
+    // re-resolves head snapshots. The reference's users write SQL
+    // strings (core_processor.rs:391-428); this is the path they take.
+    QuerySpec(
+      "table_insert_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_insert")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_orders_ins " +
+          s"USING graft OPTIONS (path '$table')")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_src_ins")
+        s.sql("""INSERT INTO graft_orders_ins
+                 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+                 FROM orders_src_ins WHERE o_orderkey % 3 = 1""")
+        val h = TxLog.history(table)
+        require(h.map(_.op) == Seq("append", "append"),
+          s"INSERT INTO must append through the log, got ${h.map(_.op)}")
+        ordersAgg(s.sql("SELECT * FROM graft_orders_ins"))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
     // Metadata-only RESTORE: version 3 overwrote the table with a bad
     // ingest; restore(2) un-ships it as a NEW commit that re-points the
     // live set at v2's files — zero bytes of data move (asserted: the

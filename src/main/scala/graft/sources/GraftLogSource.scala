@@ -2,12 +2,12 @@ package graft.sources
 
 import graft.plans.TxLog
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,31 +22,96 @@ import org.apache.spark.unsafe.types.UTF8String
   * files the same way `TxLog.snapshotRange` does, and `.explain` shows
   * the reduced file count on the scan node.
   *
-  * Options: `versionAsOf` time-travels the FileIndex to that snapshot.
+  * The WRITE half closes the SQL-first wall the r10 verdict named:
+  *  - `df.write.format("graft").mode("append"|"overwrite").save(table)`
+  *    commits through [[TxLog]] (CreatableRelationProvider) — the
+  *    parquet write itself stays the distributed executor-side write
+  *    TxLog always did; only file names reach the log, and the commit
+  *    publishes atomically with optimistic-concurrency retries.
+  *  - `INSERT INTO / INSERT OVERWRITE` on a `CREATE TEMPORARY VIEW …
+  *    USING graft` target routes through [[GraftRelation.insert]]
+  *    (InsertableRelation) to the same two commits.
+  *
+  * Options: `versionAsOf` time-travels the FileIndex to that snapshot
+  * (and refuses writes — a pinned past is not a write target);
+  * `mergeSchema=true` on an Append save evolves the schema through
+  * `TxLog.appendEvolve`.
   *
   * At 100 TB this is the read path that matters: planning touches one
   * checkpoint + a log suffix (metadata, not storage listing), pruning is
   * O(live files) driver work on in-memory stats, and the data path keeps
   * whole-stage codegen + vectorized parquet + row-group pushdown intact.
   */
-final class GraftLogSource extends RelationProvider with DataSourceRegister {
+final class GraftLogSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   override def createRelation(
-      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val spark = ctx.sparkSession
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
+    GraftLogSource.relation(ctx.sparkSession, parameters)
+
+  /** `df.write.format("graft").mode(…).save(table)`. */
+  override def createRelation(
+      ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: .save(<table dir>) is required"))
+    require(!parameters.contains("versionAsOf"),
+      "graft: cannot write to a versionAsOf time-travel view")
+    val exists = TxLog.latestVersion(table) > 0
+    mode match {
+      case SaveMode.Append =>
+        if (parameters.get("mergeSchema").exists(_.toBoolean))
+          TxLog.appendEvolve(data, table)
+        else TxLog.append(data, table)
+      case SaveMode.Overwrite => TxLog.overwrite(data, table)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table $table already exists (mode=ErrorIfExists)")
+        TxLog.append(data, table)
+      case SaveMode.Ignore =>
+        if (!exists) TxLog.append(data, table): Unit
+    }
+    GraftLogSource.relation(ctx.sparkSession, parameters)
+  }
+}
+
+private[sources] object GraftLogSource {
+  def relation(spark: SparkSession, parameters: Map[String, String]): GraftRelation = {
     val table = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: .load(<table dir>) is required"))
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     val snap = TxLog.snapshotInfo(table, asOf)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    HadoopFsRelation(
-      new GraftFileIndex(table, snap),
-      partitionSchema = StructType(Nil),
-      dataSchema = schema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
-      options = parameters)(spark)
+    new GraftRelation(table, new GraftFileIndex(table, snap, pinned = asOf.isDefined),
+      schema, parameters)(spark)
+  }
+}
+
+/** The relation behind `format("graft")`: a [[HadoopFsRelation]] (so
+  * FileSourceStrategy plans it through the vectorized parquet scan with
+  * the log-backed FileIndex) that ALSO accepts `INSERT INTO` /
+  * `INSERT OVERWRITE` — the analyzer's InsertableRelation arm routes the
+  * statement here before the generic HadoopFsRelation arm could write
+  * files UNDER the log's feet. Inserts are by-position with the
+  * analyzer's usual casts; names realign to the table schema so the
+  * log's loud schema check sees the table's own column names. */
+final class GraftRelation(
+    val table: String, index: GraftFileIndex, dataSchema0: StructType,
+    parameters: Map[String, String])(spark: SparkSession)
+    extends HadoopFsRelation(index, StructType(Nil), dataSchema0, None,
+      new ParquetFileFormat(), parameters)(spark)
+    with InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!parameters.contains("versionAsOf"),
+      "graft: cannot INSERT into a versionAsOf time-travel view")
+    val aligned = data.toDF(dataSchema0.fieldNames.toIndexedSeq: _*)
+    if (overwrite) TxLog.overwrite(aligned, table)
+    else TxLog.append(aligned, table): Unit
+    // a later scan through this same (temp-view-pinned) relation must
+    // see the new commit — the unpinned FileIndex re-resolves on refresh
+    index.refresh()
   }
 }
 
@@ -54,15 +119,34 @@ final class GraftLogSource extends RelationProvider with DataSourceRegister {
   * set and drops every file whose zone map PROVES no row can satisfy the
   * scan's data filters. Unknown predicate shapes and stat-less files are
   * conservatively kept — pruning is an optimization, never a correctness
-  * dependency (the filters still run row-level after the scan). */
-final class GraftFileIndex(table: String, snap: TxLog.Snapshot) extends FileIndex {
+  * dependency (the filters still run row-level after the scan).
+  *
+  * `pinned=false` (a HEAD read) re-resolves the snapshot whenever the
+  * log has advanced past the cached version — so a `USING graft` temp
+  * view (whose LogicalRelation is built once at view-creation time)
+  * serves INSERTs committed after it, the way every table-format
+  * integration must. `pinned=true` (versionAsOf) never moves. */
+final class GraftFileIndex(
+    table: String, initial: TxLog.Snapshot, pinned: Boolean) extends FileIndex {
 
-  private val statuses: Seq[(String, FileStatus)] = {
+  @volatile private var snap: TxLog.Snapshot = initial
+
+  /** Current snapshot, re-resolved for unpinned head reads when the log
+    * has new commits (one directory listing — cheap next to a scan). */
+  private def current(): TxLog.Snapshot = {
+    if (!pinned) {
+      val head = TxLog.latestVersion(table)
+      if (head != snap.version) snap = TxLog.snapshotInfo(table, None)
+    }
+    snap
+  }
+
+  private def statuses(s: TxLog.Snapshot): Seq[(String, FileStatus)] = {
     // a 0-length FileStatus would scan as an empty file — SILENTLY
     // wrong results for a time travel past vacuum; the shared guard
     // fails like the TxLog.snapshot read path instead
-    TxLog.requireLiveFilesExist(table, snap)
-    snap.files.map { rel =>
+    TxLog.requireLiveFilesExist(table, s)
+    s.files.map { rel =>
       val f = new java.io.File(table, rel)
       rel -> new FileStatus(f.length, false, 1, 128L * 1024 * 1024,
         f.lastModified, new HPath(f.toURI))
@@ -71,15 +155,17 @@ final class GraftFileIndex(table: String, snap: TxLog.Snapshot) extends FileInde
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(new java.io.File(table).toURI))
   override def partitionSchema: StructType = StructType(Nil)
-  override def inputFiles: Array[String] = statuses.map(_._2.getPath.toString).toArray
-  override def refresh(): Unit = ()
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override def inputFiles: Array[String] =
+    statuses(current()).map(_._2.getPath.toString).toArray
+  override def refresh(): Unit = current(): Unit
+  override def sizeInBytes: Long = statuses(current()).map(_._2.getLen).sum
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = statuses.filter { case (rel, _) =>
-      val stats = snap.stats.getOrElse(rel, Map.empty)
+    val s = current()
+    val keep = statuses(s).filter { case (rel, _) =>
+      val stats = s.stats.getOrElse(rel, Map.empty)
       dataFilters.forall(f => mayMatch(f, stats))
     }
     Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))

@@ -35,7 +35,7 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(v1.select("k").as[Int].collect().toSet == (0 until 10).toSet)
     // time travel past a vacuum fails LOUDLY at plan time — a 0-length
     // FileStatus would otherwise scan as empty and return silent wrongs
-    TxLog.vacuum(t)
+    TxLog.vacuum(t, olderThanMs = 0L)
     val e = intercept[IllegalStateException](
       spark.read.format("graft").option("versionAsOf", "1").load(t).count())
     assert(e.getMessage.contains("vacuumed"))
@@ -126,5 +126,70 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(out.filter($"score".isNull).count() == 5)
     assert(spark.read.format("graft").option("versionAsOf", "1").load(t)
       .schema.fieldNames.toSeq == Seq("k", "tag"))
+  }
+
+  test("df.write.format(graft) commits through the log with full mode semantics") {
+    val t = freshTable("write")
+    def w(r: Range, tag: String) =
+      r.toDF("k").withColumn("tag", lit(tag)).repartition(2)
+        .write.format("graft")
+    // multi-partition append creates the table
+    w(0 until 10, "a").mode("append").save(t)
+    w(10 until 25, "b").mode("append").save(t)
+    assert(TxLog.history(t).map(_.op) == Seq("append", "append"))
+    assert(TxLog.history(t).forall(_.add.length == 2), "one file per partition")
+    assert(spark.read.format("graft").load(t)
+      .select("k").as[Int].collect().toSet == (0 until 25).toSet)
+    // overwrite swaps content atomically; time travel still works
+    w(100 until 105, "c").mode("overwrite").save(t)
+    assert(TxLog.history(t).last.op == "overwrite")
+    assert(spark.read.format("graft").load(t)
+      .select("k").as[Int].collect().toSet == (100 until 105).toSet)
+    assert(spark.read.format("graft").option("versionAsOf", "2").load(t)
+      .select("k").as[Int].collect().toSet == (0 until 25).toSet)
+    // errorifexists refuses an existing table; ignore is a no-op on one
+    intercept[IllegalStateException](w(0 until 3, "x").mode("errorifexists").save(t))
+    w(0 until 3, "x").mode("ignore").save(t)
+    assert(TxLog.latestVersion(t) == 3L)
+    // append schema drift still fails loudly through the writer API
+    val bad = (0 until 3).toDF("k").withColumn("tag", lit(7L))
+    val e = intercept[Exception](
+      bad.write.format("graft").mode("append").save(t))
+    assert(e.getMessage.contains("schema mismatch"))
+    // mergeSchema evolves instead
+    (105 until 107).toDF("k").withColumn("tag", lit("d")).withColumn("score", lit(9.9))
+      .write.format("graft").option("mergeSchema", "true").mode("append").save(t)
+    val out = spark.read.format("graft").load(t)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "tag", "score"))
+    assert(out.filter($"score".isNull).count() == 5)
+    // a time-travel view is not a write target
+    intercept[Exception](
+      w(0 until 3, "y").option("versionAsOf", "1").mode("append").save(t))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE on a USING graft view commit through the log") {
+    val t = freshTable("insert")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ins " +
+      s"USING graft OPTIONS (path '$t')")
+    spark.sql("INSERT INTO graft_ins SELECT id AS k, 'b' AS tag FROM range(10, 20)")
+    assert(TxLog.history(t).map(_.op) == Seq("append", "append"))
+    // the SAME view (pinned LogicalRelation) must serve the new commit
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_ins").head.getLong(0) == 20)
+    // by-position insert with analyzer casts: ints coerce to the long k
+    spark.sql("INSERT INTO graft_ins VALUES (99, 'c')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ins WHERE tag = 'c'").head.getLong(0) == 1)
+    // INSERT OVERWRITE swaps the table content atomically
+    spark.sql("INSERT OVERWRITE TABLE graft_ins SELECT id AS k, 'z' AS tag FROM range(5)")
+    assert(TxLog.history(t).last.op == "overwrite")
+    assert(spark.sql("SELECT COUNT(*) AS n, MIN(tag) AS t FROM graft_ins").head.getLong(0) == 5)
+    // time travel to the pre-overwrite state still works
+    assert(spark.read.format("graft").option("versionAsOf", "3").load(t).count() == 21)
+    // a versionAsOf view refuses inserts
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ins_v1 " +
+      s"USING graft OPTIONS (path '$t', versionAsOf '1')")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft_ins_v1 VALUES (1, 'x')"))
+    assert(e.getMessage.contains("time-travel"))
   }
 }
