@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator tier: the native sorted-merge as-of join
     // (plans/AsofJoinPlan → AsofJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL DML (DELETE/UPDATE/MERGE) on `USING graft` views → the
+    // transaction log's copy-on-write kernels (plans/GraftDml)
+    ext.injectResolutionRule(_ => graft.plans.GraftDml)
 
     // The geo scalar kernel for SQL-text callers — the same native
     // codegen expressions the Column API builds (GeoFunctions.register's

@@ -494,6 +494,120 @@ object TableQueries {
                          AND o_orderkey % 3 = 1)
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // SQL DELETE — table_delete_cow's semantics driven by the SQL text a
+    // reference-shaped user types: the GraftDml rule routes the v2-only
+    // DeleteFromTable plan to the same COW kernel, with the same
+    // minority-rewrite proof read from the commit's remove list.
+    QuerySpec(
+      "table_delete_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_delete_sql")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_orders_del " +
+          s"USING graft OPTIONS (path '$table')")
+        s.sql(s"DELETE FROM graft_orders_del " +
+          s"WHERE o_orderkey BETWEEN $lo AND $hi AND o_orderkey % 3 = 1")
+        val last = TxLog.history(table).last
+        require(last.op == "delete" && last.remove.length >= 1 && last.remove.length <= 3,
+          s"SQL delete rewrote ${last.remove.length} of 8 files")
+        ordersAgg(s.sql("SELECT * FROM graft_orders_del"))
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM orders, b
+              WHERE NOT (o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                        AND b.mn + (b.mx - b.mn) * 4 // 10
+                         AND o_orderkey % 3 = 1)
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // SQL UPDATE — the COW update kernel driven by SQL text: assignments
+    // cast back to the column's declared type, only files containing
+    // matches rewrite (proved from the commit), and the result replays
+    // the merge-family oracle's CASE restatement.
+    QuerySpec(
+      "table_update_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_update_sql")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_orders_upd " +
+          s"USING graft OPTIONS (path '$table')")
+        s.sql(s"UPDATE graft_orders_upd " +
+          s"SET o_orderstatus = 'U', o_totalprice = o_totalprice + 100.0 " +
+          s"WHERE o_orderkey BETWEEN $lo AND $hi AND o_orderkey % 7 = 3")
+        val last = TxLog.history(table).last
+        require(last.op == "update" && last.remove.length >= 1 && last.remove.length <= 3,
+          s"SQL update rewrote ${last.remove.length} of 8 files")
+        ordersAgg(s.sql("SELECT * FROM graft_orders_upd"))
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders),
+              updated AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                                AND b.mn + (b.mx - b.mn) * 4 // 10
+                             AND o_orderkey % 7 = 3
+                            THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                       CASE WHEN o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                                AND b.mn + (b.mx - b.mn) * 4 // 10
+                             AND o_orderkey % 7 = 3
+                            THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate
+                FROM orders, b)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM updated
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // SQL MERGE — table_merge_cow's exact oracle replayed through
+    // `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    // INSERT *`: the rule maps the canonical upsert shape onto
+    // TxLog.merge (zone-map candidate pruning, key semi-join, minority
+    // rewrite) and refuses shapes it cannot prove equivalent.
+    QuerySpec(
+      "table_merge_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_merge_sql")
+        val (lo, hi) = rangeLayoutOrders(s, dir, table)
+        ordersAll(s, dir)
+          .filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+          .createOrReplaceTempView("graft_merge_updates")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_orders_mrg " +
+          s"USING graft OPTIONS (path '$table')")
+        s.sql("""MERGE INTO graft_orders_mrg t USING graft_merge_updates s
+                 ON t.o_orderkey = s.o_orderkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        val last = TxLog.history(table).last
+        require(last.op == "merge" && last.remove.length >= 1 && last.remove.length <= 3,
+          s"SQL merge rewrote ${last.remove.length} of 8 files")
+        ordersAgg(s.sql("SELECT * FROM graft_orders_mrg"))
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders),
+              merged AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                                AND b.mn + (b.mx - b.mn) * 4 // 10
+                             AND o_orderkey % 7 = 3
+                            THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                       CASE WHEN o_orderkey BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                                                AND b.mn + (b.mx - b.mn) * 4 // 10
+                             AND o_orderkey % 7 = 3
+                            THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate
+                FROM orders, b)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM merged
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Hilbert-clustered compaction: a hash-partitioned write leaves every
     // file spanning the FULL o_custkey range (zone maps prune nothing —
     // required as the baseline), then `compact(clusterBy = custkey,

@@ -1,0 +1,213 @@
+package graft.plans
+
+import graft.sources.GraftRelation
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL DML over graft tables — the surface a reference-shaped user (who
+  * writes SQL strings, core_processor.rs:391-428) actually types:
+  *
+  * {{{
+  *   DELETE FROM g WHERE k BETWEEN 10 AND 20
+  *   UPDATE g SET status = 'U', price = price + 1 WHERE k % 7 = 3
+  *   MERGE INTO g t USING updates s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Spark parses these into v2-only logical plans (DeleteFromTable /
+  * UpdateTable / MergeIntoTable) that analysis would reject for a v1
+  * relation; this resolution rule (injected by GraftExtensions) rewrites
+  * them — when and only when the target is a `USING graft` relation —
+  * into eager commands over the PROVEN copy-on-write kernels
+  * (TxLog.delete / TxLog.update / TxLog.merge). The rewrite happens
+  * during resolution, so the v2 row-level machinery never engages.
+  *
+  * Expression handoff: the statement's column references resolved
+  * against the VIEW's relation carry that plan's expression ids, while
+  * the kernels re-read the table as a fresh DataFrame — so conditions
+  * and assignment values are DE-resolved (attributes → bare names) and
+  * re-resolve against the kernel's own scan. Single-table scope makes
+  * names unambiguous by construction.
+  *
+  * MERGE accepts the canonical upsert shape — equi-ON between the two
+  * key columns, `UPDATE SET *` / `INSERT *` (either still starred or
+  * already star-expanded by the analyzer, both forms verified
+  * column-by-column) — and refuses anything it cannot prove maps onto
+  * TxLog.merge's upsert-by-key semantics, loudly.
+  */
+object GraftDml extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(target, cond) =>
+      graftTable(target) match {
+        case Some(t) => GraftDeleteCommand(t, new GraftExprHolder(unresolve(cond)))
+        case None => d
+      }
+    case u @ UpdateTable(target, assignments, cond) =>
+      graftTable(target) match {
+        case Some(t) =>
+          val sets = assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case ua: UnresolvedAttribute => ua.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"UPDATE on a graft table: unsupported assignment target $other")
+            }
+            name -> new GraftExprHolder(unresolve(a.value))
+          }
+          GraftUpdateCommand(t, new GraftExprHolder(unresolve(cond.getOrElse(
+            org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))), sets)
+        case None => u
+      }
+    case m @ MergeIntoTable(target, source, mergeCond,
+        matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
+      graftTable(target) match {
+        case Some(t) if source.resolved =>
+          require(!withSchemaEvolution,
+            "MERGE on a graft table: WITH SCHEMA EVOLUTION is not supported")
+          require(notMatchedBySource.isEmpty,
+            "MERGE on a graft table: WHEN NOT MATCHED BY SOURCE is not supported " +
+              "(the kernel is upsert-by-key)")
+          val keyCol = keyOf(mergeCond, target, source)
+          requireStarUpdate(matched, target, source)
+          requireStarInsert(notMatched, target, source)
+          GraftMergeCommand(t, source, keyCol,
+            target.output.map(_.name))
+        case _ => m
+      }
+    case other => other
+  }
+
+  /** The graft table path behind a (possibly alias/view/project-wrapped)
+    * relation — temp-view resolution nests the stored plan in
+    * SubqueryAlias/View (and a no-op Project for column aliasing). */
+  private def graftTable(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => graftTable(child)
+    case v: View => graftTable(v.child)
+    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      graftTable(p.child)
+    case LogicalRelation(r: GraftRelation, _, _, _, _) => Some(r.table)
+    case other =>
+      logDebug(s"GraftDml: not a graft relation: ${other.getClass.getSimpleName}")
+      None
+  }
+
+  /** De-resolve: attribute references → bare names, so the expression
+    * re-resolves against the kernel's own fresh scan of the table.
+    * `With` common-subexpression nodes (how BETWEEN parses in Spark 4)
+    * are inlined first — a With whose defs hold unresolved attributes
+    * crashes withNewChildrenInternal's dataType probe, and the analyzer
+    * re-derives the CSE when the kernel's filter re-analyzes anyway. */
+  private def unresolve(e: Expression): Expression = e.transformDown {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformDown {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          defs(r.id)
+      }
+    case a: AttributeReference => UnresolvedAttribute(a.name)
+  }
+
+  /** The upsert key: ON must be a single equi-comparison between a
+    * target column and a source column OF THE SAME NAME. */
+  private def keyOf(cond: Expression, target: LogicalPlan, source: LogicalPlan): String =
+    cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            (target.outputSet.contains(a) && source.outputSet.contains(b) ||
+              target.outputSet.contains(b) && source.outputSet.contains(a)) =>
+        target.output.find(_.name.equalsIgnoreCase(a.name)).get.name
+      case other => throw new IllegalArgumentException(
+        s"MERGE on a graft table needs ON target.key = source.key " +
+          s"(same column name both sides); got $other")
+    }
+
+  /** WHEN MATCHED THEN UPDATE SET * — accepted raw (UpdateStarAction) or
+    * analyzer-expanded (every target column assigned its same-named
+    * source column, no extra condition). */
+  private def requireStarUpdate(
+      actions: Seq[MergeAction], target: LogicalPlan, source: LogicalPlan): Unit =
+    actions match {
+      case Seq(UpdateStarAction(None)) => ()
+      case Seq(UpdateAction(None, assignments, _))
+          if assignments.length == target.output.length &&
+            assignments.forall(a => (a.key, a.value) match {
+              case (k: AttributeReference, v: AttributeReference) =>
+                k.name.equalsIgnoreCase(v.name) &&
+                  target.outputSet.contains(k) && source.outputSet.contains(v)
+              case _ => false
+            }) => ()
+      case other => throw new IllegalArgumentException(
+        s"MERGE on a graft table supports exactly WHEN MATCHED THEN UPDATE SET *; got $other")
+    }
+
+  /** WHEN NOT MATCHED THEN INSERT * — same two accepted forms. */
+  private def requireStarInsert(
+      actions: Seq[MergeAction], target: LogicalPlan, source: LogicalPlan): Unit =
+    actions match {
+      case Seq(InsertStarAction(None)) => ()
+      case Seq(InsertAction(None, assignments))
+          if assignments.length == target.output.length &&
+            assignments.forall(a => (a.key, a.value) match {
+              case (k: AttributeReference, v: AttributeReference) =>
+                k.name.equalsIgnoreCase(v.name) &&
+                  target.outputSet.contains(k) && source.outputSet.contains(v)
+              case _ => false
+            }) => ()
+      case other => throw new IllegalArgumentException(
+        s"MERGE on a graft table supports exactly WHEN NOT MATCHED THEN INSERT *; got $other")
+    }
+}
+
+/** Opaque expression carrier: the DML commands hold DE-resolved
+  * expressions (bare column names that re-resolve against the kernel's
+  * own scan), which TreeNode/checkAnalysis would reject as unresolved if
+  * they sat in Expression-typed fields — the holder keeps them out of
+  * the tree walk; the command is deliberately a self-contained leaf. */
+final class GraftExprHolder(val e: Expression) extends Serializable
+
+/** `DELETE FROM <graft view> WHERE …` — eager command over TxLog.delete. */
+final case class GraftDeleteCommand(table: String, cond: GraftExprHolder)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxLog.delete(session, table, Bridge.column(cond.e)): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft view> SET … WHERE …` — eager command over TxLog.update. */
+final case class GraftUpdateCommand(
+    table: String, cond: GraftExprHolder, sets: Seq[(String, GraftExprHolder)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxLog.update(session, table, Bridge.column(cond.e),
+      sets.map { case (n, h) => n -> Bridge.column(h.e) }): Unit
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft view> USING <source> ON t.k = s.k …` — eager
+  * command over TxLog.merge; the resolved source plan executes as its
+  * own DataFrame, columns realigned to the target's order. */
+final case class GraftMergeCommand(
+    table: String, source: LogicalPlan, keyCol: String, targetCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = Bridge.dataFrame(session, source)
+    val missing = targetCols.filterNot(c =>
+      src.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"MERGE source must carry every target column; missing: ${missing.mkString(", ")}")
+    TxLog.merge(session, table,
+      src.select(targetCols.map(col): _*), keyCol): Unit
+    Seq.empty
+  }
+}

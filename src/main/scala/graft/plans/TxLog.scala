@@ -363,6 +363,54 @@ object TxLog {
       }).get
   }
 
+  /** File-granular copy-on-write UPDATE: rows where `condition` is TRUE
+    * get each `sets` column replaced by its expression (cast back to the
+    * column's declared type — an UPDATE never changes the schema); NULL
+    * condition keeps the row untouched, SQL UPDATE semantics. Only files
+    * CONTAINING matching rows are rewritten, found the same way delete
+    * finds them; non-matching rows in those files carry over verbatim.
+    * Aborts with ConcurrentModificationException if a racing commit
+    * removed an affected file first. */
+  def update(
+      spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    val snap = replay(table, None)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val unknown = sets.map(_._1).filterNot(n =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"UPDATE on $table assigns unknown column(s): ${unknown.mkString(", ")}")
+    val full = readFiles(spark, table, snap)
+    val cond = coalesce(condition, lit(false))
+    val affected = full.filter(cond)
+      .select(input_file_name().as("__file")).distinct()
+      .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
+    if (affected.isEmpty) return snap.version
+    val rewritten = readFiles(spark, table, snap.copy(files = affected))
+      .select(schema.fields.map { f =>
+        sets.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, v)) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    val (files, _, stats) =
+      writeData(rewritten.repartition(math.max(1, affected.length)), table)
+    commit(table, "update", files, dataChange = true,
+      schemaPlan = _ => snap.schemaJson, stats = stats,
+      removePlan = { now =>
+        val gone = affected.filterNot(now.files.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"update on $table@${snap.version} lost the race: affected files " +
+              s"already removed by a newer commit: ${gone.take(3).mkString(", ")}")
+        affected
+      }).get
+  }
+
   /** METADATA-ONLY rollback: make the table's head state equal version
     * `toVersion` again, as a NEW commit (history is append-only — the
     * bad versions stay auditable, time travel to them still works).

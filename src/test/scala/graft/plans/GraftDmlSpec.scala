@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DML (DELETE / UPDATE / MERGE) on `USING graft` views — the
+  * GraftDml resolution rule routing the v2-only logical plans to the
+  * TxLog copy-on-write kernels. */
+class GraftDmlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graftdml_$name").toString
+
+  private def view(t: String, name: String): String = {
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name USING graft OPTIONS (path '$t')")
+    name
+  }
+
+  private def rangeTable(name: String): String = {
+    val t = freshTable(name)
+    TxLog.append(
+      (0 until 100).toDF("k").withColumn("tag", lit("old"))
+        .repartitionByRange(4, $"k").sortWithinPartitions("k"), t)
+    t
+  }
+
+  test("DELETE FROM routes through the COW kernel and rewrites only matching files") {
+    val t = rangeTable("del")
+    val v = view(t, "graft_dml_del")
+    spark.sql(s"DELETE FROM $v WHERE k >= 30 AND k <= 45")
+    val last = TxLog.history(t).last
+    assert(last.op == "delete" && last.remove.length == 1,
+      s"SQL DELETE must rewrite exactly the [25,50) file, removed ${last.remove.length}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v").head.getLong(0) == 84)
+    // NULL-condition rows keep SQL DELETE semantics (no crash, no rows)
+    spark.sql(s"DELETE FROM $v WHERE IF(tag = 'never', true, NULL)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v").head.getLong(0) == 84)
+  }
+
+  test("UPDATE SET routes through the COW kernel, casting back to column types") {
+    val t = rangeTable("upd")
+    val v = view(t, "graft_dml_upd")
+    spark.sql(s"UPDATE $v SET tag = 'new', k = k + 1000 WHERE k >= 30 AND k <= 32")
+    val last = TxLog.history(t).last
+    assert(last.op == "update" && last.remove.length == 1,
+      s"SQL UPDATE must rewrite exactly one file, removed ${last.remove.length}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v WHERE tag = 'new'").head.getLong(0) == 3)
+    assert(spark.sql(s"SELECT SUM(k) FROM $v WHERE tag = 'new'").head.getLong(0) == 3093)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v").head.getLong(0) == 100)
+    // unknown assignment column refuses loudly
+    val e = intercept[Exception](spark.sql(s"UPDATE $v SET nope = 1 WHERE k = 0"))
+    assert(e.getMessage.contains("unknown column") || e.getMessage.contains("nope"))
+  }
+
+  test("MERGE INTO upserts by key through the COW kernel") {
+    val t = rangeTable("merge")
+    val v = view(t, "graft_dml_merge")
+    Seq((30, "upd"), (31, "upd"), (900, "ins")).toDF("k", "tag")
+      .createOrReplaceTempView("graft_dml_merge_src")
+    spark.sql(
+      s"""MERGE INTO $v t USING graft_dml_merge_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val last = TxLog.history(t).last
+    assert(last.op == "merge" && last.remove.length == 1,
+      s"SQL MERGE must rewrite exactly one file, removed ${last.remove.length}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v").head.getLong(0) == 101)
+    assert(spark.sql(s"SELECT COLLECT_SET(k) FROM $v WHERE tag IN ('upd','ins')")
+      .head.getSeq[Int](0).toSet == Set(30, 31, 900))
+    // unsupported shapes refuse loudly rather than half-merging
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $v t USING graft_dml_merge_src s ON t.k = s.k + 1
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.contains("ON target.key = source.key"))
+  }
+
+  test("DML on non-graft relations is untouched by the rule") {
+    // a DELETE against a plain parquet view must still fail with Spark's
+    // own v1 error, proving the rule scopes to graft relations only
+    val dir = java.nio.file.Files.createTempDirectory("plainpq").toString
+    (0 until 5).toDF("k").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("graft_dml_plain")
+    val e = intercept[Exception](spark.sql("DELETE FROM graft_dml_plain WHERE k = 1"))
+    assert(!e.getMessage.contains("graft"),
+      s"plain parquet DML must fail with Spark's own error, got: ${e.getMessage}")
+  }
+}
