@@ -658,6 +658,46 @@ object TableQueries {
                                   AND b.mn + (b.mx - b.mn) * 55 // 100
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Hive-style PARTITION columns in the graft log — the first pruning
+    // tier every 100 TB ingest layout (date=/source=/lang= directories)
+    // actually uses, beneath the zone maps: `append(partitionBy = …)`
+    // lands files under `o_orderstatus=X/` segments via Spark's own
+    // partitioned write, the VALUES ride in the paths (the log stays
+    // value-free), and a plain equality predicate through the connector
+    // prunes whole directories inside planning — proven by the
+    // FileSourceScanExec's planned-file count against the unfiltered
+    // total. The partition column re-attaches typed on read.
+    QuerySpec(
+      "table_partition_prune",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_hive")
+        deleteRecursively(table)
+        TxLog.append(ordersAll(s, dir).repartition(4), table,
+          partitionBy = Seq("o_orderstatus"))
+        def planned(df: DataFrame): Long =
+          df.queryExecution.executedPlan.collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.totalNumberOfFiles
+          }.getOrElse(throw new IllegalStateException("no file scan in plan"))
+        val all = s.read.format("graft").load(table)
+        val total = planned(all)
+        val one = all.filter(col("o_orderstatus") === "F")
+        require(planned(one) * 2 <= total,
+          s"partition pruning failed: ${planned(one)} of $total files for 1 of 3 statuses")
+        one.groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+            min(col("o_orderkey")).as("first_key"),
+            max(col("o_orderkey")).as("last_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+              FROM orders WHERE o_orderstatus = 'F'
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // STRING zone maps with truncation-safe semantics: a table keyed by
     // a fixed-width string renders range-disjoint per-file string stats
     // (short values ride exact; long values would record incremented-

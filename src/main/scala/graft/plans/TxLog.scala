@@ -82,7 +82,10 @@ object TxLog {
     * `dataChange=false` marks layout-only commits (compaction) that a
     * change feed must skip; `stats` maps each ADDED file to its column
     * zone maps; `txn` carries the (appId, batchId) idempotence token of a
-    * streaming append. */
+    * streaming append; `partitionCols` names the table's hive-style
+    * partition columns (their VALUES live in the added files' paths as
+    * `col=value/` segments — the layout every 100 TB ingest uses — so
+    * the log itself stays value-free). */
   final case class Commit(
       version: Long,
       op: String,
@@ -91,7 +94,8 @@ object TxLog {
       schemaJson: String,
       dataChange: Boolean,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      partitionCols: Seq[String] = Nil)
 
   /** Resolved table state as of a version. `txns` holds the highest
     * committed batchId per streaming appId — the exactly-once ledger. */
@@ -100,7 +104,8 @@ object TxLog {
       files: Seq[String],
       schemaJson: String,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      partitionCols: Seq[String] = Nil)
 
   // ------------------------------------------------------------------
   // public API
@@ -108,17 +113,37 @@ object TxLog {
 
   /** Append `df` as a new commit. The parquet write runs distributed
     * (one file per partition, executor-side); only names reach the log.
-    * Fails loudly if `df`'s schema does not match the table's. */
-  def append(df: DataFrame, table: String): Long = {
-    val (files, schemaJson, stats) = writeData(df, table)
+    * Fails loudly if `df`'s schema does not match the table's.
+    *
+    * `partitionBy` (creation-time only) lays the table out hive-style:
+    * files land under `col=value/` directories, the values ride in the
+    * paths (the log stays value-free), and every later append inherits
+    * the layout — passing a DIFFERENT partitioning to an existing table
+    * refuses loudly. */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val parts = effectivePartitioning(table, partitionBy)
+    val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
-      stats = stats,
+      stats = stats, partitionCols = parts,
       removePlan = { snap =>
         if (snap.version > 0 && snap.schemaJson.nonEmpty)
           requireSchemaMatch(snap.schemaJson, schemaJson, table)
         Seq.empty
       }).get
   }
+
+  /** The table's partition columns an op must write with: an existing
+    * table's layout wins (a mismatched explicit request refuses); a new
+    * table takes the request. */
+  private def effectivePartitioning(table: String, requested: Seq[String]): Seq[String] =
+    if (latestVersion(table) == 0) requested
+    else {
+      val existing = replay(table, None).partitionCols
+      require(requested.isEmpty || requested == existing,
+        s"table $table is partitioned by [${existing.mkString(", ")}]; " +
+          s"cannot write with [${requested.mkString(", ")}]")
+      existing
+    }
 
   /** Exactly-once streaming append: commits carry an (appId, batchId)
     * token, and a batch at or below the app's committed high-water mark
@@ -131,9 +156,10 @@ object TxLog {
       df: DataFrame, table: String, appId: String, batchId: Long): Option[Long] = {
     if (latestVersion(table) > 0 &&
       replay(table, None).txns.get(appId).exists(_ >= batchId)) return None
-    val (files, schemaJson, stats) = writeData(df, table)
+    val parts = effectivePartitioning(table, Nil)
+    val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
-      stats = stats, txn = Some(appId -> batchId),
+      stats = stats, txn = Some(appId -> batchId), partitionCols = parts,
       removePlan = { snap =>
         if (snap.version > 0 && snap.schemaJson.nonEmpty)
           requireSchemaMatch(snap.schemaJson, schemaJson, table)
@@ -149,6 +175,8 @@ object TxLog {
     * recomputed against fresh state on every publish retry, so two
     * concurrent evolutions compose instead of clobbering. */
   def appendEvolve(df: DataFrame, table: String): Long = {
+    require(effectivePartitioning(table, Nil).isEmpty,
+      s"appendEvolve is not supported on a partitioned table ($table)")
     val (files, schemaJson, stats) = writeData(df, table)
     commit(table, "append", files, dataChange = true,
       schemaPlan = { snap =>
@@ -186,10 +214,16 @@ object TxLog {
     * remove set is recomputed from the then-live snapshot on every
     * publish attempt, so a racing append loses no data silently — its
     * rows are removed by THIS commit's semantics, visibly in the log. */
-  def overwrite(df: DataFrame, table: String): Long = {
-    val (files, schemaJson, stats) = writeData(df, table)
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    // overwrite replaces content AND may redefine the layout; without an
+    // explicit request the existing partitioning carries over
+    val parts =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (latestVersion(table) == 0) Nil
+      else replay(table, None).partitionCols
+    val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "overwrite", files, dataChange = true, schemaPlan = _ => schemaJson,
-      stats = stats, removePlan = snap => snap.files).get
+      stats = stats, partitionCols = parts, removePlan = snap => snap.files).get
   }
 
   /** Rewrite the current live files into `numFiles` larger ones without
@@ -229,9 +263,9 @@ object TxLog {
         val key = graft.functions.HilbertIndex(nx, ny)
         base.repartitionByRange(numFiles, key).sortWithinPartitions(key)
       }
-    val (files, _, stats) = writeData(df, table)
+    val (files, _, stats) = writeData(df, table, snap.partitionCols)
     commit(table, "compact", files, dataChange = false, schemaPlan = _ => snap.schemaJson,
-      stats = stats,
+      stats = stats, partitionCols = snap.partitionCols,
       removePlan = { now =>
         val gone = snap.files.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -285,10 +319,10 @@ object TxLog {
       .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates.select(affectedRows.columns.map(col).toSeq: _*))
       .repartition(math.max(1, affected.length))
-    val (files, _, stats) = writeData(merged, table)
+    val (files, _, stats) = writeData(merged, table, snap.partitionCols)
     val (rLo, rHi) = (range.getString(0), range.getString(1))
     commit(table, "merge", files, dataChange = true, schemaPlan = _ => snap.schemaJson,
-      stats = stats,
+      stats = stats, partitionCols = snap.partitionCols,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -345,7 +379,8 @@ object TxLog {
     // over the affected files instead of an isEmpty probe plus a write;
     // all-matched files leave only vacuum-able empty orphans behind
     val (files0, _, stats0) =
-      writeData(survivors.repartition(math.max(1, affected.length)), table)
+      writeData(survivors.repartition(math.max(1, affected.length)), table,
+        snap.partitionCols)
     val written = files0.map(f =>
       stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
     val (files, stats) =
@@ -353,6 +388,7 @@ object TxLog {
       else (files0, stats0)
     commit(table, "delete", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
+      partitionCols = snap.partitionCols,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -398,9 +434,11 @@ object TxLog {
         }
       }.toSeq: _*)
     val (files, _, stats) =
-      writeData(rewritten.repartition(math.max(1, affected.length)), table)
+      writeData(rewritten.repartition(math.max(1, affected.length)), table,
+        snap.partitionCols)
     commit(table, "update", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
+      partitionCols = snap.partitionCols,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -428,7 +466,7 @@ object TxLog {
           s"vacuumed: ${missing.take(3).mkString(", ")}")
     commit(table, "restore", target.files, dataChange = true,
       schemaPlan = _ => target.schemaJson,
-      stats = target.stats,
+      stats = target.stats, partitionCols = target.partitionCols,
       removePlan = snap => snap.files.filterNot(target.files.contains)).get
   }
 
@@ -536,9 +574,17 @@ object TxLog {
       s"change range ($fromExclusive, $toInclusive] invalid for $table at head $head")
     val cs = readCommits(table, fromExclusive + 1, toInclusive)
     val added = cs.filter(_.dataChange).flatMap(_.add)
-    val schemaJson = cs.lastOption.map(_.schemaJson)
-      .getOrElse(replay(table, Some(math.max(fromExclusive, 1L))).schemaJson)
-    readFiles(spark, table, Snapshot(toInclusive, added, schemaJson))
+    // schema AND partition layout come from the range's last commit —
+    // a bare snapshot would read a partitioned table's partition
+    // columns as silent NULLs
+    val (schemaJson, partCols) = cs.lastOption
+      .map(c => c.schemaJson -> c.partitionCols)
+      .getOrElse {
+        val s = replay(table, Some(math.max(fromExclusive, 1L)))
+        s.schemaJson -> s.partitionCols
+      }
+    readFiles(spark, table,
+      Snapshot(toInclusive, added, schemaJson, partitionCols = partCols))
   }
 
   /** Current head version (0 = no commits yet). */
@@ -614,6 +660,9 @@ object TxLog {
     * ingest whose files were vacuumed BEFORE any feed existed is
     * unfeedable and skipped (its consumption window is simply gone). */
   def feedDir(table: String): String = {
+    require(replay(table, None).partitionCols.isEmpty,
+      s"the hard-linked ingest feed flattens file names and would lose " +
+        s"$table's partition segments — consume changes() instead")
     val dir = Paths.get(table, FeedDirName)
     Files.createDirectories(dir)
     history(table).filter(c => c.dataChange && FeedOps(c.op))
@@ -696,18 +745,82 @@ object TxLog {
     * commit messages; the footer is the storage-level source of truth
     * either way.) */
   private def writeData(
-      df: DataFrame, table: String): (Seq[String], String, Map[String, Map[String, ColStats]]) = {
+      df: DataFrame, table: String, partitionBy: Seq[String] = Nil)
+      : (Seq[String], String, Map[String, Map[String, ColStats]]) = {
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataDir = Paths.get(table, "data", commitId)
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val files = Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => s"data/$commitId/${f.getName}")
-      .sorted.toSeq
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
+      .parquet(dataDir.toString)
+    val files: Seq[String] =
+      if (partitionBy.isEmpty)
+        Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"data/$commitId/${f.getName}")
+          .sorted.toSeq
+      else {
+        // hive layout: files sit under col=value/ segments; the values
+        // ride in the relative path and feed synthesized zone maps below
+        val stream = Files.walk(dataDir)
+        try stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => relativize(table, p))
+          .toSeq.sorted
+        finally stream.close()
+      }
+    require(files.forall(!_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"partition column(s) ${partitionBy.mkString(", ")} carry NULL values — " +
+        "a graft partition value must be non-null")
+    // per-partition-column domain for the synthesized min=max=value stats
+    val partKinds: Map[String, String] = partitionBy.map { c =>
+      import org.apache.spark.sql.types._
+      c -> (df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "long"
+        case FloatType | DoubleType => "double"
+        case _ => "string" // dates/strings compare correctly as strings
+      })
+    }.toMap
     val stats = files.map { rel =>
-      rel -> fileStats(Paths.get(table, rel))
+      val footer = fileStats(Paths.get(table, rel))
+      val synthesized =
+        if (partitionBy.isEmpty) Map.empty[String, ColStats]
+        else partitionValuesOf(rel, partitionBy).map { case (c, v) =>
+          c -> ColStats(partKinds(c), v, v)
+        }
+      rel -> (footer ++ synthesized)
     }.filter(_._2.nonEmpty).toMap
     (files, nullable(df.schema).json, stats)
+  }
+
+  /** Partition values parsed from a file's `col=value/` path segments
+    * (hive escaping undone). Loud if a named column is absent. */
+  private[graft] def partitionValuesOf(
+      rel: String, cols: Seq[String]): Map[String, String] = {
+    val kvs = rel.split("/").drop(2).dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None else Some(seg.substring(0, i) -> unescapePath(seg.substring(i + 1)))
+    }.toMap
+    cols.map(c => c -> kvs.getOrElse(c,
+      throw new IllegalStateException(
+        s"file $rel lacks a partition segment for column $c"))).toMap
+  }
+
+  /** Undo Spark's hive-style %XX path escaping. */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Harvest per-column min/max from one parquet footer. Only top-level
@@ -838,8 +951,28 @@ object TxLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       requireLiveFilesExist(table, snap)
-      spark.read.schema(schema)
-        .parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
+      if (snap.partitionCols.isEmpty)
+        spark.read.schema(schema)
+          .parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
+      else {
+        // hive layout: partition values live in the paths, so each
+        // commit's files read with that commit's dir as basePath and
+        // Spark's own partition discovery re-attaches the columns
+        // (typed by the explicit schema); per-commit grouping keeps the
+        // basePath a clean ancestor. The connector read path
+        // (format("graft")) serves the same rows from ONE scan via its
+        // partition-aware FileIndex — this API path is the bounded
+        // union over contributing commits.
+        import org.apache.spark.sql.functions.col
+        snap.files.groupBy(_.split("/")(1)).toSeq.sortBy(_._1)
+          .map { case (commitId, files) =>
+            spark.read
+              .option("basePath", Paths.get(table, "data", commitId).toString)
+              .schema(schema)
+              .parquet(files.map(f => Paths.get(table, f).toString): _*)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          }.reduce(_ unionByName _)
+      }
     }
   }
 
@@ -884,7 +1017,9 @@ object TxLog {
       dataChange = node.get("dataChange").asBoolean(),
       stats = parseStats(node.get("stats")),
       txn = Option(node.get("txnApp")).map(a =>
-        a.asText() -> node.get("txnBatch").asLong()))
+        a.asText() -> node.get("txnBatch").asLong()),
+      partitionCols = Option(node.get("partitionCols"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   private def readCommits(table: String, from: Long, to: Long): Seq[Commit] =
@@ -910,7 +1045,9 @@ object TxLog {
         node.get("schema").asText(),
         stats = parseStats(node.get("stats")),
         txns = Option(node.get("txns")).map(_.properties().asScala
-          .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
+          .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
+        partitionCols = Option(node.get("partitionCols"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
     }
   }
 
@@ -929,6 +1066,7 @@ object TxLog {
     val stats = scala.collection.mutable.Map[String, Map[String, ColStats]](base.stats.toSeq: _*)
     val txns = scala.collection.mutable.Map[String, Long](base.txns.toSeq: _*)
     var schemaJson = base.schemaJson
+    var partitionCols = base.partitionCols
     readCommits(table, base.version + 1, v).foreach { c =>
       c.remove.foreach { f => live.remove(f); stats.remove(f) }
       c.add.foreach(live.add)
@@ -936,8 +1074,9 @@ object TxLog {
       c.txn.foreach { case (app, batch) =>
         txns(app) = math.max(batch, txns.getOrElse(app, Long.MinValue)) }
       schemaJson = c.schemaJson
+      partitionCols = c.partitionCols
     }
-    Snapshot(v, live.toSeq, schemaJson, stats.toMap, txns.toMap)
+    Snapshot(v, live.toSeq, schemaJson, stats.toMap, txns.toMap, partitionCols)
   }
 
   // ------------------------------------------------------------------
@@ -958,6 +1097,7 @@ object TxLog {
       schemaPlan: Snapshot => String,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
+      partitionCols: Seq[String] = Nil,
       removePlan: Snapshot => Seq[String]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
@@ -977,6 +1117,9 @@ object TxLog {
       val remArr = rec.putArray("remove"); remove.foreach(remArr.add)
       rec.put("schema", schemaPlan(snap))
       rec.put("dataChange", dataChange)
+      if (partitionCols.nonEmpty) {
+        val pArr = rec.putArray("partitionCols"); partitionCols.foreach(pArr.add)
+      }
       if (stats.nonEmpty) {
         val stNode = rec.putObject("stats")
         stats.foreach { case (f, cols) =>
@@ -1040,6 +1183,9 @@ object TxLog {
       if (snap.txns.nonEmpty) {
         val txNode = rec.putObject("txns")
         snap.txns.foreach { case (app, batch) => txNode.put(app, batch) }
+      }
+      if (snap.partitionCols.nonEmpty) {
+        val pArr = rec.putArray("partitionCols"); snap.partitionCols.foreach(pArr.add)
       }
       publish(logDir(table), f"$version%020d.checkpoint.json",
         mapper.writeValueAsString(rec)): Unit

@@ -83,8 +83,17 @@ private[sources] object GraftLogSource {
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     val snap = TxLog.snapshotInfo(table, asOf)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    new GraftRelation(table, new GraftFileIndex(table, snap, pinned = asOf.isDefined),
-      schema, parameters)(spark)
+    // hive-partitioned tables split the schema: partition columns live in
+    // the FileIndex's partitionSchema (values attached from the log's
+    // path segments, pruned in-planner), data columns scan from parquet.
+    // Spark appends partition columns after data columns in the output.
+    val partSchema = StructType(
+      snap.partitionCols.map(c => schema(schema.fieldIndex(c))).toArray)
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => snap.partitionCols.contains(f.name)))
+    new GraftRelation(table,
+      new GraftFileIndex(table, snap, pinned = asOf.isDefined, partSchema),
+      dataSchema, partSchema, schema.fieldNames.toIndexedSeq, parameters)(spark)
   }
 }
 
@@ -98,15 +107,22 @@ private[sources] object GraftLogSource {
   * log's loud schema check sees the table's own column names. */
 final class GraftRelation(
     val table: String, index: GraftFileIndex, dataSchema0: StructType,
+    partSchema: StructType, tableFieldOrder: IndexedSeq[String],
     parameters: Map[String, String])(spark: SparkSession)
-    extends HadoopFsRelation(index, StructType(Nil), dataSchema0, None,
+    extends HadoopFsRelation(index, partSchema, dataSchema0, None,
       new ParquetFileFormat(), parameters)(spark)
     with InsertableRelation {
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(!parameters.contains("versionAsOf"),
       "graft: cannot INSERT into a versionAsOf time-travel view")
-    val aligned = data.toDF(dataSchema0.fieldNames.toIndexedSeq: _*)
+    // the relation's OUTPUT order is dataSchema ++ partitionSchema; the
+    // insert realigns positionally to that, then reorders to the TABLE
+    // schema order the log enforces
+    import org.apache.spark.sql.functions.col
+    val outputOrder = dataSchema0.fieldNames ++ partSchema.fieldNames
+    val aligned = data.toDF(outputOrder.toIndexedSeq: _*)
+      .select(tableFieldOrder.map(col): _*)
     if (overwrite) TxLog.overwrite(aligned, table)
     else TxLog.append(aligned, table): Unit
     // a later scan through this same (temp-view-pinned) relation must
@@ -127,7 +143,8 @@ final class GraftRelation(
   * serves INSERTs committed after it, the way every table-format
   * integration must. `pinned=true` (versionAsOf) never moves. */
 final class GraftFileIndex(
-    table: String, initial: TxLog.Snapshot, pinned: Boolean) extends FileIndex {
+    table: String, initial: TxLog.Snapshot, pinned: Boolean,
+    partSchema: StructType = StructType(Nil)) extends FileIndex {
 
   @volatile private var snap: TxLog.Snapshot = initial
 
@@ -154,7 +171,7 @@ final class GraftFileIndex(
   }
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(new java.io.File(table).toURI))
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = partSchema
   override def inputFiles: Array[String] =
     statuses(current()).map(_._2.getPath.toString).toArray
   override def refresh(): Unit = current(): Unit
@@ -168,7 +185,36 @@ final class GraftFileIndex(
       val stats = s.stats.getOrElse(rel, Map.empty)
       dataFilters.forall(f => mayMatch(f, stats))
     }
-    Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
+    if (partSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, keep.map(_._2).toArray))
+    else {
+      // hive layout: group surviving files by their path-borne partition
+      // values, materialize each group's typed InternalRow, and evaluate
+      // the pushed partition filters against it — exact directory-level
+      // pruning, Spark's own first skipping tier, driven by the log
+      val cols = partSchema.fieldNames.toSeq
+      val groups = keep.groupBy { case (rel, _) =>
+        TxLog.partitionValuesOf(rel, cols)
+      }
+      val bound = partitionFilters.map { f =>
+        org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted(
+          f.transform {
+            case a: AttributeReference =>
+              val i = partSchema.fieldIndex(a.name)
+              BoundReference(i, partSchema(i).dataType, nullable = false)
+          })
+      }
+      groups.toSeq.map { case (pv, files) =>
+        val values = InternalRow.fromSeq(partSchema.fields.map { f =>
+          Cast(Literal(UTF8String.fromString(pv(f.name)),
+            org.apache.spark.sql.types.StringType), f.dataType).eval(null)
+        }.toSeq)
+        values -> files
+      }.filter { case (values, _) => bound.forall(_.eval(values)) }
+        .map { case (values, files) =>
+          PartitionDirectory(values, files.map(_._2).toArray)
+        }
+    }
   }
 
   /** Can any row of a file with these zone maps satisfy `e`? Three-valued

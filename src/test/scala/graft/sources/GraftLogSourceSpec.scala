@@ -128,6 +128,56 @@ class GraftLogSourceSpec extends AnyFunSuite {
       .schema.fieldNames.toSeq == Seq("k", "tag"))
   }
 
+  test("hive-partitioned tables: path-borne values, in-planner pruning, COW preserves layout") {
+    val t = freshTable("hivepart")
+    val src = (0 until 90).toDF("k")
+      .withColumn("bucket", concat(lit("b"), $"k" % 3))
+      .withColumn("tag", lit("x"))
+    TxLog.append(src.repartition(2), t, partitionBy = Seq("bucket"))
+    // layout: files sit under bucket=bX/ dirs, the column is NOT in the
+    // parquet files, and the log's snapshot knows the partitioning
+    val snap = TxLog.snapshotInfo(t)
+    assert(snap.partitionCols == Seq("bucket"))
+    assert(snap.files.forall(_.matches("data/[0-9a-f]+/bucket=b[0-2]/.*\\.parquet")))
+    // API read re-attaches the partition column
+    assert(TxLog.snapshot(spark, t).filter($"bucket" === "b1")
+      .select("k").as[Int].collect().toSet == (0 until 90).filter(_ % 3 == 1).toSet)
+    // connector read: partition filter prunes at the DIRECTORY level
+    val all = spark.read.format("graft").load(t)
+    assert(all.columns.toSeq == Seq("k", "tag", "bucket"),
+      "partition column rides at the end of the connector output")
+    val total = scannedFiles(all)
+    val one = all.filter($"bucket" === "b1")
+    assert(scannedFiles(one) * 3 <= total,
+      s"partition pruning failed: ${scannedFiles(one)} of $total files")
+    assert(one.select("k").as[Int].collect().toSet ==
+      (0 until 90).filter(_ % 3 == 1).toSet)
+    // appends inherit the layout; a conflicting request refuses
+    TxLog.append((90 until 96).toDF("k")
+      .withColumn("bucket", concat(lit("b"), $"k" % 3)).withColumn("tag", lit("y")), t)
+    intercept[IllegalArgumentException](
+      TxLog.append(src, t, partitionBy = Seq("tag")))
+    // COW delete preserves the layout and the snapshot stays correct
+    TxLog.delete(spark, t, $"k" >= 90 && $"bucket" === "b0")
+    val afterDel = TxLog.snapshotInfo(t)
+    assert(afterDel.files.forall(_.contains("bucket=")))
+    assert(TxLog.snapshot(spark, t).count() == 94)
+    // changes() re-attaches partition values too
+    assert(TxLog.changes(spark, t, 1, 2).filter($"bucket" === "b0")
+      .select("k").as[Int].collect().toSet == Set(90, 93))
+    // metadata min/max serves the partition column from synthesized stats
+    assert(TxLog.metadataMinMax(t, "bucket").contains(("b0", "b2")))
+    // NULL partition values refuse loudly (ours names the contract;
+    // rows where only SOME values are null reach the writer and must
+    // die at the __HIVE_DEFAULT_PARTITION__ detection)
+    val e = intercept[IllegalArgumentException](TxLog.append(
+      (0 until 3).toDF("k")
+        .withColumn("bucket", when($"k" === 1, lit(null).cast("string")).otherwise(lit("b")))
+        .withColumn("tag", lit("z")),
+      freshTable("nullpart"), partitionBy = Seq("bucket")))
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("df.write.format(graft) commits through the log with full mode semantics") {
     val t = freshTable("write")
     def w(r: Range, tag: String) =
