@@ -103,6 +103,39 @@ object RelationalQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // CSV DIALECT sniffing — the reference inherits DuckDB's delimiter
+    // auto-detection (core_processor.rs:413-418); Spark hardcodes the
+    // comma, so the ingest pipeline sniffs a bounded 16 KB prefix
+    // (sources/CsvDialect): semicolon and tab exports — the two
+    // dialects European tooling actually emits — must load with their
+    // full column structure, not as one mangled column. Both fixtures
+    // read through the REAL pipeline arm (IngestPipeline.read), so the
+    // sniff is on the executed path, not a side API.
+    QuerySpec(
+      "scan_csv_dialect",
+      (s, dir) => {
+        def fixture(sep: String, name: String): String = {
+          val tmp = ReaderQueries.fixturePath(dir, name)
+          t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+            .option("header", true).option("sep", sep).csv(tmp)
+          Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".csv")).head.getAbsolutePath
+        }
+        val semi = graft.plans.IngestPipeline.read(
+          s, fixture(";", "csv_dialect_semi"), graft.sources.FileType.Csv)
+        val tab = graft.plans.IngestPipeline.read(
+          s, fixture("\t", "csv_dialect_tab"), graft.sources.FileType.Csv)
+        semi.withColumn("src", lit("semi"))
+          .unionByName(tab.withColumn("src", lit("tab")))
+          .select(col("src"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("src", "n_nationkey")
+      },
+      Some("""SELECT src, n_nationkey, n_name, n_regionkey FROM (
+                SELECT 'semi' AS src, n_nationkey, n_name, n_regionkey FROM nation
+                UNION ALL
+                SELECT 'tab' AS src, n_nationkey, n_name, n_regionkey FROM nation)
+              ORDER BY src, n_nationkey""")),
+
     // ORC round-trip — the other major columnar warehouse format, same
     // round-trip pattern as scan_csv: written from `nation`, read back
     // through Spark's built-in vectorized ORC reader (predicate pushdown

@@ -95,8 +95,12 @@ object IngestPipeline {
           graft.sources.GeoParquet.read(spark, path)
         else spark.read.parquet(path)
       case FileType.Csv =>
-        // header+infer+tolerate mirrors read_csv(ignore_errors, header)
+        // header+infer+tolerate mirrors read_csv(ignore_errors, header);
+        // the bounded-prefix dialect sniff mirrors DuckDB's delimiter
+        // auto-detection (semicolon/tab exports would otherwise load as
+        // one mangled column) — driver-side, one 16 KB read, no job
         spark.read.option("header", true).option("inferSchema", true)
+          .option("sep", graft.sources.CsvDialect.sniffSeparator(path))
           .option("mode", "DROPMALFORMED").csv(path)
       case FileType.Geojson =>
         graft.sources.GeoJsonReader.read(spark, path)
