@@ -746,6 +746,77 @@ object TableQueries {
                           AND LPAD(CAST(b.mn + (b.mx - b.mn) * 4 // 10 AS VARCHAR), 12, '0')
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // 3-D Hilbert clustering (k-D Skilling transform): the realistic
+    // training-data layout clusters time × key × quality — here custkey
+    // × orderkey × totalprice. The hash baseline must be unprunable on
+    // ALL three dims; after `compact(clusterBy = 3 columns)` each
+    // single-dimension band must plan strictly fewer files through the
+    // connector — multi-dimensional skipping on every axis from one
+    // layout-only commit. Content equality rides the hash oracle.
+    QuerySpec(
+      "table_cluster_prune_3d",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_cluster3d")
+        deleteRecursively(table)
+        TxLog.append(ordersAll(s, dir).repartition(64), table)
+        val r = Tables(s, dir, "orders").agg(
+          min(col("o_custkey")), max(col("o_custkey")),
+          min(col("o_orderkey")), max(col("o_orderkey")),
+          min(col("o_totalprice")), max(col("o_totalprice"))).head()
+        // domain-NATIVE band literals per column — a cast around the
+        // attribute would be an opaque predicate shape and defeat the
+        // zone-map pruning this query exists to prove
+        // 30-40% bands: off-center, so they sit INSIDE one curve
+        // quadrant per dimension — a midpoint-straddling band touches
+        // both halves of every dim and nothing could prune
+        def lband(lo: Long, hi: Long): (Long, Long) =
+          (lo + (hi - lo) * 30 / 100, lo + (hi - lo) * 40 / 100)
+        val (cLo, cHi) = lband(r.getLong(0), r.getLong(1))
+        val (kLo, kHi) = lband(r.getLong(2), r.getLong(3))
+        val (pLo, pHi) = (
+          r.getDouble(4) + (r.getDouble(5) - r.getDouble(4)) * 0.30,
+          r.getDouble(4) + (r.getDouble(5) - r.getDouble(4)) * 0.40)
+        def planned(pred: org.apache.spark.sql.Column): Long = {
+          val df = s.read.format("graft").load(table).filter(pred)
+          df.queryExecution.executedPlan.collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.totalNumberOfFiles
+          }.getOrElse(throw new IllegalStateException("no file scan in plan"))
+        }
+        def all(): Seq[Long] = Seq(
+          planned(col("o_custkey").between(cLo, cHi)),
+          planned(col("o_orderkey").between(kLo, kHi)),
+          planned(col("o_totalprice").between(pLo, pHi)))
+        val before = all()
+        TxLog.compact(s, table, 64,
+          clusterBy = Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        val after = all()
+        // every dimension must shrink, and the total planned-file count
+        // must at least halve — 3 dims × 64 files gives each axis 2 top
+        // bits of curve locality, so a 10% off-center band should plan
+        // roughly a quarter of the files per dim
+        require(after.zip(before).forall { case (a, b) => a < b },
+          s"3-D Hilbert clustering must shrink the plan on every dim: $before -> $after")
+        require(after.sum * 2 <= before.sum,
+          s"3-D Hilbert clustering must at least halve planned files: $before -> $after")
+        s.read.format("graft").load(table)
+          .filter(col("o_custkey").between(cLo, cHi))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+            min(col("o_custkey")).as("first_cust"),
+            max(col("o_custkey")).as("last_cust"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH b AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_custkey) AS first_cust, MAX(o_custkey) AS last_cust
+              FROM orders, b
+              WHERE o_custkey BETWEEN b.mn + (b.mx - b.mn) * 30 // 100
+                                  AND b.mn + (b.mx - b.mn) * 40 // 100
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Schema evolution without rewrites: v2 appends a column v1's files
     // never heard of (mergeSchema semantics — shared columns must keep
     // their types, loudly). Snapshot reads apply the commit-time schema

@@ -249,18 +249,28 @@ object TxLog {
     val df =
       if (clusterBy.isEmpty) base.repartition(numFiles)
       else {
-        require(clusterBy.length == 2,
-          s"clusterBy takes exactly two numeric columns, got $clusterBy")
-        val Seq(nx, ny) = clusterBy.map { c =>
+        require(clusterBy.length >= 2 && clusterBy.length <= 6,
+          s"clusterBy takes 2..6 numeric columns, got $clusterBy")
+        // bits per dimension: 16 for 2-3 dims, then shrink so the index
+        // fits a signed long — resolution per axis matters less as the
+        // number of clustered dimensions grows
+        val bits = math.min(16, 62 / clusterBy.length)
+        val maxCell = (1L << bits) - 1
+        val normalized = clusterBy.map { c =>
           val (lo, hi) = globalRange(snap, c).getOrElse(
             throw new IllegalArgumentException(
               s"clusterBy column '$c' lacks numeric zone maps in the live files of $table"))
           val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
           least(greatest(
-            floor((col(c).cast("double") - lit(lo)) * 65535.0 / lit(span)).cast("long"),
-            lit(0L)), lit(65535L))
+            floor((col(c).cast("double") - lit(lo)) * maxCell.toDouble / lit(span)).cast("long"),
+            lit(0L)), lit(maxCell))
         }
-        val key = graft.functions.HilbertIndex(nx, ny)
+        // the 2-D walk keeps its oracle-pinned orientation; ≥3 dims ride
+        // the k-D Skilling transform — same locality property, which is
+        // all clustering consumes
+        val key =
+          if (clusterBy.length == 2) graft.functions.HilbertIndex(normalized(0), normalized(1))
+          else graft.functions.HilbertK(bits, normalized: _*)
         base.repartitionByRange(numFiles, key).sortWithinPartitions(key)
       }
     val (files, _, stats) = writeData(df, table, snap.partitionCols)
