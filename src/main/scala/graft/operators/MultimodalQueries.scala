@@ -512,6 +512,69 @@ object MultimodalQueries {
                      MAX(energy) AS max_energy,
                      COALESCE(MAX(l.longest), 0) AS longest_run
               FROM a LEFT JOIN l ON a.doc_id = l.doc_id
-              GROUP BY a.doc_id ORDER BY a.doc_id"""))
+              GROUP BY a.doc_id ORDER BY a.doc_id""")),
+
+    // The REAL byte path of the image tier's dominant format: genuine
+    // baseline JPEG files (ITU-T T.81, functions/Jpeg — from-scratch
+    // markers/DHT/DQT/huffman/dequant/IDCT/YCbCr, no codec library)
+    // encoded per doc from a deterministic smooth test card, then
+    // decoded in the SCAN TASK. JPEG is LOSSY, so the contract is a
+    // TOLERANCE boolean (the t-digest stance): header fields are exact,
+    // pixel error vs the pre-encode card must sit inside the Annex K
+    // quantization bound. Cross-decoder ground truth (JDK ImageIO
+    // parity at 4:2:0, malformed rejections) lives in JpegSpec.
+    QuerySpec(
+      "multimodal_decode_jpeg",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        docs(s, dir)
+          .select(col("doc_id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 16 + (id % 3).toInt * 8
+              val h = 16 + (id % 2).toInt * 8
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val o = (y * w + x) * 3
+                  rgb(o) = (128 + 90 * StrictMath.sin(
+                    (x + id % 17) * 2 * math.Pi / w)).toInt.toByte
+                  rgb(o + 1) = (128 + 90 * StrictMath.cos(
+                    (y + id % 11) * 2 * math.Pi / h)).toInt.toByte
+                  rgb(o + 2) = (40 + (180 * (x + y)) / (w + h)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              val jpeg = graft.functions.Jpeg.encodeRgb444(w, h, rgb)
+              val (info, out) = graft.functions.Jpeg.decode(jpeg)
+              var maxE = 0
+              var sum = 0L
+              var i = 0
+              while (i < rgb.length) {
+                val d = math.abs((rgb(i) & 0xff) - (out(i) & 0xff))
+                if (d > maxE) maxE = d
+                sum += d
+                i += 1
+              }
+              (id, info.width, info.height, info.components,
+                jpeg.length > 0 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+                maxE <= 32, sum.toDouble / rgb.length <= 6.0)
+            }
+          }
+          .toDF("doc_id", "width", "height", "components",
+            "is_jpeg", "max_err_ok", "mean_err_ok")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+                     CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+                     3 AS components,
+                     TRUE AS is_jpeg, TRUE AS max_err_ok, TRUE AS mean_err_ok
+              FROM documents ORDER BY doc_id"""))
   )
 }
