@@ -45,6 +45,34 @@ import org.apache.spark.sql.graftbridge.Bridge
 object GraftDml extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // INSERT must be taken over HERE, before postHoc DataSourceAnalysis:
+    // for a PARTITIONED graft relation PreprocessTableInsertion fills a
+    // dynamic partitionSpec, the InsertableRelation arm (guarded on an
+    // empty spec) loses, and InsertIntoHadoopFsRelationCommand would
+    // write files straight into the table dir — bytes the log never
+    // sees, a silently lost insert. Unpartitioned inserts route here
+    // too so every graft INSERT takes one audited path.
+    case i @ InsertIntoStatement(
+        target, parts, cols, query, overwrite, ifNotExists, byName) if query.resolved =>
+      graftRelation(target) match {
+        case Some(r) =>
+          require(!r.isTimeTravel,
+            "graft: cannot INSERT into a versionAsOf time-travel view")
+          require(cols.isEmpty && !byName,
+            "INSERT on a graft view is by-position only (no column list / BY NAME)")
+          require(parts.values.forall(_.isEmpty),
+            "INSERT on a graft view: static PARTITION values are not supported — " +
+              "supply the partition column in the SELECT")
+          require(!ifNotExists,
+            "INSERT on a graft view: IF NOT EXISTS is not supported")
+          require(query.output.length == r.schema.length,
+            s"INSERT on ${r.table}: query supplies ${query.output.length} columns, " +
+              s"the table has ${r.schema.length}")
+          GraftInsertCommand(r.table, query,
+            r.schema.fields.map(f => f.name -> f.dataType).toSeq,
+            r.tableFieldOrder, overwrite)
+        case None => i
+      }
     case d @ DeleteFromTable(target, cond) =>
       graftTable(target) match {
         case Some(t) => GraftDeleteCommand(t, new GraftExprHolder(unresolve(cond)))
@@ -85,19 +113,22 @@ object GraftDml extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** The graft table path behind a (possibly alias/view/project-wrapped)
-    * relation — temp-view resolution nests the stored plan in
+  /** The graft relation behind a (possibly alias/view/project-wrapped)
+    * plan — temp-view resolution nests the stored plan in
     * SubqueryAlias/View (and a no-op Project for column aliasing). */
-  private def graftTable(plan: LogicalPlan): Option[String] = plan match {
-    case SubqueryAlias(_, child) => graftTable(child)
-    case v: View => graftTable(v.child)
+  private def graftRelation(plan: LogicalPlan): Option[GraftRelation] = plan match {
+    case SubqueryAlias(_, child) => graftRelation(child)
+    case v: View => graftRelation(v.child)
     case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      graftTable(p.child)
-    case LogicalRelation(r: GraftRelation, _, _, _, _) => Some(r.table)
+      graftRelation(p.child)
+    case LogicalRelation(r: GraftRelation, _, _, _, _) => Some(r)
     case other =>
       logDebug(s"GraftDml: not a graft relation: ${other.getClass.getSimpleName}")
       None
   }
+
+  private def graftTable(plan: LogicalPlan): Option[String] =
+    graftRelation(plan).map(_.table)
 
   /** De-resolve: attribute references → bare names, so the expression
     * re-resolves against the kernel's own fresh scan of the table.
@@ -189,6 +220,28 @@ final case class GraftUpdateCommand(
   override def run(session: SparkSession): Seq[Row] = {
     TxLog.update(session, table, Bridge.column(cond.e),
       sets.map { case (n, h) => n -> Bridge.column(h.e) }): Unit
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO / INSERT OVERWRITE <graft view>` — eager command over
+  * TxLog.append/overwrite: positional cast to the relation's output
+  * types (data columns then partition columns), then realigned to the
+  * table's own schema order for the log's schema check. Partitioned
+  * tables inherit their layout inside TxLog.append. */
+final case class GraftInsertCommand(
+    table: String, query: LogicalPlan,
+    outTypes: Seq[(String, org.apache.spark.sql.types.DataType)],
+    tableOrder: IndexedSeq[String], overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = Bridge.dataFrame(session, query)
+    val aligned = src.select(src.columns.zip(outTypes).map {
+      case (c, (n, dt)) => col(c).cast(dt).as(n)
+    }.toSeq: _*).select(tableOrder.map(col): _*)
+    if (overwrite) TxLog.overwrite(aligned, table)
+    else TxLog.append(aligned, table): Unit
     Seq.empty
   }
 }

@@ -107,11 +107,14 @@ private[sources] object GraftLogSource {
   * log's loud schema check sees the table's own column names. */
 final class GraftRelation(
     val table: String, index: GraftFileIndex, dataSchema0: StructType,
-    partSchema: StructType, tableFieldOrder: IndexedSeq[String],
+    partSchema: StructType, val tableFieldOrder: IndexedSeq[String],
     parameters: Map[String, String])(spark: SparkSession)
     extends HadoopFsRelation(index, partSchema, dataSchema0, None,
       new ParquetFileFormat(), parameters)(spark)
     with InsertableRelation {
+
+  /** A versionAsOf view is a pinned past — never a write target. */
+  def isTimeTravel: Boolean = parameters.contains("versionAsOf")
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(!parameters.contains("versionAsOf"),

@@ -178,6 +178,28 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null"))
   }
 
+  test("INSERT INTO and writer appends inherit a partitioned table's layout") {
+    val t = freshTable("hivepartins")
+    TxLog.append(
+      (0 until 30).toDF("k").withColumn("bucket", concat(lit("b"), $"k" % 3)),
+      t, partitionBy = Seq("bucket"))
+    // writer-API append: no partitionBy stated — the table's layout wins
+    (30 until 36).toDF("k").withColumn("bucket", concat(lit("b"), $"k" % 3))
+      .write.format("graft").mode("append").save(t)
+    // SQL insert through the view — same inheritance
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_part_ins " +
+      s"USING graft OPTIONS (path '$t')")
+    // by-position against the view output (k, bucket — data columns
+    // then partition columns)
+    spark.sql("INSERT INTO graft_part_ins SELECT id AS k, CONCAT('b', id % 3) FROM range(36, 42)")
+    val snap = TxLog.snapshotInfo(t)
+    assert(snap.partitionCols == Seq("bucket"))
+    assert(snap.files.forall(_.contains("bucket=")),
+      "every commit must keep the hive layout")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_part_ins").head.getLong(0) == 42)
+    assert(spark.read.format("graft").load(t).filter($"bucket" === "b1").count() == 14)
+  }
+
   test("df.write.format(graft) commits through the log with full mode semantics") {
     val t = freshTable("write")
     def w(r: Range, tag: String) =
