@@ -75,6 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (DELETE/UPDATE/MERGE) on `USING graft` views → the
     // transaction log's copy-on-write kernels (plans/GraftDml)
     ext.injectResolutionRule(_ => graft.plans.GraftDml)
+    // SQL maintenance (VACUUM / OPTIMIZE / DESCRIBE HISTORY graft '…')
+    // — three intercepted statement shapes, everything else delegated
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
 
     // The geo scalar kernel for SQL-text callers — the same native
     // codegen expressions the Column API builds (GeoFunctions.register's

@@ -608,6 +608,54 @@ object TableQueries {
               FROM merged
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // DESCRIBE HISTORY as SQL text (the injected maintenance parser):
+    // a deterministic 4-commit log — append/append/overwrite/compact
+    // with pinned per-commit file counts — restated row-for-row by a
+    // VALUES oracle. The auditing surface a SQL-first operator reads
+    // before trusting a table.
+    QuerySpec(
+      "table_history_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_history_sql")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), table)
+        TxLog.overwrite(ordersSlice(s, dir, 2).repartition(2), table)
+        s.sql(s"OPTIMIZE graft '$table' FILES 1")
+        s.sql(s"DESCRIBE HISTORY graft '$table'")
+          .select("version", "op", "files_added", "files_removed", "data_change")
+          .orderBy(col("version").desc)
+      },
+      Some("""SELECT * FROM (VALUES
+                (CAST(4 AS BIGINT), 'compact',   1, 2, FALSE),
+                (CAST(3 AS BIGINT), 'overwrite', 2, 4, TRUE),
+                (CAST(2 AS BIGINT), 'append',    2, 0, TRUE),
+                (CAST(1 AS BIGINT), 'append',    2, 0, TRUE))
+              AS t(version, op, files_added, files_removed, data_change)
+              ORDER BY version DESC""")),
+
+    // OPTIMIZE + VACUUM as SQL text: the 8-file layout compacts to 2
+    // through the statement (returned counts asserted), the default-
+    // retention VACUUM must reclaim NOTHING (fresh orphans are a
+    // concurrent writer's staged files), RETAIN 0 HOURS reclaims the 8
+    // dead originals, and the surviving content still hash-matches.
+    QuerySpec(
+      "table_optimize_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_optimize_sql")
+        deleteRecursively(table)
+        TxLog.append(ordersAll(s, dir).repartition(8), table)
+        val r = s.sql(s"OPTIMIZE graft '$table' FILES 2").head()
+        require(r.getLong(0) == 2L && r.getInt(1) == 8 && r.getInt(2) <= 2,
+          s"OPTIMIZE reported (${r.getLong(0)}, ${r.getInt(1)}, ${r.getInt(2)})")
+        require(s.sql(s"VACUUM graft '$table'").head().getLong(0) == 0L,
+          "default-retention VACUUM must keep fresh orphans")
+        require(s.sql(s"VACUUM graft '$table' RETAIN 0 HOURS").head().getLong(0) == 8L,
+          "RETAIN 0 HOURS must reclaim exactly the 8 dead originals")
+        ordersAgg(s.read.format("graft").load(table))
+      },
+      Some(ordersOracle("TRUE"))),
+
     // Hilbert-clustered compaction: a hash-partitioned write leaves every
     // file spanning the FULL o_custkey range (zone maps prune nothing —
     // required as the baseline), then `compact(clusterBy = custkey,
