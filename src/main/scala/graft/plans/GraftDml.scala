@@ -74,13 +74,17 @@ object GraftDml extends Rule[LogicalPlan] {
         case None => i
       }
     case d @ DeleteFromTable(target, cond) =>
-      graftTable(target) match {
-        case Some(t) => GraftDeleteCommand(t, new GraftExprHolder(unresolve(cond)))
+      graftRelation(target) match {
+        case Some(r) =>
+          requireWritable(r, "DELETE")
+          GraftDeleteCommand(r.table, new GraftExprHolder(unresolve(cond)))
         case None => d
       }
     case u @ UpdateTable(target, assignments, cond) =>
-      graftTable(target) match {
-        case Some(t) =>
+      graftRelation(target) match {
+        case Some(r) =>
+          requireWritable(r, "UPDATE")
+          val t = r.table
           val sets = assignments.map { a =>
             val name = a.key match {
               case ar: AttributeReference => ar.name
@@ -90,14 +94,20 @@ object GraftDml extends Rule[LogicalPlan] {
             }
             name -> new GraftExprHolder(unresolve(a.value))
           }
+          val dup = sets.map(_._1.toLowerCase).groupBy(identity)
+            .collect { case (n, g) if g.size > 1 => n }
+          require(dup.isEmpty,
+            s"UPDATE on a graft table assigns column(s) twice: ${dup.mkString(", ")}")
           GraftUpdateCommand(t, new GraftExprHolder(unresolve(cond.getOrElse(
             org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))), sets)
         case None => u
       }
     case m @ MergeIntoTable(target, source, mergeCond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
-      graftTable(target) match {
-        case Some(t) if source.resolved =>
+      graftRelation(target) match {
+        case Some(r) if source.resolved =>
+          requireWritable(r, "MERGE")
+          val t = r.table
           require(!withSchemaEvolution,
             "MERGE on a graft table: WITH SCHEMA EVOLUTION is not supported")
           require(notMatchedBySource.isEmpty,
@@ -127,8 +137,11 @@ object GraftDml extends Rule[LogicalPlan] {
       None
   }
 
-  private def graftTable(plan: LogicalPlan): Option[String] =
-    graftRelation(plan).map(_.table)
+  /** Every DML statement mutates HEAD — a versionAsOf view is a pinned
+    * past and must refuse, exactly like INSERT. */
+  private def requireWritable(r: GraftRelation, stmt: String): Unit =
+    require(!r.isTimeTravel,
+      s"graft: cannot $stmt a versionAsOf time-travel view of ${r.table}")
 
   /** De-resolve: attribute references → bare names, so the expression
     * re-resolves against the kernel's own fresh scan of the table.

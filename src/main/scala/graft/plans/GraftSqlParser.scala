@@ -52,6 +52,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case other => delegate.parsePlan(other)
   }
 
+  /** Parameterized SQL (`spark.sql(text, args)`) must reach the
+    * DELEGATE's parameter-aware entry point — the interface default
+    * would drop the binding context and every named marker would read
+    * unbound. Our three statements take no parameters, so they keep
+    * routing through the plain match. */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      context: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    sqlText match {
+      case Vacuum(_, _) | Optimize(_, _, _) | History(_) => parsePlan(sqlText)
+      case other => delegate.parsePlanWithParameters(other, context)
+    }
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -346,8 +346,9 @@ object TxLog {
         // uniqueness invariant merge enforces on its own input. Files
         // without key stats can't prove disjointness and conflict
         // conservatively; our own freshly written files are exempt.
-        val racedAdds = now.files
-          .filterNot(snap.files.contains).filterNot(files.contains)
+        val planned = snap.files.toSet
+        val mine = files.toSet
+        val racedAdds = now.files.filterNot(f => planned(f) || mine(f))
         val overlapping = racedAdds.filter { f =>
           now.stats.get(f).flatMap(_.get(keyCol)) match {
             case Some(cs) =>

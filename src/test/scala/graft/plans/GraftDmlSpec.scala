@@ -79,6 +79,33 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ON target.key = source.key"))
   }
 
+  test("DML on a versionAsOf view refuses — a pinned past is not a write target") {
+    val t = rangeTable("ttdml")
+    TxLog.append((200 until 210).toDF("k").withColumn("tag", lit("v2")), t)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_dml_tt " +
+      s"USING graft OPTIONS (path '$t', versionAsOf '1')")
+    Seq((30, "x")).toDF("k", "tag").createOrReplaceTempView("graft_dml_tt_src")
+    for (stmt <- Seq(
+      s"DELETE FROM graft_dml_tt WHERE k = 1",
+      s"UPDATE graft_dml_tt SET tag = 'z' WHERE k = 1",
+      s"""MERGE INTO graft_dml_tt t USING graft_dml_tt_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")) {
+      val e = intercept[Exception](spark.sql(stmt))
+      assert(e.getMessage.contains("time-travel"), s"statement escaped: $stmt")
+    }
+    // head unchanged by the refused statements
+    assert(TxLog.latestVersion(t) == 2L)
+    assert(spark.read.format("graft").load(t).count() == 110)
+  }
+
+  test("UPDATE assigning the same column twice refuses") {
+    val t = rangeTable("dupset")
+    val v = view(t, "graft_dml_dup")
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $v SET tag = 'a', tag = 'b' WHERE k = 1"))
+    assert(e.getMessage.contains("twice") || e.getMessage.toLowerCase.contains("duplicate"))
+  }
+
   test("DML on non-graft relations is untouched by the rule") {
     // a DELETE against a plain parquet view must still fail with Spark's
     // own v1 error, proving the rule scopes to graft relations only
