@@ -138,6 +138,31 @@ object TableQueries {
       Some(ordersOracle("o_orderkey % 3 IN (0, 1)")),
       cacheAssisted = true),
 
+    // TIMESTAMP-based time travel (Delta's timestampAsOf): every commit
+    // records its publication instant in the log, and an instant between
+    // two commits resolves — by binary search over the monotone commit
+    // timestamps — to the earlier one. The audit question a governed
+    // corpus answers daily: "what did training job X actually read at
+    // 02:00?". The read itself goes through the connector option, so
+    // the whole resolve→pin→scan path sits under the hash oracle.
+    QuerySpec(
+      "table_time_travel_ts",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_tsasof")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)
+        Thread.sleep(15) // commit-timestamp granularity is milliseconds
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), table)
+        Thread.sleep(15)
+        TxLog.overwrite(ordersSlice(s, dir, 2).repartition(2), table)
+        val mid = TxLog.history(table)(1).ts // the v2 instant
+        require(TxLog.versionAt(table, mid) == 2L,
+          "an instant at commit 2 must resolve to version 2")
+        ordersAgg(s.read.format("graft")
+          .option("timestampAsOf", mid.toString).load(table))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
     // Incremental change feed: a consumer checkpointed at v1 resumes
     // with changes(1, 2) and must receive exactly commit 2's rows — the
     // contract that lets a downstream 100 TB job process each ingest

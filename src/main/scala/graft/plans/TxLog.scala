@@ -95,7 +95,8 @@ object TxLog {
       dataChange: Boolean,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      ts: Long = 0L)
 
   /** Resolved table state as of a version. `txns` holds the highest
     * committed batchId per streaming appId — the exactly-once ledger. */
@@ -598,6 +599,30 @@ object TxLog {
       Snapshot(toInclusive, added, schemaJson, partitionCols = partCols))
   }
 
+  /** The newest version committed AT OR BEFORE `tsMillis` — Delta's
+    * timestampAsOf semantics, resolved by binary search over the log's
+    * per-commit publication timestamps (commit ts is monotone with
+    * version by construction: versions publish sequentially). Loud when
+    * `tsMillis` predates the first commit. Commits from logs written
+    * before timestamps existed read as ts=0 (always "old enough"). */
+  def versionAt(table: String, tsMillis: Long): Long = {
+    val head = latestVersion(table)
+    require(head > 0, s"$table is not a graft table (no commits)")
+    require(readCommit(table, 1L).ts <= tsMillis,
+      s"timestamp $tsMillis predates $table's first commit")
+    var lo = 1L
+    var hi = head
+    while (lo < hi) { // invariant: commit(lo).ts <= tsMillis
+      val mid = lo + (hi - lo + 1) / 2
+      if (readCommit(table, mid).ts <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Snapshot-isolated read as of a wall-clock instant. */
+  def snapshotAt(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    snapshot(spark, table, Some(versionAt(table, tsMillis)))
+
   /** Current head version (0 = no commits yet). */
   def latestVersion(table: String): Long = {
     val dir = logDir(table)
@@ -1030,7 +1055,8 @@ object TxLog {
       txn = Option(node.get("txnApp")).map(a =>
         a.asText() -> node.get("txnBatch").asLong()),
       partitionCols = Option(node.get("partitionCols"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   private def readCommits(table: String, from: Long, to: Long): Seq[Commit] =
@@ -1124,6 +1150,7 @@ object TxLog {
       val rec = mapper.createObjectNode()
       rec.put("version", version)
       rec.put("op", op)
+      rec.put("ts", System.currentTimeMillis())
       val addArr = rec.putArray("add"); add.foreach(addArr.add)
       val remArr = rec.putArray("remove"); remove.foreach(remArr.add)
       rec.put("schema", schemaPlan(snap))

@@ -56,8 +56,8 @@ final class GraftLogSource extends RelationProvider
       data: DataFrame): BaseRelation = {
     val table = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: .save(<table dir>) is required"))
-    require(!parameters.contains("versionAsOf"),
-      "graft: cannot write to a versionAsOf time-travel view")
+    require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "graft: cannot write to a time-travel view")
     val exists = TxLog.latestVersion(table) > 0
     mode match {
       case SaveMode.Append =>
@@ -80,7 +80,12 @@ private[sources] object GraftLogSource {
   def relation(spark: SparkSession, parameters: Map[String, String]): GraftRelation = {
     val table = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: .load(<table dir>) is required"))
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    // timestampAsOf resolves to a pinned version at relation-build time
     val asOf = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        TxLog.versionAt(table, t.toLong)))
     val snap = TxLog.snapshotInfo(table, asOf)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     // hive-partitioned tables split the schema: partition columns live in
@@ -113,12 +118,14 @@ final class GraftRelation(
       new ParquetFileFormat(), parameters)(spark)
     with InsertableRelation {
 
-  /** A versionAsOf view is a pinned past — never a write target. */
-  def isTimeTravel: Boolean = parameters.contains("versionAsOf")
+  /** A versionAsOf / timestampAsOf view is a pinned past — never a
+    * write target. */
+  def isTimeTravel: Boolean =
+    parameters.contains("versionAsOf") || parameters.contains("timestampAsOf")
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    require(!parameters.contains("versionAsOf"),
-      "graft: cannot INSERT into a versionAsOf time-travel view")
+    require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "graft: cannot INSERT into a time-travel view")
     // the relation's OUTPUT order is dataSchema ++ partitionSchema; the
     // insert realigns positionally to that, then reorders to the TABLE
     // schema order the log enforces

@@ -395,6 +395,34 @@ class TxLogSpec extends AnyFunSuite {
     assert(dfE.count() == 2)
   }
 
+  test("timestampAsOf resolves the newest version at or before the instant") {
+    val t = freshTable("tsasof")
+    TxLog.append(df(0 until 10, "a"), t)
+    Thread.sleep(15)
+    TxLog.append(df(10 until 20, "b"), t)
+    Thread.sleep(15)
+    TxLog.overwrite(df(100 until 105, "c"), t)
+    val h = TxLog.history(t)
+    assert(h.map(_.ts).sliding(2).forall { case Seq(a, b) => a <= b },
+      "commit timestamps must be monotone with version")
+    // an instant between v2 and v3 resolves to v2
+    val mid = h(1).ts
+    assert(TxLog.versionAt(t, mid) == 2L)
+    assert(keys(TxLog.snapshotAt(spark, t, mid)) == (0 until 20).toSet)
+    // an instant after head resolves to head; exact first-commit ts is v1
+    assert(TxLog.versionAt(t, System.currentTimeMillis() + 1000) == 3L)
+    assert(TxLog.versionAt(t, h(0).ts) >= 1L)
+    // predating the table refuses loudly
+    val e = intercept[IllegalArgumentException](TxLog.versionAt(t, h(0).ts - 10000))
+    assert(e.getMessage.contains("predates"))
+    // the connector option pins the same snapshot and refuses combination
+    assert(spark.read.format("graft").option("timestampAsOf", mid.toString).load(t)
+      .count() == 20)
+    val e2 = intercept[Exception](spark.read.format("graft")
+      .option("timestampAsOf", mid.toString).option("versionAsOf", "1").load(t))
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("merge aborts when a concurrent append intersects its key range") {
     val t = freshTable("mergerace")
     val src = (0 until 100).toDF("k").withColumn("tag", lit("old"))
