@@ -633,6 +633,23 @@ object TableQueries {
               FROM merged
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // RESTORE as SQL text: the metadata-only rollback (zero data files
+    // move) driven by the statement a SQL-first operator types during
+    // an incident — rolls the overwrite back to version 2 and the head
+    // must hash-match the pre-overwrite union, with the returned
+    // (new head, restored-to) pair pinned.
+    QuerySpec(
+      "table_restore_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_restore_sql")
+        buildOrdersLog(s, dir, table) // v1 +slice0, v2 +slice1, v3 overwrite
+        val r = s.sql(s"RESTORE graft '$table' TO VERSION 2").head()
+        require(r.getLong(0) == 4L && r.getLong(1) == 2L,
+          s"RESTORE reported (${r.getLong(0)}, ${r.getLong(1)})")
+        ordersAgg(s.read.format("graft").load(table))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
     // DESCRIBE HISTORY as SQL text (the injected maintenance parser):
     // a deterministic 4-commit log — append/append/overwrite/compact
     // with pinned per-commit file counts — restated row-for-row by a

@@ -13,13 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * surface that completes the SQL-first story (readers, writers, and
   * DML already route through `USING graft` views; maintenance was the
   * last Scala-API-only corner). A delegating parser (injected by
-  * GraftExtensions) intercepts exactly three statement shapes and hands
+  * GraftExtensions) intercepts exactly four statement shapes and hands
   * everything else to Spark's own parser untouched:
   *
   * {{{
   *   VACUUM graft '<table dir>' [RETAIN <n> HOURS]
   *   OPTIMIZE graft '<table dir>' [FILES <n>] [CLUSTER BY (c1, c2 [, …])]
   *   DESCRIBE HISTORY graft '<table dir>'
+  *   RESTORE graft '<table dir>' TO VERSION <n> | TO TIMESTAMP <millis>
   * }}}
   *
   * The explicit `graft` keyword keeps the grammar unambiguous with any
@@ -37,6 +38,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+graft\s+'([^']+)'(?:\s+FILES\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+graft\s+'([^']+)'\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+graft\s+'([^']+)'\s+TO\s+(VERSION|TIMESTAMP)\s+(\d+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(path, retain) =>
@@ -49,6 +52,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(cluster).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
     case History(path) => GraftHistoryCommand(path)
+    case Restore(path, kind, v) =>
+      GraftRestoreCommand(path, v.toLong, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
     case other => delegate.parsePlan(other)
   }
 
@@ -56,12 +61,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * DELEGATE's parameter-aware entry point — the interface default
     * would drop the binding context and every named marker would read
     * unbound. Our three statements take no parameters, so they keep
-    * routing through the plain match. */
+    * routing through the plain match (all four take none). */
   override def parsePlanWithParameters(
       sqlText: String,
       context: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
     sqlText match {
-      case Vacuum(_, _) | Optimize(_, _, _) | History(_) => parsePlan(sqlText)
+      case Vacuum(_, _) | Optimize(_, _, _) | History(_) | Restore(_, _, _) =>
+        parsePlan(sqlText)
       case other => delegate.parsePlanWithParameters(other, context)
     }
 
@@ -109,6 +115,19 @@ final case class GraftOptimizeCommand(
     val before = TxLog.liveFileCount(table)
     val v = TxLog.compact(session, table, numFiles, clusterBy)
     Seq(Row(v, before, TxLog.liveFileCount(table)))
+  }
+}
+
+/** `RESTORE graft '<path>' TO VERSION n | TO TIMESTAMP millis` — the
+  * metadata-only rollback as SQL text; returns the new head version and
+  * the version restored to. */
+final case class GraftRestoreCommand(table: String, target: Long, byTimestamp: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    "version" -> LongType, "restored_to" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val toVersion = if (byTimestamp) TxLog.versionAt(table, target) else target
+    Seq(Row(TxLog.restore(table, toVersion), toVersion))
   }
 }
 

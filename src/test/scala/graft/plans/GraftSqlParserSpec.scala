@@ -52,6 +52,21 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(t).count() == 3)
   }
 
+  test("RESTORE rolls back by version or timestamp, metadata-only") {
+    val t = freshTable("restore")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t)
+    Thread.sleep(15)
+    TxLog.overwrite((100 until 103).toDF("k").withColumn("tag", lit("b")), t)
+    val r = spark.sql(s"RESTORE graft '$t' TO VERSION 1").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(spark.read.format("graft").load(t).count() == 10)
+    // timestamp form: the v2 instant resolves to v2's content
+    val v2ts = TxLog.history(t)(1).ts
+    val r2 = spark.sql(s"RESTORE graft '$t' TO TIMESTAMP $v2ts").head
+    assert(r2.getLong(0) == 4L && r2.getLong(1) == 2L)
+    assert(spark.read.format("graft").load(t).count() == 3)
+  }
+
   test("everything else still parses through Spark's own grammar") {
     assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // a non-graft DESCRIBE still behaves as Spark's statement
