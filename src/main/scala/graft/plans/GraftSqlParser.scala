@@ -138,9 +138,13 @@ final case class GraftHistoryCommand(table: String)
     "version" -> LongType, "op" -> StringType,
     "files_added" -> IntegerType, "files_removed" -> IntegerType,
     "data_change" -> BooleanType, "partition_cols" -> StringType)
-  override def run(session: SparkSession): Seq[Row] =
+  override def run(session: SparkSession): Seq[Row] = {
+    require(TxLog.latestVersion(table) > 0,
+      s"$table is not a graft table (no commits) — an empty history would " +
+        "read as a healthy empty table")
     TxLog.history(table).reverse.map { c =>
       Row(c.version, c.op, c.add.length, c.remove.length, c.dataChange,
         c.partitionCols.mkString(","))
     }
+  }
 }
