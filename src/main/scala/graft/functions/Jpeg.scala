@@ -10,7 +10,7 @@ package graft.functions
   * (mincode/maxcode/valptr), interleaved MCU scan with generic 1-2
   * sampling factors (4:4:4 / 4:2:2 / 4:2:0), DRI restart markers with
   * predictor reset, 0xFF00 byte unstuffing, dequant → dezigzag → float
-  * IDCT → level shift, nearest-neighbor chroma upsampling, JFIF
+  * IDCT → level shift, triangle-filter chroma upsampling, JFIF
   * YCbCr→RGB. Non-baseline frames (progressive SOF2, arithmetic coding,
   * 12-bit precision), truncation, and malformed tables refuse loudly —
   * a silent half-decode poisons a training corpus.
@@ -202,6 +202,10 @@ object Jpeg {
     while (out == null) {
       require(pos + 1 < bytes.length, "jpeg: truncated before EOI")
       require((bytes(pos) & 0xff) == 0xff, f"jpeg: expected marker at $pos")
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+      // marker code — skip them (real-world encoders emit them)
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      require(pos + 1 < bytes.length, "jpeg: truncated inside fill bytes")
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {

@@ -63,6 +63,24 @@ object GraftDml extends Rule[LogicalPlan] {
           require(parts.values.forall(_.isEmpty),
             "INSERT on a graft view: static PARTITION values are not supported — " +
               "supply the partition column in the SELECT")
+          // Partition-scoped OVERWRITE is not implemented: TxLog.overwrite
+          // replaces EVERY live file. Under a PARTITION (c) spec — or the
+          // session-wide dynamic partitionOverwriteMode on a partitioned
+          // table — the user expects untouched partitions to survive, so
+          // mapping either shape to a full overwrite would be silent data
+          // loss. Refuse loudly until partition-scoped overwrite exists.
+          require(!(overwrite && parts.nonEmpty),
+            s"INSERT OVERWRITE on graft table ${r.table} with a PARTITION spec is " +
+              "not supported: graft overwrite replaces the WHOLE table, which " +
+              "would drop partitions the spec did not name")
+          require(!(overwrite && r.partitionSchema.nonEmpty &&
+              conf.partitionOverwriteMode ==
+                org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC),
+            s"INSERT OVERWRITE on partitioned graft table ${r.table} under " +
+              "spark.sql.sources.partitionOverwriteMode=dynamic is not supported: " +
+              "graft overwrite replaces the WHOLE table, not just the written " +
+              "partitions — set the mode to static (and expect a full replace) " +
+              "or use append + DELETE")
           require(!ifNotExists,
             "INSERT on a graft view: IF NOT EXISTS is not supported")
           require(query.output.length == r.schema.length,

@@ -785,6 +785,22 @@ object TxLog {
       : (Seq[String], String, Map[String, Map[String, ColStats]]) = {
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataDir = Paths.get(table, "data", commitId)
+    // Partition values live ONLY in the path and must round-trip exactly
+    // (string → path segment → string → Cast back to the column type).
+    // Restrict to types where that round-trip is lossless and the cast
+    // is timezone-free; refuse anything else loudly at write time rather
+    // than corrupt values at read time.
+    partitionBy.foreach { c =>
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType
+           | DateType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"graft: partition column $c has type ${other.sql}, which does not " +
+            "round-trip through a hive path segment exactly — partition by " +
+            "string, integral, date, or boolean columns only")
+      }
+    }
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
       .parquet(dataDir.toString)
@@ -841,22 +857,34 @@ object TxLog {
         s"file $rel lacks a partition segment for column $c"))).toMap
   }
 
-  /** Undo Spark's hive-style %XX path escaping. */
+  /** Undo Spark's hive-style %XX path escaping. Unescaped characters are
+    * accumulated as chars (never byte-decoded one Char at a time — that
+    * would split surrogate pairs and corrupt any non-BMP partition
+    * value); only the %XX escape bytes go through UTF-8 decoding, and
+    * they are decoded as one contiguous byte run so multi-byte escapes
+    * (%E2%82%AC) reassemble correctly. */
   private def unescapePath(s: String): String = {
     if (!s.contains('%')) return s
-    val out = new java.io.ByteArrayOutputStream()
+    val out = new java.lang.StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flushBytes(): Unit = if (bytes.size() > 0) {
+      out.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
       } else {
-        out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        flushBytes()
+        out.append(c)
         i += 1
       }
     }
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    flushBytes()
+    out.toString
   }
 
   /** Harvest per-column min/max from one parquet footer. Only top-level

@@ -20,16 +20,38 @@ object CsvDialect {
   private val PrefixBytes = 16384
   private val MaxLines = 32
 
-  /** The sniffed delimiter for the file at `path`. */
+  /** The sniffed delimiter for the file at `path`. The sniff is a pure
+    * optimization: a directory, glob, or non-local URI that
+    * `spark.read.csv` itself would accept must not make the probe throw
+    * before the reader runs — any unreadable/non-regular path falls
+    * back to the comma default. */
   def sniffSeparator(path: String): String = {
-    val in = new java.io.FileInputStream(path)
-    val prefix =
+    val probeFile =
       try {
-        val buf = new Array[Byte](PrefixBytes)
-        val n = math.max(0, in.read(buf))
-        new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    sniffSeparatorIn(prefix).toString
+        val f = new java.io.File(path)
+        if (f.isFile) Some(f)
+        else if (f.isDirectory)
+          // a directory of part files: sniff the first regular csv-ish
+          // member; absent one, fall back
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(_.isFile).sortBy(_.getName)
+            .find(m => !m.getName.startsWith(".") && !m.getName.startsWith("_"))
+        else None
+      } catch { case _: Exception => None }
+    probeFile match {
+      case None => ","
+      case Some(f) =>
+        try {
+          val in = new java.io.FileInputStream(f)
+          val prefix =
+            try {
+              val buf = new Array[Byte](PrefixBytes)
+              val n = math.max(0, in.read(buf))
+              new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          sniffSeparatorIn(prefix).toString
+        } catch { case _: Exception => "," }
+    }
   }
 
   /** Sniff over an in-memory prefix (unit-test surface). */

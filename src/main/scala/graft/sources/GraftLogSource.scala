@@ -215,9 +215,14 @@ final class GraftFileIndex(
           })
       }
       groups.toSeq.map { case (pv, files) =>
+        // timeZoneId is required for timezone-aware casts (timestamp
+        // partition columns would otherwise throw at planning time);
+        // write-time type restriction in TxLog keeps the round-trip exact
+        val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
         val values = InternalRow.fromSeq(partSchema.fields.map { f =>
           Cast(Literal(UTF8String.fromString(pv(f.name)),
-            org.apache.spark.sql.types.StringType), f.dataType).eval(null)
+            org.apache.spark.sql.types.StringType), f.dataType,
+            timeZoneId = Some(tz)).eval(null)
         }.toSeq)
         values -> files
       }.filter { case (values, _) => bound.forall(_.eval(values)) }

@@ -141,4 +141,14 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decode("PAR1 definitely not a jpeg".getBytes))
     assert(e3.getMessage.contains("SOI"))
   }
+
+  test("0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2)") {
+    val good = Jpeg.encodeRgb444(16, 16, testCard(16, 16, 2))
+    val (_, reference) = Jpeg.decode(good)
+    // pad before the first post-SOI marker (good(2) is that marker's 0xFF)
+    val padded = good.take(2) ++ Array.fill(3)(0xff.toByte) ++ good.drop(2)
+    val (info, out) = Jpeg.decode(padded)
+    assert(info.width == 16 && info.height == 16)
+    assert(out.toSeq == reference.toSeq, "fill bytes must not change the decode")
+  }
 }

@@ -47,4 +47,20 @@ class CsvDialectSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(p, "k;v;w\n1;x;y\n2;z;q\n")
     assert(CsvDialect.sniffSeparator(p.toString) == ";")
   }
+
+  test("the sniff is a pure optimization: unreadable paths fall back, directories probe a member") {
+    // nonexistent path / glob: spark.read.csv may still resolve it — the
+    // probe must not throw first
+    assert(CsvDialect.sniffSeparator("/no/such/file.csv") == ",")
+    assert(CsvDialect.sniffSeparator("/tmp/*.csv-glob-not-a-file") == ",")
+    // a directory of part files sniffs the first regular member,
+    // skipping _SUCCESS-style markers and dotfiles
+    val dir = java.nio.file.Files.createTempDirectory("dialectdir")
+    java.nio.file.Files.writeString(dir.resolve("_SUCCESS"), "")
+    java.nio.file.Files.writeString(dir.resolve("part-0000.csv"), "a|b|c\n1|2|3\n")
+    assert(CsvDialect.sniffSeparator(dir.toString) == "|")
+    // an empty directory falls back
+    val empty = java.nio.file.Files.createTempDirectory("dialectempty")
+    assert(CsvDialect.sniffSeparator(empty.toString) == ",")
+  }
 }

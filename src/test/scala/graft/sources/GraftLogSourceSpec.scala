@@ -264,4 +264,93 @@ class GraftLogSourceSpec extends AnyFunSuite {
       spark.sql("INSERT INTO graft_ins_v1 VALUES (1, 'x')"))
     assert(e.getMessage.contains("time-travel"))
   }
+
+  test("partition-scoped INSERT OVERWRITE shapes refuse instead of dropping partitions") {
+    val t = freshTable("owpart")
+    TxLog.append(
+      (0 until 30).toDF("k").withColumn("bucket", concat(lit("b"), $"k" % 3)),
+      t, partitionBy = Seq("bucket"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ow_part " +
+      s"USING graft OPTIONS (path '$t')")
+    // a dynamic PARTITION (c) spec promises partition-scoped replacement
+    // graft cannot deliver — must refuse, not wipe the table
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE TABLE graft_ow_part PARTITION (bucket) " +
+        "SELECT id AS k, 'b0' AS bucket FROM range(5)"))
+    assert(e1.getMessage.contains("PARTITION spec"))
+    // session-wide dynamic overwrite mode on a partitioned table: same
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT OVERWRITE TABLE graft_ow_part SELECT id AS k, 'b0' AS bucket FROM range(5)"))
+      assert(e2.getMessage.contains("partitionOverwriteMode"))
+      // an UNpartitioned table is unaffected by the mode — full replace
+      // is the only meaning overwrite can have there
+      val t2 = freshTable("owflat")
+      TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t2)
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ow_flat " +
+        s"USING graft OPTIONS (path '$t2')")
+      spark.sql("INSERT OVERWRITE TABLE graft_ow_flat SELECT id AS k, 'z' AS tag FROM range(3)")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_ow_flat").head.getLong(0) == 3)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // nothing was lost on the partitioned table
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 30)
+    // static mode full overwrite (no spec) remains the documented meaning
+    spark.sql("INSERT OVERWRITE TABLE graft_ow_part SELECT id AS k, CONCAT('b', id % 2) AS bucket FROM range(8)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 8)
+  }
+
+  test("partition values round-trip escaped bytes exactly") {
+    val t = freshTable("escpart")
+    // ':' forces hive escaping (→ %3A); a literal '%' must survive the
+    // unescape untouched (this JVM's POSIX locale cannot write non-BMP
+    // paths at all — the surrogate-pair decode is pinned in the unit
+    // test below)
+    val vals = Seq("a:b", "plain", "b%2")
+    val src = (0 until 9).toDF("k")
+      .withColumn("part", element_at(typedLit(vals), ($"k" % 3 + 1).cast("int")))
+    TxLog.append(src, t, partitionBy = Seq("part"))
+    val out = spark.read.format("graft").load(t)
+    assert(out.select("part").distinct().as[String].collect().toSet == vals.toSet,
+      "every partition value must round-trip byte-exactly through the path")
+    assert(out.filter($"part" === vals.head).count() == 3)
+    // the API read (snapshot) re-attaches the same values
+    assert(TxLog.snapshot(spark, t).filter($"part" === vals.head)
+      .select("k").as[Int].collect().toSet == Set(0, 3, 6))
+    // zone-map metadata serves the true strings, not mojibake
+    val mm = TxLog.metadataMinMax(t, "part")
+    assert(mm.contains((vals.min, vals.max)), s"got $mm")
+  }
+
+  test("unescapePath survives surrogate pairs and multi-byte %-escape runs") {
+    // the regression: per-Char byte-decoding split surrogate pairs, so
+    // any non-BMP character next to a %XX escape became '?'
+    val emoji = "a:\ud83d\ude00" // 😀, escaped form mixes %3A with raw surrogates
+    val vs = TxLog.partitionValuesOf(
+      "data/abc/part=a%3A\ud83d\ude00/f.parquet", Seq("part"))
+    assert(vs("part") == emoji, s"got ${vs("part")}")
+    // an externally-encoded multi-byte escape run (€ = %E2%82%AC)
+    // reassembles as ONE codepoint, not three replacement chars
+    val euro = TxLog.partitionValuesOf(
+      "data/abc/part=x%E2%82%ACy/f.parquet", Seq("part"))
+    assert(euro("part") == "x\u20acy", s"got ${euro("part")}")
+  }
+
+  test("partition columns restrict to types whose path round-trip is exact") {
+    val t = freshTable("tspart")
+    val src = (0 until 4).toDF("k")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    val e = intercept[IllegalArgumentException](
+      TxLog.append(src, t, partitionBy = Seq("ts")))
+    assert(e.getMessage.contains("round-trip"))
+    // date DOES round-trip (timezone-free cast both ways)
+    val t2 = freshTable("datepart")
+    TxLog.append(
+      (0 until 6).toDF("k").withColumn("d", date_add(lit("2026-01-01"), $"k" % 2)),
+      t2, partitionBy = Seq("d"))
+    val out = spark.read.format("graft").load(t2)
+    assert(out.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(out.filter($"d" === "2026-01-02").count() == 3)
+  }
 }
