@@ -396,6 +396,88 @@ object TableQueries {
       },
       Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
 
+    // Row-LEVEL change data feed over COW commits: v1 appends a
+    // deterministic slice, v2 UPDATEs a sub-slice (status → 'X'), v3
+    // DELETEs a disjoint sub-slice. changeFeed(1, 3) must contain
+    // EXACTLY the pre/post image pairs and the deleted rows — never the
+    // rewritten files' survivors (the whole point: CDF volume ∝ changed
+    // rows, not rewritten bytes; at 100 TB an update touching 10 rows
+    // of a 1M-row file feeds 20 rows). The oracle restates each image
+    // class as a predicate over the source table.
+    QuerySpec(
+      "table_cdf_cow",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_cdf")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)  // v1
+        TxLog.update(s, table, col("o_orderkey") % 30 === 0,        // v2
+          Seq("o_orderstatus" -> lit("X")))
+        TxLog.delete(s, table, col("o_orderkey") % 15 === 6)        // v3
+        TxLog.changeFeed(s, table, 1L, 3L)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("first_key"),
+            max(col("o_orderkey")).as("last_key"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+          .orderBy("_change_type", "_commit_version")
+      },
+      Some("""WITH s0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+                   upd AS (SELECT * FROM s0 WHERE o_orderkey % 30 = 0),
+                   del AS (SELECT * FROM s0 WHERE o_orderkey % 15 = 6),
+                   feed AS (
+                     SELECT 'update_preimage' AS _change_type,
+                            CAST(2 AS BIGINT) AS _commit_version,
+                            o_orderkey, o_totalprice FROM upd
+                     UNION ALL
+                     SELECT 'update_postimage', CAST(2 AS BIGINT),
+                            o_orderkey, o_totalprice FROM upd
+                     UNION ALL
+                     SELECT 'delete', CAST(3 AS BIGINT),
+                            o_orderkey, o_totalprice FROM del)
+              SELECT _change_type, _commit_version, COUNT(*) AS n,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+              FROM feed GROUP BY _change_type, _commit_version
+              ORDER BY _change_type, _commit_version""")),
+
+    // The connector read of the same feed — Delta's exact option shape:
+    // readChangeFeed=true + inclusive startingVersion. Appends surface
+    // as derived inserts (zero extra storage), COW deletes as their
+    // persisted exact images, all through `spark.read.format("graft")`.
+    QuerySpec(
+      "table_cdf_scan",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_cdf_scan")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)  // v1
+        TxLog.delete(s, table, col("o_orderkey") % 15 === 6)        // v2
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), table)  // v3
+        s.read.format("graft")
+          .option("readChangeFeed", "true").option("startingVersion", "2")
+          .load(table)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("first_key"),
+            max(col("o_orderkey")).as("last_key"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+          .orderBy("_change_type", "_commit_version")
+      },
+      Some("""WITH feed AS (
+                     SELECT 'delete' AS _change_type,
+                            CAST(2 AS BIGINT) AS _commit_version,
+                            o_orderkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 = 6
+                     UNION ALL
+                     SELECT 'insert', CAST(3 AS BIGINT), o_orderkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 3 = 1)
+              SELECT _change_type, _commit_version, COUNT(*) AS n,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+              FROM feed GROUP BY _change_type, _commit_version
+              ORDER BY _change_type, _commit_version""")),
+
     // Metadata-only RESTORE: version 3 overwrote the table with a bad
     // ingest; restore(2) un-ships it as a NEW commit that re-points the
     // live set at v2's files — zero bytes of data move (asserted: the

@@ -96,7 +96,8 @@ object TxLog {
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
       partitionCols: Seq[String] = Nil,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      cdf: Seq[String] = Nil)
 
   /** Resolved table state as of a version. `txns` holds the highest
     * committed batchId per streaming appId — the exactly-once ledger. */
@@ -298,7 +299,7 @@ object TxLog {
     * At 100 TB this is the point of the log: a merge touching 0.1% of
     * keys rewrites 0.1% of files, provable from the commit's remove set. */
   def merge(spark: SparkSession, table: String, updates: DataFrame, keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val snap = replay(table, None)
     requireSchemaMatch(snap.schemaJson, nullable(updates.schema).json, table)
     // duplicate update keys make "upsert" ambiguous (both rows would
@@ -332,8 +333,24 @@ object TxLog {
       .repartition(math.max(1, affected.length))
     val (files, _, stats) = writeData(merged, table, snap.partitionCols)
     val (rLo, rHi) = (range.getString(0), range.getString(1))
+    // exact upsert images for the CDF: keys present in the affected
+    // files are updates (pre from the target, post from `updates`);
+    // keys absent are inserts
+    val affKeys = affectedRows.select(col(keyCol)).distinct()
+    val updAligned = updates.select(affectedRows.columns.map(col).toSeq: _*)
+    val cdfRows = affectedRows
+      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(affectedRows.columns.map(col).toSeq: _*)
+      .withColumn(ChangeTypeCol, lit("update_preimage"))
+      .unionByName(updAligned.join(affKeys, Seq(keyCol), "left_semi")
+        .select(affectedRows.columns.map(col).toSeq: _*)
+        .withColumn(ChangeTypeCol, lit("update_postimage")))
+      .unionByName(updAligned.join(affKeys, Seq(keyCol), "left_anti")
+        .select(affectedRows.columns.map(col).toSeq: _*)
+        .withColumn(ChangeTypeCol, lit("insert")))
+    val cdf = writeChangeData(cdfRows, table, affected.length)
     commit(table, "merge", files, dataChange = true, schemaPlan = _ => snap.schemaJson,
-      stats = stats, partitionCols = snap.partitionCols,
+      stats = stats, partitionCols = snap.partitionCols, cdf = cdf,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -398,9 +415,15 @@ object TxLog {
     val (files, stats) =
       if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
       else (files0, stats0)
+    // exact row-level change images for the CDF (volume ∝ deleted rows)
+    val cdf = writeChangeData(
+      readFiles(spark, table, snap.copy(files = affected))
+        .filter(coalesce(condition, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")),
+      table, affected.length)
     commit(table, "delete", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
-      partitionCols = snap.partitionCols,
+      partitionCols = snap.partitionCols, cdf = cdf,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -448,9 +471,20 @@ object TxLog {
     val (files, _, stats) =
       writeData(rewritten.repartition(math.max(1, affected.length)), table,
         snap.partitionCols)
+    // exact pre/post images for the CDF (volume ∝ updated rows, never
+    // the rewritten files' survivors)
+    val changed = readFiles(spark, table, snap.copy(files = affected)).filter(cond)
+    val pre = changed.withColumn(ChangeTypeCol, lit("update_preimage"))
+    val post = changed.select(schema.fields.map { f =>
+      sets.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, v)) => v.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*).withColumn(ChangeTypeCol, lit("update_postimage"))
+    val cdf = writeChangeData(pre.unionByName(post), table, affected.length)
     commit(table, "update", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
-      partitionCols = snap.partitionCols,
+      partitionCols = snap.partitionCols, cdf = cdf,
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -597,6 +631,121 @@ object TxLog {
       }
     readFiles(spark, table,
       Snapshot(toInclusive, added, schemaJson, partitionCols = partCols))
+  }
+
+  // ------------------------------------------------------------------
+  // row-level change data feed (CDF)
+  // ------------------------------------------------------------------
+
+  /** Metadata columns every [[changeFeed]] row carries. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+
+  private val ChangeDataDirName = "_change_data"
+
+  /** Row-LEVEL changes in (fromExclusive, toInclusive] — every row tagged
+    * `_change_type` ∈ {insert, delete, update_preimage, update_postimage}
+    * plus `_commit_version` / `_commit_timestamp` (Delta's CDF contract).
+    * Unlike the adds-only [[changes]], rewrites surface as what they ARE:
+    *
+    *  - append commits derive inserts from their added files (no extra
+    *    storage — the add IS the change);
+    *  - delete/update/merge commits read the exact pre/post images their
+    *    COW kernel persisted under `_change_data/` at commit time, so an
+    *    update that rewrote a 1M-row file but touched 10 rows feeds 20
+    *    CDF rows, never the million;
+    *  - overwrite/restore (and legacy COW commits from logs written
+    *    before CDF existed) derive delete rows from their removed files
+    *    and insert rows from their net-new added files — exact as a
+    *    row-level diff, though a legacy COW commit re-delivers the
+    *    rewritten survivors as delete+insert pairs;
+    *  - dataChange=false commits (compaction) contribute nothing.
+    *
+    * Derivation reads removed files, so a vacuum that reclaimed them
+    * fails LOUDLY (same contract as time travel past a vacuum). Schema
+    * evolution across the range null-backfills older commits' rows, and
+    * the output follows the range's final schema. Scale shape: CDF bytes
+    * are ∝ changed rows; the union is one branch per commit in the
+    * range, each a pushdown-capable parquet scan. */
+  def changeFeed(
+      spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val head = latestVersion(table)
+    require(fromExclusive >= 0 && toInclusive <= head && fromExclusive <= toInclusive,
+      s"change range ($fromExclusive, $toInclusive] invalid for $table at head $head")
+    val cs = readCommits(table, fromExclusive + 1, toInclusive)
+    val finalSchemaJson = cs.lastOption.map(_.schemaJson)
+      .getOrElse(replay(table, Some(math.max(fromExclusive, 1L))).schemaJson)
+    val finalSchema = DataType.fromJson(finalSchemaJson).asInstanceOf[StructType]
+    def meta(df: DataFrame, c: Commit): DataFrame = df
+      .withColumn(CommitVersionCol, lit(c.version))
+      .withColumn(CommitTimestampCol,
+        to_timestamp(lit(c.ts / 1000.0))) // second precision is exact in double
+    val parts: Seq[DataFrame] = cs.filter(_.dataChange).flatMap { c =>
+      def addsAs(tpe: String, files: Seq[String]): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(meta(
+          readFiles(spark, table,
+            Snapshot(c.version, files, c.schemaJson, partitionCols = c.partitionCols))
+            .withColumn(ChangeTypeCol, lit(tpe)), c))
+      c.op match {
+        case "append" => addsAs("insert", c.add)
+        case _ if c.cdf.nonEmpty =>
+          // exact pre/post images persisted by the COW kernel; partition
+          // values were materialized as ordinary columns at write time
+          val cdfSchema = StructType(
+            DataType.fromJson(c.schemaJson).asInstanceOf[StructType].fields :+
+              org.apache.spark.sql.types.StructField(
+                ChangeTypeCol, org.apache.spark.sql.types.StringType))
+          Some(meta(spark.read.schema(cdfSchema)
+            .parquet(c.cdf.map(f => Paths.get(table, f).toString): _*), c))
+        case _ =>
+          // overwrite / restore / legacy COW: removed files → delete
+          // rows, NET-NEW added files → insert rows (restore re-adds
+          // files that never left — those are not changes)
+          val prev = replay(table, Some(math.max(c.version - 1, 1L)))
+          val prevLive = prev.files.toSet
+          val deletes =
+            if (c.remove.isEmpty) None
+            else Some(meta(
+              readFiles(spark, table, prev.copy(files = c.remove))
+                .withColumn(ChangeTypeCol, lit("delete")), c))
+          val inserts = addsAs("insert",
+            if (c.version == 1) c.add else c.add.filterNot(prevLive))
+          deletes.toSeq ++ inserts.toSeq
+      }
+    }
+    val metaFields = Seq(
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(CommitTimestampCol,
+        org.apache.spark.sql.types.TimestampType))
+    val outSchema = StructType(finalSchema.fields ++ metaFields)
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Persist a COW kernel's change rows (schema + `_change_type`) under
+    * `_change_data/` — never part of the live file set, invisible to
+    * vacuum's `data/` walk, read back only by [[changeFeed]]. */
+  private def writeChangeData(
+      df: DataFrame, table: String, parallelism: Int): Seq[String] = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dir = Paths.get(table, ChangeDataDirName, id)
+    df.repartition(math.max(1, parallelism))
+      .write.mode("errorifexists").parquet(dir.toString)
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s"$ChangeDataDirName/$id/${f.getName}")
+      .sorted.toSeq
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` — Delta's
@@ -1084,7 +1233,9 @@ object TxLog {
         a.asText() -> node.get("txnBatch").asLong()),
       partitionCols = Option(node.get("partitionCols"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-      ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
+      ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
+      cdf = Option(node.get("cdf"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   private def readCommits(table: String, from: Long, to: Long): Seq[Commit] =
@@ -1163,6 +1314,7 @@ object TxLog {
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
       partitionCols: Seq[String] = Nil,
+      cdf: Seq[String] = Nil,
       removePlan: Snapshot => Seq[String]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
@@ -1185,6 +1337,9 @@ object TxLog {
       rec.put("dataChange", dataChange)
       if (partitionCols.nonEmpty) {
         val pArr = rec.putArray("partitionCols"); partitionCols.foreach(pArr.add)
+      }
+      if (cdf.nonEmpty) {
+        val cArr = rec.putArray("cdf"); cdf.foreach(cArr.add)
       }
       if (stats.nonEmpty) {
         val stNode = rec.putObject("stats")

@@ -48,7 +48,9 @@ final class GraftLogSource extends RelationProvider
 
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
-    GraftLogSource.relation(ctx.sparkSession, parameters)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      GraftLogSource.changeFeedRelation(ctx.sparkSession, parameters)
+    else GraftLogSource.relation(ctx.sparkSession, parameters)
 
   /** `df.write.format("graft").mode(…).save(table)`. */
   override def createRelation(
@@ -77,6 +79,34 @@ final class GraftLogSource extends RelationProvider
 }
 
 private[sources] object GraftLogSource {
+
+  /** `spark.read.format("graft").option("readChangeFeed", "true")
+    * .option("startingVersion", n)[.option("endingVersion", m)].load(t)`
+    * — Delta's CDF read shape: row-level changes with `_change_type` /
+    * `_commit_version` / `_commit_timestamp`, versions INCLUSIVE on both
+    * ends. The heavy lifting (exact COW images, derived inserts/deletes)
+    * is [[TxLog.changeFeed]]; this relation is a plain TableScan over its
+    * already-planned frame — a feed is consumed whole, not re-pruned. */
+  def changeFeedRelation(
+      spark: SparkSession, parameters: Map[String, String]): BaseRelation = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: .load(<table dir>) is required"))
+    require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "graft: readChangeFeed and time travel are mutually exclusive — the " +
+        "feed's range IS its version selector")
+    val starting = parameters.getOrElse("startingVersion",
+      throw new IllegalArgumentException(
+        "graft: readChangeFeed requires option startingVersion (inclusive)")).toLong
+    val ending = parameters.get("endingVersion").map(_.toLong)
+      .getOrElse(TxLog.latestVersion(table))
+    val df = TxLog.changeFeed(spark, table, starting - 1, ending)
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override val sqlContext: SQLContext = spark.sqlContext
+      override val schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+    }
+  }
+
   def relation(spark: SparkSession, parameters: Map[String, String]): GraftRelation = {
     val table = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: .load(<table dir>) is required"))

@@ -1,0 +1,140 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level change data feed: exact COW images for delete/update/merge,
+  * derived inserts for appends, derived delete+insert for overwrite and
+  * restore, nothing for compaction; the connector read option mirrors
+  * Delta's readChangeFeed shape. */
+class ChangeFeedSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graftcdf_$name").toString
+
+  private def types(t: String, from: Long, to: Long): Map[String, Long] =
+    TxLog.changeFeed(spark, t, from, to)
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("append commits feed their rows as inserts with commit metadata") {
+    val t = freshTable("appends")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t)
+    TxLog.append((10 until 15).toDF("k").withColumn("tag", lit("b")), t)
+    val feed = TxLog.changeFeed(spark, t, 0, 2)
+    assert(feed.columns.toSeq ==
+      Seq("k", "tag", "_change_type", "_commit_version", "_commit_timestamp"))
+    assert(feed.count() == 15)
+    assert(feed.filter($"_change_type" =!= "insert").isEmpty)
+    assert(feed.filter($"_commit_version" === 2).select("k").as[Int]
+      .collect().toSet == (10 until 15).toSet)
+    assert(feed.filter($"_commit_timestamp".isNull).isEmpty)
+    // half-open resume: (1, 2] sees only the second commit
+    assert(TxLog.changeFeed(spark, t, 1, 2).count() == 5)
+  }
+
+  test("DELETE feeds exactly the deleted rows, never the rewritten survivors") {
+    val t = freshTable("delete")
+    TxLog.append((0 until 100).toDF("k").withColumn("tag", lit("x"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k"), t)
+    TxLog.delete(spark, t, $"k" >= 30 && $"k" <= 34)
+    val feed = TxLog.changeFeed(spark, t, 1, 2)
+    assert(feed.count() == 5, "only the 5 deleted rows feed — the ~20 " +
+      "survivors of the rewritten file must NOT appear")
+    assert(feed.select("_change_type").distinct().as[String].collect().toSeq ==
+      Seq("delete"))
+    assert(feed.select("k").as[Int].collect().toSet == (30 to 34).toSet)
+  }
+
+  test("UPDATE feeds exact pre/post image pairs") {
+    val t = freshTable("update")
+    TxLog.append((0 until 100).toDF("k").withColumn("tag", lit("old"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k"), t)
+    TxLog.update(spark, t, $"k" === 42, Seq("tag" -> lit("new")))
+    val feed = TxLog.changeFeed(spark, t, 1, 2)
+    assert(types(t, 1, 2) == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
+    val pre = feed.filter($"_change_type" === "update_preimage").head()
+    val post = feed.filter($"_change_type" === "update_postimage").head()
+    assert(pre.getAs[String]("tag") == "old" && post.getAs[String]("tag") == "new")
+    assert(pre.getAs[Int]("k") == 42 && post.getAs[Int]("k") == 42)
+  }
+
+  test("MERGE feeds update pairs for matched keys and inserts for new keys") {
+    val t = freshTable("merge")
+    TxLog.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "tag"), t)
+    TxLog.merge(spark, t,
+      Seq((2, "B"), (9, "I")).toDF("k", "tag"), "k")
+    assert(types(t, 1, 2) ==
+      Map("update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+    val feed = TxLog.changeFeed(spark, t, 1, 2)
+    assert(feed.filter($"_change_type" === "update_preimage")
+      .head().getAs[String]("tag") == "b")
+    assert(feed.filter($"_change_type" === "update_postimage")
+      .head().getAs[String]("tag") == "B")
+    assert(feed.filter($"_change_type" === "insert").head().getAs[Int]("k") == 9)
+  }
+
+  test("overwrite and restore derive deletes from removed files; compaction is silent") {
+    val t = freshTable("ow")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t)       // v1
+    TxLog.overwrite((100 until 103).toDF("k").withColumn("tag", lit("b")), t) // v2
+    assert(types(t, 1, 2) == Map("delete" -> 10L, "insert" -> 3L))
+    TxLog.compact(spark, t, numFiles = 1)                                     // v3, layout-only
+    assert(TxLog.changeFeed(spark, t, 2, 3).isEmpty,
+      "layout-only commits must not feed")
+    TxLog.restore(t, 1L)                                                      // back to v1 content
+    val head = TxLog.latestVersion(t)
+    val m = types(t, head - 1, head)
+    assert(m("delete") == 3L && m("insert") == 10L,
+      s"restore must feed the net row diff, got $m")
+  }
+
+  test("schema evolution null-backfills older commits; range validation is loud") {
+    val t = freshTable("evolve")
+    TxLog.append((0 until 3).toDF("k").withColumn("tag", lit("a")), t)
+    TxLog.appendEvolve((3 until 5).toDF("k").withColumn("tag", lit("b"))
+      .withColumn("score", lit(1.5)), t)
+    val feed = TxLog.changeFeed(spark, t, 0, 2)
+    assert(feed.columns.contains("score"))
+    assert(feed.filter($"score".isNull).count() == 3)
+    intercept[IllegalArgumentException](TxLog.changeFeed(spark, t, 0, 99))
+  }
+
+  test("the connector serves the feed via readChangeFeed options") {
+    val t = freshTable("connector")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("x")), t)
+    TxLog.delete(spark, t, $"k" < 2)
+    TxLog.append((10 until 12).toDF("k").withColumn("tag", lit("y")), t)
+    // inclusive-start Delta shape: versions 2..3
+    val df = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(t)
+    assert(df.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("delete" -> 2L, "insert" -> 2L))
+    // endingVersion bounds the range; time travel options refuse
+    assert(spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load(t).count() == 10)
+    intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("versionAsOf", "2").load(t).count())
+  }
+
+  test("CDF rows on a partitioned table carry the partition column") {
+    val t = freshTable("part")
+    TxLog.append(
+      (0 until 30).toDF("k").withColumn("bucket", concat(lit("b"), $"k" % 3)),
+      t, partitionBy = Seq("bucket"))
+    TxLog.delete(spark, t, $"k" === 7)
+    val feed = TxLog.changeFeed(spark, t, 1, 2)
+    assert(feed.head().getAs[String]("bucket") == "b1")
+    // appends on partitioned tables attach values from paths
+    val ins = TxLog.changeFeed(spark, t, 0, 1)
+    assert(ins.filter($"bucket" === "b2").count() == 10)
+  }
+}
