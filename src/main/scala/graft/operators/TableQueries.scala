@@ -478,6 +478,40 @@ object TableQueries {
               FROM feed GROUP BY _change_type, _commit_version
               ORDER BY _change_type, _commit_version""")),
 
+    // NATIVE streaming on the log, both halves: readStream.format(
+    // "graft") tails table versions as offsets (no side feed dir),
+    // writeStream.format("graft") commits each micro-batch through the
+    // (queryId, batchId) idempotence ledger. Two source commits drain in
+    // one AvailableNow pass, a second drain with nothing new must add
+    // nothing, and the destination's content sits under the hash oracle.
+    QuerySpec(
+      "stream_table_native",
+      (s, dir) => {
+        val src = fixturePath(dir, "txlog_stream_native_src")
+        val dst = fixturePath(dir, "txlog_stream_native_dst")
+        val ckpt = fixturePath(dir, "txlog_stream_native_ckpt")
+        Seq(src, dst, ckpt).foreach(deleteRecursively)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), src)
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), src)
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+          q.awaitTermination()
+        }
+        drain()
+        val afterFirst = TxLog.latestVersion(dst)
+        drain() // idle drain: the ledger must block re-delivery
+        val out = s.read.format("graft").load(dst)
+        require(out.count() == ordersSlice(s, dir, 0).count() + ordersSlice(s, dir, 1).count(),
+          s"native stream must deliver both commits exactly once " +
+            s"(dst versions $afterFirst → ${TxLog.latestVersion(dst)})")
+        ordersAgg(out)
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
     // Metadata-only RESTORE: version 3 overwrote the table with a bad
     // ingest; restore(2) un-ships it as a NEW commit that re-points the
     // live set at v2's files — zero bytes of data move (asserted: the

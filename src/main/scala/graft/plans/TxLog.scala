@@ -155,10 +155,11 @@ object TxLog {
     * each other cannot double-commit; the loser's data files become
     * vacuum-able orphans, never table content. */
   def appendIdempotent(
-      df: DataFrame, table: String, appId: String, batchId: Long): Option[Long] = {
+      df: DataFrame, table: String, appId: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): Option[Long] = {
     if (latestVersion(table) > 0 &&
       replay(table, None).txns.get(appId).exists(_ >= batchId)) return None
-    val parts = effectivePartitioning(table, Nil)
+    val parts = effectivePartitioning(table, partitionBy)
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, txn = Some(appId -> batchId), partitionCols = parts,
@@ -631,6 +632,34 @@ object TxLog {
       }
     readFiles(spark, table,
       Snapshot(toInclusive, added, schemaJson, partitionCols = partCols))
+  }
+
+  /** One streaming micro-batch of the table-as-source: the rows ADDED in
+    * (fromExclusive, toInclusive], with the append-only contract the
+    * native `readStream.format("graft")` source enforces — a dataChange
+    * commit that REMOVED files (overwrite / COW delete / update / merge /
+    * restore) rewrote or dropped rows the stream may already have
+    * delivered, so it refuses loudly unless `ignoreChanges=true`
+    * acknowledges the re-delivery (Delta's exact trade). Layout-only
+    * compactions pass silently — they add files but change nothing. */
+  def streamBatch(
+      spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long,
+      ignoreChanges: Boolean): DataFrame = {
+    if (!ignoreChanges) {
+      val offenders = readCommits(table, fromExclusive + 1, toInclusive)
+        .filter(c => c.dataChange && c.op != "append" && c.remove.nonEmpty)
+      if (offenders.nonEmpty) {
+        val c = offenders.head
+        throw new IllegalStateException(
+          s"graft streaming source on $table: version ${c.version} is a " +
+            s"'${c.op}' that removed ${c.remove.length} file(s) — a stream " +
+            "cannot un-deliver rows. Re-start from a fresh checkpoint, or " +
+            "set ignoreChanges=true to receive the commit's added files " +
+            "(re-delivering rewritten survivor rows).")
+      }
+    }
+    changes(spark, table, fromExclusive, toInclusive)
   }
 
   // ------------------------------------------------------------------

@@ -43,8 +43,71 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen + vectorized parquet + row-group pushdown intact.
   */
 final class GraftLogSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  // ---- native streaming: the log itself is the source/sink ----------
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming: .load/.start(<table dir>) is required"))
+
+  override def sourceSchema(
+      ctx: SQLContext, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft streaming source: the schema comes from the transaction log")
+    val table = tableOf(parameters)
+    val snap = TxLog.snapshotInfo(table)
+    (s"graft[$table]",
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+  }
+
+  override def createSource(
+      ctx: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val table = tableOf(parameters)
+    // `latest` must resolve ONCE, at first stream start — a restart that
+    // re-evaluated head would silently skip everything committed while
+    // the stream was down. The resolved version is pinned in the
+    // source's own checkpoint metadata dir, the slot Spark hands every
+    // v1 source for exactly this.
+    def pinned(compute: => Long): Long = {
+      val hPath = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+      val fs = hPath.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(hPath)) {
+        val in = fs.open(hPath)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else {
+        val v = compute
+        val out = fs.create(hPath, false)
+        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        v
+      }
+    }
+    val starting = parameters.get("startingVersion") match {
+      case Some("latest") => pinned(TxLog.latestVersion(table) + 1)
+      case Some(v) => v.toLong
+      case None => 1L // full history, then tail
+    }
+    new GraftStreamSource(ctx.sparkSession, table, starting,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
+
+  override def createSink(
+      ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append() ||
+        outputMode == org.apache.spark.sql.streaming.OutputMode.Complete(),
+      s"graft streaming sink supports Append (idempotent log appends) and " +
+        s"Complete (atomic overwrite per batch); got $outputMode")
+    new GraftStreamSink(tableOf(parameters), partitionColumns, outputMode)
+  }
 
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =

@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.plans.TxLog
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.GraftStreamShims
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The graft transaction log as a NATIVE Structured Streaming source:
+  * `spark.readStream.format("graft").load(table)` tails the log itself —
+  * no side feed directory, no hard links. The offset IS the table
+  * version, so each micro-batch is "the rows added in (v₁, v₂]" resolved
+  * from commit metadata (file names — nothing row-shaped touches the
+  * driver), read through one pushdown-capable parquet scan per batch.
+  * Exactly-once falls out of the engine's offset log: a replayed batch
+  * re-reads the same closed version interval and gets byte-identical
+  * rows, because committed versions are immutable.
+  *
+  * Options: `startingVersion` (inclusive; default 0 = full history then
+  * tail; `latest` = only commits after stream start), `ignoreChanges`
+  * (accept rewrite commits, re-delivering survivors — see
+  * [[TxLog.streamBatch]]). Partition columns surface as ordinary output
+  * columns (values re-attached from the hive paths).
+  *
+  * At 100 TB: getOffset is one directory-suffix listing (the same
+  * O(checkpoint + suffix) replay every reader does), getBatch plans only
+  * the files the interval's commits added, and the scan keeps vectorized
+  * parquet + codegen — a feed consumer never rescans the corpus. */
+final class GraftStreamSource(
+    spark: SparkSession, table: String,
+    startingVersion: Long, ignoreChanges: Boolean)
+    extends Source with Logging {
+
+  override val schema: StructType = {
+    val snap = TxLog.snapshotInfo(table)
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(s"unexpected offset $other")
+  }
+
+  override def getOffset: Option[Offset] = {
+    val head = TxLog.latestVersion(table)
+    if (head < startingVersion) None else Some(LongOffset(head))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = math.max(0L, start.map(versionOf).getOrElse(startingVersion - 1))
+    val to = versionOf(end)
+    logInfo(s"graft stream batch on $table: versions ($from, $to]")
+    val batch = TxLog.streamBatch(spark, table, from, to, ignoreChanges)
+    GraftStreamShims.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, batch.schema)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** The write half: `df.writeStream.format("graft")` commits each
+  * micro-batch through the log. Append mode rides
+  * [[TxLog.appendIdempotent]] keyed (queryId, batchId) — the engine's
+  * replayed epochs are SKIPPED by the txn ledger, so end-to-end delivery
+  * is exactly-once even across lost-executor retries and checkpoint
+  * restarts. Complete mode maps to an atomic overwrite per batch (the
+  * natural semantics for a streamed aggregate). `partitionBy(...)` on
+  * the writer lays a NEW table out hive-style; an existing table's
+  * layout wins, conflicts refuse. */
+final class GraftStreamSink(
+    table: String, partitionCols: Seq[String], mode: OutputMode)
+    extends Sink with Logging {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // re-materialize over the already-planned incremental rows — a sink
+    // must never re-analyze the engine's incremental plan
+    val batch = GraftStreamShims.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    val queryId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(throw new IllegalStateException(
+        "graft sink: no sql.streaming.queryId local property — not inside " +
+          "a streaming micro-batch?"))
+    if (mode == OutputMode.Complete())
+      TxLog.overwrite(batch, table, partitionCols): Unit
+    else
+      TxLog.appendIdempotent(batch, table, s"graft-sink-$queryId", batchId,
+        partitionBy = partitionCols): Unit
+  }
+
+  override def toString: String = s"GraftStreamSink[$table]"
+}
