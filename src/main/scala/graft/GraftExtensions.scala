@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (DELETE/UPDATE/MERGE) on `USING graft` views → the
     // transaction log's copy-on-write kernels (plans/GraftDml)
     ext.injectResolutionRule(_ => graft.plans.GraftDml)
+    // catalog tables (CREATE TABLE graft_cat.ns.t …): read-side DSv2
+    // relations swap to the log-backed v1 relation during resolution,
+    // so catalog reads prune like path reads and DML reaches GraftDml
+    ext.injectResolutionRule(s => new graft.sources.GraftCatalogRelations(s))
     // SQL maintenance (VACUUM / OPTIMIZE / DESCRIBE HISTORY graft '…')
     // — three intercepted statement shapes, everything else delegated
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

@@ -512,6 +512,36 @@ object TableQueries {
       },
       Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
 
+    // The DSv2 TableCatalog end-to-end in SQL: CTAS creates a logged
+    // table under the catalog's warehouse, INSERT INTO appends a second
+    // slice, DELETE routes to the COW kernel, and the final SELECT —
+    // through the catalog IDENTIFIER, no paths — aggregates what
+    // survived. Executes on the v1 relation via the resolution-time
+    // swap, so catalog reads keep zone-map pruning and vectorized scans.
+    QuerySpec(
+      "table_catalog_sql",
+      (s, dir) => {
+        val cat = "gq" + math.abs(dir.hashCode).toString
+        if (!s.conf.getOption(s"spark.sql.catalog.$cat").isDefined) {
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+            fixturePath(dir, "catalog_warehouse"))
+        }
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_cat_src")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+        s.sql(s"DROP TABLE IF EXISTS $cat.bench.orders_q")
+        s.sql(s"""CREATE TABLE $cat.bench.orders_q USING graft AS
+                  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+                  FROM orders_cat_src WHERE o_orderkey % 3 = 0""")
+        s.sql(s"""INSERT INTO $cat.bench.orders_q
+                  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+                  FROM orders_cat_src WHERE o_orderkey % 3 = 1""")
+        s.sql(s"DELETE FROM $cat.bench.orders_q WHERE o_orderkey % 15 = 6")
+        ordersAgg(s.table(s"$cat.bench.orders_q"))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1) AND o_orderkey % 15 <> 6"))),
+
     // Metadata-only RESTORE: version 3 overwrote the table with a bad
     // ingest; restore(2) un-ships it as a NEW commit that re-points the
     // live set at v2's files — zero bytes of data move (asserted: the

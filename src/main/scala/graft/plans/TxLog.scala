@@ -122,6 +122,45 @@ object TxLog {
     * paths (the log stays value-free), and every later append inherits
     * the layout — passing a DIFFERENT partitioning to an existing table
     * refuses loudly. */
+  /** Create an EMPTY table: version 1 carries the schema and partition
+    * layout, no files. The DDL primitive a catalog needs — every later
+    * append must match the declared schema (the same enforcement an
+    * append-created table gets from its first commit). Refuses if the
+    * table already has commits. */
+  def create(table: String, schema: StructType, partitionBy: Seq[String] = Nil): Long = {
+    val missing = partitionBy.filterNot(c => schema.fieldNames.contains(c))
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the declared schema")
+    commit(table, "create", Seq.empty, dataChange = false,
+      schemaPlan = _ => nullable(schema).json,
+      partitionCols = partitionBy,
+      removePlan = { snap =>
+        if (snap.version > 0) throw new IllegalStateException(
+          s"graft table $table already exists (version ${snap.version})")
+        Seq.empty
+      }).get
+  }
+
+  /** Metadata-only schema evolution: add nullable columns at the end of
+    * the schema, zero file rewrites (old files read NULL under the new
+    * explicit scan schema — the appendEvolve contract, without rows).
+    * The ALTER TABLE ADD COLUMNS primitive a catalog needs. */
+  def evolveSchema(table: String, add: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(add.nonEmpty, "evolveSchema: no columns to add")
+    val parts = replay(table, None).partitionCols
+    commit(table, "evolve", Seq.empty, dataChange = false,
+      schemaPlan = { snap =>
+        val cur = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        val dup = add.map(_.name).filter(n =>
+          cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"column(s) ${dup.mkString(", ")} already exist in $table")
+        StructType(cur.fields ++ add.map(_.copy(nullable = true))).json
+      },
+      partitionCols = parts,
+      removePlan = _ => Seq.empty).get
+  }
+
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
     val parts = effectivePartitioning(table, partitionBy)
     val (files, schemaJson, stats) = writeData(df, table, parts)

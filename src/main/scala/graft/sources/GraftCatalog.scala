@@ -1,0 +1,336 @@
+package graft.sources
+
+import graft.plans.TxLog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Paths}
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+/** A DSv2 TableCatalog over graft transaction-log tables — the SQL-first
+  * front door the path-addressed temp views lacked:
+  *
+  * {{{
+  *   spark.sql.catalog.graft_cat           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft_cat.warehouse = /data/warehouse
+  *
+  *   CREATE TABLE graft_cat.corpus.docs (id BIGINT, text STRING, lang STRING)
+  *     PARTITIONED BY (lang)
+  *   INSERT INTO graft_cat.corpus.docs SELECT ...
+  *   SELECT * FROM graft_cat.corpus.docs VERSION AS OF 3
+  *   ALTER TABLE graft_cat.corpus.docs ADD COLUMNS (score DOUBLE)
+  * }}}
+  *
+  * Identifiers map to `warehouse/ns.../name` directories; each table IS
+  * a graft transaction log (the same storage the path API and
+  * `format("graft")` read — a catalog table and a path view of it see
+  * identical snapshots, because there is exactly one log).
+  *
+  * Execution stays on the PROVEN v1 machinery (the Delta-OSS
+  * integration shape): [[GraftCatalogRelations]] swaps every read-side
+  * `DataSourceV2Relation` over a [[GraftTable]] for the log-backed
+  * `HadoopFsRelation` during resolution — so catalog reads get the same
+  * zone-map file pruning, partition-directory pruning, and vectorized
+  * scan as path reads, and DELETE/UPDATE/MERGE fall through to the
+  * audited GraftDml COW kernels. Writes ride the official
+  * [[V1Write]] fallback (INSERT INTO → idempotent log appends; INSERT
+  * OVERWRITE/CTAS truncate → atomic overwrite; partition-scoped or
+  * dynamic overwrite shapes fail loudly — same contract as the view
+  * path). Time travel uses Spark's own `VERSION AS OF` / `TIMESTAMP AS
+  * OF` syntax via the loadTable overloads. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+    Files.createDirectories(Paths.get(warehouse)): Unit
+  }
+
+  override def name(): String = catalogName
+
+  // ---- identifier ↔ path -------------------------------------------
+
+  /** Path-safe identifier segments only — the identifier IS the layout. */
+  private def clean(seg: String): String = {
+    require(seg.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"graft catalog: identifier segment '$seg' is not path-safe " +
+        "([A-Za-z0-9_][A-Za-z0-9_.-]*)")
+    seg
+  }
+
+  private def nsPath(namespace: Array[String]): java.nio.file.Path =
+    namespace.map(clean).foldLeft(Paths.get(warehouse))(_.resolve(_))
+
+  private def tablePath(ident: Identifier): String =
+    nsPath(ident.namespace()).resolve(clean(ident.name())).toString
+
+  private def isTable(dir: java.nio.file.Path): Boolean =
+    Files.isDirectory(dir.resolve("_graft_log"))
+
+  // ---- tables --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray.sortBy(_.name())
+    finally stream.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(Paths.get(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    GraftTable(tablePath(ident), ident.toString)
+  }
+
+  /** `VERSION AS OF v` — Spark hands the version as the raw string. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    GraftTable(tablePath(ident), ident.toString, asOfVersion = Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    GraftTable(tablePath(ident), ident.toString,
+      asOfTimestampMs = Some(timestampMicros / 1000L))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val partCols = partitions.map {
+      // IdentityTransform is private[sql]; match on the public surface
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: only identity PARTITIONED BY (col) is supported, got $other")
+    }.toSeq
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).foreach { p =>
+      require(p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
+        s"graft catalog tables store graft-logged parquet; USING $p is not supported")
+    }
+    val path = tablePath(ident)
+    Files.createDirectories(Paths.get(path).getParent)
+    TxLog.create(path, schema, partCols)
+    GraftTable(path, ident.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1 && a.position() == null,
+          "graft catalog: ADD COLUMNS supports top-level columns appended " +
+            "at the end only")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unsupported ALTER TABLE change $other — schema is " +
+          "append-only (ADD COLUMNS), data changes go through DML")
+    }
+    TxLog.evolveSchema(tablePath(ident), adds)
+    GraftTable(tablePath(ident), ident.toString)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = Paths.get(tablePath(ident))
+    if (!isTable(p)) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile); true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(
+      (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()))
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(
+      (catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    Files.createDirectories(nsPath(newIdent.namespace()))
+    Files.move(Paths.get(tablePath(oldIdent)), Paths.get(tablePath(newIdent))): Unit
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val stream = Files.list(Paths.get(warehouse))
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray.sortBy(_.mkString)
+    finally stream.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray.sortBy(_.mkString("."))
+    finally stream.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+      nsPath(namespace).toString)
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(nsPath(namespace)): Unit
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val stream = Files.list(dir)
+      val empty = try !stream.iterator().hasNext finally stream.close()
+      require(empty || cascade,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile); true
+    }
+  }
+}
+
+/** The catalog's v2 Table handle. Schema follows the CONNECTOR order
+  * (data columns then partition columns) so the analyzer-time swap to
+  * the v1 relation keeps attribute identity. Reads never execute
+  * through this class — [[GraftCatalogRelations]] swaps the relation —
+  * so capabilities advertise only the V1 write fallback. */
+final case class GraftTable(
+    path: String, ident: String,
+    asOfVersion: Option[Long] = None,
+    asOfTimestampMs: Option[Long] = None)
+    extends Table with SupportsWrite {
+
+  /** The options GraftLogSource.relation resolves (the ONE read path). */
+  def v1Parameters: Map[String, String] =
+    Map("path" -> path) ++
+      asOfVersion.map("versionAsOf" -> _.toString) ++
+      asOfTimestampMs.map("timestampAsOf" -> _.toString)
+
+  private lazy val snap = TxLog.snapshotInfo(path,
+    asOfVersion.orElse(asOfTimestampMs.map(TxLog.versionAt(path, _))))
+
+  private lazy val declared =
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+
+  override def name(): String = ident
+
+  override def schema(): StructType = StructType(
+    declared.fields.filterNot(f => snap.partitionCols.contains(f.name)) ++
+      snap.partitionCols.map(c => declared(declared.fieldIndex(c))))
+
+  override def partitioning(): Array[Transform] =
+    snap.partitionCols.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> path,
+      TableCatalog.PROP_PROVIDER -> "graft",
+      "version" -> snap.version.toString).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty && asOfTimestampMs.isEmpty,
+      s"graft: cannot write to a time-travel view of $ident")
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+              // v2 hands columns in table.schema() order (data then
+              // partition); the log enforces the DECLARED order
+              val aligned = data.toDF(schema().fieldNames.toIndexedSeq: _*)
+                .select(declared.fieldNames.map(org.apache.spark.sql.functions.col)
+                  .toIndexedSeq: _*)
+              if (overwriteAll || overwrite)
+                TxLog.overwrite(aligned, path, snap.partitionCols): Unit
+              else TxLog.append(aligned, path, snap.partitionCols): Unit
+            }
+          }
+      }
+    }
+  }
+}
+
+/** Resolution rule: read-side `DataSourceV2Relation(GraftTable)` →
+  * the log-backed v1 `HadoopFsRelation`, PRESERVING the v2 relation's
+  * output attributes so references above stay bound. Write commands'
+  * table slots are left for the V1Write fallback (their `table` field
+  * is typed NamedRelation — and the v2 write path is the correct one
+  * there). DML (DELETE/UPDATE/MERGE) targets ARE swapped, which is what
+  * routes them to the GraftDml COW kernels. */
+final class GraftCatalogRelations(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val writeTables = Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+        writeTables.add(w.table): Unit
+      case _ => ()
+    }
+    plan.transform {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !writeTables.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val rel = GraftLogSource.relation(spark, t.v1Parameters)
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, r.output, None, isStreaming = false, None)
+    }
+  }
+}

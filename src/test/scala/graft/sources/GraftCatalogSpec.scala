@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.plans.TxLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 TableCatalog: CREATE/CTAS/INSERT/SELECT/time-travel/DML/
+  * ALTER/DROP through catalog identifiers, executing on the proven v1
+  * relation + COW kernels via the resolution-time swap. */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    s.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    s
+  }
+  import spark.implicits._
+
+  test("CREATE TABLE + INSERT + SELECT round-trip through catalog identifiers") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.corpus")
+    spark.sql("CREATE TABLE gcat.corpus.docs (id BIGINT, text STRING) USING graft")
+    spark.sql("INSERT INTO gcat.corpus.docs VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gcat.corpus.docs SELECT id, 'r' FROM range(3, 6)")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.corpus.docs").head.getLong(0) == 5)
+    assert(spark.table("gcat.corpus.docs").filter($"text" === "r").count() == 3)
+    // SHOW TABLES sees it; DESCRIBE serves the declared schema
+    assert(spark.sql("SHOW TABLES IN gcat.corpus").collect()
+      .map(_.getString(1)).contains("docs"))
+    val described = spark.sql("DESCRIBE TABLE gcat.corpus.docs").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(described("id") == "bigint" && described("text") == "string")
+  }
+
+  test("catalog reads execute on the v1 relation (zone-map pruning intact)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.prune")
+    spark.sql("CREATE TABLE gcat.prune.t (k BIGINT, tag STRING) USING graft")
+    // range-disjoint files through the path API — the SAME log
+    val path = spark.sql("DESCRIBE EXTENDED gcat.prune.t").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+    val df = spark.table("gcat.prune.t").filter($"k" >= 30 && $"k" <= 45)
+    // plan must be a FileSourceScanExec (v1 swap), not a v2 BatchScan
+    val k = (0L until 100L).toDF("k").withColumn("tag", lit("x"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    val tbl = path.getOrElse(fail("no Location in DESCRIBE EXTENDED"))
+    TxLog.append(k, tbl)
+    val band = spark.table("gcat.prune.t").filter($"k" >= 30 && $"k" <= 45)
+    val scans = band.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }
+    assert(scans.nonEmpty, "catalog read must execute on the v1 file scan")
+    assert(scans.head == 1, s"zone maps must prune to 1 of 4 files, got ${scans.head}")
+    assert(band.select("k").as[Long].collect().toSet == (30L to 45L).toSet)
+  }
+
+  test("CTAS, INSERT OVERWRITE, and refusal of partition-scoped overwrite") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
+    spark.sql("CREATE TABLE gcat.ctas.t USING graft AS SELECT id AS k, 'a' AS tag FROM range(10)")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.t").head.getLong(0) == 10)
+    spark.sql("INSERT OVERWRITE gcat.ctas.t SELECT id AS k, 'b' AS tag FROM range(3)")
+    assert(spark.sql("SELECT COUNT(*), MIN(tag) FROM gcat.ctas.t").head()
+      .toSeq == Seq(3L, "b"))
+    // partitioned table: dynamic-overwrite shapes must fail loudly
+    spark.sql("CREATE TABLE gcat.ctas.p (k BIGINT, b STRING) USING graft PARTITIONED BY (b)")
+    spark.sql("INSERT INTO gcat.ctas.p SELECT id, CONCAT('b', id % 2) FROM range(8)")
+    assert(spark.table("gcat.ctas.p").filter($"b" === "b1").count() == 4)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try intercept[Exception](spark.sql(
+      "INSERT OVERWRITE gcat.ctas.p SELECT id, 'b0' FROM range(2)"))
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.p").head.getLong(0) == 8,
+      "the refused overwrite must not have dropped partitions")
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF through Spark's own time-travel syntax") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tt")
+    spark.sql("CREATE TABLE gcat.tt.t (k BIGINT) USING graft")          // v1
+    spark.sql("INSERT INTO gcat.tt.t SELECT id FROM range(5)")          // v2
+    spark.sql("INSERT INTO gcat.tt.t SELECT id FROM range(5, 8)")       // v3
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.tt.t VERSION AS OF 2").head.getLong(0) == 5)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.tt.t VERSION AS OF 3").head.getLong(0) == 8)
+    // a time-travel view refuses writes
+    intercept[Exception](spark.sql(
+      "INSERT INTO gcat.tt.t VERSION AS OF 2 VALUES (99)"))
+    // TIMESTAMP AS OF now() resolves to the head version
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM gcat.tt.t TIMESTAMP AS OF current_timestamp()")
+      .head.getLong(0) == 8)
+  }
+
+  test("DELETE / UPDATE / MERGE on catalog identifiers route to the COW kernels") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    spark.sql("CREATE TABLE gcat.dml.t (k BIGINT, tag STRING) USING graft")
+    spark.sql("INSERT INTO gcat.dml.t SELECT id, 'old' FROM range(20)")
+    spark.sql("DELETE FROM gcat.dml.t WHERE k >= 15")
+    spark.sql("UPDATE gcat.dml.t SET tag = 'new' WHERE k < 3")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.dml.t").head.getLong(0) == 15)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.dml.t WHERE tag = 'new'")
+      .head.getLong(0) == 3)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_updates AS " +
+      "SELECT CAST(id AS BIGINT) AS k, 'merged' AS tag FROM range(13, 17)")
+    spark.sql("""MERGE INTO gcat.dml.t USING dml_updates ON gcat.dml.t.k = dml_updates.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.dml.t").head.getLong(0) == 17)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.dml.t WHERE tag = 'merged'")
+      .head.getLong(0) == 4)
+    // the ops hit the log as audited COW commits
+    val loc = spark.sql("DESCRIBE EXTENDED gcat.dml.t").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    assert(TxLog.history(loc).map(_.op)
+      .containsSlice(Seq("delete", "update")))
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only commit; DROP TABLE drops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.alter")
+    spark.sql("CREATE TABLE gcat.alter.t (k BIGINT) USING graft")
+    spark.sql("INSERT INTO gcat.alter.t SELECT id FROM range(4)")
+    spark.sql("ALTER TABLE gcat.alter.t ADD COLUMNS (score DOUBLE)")
+    assert(spark.table("gcat.alter.t").schema.fieldNames.toSeq == Seq("k", "score"))
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.alter.t WHERE score IS NULL")
+      .head.getLong(0) == 4, "old rows null-backfill")
+    spark.sql("INSERT INTO gcat.alter.t VALUES (9, 1.5)")
+    assert(spark.sql("SELECT SUM(score) FROM gcat.alter.t").head.getDouble(0) == 1.5)
+    // unsupported alters refuse loudly
+    intercept[Exception](spark.sql("ALTER TABLE gcat.alter.t DROP COLUMN score"))
+    spark.sql("DROP TABLE gcat.alter.t")
+    assert(!spark.catalog.tableExists("gcat.alter.t"))
+  }
+}
