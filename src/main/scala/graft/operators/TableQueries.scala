@@ -512,6 +512,64 @@ object TableQueries {
       },
       Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
 
+    // TRUE incremental view maintenance over the CDF — with
+    // RETRACTIONS: the MV folds each version's row-level changes as
+    // signed deltas (+insert/+postimage, −delete/−preimage), so
+    // updates and deletes maintain the aggregate exactly without ever
+    // rescanning the table (the adds-only `table_incremental_agg`
+    // cannot survive a rewrite commit; this is its general form —
+    // refresh cost ∝ changed rows at any table size). Three sequential
+    // folds (append, update, delete), and the final state must equal
+    // the one-shot aggregate of HEAD, which the oracle restates.
+    QuerySpec(
+      "table_cdf_incremental_mv",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_cdf_mv")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)  // v1
+        TxLog.update(s, table, col("o_orderkey") % 30 === 0,        // v2
+          Seq("o_orderstatus" -> lit("X")))
+        TxLog.delete(s, table, col("o_orderkey") % 15 === 6)        // v3
+        val ct = col(TxLog.ChangeTypeCol)
+        val additive = ct === "insert" || ct === "update_postimage"
+        val sign = org.apache.spark.sql.functions.when(additive, 1L).otherwise(-1L)
+        // signed DECIMAL(38,4) pieces keep the fold exact — pre/post
+        // pairs of an unchanged column cancel to the bit
+        val signedPrice = org.apache.spark.sql.functions
+          .when(additive, col("o_totalprice"))
+          .otherwise(-col("o_totalprice")).cast(Dec)
+        def delta(fromV: Long, toV: Long): DataFrame =
+          TxLog.changeFeed(s, table, fromV, toV)
+            .groupBy("o_orderstatus")
+            .agg(sum(sign).as("n"), sum(signedPrice).as("total"))
+        var state = delta(0L, 1L)
+        Seq((1L, 2L), (2L, 3L)).foreach { case (a, b) =>
+          state = state.unionByName(delta(a, b))
+            .groupBy("o_orderstatus")
+            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+            .filter(col("n") > 0)
+        }
+        val out = state
+          .select(col("o_orderstatus"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("o_orderstatus")
+        // the maintained state must equal the one-shot HEAD aggregate
+        val oneShot = TxLog.snapshot(s, table).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+        require(out.collect().toSeq == oneShot.collect().toSeq,
+          "incremental CDF folding diverged from the one-shot aggregate")
+        out
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 30 = 0 THEN 'X' ELSE o_orderstatus END
+                       AS o_orderstatus,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+              FROM orders
+              WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 6
+              GROUP BY 1 ORDER BY 1""")),
+
     // The DSv2 TableCatalog end-to-end in SQL: CTAS creates a logged
     // table under the catalog's warehouse, INSERT INTO appends a second
     // slice, DELETE routes to the COW kernel, and the final SELECT —

@@ -60,9 +60,8 @@ final class GraftLogSource extends RelationProvider
     require(schema.isEmpty,
       "graft streaming source: the schema comes from the transaction log")
     val table = tableOf(parameters)
-    val snap = TxLog.snapshotInfo(table)
-    (s"graft[$table]",
-      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    (s"graft[$table]", GraftStreamSource.schemaOf(table,
+      parameters.get("readChangeFeed").exists(_.toBoolean)))
   }
 
   override def createSource(
@@ -96,7 +95,8 @@ final class GraftLogSource extends RelationProvider
       case None => 1L // full history, then tail
     }
     new GraftStreamSource(ctx.sparkSession, table, starting,
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   override def createSink(

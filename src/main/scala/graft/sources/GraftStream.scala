@@ -31,13 +31,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * parquet + codegen — a feed consumer never rescans the corpus. */
 final class GraftStreamSource(
     spark: SparkSession, table: String,
-    startingVersion: Long, ignoreChanges: Boolean)
+    startingVersion: Long, ignoreChanges: Boolean,
+    readChangeFeed: Boolean = false)
     extends Source with Logging {
 
-  override val schema: StructType = {
-    val snap = TxLog.snapshotInfo(table)
-    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-  }
+  override val schema: StructType = GraftStreamSource.schemaOf(table, readChangeFeed)
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -53,13 +51,37 @@ final class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = math.max(0L, start.map(versionOf).getOrElse(startingVersion - 1))
     val to = versionOf(end)
-    logInfo(s"graft stream batch on $table: versions ($from, $to]")
-    val batch = TxLog.streamBatch(spark, table, from, to, ignoreChanges)
+    logInfo(s"graft stream batch on $table: versions ($from, $to]" +
+      (if (readChangeFeed) " (change feed)" else ""))
+    // CDF mode represents rewrites FAITHFULLY (delete / update pre+post
+    // rows), so it never needs the append-only refusal — it is the
+    // principled alternative to ignoreChanges for downstream consumers
+    // that can fold retractions
+    val batch =
+      if (readChangeFeed) TxLog.changeFeed(spark, table, from, to)
+      else TxLog.streamBatch(spark, table, from, to, ignoreChanges)
     GraftStreamShims.streamingDataFrame(
       spark, batch.queryExecution.toRdd, batch.schema)
   }
 
   override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+  /** The source schema: the table's own columns, plus the CDF metadata
+    * columns when tailing the change feed. */
+  private[sources] def schemaOf(table: String, readChangeFeed: Boolean): StructType = {
+    val base = DataType.fromJson(TxLog.snapshotInfo(table).schemaJson)
+      .asInstanceOf[StructType]
+    if (!readChangeFeed) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(TxLog.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(TxLog.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(TxLog.CommitTimestampCol,
+        org.apache.spark.sql.types.TimestampType)))
+  }
 }
 
 /** The write half: `df.writeStream.format("graft")` commits each

@@ -125,6 +125,32 @@ class ChangeFeedSpec extends AnyFunSuite {
       .option("versionAsOf", "2").load(t).count())
   }
 
+  test("readStream in CDF mode tails rewrites faithfully — no refusal needed") {
+    val t = freshTable("streamcdf")
+    val sinkT = freshTable("streamcdf_sink")
+    val ckpt = freshTable("streamcdf_ckpt")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("x")), t)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(sinkT)
+      q.awaitTermination()
+    }
+    drain()
+    // a COW delete flows as exact delete rows — NOT a refusal, NOT
+    // survivor re-delivery
+    TxLog.delete(spark, t, $"k" === 4)
+    drain()
+    val out = spark.read.format("graft").load(sinkT)
+    assert(out.columns.contains("_change_type"))
+    assert(out.filter($"_change_type" === "insert").count() == 10)
+    assert(out.filter($"_change_type" === "delete")
+      .select("k").as[Int].collect().toSeq == Seq(4))
+  }
+
   test("CDF rows on a partitioned table carry the partition column") {
     val t = freshTable("part")
     TxLog.append(
