@@ -763,6 +763,12 @@ object TxLog {
         case _ if c.cdf.nonEmpty =>
           // exact pre/post images persisted by the COW kernel; partition
           // values were materialized as ordinary columns at write time
+          val vacuumed = c.cdf.filterNot(f => Files.exists(Paths.get(table, f)))
+          if (vacuumed.nonEmpty) throw new IllegalStateException(
+            s"change feed for $table version ${c.version}: ${vacuumed.length} " +
+              s"change file(s) vacuumed (${vacuumed.take(3).mkString(", ")}) — " +
+              "this range is no longer readable; resume past it or widen the " +
+              "vacuum retention")
           val cdfSchema = StructType(
             DataType.fromJson(c.schemaJson).asInstanceOf[StructType].fields :+
               org.apache.spark.sql.types.StructField(
@@ -876,6 +882,21 @@ object TxLog {
         .toList
         .foreach { p => Files.deleteIfExists(p); deleted += 1 }
     } finally stream.close()
+    // CDF images past the retention window reclaim too — they are never
+    // "live" (no snapshot references them), so age is the only lease;
+    // reading a reclaimed range fails loudly in changeFeed, exactly
+    // like time travel past a vacuum
+    val cdfRoot = Paths.get(table, ChangeDataDirName)
+    if (Files.isDirectory(cdfRoot)) {
+      val cdfStream = Files.walk(cdfRoot)
+      try {
+        cdfStream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toList
+          .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      } finally cdfStream.close()
+    }
     deleted
   }
 

@@ -151,6 +151,21 @@ class ChangeFeedSpec extends AnyFunSuite {
       .select("k").as[Int].collect().toSeq == Seq(4))
   }
 
+  test("vacuum reclaims aged CDF images; a reclaimed range refuses loudly") {
+    val t = freshTable("cdfvac")
+    TxLog.append((0 until 20).toDF("k").withColumn("tag", lit("x")), t)
+    TxLog.delete(spark, t, $"k" < 2)
+    assert(TxLog.changeFeed(spark, t, 1, 2).count() == 2)
+    val n = TxLog.vacuum(t, olderThanMs = 0L)
+    assert(n > 0, "vacuum must reclaim the dead data AND aged cdf files")
+    val e = intercept[IllegalStateException](
+      TxLog.changeFeed(spark, t, 1, 2).count())
+    assert(e.getMessage.contains("vacuumed"))
+    // resuming PAST the reclaimed range still works
+    TxLog.append((20 until 23).toDF("k").withColumn("tag", lit("y")), t)
+    assert(TxLog.changeFeed(spark, t, 2, 3).count() == 3)
+  }
+
   test("CDF rows on a partitioned table carry the partition column") {
     val t = freshTable("part")
     TxLog.append(
