@@ -317,6 +317,14 @@ final class GraftCatalogRelations(spark: SparkSession)
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // cheap guard: plans without a graft catalog relation (every query
+    // in a session that never touches the catalog) exit after one
+    // early-terminating scan — no transform, no copies, no per-query tax
+    val hasGraft = plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case _ => false
+    }
+    if (!hasGraft) return plan
     val writeTables = Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     plan.foreach {
