@@ -338,6 +338,11 @@ object TxLog {
     *
     * At 100 TB this is the point of the log: a merge touching 0.1% of
     * keys rewrites 0.1% of files, provable from the commit's remove set. */
+  /** NOTE: `updates` is evaluated in several actions (duplicate check,
+    * key-range probe, the rewrite, the CDF images) — it must be a
+    * deterministic frame; materialize (cache/write) anything derived
+    * from rand()/shuffles first. This predates the CDF and is the same
+    * contract every multi-action consumer of a DataFrame has. */
   def merge(spark: SparkSession, table: String, updates: DataFrame, keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val snap = replay(table, None)
@@ -433,10 +438,13 @@ object TxLog {
     * per-key removal) a governed 100 TB corpus must support. */
   def delete(
       spark: SparkSession, table: String,
-      condition: org.apache.spark.sql.Column): Long = {
+      condition: org.apache.spark.sql.Column,
+      writeCdf: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val snap = replay(table, None)
     val full = readFiles(spark, table, snap)
+    requireDeterministic(
+      full.filter(coalesce(condition, lit(false))), "DELETE condition")
     val affected = full.filter(coalesce(condition, lit(false)))
       .select(input_file_name().as("__file")).distinct()
       .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
@@ -455,12 +463,18 @@ object TxLog {
     val (files, stats) =
       if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
       else (files0, stats0)
-    // exact row-level change images for the CDF (volume ∝ deleted rows)
-    val cdf = writeChangeData(
-      readFiles(spark, table, snap.copy(files = affected))
-        .filter(coalesce(condition, lit(false)))
-        .withColumn(ChangeTypeCol, lit("delete")),
-      table, affected.length)
+    // exact row-level change images for the CDF (volume ∝ deleted rows;
+    // the deterministic condition makes this scan classify rows exactly
+    // as the survivor write did). writeCdf=false opts a table out of
+    // the audit images entirely — the feed then derives this commit as
+    // a coarse remove/add diff.
+    val cdf =
+      if (!writeCdf) Nil
+      else writeChangeData(
+        readFiles(spark, table, snap.copy(files = affected))
+          .filter(coalesce(condition, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete")),
+        table, affected.length)
     commit(table, "delete", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,
@@ -486,7 +500,7 @@ object TxLog {
       spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val snap = replay(table, None)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val unknown = sets.map(_._1).filterNot(n =>
@@ -496,32 +510,40 @@ object TxLog {
         s"UPDATE on $table assigns unknown column(s): ${unknown.mkString(", ")}")
     val full = readFiles(spark, table, snap)
     val cond = coalesce(condition, lit(false))
+    requireDeterministic(full.filter(cond), "UPDATE condition")
     val affected = full.filter(cond)
       .select(input_file_name().as("__file")).distinct()
       .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return snap.version
-    val rewritten = readFiles(spark, table, snap.copy(files = affected))
-      .select(schema.fields.map { f =>
-        sets.find(_._1.equalsIgnoreCase(f.name)) match {
-          case Some((_, v)) =>
-            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toSeq: _*)
-    val (files, _, stats) =
-      writeData(rewritten.repartition(math.max(1, affected.length)), table,
-        snap.partitionCols)
-    // exact pre/post images for the CDF (volume ∝ updated rows, never
-    // the rewritten files' survivors)
-    val changed = readFiles(spark, table, snap.copy(files = affected)).filter(cond)
-    val pre = changed.withColumn(ChangeTypeCol, lit("update_preimage"))
-    val post = changed.select(schema.fields.map { f =>
+    val applySets: DataFrame => DataFrame = df => df.select(schema.fields.map { f =>
       sets.find(_._1.equalsIgnoreCase(f.name)) match {
         case Some((_, v)) => v.cast(f.dataType).as(f.name)
         case None => col(f.name)
       }
-    }.toSeq: _*).withColumn(ChangeTypeCol, lit("update_postimage"))
+    }.toSeq: _*)
+    // SINGLE-EVALUATION contract: the SET expressions run exactly once —
+    // in the CDF image write — and the table rewrite re-reads the
+    // committed postimage BYTES, so the feed can never diverge from the
+    // table even for expressions the determinism check cannot see
+    // (current_timestamp() re-resolves per action). The condition must
+    // be deterministic: it classifies rows in two separate scans.
+    val changed = readFiles(spark, table, snap.copy(files = affected)).filter(cond)
+    val pre = changed.withColumn(ChangeTypeCol, lit("update_preimage"))
+    val post = applySets(changed).withColumn(ChangeTypeCol, lit("update_postimage"))
     val cdf = writeChangeData(pre.unionByName(post), table, affected.length)
+    val committedPost = spark.read
+      .schema(StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType)))
+      .parquet(cdf.map(f => Paths.get(table, f).toString): _*)
+      .filter(col(ChangeTypeCol) === "update_postimage")
+      .drop(ChangeTypeCol)
+    val rewritten = readFiles(spark, table, snap.copy(files = affected))
+      .filter(!cond)
+      .unionByName(committedPost)
+    val (files, _, stats) =
+      writeData(rewritten.repartition(math.max(1, affected.length)), table,
+        snap.partitionCols)
     commit(table, "update", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,
@@ -749,8 +771,10 @@ object TxLog {
     val finalSchema = DataType.fromJson(finalSchemaJson).asInstanceOf[StructType]
     def meta(df: DataFrame, c: Commit): DataFrame = df
       .withColumn(CommitVersionCol, lit(c.version))
+      // exact: millis → micros as integer arithmetic (a double round-trip
+      // would truncate ~1µs off some millisecond timestamps)
       .withColumn(CommitTimestampCol,
-        to_timestamp(lit(c.ts / 1000.0))) // second precision is exact in double
+        org.apache.spark.sql.functions.timestamp_micros(lit(c.ts * 1000L)))
     val parts: Seq[DataFrame] = cs.filter(_.dataChange).flatMap { c =>
       def addsAs(tpe: String, files: Seq[String]): Option[DataFrame] =
         if (files.isEmpty) None
@@ -805,6 +829,24 @@ object TxLog {
     else
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
         .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** A COW kernel's condition classifies rows in MORE than one scan
+    * (affected-file detection, survivor filter, CDF image filter) — a
+    * non-deterministic predicate would classify differently per scan and
+    * silently corrupt both the rewrite and the feed. Refuse loudly.
+    * The check runs on the ANALYZED filter (an unresolved function node
+    * reports deterministic=true vacuously), so `df` must be a frame
+    * already filtered by the condition under test. */
+  private def requireDeterministic(df: DataFrame, what: String): Unit = {
+    val bad = df.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f.condition
+    }
+    require(bad.isEmpty,
+      s"graft: $what must be deterministic — it is evaluated in more than " +
+        "one scan (rand()/shuffle-dependent expressions would classify rows " +
+        "inconsistently); materialize the predicate into a column first")
   }
 
   /** Persist a COW kernel's change rows (schema + `_change_type`) under

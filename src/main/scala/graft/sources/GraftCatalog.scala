@@ -133,6 +133,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("parquet"),
         s"graft catalog tables store graft-logged parquet; USING $p is not supported")
     }
+    // honoring LOCATION silently at a DIFFERENT path would strand the
+    // user's external dir empty — refuse loudly until external tables
+    // are supported (the identifier IS the layout here)
+    require(properties.get(TableCatalog.PROP_LOCATION) == null &&
+        properties.get(TableCatalog.PROP_EXTERNAL) == null,
+      "graft catalog: LOCATION / EXTERNAL are not supported — tables live " +
+        "under the catalog warehouse at their identifier path; use " +
+        "CREATE TEMPORARY VIEW ... USING graft OPTIONS (path ...) for an " +
+        "external path")
     val path = tablePath(ident)
     Files.createDirectories(Paths.get(path).getParent)
     TxLog.create(path, schema, partCols)
@@ -147,6 +156,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.fieldNames().length == 1 && a.position() == null,
           "graft catalog: ADD COLUMNS supports top-level columns appended " +
             "at the end only")
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMNS ${a.fieldNames()(0)} NOT NULL is " +
+            "impossible — existing rows must null-backfill the new column")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new IllegalArgumentException(
@@ -157,16 +169,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(tablePath(ident), ident.toString)
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val p = Paths.get(tablePath(ident))
     if (!isTable(p)) false
-    else {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile); true
-    }
+    else { deleteRecursively(p.toFile); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -229,11 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val empty = try !stream.iterator().hasNext finally stream.close()
       require(empty || cascade,
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir.toFile); true
+      deleteRecursively(dir.toFile); true
     }
   }
 }
@@ -325,16 +333,12 @@ final class GraftCatalogRelations(spark: SparkSession)
       case _ => false
     }
     if (!hasGraft) return plan
-    val writeTables = Collections.newSetFromMap(
-      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
-    plan.foreach {
-      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
-        writeTables.add(w.table): Unit
-      case _ => ()
-    }
+    // write commands need no exemption: V2WriteCommand.table and
+    // InsertIntoStatement.table are FIELDS, not children — transform
+    // never visits them, so the V1Write fallback path keeps its v2
+    // relation untouched by construction
     plan.transform {
-      case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftTable] && !writeTables.contains(r) =>
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
         val rel = GraftLogSource.relation(spark, t.v1Parameters)
         org.apache.spark.sql.execution.datasources.LogicalRelation(

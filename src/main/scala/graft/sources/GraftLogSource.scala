@@ -76,17 +76,36 @@ final class GraftLogSource extends RelationProvider
     def pinned(compute: => Long): Long = {
       val hPath = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
       val fs = hPath.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
-      if (fs.exists(hPath)) {
-        val in = fs.open(hPath)
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      } else {
+      val existing: Option[Long] =
+        if (!fs.exists(hPath)) None
+        else {
+          val in = fs.open(hPath)
+          val txt =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          // a crash between create and write leaves an empty file — treat
+          // any unparsable pin as absent and re-pin, never wedge restarts
+          txt.toLongOption
+        }
+      existing.getOrElse {
         val v = compute
-        val out = fs.create(hPath, false)
+        // stage + rename so a concurrent/crashed writer can never leave a
+        // half-written pin that parses to the wrong version
+        val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+          s".graft-starting-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        v
+        if (fs.rename(tmp, hPath)) v
+        else {
+          // lost a (vanishingly rare) pin race: defer to the winner
+          fs.delete(tmp, false)
+          val in = fs.open(hPath)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption.getOrElse(v)
+          finally in.close()
+        }
       }
     }
     val starting = parameters.get("startingVersion") match {

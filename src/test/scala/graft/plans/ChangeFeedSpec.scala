@@ -151,6 +151,35 @@ class ChangeFeedSpec extends AnyFunSuite {
       .select("k").as[Int].collect().toSeq == Seq(4))
   }
 
+  test("UPDATE postimages are the committed bytes — even for per-action expressions") {
+    val t = freshTable("singleeval")
+    TxLog.append((0 until 10).toDF("k").withColumn("ts",
+      lit(null).cast("timestamp")), t)
+    // current_timestamp() re-resolves per Spark action; the single-
+    // evaluation contract (CDF written first, table rewrite re-reads the
+    // committed postimage bytes) makes feed and table IDENTICAL anyway
+    TxLog.update(spark, t, $"k" < 3, Seq("ts" -> current_timestamp()))
+    val tableRows = TxLog.snapshot(spark, t).filter($"k" < 3)
+      .select("k", "ts").collect().map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    val feedRows = TxLog.changeFeed(spark, t, 1, 2)
+      .filter($"_change_type" === "update_postimage")
+      .select("k", "ts").collect().map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(tableRows == feedRows,
+      "feed postimages must be byte-identical to the committed table rows")
+    // non-deterministic predicates refuse loudly (they classify rows in
+    // more than one scan)
+    val e = intercept[IllegalArgumentException](
+      TxLog.delete(spark, t, rand() < 0.5))
+    assert(e.getMessage.contains("deterministic"))
+    intercept[IllegalArgumentException](
+      TxLog.update(spark, t, rand() < 0.5, Seq("k" -> lit(0))))
+    // _commit_timestamp carries exact millisecond precision
+    val ts = TxLog.changeFeed(spark, t, 1, 2)
+      .select("_commit_timestamp").head().getTimestamp(0)
+    assert(ts.getTime == TxLog.history(t)(1).ts,
+      "commit timestamp must round-trip exactly (no double truncation)")
+  }
+
   test("vacuum reclaims aged CDF images; a reclaimed range refuses loudly") {
     val t = freshTable("cdfvac")
     TxLog.append((0 until 20).toDF("k").withColumn("tag", lit("x")), t)

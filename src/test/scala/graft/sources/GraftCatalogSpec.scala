@@ -131,4 +131,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.alter.t")
     assert(!spark.catalog.tableExists("gcat.alter.t"))
   }
+
+  test("unsupported CREATE/ALTER shapes refuse instead of silently deviating") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.refuse")
+    // LOCATION would be silently ignored (table lives at the identifier
+    // path) — refuse
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.refuse.ext (k BIGINT) USING graft LOCATION '/tmp/elsewhere'"))
+    assert(e1.getMessage.contains("LOCATION"))
+    // NOT NULL column adds cannot be honored on existing rows — refuse
+    spark.sql("CREATE TABLE gcat.refuse.t (k BIGINT) USING graft")
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.refuse.t ADD COLUMNS (s STRING NOT NULL)"))
+    assert(e2.getMessage.contains("null-backfill"))
+  }
 }
