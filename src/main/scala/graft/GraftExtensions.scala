@@ -79,6 +79,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relations swap to the log-backed v1 relation during resolution,
     // so catalog reads prune like path reads and DML reaches GraftDml
     ext.injectResolutionRule(s => new graft.sources.GraftCatalogRelations(s))
+    // SQL-first CDF: SELECT * FROM table_changes('<path>', start[, end])
+    // — Delta's TVF shape; versions inclusive both ends, end defaults to
+    // head. The plan is the changeFeed's own (per-commit parquet scans
+    // + exact COW images), so it composes with any SQL on top.
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.plans.TxLog.getClass.getName, "table_changes"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        require(args.length == 2 || args.length == 3,
+          s"table_changes(path, startingVersion[, endingVersion]) takes 2-3 " +
+            s"arguments, got ${args.length}")
+        def str(e: Expression): String = e match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes: argument must be a string literal, got $other")
+        }
+        def long(e: Expression): Long = e match {
+          case Literal(i: Int, IntegerType) => i.toLong
+          case Literal(l: Long, LongType) => l
+          case other => throw new IllegalArgumentException(
+            s"table_changes: version must be an integer literal, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = str(args(0))
+        val start = long(args(1))
+        val end = args.lift(2).map(long)
+          .getOrElse(graft.plans.TxLog.latestVersion(path))
+        graft.plans.TxLog.changeFeed(spark, path, start - 1, end)
+          .queryExecution.logical
+      }))
     // SQL maintenance (VACUUM / OPTIMIZE / DESCRIBE HISTORY graft '…')
     // — three intercepted statement shapes, everything else delegated
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

@@ -512,6 +512,30 @@ object TableQueries {
       },
       Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
 
+    // The SQL-text door to the same feed: Delta's table_changes TVF
+    // shape, injected via injectTableFunction — the feed composes with
+    // arbitrary SQL on top (here: a filtered aggregate over one image
+    // class), no DataFrame API required.
+    QuerySpec(
+      "table_cdf_tvf",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_cdf_tvf")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)  // v1
+        TxLog.delete(s, table, col("o_orderkey") % 15 === 6)        // v2
+        s.sql(
+          s"""SELECT _change_type, o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+              FROM table_changes('$table', 2)
+              GROUP BY _change_type, o_orderstatus
+              ORDER BY _change_type, o_orderstatus""")
+      },
+      Some("""SELECT 'delete' AS _change_type, o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+              FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 = 6
+              GROUP BY o_orderstatus
+              ORDER BY _change_type, o_orderstatus""")),
+
     // TRUE incremental view maintenance over the CDF — with
     // RETRACTIONS: the MV folds each version's row-level changes as
     // signed deltas (+insert/+postimage, −delete/−preimage), so

@@ -195,6 +195,22 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(TxLog.changeFeed(spark, t, 2, 3).count() == 3)
   }
 
+  test("SQL callers read the feed via the table_changes TVF") {
+    val t = freshTable("tvf")
+    TxLog.append((0 until 8).toDF("k").withColumn("tag", lit("a")), t)
+    TxLog.delete(spark, t, $"k" === 5)
+    val rows = spark.sql(
+      s"SELECT _change_type, COUNT(*) AS n FROM table_changes('$t', 1) " +
+        "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("insert" -> 8L, "delete" -> 1L))
+    // bounded range + composition with ordinary SQL on top
+    assert(spark.sql(
+      s"SELECT SUM(k) FROM table_changes('$t', 2, 2) WHERE _change_type = 'delete'")
+      .head.getLong(0) == 5L)
+    intercept[Exception](spark.sql(s"SELECT * FROM table_changes('$t')"))
+  }
+
   test("CDF rows on a partitioned table carry the partition column") {
     val t = freshTable("part")
     TxLog.append(
