@@ -32,28 +32,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scala API's return values allow. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // Target: `graft '<path>'` (group 1) or a DOTTED catalog identifier
+  // `cat.ns….table` (group 2) — dotted-only so an unqualified name can
+  // never be hijacked from a future Spark statement of the same verb.
+  private val T = """(?:graft\s+'([^']+)'|([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+))"""
   private val Vacuum =
-    """(?is)\s*VACUUM\s+graft\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + T + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+graft\s+'([^']+)'(?:\s+FILES\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """(?:\s+FILES\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+graft\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
   private val Restore =
-    """(?is)\s*RESTORE\s+graft\s+'([^']+)'\s+TO\s+(VERSION|TIMESTAMP)\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+""" + T + """\s+TO\s+(VERSION|TIMESTAMP)\s+(\d+)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(path, retain) =>
-      GraftVacuumCommand(path,
+    case Vacuum(path, ident, retain) =>
+      GraftVacuumCommand(GraftTableRef(path, ident),
         Option(retain).map(_.toLong * 3600 * 1000)
           .getOrElse(TxLog.DefaultVacuumRetentionMs))
-    case Optimize(path, files, cluster) =>
-      GraftOptimizeCommand(path,
+    case Optimize(path, ident, files, cluster) =>
+      GraftOptimizeCommand(GraftTableRef(path, ident),
         Option(files).map(_.toInt).getOrElse(1),
         Option(cluster).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
-    case History(path) => GraftHistoryCommand(path)
-    case Restore(path, kind, v) =>
-      GraftRestoreCommand(path, v.toLong, byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
+    case History(path, ident) => GraftHistoryCommand(GraftTableRef(path, ident))
+    case Restore(path, ident, kind, v) =>
+      GraftRestoreCommand(GraftTableRef(path, ident), v.toLong,
+        byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
     case other => delegate.parsePlan(other)
   }
 
@@ -66,7 +71,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       sqlText: String,
       context: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
     sqlText match {
-      case Vacuum(_, _) | Optimize(_, _, _) | History(_) | Restore(_, _, _) =>
+      case Vacuum(_, _, _) | Optimize(_, _, _, _) | History(_, _) | Restore(_, _, _, _) =>
         parsePlan(sqlText)
       case other => delegate.parsePlanWithParameters(other, context)
     }
@@ -94,24 +99,59 @@ private object GraftMaintenance {
     fields.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
 }
 
+/** A maintenance statement's target: a raw table directory (the
+  * `graft '<path>'` form) or a dotted catalog identifier resolved
+  * against a registered [[graft.sources.GraftCatalog]] at RUN time —
+  * parse time has no catalog manager. Exactly one of the two is set. */
+final case class GraftTableRef(path: String, ident: String) {
+  def resolve(session: SparkSession): String =
+    if (path != null) path
+    else {
+      val parts = ident.split("\\.").toSeq
+      val cat =
+        try session.sessionState.catalogManager.catalog(parts.head)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"graft maintenance on '$ident': '${parts.head}' is not a " +
+              "registered catalog — qualify as <graft-catalog>.<ns>.<table> " +
+              "or address by path with graft '<path>'", e)
+        }
+      cat match {
+        case g: graft.sources.GraftCatalog =>
+          g.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last)) match {
+            case t: graft.sources.GraftTable => t.path
+            case other => throw new IllegalStateException(
+              s"catalog '${parts.head}' returned a non-graft table for " +
+                s"'$ident': ${other.getClass.getName}")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft maintenance on '$ident': catalog '${parts.head}' is " +
+            s"${other.getClass.getName}, not a graft catalog")
+      }
+    }
+  override def toString: String = if (path != null) path else ident
+}
+
 /** `VACUUM graft '<path>' [RETAIN n HOURS]` → files reclaimed. */
-final case class GraftVacuumCommand(table: String, retainMs: Long)
+final case class GraftVacuumCommand(ref: GraftTableRef, retainMs: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftMaintenance.attrs("files_reclaimed" -> LongType)
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.vacuum(table, retainMs).toLong))
+    Seq(Row(TxLog.vacuum(ref.resolve(session), retainMs).toLong))
 }
 
 /** `OPTIMIZE graft '<path>' [FILES n] [CLUSTER BY (…)]` → the layout
   * change, provable from the returned counts. */
 final case class GraftOptimizeCommand(
-    table: String, numFiles: Int, clusterBy: Seq[String])
+    ref: GraftTableRef, numFiles: Int, clusterBy: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenance.attrs(
     "version" -> LongType, "files_before" -> IntegerType,
     "files_after" -> IntegerType)
   override def run(session: SparkSession): Seq[Row] = {
+    val table = ref.resolve(session)
     val before = TxLog.liveFileCount(table)
     val v = TxLog.compact(session, table, numFiles, clusterBy)
     Seq(Row(v, before, TxLog.liveFileCount(table)))
@@ -121,24 +161,26 @@ final case class GraftOptimizeCommand(
 /** `RESTORE graft '<path>' TO VERSION n | TO TIMESTAMP millis` — the
   * metadata-only rollback as SQL text; returns the new head version and
   * the version restored to. */
-final case class GraftRestoreCommand(table: String, target: Long, byTimestamp: Boolean)
+final case class GraftRestoreCommand(ref: GraftTableRef, target: Long, byTimestamp: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenance.attrs(
     "version" -> LongType, "restored_to" -> LongType)
   override def run(session: SparkSession): Seq[Row] = {
+    val table = ref.resolve(session)
     val toVersion = if (byTimestamp) TxLog.versionAt(table, target) else target
     Seq(Row(TxLog.restore(table, toVersion), toVersion))
   }
 }
 
 /** `DESCRIBE HISTORY graft '<path>'` → the commit log, newest first. */
-final case class GraftHistoryCommand(table: String)
+final case class GraftHistoryCommand(ref: GraftTableRef)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenance.attrs(
     "version" -> LongType, "op" -> StringType,
     "files_added" -> IntegerType, "files_removed" -> IntegerType,
     "data_change" -> BooleanType, "partition_cols" -> StringType)
   override def run(session: SparkSession): Seq[Row] = {
+    val table = ref.resolve(session)
     require(TxLog.latestVersion(table) > 0,
       s"$table is not a graft table (no commits) — an empty history would " +
         "read as a healthy empty table")

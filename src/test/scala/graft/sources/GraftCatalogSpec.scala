@@ -132,6 +132,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("gcat.alter.t"))
   }
 
+  test("maintenance SQL accepts catalog identifiers") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.maint")
+    spark.sql("CREATE TABLE gcat.maint.t USING graft AS SELECT id AS k FROM range(20)")
+    spark.sql("INSERT INTO gcat.maint.t SELECT id FROM range(20, 40)")
+    // DESCRIBE HISTORY on the identifier reads the same log
+    val hist = spark.sql("DESCRIBE HISTORY gcat.maint.t").collect()
+    assert(hist.map(_.getString(1)).toSeq == Seq("append", "overwrite", "create") ||
+      hist.map(_.getString(1)).toSeq == Seq("append", "append", "create"),
+      s"got ${hist.map(_.getString(1)).toSeq}")
+    // OPTIMIZE compacts; VACUUM with retention 0 reclaims the dead files
+    val opt = spark.sql("OPTIMIZE gcat.maint.t FILES 1").head()
+    assert(opt.getInt(2) == 1, s"files_after = ${opt.getInt(2)}")
+    assert(spark.sql("VACUUM gcat.maint.t RETAIN 0 HOURS").head.getLong(0) >= 1)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.maint.t").head.getLong(0) == 40)
+    // RESTORE by identifier
+    spark.sql("DELETE FROM gcat.maint.t WHERE k < 5")
+    val head0 = spark.sql("DESCRIBE HISTORY gcat.maint.t").head.getLong(0)
+    spark.sql(s"RESTORE gcat.maint.t TO VERSION ${head0 - 1}")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.maint.t").head.getLong(0) == 40)
+    // unresolvable identifiers refuse loudly
+    val e = intercept[Exception](spark.sql("VACUUM nosuchcat.ns.t"))
+    assert(e.getMessage.contains("not a registered catalog"))
+  }
+
   test("unsupported CREATE/ALTER shapes refuse instead of silently deviating") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.refuse")
     // LOCATION would be silently ignored (table lives at the identifier
