@@ -512,6 +512,44 @@ object TableQueries {
       },
       Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
 
+    // Partition-SCOPED INSERT OVERWRITE, both Spark semantics on one
+    // hive-partitioned fixture: dynamic mode replaces EXACTLY the
+    // partitions the data landed in (slice-1 rows re-land their own
+    // o_orderstatus partitions; other statuses survive untouched), then
+    // a static PARTITION (o_orderstatus='F') spec clears just that
+    // subtree and refills it from slice 2 with the literal injected.
+    // One atomic commit each — the oracle restates the surviving mix.
+    QuerySpec(
+      "table_overwrite_partitions",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_owpart")
+        deleteRecursively(table)
+        val base = ordersAll(s, dir)
+        TxLog.append(
+          base.filter(col("o_orderkey") % 3 === 0).repartition(2),
+          table, partitionBy = Seq("o_orderstatus"))
+        // dynamic: replace only the 'O' partition with slice-1 'O' rows
+        TxLog.overwritePartitions(
+          base.filter(col("o_orderkey") % 3 === 1 && col("o_orderstatus") === "O"),
+          table, dynamic = true)
+        // static spec: clear the 'F' subtree, refill from slice 2 (the
+        // SELECT supplies data columns; the literal injects)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_owp_q " +
+          s"USING graft OPTIONS (path '$table')")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_owp_src")
+        s.sql("""INSERT OVERWRITE TABLE graft_owp_q PARTITION (o_orderstatus = 'F')
+                 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                 FROM orders_owp_src
+                 WHERE o_orderkey % 3 = 2 AND o_orderstatus = 'F'""")
+        ordersAgg(s.read.format("graft").load(table)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"))
+      },
+      Some(ordersOracle(
+        """(o_orderstatus = 'O' AND o_orderkey % 3 = 1)
+           OR (o_orderstatus = 'F' AND o_orderkey % 3 = 2)
+           OR (o_orderstatus NOT IN ('O', 'F') AND o_orderkey % 3 = 0)"""))),
+
     // The SQL-text door to the same feed: Delta's table_changes TVF
     // shape, injected via injectTableFunction — the feed composes with
     // arbitrary SQL on top (here: a filtered aggregate over one image

@@ -60,35 +60,29 @@ object GraftDml extends Rule[LogicalPlan] {
             "graft: cannot INSERT into a versionAsOf time-travel view")
           require(cols.isEmpty && !byName,
             "INSERT on a graft view is by-position only (no column list / BY NAME)")
-          require(parts.values.forall(_.isEmpty),
-            "INSERT on a graft view: static PARTITION values are not supported — " +
-              "supply the partition column in the SELECT")
-          // Partition-scoped OVERWRITE is not implemented: TxLog.overwrite
-          // replaces EVERY live file. Under a PARTITION (c) spec — or the
-          // session-wide dynamic partitionOverwriteMode on a partitioned
-          // table — the user expects untouched partitions to survive, so
-          // mapping either shape to a full overwrite would be silent data
-          // loss. Refuse loudly until partition-scoped overwrite exists.
-          require(!(overwrite && parts.nonEmpty),
-            s"INSERT OVERWRITE on graft table ${r.table} with a PARTITION spec is " +
-              "not supported: graft overwrite replaces the WHOLE table, which " +
-              "would drop partitions the spec did not name")
-          require(!(overwrite && r.partitionSchema.nonEmpty &&
-              conf.partitionOverwriteMode ==
-                org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC),
-            s"INSERT OVERWRITE on partitioned graft table ${r.table} under " +
-              "spark.sql.sources.partitionOverwriteMode=dynamic is not supported: " +
-              "graft overwrite replaces the WHOLE table, not just the written " +
-              "partitions — set the mode to static (and expect a full replace) " +
-              "or use append + DELETE")
           require(!ifNotExists,
             "INSERT on a graft view: IF NOT EXISTS is not supported")
-          require(query.output.length == r.schema.length,
+          val partCols = r.partitionSchema.fieldNames.toSeq
+          val badParts = parts.keys.filterNot(k =>
+            partCols.exists(_.equalsIgnoreCase(k)))
+          require(badParts.isEmpty,
+            s"PARTITION names non-partition column(s) ${badParts.mkString(", ")} — " +
+              s"${r.table} is partitioned by [${partCols.mkString(", ")}]")
+          // static PARTITION (k='v') entries become injected literals; a
+          // bare PARTITION (k) entry only signals partition-scoped intent
+          // (the column still arrives via the SELECT, per SQL)
+          val staticSpec: Map[String, String] =
+            parts.collect { case (k, Some(v)) => k -> v }
+          require(query.output.length == r.schema.length - staticSpec.size,
             s"INSERT on ${r.table}: query supplies ${query.output.length} columns, " +
-              s"the table has ${r.schema.length}")
+              s"expected ${r.schema.length - staticSpec.size} (the table has " +
+              s"${r.schema.length}; ${staticSpec.size} come from the PARTITION spec)")
           GraftInsertCommand(r.table, query,
             r.schema.fields.map(f => f.name -> f.dataType).toSeq,
-            r.tableFieldOrder, overwrite)
+            r.tableFieldOrder, overwrite,
+            staticSpec = staticSpec,
+            partitionSpecPresent = parts.nonEmpty,
+            partitioned = partCols.nonEmpty)
         case None => i
       }
     case d @ DeleteFromTable(target, cond) =>
@@ -256,23 +250,50 @@ final case class GraftUpdateCommand(
 }
 
 /** `INSERT INTO / INSERT OVERWRITE <graft view>` — eager command over
-  * TxLog.append/overwrite: positional cast to the relation's output
-  * types (data columns then partition columns), then realigned to the
-  * table's own schema order for the log's schema check. Partitioned
-  * tables inherit their layout inside TxLog.append. */
+  * the log's write kernels: positional cast to the relation's output
+  * types (data columns then partition columns, static-PARTITION values
+  * injected as cast literals), then realigned to the table's own schema
+  * order for the log's schema check. OVERWRITE routes by Spark's own
+  * semantics: a PARTITION spec or partitionOverwriteMode=dynamic on a
+  * partitioned table is a partition-SCOPED overwrite
+  * ([[TxLog.overwritePartitions]] — dynamic replaces exactly the
+  * written partitions, a static spec clears its subtree); everything
+  * else is the whole-table swap. */
 final case class GraftInsertCommand(
     table: String, query: LogicalPlan,
     outTypes: Seq[(String, org.apache.spark.sql.types.DataType)],
-    tableOrder: IndexedSeq[String], overwrite: Boolean)
+    tableOrder: IndexedSeq[String], overwrite: Boolean,
+    staticSpec: Map[String, String] = Map.empty,
+    partitionSpecPresent: Boolean = false,
+    partitioned: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val src = Bridge.dataFrame(session, query)
-    val aligned = src.select(src.columns.zip(outTypes).map {
+    // the SELECT supplies every column EXCEPT the static-spec'd ones
+    // (data columns first, dynamic partition columns last — SQL's rule)
+    val supplied = outTypes.filterNot { case (n, _) =>
+      staticSpec.keys.exists(_.equalsIgnoreCase(n)) }
+    val positioned = src.select(src.columns.zip(supplied).map {
       case (c, (n, dt)) => col(c).cast(dt).as(n)
-    }.toSeq: _*).select(tableOrder.map(col): _*)
-    if (overwrite) TxLog.overwrite(aligned, table)
-    else TxLog.append(aligned, table): Unit
+    }.toSeq: _*)
+    val withStatic = staticSpec.foldLeft(positioned) { case (df, (k, v)) =>
+      val (name, dt) = outTypes.find(_._1.equalsIgnoreCase(k)).get
+      df.withColumn(name, lit(v).cast(dt))
+    }
+    val aligned = withStatic.select(tableOrder.map(col): _*)
+    val dynamicMode = session.conf.get(
+      "spark.sql.sources.partitionOverwriteMode").equalsIgnoreCase("dynamic")
+    if (!overwrite) TxLog.append(aligned, table)
+    else if (partitioned && dynamicMode)
+      TxLog.overwritePartitions(aligned, table, staticSpec, dynamic = true)
+    else if (staticSpec.nonEmpty)
+      TxLog.overwritePartitions(aligned, table, staticSpec, dynamic = false)
+    else if (partitioned && partitionSpecPresent)
+      // static mode, PARTITION (k) with no values: the spec matches every
+      // partition — Spark's static semantics make this a full replace
+      TxLog.overwrite(aligned, table)
+    else TxLog.overwrite(aligned, table): Unit
     Seq.empty
   }
 }

@@ -186,6 +186,57 @@ object TxLog {
       existing
     }
 
+  /** Partition-SCOPED overwrite — the two semantics Spark gives
+    * `INSERT OVERWRITE` on partitioned tables, made atomic by the log:
+    *
+    *  - `dynamic = true` (partitionOverwriteMode=dynamic): replace
+    *    exactly the partitions the written data LANDED in; untouched
+    *    partitions survive. `staticSpec` (if any) additionally pins
+    *    those columns — rows outside it refuse.
+    *  - `dynamic = false` with a static `PARTITION (k='v' …)` spec:
+    *    replace every live file under the spec's subtree (Hive/Spark
+    *    static semantics — the spec names the subtree to clear), then
+    *    add the written files. A full-table static overwrite (empty
+    *    spec) is plain [[overwrite]].
+    *
+    * One commit swaps the replaced partitions atomically: readers see
+    * the old set or the new set, never a mix. The remove list is
+    * recomputed per publish retry, so a racing append to an UNtouched
+    * partition commutes. */
+  def overwritePartitions(
+      df: DataFrame, table: String,
+      staticSpec: Map[String, String] = Map.empty,
+      dynamic: Boolean = true): Long = {
+    val snap = replay(table, None)
+    require(snap.partitionCols.nonEmpty,
+      s"$table is not partitioned — partition-scoped overwrite needs a " +
+        "hive-partitioned table (plain overwrite replaces the whole table)")
+    val spec = staticSpec.map { case (k, v) =>
+      snap.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITION column $k is not a partition column of $table " +
+            s"(partitioned by ${snap.partitionCols.mkString(", ")})")) -> v
+    }
+    val (files, schemaJson, stats) = writeData(df, table, snap.partitionCols)
+    if (snap.schemaJson.nonEmpty) requireSchemaMatch(snap.schemaJson, schemaJson, table)
+    val written = files.map(f => partitionValuesOf(f, snap.partitionCols))
+    spec.foreach { case (k, v) =>
+      val strays = written.filterNot(_.get(k).contains(v))
+      require(strays.isEmpty,
+        s"INSERT OVERWRITE PARTITION ($k='$v'): ${strays.length} written " +
+          s"file(s) carry other $k values — rows must match the static spec")
+    }
+    val writtenSet = written.toSet
+    def replaced(pv: Map[String, String]): Boolean =
+      if (dynamic) writtenSet.contains(pv)
+      else spec.forall { case (k, v) => pv.get(k).contains(v) }
+    commit(table, "overwrite", files, dataChange = true,
+      schemaPlan = _ => schemaJson, stats = stats,
+      partitionCols = snap.partitionCols,
+      removePlan = now => now.files.filter(f =>
+        replaced(partitionValuesOf(f, snap.partitionCols)))).get
+  }
+
   /** Exactly-once streaming append: commits carry an (appId, batchId)
     * token, and a batch at or below the app's committed high-water mark
     * is SKIPPED (returns None, table unchanged) — so a replayed

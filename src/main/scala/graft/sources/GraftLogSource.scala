@@ -148,7 +148,18 @@ final class GraftLogSource extends RelationProvider
         if (parameters.get("mergeSchema").exists(_.toBoolean))
           TxLog.appendEvolve(data, table)
         else TxLog.append(data, table)
-      case SaveMode.Overwrite => TxLog.overwrite(data, table)
+      case SaveMode.Overwrite =>
+        // Spark's own dynamic-overwrite contract: on a partitioned table
+        // under partitionOverwriteMode=dynamic (writer option wins over
+        // the session conf), replace exactly the written partitions
+        val dynamic = parameters.get("partitionOverwriteMode")
+          .orElse(Option(ctx.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode")))
+          .exists(_.equalsIgnoreCase("dynamic"))
+        if (dynamic && exists &&
+            TxLog.snapshotInfo(table).partitionCols.nonEmpty)
+          TxLog.overwritePartitions(data, table, dynamic = true)
+        else TxLog.overwrite(data, table)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table $table already exists (mode=ErrorIfExists)")

@@ -265,28 +265,29 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("time-travel"))
   }
 
-  test("partition-scoped INSERT OVERWRITE shapes refuse instead of dropping partitions") {
+  test("partition-scoped INSERT OVERWRITE: dynamic replaces written partitions, static spec clears its subtree") {
     val t = freshTable("owpart")
     TxLog.append(
       (0 until 30).toDF("k").withColumn("bucket", concat(lit("b"), $"k" % 3)),
       t, partitionBy = Seq("bucket"))
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ow_part " +
       s"USING graft OPTIONS (path '$t')")
-    // a dynamic PARTITION (c) spec promises partition-scoped replacement
-    // graft cannot deliver — must refuse, not wipe the table
-    val e1 = intercept[Exception](spark.sql(
-      "INSERT OVERWRITE TABLE graft_ow_part PARTITION (bucket) " +
-        "SELECT id AS k, 'b0' AS bucket FROM range(5)"))
-    assert(e1.getMessage.contains("PARTITION spec"))
-    // session-wide dynamic overwrite mode on a partitioned table: same
+    // dynamic PARTITION (c) spec under dynamic mode: ONLY b0 is replaced
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val e2 = intercept[Exception](spark.sql(
-        "INSERT OVERWRITE TABLE graft_ow_part SELECT id AS k, 'b0' AS bucket FROM range(5)"))
-      assert(e2.getMessage.contains("partitionOverwriteMode"))
+      spark.sql("INSERT OVERWRITE TABLE graft_ow_part PARTITION (bucket) " +
+        "SELECT id + 100 AS k, 'b0' AS bucket FROM range(5)")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 25,
+        "b0's 10 rows replaced by 5; b1/b2 untouched")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part WHERE bucket = 'b1'")
+        .head.getLong(0) == 10)
+      // no-spec dynamic overwrite: same written-partition scope
+      spark.sql("INSERT OVERWRITE TABLE graft_ow_part " +
+        "SELECT id + 200 AS k, 'b1' AS bucket FROM range(3)")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 18,
+        "b1's 10 rows replaced by 3; b0/b2 untouched")
       // an UNpartitioned table is unaffected by the mode — full replace
-      // is the only meaning overwrite can have there
       val t2 = freshTable("owflat")
       TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t2)
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ow_flat " +
@@ -294,11 +295,28 @@ class GraftLogSourceSpec extends AnyFunSuite {
       spark.sql("INSERT OVERWRITE TABLE graft_ow_flat SELECT id AS k, 'z' AS tag FROM range(3)")
       assert(spark.sql("SELECT COUNT(*) FROM graft_ow_flat").head.getLong(0) == 3)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    // nothing was lost on the partitioned table
-    assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 30)
+    // STATIC spec under static mode: the spec's subtree clears, literals
+    // inject (the SELECT supplies only the data column)
+    spark.sql("INSERT OVERWRITE TABLE graft_ow_part PARTITION (bucket = 'b2') " +
+      "SELECT id + 300 AS k FROM range(2)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part WHERE bucket = 'b2'")
+      .head.getLong(0) == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 10)
+    // static INSERT INTO with a static spec appends with injected values
+    spark.sql("INSERT INTO graft_ow_part PARTITION (bucket = 'b0') " +
+      "SELECT id + 400 AS k FROM range(4)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part WHERE bucket = 'b0'")
+      .head.getLong(0) == 9)
     // static mode full overwrite (no spec) remains the documented meaning
     spark.sql("INSERT OVERWRITE TABLE graft_ow_part SELECT id AS k, CONCAT('b', id % 2) AS bucket FROM range(8)")
     assert(spark.sql("SELECT COUNT(*) FROM graft_ow_part").head.getLong(0) == 8)
+    // writer API honors the dynamic contract via the writer option
+    (0 until 6).toDF("k").withColumn("bucket", lit("b1"))
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(t)
+    assert(spark.read.format("graft").load(t).filter($"bucket" === "b0").count() == 4,
+      "b0 must survive a dynamic writer overwrite that only wrote b1")
+    assert(spark.read.format("graft").load(t).filter($"bucket" === "b1").count() == 6)
   }
 
   test("partition values round-trip escaped bytes exactly") {
