@@ -211,6 +211,20 @@ class ChangeFeedSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"SELECT * FROM table_changes('$t')"))
   }
 
+  test("partition-scoped overwrite feeds exactly the replaced partition's row diff") {
+    val t = freshTable("owpartcdf")
+    TxLog.append(
+      (0 until 12).toDF("k").withColumn("b", concat(lit("p"), $"k" % 3)),
+      t, partitionBy = Seq("b"))
+    TxLog.overwritePartitions(
+      (100 until 102).toDF("k").withColumn("b", lit("p1")), t, dynamic = true)
+    val m = types(t, 1, 2)
+    assert(m == Map("delete" -> 4L, "insert" -> 2L),
+      s"only p1's rows may feed (4 deleted, 2 inserted), got $m")
+    val feed = TxLog.changeFeed(spark, t, 1, 2)
+    assert(feed.select("b").distinct().as[String].collect().toSeq == Seq("p1"))
+  }
+
   test("CDF rows on a partitioned table carry the partition column") {
     val t = freshTable("part")
     TxLog.append(
