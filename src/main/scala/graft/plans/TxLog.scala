@@ -394,7 +394,8 @@ object TxLog {
     * deterministic frame; materialize (cache/write) anything derived
     * from rand()/shuffles first. This predates the CDF and is the same
     * contract every multi-action consumer of a DataFrame has. */
-  def merge(spark: SparkSession, table: String, updates: DataFrame, keyCol: String): Long = {
+  def merge(spark: SparkSession, table: String, updates: DataFrame, keyCol: String,
+      writeCdf: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val snap = replay(table, None)
     requireSchemaMatch(snap.schemaJson, nullable(updates.schema).json, table)
@@ -431,20 +432,24 @@ object TxLog {
     val (rLo, rHi) = (range.getString(0), range.getString(1))
     // exact upsert images for the CDF: keys present in the affected
     // files are updates (pre from the target, post from `updates`);
-    // keys absent are inserts
-    val affKeys = affectedRows.select(col(keyCol)).distinct()
-    val updAligned = updates.select(affectedRows.columns.map(col).toSeq: _*)
-    val cdfRows = affectedRows
-      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-      .select(affectedRows.columns.map(col).toSeq: _*)
-      .withColumn(ChangeTypeCol, lit("update_preimage"))
-      .unionByName(updAligned.join(affKeys, Seq(keyCol), "left_semi")
+    // keys absent are inserts. writeCdf=false skips the three bounded
+    // key-joins + image write for write-heavy merges whose feed nobody
+    // reads (the feed then derives this commit as a coarse diff).
+    val cdf = if (!writeCdf) Nil else {
+      val affKeys = affectedRows.select(col(keyCol)).distinct()
+      val updAligned = updates.select(affectedRows.columns.map(col).toSeq: _*)
+      val cdfRows = affectedRows
+        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
         .select(affectedRows.columns.map(col).toSeq: _*)
-        .withColumn(ChangeTypeCol, lit("update_postimage")))
-      .unionByName(updAligned.join(affKeys, Seq(keyCol), "left_anti")
-        .select(affectedRows.columns.map(col).toSeq: _*)
-        .withColumn(ChangeTypeCol, lit("insert")))
-    val cdf = writeChangeData(cdfRows, table, affected.length)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(updAligned.join(affKeys, Seq(keyCol), "left_semi")
+          .select(affectedRows.columns.map(col).toSeq: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage")))
+        .unionByName(updAligned.join(affKeys, Seq(keyCol), "left_anti")
+          .select(affectedRows.columns.map(col).toSeq: _*)
+          .withColumn(ChangeTypeCol, lit("insert")))
+      writeChangeData(cdfRows, table, affected.length)
+    }
     commit(table, "merge", files, dataChange = true, schemaPlan = _ => snap.schemaJson,
       stats = stats, partitionCols = snap.partitionCols, cdf = cdf,
       removePlan = { now =>
