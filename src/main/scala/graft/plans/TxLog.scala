@@ -944,6 +944,24 @@ object TxLog {
   def snapshotAt(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     snapshot(spark, table, Some(versionAt(table, tsMillis)))
 
+  /** The EARLIEST version committed at or after `tsMillis` — the
+    * `startingTimestamp` resolution for feed consumers ("give me every
+    * change since this instant"). Loud when the instant is past the last
+    * commit (nothing starts there — Delta's contract). */
+  def versionAtOrAfter(table: String, tsMillis: Long): Long = {
+    val head = latestVersion(table)
+    require(head > 0, s"$table is not a graft table (no commits)")
+    if (readCommit(table, 1L).ts >= tsMillis) return 1L
+    val atOrBefore = versionAt(table, tsMillis)
+    if (readCommit(table, atOrBefore).ts == tsMillis) atOrBefore
+    else {
+      require(atOrBefore < head,
+        s"startingTimestamp $tsMillis is after $table's last commit " +
+          s"(${readCommit(table, head).ts}) — no version starts there")
+      atOrBefore + 1
+    }
+  }
+
   /** Current head version (0 = no commits yet). */
   def latestVersion(table: String): Long = {
     val dir = logDir(table)

@@ -108,10 +108,18 @@ final class GraftLogSource extends RelationProvider
         }
       }
     }
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
     val starting = parameters.get("startingVersion") match {
       case Some("latest") => pinned(TxLog.latestVersion(table) + 1)
       case Some(v) => v.toLong
-      case None => 1L // full history, then tail
+      case None => parameters.get("startingTimestamp") match {
+        // pinned like `latest`: resolving a wall-clock instant must
+        // happen ONCE, not per restart
+        case Some(t) => pinned(TxLog.versionAtOrAfter(table, t.toLong))
+        case None => 1L // full history, then tail
+      }
     }
     new GraftStreamSource(ctx.sparkSession, table, starting,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
@@ -187,9 +195,15 @@ private[sources] object GraftLogSource {
     require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
       "graft: readChangeFeed and time travel are mutually exclusive — the " +
         "feed's range IS its version selector")
-    val starting = parameters.getOrElse("startingVersion",
-      throw new IllegalArgumentException(
-        "graft: readChangeFeed requires option startingVersion (inclusive)")).toLong
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
+    val starting = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map(t =>
+        TxLog.versionAtOrAfter(table, t.toLong)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: readChangeFeed requires option startingVersion or " +
+          "startingTimestamp (both inclusive)"))
     val ending = parameters.get("endingVersion").map(_.toLong)
       .getOrElse(TxLog.latestVersion(table))
     val df = TxLog.changeFeed(spark, table, starting - 1, ending)

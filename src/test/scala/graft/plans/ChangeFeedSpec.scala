@@ -195,6 +195,27 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(TxLog.changeFeed(spark, t, 2, 3).count() == 3)
   }
 
+  test("startingTimestamp resolves to the earliest version at or after the instant") {
+    val t = freshTable("startts")
+    TxLog.append((0 until 3).toDF("k").withColumn("tag", lit("a")), t)   // v1
+    Thread.sleep(5)
+    TxLog.append((3 until 5).toDF("k").withColumn("tag", lit("b")), t)   // v2
+    val ts1 = TxLog.history(t).head.ts
+    val ts2 = TxLog.history(t).last.ts
+    assert(TxLog.versionAtOrAfter(t, 0L) == 1L)
+    assert(TxLog.versionAtOrAfter(t, ts1) == 1L, "exact instant includes its commit")
+    assert(TxLog.versionAtOrAfter(t, ts1 + 1) == 2L)
+    intercept[IllegalArgumentException](TxLog.versionAtOrAfter(t, ts2 + 1))
+    // the connector option: everything since v2's instant
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingTimestamp", ts2.toString)
+      .load(t).count() == 2)
+    // mutually exclusive with startingVersion
+    intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("startingTimestamp", "0").load(t).count())
+  }
+
   test("SQL callers read the feed via the table_changes TVF") {
     val t = freshTable("tvf")
     TxLog.append((0 until 8).toDF("k").withColumn("tag", lit("a")), t)
