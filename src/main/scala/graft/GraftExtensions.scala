@@ -112,7 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // SQL maintenance (VACUUM / OPTIMIZE / DESCRIBE HISTORY graft '…')
     // — three intercepted statement shapes, everything else delegated
-    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) => new graft.plans.GraftSqlParser(delegate, Some(session)))
 
     // The geo scalar kernel for SQL-text callers — the same native
     // codegen expressions the Column API builds (GeoFunctions.register's

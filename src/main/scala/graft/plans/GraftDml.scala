@@ -81,8 +81,7 @@ object GraftDml extends Rule[LogicalPlan] {
             r.schema.fields.map(f => f.name -> f.dataType).toSeq,
             r.tableFieldOrder, overwrite,
             staticSpec = staticSpec,
-            partitionSpecPresent = parts.nonEmpty,
-            partitioned = partCols.nonEmpty)
+            partitionColCount = partCols.length)
         case None => i
       }
     case d @ DeleteFromTable(target, cond) =>
@@ -264,8 +263,7 @@ final case class GraftInsertCommand(
     outTypes: Seq[(String, org.apache.spark.sql.types.DataType)],
     tableOrder: IndexedSeq[String], overwrite: Boolean,
     staticSpec: Map[String, String] = Map.empty,
-    partitionSpecPresent: Boolean = false,
-    partitioned: Boolean = false)
+    partitionColCount: Int = 0)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -284,15 +282,17 @@ final case class GraftInsertCommand(
     val aligned = withStatic.select(tableOrder.map(col): _*)
     val dynamicMode = session.conf.get(
       "spark.sql.sources.partitionOverwriteMode").equalsIgnoreCase("dynamic")
+    // Spark's own routing: a FULLY-static spec takes static semantics
+    // regardless of the mode (it names the exact partition to clear —
+    // even an empty source must empty it); dynamic applies only when at
+    // least one partition column is dynamic. A bare PARTITION (k) spec
+    // under static mode matches every partition = full replace.
+    val fullyStatic = partitionColCount > 0 && staticSpec.size == partitionColCount
     if (!overwrite) TxLog.append(aligned, table)
-    else if (partitioned && dynamicMode)
-      TxLog.overwritePartitions(aligned, table, staticSpec, dynamic = true)
-    else if (staticSpec.nonEmpty)
+    else if (fullyStatic || (staticSpec.nonEmpty && !dynamicMode))
       TxLog.overwritePartitions(aligned, table, staticSpec, dynamic = false)
-    else if (partitioned && partitionSpecPresent)
-      // static mode, PARTITION (k) with no values: the spec matches every
-      // partition — Spark's static semantics make this a full replace
-      TxLog.overwrite(aligned, table)
+    else if (partitionColCount > 0 && dynamicMode)
+      TxLog.overwritePartitions(aligned, table, staticSpec, dynamic = true)
     else TxLog.overwrite(aligned, table): Unit
     Seq.empty
   }

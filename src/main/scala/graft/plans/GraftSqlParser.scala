@@ -30,7 +30,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * rows (files reclaimed; versions before/after + file counts; the
   * commit history) so SQL callers can assert outcomes the way the
   * Scala API's return values allow. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(
+    delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
+
+  /** A DOTTED target is intercepted ONLY when its head names a
+    * registered [[graft.sources.GraftCatalog]] — any other dotted name
+    * (another extension's table, the session catalog) must keep flowing
+    * to the delegate parser untouched. The `graft '<path>'` form is
+    * always ours. */
+  private def ours(path: String, ident: String): Boolean =
+    path != null || (ident != null && session.exists { s =>
+      val head = ident.split("\\.").head
+      try s.sessionState.catalogManager.catalog(head)
+        .isInstanceOf[graft.sources.GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    })
 
   // Target: `graft '<path>'` (group 1) or a DOTTED catalog identifier
   // `cat.ns….table` (group 2) — dotted-only so an unqualified name can
@@ -46,17 +61,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*RESTORE\s+""" + T + """\s+TO\s+(VERSION|TIMESTAMP)\s+(\d+)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(path, ident, retain) =>
+    case Vacuum(path, ident, retain) if ours(path, ident) =>
       GraftVacuumCommand(GraftTableRef(path, ident),
         Option(retain).map(_.toLong * 3600 * 1000)
           .getOrElse(TxLog.DefaultVacuumRetentionMs))
-    case Optimize(path, ident, files, cluster) =>
+    case Optimize(path, ident, files, cluster) if ours(path, ident) =>
       GraftOptimizeCommand(GraftTableRef(path, ident),
         Option(files).map(_.toInt).getOrElse(1),
         Option(cluster).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
-    case History(path, ident) => GraftHistoryCommand(GraftTableRef(path, ident))
-    case Restore(path, ident, kind, v) =>
+    case History(path, ident) if ours(path, ident) =>
+      GraftHistoryCommand(GraftTableRef(path, ident))
+    case Restore(path, ident, kind, v) if ours(path, ident) =>
       GraftRestoreCommand(GraftTableRef(path, ident), v.toLong,
         byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
     case other => delegate.parsePlan(other)
@@ -71,8 +87,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       sqlText: String,
       context: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
     sqlText match {
-      case Vacuum(_, _, _) | Optimize(_, _, _, _) | History(_, _) | Restore(_, _, _, _) =>
-        parsePlan(sqlText)
+      case Vacuum(p, i, _) if ours(p, i) => parsePlan(sqlText)
+      case Optimize(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
+      case History(p, i) if ours(p, i) => parsePlan(sqlText)
+      case Restore(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
       case other => delegate.parsePlanWithParameters(other, context)
     }
 
@@ -111,10 +129,14 @@ final case class GraftTableRef(path: String, ident: String) {
       val cat =
         try session.sessionState.catalogManager.catalog(parts.head)
         catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"graft maintenance on '$ident': '${parts.head}' is not a " +
-              "registered catalog — qualify as <graft-catalog>.<ns>.<table> " +
-              "or address by path with graft '<path>'", e)
+          // only "no such catalog" earns the registration hint — an
+          // instantiation failure of a REGISTERED catalog must surface
+          // as itself
+          case e: org.apache.spark.sql.connector.catalog.CatalogNotFoundException =>
+            throw new IllegalArgumentException(
+              s"graft maintenance on '$ident': '${parts.head}' is not a " +
+                "registered catalog — qualify as <graft-catalog>.<ns>.<table> " +
+                "or address by path with graft '<path>'", e)
         }
       cat match {
         case g: graft.sources.GraftCatalog =>

@@ -211,14 +211,30 @@ object TxLog {
     require(snap.partitionCols.nonEmpty,
       s"$table is not partitioned — partition-scoped overwrite needs a " +
         "hive-partitioned table (plain overwrite replaces the whole table)")
+    val tableSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // spec values arrive as raw SQL strings ('05' on an INT column);
+    // canonicalize through the column's own type so they compare in the
+    // SAME domain as the path-borne values the writer produced
     val spec = staticSpec.map { case (k, v) =>
-      snap.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(
+      val name = snap.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"PARTITION column $k is not a partition column of $table " +
-            s"(partitioned by ${snap.partitionCols.mkString(", ")})")) -> v
+            s"(partitioned by ${snap.partitionCols.mkString(", ")})"))
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      val typed = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType),
+        tableSchema(name).dataType, timeZoneId = Some(tz)).eval(null)
+      require(typed != null,
+        s"PARTITION ($k='$v') does not parse as ${tableSchema(name).dataType.sql}")
+      val canon = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(typed,
+          tableSchema(name).dataType),
+        org.apache.spark.sql.types.StringType, timeZoneId = Some(tz)).eval(null).toString
+      name -> canon
     }
     val (files, schemaJson, stats) = writeData(df, table, snap.partitionCols)
-    if (snap.schemaJson.nonEmpty) requireSchemaMatch(snap.schemaJson, schemaJson, table)
     val written = files.map(f => partitionValuesOf(f, snap.partitionCols))
     spec.foreach { case (k, v) =>
       val strays = written.filterNot(_.get(k).contains(v))
@@ -233,8 +249,14 @@ object TxLog {
     commit(table, "overwrite", files, dataChange = true,
       schemaPlan = _ => schemaJson, stats = stats,
       partitionCols = snap.partitionCols,
-      removePlan = now => now.files.filter(f =>
-        replaced(partitionValuesOf(f, snap.partitionCols)))).get
+      removePlan = { now =>
+        // re-validate per publish retry (the append contract): survivors
+        // in untouched partitions make a stale schema WRONG here — a
+        // concurrent evolve must abort this overwrite loudly, never be
+        // silently reverted at HEAD
+        if (now.schemaJson.nonEmpty) requireSchemaMatch(now.schemaJson, schemaJson, table)
+        now.files.filter(f => replaced(partitionValuesOf(f, snap.partitionCols)))
+      }).get
   }
 
   /** Exactly-once streaming append: commits carry an (appId, batchId)
@@ -951,15 +973,19 @@ object TxLog {
   def versionAtOrAfter(table: String, tsMillis: Long): Long = {
     val head = latestVersion(table)
     require(head > 0, s"$table is not a graft table (no commits)")
-    if (readCommit(table, 1L).ts >= tsMillis) return 1L
-    val atOrBefore = versionAt(table, tsMillis)
-    if (readCommit(table, atOrBefore).ts == tsMillis) atOrBefore
-    else {
-      require(atOrBefore < head,
-        s"startingTimestamp $tsMillis is after $table's last commit " +
-          s"(${readCommit(table, head).ts}) — no version starts there")
-      atOrBefore + 1
+    require(readCommit(table, head).ts >= tsMillis,
+      s"startingTimestamp $tsMillis is after $table's last commit " +
+        s"(${readCommit(table, head).ts}) — no version starts there")
+    // true lower bound over the monotone commit timestamps: several
+    // commits can share one millisecond, and returning any but the FIRST
+    // would silently skip its siblings from the feed
+    var lo = 1L
+    var hi = head
+    while (lo < hi) { // invariant: commit(hi).ts >= tsMillis
+      val mid = lo + (hi - lo) / 2
+      if (readCommit(table, mid).ts >= tsMillis) hi = mid else lo = mid + 1
     }
+    lo
   }
 
   /** Current head version (0 = no commits yet). */

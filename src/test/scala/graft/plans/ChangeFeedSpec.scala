@@ -216,6 +216,28 @@ class ChangeFeedSpec extends AnyFunSuite {
       .option("startingTimestamp", "0").load(t).count())
   }
 
+  test("versionAtOrAfter is a true lower bound across same-millisecond commits") {
+    // rapid commits routinely share a wall-clock millisecond; returning
+    // any but the FIRST would silently skip its siblings from the feed.
+    // Synthetic log (controlled ts): v1@100, v2@200, v3@200, v4@300.
+    val t = freshTable("samems")
+    val log = java.nio.file.Paths.get(t, "_graft_log")
+    java.nio.file.Files.createDirectories(log)
+    val schema = """{"type":"struct","fields":[]}"""
+    Seq((1, 100), (2, 200), (3, 200), (4, 300)).foreach { case (v, ts) =>
+      java.nio.file.Files.writeString(log.resolve(f"$v%020d.json"),
+        s"""{"version":$v,"op":"append","ts":$ts,"add":[],"remove":[],""" +
+          s""""schema":"${schema.replace("\"", "\\\"")}","dataChange":true}""")
+    }
+    assert(TxLog.versionAtOrAfter(t, 0L) == 1L)
+    assert(TxLog.versionAtOrAfter(t, 150L) == 2L)
+    assert(TxLog.versionAtOrAfter(t, 200L) == 2L,
+      "the boundary millisecond must resolve to its FIRST commit, not its last")
+    assert(TxLog.versionAtOrAfter(t, 201L) == 4L)
+    assert(TxLog.versionAtOrAfter(t, 300L) == 4L)
+    intercept[IllegalArgumentException](TxLog.versionAtOrAfter(t, 301L))
+  }
+
   test("SQL callers read the feed via the table_changes TVF") {
     val t = freshTable("tvf")
     TxLog.append((0 until 8).toDF("k").withColumn("tag", lit("a")), t)

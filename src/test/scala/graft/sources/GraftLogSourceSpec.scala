@@ -317,6 +317,38 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(t).filter($"bucket" === "b0").count() == 4,
       "b0 must survive a dynamic writer overwrite that only wrote b1")
     assert(spark.read.format("graft").load(t).filter($"bucket" === "b1").count() == 6)
+    // a FULLY-static spec keeps static semantics even under dynamic
+    // mode: an empty source must still EMPTY the named partition
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE TABLE graft_ow_part PARTITION (bucket = 'b1') " +
+        "SELECT id AS k FROM range(0) WHERE false")
+      assert(spark.read.format("graft").load(t).filter($"bucket" === "b1").count() == 0,
+        "Spark's semantics: a fully-static spec clears its partition even with 0 rows")
+      assert(spark.read.format("graft").load(t).filter($"bucket" === "b0").count() == 4)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("static PARTITION spec values canonicalize through the column type") {
+    val t = freshTable("owcanon")
+    TxLog.append(
+      (0 until 12).toDF("v").withColumn("p", ($"v" % 3).cast("long")),
+      t, partitionBy = Seq("p"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ow_canon " +
+      s"USING graft OPTIONS (path '$t')")
+    // '01' on a LONG partition column must clear p=1, not refuse or no-op
+    spark.sql("INSERT OVERWRITE TABLE graft_ow_canon PARTITION (p = '01') " +
+      "SELECT id + 100 AS v FROM range(2)")
+    val out = spark.read.format("graft").load(t)
+    assert(out.filter($"p" === 1L).select("v").as[Long].collect().toSet ==
+      Set(100L, 101L))
+    assert(out.filter($"p" === 0L).count() == 4 && out.filter($"p" === 2L).count() == 4)
+    // an unparsable spec value refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE TABLE graft_ow_canon PARTITION (p = 'notanumber') " +
+        "SELECT id AS v FROM range(1)"))
+    assert(e.getMessage.contains("does not parse") ||
+      e.getMessage.toLowerCase.contains("cast"))
   }
 
   test("partition values round-trip escaped bytes exactly") {
