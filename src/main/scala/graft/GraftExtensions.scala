@@ -107,7 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val start = long(args(1))
         val end = args.lift(2).map(long)
           .getOrElse(graft.plans.TxLog.latestVersion(path))
-        graft.plans.TxLog.changeFeed(spark, path, start - 1, end)
+        // startingVersion=0 means "from the beginning" (Delta's contract)
+        // — version 0 does not exist, so the exclusive lower bound clamps
+        graft.plans.TxLog.changeFeed(spark, path, math.max(start - 1, 0L), end)
           .queryExecution.logical
       }))
     // SQL maintenance (VACUUM / OPTIMIZE / DESCRIBE HISTORY graft '…')

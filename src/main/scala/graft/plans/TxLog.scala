@@ -901,12 +901,14 @@ object TxLog {
       org.apache.spark.sql.types.StructField(CommitTimestampCol,
         org.apache.spark.sql.types.TimestampType))
     val outSchema = StructType(finalSchema.fields ++ metaFields)
-    if (parts.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    else
-      parts.reduce(_.unionByName(_, allowMissingColumns = true))
-        .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // Seed the fold with the empty final-schema frame: a column added by
+    // a metadata-only evolveSchema at the END of the range exists in no
+    // part, and unionByName can only null-backfill a column SOME branch
+    // carries — the seed guarantees every outSchema column resolves.
+    val emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    (emptyDf +: parts).reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** A COW kernel's condition classifies rows in MORE than one scan

@@ -206,7 +206,9 @@ private[sources] object GraftLogSource {
           "startingTimestamp (both inclusive)"))
     val ending = parameters.get("endingVersion").map(_.toLong)
       .getOrElse(TxLog.latestVersion(table))
-    val df = TxLog.changeFeed(spark, table, starting - 1, ending)
+    // startingVersion=0 means "from the beginning" (Delta accepts it) —
+    // version 0 does not exist, so the exclusive lower bound clamps
+    val df = TxLog.changeFeed(spark, table, math.max(starting - 1, 0L), ending)
     new BaseRelation with org.apache.spark.sql.sources.TableScan {
       override val sqlContext: SQLContext = spark.sqlContext
       override val schema: StructType = df.schema

@@ -268,6 +268,32 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed.select("b").distinct().as[String].collect().toSeq == Seq("p1"))
   }
 
+  test("a metadata-only ADD COLUMNS at the END of the range null-backfills") {
+    val t = freshTable("evolvetail")
+    TxLog.append(Seq((1, "a"), (2, "b")).toDF("k", "tag"), t)
+    // evolveSchema is the LAST commit in range: no dataChange commit
+    // carries the new column, so only the final-schema seed can add it
+    TxLog.evolveSchema(t,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val feed = TxLog.changeFeed(spark, t, 0, 2)
+    assert(feed.columns.contains("score"))
+    assert(feed.count() == 2)
+    assert(feed.filter($"score".isNotNull).isEmpty,
+      "pre-evolution rows must null-backfill the new column")
+  }
+
+  test("startingVersion=0 means from-the-beginning (Delta's contract), not an error") {
+    val t = freshTable("startzero")
+    TxLog.append(Seq((1, "a")).toDF("k", "tag"), t)
+    TxLog.append(Seq((2, "b")).toDF("k", "tag"), t)
+    val viaOption = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(t)
+    assert(viaOption.count() == 2)
+    val viaTvf = spark.sql(s"SELECT * FROM table_changes('$t', 0)")
+    assert(viaTvf.count() == 2)
+  }
+
   test("CDF rows on a partitioned table carry the partition column") {
     val t = freshTable("part")
     TxLog.append(
