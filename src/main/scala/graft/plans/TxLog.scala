@@ -513,7 +513,13 @@ object TxLog {
     * Files whose every row matches are simply dropped (no empty rewrite).
     * Aborts with ConcurrentModificationException if a racing commit
     * removed an affected file first. The erasure primitive (GDPR-style
-    * per-key removal) a governed 100 TB corpus must support. */
+    * per-key removal) a governed 100 TB corpus must support.
+    *
+    * With CDF on, the condition is evaluated ONCE into a committed
+    * classification (delete vs carry) and both the survivor rewrite and
+    * the delete images derive from those bytes — update()'s read-back
+    * contract — so the feed can never diverge from the table even for
+    * per-action expressions like current_timestamp(). */
   def delete(
       spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
@@ -523,12 +529,47 @@ object TxLog {
     val full = readFiles(spark, table, snap)
     requireDeterministic(
       full.filter(coalesce(condition, lit(false))), "DELETE condition")
-    val affected = full.filter(coalesce(condition, lit(false)))
+    val cond = coalesce(condition, lit(false))
+    val affected = full.filter(cond)
       .select(input_file_name().as("__file")).distinct()
       .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return snap.version
-    val survivors = readFiles(spark, table, snap.copy(files = affected))
-      .filter(!coalesce(condition, lit(false)))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // SINGLE-EVALUATION contract (update's read-back contract, applied
+    // to the condition itself): with CDF on, `condition` runs exactly
+    // once more after affected-file detection — in the classification
+    // write below — and BOTH the survivor rewrite and the delete images
+    // re-read those committed bytes. Without this, a time-resolved
+    // predicate (current_timestamp() reports deterministic=true yet
+    // re-resolves per action) could classify boundary rows differently
+    // in the survivor scan and the image scan, making the feed report
+    // deletes that actually survived. The affected-file detection scan
+    // is allowed to drift: a file detected but matching nothing at
+    // classification time is rewritten verbatim (churn, not error), and
+    // a file missed entirely keeps its rows in table AND feed alike.
+    val classified: Option[DataFrame] =
+      if (!writeCdf) None
+      else {
+        val tagged = readFiles(spark, table, snap.copy(files = affected))
+          .withColumn(ChangeTypeCol,
+            org.apache.spark.sql.functions.when(cond, "delete").otherwise("carry"))
+        val tmp = writeChangeData(tagged, table, affected.length)
+        // the temp classification is never referenced by any commit —
+        // vacuum's age-based CDF sweep reclaims it like any orphan
+        Some(spark.read
+          .schema(StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(ChangeTypeCol,
+              org.apache.spark.sql.types.StringType)))
+          .parquet(tmp.map(f => Paths.get(table, f).toString): _*))
+      }
+    val survivors = classified match {
+      case Some(c) => c.filter(col(ChangeTypeCol) === "carry").drop(ChangeTypeCol)
+      case None =>
+        // no feed images exist to diverge from: the survivor write's own
+        // single classification IS the commit's definition of "deleted"
+        // (the coarse feed derives from the files it actually wrote)
+        readFiles(spark, table, snap.copy(files = affected)).filter(!cond)
+    }
     // write survivors unconditionally, then decide emptiness from the
     // written row counts (already in the harvested stats) — one pass
     // over the affected files instead of an isEmpty probe plus a write;
@@ -541,18 +582,15 @@ object TxLog {
     val (files, stats) =
       if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
       else (files0, stats0)
-    // exact row-level change images for the CDF (volume ∝ deleted rows;
-    // the deterministic condition makes this scan classify rows exactly
-    // as the survivor write did). writeCdf=false opts a table out of
-    // the audit images entirely — the feed then derives this commit as
-    // a coarse remove/add diff.
-    val cdf =
-      if (!writeCdf) Nil
-      else writeChangeData(
-        readFiles(spark, table, snap.copy(files = affected))
-          .filter(coalesce(condition, lit(false)))
-          .withColumn(ChangeTypeCol, lit("delete")),
-        table, affected.length)
+    // final delete images re-written from the committed classification
+    // bytes (never a fresh condition scan), so the referenced CDF files
+    // hold ONLY delete rows and their volume stays ∝ deleted rows
+    val cdf = classified match {
+      case Some(c) =>
+        writeChangeData(c.filter(col(ChangeTypeCol) === "delete"),
+          table, affected.length)
+      case None => Nil
+    }
     commit(table, "delete", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,

@@ -268,6 +268,37 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed.select("b").distinct().as[String].collect().toSeq == Seq("p1"))
   }
 
+  test("DELETE classifies once: feed and table partition the rows exactly, " +
+      "even under a per-action time predicate") {
+    val t = freshTable("deletetime")
+    val base = System.currentTimeMillis()
+    // timestamps straddling "now": whichever side of the boundary each
+    // row lands on at classification time, the feed's deletes and the
+    // surviving table rows must be an exact disjoint partition of the
+    // original rows — the invariant the single-evaluation contract
+    // guarantees and a twice-evaluated current_timestamp() can break
+    val rows = (0 until 40).map(i => (i, base - 2000L + i * 100L))
+    TxLog.append(rows.toDF("k", "ms").withColumn("ts",
+      timestamp_millis($"ms")).drop("ms"), t)
+    TxLog.delete(spark, t, $"ts" < current_timestamp())
+    val fed = TxLog.changeFeed(spark, t, 1, 2)
+      .filter($"_change_type" === "delete").select("k").as[Int].collect().toSet
+    val live = TxLog.snapshot(spark, t).select("k").as[Int].collect().toSet
+    assert(fed.intersect(live).isEmpty,
+      s"rows both deleted-in-feed and alive: ${fed.intersect(live)}")
+    assert(fed.union(live) == (0 until 40).toSet,
+      "every original row must be exactly one of fed-deleted or alive")
+    // the commit references only pure delete images — the classification
+    // temp (delete+carry) is never part of the commit's cdf list
+    val c = TxLog.history(t).last
+    if (c.cdf.nonEmpty) {
+      val imgs = spark.read.parquet(
+        c.cdf.map(f => java.nio.file.Paths.get(t, f).toString): _*)
+      assert(imgs.select("_change_type").distinct().as[String]
+        .collect().toSeq == Seq("delete"))
+    }
+  }
+
   test("a metadata-only ADD COLUMNS at the END of the range null-backfills") {
     val t = freshTable("evolvetail")
     TxLog.append(Seq((1, "a"), (2, "b")).toDF("k", "tag"), t)
