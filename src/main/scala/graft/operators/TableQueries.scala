@@ -662,6 +662,55 @@ object TableQueries {
       },
       Some(ordersOracle("o_orderkey % 3 IN (0, 1) AND o_orderkey % 15 <> 6"))),
 
+    // Partition-scoped INSERT OVERWRITE on catalog IDENTIFIERS — the
+    // same two Spark semantics table_overwrite_partitions proves on the
+    // view path, through the DSv2 catalog front door: dynamic mode
+    // (OverwritePartitionsDynamic, intercepted at resolution — Spark has
+    // no V1 fallback exec for it) replaces exactly the written 'O'
+    // partition; a static PARTITION (o_orderstatus='F') spec (delivered
+    // as delete filters via SupportsOverwrite + the V1 fallback) clears
+    // just that subtree and refills it with the literal injected. Both
+    // are single atomic commits on the same log the path API reads.
+    QuerySpec(
+      "table_catalog_overwrite_partitions",
+      (s, dir) => {
+        val cat = "gq" + math.abs(dir.hashCode).toString
+        if (!s.conf.getOption(s"spark.sql.catalog.$cat").isDefined) {
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+            fixturePath(dir, "catalog_warehouse"))
+        }
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_catow_src")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+        s.sql(s"DROP TABLE IF EXISTS $cat.bench.orders_owp")
+        s.sql(s"""CREATE TABLE $cat.bench.orders_owp
+                  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+                   o_orderdate DATE, o_orderstatus STRING)
+                  USING graft PARTITIONED BY (o_orderstatus)""")
+        s.sql(s"""INSERT INTO $cat.bench.orders_owp
+                  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+                  FROM orders_catow_src WHERE o_orderkey % 3 = 0""")
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql(s"""INSERT OVERWRITE $cat.bench.orders_owp
+                      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+                      FROM orders_catow_src
+                      WHERE o_orderkey % 3 = 1 AND o_orderstatus = 'O'""")
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.sql(s"""INSERT OVERWRITE $cat.bench.orders_owp PARTITION (o_orderstatus = 'F')
+                  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                  FROM orders_catow_src
+                  WHERE o_orderkey % 3 = 2 AND o_orderstatus = 'F'""")
+        ordersAgg(s.table(s"$cat.bench.orders_owp")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"))
+      },
+      Some(ordersOracle(
+        """(o_orderstatus = 'O' AND o_orderkey % 3 = 1)
+           OR (o_orderstatus = 'F' AND o_orderkey % 3 = 2)
+           OR (o_orderstatus NOT IN ('O', 'F') AND o_orderkey % 3 = 0)"""))),
+
     // Metadata-only RESTORE: version 3 overwrote the table with a bad
     // ingest; restore(2) un-ships it as a NEW commit that re-points the
     // live set at v2's files — zero bytes of data move (asserted: the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,10 +41,15 @@ import scala.jdk.CollectionConverters._
   * scan as path reads, and DELETE/UPDATE/MERGE fall through to the
   * audited GraftDml COW kernels. Writes ride the official
   * [[V1Write]] fallback (INSERT INTO → idempotent log appends; INSERT
-  * OVERWRITE/CTAS truncate → atomic overwrite; partition-scoped or
-  * dynamic overwrite shapes fail loudly — same contract as the view
-  * path). Time travel uses Spark's own `VERSION AS OF` / `TIMESTAMP AS
-  * OF` syntax via the loadTable overloads. */
+  * OVERWRITE → atomic overwrite; a static `PARTITION (k='v')` spec
+  * arrives as the overwrite's delete filters via [[SupportsOverwrite]]
+  * and routes to [[TxLog.overwritePartitions]]). Dynamic-mode partition
+  * overwrite has NO V1 fallback exec in Spark, so
+  * [[GraftCatalogRelations]] intercepts `OverwritePartitionsDynamic`
+  * during resolution and routes it to the same kernel — both shapes
+  * behave exactly as they do on the `USING graft` view path. Time
+  * travel uses Spark's own `VERSION AS OF` / `TIMESTAMP AS OF` syntax
+  * via the loadTable overloads. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -283,15 +288,59 @@ final case class GraftTable(
       TableCatalog.PROP_PROVIDER -> "graft",
       "version" -> snap.version.toString).asJava
 
+  /** Declared (log) column order — the order the write kernels enforce;
+    * [[GraftCatalogRelations]]' dynamic-overwrite interception realigns
+    * the v2 connector order (data-then-partition) back to this. */
+  def declaredFieldOrder: IndexedSeq[String] = declared.fieldNames.toIndexedSeq
+
+  def partitionCols: Seq[String] = snap.partitionCols
+
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The static `PARTITION (k='v', …)` spec carried by an overwrite's
+    * delete filters (what ResolveInsertInto's staticDeleteExpression
+    * compiles the spec into). Only partition-column equalities are a
+    * partition-scoped overwrite; anything else refuses loudly — an
+    * arbitrary-predicate overwrite is not a shape the log supports. */
+  private def staticSpecOf(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Map[String, String] = {
+    import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe, EqualTo => FEq}
+    def pairs(f: org.apache.spark.sql.sources.Filter): Seq[(String, Any)] = f match {
+      case FEq(c, v) => Seq(c -> v)
+      case EqualNullSafe(c, v) => Seq(c -> v)
+      case FAnd(l, r) => pairs(l) ++ pairs(r)
+      case other => throw new IllegalArgumentException(
+        s"graft: INSERT OVERWRITE on $ident supports only a static " +
+          s"PARTITION (col='value') filter; got $other")
+    }
+    val spec = filters.toSeq.flatMap(pairs).map { case (c, v) =>
+      require(snap.partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"graft: overwrite filter column $c is not a partition column of " +
+          s"$ident (partitioned by ${snap.partitionCols.mkString(", ")})")
+      require(v != null,
+        s"graft: PARTITION ($c=NULL) is not supported — null partition " +
+          "values have no path representation here")
+      c -> String.valueOf(v)
+    }
+    val dup = spec.groupBy(_._1.toLowerCase).filter(_._2.distinct.size > 1).keys
+    require(dup.isEmpty,
+      s"graft: overwrite filter pins ${dup.mkString(", ")} to more than one value")
+    spec.toMap
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty && asOfTimestampMs.isEmpty,
       s"graft: cannot write to a time-travel view of $ident")
-    new WriteBuilder with SupportsTruncate {
-      private var overwriteAll = false
-      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      // None = plain append; Some(filters) = overwrite scoped to the
+      // filters' partitions; AlwaysTrue/empty = whole-table truncate
+      // (SupportsOverwrite's own truncate() default delivers AlwaysTrue)
+      private var deleteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        deleteFilters = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -301,9 +350,18 @@ final case class GraftTable(
               val aligned = data.toDF(schema().fieldNames.toIndexedSeq: _*)
                 .select(declared.fieldNames.map(org.apache.spark.sql.functions.col)
                   .toIndexedSeq: _*)
-              if (overwriteAll || overwrite)
-                TxLog.overwrite(aligned, path, snap.partitionCols): Unit
-              else TxLog.append(aligned, path, snap.partitionCols): Unit
+              deleteFilters match {
+                case Some(fs)
+                    if fs.nonEmpty &&
+                      !fs.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) =>
+                  TxLog.overwritePartitions(aligned, path, staticSpecOf(fs),
+                    dynamic = false): Unit
+                case Some(_) =>
+                  TxLog.overwrite(aligned, path, snap.partitionCols): Unit
+                case None =>
+                  if (overwrite) TxLog.overwrite(aligned, path, snap.partitionCols): Unit
+                  else TxLog.append(aligned, path, snap.partitionCols): Unit
+              }
             }
           }
       }
@@ -324,12 +382,24 @@ final class GraftCatalogRelations(spark: SparkSession)
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
+  private def graftTableOf(
+      rel: org.apache.spark.sql.catalyst.analysis.NamedRelation): Option[GraftTable] =
+    rel match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        Some(r.table.asInstanceOf[GraftTable])
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
     // cheap guard: plans without a graft catalog relation (every query
     // in a session that never touches the catalog) exit after one
-    // early-terminating scan — no transform, no copies, no per-query tax
+    // early-terminating scan — no transform, no copies, no per-query
+    // tax. OverwritePartitionsDynamic holds its relation in the `table`
+    // FIELD (not a child), so the guard inspects the node itself.
     val hasGraft = plan.exists {
       case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case o: OverwritePartitionsDynamic => graftTableOf(o.table).isDefined
       case _ => false
     }
     if (!hasGraft) return plan
@@ -338,11 +408,48 @@ final class GraftCatalogRelations(spark: SparkSession)
     // never visits them, so the V1Write fallback path keeps its v2
     // relation untouched by construction
     plan.transform {
+      // dynamic-mode INSERT OVERWRITE (and DataFrameWriterV2
+      // .overwritePartitions): Spark has no V1 fallback exec for
+      // OverwritePartitionsDynamic, so rewrite it here — once the
+      // analyzer has aligned the query to the table's columns — into an
+      // eager command over the proven partition-scoped overwrite kernel.
+      // Static partition values were already injected into the query by
+      // ResolveInsertInto; dynamic semantics replace exactly the
+      // partitions the rows land in.
+      case o: OverwritePartitionsDynamic
+          if o.query.resolved && o.outputResolved && graftTableOf(o.table).isDefined =>
+        val t = graftTableOf(o.table).get
+        require(t.asOfVersion.isEmpty && t.asOfTimestampMs.isEmpty,
+          s"graft: cannot overwrite a time-travel view of ${t.ident}")
+        GraftCatalogDynamicOverwriteCommand(t.path,
+          o.table.output.map(_.name).toIndexedSeq, t.declaredFieldOrder, o.query)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
         val rel = GraftLogSource.relation(spark, t.v1Parameters)
         org.apache.spark.sql.execution.datasources.LogicalRelation(
           rel, r.output, None, isStreaming = false, None)
     }
+  }
+}
+
+/** Dynamic partition overwrite on a catalog table, as an eager command:
+  * the resolved (already table-aligned) query executes as its own
+  * DataFrame, columns realign from the connector order
+  * (data-then-partition) to the log's declared order, and
+  * [[TxLog.overwritePartitions]] swaps exactly the written partitions in
+  * one atomic commit. The query plan sits in a FIELD (not a child), so
+  * the fresh analysis inside Bridge.dataFrame re-resolves any graft
+  * relations it contains through the normal read path. */
+final case class GraftCatalogDynamicOverwriteCommand(
+    path: String, connectorOrder: IndexedSeq[String],
+    declaredOrder: IndexedSeq[String],
+    query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = org.apache.spark.sql.graftbridge.Bridge.dataFrame(session, query)
+    val aligned = src.toDF(connectorOrder: _*).select(declaredOrder.map(col): _*)
+    TxLog.overwritePartitions(aligned, path, Map.empty, dynamic = true): Unit
+    Seq.empty
   }
 }

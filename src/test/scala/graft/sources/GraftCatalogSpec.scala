@@ -56,24 +56,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(band.select("k").as[Long].collect().toSet == (30L to 45L).toSet)
   }
 
-  test("CTAS, INSERT OVERWRITE, and refusal of partition-scoped overwrite") {
+  test("CTAS and whole-table INSERT OVERWRITE through catalog identifiers") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
     spark.sql("CREATE TABLE gcat.ctas.t USING graft AS SELECT id AS k, 'a' AS tag FROM range(10)")
     assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.t").head.getLong(0) == 10)
     spark.sql("INSERT OVERWRITE gcat.ctas.t SELECT id AS k, 'b' AS tag FROM range(3)")
     assert(spark.sql("SELECT COUNT(*), MIN(tag) FROM gcat.ctas.t").head()
       .toSeq == Seq(3L, "b"))
-    // partitioned table: dynamic-overwrite shapes must fail loudly
-    spark.sql("CREATE TABLE gcat.ctas.p (k BIGINT, b STRING) USING graft PARTITIONED BY (b)")
-    spark.sql("INSERT INTO gcat.ctas.p SELECT id, CONCAT('b', id % 2) FROM range(8)")
-    assert(spark.table("gcat.ctas.p").filter($"b" === "b1").count() == 4)
+  }
+
+  test("static PARTITION (k='v') INSERT OVERWRITE replaces only that subtree") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.owst")
+    spark.sql("CREATE TABLE gcat.owst.p (k BIGINT, b STRING) USING graft PARTITIONED BY (b)")
+    spark.sql("INSERT INTO gcat.owst.p SELECT id, CONCAT('b', id % 2) FROM range(8)")
+    spark.sql("INSERT OVERWRITE gcat.owst.p PARTITION (b='b1') SELECT id + 100 FROM range(2)")
+    assert(spark.table("gcat.owst.p").filter($"b" === "b0").count() == 4,
+      "b0 must survive a b1-scoped overwrite")
+    assert(spark.table("gcat.owst.p").filter($"b" === "b1")
+      .select("k").as[Long].collect().toSet == Set(100L, 101L))
+    // fully-static spec keeps static semantics: an EMPTY source still
+    // empties the named partition
+    spark.sql("INSERT OVERWRITE gcat.owst.p PARTITION (b='b1') SELECT id FROM range(0)")
+    assert(spark.table("gcat.owst.p").filter($"b" === "b1").count() == 0)
+    assert(spark.table("gcat.owst.p").count() == 4)
+    // a non-partition filter shape refuses loudly (DataFrameWriterV2)
+    val e = intercept[Exception] {
+      spark.table("gcat.owst.p").limit(1)
+        .writeTo("gcat.owst.p").overwrite($"k" > lit(0L))
+    }
+    assert(e.getMessage.contains("not a partition column") ||
+      e.getMessage.contains("static PARTITION"))
+  }
+
+  test("dynamic-mode INSERT OVERWRITE replaces exactly the written partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.owdyn")
+    spark.sql("CREATE TABLE gcat.owdyn.p (k BIGINT, b STRING) USING graft PARTITIONED BY (b)")
+    spark.sql("INSERT INTO gcat.owdyn.p SELECT id, CONCAT('b', id % 3) FROM range(9)")
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try intercept[Exception](spark.sql(
-      "INSERT OVERWRITE gcat.ctas.p SELECT id, 'b0' FROM range(2)"))
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.p").head.getLong(0) == 8,
-      "the refused overwrite must not have dropped partitions")
+    try {
+      spark.sql("INSERT OVERWRITE gcat.owdyn.p SELECT id + 50, 'b1' FROM range(2)")
+      assert(spark.table("gcat.owdyn.p").filter($"b" =!= "b1").count() == 6,
+        "untouched partitions must survive a dynamic overwrite")
+      assert(spark.table("gcat.owdyn.p").filter($"b" === "b1")
+        .select("k").as[Long].collect().toSet == Set(50L, 51L))
+      // DataFrameWriterV2.overwritePartitions takes the same path
+      Seq((70L, "b2")).toDF("k", "b").writeTo("gcat.owdyn.p").overwritePartitions()
+      assert(spark.table("gcat.owdyn.p").filter($"b" === "b2")
+        .select("k").as[Long].collect().toSet == Set(70L))
+      assert(spark.table("gcat.owdyn.p").count() == 6)
+      // one atomic commit per overwrite, on the SAME log the path API sees
+      val path = spark.sql("DESCRIBE EXTENDED gcat.owdyn.p").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1)).get
+      assert(TxLog.history(path).last.op == "overwrite")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   test("VERSION AS OF / TIMESTAMP AS OF through Spark's own time-travel syntax") {
