@@ -1028,6 +1028,28 @@ object TxLog {
     lo
   }
 
+  /** Admission-control boundary for the streaming source: the largest
+    * version v in (fromExclusive, to] such that the dataChange commits
+    * in (fromExclusive, v] add at most `maxFiles` files — always
+    * admitting at least the first commit, so one oversized commit can
+    * bound an epoch but never stall the stream. Driver cost is one
+    * commit-JSON read per admitted version (metadata, not data). */
+  def admissionBoundary(
+      table: String, fromExclusive: Long, to: Long, maxFiles: Long): Long = {
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+    var v = fromExclusive
+    var files = 0L
+    while (v < to) {
+      val c = readCommit(table, v + 1)
+      val n = if (c.dataChange) c.add.length.toLong else 0L
+      if (v > fromExclusive && files + n > maxFiles) return v
+      files += n
+      v += 1
+      if (files >= maxFiles) return v
+    }
+    v
+  }
+
   /** Current head version (0 = no commits yet). */
   def latestVersion(table: String): Long = {
     val dir = logDir(table)

@@ -123,7 +123,9 @@ final class GraftLogSource extends RelationProvider
     }
     new GraftStreamSource(ctx.sparkSession, table, starting,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
   }
 
   override def createSink(

@@ -22,27 +22,89 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Options: `startingVersion` (inclusive; default 0 = full history then
   * tail; `latest` = only commits after stream start), `ignoreChanges`
   * (accept rewrite commits, re-delivering survivors — see
-  * [[TxLog.streamBatch]]). Partition columns surface as ordinary output
-  * columns (values re-attached from the hive paths).
+  * [[TxLog.streamBatch]]), `maxVersionsPerBatch` / `maxFilesPerTrigger`
+  * (admission control — see below). Partition columns surface as
+  * ordinary output columns (values re-attached from the hive paths).
   *
-  * At 100 TB: getOffset is one directory-suffix listing (the same
-  * O(checkpoint + suffix) replay every reader does), getBatch plans only
-  * the files the interval's commits added, and the scan keeps vectorized
-  * parquet + codegen — a feed consumer never rescans the corpus. */
+  * ADMISSION CONTROL (the [[SupportsAdmissionControl]] half): without a
+  * cap, the next offset is always the log head — a stream started with
+  * `startingVersion=0` on a 10k-commit table would plan its ENTIRE
+  * history as one micro-batch. `maxVersionsPerBatch=n` advances the
+  * offset at most n versions per epoch; `maxFilesPerTrigger=n` (the
+  * container tier's and Delta's knob) advances to the last version
+  * whose cumulative added-file count stays ≤ n, always admitting at
+  * least one commit so a single oversized commit cannot stall the
+  * stream. Both compose (the tighter bound wins). The engine hands
+  * `latestOffset` the previous end offset, so restarts resume exactly —
+  * no source-side position state exists to go stale.
+  *
+  * [[SupportsTriggerAvailableNow]]: `prepareForTriggerAvailableNow`
+  * pins the goal at the stream-start head, so `Trigger.AvailableNow`
+  * drains the backlog in bounded epochs (cap-sized, not one giant
+  * batch) and stops there even while writers keep committing.
+  *
+  * At 100 TB: offset resolution is one directory-suffix listing (the
+  * same O(checkpoint + suffix) replay every reader does) plus, under a
+  * file cap, one commit-JSON read per admitted version; getBatch plans
+  * only the files the interval's commits added, and the scan keeps
+  * vectorized parquet + codegen — a feed consumer never rescans the
+  * corpus. */
 final class GraftStreamSource(
     spark: SparkSession, table: String,
     startingVersion: Long, ignoreChanges: Boolean,
-    readChangeFeed: Boolean = false)
-    extends Source with Logging {
+    readChangeFeed: Boolean = false,
+    maxVersionsPerBatch: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with Logging {
+
+  require(maxVersionsPerBatch.forall(_ > 0),
+    s"graft: maxVersionsPerBatch must be positive, got ${maxVersionsPerBatch.get}")
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"graft: maxFilesPerTrigger must be positive, got ${maxFilesPerTrigger.get}")
 
   override val schema: StructType = GraftStreamSource.schemaOf(table, readChangeFeed)
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => throw new IllegalStateException(s"unexpected offset $other")
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case s: SerializedOffset => LongOffset(s).offset
+      case other => throw new IllegalStateException(s"unexpected offset $other")
+    }
+
+  /** Goal pinned by Trigger.AvailableNow at stream start; None = tail. */
+  @volatile private var availableNowGoal: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val goal = TxLog.latestVersion(table)
+    logInfo(s"graft stream on $table: Trigger.AvailableNow drains to version $goal")
+    availableNowGoal = Some(goal)
   }
 
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The engine's offset-advance call (it supplies the previous end, so
+    * caps survive restarts for free). Returns null when nothing is
+    * admittable — the engine's "no data" signal. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(versionOf).getOrElse(startingVersion - 1)
+    val head0 = TxLog.latestVersion(table)
+    val head = availableNowGoal.fold(head0)(math.min(head0, _))
+    if (head < startingVersion || head <= from) return null
+    val byVersions = maxVersionsPerBatch.fold(head)(m => math.min(head, from + m))
+    val end = maxFilesPerTrigger.fold(byVersions)(m =>
+      TxLog.admissionBoundary(table, from, byVersions, m))
+    if (end <= from) null else LongOffset(end)
+  }
+
+  /** Plain getOffset survives for the v1 interface; the engine prefers
+    * latestOffset (SupportsAdmissionControl) on every trigger path. */
   override def getOffset: Option[Offset] = {
     val head = TxLog.latestVersion(table)
     if (head < startingVersion) None else Some(LongOffset(head))

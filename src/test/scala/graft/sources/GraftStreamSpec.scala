@@ -85,6 +85,65 @@ class GraftStreamSpec extends AnyFunSuite {
       .select("k").as[Int].collect().toSet == Set(8))
   }
 
+  test("a 5-commit backlog drains in bounded epochs under maxVersionsPerBatch") {
+    val a = fresh("adm"); val b = fresh("admdst"); val ckpt = fresh("admckpt")
+    (0 until 5).foreach(i =>
+      TxLog.append(Seq(i).toDF("k").withColumn("tag", lit("t")), a))
+    drain(a, b, ckpt, Map("maxVersionsPerBatch" -> "2"))
+    val out = spark.read.format("graft").load(b)
+    assert(out.select("k").as[Int].collect().toSet == (0 until 5).toSet,
+      "the capped drain must still deliver every row exactly once")
+    // each epoch is one sink append: ceil(5 versions / cap 2) = 3 epochs
+    val epochs = TxLog.history(b).count(c => c.op == "append" && c.dataChange)
+    assert(epochs == 3,
+      s"5-version backlog under maxVersionsPerBatch=2 must drain in 3 epochs, got $epochs")
+    // idle restart under the same cap: nothing re-delivers
+    drain(a, b, ckpt, Map("maxVersionsPerBatch" -> "2"))
+    assert(spark.read.format("graft").load(b).count() == 5)
+  }
+
+  test("maxFilesPerTrigger bounds epochs by added files, admitting >=1 commit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val a = fresh("admfiles")
+    TxLog.append((0 until 9).toDF("k").repartition(3), a)  // v1: 3 files
+    TxLog.append(Seq(9).toDF("k").repartition(1), a)        // v2: 1 file
+    TxLog.append(Seq(10).toDF("k").repartition(1), a)       // v3: 1 file
+    val src = new GraftStreamSource(spark, a, startingVersion = 1,
+      ignoreChanges = false, maxFilesPerTrigger = Some(2L))
+    // v1 alone exceeds the cap but is admitted anyway (never stall);
+    // v2+v3 fit together in the second epoch
+    val first = src.latestOffset(null, ReadLimit.allAvailable())
+    assert(first == LongOffset(1), s"first epoch must stop after v1, got $first")
+    val second = src.latestOffset(LongOffset(1), ReadLimit.allAvailable())
+    assert(second == LongOffset(3), s"second epoch must admit v2+v3, got $second")
+    assert(src.latestOffset(LongOffset(3), ReadLimit.allAvailable()) == null,
+      "a drained source must report no data")
+    // end-to-end: the engine honors the cap through a real drain
+    val b = fresh("admfilesdst")
+    drain(a, b, fresh("admfilesck"), Map("maxFilesPerTrigger" -> "2"))
+    assert(spark.read.format("graft").load(b).count() == 11)
+    assert(TxLog.history(b).count(c => c.op == "append" && c.dataChange) == 2)
+  }
+
+  test("AvailableNow pins its goal at stream start; later commits wait") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val a = fresh("goal")
+    (0 until 3).foreach(i => TxLog.append(Seq(i).toDF("k"), a))
+    val src = new GraftStreamSource(spark, a, startingVersion = 1,
+      ignoreChanges = false, maxVersionsPerBatch = Some(2L))
+    src.prepareForTriggerAvailableNow()
+    TxLog.append(Seq(99).toDF("k"), a) // v4 lands after stream start
+    val first = src.latestOffset(null, ReadLimit.allAvailable())
+    assert(first == LongOffset(2), s"cap 2 from the start, got $first")
+    val second = src.latestOffset(LongOffset(2), ReadLimit.allAvailable())
+    assert(second == LongOffset(3),
+      s"the drain must stop at the pinned goal (v3), got $second")
+    assert(src.latestOffset(LongOffset(3), ReadLimit.allAvailable()) == null,
+      "v4 is outside the pinned goal — it belongs to the NEXT run")
+  }
+
   test("Complete mode overwrites per batch; partitionBy lays out a new table") {
     val a = fresh("agg"); val b = fresh("aggdst")
     TxLog.append((0 until 12).toDF("k").withColumn("bucket", concat(lit("b"), $"k" % 3)), a)
