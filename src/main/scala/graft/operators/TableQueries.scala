@@ -948,6 +948,86 @@ object TableQueries {
               FROM merged
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // General MERGE clause algebra in SQL — the shapes Delta users type
+    // daily and the canonical-upsert rule refuses: a CONDITIONAL
+    // matched DELETE, a second matched clause (first satisfied wins),
+    // and INSERT * — routed to the single-materialization kernel
+    // (TxLog.mergeGeneral): conditions and assignments evaluate exactly
+    // once into a committed classification; rewrite and CDF images both
+    // re-read those bytes. Oracle restates the clause algebra as a CASE.
+    QuerySpec(
+      "table_merge_delete_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_merge_del")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(4), table)
+        ordersAll(s, dir).filter(col("o_orderkey") % 5 === 0)
+          .createOrReplaceTempView("graft_mgd_src")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_orders_mgd " +
+          s"USING graft OPTIONS (path '$table')")
+        s.sql("""MERGE INTO graft_orders_mgd t USING graft_mgd_src s
+                 ON t.o_orderkey = s.o_orderkey
+                 WHEN MATCHED AND s.o_orderkey % 2 = 0 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+                 WHEN NOT MATCHED THEN INSERT *""")
+        require(TxLog.history(table).last.op == "merge", "general merge must commit")
+        ordersAgg(s.sql("SELECT * FROM graft_orders_mgd"))
+      },
+      Some("""WITH merged AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+                            THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice, o_orderdate
+                FROM orders
+                WHERE (o_orderkey % 3 = 0
+                       AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 2 = 0))
+                   OR (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0))
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM merged
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // WHEN NOT MATCHED BY SOURCE — the sync-to-reference-list shape
+    // (retention, GDPR keep-lists): target rows whose key the source
+    // does NOT carry are deleted or flagged, first-wins across two
+    // BY SOURCE clauses; matched rows take the update. Every target row
+    // must be examined, so the whole live set is the affected set — the
+    // same cost Delta pays for this clause.
+    QuerySpec(
+      "table_merge_bysource_sql",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_merge_bys")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(4), table)
+        ordersAll(s, dir).filter(col("o_orderkey") % 15 === 0)
+          .select("o_orderkey")
+          .createOrReplaceTempView("graft_mbs_src")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_orders_mbs " +
+          s"USING graft OPTIONS (path '$table')")
+        s.sql("""MERGE INTO graft_orders_mbs t USING graft_mbs_src s
+                 ON t.o_orderkey = s.o_orderkey
+                 WHEN MATCHED THEN UPDATE SET o_orderstatus = 'K'
+                 WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""")
+        ordersAgg(s.sql("SELECT * FROM graft_orders_mbs"))
+      },
+      Some("""WITH merged AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 15 = 0 THEN 'K'
+                            ELSE 'X' END AS o_orderstatus,
+                       o_totalprice, o_orderdate
+                FROM orders
+                WHERE o_orderkey % 3 = 0
+                  AND NOT (o_orderkey % 15 <> 0 AND o_orderstatus = 'O'))
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                     MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+                     MAX(o_orderdate) AS last_date
+              FROM merged
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // RESTORE as SQL text: the metadata-only rollback (zero data files
     // move) driven by the statement a SQL-first operator types during
     // an incident — rolls the overwrite back to version 2 and the head

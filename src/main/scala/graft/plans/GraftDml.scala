@@ -36,11 +36,16 @@ import org.apache.spark.sql.graftbridge.Bridge
   * re-resolve against the kernel's own scan. Single-table scope makes
   * names unambiguous by construction.
   *
-  * MERGE accepts the canonical upsert shape — equi-ON between the two
-  * key columns, `UPDATE SET *` / `INSERT *` (either still starred or
-  * already star-expanded by the analyzer, both forms verified
-  * column-by-column) — and refuses anything it cannot prove maps onto
-  * TxLog.merge's upsert-by-key semantics, loudly.
+  * MERGE: ON must be the single same-named equi-key (refused loudly
+  * otherwise). The canonical upsert — `UPDATE SET *` / `INSERT *`, no
+  * conditions, no BY SOURCE — takes the zero-extra-write fast path
+  * (TxLog.merge). Every other clause algebra — conditional matched
+  * UPDATE/DELETE, multiple first-wins WHEN clauses, partial-column
+  * INSERT, WHEN NOT MATCHED BY SOURCE — routes to
+  * [[TxLog.mergeGeneral]]'s single-materialization kernel once the
+  * analyzer has resolved the clause expressions (exprIds decide which
+  * side each reference binds to: source attributes re-bind as
+  * `__src_<name>`, target attributes as bare names).
   */
 object GraftDml extends Rule[LogicalPlan] {
 
@@ -121,14 +126,16 @@ object GraftDml extends Rule[LogicalPlan] {
           val t = r.table
           require(!withSchemaEvolution,
             "MERGE on a graft table: WITH SCHEMA EVOLUTION is not supported")
-          require(notMatchedBySource.isEmpty,
-            "MERGE on a graft table: WHEN NOT MATCHED BY SOURCE is not supported " +
-              "(the kernel is upsert-by-key)")
           val keyCol = keyOf(mergeCond, target, source)
-          requireStarUpdate(matched, target, source)
-          requireStarInsert(notMatched, target, source)
-          GraftMergeCommand(t, source, keyCol,
-            target.output.map(_.name))
+          if (isStarUpdate(matched, target, source) &&
+              isStarInsert(notMatched, target, source) &&
+              notMatchedBySource.isEmpty)
+            // canonical upsert: the zero-extra-write fast path
+            GraftMergeCommand(t, source, keyCol, target.output.map(_.name))
+          else if ((matched ++ notMatched ++ notMatchedBySource).forall(actionReady))
+            generalMerge(t, target, source, keyCol,
+              matched, notMatched, notMatchedBySource)
+          else m // conditions/values still resolving: next fixed-point pass
         case _ => m
       }
     case other => other
@@ -187,10 +194,10 @@ object GraftDml extends Rule[LogicalPlan] {
   /** WHEN MATCHED THEN UPDATE SET * — accepted raw (UpdateStarAction) or
     * analyzer-expanded (every target column assigned its same-named
     * source column, no extra condition). */
-  private def requireStarUpdate(
-      actions: Seq[MergeAction], target: LogicalPlan, source: LogicalPlan): Unit =
+  private def isStarUpdate(
+      actions: Seq[MergeAction], target: LogicalPlan, source: LogicalPlan): Boolean =
     actions match {
-      case Seq(UpdateStarAction(None)) => ()
+      case Seq(UpdateStarAction(None)) => true
       case Seq(UpdateAction(None, assignments, _))
           if assignments.length == target.output.length &&
             assignments.forall(a => (a.key, a.value) match {
@@ -198,16 +205,15 @@ object GraftDml extends Rule[LogicalPlan] {
                 k.name.equalsIgnoreCase(v.name) &&
                   target.outputSet.contains(k) && source.outputSet.contains(v)
               case _ => false
-            }) => ()
-      case other => throw new IllegalArgumentException(
-        s"MERGE on a graft table supports exactly WHEN MATCHED THEN UPDATE SET *; got $other")
+            }) => true
+      case _ => false
     }
 
   /** WHEN NOT MATCHED THEN INSERT * — same two accepted forms. */
-  private def requireStarInsert(
-      actions: Seq[MergeAction], target: LogicalPlan, source: LogicalPlan): Unit =
+  private def isStarInsert(
+      actions: Seq[MergeAction], target: LogicalPlan, source: LogicalPlan): Boolean =
     actions match {
-      case Seq(InsertStarAction(None)) => ()
+      case Seq(InsertStarAction(None)) => true
       case Seq(InsertAction(None, assignments))
           if assignments.length == target.output.length &&
             assignments.forall(a => (a.key, a.value) match {
@@ -215,10 +221,84 @@ object GraftDml extends Rule[LogicalPlan] {
                 k.name.equalsIgnoreCase(v.name) &&
                   target.outputSet.contains(k) && source.outputSet.contains(v)
               case _ => false
-            }) => ()
-      case other => throw new IllegalArgumentException(
-        s"MERGE on a graft table supports exactly WHEN NOT MATCHED THEN INSERT *; got $other")
+            }) => true
+      case _ => false
     }
+
+  /** A non-canonical clause is convertible once every condition and
+    * assignment inside it has resolved (exprIds are what tell the
+    * kernel which side — target vs source — each reference binds to). */
+  private def actionReady(a: MergeAction): Boolean = a match {
+    case UpdateAction(c, as, _) =>
+      c.forall(_.resolved) && as.forall(x => x.key.resolved && x.value.resolved)
+    case DeleteAction(c) => c.forall(_.resolved)
+    case InsertAction(c, as) =>
+      c.forall(_.resolved) && as.forall(x => x.key.resolved && x.value.resolved)
+    case UpdateStarAction(c) => c.forall(_.resolved)
+    case InsertStarAction(c) => c.forall(_.resolved)
+    case _ => false
+  }
+
+  /** De-resolve for the two-namespace merge kernel: attributes belonging
+    * to the SOURCE plan re-bind as `__src_<name>` (the kernel renames the
+    * joined source side), target attributes as bare names. */
+  private def unresolveTwoSided(e: Expression, source: LogicalPlan): Expression =
+    e.transformDown {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformDown {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(r.id)
+        }
+      case a: AttributeReference if source.outputSet.contains(a) =>
+        UnresolvedAttribute(s"__src_${a.name}")
+      case a: AttributeReference => UnresolvedAttribute(a.name)
+    }
+
+  /** Convert the general clause algebra (conditional UPDATE/DELETE,
+    * multiple WHEN clauses, NOT MATCHED BY SOURCE) into the
+    * TxLog.mergeGeneral command. Star actions expand to every target
+    * column := its same-named source column. */
+  private def generalMerge(
+      table: String, target: LogicalPlan, source: LogicalPlan, keyCol: String,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction]): LogicalPlan = {
+    def hold(e: Expression): GraftExprHolder =
+      new GraftExprHolder(unresolveTwoSided(e, source))
+    def starSets: Seq[(String, GraftExprHolder)] = target.output.map(a =>
+      a.name -> new GraftExprHolder(UnresolvedAttribute(s"__src_${a.name}")))
+    def setsOf(assignments: Seq[Assignment]): Seq[(String, GraftExprHolder)] =
+      assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case ua: UnresolvedAttribute => ua.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"MERGE on a graft table: unsupported assignment target $other")
+        }
+        name -> hold(a.value)
+      }
+    val matchedSpecs = matched.map {
+      case UpdateStarAction(c) => (c.map(hold), Some(starSets))
+      case UpdateAction(c, as, _) => (c.map(hold), Some(setsOf(as)))
+      case DeleteAction(c) => (c.map(hold), None)
+      case other => throw new IllegalArgumentException(
+        s"MERGE on a graft table: unsupported WHEN MATCHED action $other")
+    }
+    val notMatchedSpecs = notMatched.map {
+      case InsertStarAction(c) => (c.map(hold), starSets)
+      case InsertAction(c, as) => (c.map(hold), setsOf(as))
+      case other => throw new IllegalArgumentException(
+        s"MERGE on a graft table: unsupported WHEN NOT MATCHED action $other")
+    }
+    val bySourceSpecs = notMatchedBySource.map {
+      case UpdateAction(c, as, _) => (c.map(hold), Some(setsOf(as)))
+      case DeleteAction(c) => (c.map(hold), None)
+      case other => throw new IllegalArgumentException(
+        s"MERGE on a graft table: unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
+    GraftMergeGeneralCommand(table, source, keyCol,
+      matchedSpecs, notMatchedSpecs, bySourceSpecs)
+  }
 }
 
 /** Opaque expression carrier: the DML commands hold DE-resolved
@@ -294,6 +374,33 @@ final case class GraftInsertCommand(
     else if (partitionColCount > 0 && dynamicMode)
       TxLog.overwritePartitions(aligned, table, staticSpec, dynamic = true)
     else TxLog.overwrite(aligned, table): Unit
+    Seq.empty
+  }
+}
+
+/** The general MERGE shapes — conditional matched UPDATE/DELETE,
+  * multiple first-wins WHEN clauses, partial-column INSERT, WHEN NOT
+  * MATCHED BY SOURCE — as an eager command over
+  * [[TxLog.mergeGeneral]]'s single-materialization kernel. Expressions
+  * arrive de-resolved into the kernel's two-name namespace (target
+  * columns bare, source columns `__src_<name>`). */
+final case class GraftMergeGeneralCommand(
+    table: String, source: LogicalPlan, keyCol: String,
+    matched: Seq[(Option[GraftExprHolder], Option[Seq[(String, GraftExprHolder)]])],
+    notMatched: Seq[(Option[GraftExprHolder], Seq[(String, GraftExprHolder)])],
+    notMatchedBySource: Seq[(Option[GraftExprHolder], Option[Seq[(String, GraftExprHolder)]])])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = Bridge.dataFrame(session, source)
+    def cols(s: Seq[(String, GraftExprHolder)]) =
+      s.map { case (n, h) => n -> Bridge.column(h.e) }
+    TxLog.mergeGeneral(session, table, src, keyCol,
+      matched = matched.map { case (c, s) =>
+        (c.map(h => Bridge.column(h.e)), s.map(cols)) },
+      notMatched = notMatched.map { case (c, s) =>
+        (c.map(h => Bridge.column(h.e)), cols(s)) },
+      notMatchedBySource = notMatchedBySource.map { case (c, s) =>
+        (c.map(h => Bridge.column(h.e)), s.map(cols)) }): Unit
     Seq.empty
   }
 }

@@ -506,6 +506,212 @@ object TxLog {
       }).get
   }
 
+  /** General copy-on-write MERGE — the full SQL clause algebra the
+    * canonical upsert ([[merge]]) refuses:
+    *
+    *  - `matched`: WHEN MATCHED [AND cond] THEN UPDATE SET … (`Some(sets)`,
+    *    unassigned columns carry the target value) or DELETE (`None`),
+    *    first satisfied clause wins (SQL order semantics), none → keep;
+    *  - `notMatched`: WHEN NOT MATCHED [AND cond] THEN INSERT
+    *    (unassigned columns insert NULL), none → the source row drops;
+    *  - `notMatchedBySource`: WHEN NOT MATCHED BY SOURCE [AND cond]
+    *    THEN UPDATE/DELETE over target rows whose key has no source row.
+    *
+    * In every condition / SET / INSERT expression, TARGET columns go by
+    * their own names and SOURCE columns by `__src_<name>` (the kernel
+    * joins the two sides into one namespace; the SQL layer rewrites
+    * qualified references accordingly). ON is upsert-shaped: the single
+    * equi-key `keyCol`, present on both sides, unique in the source
+    * (refused loudly otherwise — a target row matching two source rows
+    * is the SQL cardinality violation).
+    *
+    * SINGLE-MATERIALIZATION contract: clause conditions and assignment
+    * expressions evaluate EXACTLY ONCE, into a committed classification
+    * (action label + per-column post-values); the table rewrite and the
+    * CDF images both re-read those bytes, so feed and table cannot
+    * diverge even for per-action expressions. The `source` frame itself
+    * is read in more than one action (key probe + join) and must be
+    * deterministic — refused loudly otherwise.
+    *
+    * Scale shape: without `notMatchedBySource` only files containing
+    * source keys rewrite (zone-map prune + semi-join, like [[merge]]);
+    * with it every target row must be examined, so the whole live set is
+    * the affected set — the same cost Delta pays for that clause. */
+  def mergeGeneral(
+      spark: SparkSession, table: String,
+      source: DataFrame, keyCol: String,
+      matched: Seq[(Option[org.apache.spark.sql.Column], Option[Seq[(String, org.apache.spark.sql.Column)]])],
+      notMatched: Seq[(Option[org.apache.spark.sql.Column], Seq[(String, org.apache.spark.sql.Column)])],
+      notMatchedBySource: Seq[(Option[org.apache.spark.sql.Column], Option[Seq[(String, org.apache.spark.sql.Column)]])] = Nil,
+      writeCdf: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    import org.apache.spark.sql.Column
+    val snap = replay(table, None)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
+      s"merge key $keyCol is not a column of $table")
+    require(source.columns.exists(_.equalsIgnoreCase(keyCol)),
+      s"merge source does not carry the key column $keyCol")
+    require(!schema.fieldNames.exists(_.startsWith("__")),
+      s"merge on $table: target columns must not start with __ (reserved)")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    // every assignment target must be a real column, loudly
+    (matched.flatMap(_._2).flatten ++ notMatched.flatMap(_._2) ++
+        notMatchedBySource.flatMap(_._2).flatten).map(_._1).foreach { n =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"MERGE on $table assigns unknown column $n")
+    }
+    // the source is read by several actions (dup probe, key join, the
+    // classification write) — nondeterminism would desynchronize them
+    val nonDet = source.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
+    }
+    require(nonDet.isEmpty,
+      "merge source must be deterministic — it is evaluated in more than " +
+        "one action; materialize it to a table first")
+    val srcKey = s"__src_$keyCol"
+    val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
+    val dup = src.groupBy(col(srcKey)).count().filter(col("count") > 1).limit(3)
+      .collect().map(_.get(0))
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source carries duplicate $keyCol values (${dup.mkString(", ")}…): " +
+          "a target row matching two source rows is the MERGE cardinality violation")
+    val range = src.agg(
+      org.apache.spark.sql.functions.min(col(srcKey)).cast("string"),
+      org.apache.spark.sql.functions.max(col(srcKey)).cast("string")).head()
+    val srcEmpty = range.isNullAt(0)
+    val wholesale = notMatchedBySource.nonEmpty
+    if (srcEmpty && !wholesale) return snap.version // nothing can fire
+    val (rLo, rHi) =
+      if (srcEmpty) ("", "") else (range.getString(0), range.getString(1))
+    val affected: Seq[String] =
+      if (wholesale) snap.files
+      else {
+        val cand = pruneFiles(snap, keyCol, rLo, rHi)
+        if (cand.isEmpty) Seq.empty
+        else readFiles(spark, table, snap.copy(files = cand))
+          .select(col(keyCol), input_file_name().as("__file"))
+          .join(src.select(col(srcKey).as(keyCol)).distinct(), keyCol)
+          .select("__file").distinct()
+          .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
+      }
+    // ---- action algebra -------------------------------------------
+    // labels: m<i> matched clause i, i<j> not-matched clause j, s<k>
+    // not-matched-by-source clause k, keep = carry target row, drop =
+    // source row ignored. First satisfied clause wins; NULL conditions
+    // do not fire (SQL semantics).
+    def firstMatch(conds: Seq[Option[Column]], prefix: String, default: String): Column =
+      conds.zipWithIndex.foldRight(lit(default): Column) { case ((c, i), els) =>
+        when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(s"$prefix$i")).otherwise(els)
+      }
+    val tgtHere = coalesce(col("__tgt_present"), lit(false))
+    val srcHere = coalesce(col("__src_present"), lit(false))
+    val actionCol =
+      when(tgtHere && srcHere, firstMatch(matched.map(_._1), "m", "keep"))
+        .when(srcHere, firstMatch(notMatched.map(_._1), "i", "drop"))
+        .otherwise(firstMatch(notMatchedBySource.map(_._1), "s", "keep"))
+    val updateLabels =
+      matched.zipWithIndex.collect { case ((_, Some(_)), i) => s"m$i" } ++
+        notMatchedBySource.zipWithIndex.collect { case ((_, Some(_)), k) => s"s$k" }
+    val deleteLabels =
+      matched.zipWithIndex.collect { case ((_, None), i) => s"m$i" } ++
+        notMatchedBySource.zipWithIndex.collect { case ((_, None), k) => s"s$k" }
+    val insertLabels = notMatched.indices.map(j => s"i$j")
+    def assigned(sets: Seq[(String, Column)],
+        f: org.apache.spark.sql.types.StructField, default: Column): Column =
+      sets.find(_._1.equalsIgnoreCase(f.name)).map(_._2).getOrElse(default)
+        .cast(f.dataType)
+    def postExpr(f: org.apache.spark.sql.types.StructField): Column = {
+      val arms: Seq[(String, Column)] =
+        Seq("keep" -> col(f.name)) ++
+          matched.zipWithIndex.collect { case ((_, Some(sets)), i) =>
+            s"m$i" -> assigned(sets, f, col(f.name)) } ++
+          notMatched.zipWithIndex.map { case ((_, values), j) =>
+            s"i$j" -> assigned(values, f, lit(null)) } ++
+          notMatchedBySource.zipWithIndex.collect { case ((_, Some(sets)), k) =>
+            s"s$k" -> assigned(sets, f, col(f.name)) }
+      arms.foldLeft(None: Option[Column]) { case (acc, (label, v)) =>
+        val arm = col("__action") === label
+        Some(acc.fold(when(arm, v))(_.when(arm, v)))
+      }.get.otherwise(lit(null)).cast(f.dataType)
+    }
+    val tgt = readFiles(spark, table, snap.copy(files = affected))
+      .withColumn("__tgt_present", lit(true))
+    val joined = tgt.join(src.withColumn("__src_present", lit(true)),
+      col(keyCol) === col(srcKey), "full_outer")
+      .withColumn("__action", actionCol)
+    val classifiedCols =
+      schema.fields.map(f => col(f.name)).toSeq ++
+        Seq(col("__action")) ++
+        schema.fields.map(f => postExpr(f).as(s"__post_${f.name}")).toSeq
+    val tmp = writeChangeData(joined.select(classifiedCols: _*), table,
+      math.max(1, math.max(affected.length, src.rdd.getNumPartitions)))
+    val temp = spark.read.parquet(tmp.map(f => Paths.get(table, f).toString): _*)
+    val changedLabels = updateLabels ++ deleteLabels ++ insertLabels
+    if (temp.filter(col("__action").isInCollection(changedLabels)).isEmpty)
+      return snap.version // every clause missed: no-op, temp ages out
+    val outLabels = Seq("keep") ++ updateLabels ++ insertLabels
+    val outRows = temp.filter(col("__action").isInCollection(outLabels))
+      .select(schema.fields.map(f =>
+        col(s"__post_${f.name}").as(f.name)).toIndexedSeq: _*)
+    val parallelism = math.max(1, math.max(affected.length, src.rdd.getNumPartitions))
+    val (files0, _, stats0) =
+      writeData(outRows.repartition(parallelism), table, snap.partitionCols)
+    val written = files0.map(f =>
+      stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
+    val (files, stats) =
+      if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
+      else (files0, stats0)
+    // exact images from the SAME committed classification bytes
+    val cdf =
+      if (!writeCdf) Nil
+      else {
+        def img(labels: Seq[String], post: Boolean, tpe: String): Option[DataFrame] =
+          if (labels.isEmpty) None
+          else Some(temp.filter(col("__action").isInCollection(labels))
+            .select(schema.fields.map(f =>
+              (if (post) col(s"__post_${f.name}") else col(f.name)).as(f.name))
+              .toIndexedSeq: _*)
+            .withColumn(ChangeTypeCol, lit(tpe)))
+        val images =
+          img(updateLabels, post = false, "update_preimage").toSeq ++
+            img(updateLabels, post = true, "update_postimage") ++
+            img(deleteLabels, post = false, "delete") ++
+            img(insertLabels, post = true, "insert")
+        writeChangeData(images.reduce(_ unionByName _), table, parallelism)
+      }
+    commit(table, "merge", files, dataChange = true,
+      schemaPlan = _ => snap.schemaJson, stats = stats,
+      partitionCols = snap.partitionCols, cdf = cdf,
+      removePlan = { now =>
+        val gone = affected.filterNot(now.files.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"merge on $table@${snap.version} lost the race: affected files " +
+              s"already removed by a newer commit: ${gone.take(3).mkString(", ")}")
+        val planned = snap.files.toSet
+        val mine = files.toSet
+        val racedAdds = now.files.filterNot(f => planned(f) || mine(f))
+        val overlapping =
+          if (wholesale) racedAdds // every target row was examined: any
+          // concurrent add holds rows this merge never saw — conflict
+          else racedAdds.filter { f =>
+            now.stats.get(f).flatMap(_.get(keyCol)) match {
+              case Some(cs) =>
+                !(statLt(cs.kind, rHi, cs.min) || statLt(cs.kind, cs.max, rLo))
+              case None => true
+            }
+          }
+        if (overlapping.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"merge on $table@${snap.version} conflicts with concurrent " +
+              s"append(s): ${overlapping.take(3).mkString(", ")}")
+        affected
+      }).get
+  }
+
   /** File-granular copy-on-write DELETE: rows where `condition` is TRUE
     * are removed (NULL keeps the row, SQL DELETE semantics); only files
     * actually CONTAINING matching rows are rewritten, found by one

@@ -79,6 +79,56 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ON target.key = source.key"))
   }
 
+  test("MERGE with conditional UPDATE, DELETE, and multiple WHEN clauses") {
+    val t = rangeTable("mgen")
+    val v = view(t, "graft_dml_mgen")
+    Seq((30, "hot"), (31, "cold"), (900, "ins")).toDF("k", "ttl")
+      .createOrReplaceTempView("graft_dml_mgen_src")
+    spark.sql(
+      s"""MERGE INTO $v t USING graft_dml_mgen_src s ON t.k = s.k
+          WHEN MATCHED AND s.ttl = 'cold' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET tag = s.ttl
+          WHEN NOT MATCHED AND s.ttl = 'ins' THEN INSERT (k, tag) VALUES (s.k, s.ttl)""")
+    assert(TxLog.history(t).last.op == "merge")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v").head.getLong(0) == 100,
+      "one delete (31) + one insert (900) nets to 100")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v WHERE k = 31").head.getLong(0) == 0)
+    assert(spark.sql(s"SELECT tag FROM $v WHERE k = 30").head.getString(0) == "hot")
+    assert(spark.sql(s"SELECT tag FROM $v WHERE k = 900").head.getString(0) == "ins")
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE alone (the Delta daily-driver shape)") {
+    val t = rangeTable("mdel")
+    val v = view(t, "graft_dml_mdel")
+    Seq(10, 11, 12).toDF("k").createOrReplaceTempView("graft_dml_mdel_src")
+    spark.sql(
+      s"""MERGE INTO $v t USING graft_dml_mdel_src s ON t.k = s.k
+          WHEN MATCHED THEN DELETE""")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v").head.getLong(0) == 97)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $v WHERE k IN (10,11,12)")
+      .head.getLong(0) == 0)
+    val last = TxLog.history(t).last
+    assert(last.op == "merge" && last.remove.length == 1,
+      s"a 3-key matched-delete must rewrite 1 of 4 files, removed ${last.remove.length}")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes and updates unreferenced rows") {
+    val t = freshTable("mbys")
+    TxLog.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "tag"), t)
+    val v = view(t, "graft_dml_mbys")
+    Seq((1, "A"), (2, "B")).toDF("k", "tag")
+      .createOrReplaceTempView("graft_dml_mbys_src")
+    spark.sql(
+      s"""MERGE INTO $v t USING graft_dml_mbys_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET tag = s.tag
+          WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN UPDATE SET tag = 'stale'
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val rows = spark.sql(s"SELECT k, tag FROM $v ORDER BY k").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows == Map(1 -> "A", 2 -> "B", 3 -> "stale"),
+      s"k=4 must delete, k=3 must flag; got $rows")
+  }
+
   test("DML on a versionAsOf view refuses — a pinned past is not a write target") {
     val t = rangeTable("ttdml")
     TxLog.append((200 until 210).toDF("k").withColumn("tag", lit("v2")), t)
