@@ -1077,13 +1077,22 @@ object TxLog {
     * Derivation reads removed files, so a vacuum that reclaimed them
     * fails LOUDLY (same contract as time travel past a vacuum). Schema
     * evolution across the range null-backfills older commits' rows, and
-    * the output follows the range's final schema. Scale shape: CDF bytes
-    * are ∝ changed rows; the union is one branch per commit in the
-    * range, each a pushdown-capable parquet scan. */
+    * the output follows the range's final schema.
+    *
+    * Scale shape: CDF bytes are ∝ changed rows, and — decisive for a
+    * feed read spanning thousands of commits — the PLAN is bounded by
+    * the number of distinct schema shapes in the range, not by its
+    * commit count: one O(range) driver walk (incremental live-set fold,
+    * never a per-commit replay) attributes every contributing file to
+    * its (commit version, timestamp, change type), files sharing a
+    * schema read in ONE multi-file parquet scan, and the per-file
+    * attribution rides a broadcast join against that file→commit map
+    * (O(changed files) rows). A 10k-commit range plans like a handful
+    * of scans, not a 10k-branch union. */
   def changeFeed(
       spark: SparkSession, table: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, raise_error, timestamp_micros, udf, when}
     val head = latestVersion(table)
     require(fromExclusive >= 0 && toInclusive <= head && fromExclusive <= toInclusive,
       s"change range ($fromExclusive, $toInclusive] invalid for $table at head $head")
@@ -1091,21 +1100,29 @@ object TxLog {
     val finalSchemaJson = cs.lastOption.map(_.schemaJson)
       .getOrElse(replay(table, Some(math.max(fromExclusive, 1L))).schemaJson)
     val finalSchema = DataType.fromJson(finalSchemaJson).asInstanceOf[StructType]
-    def meta(df: DataFrame, c: Commit): DataFrame = df
-      .withColumn(CommitVersionCol, lit(c.version))
-      // exact: millis → micros as integer arithmetic (a double round-trip
-      // would truncate ~1µs off some millisecond timestamps)
-      .withColumn(CommitTimestampCol,
-        org.apache.spark.sql.functions.timestamp_micros(lit(c.ts * 1000L)))
-    val parts: Seq[DataFrame] = cs.filter(_.dataChange).flatMap { c =>
-      def addsAs(tpe: String, files: Seq[String]): Option[DataFrame] =
-        if (files.isEmpty) None
-        else Some(meta(
-          readFiles(spark, table,
-            Snapshot(c.version, files, c.schemaJson, partitionCols = c.partitionCols))
-            .withColumn(ChangeTypeCol, lit(tpe)), c))
-      c.op match {
-        case "append" => addsAs("insert", c.add)
+    // ---- one O(range) walk: incremental live-set fold ----------------
+    // (file, version, tsMicros, changeType) per contributing DATA file,
+    // keyed by the schema shape it was written under; CDF image files
+    // keyed by their commit's schema. `prev*` is the state just BEFORE
+    // the commit being processed — removed files read under it.
+    final case class FileUnit(file: String, version: Long, tsUs: Long, tpe: String)
+    val startSnap: Option[Snapshot] =
+      if (fromExclusive >= 1) Some(replay(table, Some(fromExclusive))) else None
+    var live: Set[String] = startSnap.map(_.files.toSet).getOrElse(Set.empty)
+    var prevSchema: String = startSnap.map(_.schemaJson).getOrElse("")
+    var prevPartCols: Seq[String] = startSnap.map(_.partitionCols).getOrElse(Nil)
+    val dataUnits = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Seq[String]), scala.collection.mutable.ArrayBuffer[FileUnit]]
+    val cdfUnits = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[FileUnit]]
+    def dataUnit(schemaJson: String, partCols: Seq[String], u: FileUnit): Unit =
+      dataUnits.getOrElseUpdate((schemaJson, partCols),
+        scala.collection.mutable.ArrayBuffer.empty) += u
+    cs.foreach { c =>
+      if (c.dataChange) c.op match {
+        case "append" =>
+          c.add.foreach(f => dataUnit(c.schemaJson, c.partitionCols,
+            FileUnit(f, c.version, c.ts * 1000L, "insert")))
         case _ if c.cdf.nonEmpty =>
           // exact pre/post images persisted by the COW kernel; partition
           // values were materialized as ordinary columns at write time
@@ -1115,27 +1132,23 @@ object TxLog {
               s"change file(s) vacuumed (${vacuumed.take(3).mkString(", ")}) — " +
               "this range is no longer readable; resume past it or widen the " +
               "vacuum retention")
-          val cdfSchema = StructType(
-            DataType.fromJson(c.schemaJson).asInstanceOf[StructType].fields :+
-              org.apache.spark.sql.types.StructField(
-                ChangeTypeCol, org.apache.spark.sql.types.StringType))
-          Some(meta(spark.read.schema(cdfSchema)
-            .parquet(c.cdf.map(f => Paths.get(table, f).toString): _*), c))
+          c.cdf.foreach(f => cdfUnits.getOrElseUpdate(c.schemaJson,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            FileUnit(f, c.version, c.ts * 1000L, ""))
         case _ =>
           // overwrite / restore / legacy COW: removed files → delete
-          // rows, NET-NEW added files → insert rows (restore re-adds
-          // files that never left — those are not changes)
-          val prev = replay(table, Some(math.max(c.version - 1, 1L)))
-          val prevLive = prev.files.toSet
-          val deletes =
-            if (c.remove.isEmpty) None
-            else Some(meta(
-              readFiles(spark, table, prev.copy(files = c.remove))
-                .withColumn(ChangeTypeCol, lit("delete")), c))
-          val inserts = addsAs("insert",
-            if (c.version == 1) c.add else c.add.filterNot(prevLive))
-          deletes.toSeq ++ inserts.toSeq
+          // rows (read under the PRE-commit schema), NET-NEW added
+          // files → insert rows (restore re-adds files that never
+          // left — those are not changes)
+          c.remove.foreach(f => dataUnit(prevSchema, prevPartCols,
+            FileUnit(f, c.version, c.ts * 1000L, "delete")))
+          val netNew = if (c.version == 1) c.add else c.add.filterNot(live)
+          netNew.foreach(f => dataUnit(c.schemaJson, c.partitionCols,
+            FileUnit(f, c.version, c.ts * 1000L, "insert")))
       }
+      live = live -- c.remove ++ c.add
+      prevSchema = c.schemaJson
+      prevPartCols = c.partitionCols
     }
     val metaFields = Seq(
       org.apache.spark.sql.types.StructField(ChangeTypeCol,
@@ -1145,14 +1158,110 @@ object TxLog {
       org.apache.spark.sql.types.StructField(CommitTimestampCol,
         org.apache.spark.sql.types.TimestampType))
     val outSchema = StructType(finalSchema.fields ++ metaFields)
-    // Seed the fold with the empty final-schema frame: a column added by
-    // a metadata-only evolveSchema at the END of the range exists in no
-    // part, and unionByName can only null-backfill a column SOME branch
-    // carries — the seed guarantees every outSchema column resolves.
-    val emptyDf = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    (emptyDf +: parts).reduce(_.unionByName(_, allowMissingColumns = true))
-      .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // ---- per-file attribution: scan once, broadcast-join the map -----
+    // input_file_name() yields a URI; normalize it back to the table-
+    // relative name the log speaks (pure string work — no filesystem
+    // state on executors). A failed attach raises, never drops a row.
+    val absTable = Paths.get(table).toAbsolutePath.normalize.toString
+    val relOf = udf((uri: String) => {
+      val p =
+        if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri)).toString
+        else uri
+      if (p.startsWith(absTable + java.io.File.separator))
+        p.substring(absTable.length + 1)
+      else p
+    })
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    // partition values ride in the file→commit map too (parsed from the
+    // hive paths driver-side), so a partitioned group still reads in ONE
+    // plain multi-file scan — no per-commit basePath branches
+    def attach(scan: DataFrame, units: Seq[FileUnit],
+        partCols: Seq[String], schema: StructType): DataFrame = {
+      val metaSchema = StructType(
+        Seq(org.apache.spark.sql.types.StructField("__rel",
+          org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("__v",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__tsus",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__tpe",
+            org.apache.spark.sql.types.StringType)) ++
+          partCols.map(c => org.apache.spark.sql.types.StructField(s"__pv_$c",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+      val rows = units.map { u =>
+        val pv = if (partCols.isEmpty) Map.empty[String, String]
+          else partitionValuesOf(u.file, partCols)
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(u.file, u.version, u.tsUs, u.tpe) ++ partCols.map(pv))
+      }
+      val metaDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), metaSchema)
+      val joined = scan.withColumn("__rel", relOf(input_file_name()))
+        .join(broadcast(metaDf), Seq("__rel"), "left_outer")
+      val guardedV = when(col("__v").isNull,
+        raise_error(lit(s"graft changeFeed on $table: a scanned row's file " +
+          "did not attach to its commit — path normalization bug")))
+        .otherwise(col("__v"))
+      val withParts = partCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, col(s"__pv_$c").cast(schema(c).dataType))
+      }
+      withParts
+        .withColumn(CommitVersionCol, guardedV.cast("long"))
+        .withColumn(CommitTimestampCol, timestamp_micros(col("__tsus")))
+    }
+    // a file can legitimately contribute TWICE (added, overwritten away,
+    // restored): parquet path lists dedupe, so occurrence layers split
+    // repeats into their own scans — layer 0 is all first occurrences
+    def layers(units: Seq[FileUnit]): Seq[Seq[FileUnit]] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      units.groupBy { u =>
+        val n = seen.getOrElse(u.file, 0); seen(u.file) = n + 1; n
+      }.toSeq.sortBy(_._1).map(_._2)
+    }
+    // align every branch to the FINAL schema: missing columns (added
+    // later in the range) null-backfill, extra columns drop, retyped
+    // columns cast — so a metadata-only evolveSchema at the END of the
+    // range still surfaces its column
+    def aligned(df: DataFrame, present: StructType): DataFrame =
+      df.select(outSchema.fields.map { f =>
+        if (f.name == ChangeTypeCol || f.name == CommitVersionCol ||
+            f.name == CommitTimestampCol) col(f.name)
+        else present.fields.find(_.name == f.name) match {
+          case Some(p) if p.dataType == f.dataType => col(f.name)
+          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+    val dataParts: Seq[DataFrame] = dataUnits.toSeq.flatMap {
+      case ((schemaJson, partCols), units) =>
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val dataSchema = StructType(
+          schema.fields.filterNot(f => partCols.contains(f.name)))
+        layers(units.toSeq).map { layer =>
+          requireLiveFilesExist(table,
+            Snapshot(toInclusive, layer.map(_.file), schemaJson))
+          val scan = spark.read.schema(dataSchema)
+            .parquet(layer.map(u => Paths.get(table, u.file).toString): _*)
+          aligned(attach(scan, layer, partCols, schema)
+            .withColumn(ChangeTypeCol, col("__tpe")), schema)
+        }
+    }
+    val cdfParts: Seq[DataFrame] = cdfUnits.toSeq.flatMap { case (schemaJson, units) =>
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val cdfSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType))
+      layers(units.toSeq).map { layer =>
+        val scan = spark.read.schema(cdfSchema)
+          .parquet(layer.map(u => Paths.get(table, u.file).toString): _*)
+        aligned(attach(scan, layer, Nil, schema), schema)
+      }
+    }
+    val parts = dataParts ++ cdfParts
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else parts.reduce(_ union _) // positionally aligned; flattens to one Union
   }
 
   /** A COW kernel's condition classifies rows in MORE than one scan

@@ -325,6 +325,41 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(viaTvf.count() == 2)
   }
 
+  test("a 1k-commit range plans a bounded number of scans, not a 1k-branch union") {
+    import java.nio.file.{Files, Paths}
+    val t = freshTable("bigrange")
+    TxLog.append(Seq((0, "x")).toDF("k", "tag"), t) // v1: real file + schema
+    val c1 = TxLog.history(t).head
+    val file1 = c1.add.head
+    // synthesize 999 more append commits, each hard-linking the same
+    // bytes under a fresh name — a LOG shape test, not a data test
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (2 to 1000).foreach { v =>
+      val rel = s"data/syn$v/part-0.parquet"
+      Files.createDirectories(Paths.get(t, s"data/syn$v"))
+      Files.createLink(Paths.get(t, rel), Paths.get(t, file1))
+      val rec = mapper.createObjectNode()
+      rec.put("version", v.toLong); rec.put("op", "append")
+      rec.put("ts", 1000000L + v)
+      rec.putArray("add").add(rel); rec.putArray("remove")
+      rec.put("schema", c1.schemaJson); rec.put("dataChange", true)
+      Files.writeString(Paths.get(t, "_graft_log", f"$v%020d.json"),
+        mapper.writeValueAsString(rec)): Unit
+    }
+    val t0 = System.nanoTime()
+    val feed = TxLog.changeFeed(spark, t, 0, 1000)
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 4,
+      s"a single-schema 1k-commit feed must plan O(schema-shapes) scans, got $leaves")
+    assert(feed.count() == 1000)
+    val planAndRunSec = (System.nanoTime() - t0) / 1e9
+    assert(planAndRunSec < 60.0,
+      f"1k-commit feed took $planAndRunSec%.1f s — plan growth is back")
+    // per-file attribution is exact across the whole range
+    assert(feed.filter($"_commit_version" === 777).count() == 1)
+    assert(feed.filter($"_change_type" =!= "insert").isEmpty)
+  }
+
   test("CDF rows on a partitioned table carry the partition column") {
     val t = freshTable("part")
     TxLog.append(
