@@ -150,8 +150,15 @@ object Bench {
         s""","value_excl_cached":${f3(totalExclCached)}"""
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Cross-round drift canary: this run's best-of times for a FIXED
+    // 12-query subset, as ratios against the newest committed
+    // BENCH_FULL_r<N>.json — so "is this window slow or did code
+    // regress?" is machine-checkable from the artifact itself instead
+    // of a manual pinned-commit A/B every round.
+    val (canaryScalars, canaryMap) = canaryFields(results)
     val fullJson = toJson(results, total, sfDir,
-      telemetryScalars + s""","spread_pct":$spreadJson""")
+      telemetryScalars + canaryScalars + canaryMap +
+        s""","spread_pct":$spreadJson""")
     // Durable full copy for the driver regardless of stdout capture quirks —
     // best-effort by definition: an unwritable path must not abort the
     // run AFTER all queries finished and before the stdout line prints.
@@ -160,7 +167,8 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       .failed.foreach(e => System.err.println(s"BENCH: could not write $outFile: $e"))
-    val stdoutJson = compactJson(results, total, sfDir, telemetryScalars)
+    val stdoutJson = compactJson(results, total, sfDir,
+      telemetryScalars + canaryScalars)
     // Stop Spark BEFORE printing so the JSON is the process's last stdout
     // line (shutdown INFO noise goes to stderr at WARN level anyway).
     spark.stop()
@@ -179,6 +187,65 @@ object Bench {
   // java.util.Locale.ROOT guards against comma decimal separators under
   // a non-C default locale.
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The fixed drift-canary subset: 12 stable, mid-weight (≥0.4 s — GC
+    * jitter dominates below that) queries spanning the engine's tiers
+    * (join, dedup, pipeline, streaming, table/COW, ANN, TPC-H SQL, text,
+    * embedding, pruning). Names must stay stable across rounds — the
+    * ratio against the prior artifact is the whole point. */
+  private[graft] val CanaryQueries: Seq[String] = Seq(
+    "join_range_auto", "dedup_prefix_join", "pipeline_curate_soft",
+    "dedup_soft_weights", "stream_running_stats_tws", "table_merge_cow",
+    "topk_similarity_ivfpq", "sql_tpch_q5", "text_perplexity_buckets",
+    "embedding_kmeans_quality", "table_cluster_prune",
+    "dedup_entity_resolution")
+
+  /** Canary telemetry: per-query ratio (this run / newest committed
+    * BENCH_FULL_r<N>.json), their median as `canary_ratio`, and
+    * `canary_drift` when the median moved >15% either way. Returns
+    * (scalars-for-stdout, full-map-for-file); both empty-baseline-safe
+    * (null baseline, no drift verdict) and failure-safe (an unreadable
+    * artifact must never abort a finished bench). */
+  private[graft] def canaryFields(
+      results: Map[String, Double],
+      dir: java.io.File = new java.io.File(".")): (String, String) = {
+    val baseline = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.matches("BENCH_FULL_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
+    baseline match {
+      case None => (s""","canary_baseline":null""", "")
+      case Some(f) =>
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val prior = Option(node.get("queries"))
+          val ratios = CanaryQueries.flatMap { q =>
+            for {
+              cur <- results.get(q).filter(_ > 0)
+              old <- prior.flatMap(p => Option(p.get(q))).map(_.asDouble).filter(_ > 0)
+            } yield q -> cur / old
+          }
+          if (ratios.isEmpty)
+            (s""","canary_baseline":"${f.getName}","canary_ratio":null""", "")
+          else {
+            val s = ratios.map(_._2).sorted
+            val median =
+              if (s.length % 2 == 1) s(s.length / 2)
+              else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+            val drift = math.abs(median - 1.0) > 0.15
+            val scalars =
+              s""","canary_baseline":"${f.getName}"""" +
+                s""","canary_ratio":${f3(median)},"canary_drift":$drift"""
+            val map = ratios.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+              .mkString(""","canary":{""", ",", "}")
+            (scalars, map)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"BENCH: canary baseline unreadable: $e")
+            (s""","canary_baseline":null""", "")
+        }
+    }
+  }
 
   private[graft] def toJson(
       rs: Iterable[(String, Double)], total: Double, sfDir: String,

@@ -77,4 +77,47 @@ class BenchOutputSpec extends AnyFunSuite {
     val json = Bench.toJson(results, results.values.sum, "/sf")
     assert(results.keys.forall(k => json.contains("\"" + k + "\":")))
   }
+
+  test("canary: ratios against the newest committed artifact, median + drift flag") {
+    val dir = java.nio.file.Files.createTempDirectory("canary").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(dir, name).toPath, body)
+    // an OLDER artifact that must lose to r12 (numeric, not lexicographic)
+    write("BENCH_FULL_r3.json", """{"queries":{"sql_tpch_q5":9.0}}""")
+    write("BENCH_FULL_r12.json",
+      """{"queries":{"sql_tpch_q5":1.0,"table_merge_cow":2.0,"join_range_auto":0.5}}""")
+    val results = Map(
+      "sql_tpch_q5" -> 1.1,        // ratio 1.1
+      "table_merge_cow" -> 2.0,    // ratio 1.0
+      "join_range_auto" -> 0.45,   // ratio 0.9
+      "unrelated" -> 5.0)
+    val (scalars, map) = Bench.canaryFields(results, dir)
+    assert(scalars.contains(""""canary_baseline":"BENCH_FULL_r12.json""""),
+      s"newest artifact must win: $scalars")
+    assert(scalars.contains(""""canary_ratio":1.000"""), scalars)
+    assert(scalars.contains(""""canary_drift":false"""), scalars)
+    assert(map.contains(""""sql_tpch_q5":1.100""") &&
+      map.contains(""""join_range_auto":0.900"""), map)
+    // drift flags when the median moves >15%
+    val slow = results.map { case (k, v) => k -> v * 1.4 }
+    val (s2, _) = Bench.canaryFields(slow, dir)
+    assert(s2.contains(""""canary_drift":true"""), s2)
+  }
+
+  test("canary: no baseline and unreadable baseline are both null, never fatal") {
+    val empty = java.nio.file.Files.createTempDirectory("canary_none").toFile
+    assert(Bench.canaryFields(Map("x" -> 1.0), empty)._1 ==
+      ""","canary_baseline":null""")
+    val bad = java.nio.file.Files.createTempDirectory("canary_bad").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(bad, "BENCH_FULL_r9.json").toPath, "not json{{")
+    assert(Bench.canaryFields(Map("x" -> 1.0), bad)._1 ==
+      ""","canary_baseline":null""")
+  }
+
+  test("canary names all resolve in the registry (a renamed query kills the ratio)") {
+    val names = Registry.all.map(_.name).toSet
+    val missing = Bench.CanaryQueries.filterNot(names)
+    assert(missing.isEmpty, s"canary names missing from registry: $missing")
+  }
 }
