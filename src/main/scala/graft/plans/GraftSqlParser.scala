@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   VACUUM graft '<table dir>' [RETAIN <n> HOURS]
   *   OPTIMIZE graft '<table dir>' [FILES <n>] [CLUSTER BY (c1, c2 [, …])]
   *   DESCRIBE HISTORY graft '<table dir>'
+  *   DESCRIBE DETAIL graft '<table dir>'
   *   RESTORE graft '<table dir>' TO VERSION <n> | TO TIMESTAMP <millis>
   * }}}
   *
@@ -57,6 +58,8 @@ class GraftSqlParser(
     ("""(?is)\s*OPTIMIZE\s+""" + T + """(?:\s+FILES\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
+  private val Detail =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*""").r
   private val Restore =
     ("""(?is)\s*RESTORE\s+""" + T + """\s+TO\s+(VERSION|TIMESTAMP)\s+(\d+)\s*;?\s*""").r
 
@@ -72,6 +75,8 @@ class GraftSqlParser(
           .getOrElse(Nil))
     case History(path, ident) if ours(path, ident) =>
       GraftHistoryCommand(GraftTableRef(path, ident))
+    case Detail(path, ident) if ours(path, ident) =>
+      GraftDescribeDetailCommand(GraftTableRef(path, ident))
     case Restore(path, ident, kind, v) if ours(path, ident) =>
       GraftRestoreCommand(GraftTableRef(path, ident), v.toLong,
         byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
@@ -90,6 +95,7 @@ class GraftSqlParser(
       case Vacuum(p, i, _) if ours(p, i) => parsePlan(sqlText)
       case Optimize(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
       case History(p, i) if ours(p, i) => parsePlan(sqlText)
+      case Detail(p, i) if ours(p, i) => parsePlan(sqlText)
       case Restore(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
       case other => delegate.parsePlanWithParameters(other, context)
     }
@@ -210,5 +216,31 @@ final case class GraftHistoryCommand(ref: GraftTableRef)
       Row(c.version, c.op, c.add.length, c.remove.length, c.dataChange,
         c.partitionCols.mkString(","))
     }
+  }
+}
+
+/** `DESCRIBE DETAIL graft '<path>'` — Delta's one-row table summary:
+  * format, location, head version, live file count, live bytes,
+  * partition columns, first/last commit instants. O(live files) driver
+  * work (one size stat per file) — an ops statement, never a hot path. */
+final case class GraftDescribeDetailCommand(ref: GraftTableRef)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    "format" -> StringType, "location" -> StringType,
+    "version" -> LongType, "num_files" -> LongType,
+    "size_bytes" -> LongType, "partition_columns" -> StringType,
+    "created_at" -> org.apache.spark.sql.types.TimestampType,
+    "last_modified" -> org.apache.spark.sql.types.TimestampType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = ref.resolve(session)
+    val snap = TxLog.snapshotInfo(table)
+    val hist = TxLog.history(table)
+    val bytes = snap.files.map { f =>
+      val p = java.nio.file.Paths.get(table, f)
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+    }.sum
+    Seq(Row("graft", table, snap.version, snap.files.length.toLong, bytes,
+      snap.partitionCols.mkString(","),
+      new java.sql.Timestamp(hist.head.ts), new java.sql.Timestamp(hist.last.ts)))
   }
 }

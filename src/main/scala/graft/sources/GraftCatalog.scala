@@ -166,6 +166,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "impossible — existing rows must null-backfill the new column")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
+      // named refusals for the Delta-parity ALTER shapes that cannot be
+      // metadata-only here, each steering to the supported rewrite path
+      case r: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: ALTER TABLE ... RENAME COLUMN " +
+            s"${r.fieldNames().mkString(".")} is not supported — committed " +
+            "parquet footers resolve columns by NAME, so a rename would " +
+            "orphan every existing file's data; ADD COLUMNS a new name and " +
+            "backfill it via UPDATE, or rewrite through " +
+            "INSERT OVERWRITE ... SELECT")
+      case d: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: ALTER TABLE ... DROP COLUMN " +
+            s"${d.fieldNames().mkString(".")} is not supported — the schema " +
+            "is append-only; drop columns by rewriting through " +
+            "INSERT OVERWRITE ... SELECT <kept columns>")
+      case u: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: ALTER TABLE ... ALTER COLUMN " +
+            s"${u.fieldNames().mkString(".")} TYPE is not supported — " +
+            "committed files carry the original physical type; rewrite " +
+            "through INSERT OVERWRITE ... SELECT CAST(...)")
       case other => throw new IllegalArgumentException(
         s"graft catalog: unsupported ALTER TABLE change $other — schema is " +
           "append-only (ADD COLUMNS), data changes go through DML")
@@ -260,7 +282,7 @@ final case class GraftTable(
     path: String, ident: String,
     asOfVersion: Option[Long] = None,
     asOfTimestampMs: Option[Long] = None)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsPartitionManagement {
 
   /** The options GraftLogSource.relation resolves (the ONE read path). */
   def v1Parameters: Map[String, String] =
@@ -282,6 +304,72 @@ final case class GraftTable(
 
   override def partitioning(): Array[Transform] =
     snap.partitionCols.map(c => Expressions.identity(c)).toArray
+
+  // ---- SupportsPartitionManagement: SHOW PARTITIONS -------------------
+  // Partitions here are not managed objects — they MATERIALIZE from the
+  // hive path segments of committed files — so listing is derived from
+  // the snapshot's live set and every mutation refuses by name, steering
+  // to the DML/overwrite statement that actually does the job atomically.
+
+  override def partitionSchema(): StructType = StructType(
+    snap.partitionCols.map(c => declared(declared.fieldIndex(c))).toArray)
+
+  private def internalValue(v: String, dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType),
+      dt, timeZoneId =
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      .eval(null)
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    names.foreach(n => require(ps.fieldNames.exists(_.equalsIgnoreCase(n)),
+      s"graft: $n is not a partition column of $ident " +
+        s"(partitioned by ${snap.partitionCols.mkString(", ")})"))
+    val values: Seq[IndexedSeq[Any]] = snap.files
+      .map(f => TxLog.partitionValuesOf(f, snap.partitionCols))
+      .distinct
+      .map(pv => ps.fields.map(f => internalValue(pv(f.name), f.dataType)).toIndexedSeq)
+    val filtered = values.filter { vals =>
+      names.zipWithIndex.forall { case (n, i) =>
+        val idx = ps.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+        vals(idx) == ident0.get(i, ps.fields(idx).dataType)
+      }
+    }
+    filtered.map(v =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(v)).toArray
+  }
+
+  override def createPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"graft: ALTER TABLE ... ADD PARTITION is not supported on $ident — " +
+        "partitions materialize from written data (INSERT INTO / " +
+        "INSERT OVERWRITE ... PARTITION)")
+
+  override def dropPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      s"graft: ALTER TABLE ... DROP PARTITION is not supported on $ident — " +
+        "empty a partition atomically with DELETE FROM ... WHERE <partition " +
+        "column> = <value>, or replace it with INSERT OVERWRITE ... PARTITION")
+
+  override def replacePartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"graft: partition metadata properties are not supported on $ident — " +
+        "partitions carry no metadata beyond their path values")
+
+  override def loadPartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] = Collections.emptyMap()
 
   override def properties(): java.util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> path,

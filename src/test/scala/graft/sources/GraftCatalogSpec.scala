@@ -195,6 +195,69 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"non-graft dotted targets must delegate, got: ${e.getMessage}")
   }
 
+  test("SHOW PARTITIONS lists materialized partitions; spec'd subsets filter") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.parts")
+    spark.sql("CREATE TABLE gcat.parts.p (k BIGINT, b STRING, d BIGINT) " +
+      "USING graft PARTITIONED BY (b, d)")
+    spark.sql("INSERT INTO gcat.parts.p SELECT id, CONCAT('b', id % 2), id % 3 FROM range(12)")
+    val all = spark.sql("SHOW PARTITIONS gcat.parts.p")
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("b=b0/d=0", "b=b0/d=1", "b=b0/d=2",
+      "b=b1/d=0", "b=b1/d=1", "b=b1/d=2"), s"got $all")
+    val filtered = spark.sql("SHOW PARTITIONS gcat.parts.p PARTITION (b='b1')")
+      .collect().map(_.getString(0)).toSet
+    assert(filtered == Set("b=b1/d=0", "b=b1/d=1", "b=b1/d=2"), s"got $filtered")
+    // a replaced partition disappears from the listing (derived, not cached)
+    spark.sql("DELETE FROM gcat.parts.p WHERE b = 'b0' AND d = 2")
+    val after = spark.sql("SHOW PARTITIONS gcat.parts.p")
+      .collect().map(_.getString(0)).toSet
+    assert(!after.contains("b=b0/d=2"), s"emptied partition must drop: $after")
+    // partition MUTATION statements refuse by name
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.parts.p DROP PARTITION (b='b1', d=0)"))
+    assert(e.getMessage.contains("DROP PARTITION") ||
+      e.getMessage.contains("INSERT OVERWRITE"), e.getMessage)
+  }
+
+  test("DESCRIBE DETAIL returns the Delta-parity one-row summary") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.detail")
+    spark.sql("CREATE TABLE gcat.detail.t (k BIGINT, b STRING) " +
+      "USING graft PARTITIONED BY (b)")
+    spark.sql("INSERT INTO gcat.detail.t SELECT id, CONCAT('b', id % 2) FROM range(10)")
+    val row = spark.sql("DESCRIBE DETAIL gcat.detail.t").head()
+    assert(row.getAs[String]("format") == "graft")
+    assert(row.getAs[Long]("version") == 2L) // create + insert
+    assert(row.getAs[Long]("num_files") >= 2L)
+    assert(row.getAs[Long]("size_bytes") > 0L)
+    assert(row.getAs[String]("partition_columns") == "b")
+    assert(!row.getAs[java.sql.Timestamp]("last_modified")
+      .before(row.getAs[java.sql.Timestamp]("created_at")))
+    // the path-addressed form serves the same row
+    val loc = row.getAs[String]("location")
+    val byPath = spark.sql(s"DESCRIBE DETAIL graft '$loc'").head()
+    assert(byPath.getAs[Long]("version") == 2L)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN and type changes refuse by NAME") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.alter2")
+    spark.sql("CREATE TABLE gcat.alter2.t (k INT, s STRING) USING graft")
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.alter2.t RENAME COLUMN s TO s2"))
+    assert(e1.getMessage.contains("RENAME COLUMN") &&
+      e1.getMessage.contains("ADD COLUMNS"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.alter2.t DROP COLUMN s"))
+    assert(e2.getMessage.contains("DROP COLUMN") &&
+      e2.getMessage.contains("INSERT OVERWRITE"), e2.getMessage)
+    // a WIDENING type change passes Spark's own analysis (narrowing is
+    // refused upstream with NOT_SUPPORTED_CHANGE_COLUMN) — OUR refusal
+    // must catch it with the named rewrite hint
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.alter2.t ALTER COLUMN k TYPE BIGINT"))
+    assert(e3.getMessage.contains("TYPE is not supported") &&
+      e3.getMessage.contains("CAST"), e3.getMessage)
+  }
+
   test("unsupported CREATE/ALTER shapes refuse instead of silently deviating") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.refuse")
     // LOCATION would be silently ignored (table lives at the identifier
