@@ -554,25 +554,51 @@ object TxLog {
       s"merge source does not carry the key column $keyCol")
     require(!schema.fieldNames.exists(_.startsWith("__")),
       s"merge on $table: target columns must not start with __ (reserved)")
+    require(!source.columns.exists(_.startsWith("__")),
+      s"merge on $table: source columns must not start with __ (reserved " +
+        "for the kernel's join namespace)")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
-    // every assignment target must be a real column, loudly
-    (matched.flatMap(_._2).flatten ++ notMatched.flatMap(_._2) ++
-        notMatchedBySource.flatMap(_._2).flatten).map(_._1).foreach { n =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
-        s"MERGE on $table assigns unknown column $n")
+    // every assignment target must be a real column, assigned at most
+    // once per clause (SQL refuses conflicting SETs), loudly
+    val allClauses: Seq[Seq[(String, org.apache.spark.sql.Column)]] =
+      matched.flatMap(_._2) ++ notMatched.map(_._2) ++
+        notMatchedBySource.flatMap(_._2)
+    allClauses.foreach { sets =>
+      sets.map(_._1).foreach { n =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"MERGE on $table assigns unknown column $n")
+      }
+      val dupSet = sets.map(_._1.toLowerCase).groupBy(identity)
+        .collect { case (n, g) if g.size > 1 => n }
+      require(dupSet.isEmpty,
+        s"MERGE on $table assigns column(s) twice in one clause: " +
+          dupSet.mkString(", "))
     }
     // the source is read by several actions (dup probe, key join, the
-    // classification write) — nondeterminism would desynchronize them
+    // classification write) — nondeterminism would desynchronize them.
+    // Per-EXECUTION-resolved time expressions report deterministic=true
+    // yet re-resolve per action (the hazard delete() closes for its own
+    // condition), so refuse those by shape too.
+    val timeResolved = Set(
+      "current_timestamp", "current_date", "now", "localtimestamp",
+      "current_timezone", "curdate", "current_time", "localtime")
     val nonDet = source.queryExecution.analyzed.collectFirst {
-      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
+      case p if p.expressions.exists(e => e.exists(x =>
+        !x.deterministic || timeResolved(x.prettyName))) => p
     }
     require(nonDet.isEmpty,
-      "merge source must be deterministic — it is evaluated in more than " +
-        "one action; materialize it to a table first")
+      "merge source must be deterministic across actions — it is evaluated " +
+        "more than once (rand()/current_timestamp() would desynchronize the " +
+        "key probe from the classification); materialize it to a table first")
     val srcKey = s"__src_$keyCol"
     val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
-    val dup = src.groupBy(col(srcKey)).count().filter(col("count") > 1).limit(3)
+    // SQL MERGE key semantics: a NULL key never equi-matches, so NULL-key
+    // source rows are legitimate NOT MATCHED inserts — exclude them from
+    // the cardinality probe (two NULL keys cannot double-match a target
+    // row) and from the key range
+    val dup = src.filter(col(srcKey).isNotNull)
+      .groupBy(col(srcKey)).count().filter(col("count") > 1).limit(3)
       .collect().map(_.get(0))
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
@@ -580,22 +606,29 @@ object TxLog {
           "a target row matching two source rows is the MERGE cardinality violation")
     val range = src.agg(
       org.apache.spark.sql.functions.min(col(srcKey)).cast("string"),
-      org.apache.spark.sql.functions.max(col(srcKey)).cast("string")).head()
-    val srcEmpty = range.isNullAt(0)
+      org.apache.spark.sql.functions.max(col(srcKey)).cast("string"),
+      org.apache.spark.sql.functions.count(lit(1))).head()
+    // min/max skip NULLs: an all-NULL-key source is NOT empty — its rows
+    // are legitimate NOT MATCHED inserts (a NULL key never equi-matches)
+    val srcRows = range.getLong(2)
+    val keyRange: Option[(String, String)] =
+      if (range.isNullAt(0)) None
+      else Some((range.getString(0), range.getString(1)))
     val wholesale = notMatchedBySource.nonEmpty
-    if (srcEmpty && !wholesale) return snap.version // nothing can fire
-    val (rLo, rHi) =
-      if (srcEmpty) ("", "") else (range.getString(0), range.getString(1))
+    if (srcRows == 0 && !wholesale) return snap.version // nothing can fire
+    val (rLo, rHi) = keyRange.getOrElse(("", ""))
     val affected: Seq[String] =
       if (wholesale) snap.files
-      else {
-        val cand = pruneFiles(snap, keyCol, rLo, rHi)
-        if (cand.isEmpty) Seq.empty
-        else readFiles(spark, table, snap.copy(files = cand))
-          .select(col(keyCol), input_file_name().as("__file"))
-          .join(src.select(col(srcKey).as(keyCol)).distinct(), keyCol)
-          .select("__file").distinct()
-          .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
+      else keyRange match {
+        case None => Seq.empty // only NULL keys: no target row can match
+        case Some((lo, hi)) =>
+          val cand = pruneFiles(snap, keyCol, lo, hi)
+          if (cand.isEmpty) Seq.empty
+          else readFiles(spark, table, snap.copy(files = cand))
+            .select(col(keyCol), input_file_name().as("__file"))
+            .join(src.select(col(srcKey).as(keyCol)).distinct(), keyCol)
+            .select("__file").distinct()
+            .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
       }
     // ---- action algebra -------------------------------------------
     // labels: m<i> matched clause i, i<j> not-matched clause j, s<k>
@@ -607,7 +640,7 @@ object TxLog {
         when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(s"$prefix$i")).otherwise(els)
       }
     val tgtHere = coalesce(col("__tgt_present"), lit(false))
-    val srcHere = coalesce(col("__src_present"), lit(false))
+    val srcHere = coalesce(col("__graft_src_present"), lit(false))
     val actionCol =
       when(tgtHere && srcHere, firstMatch(matched.map(_._1), "m", "keep"))
         .when(srcHere, firstMatch(notMatched.map(_._1), "i", "drop"))
@@ -639,15 +672,19 @@ object TxLog {
     }
     val tgt = readFiles(spark, table, snap.copy(files = affected))
       .withColumn("__tgt_present", lit(true))
-    val joined = tgt.join(src.withColumn("__src_present", lit(true)),
+    // the source marker must NOT be of the __src_<name> shape a renamed
+    // source column could occupy (a source column literally named
+    // "present" renames to __src_present) — __graft_src_present cannot
+    // collide with any rename
+    val joined = tgt.join(src.withColumn("__graft_src_present", lit(true)),
       col(keyCol) === col(srcKey), "full_outer")
       .withColumn("__action", actionCol)
     val classifiedCols =
       schema.fields.map(f => col(f.name)).toSeq ++
         Seq(col("__action")) ++
         schema.fields.map(f => postExpr(f).as(s"__post_${f.name}")).toSeq
-    val tmp = writeChangeData(joined.select(classifiedCols: _*), table,
-      math.max(1, math.max(affected.length, src.rdd.getNumPartitions)))
+    val parallelism = math.max(1, math.max(affected.length, src.rdd.getNumPartitions))
+    val tmp = writeChangeData(joined.select(classifiedCols: _*), table, parallelism)
     val temp = spark.read.parquet(tmp.map(f => Paths.get(table, f).toString): _*)
     val changedLabels = updateLabels ++ deleteLabels ++ insertLabels
     if (temp.filter(col("__action").isInCollection(changedLabels)).isEmpty)
@@ -656,7 +693,6 @@ object TxLog {
     val outRows = temp.filter(col("__action").isInCollection(outLabels))
       .select(schema.fields.map(f =>
         col(s"__post_${f.name}").as(f.name)).toIndexedSeq: _*)
-    val parallelism = math.max(1, math.max(affected.length, src.rdd.getNumPartitions))
     val (files0, _, stats0) =
       writeData(outRows.repartition(parallelism), table, snap.partitionCols)
     val written = files0.map(f =>
@@ -697,6 +733,8 @@ object TxLog {
         val overlapping =
           if (wholesale) racedAdds // every target row was examined: any
           // concurrent add holds rows this merge never saw — conflict
+          else if (keyRange.isEmpty) Seq.empty // NULL-only keys: matched
+          // clauses can never fire, so keyed appends commute
           else racedAdds.filter { f =>
             now.stats.get(f).flatMap(_.get(keyCol)) match {
               case Some(cs) =>
@@ -1171,7 +1209,6 @@ object TxLog {
         p.substring(absTable.length + 1)
       else p
     })
-    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     // partition values ride in the file→commit map too (parsed from the
     // hive paths driver-side), so a partitioned group still reads in ONE
     // plain multi-file scan — no per-commit basePath branches

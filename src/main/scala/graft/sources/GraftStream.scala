@@ -93,7 +93,10 @@ final class GraftStreamSource(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val from = Option(start).map(versionOf).getOrElse(startingVersion - 1)
+    // clamp: startingVersion=0 (full history) would otherwise make the
+    // exclusive lower bound -1 and admissionBoundary read commit 0
+    val from = math.max(0L,
+      Option(start).map(versionOf).getOrElse(startingVersion - 1))
     val head0 = TxLog.latestVersion(table)
     val head = availableNowGoal.fold(head0)(math.min(head0, _))
     if (head < startingVersion || head <= from) return null

@@ -138,6 +138,65 @@ class MergeGeneralSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("unknown column"))
   }
 
+  test("a source column literally named 'present' is data, not the join marker") {
+    val t = fresh("present")
+    TxLog.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "tag", "price"), t)
+    // renames to __src_present — must NOT collide with the kernel's own
+    // src-side marker, which would make the condition true for every row
+    val src = Seq((1, true), (2, false)).toDF("k", "present")
+    TxLog.mergeGeneral(spark, t, src, "k",
+      matched = Seq((Some($"__src_present"), None)), // delete only where present
+      notMatched = Nil)
+    assert(state(t) == Map(2 -> ("b", 2.0)),
+      "only k=1 (present=true) may delete; a marker collision deletes both")
+  }
+
+  test("NULL source keys never match: they insert, and two of them are not a dup") {
+    val t = fresh("nullkey")
+    TxLog.append(Seq((Some(1), "a", 1.0)).toDF("k", "tag", "price"), t)
+    val src = Seq(
+      (Option.empty[Int], "n1", 10.0),
+      (Option.empty[Int], "n2", 20.0),
+      (Some(1), "A", 99.0)
+    ).toDF("k", "tag", "price")
+    TxLog.mergeGeneral(spark, t, src, "k",
+      matched = Seq((None, Some(Seq("tag" -> $"__src_tag")))),
+      notMatched = Seq((None, Seq(
+        "k" -> $"__src_k", "tag" -> $"__src_tag", "price" -> $"__src_price"))))
+    val rows = TxLog.snapshot(spark, t).collect()
+      .map(r => (Option(r.get(r.fieldIndex("k"))), r.getAs[String]("tag"))).toSet
+    assert(rows == Set((Some(1), "A"), (None, "n1"), (None, "n2")),
+      s"NULL-key rows are legitimate inserts, got $rows")
+    // all-NULL-key source with only NOT MATCHED still fires (not 'empty')
+    val t2 = fresh("nullonly")
+    TxLog.append(Seq((Some(1), "a", 1.0)).toDF("k", "tag", "price"), t2)
+    TxLog.mergeGeneral(spark, t2,
+      Seq((Option.empty[Int], "x", 0.0)).toDF("k", "tag", "price"), "k",
+      matched = Seq((None, None)),
+      notMatched = Seq((None, Seq("k" -> $"__src_k", "tag" -> $"__src_tag"))))
+    assert(TxLog.snapshot(spark, t2).count() == 2)
+  }
+
+  test("duplicate SET targets in one clause and __-prefixed source columns refuse") {
+    val t = fresh("dupset")
+    TxLog.append(Seq((1, "a", 1.0)).toDF("k", "tag", "price"), t)
+    val e1 = intercept[IllegalArgumentException](TxLog.mergeGeneral(spark, t,
+      Seq((1, "x", 0.0)).toDF("k", "tag", "price"), "k",
+      matched = Seq((None, Some(Seq("tag" -> lit("A"), "TAG" -> lit("B"))))),
+      notMatched = Nil))
+    assert(e1.getMessage.contains("twice"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](TxLog.mergeGeneral(spark, t,
+      Seq((1, "x")).toDF("k", "__shady"), "k",
+      matched = Seq((None, None)), notMatched = Nil))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // per-execution time expressions desynchronize the probe actions
+    val e3 = intercept[IllegalArgumentException](TxLog.mergeGeneral(spark, t,
+      Seq((1, "x", 0.0)).toDF("k", "tag", "price")
+        .filter(current_timestamp().isNotNull), "k",
+      matched = Seq((None, None)), notMatched = Nil))
+    assert(e3.getMessage.contains("deterministic"), e3.getMessage)
+  }
+
   test("no clause fires -> no-op commit-free merge") {
     val t = fresh("noop")
     TxLog.append(Seq((1, "a", 1.0)).toDF("k", "tag", "price"), t)

@@ -126,6 +126,26 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(TxLog.history(b).count(c => c.op == "append" && c.dataChange) == 2)
   }
 
+  test("startingVersion=0 with a cap neither crashes nor under-admits") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val a = fresh("startzero")
+    TxLog.append(Seq(1).toDF("k"), a)
+    TxLog.append(Seq(2).toDF("k"), a)
+    // the exclusive lower bound of startingVersion=0 is -1 and must clamp
+    // (admissionBoundary would otherwise read nonexistent commit 0)
+    val src = new GraftStreamSource(spark, a, startingVersion = 0,
+      ignoreChanges = false, maxFilesPerTrigger = Some(1L))
+    assert(src.latestOffset(null, ReadLimit.allAvailable()) == LongOffset(1))
+    val b = fresh("startzerodst")
+    drain(a, b, fresh("startzerock"),
+      Map("startingVersion" -> "0", "maxVersionsPerBatch" -> "1"))
+    assert(spark.read.format("graft").load(b)
+      .select("k").as[Int].collect().toSet == Set(1, 2))
+    assert(TxLog.history(b).count(c => c.op == "append" && c.dataChange) == 2,
+      "two versions under cap 1 must drain in 2 epochs")
+  }
+
   test("AvailableNow pins its goal at stream start; later commits wait") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
