@@ -1028,6 +1028,98 @@ object TableQueries {
               FROM merged
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // CHECK constraints — the data-quality gate a governed ingest needs:
+    // ADD CONSTRAINT validates every EXISTING row first (a constraint the
+    // table already breaks never commits), persists as a table property
+    // in the log, and every subsequent new-row write (append / insert /
+    // update / merge values) validates BEFORE its commit publishes — the
+    // violating batch is refused loudly and the table is untouched. SQL
+    // CHECK semantics: NULL passes, only FALSE violates. The oracle sees
+    // exactly the rows that passed the gate.
+    QuerySpec(
+      "table_constraints",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_check")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), table)
+        s.sql(s"ALTER TABLE graft '$table' ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice > 0)")
+        val head = TxLog.latestVersion(table)
+        val poisoned = ordersSlice(s, dir, 1)
+          .withColumn("o_totalprice",
+            org.apache.spark.sql.functions.when(col("o_orderkey") % 50 === 0,
+              -col("o_totalprice")).otherwise(col("o_totalprice")))
+        val refused =
+          try { TxLog.append(poisoned, table); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("price_pos") }
+        require(refused, "the poisoned batch must refuse, naming the constraint")
+        require(TxLog.latestVersion(table) == head,
+          "a refused batch must not commit")
+        TxLog.append(ordersSlice(s, dir, 1), table) // the clean batch flows
+        ordersAgg(TxLog.snapshot(s, table))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
+    // CONVERT TO GRAFT — the adoption path (Delta's CONVERT TO DELTA):
+    // an existing hive-partitioned parquet directory becomes a graft
+    // table IN PLACE (files move under the log's layout, no bytes copy),
+    // with footer-harvested zone maps + synthesized partition stats, so
+    // pruning and every log feature work from commit 1. The fixture is
+    // plain `df.write.partitionBy(...).parquet` — exactly what a user
+    // migrating to the log already has.
+    QuerySpec(
+      "table_convert",
+      (s, dir) => {
+        val table = fixturePath(dir, "plain_orders_convert")
+        deleteRecursively(table)
+        ordersSlice(s, dir, 0)
+          .write.partitionBy("o_orderstatus").parquet(table)
+        val res = s.sql(s"CONVERT TO GRAFT '$table' " +
+          "PARTITIONED BY (o_orderstatus)").head()
+        require(res.getLong(0) == 1L, "convert must be commit 1")
+        val snap = TxLog.snapshotInfo(table)
+        val pruned = TxLog.pruneFiles(snap, "o_orderstatus", "F", "F")
+        require(pruned.length < snap.files.length,
+          "synthesized partition stats must prune at convert time")
+        // the log owns it now; discovery ordered partition columns last,
+        // so appends align to the CONVERTED schema order
+        val order = org.apache.spark.sql.types.DataType
+          .fromJson(TxLog.snapshotInfo(table).schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        TxLog.append(ordersSlice(s, dir, 1).select(order.map(col).toIndexedSeq: _*),
+          table)
+        ordersAgg(s.read.format("graft").load(table)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
+    // Zero-copy CLONE: the dev-on-prod-data primitive — version 1 of the
+    // clone hard-links the source's live files (no bytes copied,
+    // inode-asserted in TablePropsSpec), carries schema/stats/properties,
+    // then the two tables diverge independently: a COW delete on the
+    // clone and an append on the source never cross, and a source
+    // OVERWRITE + vacuum(0) cannot reclaim the clone's bytes (links keep
+    // them alive). The oracle restates the clone's post-divergence state.
+    QuerySpec(
+      "table_clone",
+      (s, dir) => {
+        val src = fixturePath(dir, "txlog_orders_clone_src")
+        val dst = fixturePath(dir, "txlog_orders_clone_dst")
+        deleteRecursively(src); deleteRecursively(dst)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2), src)
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), src)
+        s.sql(s"CLONE graft '$src' TO '$dst'")
+        // diverge: clone drops a band, source overwrites + vacuums
+        TxLog.delete(s, dst, col("o_orderkey") % 15 === 6)
+        TxLog.overwrite(ordersSlice(s, dir, 2), src)
+        TxLog.vacuum(src, olderThanMs = 0)
+        require(TxLog.snapshotInfo(src).version > 2, "source must have diverged")
+        ordersAgg(s.read.format("graft").load(dst))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1) AND o_orderkey % 15 <> 6"))),
+
     // RESTORE as SQL text: the metadata-only rollback (zero data files
     // move) driven by the statement a SQL-first operator types during
     // an incident — rolls the overwrite back to version 2 and the head

@@ -22,6 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   DESCRIBE HISTORY graft '<table dir>'
   *   DESCRIBE DETAIL graft '<table dir>'
   *   RESTORE graft '<table dir>' TO VERSION <n> | TO TIMESTAMP <millis>
+  *   ALTER TABLE graft '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE graft '<dir>' DROP CONSTRAINT <name>
+  *   CONVERT TO GRAFT '<dir>' [PARTITIONED BY (c1, ...)]
+  *   CLONE graft '<src>' TO '<dst>' [VERSION <n>]
   * }}}
   *
   * The explicit `graft` keyword keeps the grammar unambiguous with any
@@ -62,6 +66,18 @@ class GraftSqlParser(
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*""").r
   private val Restore =
     ("""(?is)\s*RESTORE\s+""" + T + """\s+TO\s+(VERSION|TIMESTAMP)\s+(\d+)\s*;?\s*""").r
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""").r
+  private val Convert =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val CloneStmt =
+    ("""(?is)\s*CLONE\s+""" + T + """\s+TO\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+(\d+))?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(path, ident, retain) if ours(path, ident) =>
@@ -80,6 +96,17 @@ class GraftSqlParser(
     case Restore(path, ident, kind, v) if ours(path, ident) =>
       GraftRestoreCommand(GraftTableRef(path, ident), v.toLong,
         byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
+    case AddConstraint(path, ident, name, check) if ours(path, ident) =>
+      GraftAddConstraintCommand(GraftTableRef(path, ident), name, check.trim)
+    case DropConstraint(path, ident, name) if ours(path, ident) =>
+      GraftDropConstraintCommand(GraftTableRef(path, ident), name)
+    case Convert(dir, parts) =>
+      GraftConvertCommand(dir,
+        Option(parts).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil))
+    case CloneStmt(path, ident, dst, v) if ours(path, ident) =>
+      GraftCloneCommand(GraftTableRef(path, ident), dst,
+        Option(v).map(_.toLong))
     case other => delegate.parsePlan(other)
   }
 
@@ -97,6 +124,10 @@ class GraftSqlParser(
       case History(p, i) if ours(p, i) => parsePlan(sqlText)
       case Detail(p, i) if ours(p, i) => parsePlan(sqlText)
       case Restore(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
+      case AddConstraint(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
+      case DropConstraint(p, i, _) if ours(p, i) => parsePlan(sqlText)
+      case Convert(_, _) => parsePlan(sqlText)
+      case CloneStmt(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
       case other => delegate.parsePlanWithParameters(other, context)
     }
 
@@ -242,5 +273,49 @@ final case class GraftDescribeDetailCommand(ref: GraftTableRef)
     Seq(Row("graft", table, snap.version, snap.files.length.toLong, bytes,
       snap.partitionCols.mkString(","),
       new java.sql.Timestamp(hist.head.ts), new java.sql.Timestamp(hist.last.ts)))
+  }
+}
+
+/** `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)` — validates
+  * existing rows first (loud), then persists as a table property the
+  * write gates enforce from the next commit on. */
+final case class GraftAddConstraintCommand(
+    ref: GraftTableRef, name: String, check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs("version" -> LongType)
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addConstraint(session, ref.resolve(session), name, check)))
+}
+
+/** `ALTER TABLE <t> DROP CONSTRAINT <name>` — loud if absent. */
+final case class GraftDropConstraintCommand(ref: GraftTableRef, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs("version" -> LongType)
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.dropConstraint(ref.resolve(session), name)))
+}
+
+/** `CONVERT TO GRAFT '<dir>' [PARTITIONED BY (...)]` — adopt a plain
+  * parquet directory in place (files move under the log's layout; no
+  * bytes copied). */
+final case class GraftConvertCommand(dir: String, partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    "version" -> LongType, "files_converted" -> IntegerType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxLog.convert(session, dir, partitionBy)
+    Seq(Row(v, TxLog.liveFileCount(dir)))
+  }
+}
+
+/** `CLONE graft '<src>' TO '<dst>' [VERSION n]` — zero-copy independent
+  * clone via hard links. */
+final case class GraftCloneCommand(ref: GraftTableRef, dst: String, asOf: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    "version" -> LongType, "files_linked" -> IntegerType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxLog.cloneTable(ref.resolve(session), dst, asOf)
+    Seq(Row(v, TxLog.liveFileCount(dst)))
   }
 }

@@ -97,7 +97,9 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       partitionCols: Seq[String] = Nil,
       ts: Long = 0L,
-      cdf: Seq[String] = Nil)
+      cdf: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty,
+      propsUnset: Seq[String] = Nil)
 
   /** Resolved table state as of a version. `txns` holds the highest
     * committed batchId per streaming appId — the exactly-once ledger. */
@@ -107,7 +109,8 @@ object TxLog {
       schemaJson: String,
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty)
 
   // ------------------------------------------------------------------
   // public API
@@ -161,8 +164,193 @@ object TxLog {
       removePlan = _ => Seq.empty).get
   }
 
+  /** Set table properties as one metadata-only commit (last write wins
+    * per key; replay folds them, checkpoints persist them). The storage
+    * slot TBLPROPERTIES and CHECK constraints ride on. */
+  def setProperties(table: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties: nothing to set")
+    val snap = replay(table, None)
+    commit(table, "setproperties", Seq.empty, dataChange = false,
+      schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
+      props = props, removePlan = _ => Seq.empty).get
+  }
+
+  /** Remove table properties (absent keys are a no-op, Delta's UNSET). */
+  def unsetProperties(table: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties: nothing to unset")
+    val snap = replay(table, None)
+    commit(table, "setproperties", Seq.empty, dataChange = false,
+      schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
+      propsUnset = keys, removePlan = _ => Seq.empty).get
+  }
+
+  /** Current table properties (constraint entries included, under
+    * `constraint.<name>` keys). */
+  def properties(table: String): Map[String, String] = replay(table, None).props
+
+  private val ConstraintPrefix = "constraint."
+
+  /** Add a CHECK constraint: existing rows are validated FIRST (one scan,
+    * loud sample on violation — a constraint that the table already
+    * breaks must never commit), then the expression text persists as a
+    * `constraint.<name>` property. Every subsequent write that introduces
+    * NEW rows (append/overwrite/insert, update/merge post-values)
+    * validates against it before its commit publishes; SQL CHECK
+    * semantics — a NULL condition passes, only FALSE violates. */
+  def addConstraint(
+      spark: SparkSession, table: String, name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val snap = replay(table, None)
+    require(!snap.props.contains(s"$ConstraintPrefix$name"),
+      s"constraint $name already exists on $table " +
+        s"(${snap.props(s"$ConstraintPrefix$name")})")
+    val bad = snapshot(spark, table)
+      .filter(not(coalesce(expr(exprSql), lit(true)))).limit(3).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint $name ($exprSql) to $table: " +
+          s"${bad.length}+ existing row(s) violate it, e.g. ${bad.head}")
+    commit(table, "constraint", Seq.empty, dataChange = false,
+      schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
+      props = Map(s"$ConstraintPrefix$name" -> exprSql),
+      removePlan = _ => Seq.empty).get
+  }
+
+  /** Drop a CHECK constraint (loud if absent — a typo must not read as
+    * success). */
+  def dropConstraint(table: String, name: String): Long = {
+    val snap = replay(table, None)
+    require(snap.props.contains(s"$ConstraintPrefix$name"),
+      s"no constraint named $name on $table")
+    val v = unsetProperties(table, Seq(s"$ConstraintPrefix$name"))
+    v
+  }
+
+  /** Validate `df` (the rows a write is about to introduce) against the
+    * table's CHECK constraints — ONE combined probe action when any
+    * exist, zero cost otherwise; the violating constraint is named by a
+    * bounded per-constraint recheck only on the error path. */
+  private def enforceConstraints(
+      df: DataFrame, table: String, snap: Snapshot, what: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = snap.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+    if (cs.isEmpty) return
+    val anyBad = df.filter(
+      cs.values.map(sql => not(coalesce(expr(sql), lit(true))))
+        .reduce(_ || _)).limit(3).collect()
+    if (anyBad.nonEmpty) {
+      val culprit = cs.find { case (_, sql) =>
+        df.filter(not(coalesce(expr(sql), lit(true)))).limit(1).count() > 0
+      }.map { case (n, sql) => s"$n ($sql)" }.getOrElse(cs.keys.mkString(", "))
+      throw new IllegalArgumentException(
+        s"graft: $what on $table violates CHECK constraint $culprit — " +
+          s"e.g. ${anyBad.head}; fix the data or DROP CONSTRAINT first")
+    }
+  }
+
+  /** Constraint gate at a write entry point — free when the table is new
+    * or carries no constraints. */
+  private def gate(df: DataFrame, table: String, what: String): Unit =
+    if (latestVersion(table) > 0)
+      enforceConstraints(df, table, replay(table, None), what)
+
+  /** CONVERT an existing parquet directory (flat or hive-partitioned)
+    * into a graft table IN PLACE — the adoption path (Delta's CONVERT TO
+    * DELTA): files MOVE (same-filesystem rename, no bytes copied) under
+    * the log's `data/` layout preserving their partition segments, one
+    * commit adds them all with footer-harvested zone maps + synthesized
+    * partition stats, and from then on every reader/writer goes through
+    * the log. Partition column TYPES come from Spark's own partition
+    * discovery over the original layout. Quiesce direct readers of the
+    * old paths first — their file names move. Refuses directories that
+    * are already graft tables. */
+  def convert(
+      spark: SparkSession, table: String, partitionBy: Seq[String] = Nil): Long = {
+    require(latestVersion(table) == 0,
+      s"$table is already a graft table — CONVERT adopts plain parquet only")
+    val root = Paths.get(table)
+    require(Files.isDirectory(root), s"$table is not a directory")
+    val discovered = {
+      val stream = Files.walk(root)
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => relativize(table, p)).toSeq.sorted
+      finally stream.close()
+    }
+    require(discovered.nonEmpty, s"no parquet files under $table to convert")
+    // schema (with typed partition columns) from Spark's own discovery,
+    // BEFORE any file moves
+    val schema = nullable(spark.read.parquet(table).schema)
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not found by discovery over $table " +
+        s"(saw ${schema.fieldNames.mkString(", ")})"))
+    val commitId = "convert" + java.util.UUID.randomUUID()
+      .toString.replace("-", "").take(9)
+    val dataDir = Paths.get(table, "data", commitId)
+    Files.createDirectories(dataDir)
+    val moved = discovered.map { rel =>
+      val dst = dataDir.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(Paths.get(table, rel), dst)
+      s"data/$commitId/$rel"
+    }
+    val partKinds: Map[String, String] = partitionBy.map { c =>
+      import org.apache.spark.sql.types._
+      c -> (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "long"
+        case FloatType | DoubleType => "double"
+        case _ => "string"
+      })
+    }.toMap
+    val stats = moved.map { rel =>
+      val synthesized =
+        if (partitionBy.isEmpty) Map.empty[String, ColStats]
+        else partitionValuesOf(rel, partitionBy).map { case (c, v) =>
+          c -> ColStats(partKinds(c), v, v)
+        }
+      rel -> (fileStats(Paths.get(table, rel)) ++ synthesized)
+    }.filter(_._2.nonEmpty).toMap
+    commit(table, "convert", moved, dataChange = true,
+      schemaPlan = _ => schema.json, stats = stats,
+      partitionCols = partitionBy, removePlan = _ => Seq.empty).get
+  }
+
+  /** ZERO-COPY clone: `dst` becomes an independent graft table whose
+    * version 1 carries `src`'s live files (as of `asOf`, head if None)
+    * via HARD LINKS — no data bytes move, zone maps/schema/partition
+    * layout/properties carry over, and the clone is SAFER than a
+    * path-referencing shallow clone: the links keep the shared bytes
+    * alive even after the source vacuums or drops the original names,
+    * and copy-on-write means neither table can ever mutate the other's
+    * rows. The dev-on-prod-data primitive at any table size. */
+  def cloneTable(src: String, dst: String, asOf: Option[Long] = None): Long = {
+    val snap = replay(src, Some(asOf.getOrElse(latestVersion(src))))
+    require(latestVersion(dst) == 0, s"$dst is already a graft table")
+    val missing = snap.files.filterNot(f => Files.exists(Paths.get(src, f)))
+    require(missing.isEmpty,
+      s"cannot clone $src@${snap.version}: ${missing.length} file(s) " +
+        s"vacuumed: ${missing.take(3).mkString(", ")}")
+    snap.files.foreach { rel =>
+      val to = Paths.get(dst, rel)
+      Files.createDirectories(to.getParent)
+      Files.createLink(to, Paths.get(src, rel))
+    }
+    commit(dst, "clone", snap.files, dataChange = true,
+      schemaPlan = _ => snap.schemaJson, stats = snap.stats,
+      partitionCols = snap.partitionCols,
+      props = snap.props + ("graft.clonedFrom" -> s"$src@${snap.version}"),
+      removePlan = _ => Seq.empty).get
+  }
+
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
     val parts = effectivePartitioning(table, partitionBy)
+    gate(df, table, "append")
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, partitionCols = parts,
@@ -234,6 +422,7 @@ object TxLog {
         org.apache.spark.sql.types.StringType, timeZoneId = Some(tz)).eval(null).toString
       name -> canon
     }
+    enforceConstraints(df, table, snap, "partition overwrite")
     val (files, schemaJson, stats) = writeData(df, table, snap.partitionCols)
     val written = files.map(f => partitionValuesOf(f, snap.partitionCols))
     spec.foreach { case (k, v) =>
@@ -272,6 +461,7 @@ object TxLog {
     if (latestVersion(table) > 0 &&
       replay(table, None).txns.get(appId).exists(_ >= batchId)) return None
     val parts = effectivePartitioning(table, partitionBy)
+    gate(df, table, "append")
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, txn = Some(appId -> batchId), partitionCols = parts,
@@ -292,6 +482,7 @@ object TxLog {
   def appendEvolve(df: DataFrame, table: String): Long = {
     require(effectivePartitioning(table, Nil).isEmpty,
       s"appendEvolve is not supported on a partitioned table ($table)")
+    gate(df, table, "append")
     val (files, schemaJson, stats) = writeData(df, table)
     commit(table, "append", files, dataChange = true,
       schemaPlan = { snap =>
@@ -336,6 +527,7 @@ object TxLog {
       if (partitionBy.nonEmpty) partitionBy
       else if (latestVersion(table) == 0) Nil
       else replay(table, None).partitionCols
+    gate(df, table, "overwrite")
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "overwrite", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, partitionCols = parts, removePlan = snap => snap.files).get
@@ -430,6 +622,7 @@ object TxLog {
       throw new IllegalArgumentException(
         s"merge updates carry duplicate $keyCol values (${dup.mkString(", ")}…): " +
           "resolve to one row per key before merging")
+    enforceConstraints(updates, table, snap, "merge")
     val range = updates.agg(
       org.apache.spark.sql.functions.min(col(keyCol)).cast("string"),
       org.apache.spark.sql.functions.max(col(keyCol)).cast("string")).head()
@@ -689,6 +882,13 @@ object TxLog {
     val changedLabels = updateLabels ++ deleteLabels ++ insertLabels
     if (temp.filter(col("__action").isInCollection(changedLabels)).isEmpty)
       return snap.version // every clause missed: no-op, temp ages out
+    val newValueLabels = updateLabels ++ insertLabels
+    if (newValueLabels.nonEmpty)
+      enforceConstraints(
+        temp.filter(col("__action").isInCollection(newValueLabels))
+          .select(schema.fields.map(f =>
+            col(s"__post_${f.name}").as(f.name)).toIndexedSeq: _*),
+        table, snap, "merge")
     val outLabels = Seq("keep") ++ updateLabels ++ insertLabels
     val outRows = temp.filter(col("__action").isInCollection(outLabels))
       .select(schema.fields.map(f =>
@@ -888,6 +1088,7 @@ object TxLog {
     // (current_timestamp() re-resolves per action). The condition must
     // be deterministic: it classifies rows in two separate scans.
     val changed = readFiles(spark, table, snap.copy(files = affected)).filter(cond)
+    enforceConstraints(applySets(changed), table, snap, "UPDATE")
     val pre = changed.withColumn(ChangeTypeCol, lit("update_preimage"))
     val post = applySets(changed).withColumn(ChangeTypeCol, lit("update_postimage"))
     val cdf = writeChangeData(pre.unionByName(post), table, affected.length)
@@ -1880,6 +2081,10 @@ object TxLog {
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
       ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
       cdf = Option(node.get("cdf"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      props = Option(node.get("props")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      propsUnset = Option(node.get("propsUnset"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
@@ -1908,7 +2113,9 @@ object TxLog {
         txns = Option(node.get("txns")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
         partitionCols = Option(node.get("partitionCols"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        props = Option(node.get("props")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
     }
   }
 
@@ -1926,6 +2133,7 @@ object TxLog {
     val live = scala.collection.mutable.LinkedHashSet[String](base.files: _*)
     val stats = scala.collection.mutable.Map[String, Map[String, ColStats]](base.stats.toSeq: _*)
     val txns = scala.collection.mutable.Map[String, Long](base.txns.toSeq: _*)
+    val props = scala.collection.mutable.Map[String, String](base.props.toSeq: _*)
     var schemaJson = base.schemaJson
     var partitionCols = base.partitionCols
     readCommits(table, base.version + 1, v).foreach { c =>
@@ -1934,10 +2142,13 @@ object TxLog {
       c.stats.foreach { case (f, cs) => stats(f) = cs }
       c.txn.foreach { case (app, batch) =>
         txns(app) = math.max(batch, txns.getOrElse(app, Long.MinValue)) }
+      c.propsUnset.foreach(props.remove)
+      c.props.foreach { case (k, vv) => props(k) = vv }
       schemaJson = c.schemaJson
       partitionCols = c.partitionCols
     }
-    Snapshot(v, live.toSeq, schemaJson, stats.toMap, txns.toMap, partitionCols)
+    Snapshot(v, live.toSeq, schemaJson, stats.toMap, txns.toMap, partitionCols,
+      props.toMap)
   }
 
   // ------------------------------------------------------------------
@@ -1960,6 +2171,8 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       partitionCols: Seq[String] = Nil,
       cdf: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty,
+      propsUnset: Seq[String] = Nil,
       removePlan: Snapshot => Seq[String]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
@@ -1985,6 +2198,13 @@ object TxLog {
       }
       if (cdf.nonEmpty) {
         val cArr = rec.putArray("cdf"); cdf.foreach(cArr.add)
+      }
+      if (props.nonEmpty) {
+        val pNode = rec.putObject("props")
+        props.foreach { case (k, v) => pNode.put(k, v) }
+      }
+      if (propsUnset.nonEmpty) {
+        val uArr = rec.putArray("propsUnset"); propsUnset.foreach(uArr.add)
       }
       if (stats.nonEmpty) {
         val stNode = rec.putObject("stats")
@@ -2053,6 +2273,10 @@ object TxLog {
       if (snap.partitionCols.nonEmpty) {
         val pArr = rec.putArray("partitionCols"); snap.partitionCols.foreach(pArr.add)
       }
+      if (snap.props.nonEmpty) {
+        val prNode = rec.putObject("props")
+        snap.props.foreach { case (k, v) => prNode.put(k, v) }
+      }
       publish(logDir(table), f"$version%020d.checkpoint.json",
         mapper.writeValueAsString(rec)): Unit
     }
@@ -2065,6 +2289,12 @@ object TxLog {
     if (!tCols.sameElements(dCols)) {
       val extra = dCols.diff(tCols).map { case (n, dt) => s"$n:${dt.simpleString}" }
       val missing = tCols.diff(dCols).map { case (n, dt) => s"$n:${dt.simpleString}" }
+      if (extra.isEmpty && missing.isEmpty)
+        throw new IllegalArgumentException(
+          s"append schema mismatch on $table — same columns, different ORDER " +
+            s"(table: ${tCols.map(_._1).mkString(", ")}; append: " +
+            s"${dCols.map(_._1).mkString(", ")}); appends are by-position — " +
+            "select the columns in the table's order")
       throw new IllegalArgumentException(
         s"append schema mismatch on $table — table wants " +
           s"[${missing.mkString(", ")}], append brings [${extra.mkString(", ")}]; " +

@@ -156,7 +156,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()))
-    val adds = changes.map {
+    // SET/UNSET TBLPROPERTIES ride the log's property commits; the
+    // constraint namespace is writable only through ADD CONSTRAINT,
+    // whose existing-row validation a raw property write would bypass
+    val (propChanges, rest) = changes.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (propChanges.nonEmpty) {
+      val sets = propChanges.collect { case s: TableChange.SetProperty =>
+        require(!s.property().startsWith("constraint."),
+          "graft catalog: CHECK constraints are added via ALTER TABLE ... " +
+            "ADD CONSTRAINT <name> CHECK (<expr>) — a raw property write " +
+            "would skip validating existing rows")
+        s.property() -> s.value()
+      }.toMap
+      val unsets = propChanges.collect {
+        case r: TableChange.RemoveProperty => r.property()
+      }
+      if (sets.nonEmpty) TxLog.setProperties(tablePath(ident), sets): Unit
+      if (unsets.nonEmpty) TxLog.unsetProperties(tablePath(ident), unsets.toSeq): Unit
+      if (rest.isEmpty) return GraftTable(tablePath(ident), ident.toString)
+    }
+    val adds = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1 && a.position() == null,
           "graft catalog: ADD COLUMNS supports top-level columns appended " +
@@ -372,9 +393,10 @@ final case class GraftTable(
       : java.util.Map[String, String] = Collections.emptyMap()
 
   override def properties(): java.util.Map[String, String] =
-    Map(TableCatalog.PROP_LOCATION -> path,
-      TableCatalog.PROP_PROVIDER -> "graft",
-      "version" -> snap.version.toString).asJava
+    (snap.props ++
+      Map(TableCatalog.PROP_LOCATION -> path,
+        TableCatalog.PROP_PROVIDER -> "graft",
+        "version" -> snap.version.toString)).asJava
 
   /** Declared (log) column order — the order the write kernels enforce;
     * [[GraftCatalogRelations]]' dynamic-overwrite interception realigns
