@@ -730,7 +730,7 @@ object TableQueries {
           walk(new java.io.File(table, "data"))
         }
         val before = census()
-        val v = TxLog.restore(table, 2L)
+        val v = TxLog.restore(s, table, 2L)
         require(v == 4L && census() == before,
           "restore must be a metadata-only commit (no data files written)")
         require(TxLog.history(table).last.op == "restore")

@@ -227,7 +227,7 @@ final case class GraftRestoreCommand(ref: GraftTableRef, target: Long, byTimesta
   override def run(session: SparkSession): Seq[Row] = {
     val table = ref.resolve(session)
     val toVersion = if (byTimestamp) TxLog.versionAt(table, target) else target
-    Seq(Row(TxLog.restore(table, toVersion), toVersion))
+    Seq(Row(TxLog.restore(session, table, toVersion), toVersion))
   }
 }
 

@@ -169,6 +169,10 @@ object TxLog {
     * slot TBLPROPERTIES and CHECK constraints ride on. */
   def setProperties(table: String, props: Map[String, String]): Long = {
     require(props.nonEmpty, "setProperties: nothing to set")
+    require(!props.keys.exists(_.startsWith(ConstraintPrefix)),
+      "graft: CHECK constraints are added via ADD CONSTRAINT (TxLog." +
+        "addConstraint) — a raw property write would skip validating " +
+        "existing rows")
     val snap = replay(table, None)
     commit(table, "setproperties", Seq.empty, dataChange = false,
       schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
@@ -206,15 +210,20 @@ object TxLog {
     require(!snap.props.contains(s"$ConstraintPrefix$name"),
       s"constraint $name already exists on $table " +
         s"(${snap.props(s"$ConstraintPrefix$name")})")
-    val bad = snapshot(spark, table)
-      .filter(not(coalesce(expr(exprSql), lit(true)))).limit(3).collect()
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"cannot add CHECK constraint $name ($exprSql) to $table: " +
-          s"${bad.length}+ existing row(s) violate it, e.g. ${bad.head}")
     commit(table, "constraint", Seq.empty, dataChange = false,
       schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
       props = Map(s"$ConstraintPrefix$name" -> exprSql),
+      // validated against the THEN-CURRENT rows INSIDE the publish retry
+      // loop: an append that wins the version race is re-scanned before
+      // this constraint can commit over it
+      newRowCheck = { now =>
+        val bad = readFiles(spark, table, now)
+          .filter(not(coalesce(expr(exprSql), lit(true)))).limit(3).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot add CHECK constraint $name ($exprSql) to $table: " +
+              s"${bad.length}+ existing row(s) violate it, e.g. ${bad.head}")
+      },
       removePlan = _ => Seq.empty).get
   }
 
@@ -228,18 +237,18 @@ object TxLog {
     v
   }
 
-  /** Validate `df` (the rows a write is about to introduce) against the
-    * table's CHECK constraints — ONE combined probe action when any
-    * exist, zero cost otherwise; the violating constraint is named by a
-    * bounded per-constraint recheck only on the error path. */
-  private def enforceConstraints(
-      df: DataFrame, table: String, snap: Snapshot, what: String): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val cs = snap.props.collect {
+  /** The table's CHECK constraints, from its property map. */
+  private def constraintsOf(props: Map[String, String]): Map[String, String] =
+    props.collect {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }
-    if (cs.isEmpty) return
+
+  /** One combined violation probe over `df`; the violating constraint is
+    * named by a bounded per-constraint recheck only on the error path. */
+  private def probeConstraints(
+      df: DataFrame, cs: Map[String, String], table: String, what: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val anyBad = df.filter(
       cs.values.map(sql => not(coalesce(expr(sql), lit(true))))
         .reduce(_ || _)).limit(3).collect()
@@ -253,11 +262,38 @@ object TxLog {
     }
   }
 
-  /** Constraint gate at a write entry point — free when the table is new
-    * or carries no constraints. */
-  private def gate(df: DataFrame, table: String, what: String): Unit =
-    if (latestVersion(table) > 0)
-      enforceConstraints(df, table, replay(table, None), what)
+  /** Constraint gate for a writer's commit: validates the WRITTEN BYTES
+    * (never a re-evaluation of the input plan, which a nondeterministic
+    * source could desynchronize) against the constraints of the
+    * THEN-CURRENT snapshot, and runs INSIDE the commit publish retry
+    * loop — so a concurrent ADD CONSTRAINT that wins the version race is
+    * enforced on this write when it retries (the same per-retry
+    * re-validation the txn ledger and remove plans already get). Free
+    * when the table carries no constraints. A refused write leaves only
+    * vacuumable orphan files; nothing commits. */
+  private def constraintGate(
+      spark: SparkSession, table: String, files: Seq[String],
+      schemaJson: String, partitionCols: Seq[String], what: String)
+      : Snapshot => Unit = { now =>
+    val cs = constraintsOf(now.props)
+    if (cs.nonEmpty && files.nonEmpty) {
+      val batch = readFiles(spark, table, Snapshot(now.version, files,
+        schemaJson, partitionCols = partitionCols))
+      // a constraint may reference a table column this batch does not
+      // carry (appendEvolve, restore to a pre-evolution version): those
+      // columns read as NULL from the batch's files, and NULL passes
+      // CHECK — null-backfill so the probe resolves the same way reads do
+      val tableSchema =
+        if (now.schemaJson.nonEmpty)
+          DataType.fromJson(now.schemaJson).asInstanceOf[StructType]
+        else batch.schema
+      val probeDf = tableSchema.fields
+        .filterNot(f => batch.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(batch)((d, f) => d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      probeConstraints(probeDf, cs, table, what)
+    }
+  }
 
   /** CONVERT an existing parquet directory (flat or hive-partitioned)
     * into a graft table IN PLACE — the adoption path (Delta's CONVERT TO
@@ -290,6 +326,15 @@ object TxLog {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not found by discovery over $table " +
         s"(saw ${schema.fieldNames.mkString(", ")})"))
+    // the SAME guards every fresh write gets: NULL partition segments
+    // and non-round-tripping partition types would make the adopted
+    // table unprunable or append-dead
+    requirePartitionable(schema, partitionBy)
+    require(discovered.forall(!_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"cannot convert $table: partition column(s) " +
+        s"${partitionBy.mkString(", ")} carry NULL values " +
+        "(__HIVE_DEFAULT_PARTITION__ segments) — a graft partition value " +
+        "must be non-null")
     val commitId = "convert" + java.util.UUID.randomUUID()
       .toString.replace("-", "").take(9)
     val dataDir = Paths.get(table, "data", commitId)
@@ -300,22 +345,7 @@ object TxLog {
       Files.move(Paths.get(table, rel), dst)
       s"data/$commitId/$rel"
     }
-    val partKinds: Map[String, String] = partitionBy.map { c =>
-      import org.apache.spark.sql.types._
-      c -> (schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => "long"
-        case FloatType | DoubleType => "double"
-        case _ => "string"
-      })
-    }.toMap
-    val stats = moved.map { rel =>
-      val synthesized =
-        if (partitionBy.isEmpty) Map.empty[String, ColStats]
-        else partitionValuesOf(rel, partitionBy).map { case (c, v) =>
-          c -> ColStats(partKinds(c), v, v)
-        }
-      rel -> (fileStats(Paths.get(table, rel)) ++ synthesized)
-    }.filter(_._2.nonEmpty).toMap
+    val stats = harvestStats(table, moved, partitionBy, schema)
     commit(table, "convert", moved, dataChange = true,
       schemaPlan = _ => schema.json, stats = stats,
       partitionCols = partitionBy, removePlan = _ => Seq.empty).get
@@ -350,10 +380,11 @@ object TxLog {
 
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
     val parts = effectivePartitioning(table, partitionBy)
-    gate(df, table, "append")
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, partitionCols = parts,
+      newRowCheck = constraintGate(df.sparkSession, table, files, schemaJson,
+        parts, "append"),
       removePlan = { snap =>
         if (snap.version > 0 && snap.schemaJson.nonEmpty)
           requireSchemaMatch(snap.schemaJson, schemaJson, table)
@@ -422,7 +453,6 @@ object TxLog {
         org.apache.spark.sql.types.StringType, timeZoneId = Some(tz)).eval(null).toString
       name -> canon
     }
-    enforceConstraints(df, table, snap, "partition overwrite")
     val (files, schemaJson, stats) = writeData(df, table, snap.partitionCols)
     val written = files.map(f => partitionValuesOf(f, snap.partitionCols))
     spec.foreach { case (k, v) =>
@@ -438,6 +468,8 @@ object TxLog {
     commit(table, "overwrite", files, dataChange = true,
       schemaPlan = _ => schemaJson, stats = stats,
       partitionCols = snap.partitionCols,
+      newRowCheck = constraintGate(df.sparkSession, table, files, schemaJson,
+        snap.partitionCols, "partition overwrite"),
       removePlan = { now =>
         // re-validate per publish retry (the append contract): survivors
         // in untouched partitions make a stale schema WRONG here — a
@@ -461,10 +493,11 @@ object TxLog {
     if (latestVersion(table) > 0 &&
       replay(table, None).txns.get(appId).exists(_ >= batchId)) return None
     val parts = effectivePartitioning(table, partitionBy)
-    gate(df, table, "append")
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "append", files, dataChange = true, schemaPlan = _ => schemaJson,
       stats = stats, txn = Some(appId -> batchId), partitionCols = parts,
+      newRowCheck = constraintGate(df.sparkSession, table, files, schemaJson,
+        parts, "append"),
       removePlan = { snap =>
         if (snap.version > 0 && snap.schemaJson.nonEmpty)
           requireSchemaMatch(snap.schemaJson, schemaJson, table)
@@ -482,9 +515,10 @@ object TxLog {
   def appendEvolve(df: DataFrame, table: String): Long = {
     require(effectivePartitioning(table, Nil).isEmpty,
       s"appendEvolve is not supported on a partitioned table ($table)")
-    gate(df, table, "append")
     val (files, schemaJson, stats) = writeData(df, table)
     commit(table, "append", files, dataChange = true,
+      newRowCheck = constraintGate(df.sparkSession, table, files, schemaJson,
+        Nil, "append"),
       schemaPlan = { snap =>
         if (snap.version == 0 || snap.schemaJson.isEmpty) schemaJson
         else mergeSchemas(snap.schemaJson, schemaJson, table)
@@ -527,10 +561,12 @@ object TxLog {
       if (partitionBy.nonEmpty) partitionBy
       else if (latestVersion(table) == 0) Nil
       else replay(table, None).partitionCols
-    gate(df, table, "overwrite")
     val (files, schemaJson, stats) = writeData(df, table, parts)
     commit(table, "overwrite", files, dataChange = true, schemaPlan = _ => schemaJson,
-      stats = stats, partitionCols = parts, removePlan = snap => snap.files).get
+      stats = stats, partitionCols = parts,
+      newRowCheck = constraintGate(df.sparkSession, table, files, schemaJson,
+        parts, "overwrite"),
+      removePlan = snap => snap.files).get
   }
 
   /** Rewrite the current live files into `numFiles` larger ones without
@@ -622,7 +658,6 @@ object TxLog {
       throw new IllegalArgumentException(
         s"merge updates carry duplicate $keyCol values (${dup.mkString(", ")}…): " +
           "resolve to one row per key before merging")
-    enforceConstraints(updates, table, snap, "merge")
     val range = updates.agg(
       org.apache.spark.sql.functions.min(col(keyCol)).cast("string"),
       org.apache.spark.sql.functions.max(col(keyCol)).cast("string")).head()
@@ -667,6 +702,8 @@ object TxLog {
     }
     commit(table, "merge", files, dataChange = true, schemaPlan = _ => snap.schemaJson,
       stats = stats, partitionCols = snap.partitionCols, cdf = cdf,
+      newRowCheck = constraintGate(spark, table, files, snap.schemaJson,
+        snap.partitionCols, "merge"),
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -882,13 +919,6 @@ object TxLog {
     val changedLabels = updateLabels ++ deleteLabels ++ insertLabels
     if (temp.filter(col("__action").isInCollection(changedLabels)).isEmpty)
       return snap.version // every clause missed: no-op, temp ages out
-    val newValueLabels = updateLabels ++ insertLabels
-    if (newValueLabels.nonEmpty)
-      enforceConstraints(
-        temp.filter(col("__action").isInCollection(newValueLabels))
-          .select(schema.fields.map(f =>
-            col(s"__post_${f.name}").as(f.name)).toIndexedSeq: _*),
-        table, snap, "merge")
     val outLabels = Seq("keep") ++ updateLabels ++ insertLabels
     val outRows = temp.filter(col("__action").isInCollection(outLabels))
       .select(schema.fields.map(f =>
@@ -921,6 +951,8 @@ object TxLog {
     commit(table, "merge", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,
+      newRowCheck = constraintGate(spark, table, files, snap.schemaJson,
+        snap.partitionCols, "merge"),
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -1088,7 +1120,6 @@ object TxLog {
     // (current_timestamp() re-resolves per action). The condition must
     // be deterministic: it classifies rows in two separate scans.
     val changed = readFiles(spark, table, snap.copy(files = affected)).filter(cond)
-    enforceConstraints(applySets(changed), table, snap, "UPDATE")
     val pre = changed.withColumn(ChangeTypeCol, lit("update_preimage"))
     val post = applySets(changed).withColumn(ChangeTypeCol, lit("update_postimage"))
     val cdf = writeChangeData(pre.unionByName(post), table, affected.length)
@@ -1108,6 +1139,8 @@ object TxLog {
     commit(table, "update", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,
+      newRowCheck = constraintGate(spark, table, files, snap.schemaJson,
+        snap.partitionCols, "UPDATE"),
       removePlan = { now =>
         val gone = affected.filterNot(now.files.contains)
         if (gone.nonEmpty)
@@ -1126,7 +1159,7 @@ object TxLog {
     * Requires `toVersion`'s files to still exist (not vacuumed). The
     * incident-response primitive: un-shipping a bad ingest at any table
     * size costs one JSON write. */
-  def restore(table: String, toVersion: Long): Long = {
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     val target = replay(table, Some(toVersion))
     val missing = target.files.filterNot(f => Files.exists(Paths.get(table, f)))
     if (missing.nonEmpty)
@@ -1136,6 +1169,11 @@ object TxLog {
     commit(table, "restore", target.files, dataChange = true,
       schemaPlan = _ => target.schemaJson,
       stats = target.stats, partitionCols = target.partitionCols,
+      // resurrected rows must satisfy the constraints ACTIVE NOW — a
+      // restore past an ADD CONSTRAINT would otherwise silently re-ship
+      // the rows the constraint exists to keep out
+      newRowCheck = constraintGate(spark, table, target.files,
+        target.schemaJson, target.partitionCols, "RESTORE"),
       removePlan = snap => snap.files.filterNot(target.files.contains)).get
   }
 
@@ -1673,7 +1711,7 @@ object TxLog {
     * compaction is layout-only; none of them feed. (A consumer that
     * needs update/delete visibility reads snapshots or diffs versions;
     * this feed is the ingest contract, like `changes()` for appends.) */
-  private val FeedOps = Set("append", "overwrite")
+  private val FeedOps = Set("append", "overwrite", "convert", "clone")
 
   /** The table's STREAMING ingest feed: a directory of hard links to
     * every file added by an INGEST commit (append/overwrite — see
@@ -1785,17 +1823,7 @@ object TxLog {
     // Restrict to types where that round-trip is lossless and the cast
     // is timezone-free; refuse anything else loudly at write time rather
     // than corrupt values at read time.
-    partitionBy.foreach { c =>
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case StringType | ByteType | ShortType | IntegerType | LongType
-           | DateType | BooleanType => ()
-        case other => throw new IllegalArgumentException(
-          s"graft: partition column $c has type ${other.sql}, which does not " +
-            "round-trip through a hive path segment exactly — partition by " +
-            "string, integral, date, or boolean columns only")
-      }
-    }
+    requirePartitionable(df.schema, partitionBy)
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
       .parquet(dataDir.toString)
@@ -1815,19 +1843,30 @@ object TxLog {
           .toSeq.sorted
         finally stream.close()
       }
+    val stats = harvestStats(table, files, partitionBy, df.schema)
+    (files, nullable(df.schema).json, stats)
+  }
+
+  /** Footer-harvested zone maps + synthesized min=max partition-value
+    * stats for a set of files — the ONE stats path both fresh writes
+    * (writeData) and in-place adoption (convert) use, so their guards
+    * (no NULL partition segments, prunable value domains) cannot drift. */
+  private def harvestStats(
+      table: String, files: Seq[String], partitionBy: Seq[String],
+      schema: StructType): Map[String, Map[String, ColStats]] = {
     require(files.forall(!_.contains("__HIVE_DEFAULT_PARTITION__")),
       s"partition column(s) ${partitionBy.mkString(", ")} carry NULL values — " +
         "a graft partition value must be non-null")
     // per-partition-column domain for the synthesized min=max=value stats
     val partKinds: Map[String, String] = partitionBy.map { c =>
       import org.apache.spark.sql.types._
-      c -> (df.schema(c).dataType match {
+      c -> (schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => "long"
         case FloatType | DoubleType => "double"
         case _ => "string" // dates/strings compare correctly as strings
       })
     }.toMap
-    val stats = files.map { rel =>
+    files.map { rel =>
       val footer = fileStats(Paths.get(table, rel))
       val synthesized =
         if (partitionBy.isEmpty) Map.empty[String, ColStats]
@@ -1836,8 +1875,24 @@ object TxLog {
         }
       rel -> (footer ++ synthesized)
     }.filter(_._2.nonEmpty).toMap
-    (files, nullable(df.schema).json, stats)
   }
+
+  /** Partition-column type whitelist (lossless, timezone-free path
+    * round-trip) — shared by fresh writes and CONVERT so an adopted
+    * table can never be append-dead. */
+  private def requirePartitionable(
+      schema: StructType, partitionBy: Seq[String]): Unit =
+    partitionBy.foreach { c =>
+      import org.apache.spark.sql.types._
+      schema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType
+           | DateType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"graft: partition column $c has type ${other.sql}, which does not " +
+            "round-trip through a hive path segment exactly — partition by " +
+            "string, integral, date, or boolean columns only")
+      }
+    }
 
   /** Partition values parsed from a file's `col=value/` path segments
     * (hive escaping undone). Loud if a named column is absent. */
@@ -2173,6 +2228,7 @@ object TxLog {
       cdf: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
       propsUnset: Seq[String] = Nil,
+      newRowCheck: Snapshot => Unit = _ => (),
       removePlan: Snapshot => Seq[String]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
@@ -2184,6 +2240,8 @@ object TxLog {
         if (snap.txns.get(app).exists(_ >= batch)) return None
       }
       val remove = removePlan(snap)
+      // per-retry: a constraint that won the version race gates THIS write
+      newRowCheck(snap)
       val version = head + 1
       val rec = mapper.createObjectNode()
       rec.put("version", version)

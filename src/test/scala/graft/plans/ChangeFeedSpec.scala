@@ -86,7 +86,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     TxLog.compact(spark, t, numFiles = 1)                                     // v3, layout-only
     assert(TxLog.changeFeed(spark, t, 2, 3).isEmpty,
       "layout-only commits must not feed")
-    TxLog.restore(t, 1L)                                                      // back to v1 content
+    TxLog.restore(spark, t, 1L)                                                      // back to v1 content
     val head = TxLog.latestVersion(t)
     val m = types(t, head - 1, head)
     assert(m("delete") == 3L && m("insert") == 10L,

@@ -63,6 +63,28 @@ class TablePropsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxLog.dropConstraint(t, "positive"))
   }
 
+  test("RESTORE cannot resurrect rows a now-active constraint keeps out") {
+    val t = fresh("restoregate")
+    TxLog.append(Seq((1, -5.0), (2, 2.0)).toDF("k", "price"), t) // v1: has a violator
+    TxLog.delete(spark, t, $"price" < 0)                          // v2: clean
+    TxLog.addConstraint(spark, t, "pos", "price > 0")             // v3: head is clean
+    val e = intercept[IllegalArgumentException](TxLog.restore(spark, t, 1L))
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    assert(TxLog.snapshot(spark, t).count() == 1, "the refused restore must not land")
+    TxLog.dropConstraint(t, "pos")
+    TxLog.restore(spark, t, 1L)
+    assert(TxLog.snapshot(spark, t).count() == 2)
+  }
+
+  test("raw property writes cannot smuggle a constraint past validation") {
+    val t = fresh("smuggle")
+    TxLog.append(Seq((1, -5.0)).toDF("k", "price"), t)
+    val e = intercept[IllegalArgumentException](
+      TxLog.setProperties(t, Map("constraint.pos" -> "price > 0")))
+    assert(e.getMessage.contains("ADD CONSTRAINT"), e.getMessage)
+    assert(TxLog.properties(t).isEmpty)
+  }
+
   test("constraint SQL: ADD/DROP CONSTRAINT statements + catalog TBLPROPERTIES") {
     val t = fresh("checksql")
     TxLog.append(Seq((1, 10.0)).toDF("k", "price"), t)

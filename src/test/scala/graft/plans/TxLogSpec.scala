@@ -280,17 +280,17 @@ class TxLogSpec extends AnyFunSuite {
     val t = freshTable("restore")
     TxLog.append(df(0 until 10, "a"), t)
     TxLog.overwrite(df(50 until 55, "b"), t)
-    TxLog.restore(t, 1L)
+    TxLog.restore(spark, t, 1L)
     assert(keys(TxLog.snapshot(spark, t)) == (0 until 10).toSet)
     // history is append-only: the bad version is still readable
     assert(keys(TxLog.snapshot(spark, t, Some(2))) == (50 until 55).toSet)
     assert(TxLog.history(t).map(_.op) == Seq("append", "overwrite", "restore"))
     // restoring to the head state is a valid no-op-shaped commit
-    TxLog.restore(t, 3L)
+    TxLog.restore(spark, t, 3L)
     assert(keys(TxLog.snapshot(spark, t)) == (0 until 10).toSet)
     // vacuum kills dead versions; restore to them must refuse loudly
     TxLog.vacuum(t, olderThanMs = 0L)
-    val e = intercept[IllegalStateException](TxLog.restore(t, 2L))
+    val e = intercept[IllegalStateException](TxLog.restore(spark, t, 2L))
     assert(e.getMessage.contains("vacuumed"))
   }
 
@@ -310,7 +310,7 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.delete(spark, t, $"k" === 100)
     assert(feedFiles() == after, "delete rewrites must not feed")
     // restore re-points old files — also not new data
-    TxLog.restore(t, 2L)
+    TxLog.restore(spark, t, 2L)
     assert(feedFiles() == after, "restore must not feed")
     // a fresh append still feeds
     TxLog.append(df(200 until 205, "c"), t)
