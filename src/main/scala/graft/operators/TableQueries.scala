@@ -1028,6 +1028,46 @@ object TableQueries {
               FROM merged
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Partition-SCOPED compaction + vacuum DRY RUN — the maintenance a
+    // 100 TB table actually runs: `OPTIMIZE ... WHERE k='v'` rewrites
+    // ONLY the named subtree (nobody compacts the whole corpus; the
+    // commit's remove list proves the scope), and `VACUUM ... DRY RUN`
+    // returns the exact reclaim set without deleting — then the real
+    // sweep must reclaim exactly that set. Layout-only throughout: the
+    // final aggregate hash-matches the untouched content.
+    QuerySpec(
+      "table_optimize_where",
+      (s, dir) => {
+        val table = fixturePath(dir, "txlog_orders_optwhere")
+        deleteRecursively(table)
+        TxLog.append(ordersSlice(s, dir, 0).repartition(2),
+          table, partitionBy = Seq("o_orderstatus"))
+        TxLog.append(ordersSlice(s, dir, 1).repartition(2), table)
+        val before = TxLog.snapshotInfo(table)
+        val othersBefore = before.files.filterNot(_.contains("o_orderstatus=F")).toSet
+        s.sql(s"OPTIMIZE graft '$table' FILES 1 WHERE o_orderstatus = 'F'")
+        val after = TxLog.snapshotInfo(table)
+        require(after.files.count(_.contains("o_orderstatus=F")) == 1,
+          "the F subtree must compact to one file")
+        require(after.files.filterNot(_.contains("o_orderstatus=F")).toSet == othersBefore,
+          "partitions outside the WHERE must carry over by name")
+        val c = TxLog.history(table).last
+        require(c.op == "compact" && c.remove.forall(_.contains("o_orderstatus=F")),
+          "the scoped compaction may remove only F files")
+        val listed = s.sql(s"VACUUM graft '$table' RETAIN 0 HOURS DRY RUN")
+          .collect().map(_.getString(0)).toSet
+        require(listed.nonEmpty && listed.forall(f =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(table, f))),
+          "DRY RUN must list the dead files and delete nothing")
+        val swept = s.sql(s"VACUUM graft '$table' RETAIN 0 HOURS").head.getLong(0)
+        require(swept == listed.size,
+          s"vacuum must reclaim exactly the dry-run set ($swept vs ${listed.size})")
+        ordersAgg(s.read.format("graft").load(table)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"))
+      },
+      Some(ordersOracle("o_orderkey % 3 IN (0, 1)"))),
+
     // CHECK constraints — the data-quality gate a governed ingest needs:
     // ADD CONSTRAINT validates every EXISTING row first (a constraint the
     // table already breaks never commits), persists as a table property

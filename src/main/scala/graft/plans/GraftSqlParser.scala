@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * everything else to Spark's own parser untouched:
   *
   * {{{
-  *   VACUUM graft '<table dir>' [RETAIN <n> HOURS]
-  *   OPTIMIZE graft '<table dir>' [FILES <n>] [CLUSTER BY (c1, c2 [, …])]
+  *   VACUUM graft '<table dir>' [RETAIN <n> HOURS] [DRY RUN]
+  *   OPTIMIZE graft '<table dir>' [FILES <n>] [WHERE k = 'v' [AND …]]
+  *     [CLUSTER BY (c1, c2 [, …])]
   *   DESCRIBE HISTORY graft '<table dir>'
   *   DESCRIBE DETAIL graft '<table dir>'
   *   RESTORE graft '<table dir>' TO VERSION <n> | TO TIMESTAMP <millis>
@@ -57,9 +58,24 @@ class GraftSqlParser(
   // never be hijacked from a future Spark statement of the same verb.
   private val T = """(?:graft\s+'([^']+)'|([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+))"""
   private val Vacuum =
-    ("""(?is)\s*VACUUM\s+""" + T + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
+    ("""(?is)\s*VACUUM\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
+  private val WhereSpec =
+    """(?:\s+WHERE\s+([A-Za-z_]\w*\s*=\s*'[^']*'(?:\s+AND\s+[A-Za-z_]\w*\s*=\s*'[^']*')*))?"""
   private val Optimize =
-    ("""(?is)\s*OPTIMIZE\s+""" + T + """(?:\s+FILES\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+    ("""(?is)\s*OPTIMIZE\s+""" + T + """(?:\s+FILES\s+(\d+))?""" + WhereSpec +
+      """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+
+  /** `k = 'v' AND j = 'w'` → the partition spec map. */
+  private def specOf(where: String): Map[String, String] =
+    where.split("(?i)\\s+AND\\s+").map { kv =>
+      val m = """(?s)([A-Za-z_]\w*)\s*=\s*'([^']*)'""".r
+      kv.trim match {
+        case m(k, v) => k -> v
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE expects k = 'v' [AND ...]; got '$other'")
+      }
+    }.toMap
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*""").r
   private val Detail =
@@ -80,15 +96,17 @@ class GraftSqlParser(
       """(?:\s+VERSION\s+(\d+))?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(path, ident, retain) if ours(path, ident) =>
-      GraftVacuumCommand(GraftTableRef(path, ident),
-        Option(retain).map(_.toLong * 3600 * 1000)
-          .getOrElse(TxLog.DefaultVacuumRetentionMs))
-    case Optimize(path, ident, files, cluster) if ours(path, ident) =>
+    case Vacuum(path, ident, retain, dry) if ours(path, ident) =>
+      val retainMs = Option(retain).map(_.toLong * 3600 * 1000)
+        .getOrElse(TxLog.DefaultVacuumRetentionMs)
+      if (dry != null) GraftVacuumDryRunCommand(GraftTableRef(path, ident), retainMs)
+      else GraftVacuumCommand(GraftTableRef(path, ident), retainMs)
+    case Optimize(path, ident, files, where, cluster) if ours(path, ident) =>
       GraftOptimizeCommand(GraftTableRef(path, ident),
         Option(files).map(_.toInt).getOrElse(1),
         Option(cluster).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        Option(where).map(specOf).getOrElse(Map.empty))
     case History(path, ident) if ours(path, ident) =>
       GraftHistoryCommand(GraftTableRef(path, ident))
     case Detail(path, ident) if ours(path, ident) =>
@@ -119,8 +137,8 @@ class GraftSqlParser(
       sqlText: String,
       context: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
     sqlText match {
-      case Vacuum(p, i, _) if ours(p, i) => parsePlan(sqlText)
-      case Optimize(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
+      case Vacuum(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
+      case Optimize(p, i, _, _, _) if ours(p, i) => parsePlan(sqlText)
       case History(p, i) if ours(p, i) => parsePlan(sqlText)
       case Detail(p, i) if ours(p, i) => parsePlan(sqlText)
       case Restore(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
@@ -204,7 +222,8 @@ final case class GraftVacuumCommand(ref: GraftTableRef, retainMs: Long)
 /** `OPTIMIZE graft '<path>' [FILES n] [CLUSTER BY (…)]` → the layout
   * change, provable from the returned counts. */
 final case class GraftOptimizeCommand(
-    ref: GraftTableRef, numFiles: Int, clusterBy: Seq[String])
+    ref: GraftTableRef, numFiles: Int, clusterBy: Seq[String],
+    partitionSpec: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenance.attrs(
     "version" -> LongType, "files_before" -> IntegerType,
@@ -212,9 +231,19 @@ final case class GraftOptimizeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val table = ref.resolve(session)
     val before = TxLog.liveFileCount(table)
-    val v = TxLog.compact(session, table, numFiles, clusterBy)
+    val v = TxLog.compact(session, table, numFiles, clusterBy, partitionSpec)
     Seq(Row(v, before, TxLog.liveFileCount(table)))
   }
+}
+
+/** `VACUUM … DRY RUN` — the exact reclaim list, nothing deleted: the
+  * look-before-you-leap every operator wants ahead of an irreversible
+  * sweep (Delta parity). */
+final case class GraftVacuumDryRunCommand(ref: GraftTableRef, retainMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs("path" -> StringType)
+  override def run(session: SparkSession): Seq[Row] =
+    TxLog.vacuumCandidates(ref.resolve(session), retainMs).map(Row(_))
 }
 
 /** `RESTORE graft '<path>' TO VERSION n | TO TIMESTAMP millis` — the

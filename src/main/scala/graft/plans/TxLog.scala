@@ -405,6 +405,36 @@ object TxLog {
       existing
     }
 
+  /** Canonicalize a `PARTITION (k='v', …)` spec against the table's
+    * partition columns: spec values arrive as raw SQL strings ('05' on
+    * an INT column); cast through the column's own type so they compare
+    * in the SAME domain as the path-borne values the writer produced.
+    * Loud on non-partition columns and unparsable values. */
+  private def canonicalSpec(
+      table: String, snap: Snapshot, staticSpec: Map[String, String])
+      : Map[String, String] = {
+    val tableSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    staticSpec.map { case (k, v) =>
+      val name = snap.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITION column $k is not a partition column of $table " +
+            s"(partitioned by ${snap.partitionCols.mkString(", ")})"))
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      val typed = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType),
+        tableSchema(name).dataType, timeZoneId = Some(tz)).eval(null)
+      require(typed != null,
+        s"PARTITION ($k='$v') does not parse as ${tableSchema(name).dataType.sql}")
+      val canon = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(typed,
+          tableSchema(name).dataType),
+        org.apache.spark.sql.types.StringType, timeZoneId = Some(tz)).eval(null).toString
+      name -> canon
+    }
+  }
+
   /** Partition-SCOPED overwrite — the two semantics Spark gives
     * `INSERT OVERWRITE` on partitioned tables, made atomic by the log:
     *
@@ -430,29 +460,7 @@ object TxLog {
     require(snap.partitionCols.nonEmpty,
       s"$table is not partitioned — partition-scoped overwrite needs a " +
         "hive-partitioned table (plain overwrite replaces the whole table)")
-    val tableSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    // spec values arrive as raw SQL strings ('05' on an INT column);
-    // canonicalize through the column's own type so they compare in the
-    // SAME domain as the path-borne values the writer produced
-    val spec = staticSpec.map { case (k, v) =>
-      val name = snap.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(
-        throw new IllegalArgumentException(
-          s"PARTITION column $k is not a partition column of $table " +
-            s"(partitioned by ${snap.partitionCols.mkString(", ")})"))
-      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-      val typed = org.apache.spark.sql.catalyst.expressions.Cast(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(v),
-          org.apache.spark.sql.types.StringType),
-        tableSchema(name).dataType, timeZoneId = Some(tz)).eval(null)
-      require(typed != null,
-        s"PARTITION ($k='$v') does not parse as ${tableSchema(name).dataType.sql}")
-      val canon = org.apache.spark.sql.catalyst.expressions.Cast(
-        org.apache.spark.sql.catalyst.expressions.Literal(typed,
-          tableSchema(name).dataType),
-        org.apache.spark.sql.types.StringType, timeZoneId = Some(tz)).eval(null).toString
-      name -> canon
-    }
+    val spec = canonicalSpec(table, snap, staticSpec)
     val (files, schemaJson, stats) = writeData(df, table, snap.partitionCols)
     val written = files.map(f => partitionValuesOf(f, snap.partitionCols))
     spec.foreach { case (k, v) =>
@@ -584,10 +592,22 @@ object TxLog {
     * dimensional clustering every large table eventually needs. */
   def compact(
       spark: SparkSession, table: String, numFiles: Int,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      partitionSpec: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{col, lit, least, greatest, floor}
-    val snap = replay(table, None)
-    if (snap.files.isEmpty) return snap.version
+    val fullSnap = replay(table, None)
+    // partition scope (OPTIMIZE ... WHERE): at 100 TB nobody compacts the
+    // whole table — scope the rewrite to the spec's subtree; everything
+    // downstream (cluster ranges, conflict rules, the remove set) sees
+    // only the scoped files
+    val spec = canonicalSpec(table, fullSnap, partitionSpec)
+    val snap =
+      if (spec.isEmpty) fullSnap
+      else fullSnap.copy(files = fullSnap.files.filter { f =>
+        val pv = partitionValuesOf(f, fullSnap.partitionCols)
+        spec.forall { case (k, v) => pv.get(k).contains(v) }
+      })
+    if (snap.files.isEmpty) return fullSnap.version
     val base = readFiles(spark, table, snap)
     val df =
       if (clusterBy.isEmpty) base.repartition(numFiles)
@@ -1663,20 +1683,30 @@ object TxLog {
     * trade a production store tunes. Returns the number of files
     * deleted. */
   def vacuum(table: String, olderThanMs: Long = DefaultVacuumRetentionMs): Int = {
+    val victims = vacuumCandidates(table, olderThanMs)
+    victims.foreach(p => Files.deleteIfExists(Paths.get(table, p)))
+    victims.length
+  }
+
+  /** The exact files [[vacuum]] would reclaim, WITHOUT deleting them —
+    * the DRY RUN every operator wants before an irreversible sweep:
+    * dead/orphaned data files past the retention window plus aged CDF
+    * images, as table-relative paths. */
+  def vacuumCandidates(
+      table: String, olderThanMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     val live = replay(table, None).files.toSet
-    val dataRoot = Paths.get(table, "data")
-    if (!Files.isDirectory(dataRoot)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
-    var deleted = 0
-    val stream = Files.walk(dataRoot)
-    try {
-      stream.iterator().asScala
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dataRoot = Paths.get(table, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val stream = Files.walk(dataRoot)
+      try stream.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
         .filterNot(p => live.contains(relativize(table, p)))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .toList
-        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-    } finally stream.close()
+        .foreach(p => out += relativize(table, p))
+      finally stream.close()
+    }
     // CDF images past the retention window reclaim too — they are never
     // "live" (no snapshot references them), so age is the only lease;
     // reading a reclaimed range fails loudly in changeFeed, exactly
@@ -1684,15 +1714,13 @@ object TxLog {
     val cdfRoot = Paths.get(table, ChangeDataDirName)
     if (Files.isDirectory(cdfRoot)) {
       val cdfStream = Files.walk(cdfRoot)
-      try {
-        cdfStream.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-          .toList
-          .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-      } finally cdfStream.close()
+      try cdfStream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .foreach(p => out += relativize(table, p))
+      finally cdfStream.close()
     }
-    deleted
+    out.toSeq.sorted
   }
 
   /** Full log (for audits and specs). */

@@ -137,6 +137,51 @@ class TablePropsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxLog.convert(spark, dir))
   }
 
+  test("OPTIMIZE ... WHERE compacts only the named partition subtree") {
+    val t = fresh("optwhere")
+    TxLog.append(
+      (0 until 40).toDF("k").withColumn("b", concat(lit("b"), $"k" % 2))
+        .repartition(4),
+      t, partitionBy = Seq("b"))
+    val before = TxLog.snapshotInfo(t)
+    val b1Before = before.files.filter(_.contains("b=b1"))
+    val b0Before = before.files.filter(_.contains("b=b0")).toSet
+    assert(b1Before.length > 1, "fixture needs a multi-file partition")
+    val res = spark.sql(s"OPTIMIZE graft '$t' FILES 1 WHERE b = 'b1'").head()
+    assert(res.getInt(2) < res.getInt(1), s"file count must shrink: $res")
+    val after = TxLog.snapshotInfo(t)
+    assert(after.files.filter(_.contains("b=b0")).toSet == b0Before,
+      "the un-named partition's files must carry over untouched")
+    assert(after.files.count(_.contains("b=b1")) == 1,
+      "the named partition must compact to one file")
+    assert(spark.read.format("graft").load(t).count() == 40)
+    // the scoped commit removed ONLY b1 files
+    val c = TxLog.history(t).last
+    assert(c.op == "compact" && c.remove.forall(_.contains("b=b1")))
+    // a spec naming a non-partition column refuses
+    val e = intercept[Exception](
+      spark.sql(s"OPTIMIZE graft '$t' WHERE k = '3'"))
+    assert(e.getMessage.contains("not a partition column"), e.getMessage)
+  }
+
+  test("VACUUM DRY RUN lists the exact reclaim set without deleting") {
+    val t = fresh("vacdry")
+    TxLog.append((0 until 20).toDF("k"), t)
+    TxLog.overwrite(Seq(1).toDF("k"), t) // orphans v1's files
+    val listed = spark.sql(s"VACUUM graft '$t' RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(listed.nonEmpty, "the dead v1 files must list")
+    assert(listed.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t, p))),
+      "DRY RUN must not delete anything")
+    // the real vacuum reclaims exactly the listed set
+    val n = spark.sql(s"VACUUM graft '$t' RETAIN 0 HOURS").head.getLong(0)
+    assert(n == listed.size, s"vacuum removed $n, dry run listed ${listed.size}")
+    assert(listed.forall(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, p))))
+    assert(spark.read.format("graft").load(t).count() == 1)
+  }
+
   test("CLONE is zero-copy (hard links), independent, and carries metadata") {
     val srcT = fresh("clonesrc")
     TxLog.append((0 until 20).toDF("k").withColumn("tag", lit("x")), srcT)
