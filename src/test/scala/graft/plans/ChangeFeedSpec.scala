@@ -325,6 +325,39 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(viaTvf.count() == 2)
   }
 
+  test("a file contributing THREE times (append, overwrite, restore) " +
+      "splits into occurrence layers with exact per-commit attribution") {
+    val t = freshTable("layers")
+    TxLog.append((0 until 10).toDF("k").withColumn("tag", lit("a")), t)   // v1: files A
+    TxLog.overwrite((50 until 53).toDF("k").withColumn("tag", lit("b")), t) // v2: -A +B
+    TxLog.restore(spark, t, 1L)                                           // v3: -B +A
+    val feed = TxLog.changeFeed(spark, t, 0, 3)
+    val byVt = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVt == Map(
+      (1L, "insert") -> 10L,
+      (2L, "delete") -> 10L, (2L, "insert") -> 3L,
+      (3L, "delete") -> 3L, (3L, "insert") -> 10L),
+      s"the same physical files must attribute to each commit exactly: $byVt")
+    assert(feed.count() == 36)
+  }
+
+  test("hive-escaped partition values survive the broadcast attribution") {
+    val t = freshTable("escape")
+    // '%', '=', and ':' exercise hive escaping in the dir name AND the
+    // URI decode in the path-normalization join key
+    val v = "p%1=x:y"
+    TxLog.append(Seq((1, v), (2, "plain")).toDF("k", "b"),
+      t, partitionBy = Seq("b"))
+    TxLog.delete(spark, t, $"k" === 1)
+    val ins = TxLog.changeFeed(spark, t, 0, 1)
+    assert(ins.filter($"b" === v).count() == 1,
+      "the escaped partition value must round-trip through the feed")
+    val del = TxLog.changeFeed(spark, t, 1, 2)
+    assert(del.head().getAs[String]("b") == v)
+    assert(del.head().getAs[Long]("_commit_version") == 2L)
+  }
+
   test("a 1k-commit range plans a bounded number of scans, not a 1k-branch union") {
     import java.nio.file.{Files, Paths}
     val t = freshTable("bigrange")
