@@ -293,6 +293,8 @@ final case class GraftDescribeDetailCommand(ref: GraftTableRef)
     "last_modified" -> org.apache.spark.sql.types.TimestampType)
   override def run(session: SparkSession): Seq[Row] = {
     val table = ref.resolve(session)
+    require(TxLog.latestVersion(table) > 0,
+      s"$table is not a graft table (no commits)")
     val snap = TxLog.snapshotInfo(table)
     val hist = TxLog.history(table)
     val bytes = snap.files.map { f =>

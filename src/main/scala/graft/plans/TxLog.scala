@@ -150,8 +150,8 @@ object TxLog {
     * The ALTER TABLE ADD COLUMNS primitive a catalog needs. */
   def evolveSchema(table: String, add: Seq[org.apache.spark.sql.types.StructField]): Long = {
     require(add.nonEmpty, "evolveSchema: no columns to add")
-    val parts = replay(table, None).partitionCols
     commit(table, "evolve", Seq.empty, dataChange = false,
+      partitionColsPlan = Some(_.partitionCols),
       schemaPlan = { snap =>
         val cur = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
         val dup = add.map(_.name).filter(n =>
@@ -160,7 +160,6 @@ object TxLog {
           s"column(s) ${dup.mkString(", ")} already exist in $table")
         StructType(cur.fields ++ add.map(_.copy(nullable = true))).json
       },
-      partitionCols = parts,
       removePlan = _ => Seq.empty).get
   }
 
@@ -173,18 +172,18 @@ object TxLog {
       "graft: CHECK constraints are added via ADD CONSTRAINT (TxLog." +
         "addConstraint) — a raw property write would skip validating " +
         "existing rows")
-    val snap = replay(table, None)
     commit(table, "setproperties", Seq.empty, dataChange = false,
-      schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
+      schemaPlan = _.schemaJson,
+      partitionColsPlan = Some(_.partitionCols),
       props = props, removePlan = _ => Seq.empty).get
   }
 
   /** Remove table properties (absent keys are a no-op, Delta's UNSET). */
   def unsetProperties(table: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "unsetProperties: nothing to unset")
-    val snap = replay(table, None)
     commit(table, "setproperties", Seq.empty, dataChange = false,
-      schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
+      schemaPlan = _.schemaJson,
+      partitionColsPlan = Some(_.partitionCols),
       propsUnset = keys, removePlan = _ => Seq.empty).get
   }
 
@@ -211,7 +210,8 @@ object TxLog {
       s"constraint $name already exists on $table " +
         s"(${snap.props(s"$ConstraintPrefix$name")})")
     commit(table, "constraint", Seq.empty, dataChange = false,
-      schemaPlan = _.schemaJson, partitionCols = snap.partitionCols,
+      schemaPlan = _.schemaJson,
+      partitionColsPlan = Some(_.partitionCols),
       props = Map(s"$ConstraintPrefix$name" -> exprSql),
       // validated against the THEN-CURRENT rows INSIDE the publish retry
       // loop: an append that wins the version race is re-scanned before
@@ -326,6 +326,31 @@ object TxLog {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not found by discovery over $table " +
         s"(saw ${schema.fieldNames.mkString(", ")})"))
+    // BEFORE any file moves: every file must carry every declared
+    // partition segment (a bad PARTITIONED BY must never half-destroy
+    // the original layout), and a hive-partitioned directory converted
+    // WITHOUT its partition columns would silently read those columns
+    // as NULL (values live only in the paths) — refuse loudly instead
+    val segCols: Set[String] = discovered.flatMap(_.split("/").dropRight(1)
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) None else Some(seg.substring(0, i))
+      }).toSet
+    val undeclared = segCols.filter(c =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)) &&
+        !partitionBy.exists(_.equalsIgnoreCase(c)))
+    require(undeclared.isEmpty,
+      s"$table is hive-partitioned by ${undeclared.mkString(", ")} — " +
+        "converting without PARTITIONED BY would read those columns as " +
+        s"NULL; use CONVERT TO GRAFT ... PARTITIONED BY " +
+        s"(${(partitionBy ++ undeclared).mkString(", ")})")
+    partitionBy.foreach { c =>
+      val missing = discovered.filterNot(
+        _.split("/").exists(_.toLowerCase.startsWith(c.toLowerCase + "=")))
+      require(missing.isEmpty,
+        s"cannot convert $table: ${missing.length} file(s) lack a $c= " +
+          s"partition segment, e.g. ${missing.take(2).mkString(", ")}")
+    }
     // the SAME guards every fresh write gets: NULL partition segments
     // and non-round-tripping partition types would make the adopted
     // table unprunable or append-dead
@@ -413,6 +438,7 @@ object TxLog {
   private def canonicalSpec(
       table: String, snap: Snapshot, staticSpec: Map[String, String])
       : Map[String, String] = {
+    if (staticSpec.isEmpty) return Map.empty
     val tableSchema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     staticSpec.map { case (k, v) =>
       val name = snap.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(
@@ -1031,62 +1057,77 @@ object TxLog {
       .collect().map(r => relativizeUri(table, r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return snap.version
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    // SINGLE-EVALUATION contract (update's read-back contract, applied
-    // to the condition itself): with CDF on, `condition` runs exactly
-    // once more after affected-file detection — in the classification
-    // write below — and BOTH the survivor rewrite and the delete images
-    // re-read those committed bytes. Without this, a time-resolved
-    // predicate (current_timestamp() reports deterministic=true yet
-    // re-resolves per action) could classify boundary rows differently
-    // in the survivor scan and the image scan, making the feed report
-    // deletes that actually survived. The affected-file detection scan
-    // is allowed to drift: a file detected but matching nothing at
-    // classification time is rewritten verbatim (churn, not error), and
-    // a file missed entirely keeps its rows in table AND feed alike.
-    val classified: Option[DataFrame] =
-      if (!writeCdf) None
+    // SINGLE-EVALUATION, SINGLE-PASS contract: `condition` runs exactly
+    // once more after affected-file detection — in ONE classification
+    // write that partitions the affected rows by their fate. The
+    // carry-class files then BECOME the survivor data files by rename
+    // (their bytes ARE the classification — zero re-write, zero
+    // re-evaluation), and the CDF delete images derive from the
+    // delete-class files. Write volume is affected-rows once plus
+    // deleted-rows once — the same as a naive two-scan delete — with
+    // none of its divergence hazard: a time-resolved predicate
+    // (current_timestamp() reports deterministic=true yet re-resolves
+    // per action) cannot classify differently for the table and the
+    // feed, because there is only one classification. The affected-file
+    // detection scan is allowed to drift: a file detected but matching
+    // nothing at classification time is rewritten verbatim (churn, not
+    // error), and a file missed entirely keeps its rows in table AND
+    // feed alike.
+    val classCol = "__graft_class"
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val stage = Paths.get(table, "data", commitId)
+    readFiles(spark, table, snap.copy(files = affected))
+      .withColumn(classCol,
+        org.apache.spark.sql.functions.when(cond, "delete").otherwise("carry"))
+      .repartition(math.max(1, affected.length))
+      .write.mode("errorifexists")
+      .partitionBy((classCol +: snap.partitionCols): _*)
+      .parquet(stage.toString)
+    def classFiles(cls: String): Seq[Path] = {
+      val dir = stage.resolve(s"$classCol=$cls")
+      if (!Files.isDirectory(dir)) Nil
       else {
-        val tagged = readFiles(spark, table, snap.copy(files = affected))
-          .withColumn(ChangeTypeCol,
-            org.apache.spark.sql.functions.when(cond, "delete").otherwise("carry"))
-        val tmp = writeChangeData(tagged, table, affected.length)
-        // the temp classification is never referenced by any commit —
-        // vacuum's age-based CDF sweep reclaims it like any orphan
-        Some(spark.read
-          .schema(StructType(schema.fields :+
-            org.apache.spark.sql.types.StructField(ChangeTypeCol,
-              org.apache.spark.sql.types.StringType)))
-          .parquet(tmp.map(f => Paths.get(table, f).toString): _*))
+        val stream = Files.walk(dir)
+        try stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toSeq
+        finally stream.close()
       }
-    val survivors = classified match {
-      case Some(c) => c.filter(col(ChangeTypeCol) === "carry").drop(ChangeTypeCol)
-      case None =>
-        // no feed images exist to diverge from: the survivor write's own
-        // single classification IS the commit's definition of "deleted"
-        // (the coarse feed derives from the files it actually wrote)
-        readFiles(spark, table, snap.copy(files = affected)).filter(!cond)
     }
-    // write survivors unconditionally, then decide emptiness from the
-    // written row counts (already in the harvested stats) — one pass
-    // over the affected files instead of an isEmpty probe plus a write;
-    // all-matched files leave only vacuum-able empty orphans behind
-    val (files0, _, stats0) =
-      writeData(survivors.repartition(math.max(1, affected.length)), table,
-        snap.partitionCols)
+    // carry files move up one level: data/<cid>/<class>=carry/<segs>/f
+    // → data/<cid>/<segs>/f — the survivor files, named into the layout
+    // every reader expects, bytes untouched
+    val carryDir = stage.resolve(s"$classCol=carry")
+    val files0: Seq[String] = classFiles("carry").map { p =>
+      val rel = carryDir.relativize(p)
+      val dst = stage.resolve(rel)
+      Files.createDirectories(Option(dst.getParent).getOrElse(stage))
+      Files.move(p, dst)
+      s"data/$commitId/${rel.toString}"
+    }.sorted
+    val stats0 = harvestStats(table, files0, snap.partitionCols, schema)
     val written = files0.map(f =>
       stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
     val (files, stats) =
       if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
       else (files0, stats0)
-    // final delete images re-written from the committed classification
-    // bytes (never a fresh condition scan), so the referenced CDF files
-    // hold ONLY delete rows and their volume stays ∝ deleted rows
-    val cdf = classified match {
-      case Some(c) =>
-        writeChangeData(c.filter(col(ChangeTypeCol) === "delete"),
-          table, affected.length)
-      case None => Nil
-    }
+    // exact delete images from the classified bytes (never a fresh
+    // condition scan); partition values re-attach from the class-dir
+    // paths and materialize as ordinary columns, volume ∝ deleted rows.
+    // writeCdf=false skips the image write — the delete-class files are
+    // unreferenced either way and age out through vacuum's data sweep.
+    val deleteDir = stage.resolve(s"$classCol=delete")
+    val cdf =
+      if (!writeCdf || classFiles("delete").isEmpty) Nil
+      else {
+        val delDf = spark.read.option("basePath", deleteDir.toString)
+          .parquet(deleteDir.toString)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          .withColumn(ChangeTypeCol, lit("delete"))
+        writeChangeData(delDf, table, affected.length)
+      }
     commit(table, "delete", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,
@@ -1461,9 +1502,7 @@ object TxLog {
     // state on executors). A failed attach raises, never drops a row.
     val absTable = Paths.get(table).toAbsolutePath.normalize.toString
     val relOf = udf((uri: String) => {
-      val p =
-        if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri)).toString
-        else uri
+      val p = uriToPath(uri)
       if (p.startsWith(absTable + java.io.File.separator))
         p.substring(absTable.length + 1)
       else p
@@ -2257,6 +2296,11 @@ object TxLog {
       props: Map[String, String] = Map.empty,
       propsUnset: Seq[String] = Nil,
       newRowCheck: Snapshot => Unit = _ => (),
+      // metadata-only commits must re-derive the partition layout per
+      // publish retry (like schemaPlan): a frozen pre-race value would
+      // let a raced metadata commit RESET a just-created table's layout,
+      // because replay applies every commit's partitionCols verbatim
+      partitionColsPlan: Option[Snapshot => Seq[String]] = None,
       removePlan: Snapshot => Seq[String]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
@@ -2270,6 +2314,7 @@ object TxLog {
       val remove = removePlan(snap)
       // per-retry: a constraint that won the version race gates THIS write
       newRowCheck(snap)
+      val effPartitionCols = partitionColsPlan.map(_(snap)).getOrElse(partitionCols)
       val version = head + 1
       val rec = mapper.createObjectNode()
       rec.put("version", version)
@@ -2279,8 +2324,8 @@ object TxLog {
       val remArr = rec.putArray("remove"); remove.foreach(remArr.add)
       rec.put("schema", schemaPlan(snap))
       rec.put("dataChange", dataChange)
-      if (partitionCols.nonEmpty) {
-        val pArr = rec.putArray("partitionCols"); partitionCols.foreach(pArr.add)
+      if (effPartitionCols.nonEmpty) {
+        val pArr = rec.putArray("partitionCols"); effPartitionCols.foreach(pArr.add)
       }
       if (cdf.nonEmpty) {
         val cArr = rec.putArray("cdf"); cdf.foreach(cArr.add)
@@ -2392,12 +2437,16 @@ object TxLog {
     Paths.get(table).toAbsolutePath.normalize
       .relativize(p.toAbsolutePath.normalize).toString
 
+  /** Pure decode of an `input_file_name()` URI to a filesystem path
+    * string — THE one normalization both the driver-side relativizer and
+    * changeFeed's executor-side attribution key use (serializable; no
+    * filesystem state). */
+  private[plans] def uriToPath(uri: String): String =
+    if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri)).toString
+    else uri
+
   /** `input_file_name()` yields a URI (`file:///…`); map it back to the
     * table-relative name the log speaks. */
-  private def relativizeUri(table: String, uri: String): String = {
-    val p =
-      if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri))
-      else Paths.get(uri)
-    relativize(table, p)
-  }
+  private def relativizeUri(table: String, uri: String): String =
+    relativize(table, Paths.get(uriToPath(uri)))
 }

@@ -3,6 +3,7 @@ package graft.plans
 import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Row-level change data feed: exact COW images for delete/update/merge,
   * derived inserts for appends, derived delete+insert for overwrite and
@@ -297,6 +298,28 @@ class ChangeFeedSpec extends AnyFunSuite {
       assert(imgs.select("_change_type").distinct().as[String]
         .collect().toSeq == Seq("delete"))
     }
+  }
+
+  test("DELETE materializes the classification ONCE: _change_data holds only " +
+      "the delete images, never a full affected-rows temp") {
+    val t = freshTable("singlepass")
+    TxLog.append((0 until 1000).toDF("k").withColumn("tag", lit("x")), t)
+    TxLog.delete(spark, t, $"k" < 3)
+    // every byte under _change_data must be image bytes (∝ deleted rows);
+    // the pre-fix design parked a full copy of the affected rows there
+    val cdfDir = java.nio.file.Paths.get(t, "_change_data")
+    val cdfFiles = {
+      val s = java.nio.file.Files.walk(cdfDir)
+      try s.iterator().asScala.filter(p =>
+        java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).map(_.toString).toSeq
+      finally s.close()
+    }
+    val cdfRows = spark.read.parquet(cdfFiles: _*).count()
+    assert(cdfRows == 3,
+      s"_change_data holds $cdfRows rows — only the 3 delete images may live there")
+    assert(TxLog.snapshot(spark, t).count() == 997)
+    assert(TxLog.changeFeed(spark, t, 1, 2).count() == 3)
   }
 
   test("a metadata-only ADD COLUMNS at the END of the range null-backfills") {
