@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{
   *   VACUUM graft '<table dir>' [RETAIN <n> HOURS] [DRY RUN]
+  *   CLEAN LOG graft '<table dir>' [RETAIN <n> HOURS]
   *   OPTIMIZE graft '<table dir>' [FILES <n>] [WHERE k = 'v' [AND …]]
   *     [CLUSTER BY (c1, c2 [, …])]
   *   DESCRIBE HISTORY graft '<table dir>'
@@ -91,6 +92,9 @@ class GraftSqlParser(
   private val Convert =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val CleanLog =
+    ("""(?is)\s*CLEAN\s+LOG\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val CloneStmt =
     ("""(?is)\s*CLONE\s+""" + T + """\s+TO\s+'([^']+)'""" +
       """(?:\s+VERSION\s+(\d+))?\s*;?\s*""").r
@@ -122,6 +126,10 @@ class GraftSqlParser(
       GraftConvertCommand(dir,
         Option(parts).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
+    case CleanLog(path, ident, retain) if ours(path, ident) =>
+      GraftCleanLogCommand(GraftTableRef(path, ident),
+        Option(retain).map(_.toLong * 3600 * 1000)
+          .getOrElse(TxLog.DefaultLogRetentionMs))
     case CloneStmt(path, ident, dst, v) if ours(path, ident) =>
       GraftCloneCommand(GraftTableRef(path, ident), dst,
         Option(v).map(_.toLong))
@@ -145,6 +153,7 @@ class GraftSqlParser(
       case AddConstraint(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
       case DropConstraint(p, i, _) if ours(p, i) => parsePlan(sqlText)
       case Convert(_, _) => parsePlan(sqlText)
+      case CleanLog(p, i, _) if ours(p, i) => parsePlan(sqlText)
       case CloneStmt(p, i, _, _) if ours(p, i) => parsePlan(sqlText)
       case other => delegate.parsePlanWithParameters(other, context)
     }
@@ -348,5 +357,20 @@ final case class GraftCloneCommand(ref: GraftTableRef, dst: String, asOf: Option
   override def run(session: SparkSession): Seq[Row] = {
     val v = TxLog.cloneTable(ref.resolve(session), dst, asOf)
     Seq(Row(v, TxLog.liveFileCount(dst)))
+  }
+}
+
+/** `CLEAN LOG graft '<path>' [RETAIN n HOURS]` — bound the log
+  * directory's own growth: remove commit entries and superseded
+  * checkpoints below the newest checkpoint that are past retention.
+  * Returns the removal count and the new time-travel floor. */
+final case class GraftCleanLogCommand(ref: GraftTableRef, retainMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    "entries_removed" -> IntegerType, "earliest_version" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = ref.resolve(session)
+    val n = TxLog.cleanLog(table, retainMs)
+    Seq(Row(n, TxLog.earliestVersion(table)))
   }
 }

@@ -1641,9 +1641,11 @@ object TxLog {
   def versionAt(table: String, tsMillis: Long): Long = {
     val head = latestVersion(table)
     require(head > 0, s"$table is not a graft table (no commits)")
-    require(readCommit(table, 1L).ts <= tsMillis,
-      s"timestamp $tsMillis predates $table's first commit")
-    var lo = 1L
+    val first = math.max(earliestVersion(table), 1L)
+    require(readCommit(table, first).ts <= tsMillis,
+      s"timestamp $tsMillis predates $table's earliest retained commit " +
+        s"($first)")
+    var lo = first
     var hi = head
     while (lo < hi) { // invariant: commit(lo).ts <= tsMillis
       val mid = lo + (hi - lo + 1) / 2
@@ -1669,7 +1671,7 @@ object TxLog {
     // true lower bound over the monotone commit timestamps: several
     // commits can share one millisecond, and returning any but the FIRST
     // would silently skip its siblings from the feed
-    var lo = 1L
+    var lo = math.max(earliestVersion(table), 1L)
     var hi = head
     while (lo < hi) { // invariant: commit(hi).ts >= tsMillis
       val mid = lo + (hi - lo) / 2
@@ -1685,17 +1687,30 @@ object TxLog {
     * bound an epoch but never stall the stream. Driver cost is one
     * commit-JSON read per admitted version (metadata, not data). */
   def admissionBoundary(
-      table: String, fromExclusive: Long, to: Long, maxFiles: Long): Long = {
-    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+      table: String, fromExclusive: Long, to: Long,
+      maxFiles: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue): Long = {
+    require(maxFiles > 0 && maxBytes > 0,
+      s"admission caps must be positive, got maxFiles=$maxFiles maxBytes=$maxBytes")
     var v = fromExclusive
     var files = 0L
+    var bytes = 0L
     while (v < to) {
       val c = readCommit(table, v + 1)
-      val n = if (c.dataChange) c.add.length.toLong else 0L
-      if (v > fromExclusive && files + n > maxFiles) return v
+      val adds = if (c.dataChange) c.add else Nil
+      val n = adds.length.toLong
+      // byte cost from the filesystem (one stat per candidate file —
+      // metadata, not data; missing files count 0 and fail later reads
+      // loudly, never here)
+      val b = adds.map { f =>
+        val p = Paths.get(table, f)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      if (v > fromExclusive && (files + n > maxFiles || bytes + b > maxBytes))
+        return v
       files += n
+      bytes += b
       v += 1
-      if (files >= maxFiles) return v
+      if (files >= maxFiles || bytes >= maxBytes) return v
     }
     v
   }
@@ -1705,6 +1720,61 @@ object TxLog {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) 0L
     else listVersions(dir).lastOption.getOrElse(0L)
+  }
+
+  /** Earliest version whose log entry is still retained — the time-travel
+    * floor after a [[cleanLog]] (1 on a never-cleaned table). */
+  def earliestVersion(table: String): Long = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) 0L
+    else listVersions(dir).headOption.getOrElse(0L)
+  }
+
+  /** Default log retention before [[cleanLog]] removes superseded
+    * entries — Delta's 30-day shape. */
+  val DefaultLogRetentionMs: Long = 30L * 24 * 60 * 60 * 1000
+
+  /** Bound the LOG's own growth — the piece a 100 TB table needs after
+    * 100k commits: every log read starts with a directory listing of
+    * `_graft_log/`, which grows O(versions) forever (a paged LIST per
+    * read on an object store). cleanLog removes commit entries and
+    * superseded checkpoints STRICTLY BELOW the newest checkpoint (the
+    * replay floor — everything at or above it stays fully replayable)
+    * that are older than `olderThanMs` (mtime-based, like vacuum's
+    * grace window). Time travel and change feeds below the new floor
+    * refuse LOUDLY afterwards (same contract as vacuum for data); the
+    * head and every version ≥ the floor are untouched. Returns the
+    * number of entries removed. */
+  def cleanLog(table: String, olderThanMs: Long = DefaultLogRetentionMs): Int = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val checkpoints = {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("\\d{20}\\.checkpoint\\.json") =>
+          n.stripSuffix(".checkpoint.json").toLong }
+        .toSeq.sorted
+      finally stream.close()
+    }
+    val floor = checkpoints.lastOption.getOrElse(return 0)
+    var removed = 0
+    listVersions(dir).filter(_ < floor).foreach { v =>
+      val p = dir.resolve(f"$v%020d.json")
+      if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
+        Files.deleteIfExists(p): Unit
+        removed += 1
+      }
+    }
+    checkpoints.filter(_ < floor).foreach { v =>
+      val p = dir.resolve(f"$v%020d.checkpoint.json")
+      if (Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoff) {
+        Files.deleteIfExists(p): Unit
+        removed += 1
+      }
+    }
+    removed
   }
 
   /** Default vacuum retention: orphans younger than this are kept (the
@@ -1764,7 +1834,7 @@ object TxLog {
 
   /** Full log (for audits and specs). */
   def history(table: String): Seq[Commit] =
-    readCommits(table, 1L, latestVersion(table))
+    readCommits(table, math.max(earliestVersion(table), 1L), latestVersion(table))
 
   // ------------------------------------------------------------------
   // streaming change feed
@@ -2187,8 +2257,14 @@ object TxLog {
     }.toMap
 
   private def readCommit(table: String, version: Long): Commit = {
-    val node = mapper.readTree(
-      Files.readString(logDir(table).resolve(f"$version%020d.json")))
+    val p = logDir(table).resolve(f"$version%020d.json")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"$table: log entry for version $version is gone (log retention " +
+          s"cleaned it); the earliest replayable version is " +
+          s"${earliestVersion(table)} — time travel and change feeds below " +
+          "that floor are no longer available")
+    val node = mapper.readTree(Files.readString(p))
     Commit(
       version = node.get("version").asLong(),
       op = node.get("op").asText(),

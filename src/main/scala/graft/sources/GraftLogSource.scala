@@ -125,7 +125,8 @@ final class GraftLogSource extends RelationProvider
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong),
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
   }
 
   override def createSink(

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * tail; `latest` = only commits after stream start), `ignoreChanges`
   * (accept rewrite commits, re-delivering survivors — see
   * [[TxLog.streamBatch]]), `maxVersionsPerBatch` / `maxFilesPerTrigger`
-  * (admission control — see below). Partition columns surface as
+  * / `maxBytesPerTrigger` (admission control — see below). Partition
+  * columns surface as
   * ordinary output columns (values re-attached from the hive paths).
   *
   * ADMISSION CONTROL (the [[SupportsAdmissionControl]] half): without a
@@ -32,9 +33,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * history as one micro-batch. `maxVersionsPerBatch=n` advances the
   * offset at most n versions per epoch; `maxFilesPerTrigger=n` (the
   * container tier's and Delta's knob) advances to the last version
-  * whose cumulative added-file count stays ≤ n, always admitting at
-  * least one commit so a single oversized commit cannot stall the
-  * stream. Both compose (the tighter bound wins). The engine hands
+  * whose cumulative added-file count stays ≤ n, and `maxBytesPerTrigger`
+  * does the same over added-file SIZES (one driver stat per candidate
+  * file) — all always admitting at least one commit so a single
+  * oversized commit cannot stall the stream. The caps compose (the
+  * tightest bound wins). The engine hands
   * `latestOffset` the previous end offset, so restarts resume exactly —
   * no source-side position state exists to go stale.
   *
@@ -54,7 +57,8 @@ final class GraftStreamSource(
     startingVersion: Long, ignoreChanges: Boolean,
     readChangeFeed: Boolean = false,
     maxVersionsPerBatch: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
@@ -64,6 +68,8 @@ final class GraftStreamSource(
     s"graft: maxVersionsPerBatch must be positive, got ${maxVersionsPerBatch.get}")
   require(maxFilesPerTrigger.forall(_ > 0),
     s"graft: maxFilesPerTrigger must be positive, got ${maxFilesPerTrigger.get}")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"graft: maxBytesPerTrigger must be positive, got ${maxBytesPerTrigger.get}")
 
   override val schema: StructType = GraftStreamSource.schemaOf(table, readChangeFeed)
 
@@ -101,8 +107,11 @@ final class GraftStreamSource(
     val head = availableNowGoal.fold(head0)(math.min(head0, _))
     if (head < startingVersion || head <= from) return null
     val byVersions = maxVersionsPerBatch.fold(head)(m => math.min(head, from + m))
-    val end = maxFilesPerTrigger.fold(byVersions)(m =>
-      TxLog.admissionBoundary(table, from, byVersions, m))
+    val end =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) byVersions
+      else TxLog.admissionBoundary(table, from, byVersions,
+        maxFiles = maxFilesPerTrigger.getOrElse(Long.MaxValue),
+        maxBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue))
     if (end <= from) null else LongOffset(end)
   }
 

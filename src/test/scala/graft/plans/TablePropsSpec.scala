@@ -182,6 +182,32 @@ class TablePropsSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(t).count() == 1)
   }
 
+  test("CLEAN LOG bounds the log directory; the floor refuses loudly below it") {
+    val t = fresh("cleanlog")
+    (0 until 25).foreach(i => TxLog.append(Seq(i).toDF("k"), t)) // cps at 10, 20
+    val res = spark.sql(s"CLEAN LOG graft '$t' RETAIN 0 HOURS").head()
+    assert(res.getInt(0) == 20,
+      s"19 commit entries (1..19) + checkpoint 10 must clean, got ${res.getInt(0)}")
+    assert(res.getLong(1) == 20L, "the floor is the newest checkpoint")
+    // head reads untouched; history shows the retained suffix
+    assert(TxLog.snapshot(spark, t).count() == 25)
+    assert(TxLog.history(t).head.version == 20L)
+    // time travel below the floor refuses LOUDLY (vacuum's contract,
+    // applied to the log); at/above the floor stays fully replayable
+    val e = intercept[IllegalStateException](
+      TxLog.snapshot(spark, t, Some(5L)).count())
+    assert(e.getMessage.contains("log retention"), e.getMessage)
+    assert(TxLog.snapshot(spark, t, Some(20L)).count() == 20)
+    assert(TxLog.snapshot(spark, t, Some(22L)).count() == 22)
+    intercept[IllegalStateException](TxLog.changeFeed(spark, t, 4, 25).count())
+    assert(TxLog.changeFeed(spark, t, 20, 25).count() == 5)
+    // the table keeps working: appends, then a second clean is a no-op
+    // until the next checkpoint advances the floor
+    TxLog.append(Seq(99).toDF("k"), t)
+    assert(TxLog.latestVersion(t) == 26)
+    assert(spark.sql(s"CLEAN LOG graft '$t' RETAIN 0 HOURS").head().getInt(0) == 0)
+  }
+
   test("CLONE is zero-copy (hard links), independent, and carries metadata") {
     val srcT = fresh("clonesrc")
     TxLog.append((0 until 20).toDF("k").withColumn("tag", lit("x")), srcT)

@@ -146,6 +146,29 @@ class GraftStreamSpec extends AnyFunSuite {
       "two versions under cap 1 must drain in 2 epochs")
   }
 
+  test("maxBytesPerTrigger bounds epochs by added bytes, admitting >=1 commit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val a = fresh("admbytes")
+    TxLog.append((0 until 200).toDF("k").repartition(1), a) // v1: one larger file
+    TxLog.append(Seq(1).toDF("k").repartition(1), a)        // v2: tiny
+    TxLog.append(Seq(2).toDF("k").repartition(1), a)        // v3: tiny
+    val v1Bytes = TxLog.snapshotInfo(a, Some(1L)).files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(a, f))).sum
+    // cap below v1's size: v1 still admits (never stall), alone;
+    // the two tiny commits then fit in one epoch under the same cap
+    val src = new GraftStreamSource(spark, a, startingVersion = 1,
+      ignoreChanges = false, maxBytesPerTrigger = Some(v1Bytes - 1))
+    assert(src.latestOffset(null, ReadLimit.allAvailable()) == LongOffset(1))
+    assert(src.latestOffset(LongOffset(1), ReadLimit.allAvailable()) == LongOffset(3))
+    assert(src.latestOffset(LongOffset(3), ReadLimit.allAvailable()) == null)
+    // end-to-end drain under the byte cap delivers everything once
+    val b = fresh("admbytesdst")
+    drain(a, b, fresh("admbytesck"), Map("maxBytesPerTrigger" -> (v1Bytes - 1).toString))
+    assert(spark.read.format("graft").load(b).count() == 202)
+    assert(TxLog.history(b).count(c => c.op == "append" && c.dataChange) == 2)
+  }
+
   test("AvailableNow pins its goal at stream start; later commits wait") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
