@@ -2003,15 +2003,31 @@ object TxLog {
         case _ => "string" // dates/strings compare correctly as strings
       })
     }.toMap
-    files.map { rel =>
-      val footer = fileStats(Paths.get(table, rel))
-      val synthesized =
-        if (partitionBy.isEmpty) Map.empty[String, ColStats]
-        else partitionValuesOf(rel, partitionBy).map { case (c, v) =>
-          c -> ColStats(partKinds(c), v, v)
-        }
-      rel -> (footer ++ synthesized)
-    }.filter(_._2.nonEmpty).toMap
+    // Footer reads are independent per file and each costs a few ms of
+    // open+parse; a 64-file commit paid ~0.5 s walking them serially on
+    // the driver (measured sf0.1, round 13). Harvest in parallel on a
+    // bounded pool sized to the host, not to any fixed constant — the
+    // same driver-side metadata fan-out Delta's stats collection uses.
+    // (At real scale the footers would be harvested executor-side inside
+    // the write tasks; the commit API receives names only either way.)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, Runtime.getRuntime.availableProcessors())))
+    try {
+      val futures = files.map { rel =>
+        rel -> pool.submit(new java.util.concurrent.Callable[Map[String, ColStats]] {
+          def call(): Map[String, ColStats] = fileStats(Paths.get(table, rel))
+        })
+      }
+      futures.map { case (rel, fut) =>
+        val footer = fut.get()
+        val synthesized =
+          if (partitionBy.isEmpty) Map.empty[String, ColStats]
+          else partitionValuesOf(rel, partitionBy).map { case (c, v) =>
+            c -> ColStats(partKinds(c), v, v)
+          }
+        rel -> (footer ++ synthesized)
+      }.filter(_._2.nonEmpty).toMap
+    } finally pool.shutdown()
   }
 
   /** Partition-column type whitelist (lossless, timezone-free path
