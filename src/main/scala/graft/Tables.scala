@@ -17,8 +17,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Corpus-file schema cache. Without an explicit schema EVERY
+    * `spark.read.parquet` runs a footer-reading inference JOB first —
+    * measured ~120 ms per call at sf0.1 even warm — and the registry
+    * calls this loader several times per query. The corpus files are
+    * immutable inputs (the driver generates them once per SF), so their
+    * schemas are metadata that one footer read per path resolves for the
+    * whole process — the same reason manifest-backed table formats carry
+    * the schema instead of re-inferring it per scan (optimization guide
+    * §6). Keyed by full path; caches SCHEMA only, never rows — every
+    * query still computes from the parquet bytes. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** One-footer-read schema of a corpus table (cached per path). */
+  def schemaOf(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType = {
+    val path = s"$dir/$name.parquet"
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.schema(schemaOf(spark, dir, name))
+      .parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
   }
 

@@ -23,7 +23,7 @@ object EventStreams {
   /** Streaming read of the events parquet dir with the same ns→µs
     * truncation as the batch `Tables` loader. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema = graft.Tables.schemaOf(spark, dir, "events")
     // The corpus stores events as a single file; the streaming file source
     // wants a directory, so stream the parent with a glob filter.
     val raw = spark.readStream
