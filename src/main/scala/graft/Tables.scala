@@ -37,6 +37,29 @@ object Tables {
     schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
   }
 
+  /** Read back a parquet fixture the caller just WROTE, skipping the
+    * schema-inference job (the written frame's schema is in hand; parquet
+    * read-back differs from it only in making every field nullable and
+    * moving `partitionBy` columns to the end — both applied here, checked
+    * against real inference in TablesSchemaSpec). ~100 ms saved per call
+    * at sf0.1; at cluster scale inference is a full footer-listing job. */
+  def readBack(spark: SparkSession, written: org.apache.spark.sql.types.StructType,
+      path: String, partitionBy: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    def deepNullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+    val fields = written.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true))
+    val (part, data) = fields.partition(f => partitionBy.contains(f.name))
+    val ordered = data ++ partitionBy.flatMap(c => part.find(_.name == c))
+    spark.read.schema(StructType(ordered)).parquet(path)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.schema(schemaOf(spark, dir, name))
       .parquet(s"$dir/$name.parquet")

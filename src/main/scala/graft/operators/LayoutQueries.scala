@@ -289,10 +289,11 @@ object LayoutQueries {
         val totalBytes = new java.io.File(smallDir).listFiles()
           .filter(_.getName.endsWith(".parquet")).map(_.length).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        s.read.parquet(smallDir)
+        val docsSchema = graft.Tables.schemaOf(s, dir, "documents")
+        graft.Tables.readBack(s, docsSchema, smallDir)
           .repartition(nOut)
           .write.mode("overwrite").parquet(outDir)
-        s.read.parquet(outDir)
+        graft.Tables.readBack(s, docsSchema, outDir)
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("total_chars"),

@@ -125,14 +125,16 @@ object ReaderQueries {
       "scan_nested",
       (s, dir) => {
         val path = fixturePath(dir, "nested.parquet")
-        Tables(s, dir, "nation").select(
+        val written = Tables(s, dir, "nation").select(
             col("n_nationkey").as("id"),
             struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"),
             array(col("n_name"), concat(lit("r"), col("n_regionkey"))).as("tags"),
             expr("transform(sequence(0, n_nationkey % 3), i -> " +
               "struct(i AS seq, n_nationkey * 10 + i AS val))").as("entries"))
-          .coalesce(1).write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+        written.coalesce(1).write.mode("overwrite").parquet(path)
+        // read-back with the written schema: skips the inference job
+        // (Tables.readBack), the round-trip itself stays under test
+        Tables.readBack(s, written.schema, path)
           .select(col("id"), col("info.name").as("name"),
             col("info.region").as("region"),
             element_at(col("tags"), 2).as("tag2"),
@@ -824,7 +826,7 @@ object ReaderQueries {
           throw new IllegalStateException(
             "stream_fgb_zone: AvailableNow drain did not finish in 120 s")
         }
-        s.read.parquet(out)
+        Tables.readBack(s, schema, out)
           .select(col("nkey"), col("nname"),
             graft.functions.GeoFunctions.stAsTextFromWkb(col("geom")).as("wkt"))
           .orderBy("nkey")
@@ -914,7 +916,7 @@ object ReaderQueries {
           throw new IllegalStateException(
             "stream_arrow_zone: AvailableNow drain did not finish in 120 s")
         }
-        s.read.parquet(out)
+        Tables.readBack(s, schema, out)
           .select(col("vec_id"), col("label"),
             size(col("embedding")).cast("long").as("dim"),
             round(sqrt(graft.functions.DotProduct(
@@ -1622,7 +1624,7 @@ object ReaderQueries {
           .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
           .option("parquet.block.size", (256 * 1024).toString)
           .parquet(out)
-        s.read.parquet(out)
+        Tables.readBack(s, Tables.schemaOf(s, dir, "orders"), out)
           .filter(col("o_orderkey").isin(0L, 7L, 123L, 1400L))
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_orderstatus"), col("o_totalprice"))
@@ -1645,7 +1647,7 @@ object ReaderQueries {
         val out = fixturePath(dir, "sink_part")
         Tables(s, dir, "documents")
           .write.mode("overwrite").partitionBy("source").parquet(out)
-        s.read.parquet(out)
+        Tables.readBack(s, Tables.schemaOf(s, dir, "documents"), out, Seq("source"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("total_chars"))
@@ -1703,7 +1705,7 @@ object ReaderQueries {
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try patch.write.mode("overwrite").partitionBy("source").parquet(out)
         finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        s.read.parquet(out)
+        Tables.readBack(s, Tables.schemaOf(s, dir, "documents"), out, Seq("source"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("total_chars"))

@@ -2766,7 +2766,8 @@ object RelationalQueries {
           .filter(col("n_regionkey") === 1 && col("n_nationkey") < 20)
           .select(concat(lit("src"), col("n_nationkey").cast("long")).as("source"),
             (col("n_nationkey") + 1).cast("long").as("boost"))
-        s.read.parquet(out)
+        graft.Tables.readBack(s, graft.Tables.schemaOf(s, dir, "documents"),
+            out, Seq("source"))
           .join(broadcast(dim), "source")
           .groupBy("source")
           .agg(

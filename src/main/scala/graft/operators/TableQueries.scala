@@ -1499,7 +1499,7 @@ object TableQueries {
         drain()
         TxLog.append(ordersSlice(s, dir, 2).repartition(2), table)
         drain() // same checkpoint: exactly the new append's files
-        ordersAgg(s.read.parquet(out))
+        ordersAgg(Tables.readBack(s, ordersAll(s, dir).schema, out))
       },
       Some(ordersOracle("TRUE"))),
 
@@ -1518,11 +1518,10 @@ object TableQueries {
         val zone = root + "_zone"; val table = root + "_table"
         val ckpt1 = root + "_ckpt1"; val ckpt2 = root + "_ckpt2"
         Seq(zone, table, ckpt1, ckpt2).foreach(deleteRecursively)
-        Tables(s, dir, "events")
+        val landed = Tables(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-          .repartition(3)
-          .write.parquet(zone)
-        val schema = s.read.parquet(zone).schema
+        landed.repartition(3).write.parquet(zone)
+        val schema = Tables.readBack(s, landed.schema, zone).schema
         def drain(ckpt: String): Unit = {
           val q = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(zone)

@@ -172,11 +172,15 @@ object EventStreams {
           struct(col("ts"), col("event_id"))).as("m"))
         .select(col("user_id"), col("m.ts").as("ts"),
           col("m.event_id").as("event_id"), col("m.value").as("value"))
+    // the state file's schema is latest()'s own output schema — pass it
+    // on read-back so no per-batch inference job runs
+    val stateSchema = latest(changes).schema
     val q = changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val merged =
           if (new java.io.File(statePath).exists())
-            latest(spark.read.parquet(statePath).unionByName(latest(batch)))
+            latest(graft.Tables.readBack(spark, stateSchema, statePath)
+              .unionByName(latest(batch)))
           else latest(batch)
         // materialize BEFORE overwriting the path the plan reads from
         merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
@@ -187,7 +191,7 @@ object EventStreams {
       .start()
     require(q.awaitTermination(120000),
       "streaming drain timed out - partial state would masquerade as results")
-    spark.read.parquet(statePath).orderBy("user_id")
+    graft.Tables.readBack(spark, stateSchema, statePath).orderBy("user_id")
   }
 
   /** Per-user running aggregate via mapGroupsWithState — the custom-state
