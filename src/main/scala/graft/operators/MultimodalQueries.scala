@@ -465,6 +465,11 @@ object MultimodalQueries {
       (s, dir) => {
         val pcm = docs(s, dir)
           .select(col("doc_id"), md5(col("text")).as("b0"))
+          // one md5 per doc runs in the single scan task; the md5 chain +
+          // per-window energy battery below is the CPU — spread the
+          // (id, 32-char) rows across the session's cores first
+          // (guide §2.5: repartition right after an unsplittable read)
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("hex",
             concat(col("b0"), md5(col("b0")), md5(md5(col("b0"))),
               md5(md5(md5(col("b0"))))))
@@ -530,6 +535,12 @@ object MultimodalQueries {
         import spark.implicits._
         docs(s, dir)
           .select(col("doc_id"))
+          // the id scan is one task (single small parquet file) but the
+          // encode+decode kernel below is ~1.4 s of CPU — repartition the
+          // 8-byte ids to the session's parallelism so the kernel runs on
+          // every core (guide §2.5: repartition right after an
+          // unsplittable read; only ids move, never pixels)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[Long]
           .mapPartitions { it =>
             it.map { id =>
