@@ -74,6 +74,28 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
   }
 
+  // Tables.readBack must hand back EXACTLY what schema inference would
+  // have returned for a freshly-written fixture (that is its whole
+  // contract — it only exists to skip the inference job). Pinned for the
+  // two layouts it serves: flat, and hive-partitioned (where inference
+  // reorders the partition column to the end).
+  test("readBack schema equals inferred schema (flat + partitioned)") {
+    import org.apache.spark.sql.functions._
+    val dir = sfDirs.head
+    val out = java.nio.file.Files.createTempDirectory("readback-spec").toString
+    val written = Tables(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("id"),
+      struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"),
+      array(col("n_name")).as("tags"))
+    written.write.mode("overwrite").parquet(s"$out/flat")
+    assert(Tables.readBack(spark, written.schema, s"$out/flat").schema ==
+      spark.read.parquet(s"$out/flat").schema)
+    val docs = Tables(spark, dir, "documents")
+    docs.write.mode("overwrite").partitionBy("source").parquet(s"$out/hive")
+    assert(Tables.readBack(spark, docs.schema, s"$out/hive", Seq("source")).schema ==
+      spark.read.parquet(s"$out/hive").schema)
+  }
+
   // ArrayType nullability of elements is writer metadata, not semantics
   private def normalizeArray(dt: DataType): DataType = dt match {
     case ArrayType(e, _) => ArrayType(normalizeArray(e))
