@@ -1624,12 +1624,20 @@ object TxLog {
       df: DataFrame, table: String, parallelism: Int): Seq[String] = {
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dir = Paths.get(table, ChangeDataDirName, id)
-    df.repartition(math.max(1, parallelism))
-      .write.mode("errorifexists").parquet(dir.toString)
-    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => s"$ChangeDataDirName/$id/${f.getName}")
-      .sorted.toSeq
+    val rep = df.repartition(math.max(1, parallelism))
+    // change data needs no zone maps; the direct path still wins by
+    // skipping the committer staging+rename pass (same fallback rule
+    // as writeData)
+    DirectParquet.write(rep, dir.toString) match {
+      case Some(out) =>
+        out.map { case (name, _) => s"$ChangeDataDirName/$id/$name" }
+      case None =>
+        rep.write.mode("errorifexists").parquet(dir.toString)
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"$ChangeDataDirName/$id/${f.getName}")
+          .sorted.toSeq
+    }
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` — Delta's
@@ -1945,11 +1953,14 @@ object TxLog {
 
   /** Write `df` as parquet under a commit-unique subdir; return the
     * table-relative file list, the (nullable-normalized) schema, and
-    * per-file zone maps harvested from the parquet FOOTERS the write
-    * already produced — no second data pass; O(files) footer reads.
-    * (On a cluster the same harvest would ride the write tasks'
-    * commit messages; the footer is the storage-level source of truth
-    * either way.) */
+    * per-file zone maps. Unpartitioned flat-primitive frames (every hot
+    * commit path) take [[DirectParquet]]: each write task streams its
+    * file AND computes its zone maps inline, shipping (name → stats) to
+    * the commit — zero driver-side footer reads, no FileOutputCommitter
+    * staging (TxLog's manifest entry is the commit protocol, so task
+    * files are invisible until their names publish). Partitioned or
+    * non-primitive frames fall back to `df.write.parquet` + footer
+    * harvest — no second data pass; O(files) footer reads. */
   private def writeData(
       df: DataFrame, table: String, partitionBy: Seq[String] = Nil)
       : (Seq[String], String, Map[String, Map[String, ColStats]]) = {
@@ -1961,6 +1972,16 @@ object TxLog {
     // is timezone-free; refuse anything else loudly at write time rather
     // than corrupt values at read time.
     requirePartitionable(df.schema, partitionBy)
+    if (partitionBy.isEmpty) {
+      DirectParquet.write(df, dataDir.toString) match {
+        case Some(out) =>
+          val files = out.map { case (name, _) => s"data/$commitId/$name" }
+          val stats = out.map { case (name, st) =>
+            s"data/$commitId/$name" -> st }.filter(_._2.nonEmpty).toMap
+          return (files, nullable(df.schema).json, stats)
+        case None => () // unsupported schema shape: classic path below
+      }
+    }
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
       .parquet(dataDir.toString)
@@ -2097,7 +2118,7 @@ object TxLog {
     * decimals) are skipped — absence of stats just means "always scan",
     * never a wrong prune. A column missing stats in ANY row group is
     * dropped for the whole file. */
-  private def fileStats(path: Path): Map[String, ColStats] = {
+  private[graft] def fileStats(path: Path): Map[String, ColStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
