@@ -55,6 +55,11 @@ object Tables {
     }
     val fields = written.fields.map(f =>
       f.copy(dataType = deepNullable(f.dataType), nullable = true))
+    // a partitionBy name absent from the written schema would silently
+    // fall back to inference for that column (ADVICE r13) — fail loudly
+    require(partitionBy.forall(c => written.fieldNames.contains(c)),
+      s"readBack: partition column(s) ${partitionBy.filterNot(written.fieldNames.contains)
+        .mkString(", ")} absent from the written schema")
     val (part, data) = fields.partition(f => partitionBy.contains(f.name))
     val ordered = data ++ partitionBy.flatMap(c => part.find(_.name == c))
     spark.read.schema(StructType(ordered)).parquet(path)

@@ -969,17 +969,14 @@ object TxLog {
     val outRows = temp.filter(col("__action").isInCollection(outLabels))
       .select(schema.fields.map(f =>
         col(s"__post_${f.name}").as(f.name)).toIndexedSeq: _*)
-    val (files0, _, stats0) =
-      writeData(outRows.repartition(parallelism), table, snap.partitionCols)
-    val written = files0.map(f =>
-      stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
-    val (files, stats) =
-      if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
-      else (files0, stats0)
-    // exact images from the SAME committed classification bytes
-    val cdf =
-      if (!writeCdf) Nil
-      else {
+    // The survivor write and the CDF image write both derive from the
+    // committed classification bytes and are independent of each other —
+    // run them as concurrent driver-submitted jobs (the second job's
+    // tasks back-fill executors the first job's tail frees) instead of
+    // serializing two write-job latencies per merge.
+    val cdfFut: java.util.concurrent.Future[Seq[String]] =
+      if (!writeCdf) java.util.concurrent.CompletableFuture.completedFuture(Nil)
+      else submitConcurrently {
         def img(labels: Seq[String], post: Boolean, tpe: String): Option[DataFrame] =
           if (labels.isEmpty) None
           else Some(temp.filter(col("__action").isInCollection(labels))
@@ -994,6 +991,16 @@ object TxLog {
             img(insertLabels, post = true, "insert")
         writeChangeData(images.reduce(_ unionByName _), table, parallelism)
       }
+    val (files0, _, stats0) =
+      try writeData(outRows.repartition(parallelism), table, snap.partitionCols)
+      catch { case t: Throwable => cdfFut.cancel(true); throw t }
+    val written = files0.map(f =>
+      stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
+    val (files, stats) =
+      if (written == 0) (Seq.empty[String], Map.empty[String, Map[String, ColStats]])
+      else (files0, stats0)
+    // exact images from the SAME committed classification bytes
+    val cdf = awaitConcurrent(cdfFut)
     commit(table, "merge", files, dataChange = true,
       schemaPlan = _ => snap.schemaJson, stats = stats,
       partitionCols = snap.partitionCols, cdf = cdf,
@@ -1620,6 +1627,35 @@ object TxLog {
   /** Persist a COW kernel's change rows (schema + `_change_type`) under
     * `_change_data/` — never part of the live file set, invisible to
     * vacuum's `data/` walk, read back only by [[changeFeed]]. */
+  /** Toggle for single-JVM A/B probes (and emergencies): false runs the
+    * merge's "concurrent" CDF write inline, restoring the sequential
+    * round-13 shape. Not env-driven. */
+  @volatile private[graft] var overlapWrites: Boolean = true
+
+  /** Daemon pool for overlapping independent write jobs of one commit
+    * (guide: concurrent driver-submitted jobs back-fill the tail of the
+    * running job). Bounded by usage — one in-flight write per commit. */
+  private lazy val writePool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-write-overlap"); t.setDaemon(true); t
+    })
+
+  private def submitConcurrently[A](body: => A): java.util.concurrent.Future[A] =
+    if (!overlapWrites)
+      java.util.concurrent.CompletableFuture.completedFuture(body)
+    else writePool.submit(new java.util.concurrent.Callable[A] {
+      def call(): A = body
+    })
+
+  /** `Future.get` with the cause unwrapped, so commit callers see the
+    * same exception type the inline code path would throw. */
+  private def awaitConcurrent[A](f: java.util.concurrent.Future[A]): A =
+    try f.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+
   private def writeChangeData(
       df: DataFrame, table: String, parallelism: Int): Seq[String] = {
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
@@ -2040,7 +2076,9 @@ object TxLog {
         })
       }
       futures.map { case (rel, fut) =>
-        val footer = fut.get()
+        // unwrap so commit callers see the same exception type/message
+        // the old serial loop threw (ADVICE r13)
+        val footer = awaitConcurrent(fut)
         val synthesized =
           if (partitionBy.isEmpty) Map.empty[String, ColStats]
           else partitionValuesOf(rel, partitionBy).map { case (c, v) =>
