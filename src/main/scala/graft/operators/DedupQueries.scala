@@ -410,6 +410,17 @@ object DedupQueries {
     }
   }
 
+  /** Dev-probe hooks (graft.tools.CcProbe): the ensemble's pair relation
+    * and the component loop, exposed for single-JVM A/B measurement.
+    * Round-14 verdict from that probe: fused/lazy-checkpoint rounds,
+    * pre-partitioned edges, and the eager shape all measure within noise
+    * (the loop is bound by the per-round propagate shuffle, not job
+    * count), so the proven eager round shape stays. */
+  private[graft] def ensemblePairsForProbe(s: SparkSession, dir: String): DataFrame =
+    minhashPairsShared(s, dir).unionAll(simhashPairsShared(s, dir)).distinct()
+  private[graft] def componentsForProbe(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+
   /** (key, shingle-hash) pairs (3-token shingles), duplicates included:
     * consumers build SETs (collect_set) or min-fold, so a pre-`distinct`
     * would only add a second full shuffle of the same relation. */
