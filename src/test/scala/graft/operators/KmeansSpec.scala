@@ -44,4 +44,29 @@ class KmeansSpec extends AnyFunSuite {
     assert(j22 <= j21 + eps, s"update increased objective: $j21 -> $j22")
     assert(j22 < j10, "training made no progress over seed centroids")
   }
+
+  test("fused kernels (kmAssignE/kmUpdateE) equal the classic ones exactly") {
+    val v = SimilarityQueries.kmVectors(spark, dir)
+    val c0 = SimilarityQueries.kmInit(v)
+    // classic two-iteration chain
+    val a1 = SimilarityQueries.kmAssign(v, c0)
+    val c1 = SimilarityQueries.kmUpdate(v, a1)
+    val a2 = SimilarityQueries.kmAssign(v, c1)
+    val c2 = SimilarityQueries.kmUpdate(v, a2)
+    // fused chain: assignment carries e; updates never re-join v
+    val a1e = SimilarityQueries.kmAssignE(v, c0)
+    val c1e = SimilarityQueries.kmUpdateE(a1e)
+    val a2e = SimilarityQueries.kmAssignE(v, c1e)
+    val c2e = SimilarityQueries.kmUpdateE(a2e)
+    def sameRows(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+        s"$what diverges between fused and classic kernels")
+    sameRows(a1e.select("vec_id", "cid"), a1, "iteration-1 assignment")
+    sameRows(c1e, c1, "iteration-1 centroids")
+    sameRows(a2e.select("vec_id", "cid"), a2, "iteration-2 assignment")
+    sameRows(c2e, c2, "iteration-2 centroids")
+    // the carried vector is the vector
+    sameRows(a2e.select("vec_id", "e"), v, "carried vectors")
+  }
 }
