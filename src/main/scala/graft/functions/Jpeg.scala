@@ -319,6 +319,9 @@ object Jpeg {
     val r = new BitReader(bytes, start)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
+    // scratch for decodeBlock's nonzero-term IDCT (reused across blocks)
+    val nzUV = new Array[Int](64)
+    val nzK = new Array[Double](64)
     var mcu = 0
     var expectRst = 0
     val totalMcus = mcusX * mcusY
@@ -341,7 +344,7 @@ object Jpeg {
         while (by < c.v) {
           var bx = 0
           while (bx < c.h) {
-            try decodeBlock(r, c, qt(c.tq), dcT(c.td), acT(c.ta), coef, block)
+            try decodeBlock(r, c, qt(c.tq), dcT(c.td), acT(c.ta), coef, block, nzUV, nzK)
             catch {
               case MarkerInData(m) => throw new IllegalArgumentException(
                 f"jpeg: marker FF$m%02x inside entropy data (truncated scan?)")
@@ -432,7 +435,8 @@ object Jpeg {
 
   private def decodeBlock(
       r: BitReader, c: Comp, q: Array[Int],
-      dc: HuffTable, ac: HuffTable, coef: Array[Int], out: Array[Int]): Unit = {
+      dc: HuffTable, ac: HuffTable, coef: Array[Int], out: Array[Int],
+      nzUV: Array[Int], nzK: Array[Double]): Unit = {
     java.util.Arrays.fill(coef, 0)
     val s = huffDecode(r, dc)
     require(s <= 11, "jpeg: DC category > 11")
@@ -455,23 +459,42 @@ object Jpeg {
         k += 1
       }
     }
-    // float IDCT (T.81 A.3.3), separable would be faster; 8×8 direct is
-    // fine for the fixture/test scale and keeps the math transparent
+    // float IDCT (T.81 A.3.3), direct form. Quantized blocks are sparse
+    // (often DC + a few ACs), so the nonzero (u, v) terms are collected
+    // ONCE per block — in exactly the u-outer/v-inner order of the
+    // reference double loop — with their cC(u)*cC(v)*coef prefix
+    // products. Per pixel the sum then runs over nz terms (2 mults each)
+    // instead of 64 slots (4 mults each). BIT-IDENTICAL to the reference
+    // loop: same terms, same left-to-right multiply association
+    // (((cC(u)*cC(v))*cuv)*Cos(u,x))*Cos(v,y), same accumulation order —
+    // pinned by JpegIdctProbe's digest. A separable IDCT would be faster
+    // still but reassociates the floats, which this fixture contract
+    // cannot afford.
+    var nz = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val cuv = coef(v * 8 + u)
+        if (cuv != 0) {
+          nzUV(nz) = u * 8 + v
+          nzK(nz) = cC(u) * cC(v) * cuv
+          nz += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var sum = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cuv = coef(v * 8 + u)
-            if (cuv != 0)
-              sum += cC(u) * cC(v) * cuv * CosTable(u * 8 + x) * CosTable(v * 8 + y)
-            v += 1
-          }
-          u += 1
+        var t = 0
+        while (t < nz) {
+          val uv = nzUV(t)
+          sum += nzK(t) * CosTable((uv >> 3) * 8 + x) * CosTable((uv & 7) * 8 + y)
+          t += 1
         }
         out(y * 8 + x) = clamp(math.round(sum / 4.0 + 128.0).toInt)
         x += 1
