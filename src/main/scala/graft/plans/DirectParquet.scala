@@ -113,40 +113,161 @@ private[graft] object DirectParquet {
     }
   }
 
+  /** Thrown (inside a write task) when one task would hold more open
+    * partition writers than [[MaxOpenWriters]] — the unsorted writer-map
+    * strategy only fits low-cardinality layouts. Callers catch it,
+    * remove the half-written commit dir, and fall back to the classic
+    * sorted `df.write.partitionBy` path. */
+  private[graft] final class TooManyOpenPartitions(n: Int) extends RuntimeException(
+    s"direct partitioned write exceeded $n open writers in one task")
+
+  /** Unsorted per-task writer cap. Spark's own dynamic-partition writer
+    * sorts rows by partition key to keep ONE file open at a time; this
+    * path instead keeps a writer per distinct partition value seen by
+    * the task, which is only sane for low-cardinality layouts (COW
+    * classification's 2 classes, status-partitioned fixtures). */
+  private val MaxOpenWriters = 64
+
+  /** Hive-layout variant of [[write]]: partition columns leave the data
+    * file and become `col=value/` path segments (escaped exactly as
+    * Spark escapes them, via ExternalCatalogUtils), one file per (task,
+    * partition value) — the same file set the classic sorted writer
+    * produces. Returns (outDir-relative path, data-column stats) per
+    * file; the caller synthesizes the partition-value zone maps from the
+    * returned paths exactly as the footer-harvest path does. None when
+    * the schema or a partition-column type is unsupported; throws
+    * [[TooManyOpenPartitions]] mid-job on high-cardinality layouts
+    * (caller cleans up and falls back). Null partition values refuse
+    * loudly with the same contract harvestStats enforces. */
+  def writePartitioned(df: DataFrame, outDir: String, partitionBy: Seq[String])
+      : Option[Seq[(String, Map[String, TxLog.ColStats])]] = {
+    if (!enabled || partitionBy.isEmpty) return None
+    val schema = df.schema
+    if (!partitionBy.forall(c => schema.fieldNames.contains(c))) return None
+    val partIdx = partitionBy.map(schema.fieldIndex).toArray
+    // value rendering below covers these; DateType is excluded because
+    // its path rendering is a formatted cast this writer does not
+    // replicate — those layouts keep the classic path
+    val partOk = partIdx.forall(i => schema(i).dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType
+         | BooleanType => true
+      case _ => false
+    })
+    if (!partOk) return None
+    val dataIdx = schema.fields.indices.filterNot(partIdx.contains).toArray
+    if (dataIdx.isEmpty) return None
+    val dataSchema = StructType(dataIdx.map(schema.fields(_)))
+    if (messageType(dataSchema).isEmpty) return None
+    val rdd = df.queryExecution.toRdd
+    if (rdd.getNumPartitions == 0) return None
+    val codec = df.sparkSession.conf
+      .get("spark.sql.parquet.compression.codec", "snappy")
+    val uuid = java.util.UUID.randomUUID().toString
+    val dirStr = outDir
+    val partNames = partitionBy.toArray
+    Some(rdd.mapPartitionsWithIndex { (pid, rows) =>
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val fileName = f"part-$pid%05d-$uuid.c000.parquet"
+      val writers = new java.util.LinkedHashMap[String, OneFile]()
+      val out = Seq.newBuilder[(String, Map[String, TxLog.ColStats])]
+      try {
+        while (rows.hasNext) {
+          val row = rows.next()
+          val sb = new java.lang.StringBuilder()
+          var k = 0
+          while (k < partIdx.length) {
+            val i = partIdx(k)
+            require(!row.isNullAt(i),
+              s"partition column(s) ${partNames.mkString(", ")} carry NULL " +
+                "values — a graft partition value must be non-null")
+            val v = schema(i).dataType match {
+              case StringType  => row.getUTF8String(i).toString
+              case ByteType    => row.getByte(i).toString
+              case ShortType   => row.getShort(i).toString
+              case IntegerType => row.getInt(i).toString
+              case LongType    => row.getLong(i).toString
+              case BooleanType => row.getBoolean(i).toString
+              case other => throw new IllegalStateException(
+                s"unsupported partition type $other") // unreachable: gated above
+            }
+            if (k > 0) sb.append('/')
+            sb.append(partNames(k)).append('=')
+              .append(ExternalCatalogUtils.escapePathName(v))
+            k += 1
+          }
+          val rel = sb.toString
+          var w = writers.get(rel)
+          if (w == null) {
+            if (writers.size() >= MaxOpenWriters)
+              throw new TooManyOpenPartitions(MaxOpenWriters)
+            w = new OneFile(dataSchema, dataIdx,
+              s"$dirStr/$rel/$fileName", codec)
+            writers.put(rel, w)
+          }
+          w.write(row)
+        }
+        val it = writers.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getValue.close()
+          out += (s"${e.getKey}/$fileName" -> e.getValue.stats())
+        }
+        out.result().iterator
+      } catch {
+        case t: Throwable =>
+          // close everything so the caller can delete the commit dir
+          val it = writers.values().iterator()
+          while (it.hasNext) { try it.next().close() catch { case _: Throwable => () } }
+          throw t
+      }
+    }.collect().toSeq.sortBy(_._1))
+  }
+
   /** One task's file: stream rows through a ParquetWriter, tracking
     * min/max/rowcount inline. Runs inside the write task, never on the
     * driver. */
   private def writeOne(
       schema: StructType, path: String, codecName: String,
       rows: Iterator[InternalRow]): Map[String, TxLog.ColStats] = {
-    val mt = messageType(schema).get
-    val conf = new Configuration()
-    val codec = codecName.toLowerCase match {
+    val f = new OneFile(schema, schema.fields.indices.toArray, path, codecName)
+    try while (rows.hasNext) f.write(rows.next())
+    finally f.close()
+    f.stats()
+  }
+
+  /** One open output file: ParquetWriter + inline stats over the source
+    * row ordinals in `idx` (so partitioned writes can project partition
+    * columns out of the data file without materializing a new row). */
+  private final class OneFile(
+      schema: StructType, idx: Array[Int], path: String, codecName: String) {
+    private val mt = messageType(schema).get
+    private val conf = new Configuration()
+    private val codec = codecName.toLowerCase match {
       case "zstd" => CompressionCodecName.ZSTD
       case "gzip" => CompressionCodecName.GZIP
       case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
       case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
       case _ => CompressionCodecName.SNAPPY
     }
-    val support = new InternalRowWriteSupport(schema, mt)
-    val writer = new RowParquetBuilder(
+    private val writer = new RowParquetBuilder(
       HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), conf), support)
+        new org.apache.hadoop.fs.Path(path), conf),
+      new InternalRowWriteSupport(schema, mt, idx))
       .withCompressionCodec(codec)
       .withConf(conf)
       .build()
-    val stats = new StatsCollector(schema)
-    var n = 0L
-    try {
-      while (rows.hasNext) {
-        val r = rows.next()
-        stats.update(r)
-        writer.write(r)
-        n += 1
-      }
-    } finally writer.close()
-    stats.result() + (TxLog.RowCountKey ->
-      TxLog.ColStats("rows", n.toString, n.toString))
+    private val collector = new StatsCollector(schema, idx)
+    private var n = 0L
+
+    def write(row: InternalRow): Unit = {
+      collector.update(row)
+      writer.write(row)
+      n += 1
+    }
+    def close(): Unit = writer.close()
+    def stats(): Map[String, TxLog.ColStats] =
+      collector.result() + (TxLog.RowCountKey ->
+        TxLog.ColStats("rows", n.toString, n.toString))
   }
 
   private final class RowParquetBuilder(
@@ -159,7 +280,8 @@ private[graft] object DirectParquet {
   }
 
   private final class InternalRowWriteSupport(
-      schema: StructType, mt: MessageType) extends WriteSupport[InternalRow] {
+      schema: StructType, mt: MessageType, idx: Array[Int])
+      extends WriteSupport[InternalRow] {
     private var rc: RecordConsumer = _
     private val names = schema.fields.map(_.name)
     private val types = schema.fields.map(_.dataType)
@@ -177,23 +299,24 @@ private[graft] object DirectParquet {
       rc.startMessage()
       var i = 0
       while (i < types.length) {
-        if (!row.isNullAt(i)) {
+        val j = idx(i)
+        if (!row.isNullAt(j)) {
           rc.startField(names(i), i)
           types(i) match {
             case LongType | TimestampType | TimestampNTZType =>
-              rc.addLong(row.getLong(i))
-            case IntegerType | DateType   => rc.addInteger(row.getInt(i))
-            case ShortType   => rc.addInteger(row.getShort(i).toInt)
-            case ByteType    => rc.addInteger(row.getByte(i).toInt)
-            case DoubleType  => rc.addDouble(row.getDouble(i))
-            case FloatType   => rc.addFloat(row.getFloat(i))
-            case BooleanType => rc.addBoolean(row.getBoolean(i))
+              rc.addLong(row.getLong(j))
+            case IntegerType | DateType   => rc.addInteger(row.getInt(j))
+            case ShortType   => rc.addInteger(row.getShort(j).toInt)
+            case ByteType    => rc.addInteger(row.getByte(j).toInt)
+            case DoubleType  => rc.addDouble(row.getDouble(j))
+            case FloatType   => rc.addFloat(row.getFloat(j))
+            case BooleanType => rc.addBoolean(row.getBoolean(j))
             case StringType  =>
               // getBytes copies out of the (reused) row buffer; the
               // "reused" variant additionally tells parquet to copy
               // before buffering, so no reference to task-local state
               // can leak into the dictionary encoder
-              rc.addBinary(Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
+              rc.addBinary(Binary.fromReusedByteArray(row.getUTF8String(j).getBytes))
             case other => throw new IllegalStateException(
               s"unsupported direct-write type $other") // unreachable: messageType gated
           }
@@ -207,7 +330,7 @@ private[graft] object DirectParquet {
 
   /** Per-column min/max tracker with [[TxLog.fileStats]] parity (see
     * object doc). One instance per task, updated per row. */
-  private final class StatsCollector(schema: StructType) {
+  private final class StatsCollector(schema: StructType, idx: Array[Int]) {
     private val n = schema.length
     private val kinds: Array[Int] = schema.fields.map(_.dataType match {
       case ByteType | ShortType | IntegerType | LongType => 1 // long
@@ -227,14 +350,15 @@ private[graft] object DirectParquet {
     def update(row: InternalRow): Unit = {
       var i = 0
       while (i < n) {
-        if (kinds(i) != 0 && !row.isNullAt(i)) {
+        val j = idx(i)
+        if (kinds(i) != 0 && !row.isNullAt(j)) {
           kinds(i) match {
             case 1 =>
               val v: Long = dts(i) match {
-                case ByteType => row.getByte(i).toLong
-                case ShortType => row.getShort(i).toLong
-                case IntegerType => row.getInt(i).toLong
-                case _ => row.getLong(i)
+                case ByteType => row.getByte(j).toLong
+                case ShortType => row.getShort(j).toLong
+                case IntegerType => row.getInt(j).toLong
+                case _ => row.getLong(j)
               }
               if (!seen(i)) { minL(i) = v; maxL(i) = v }
               else {
@@ -244,7 +368,7 @@ private[graft] object DirectParquet {
             case 2 =>
               // a single NaN poisons the column's stats (dropped in
               // result()), so no min/max tracking is needed past it
-              val v = row.getFloat(i)
+              val v = row.getFloat(j)
               if (java.lang.Float.isNaN(v)) nan(i) = true
               else if (!nan(i)) {
                 if (!seen(i)) { minF(i) = v; maxF(i) = v }
@@ -254,7 +378,7 @@ private[graft] object DirectParquet {
                 }
               }
             case 3 =>
-              val v = row.getDouble(i)
+              val v = row.getDouble(j)
               if (java.lang.Double.isNaN(v)) nan(i) = true
               else if (!nan(i)) {
                 if (!seen(i)) { minD(i) = v; maxD(i) = v }
@@ -264,7 +388,7 @@ private[graft] object DirectParquet {
                 }
               }
             case 4 =>
-              val v = row.getUTF8String(i)
+              val v = row.getUTF8String(j)
               if (!seen(i)) { minS(i) = v.clone(); maxS(i) = v.clone() }
               else {
                 if (v.binaryCompare(minS(i)) < 0) minS(i) = v.clone()

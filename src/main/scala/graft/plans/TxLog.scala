@@ -1083,13 +1083,21 @@ object TxLog {
     val classCol = "__graft_class"
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val stage = Paths.get(table, "data", commitId)
-    readFiles(spark, table, snap.copy(files = affected))
+    val classParts = classCol +: snap.partitionCols
+    val stageDf = readFiles(spark, table, snap.copy(files = affected))
       .withColumn(classCol,
         org.apache.spark.sql.functions.when(cond, "delete").otherwise("carry"))
       .repartition(math.max(1, affected.length))
-      .write.mode("errorifexists")
-      .partitionBy((classCol +: snap.partitionCols): _*)
-      .parquet(stage.toString)
+    // direct per-task write when the layout allows it: the class column
+    // has 2 values, so the writer map stays tiny, and the carry files'
+    // zone maps come back from the write tasks — no footer reads after
+    // the rename below. Classic sorted writer otherwise.
+    val directStage: Option[Map[String, Map[String, ColStats]]] =
+      directPartitioned(stageDf, stage, classParts).map(_.toMap)
+    if (directStage.isEmpty)
+      stageDf.write.mode("errorifexists")
+        .partitionBy(classParts: _*)
+        .parquet(stage.toString)
     def classFiles(cls: String): Seq[Path] = {
       val dir = stage.resolve(s"$classCol=$cls")
       if (!Files.isDirectory(dir)) Nil
@@ -1106,14 +1114,29 @@ object TxLog {
     // → data/<cid>/<segs>/f — the survivor files, named into the layout
     // every reader expects, bytes untouched
     val carryDir = stage.resolve(s"$classCol=carry")
-    val files0: Seq[String] = classFiles("carry").map { p =>
+    val moved: Seq[(String, String)] = classFiles("carry").map { p =>
       val rel = carryDir.relativize(p)
       val dst = stage.resolve(rel)
       Files.createDirectories(Option(dst.getParent).getOrElse(stage))
       Files.move(p, dst)
-      s"data/$commitId/${rel.toString}"
-    }.sorted
-    val stats0 = harvestStats(table, files0, snap.partitionCols, schema)
+      (s"data/$commitId/${rel.toString}", s"$classCol=carry/${rel.toString}")
+    }
+    val files0: Seq[String] = moved.map(_._1).sorted
+    val stats0 = directStage match {
+      case Some(byStageRel) =>
+        // in-task stats from the stage write, re-keyed through the move;
+        // partition-value zone maps synthesize from the final paths the
+        // same way harvestStats does
+        val partKinds = partKindsOf(schema, snap.partitionCols)
+        moved.map { case (full, stageRel) =>
+          full -> (byStageRel.getOrElse(stageRel,
+            throw new IllegalStateException(
+              s"direct stage write lost stats for $stageRel")) ++
+            partitionValuesOf(full, snap.partitionCols).map {
+              case (c, v) => c -> ColStats(partKinds(c), v, v) })
+        }.toMap
+      case None => harvestStats(table, files0, snap.partitionCols, schema)
+    }
     val written = files0.map(f =>
       stats0.get(f).flatMap(_.get(RowCountKey)).map(_.min.toLong).getOrElse(0L)).sum
     val (files, stats) =
@@ -2017,6 +2040,19 @@ object TxLog {
           return (files, nullable(df.schema).json, stats)
         case None => () // unsupported schema shape: classic path below
       }
+    } else {
+      directPartitioned(df, dataDir, partitionBy) match {
+        case Some(out) =>
+          val partKinds = partKindsOf(df.schema, partitionBy)
+          val files = out.map { case (rel, _) => s"data/$commitId/$rel" }
+          val stats = out.map { case (rel, st) =>
+            val full = s"data/$commitId/$rel"
+            full -> (st ++ partitionValuesOf(full, partitionBy).map {
+              case (c, v) => c -> ColStats(partKinds(c), v, v) })
+          }.toMap
+          return (files, nullable(df.schema).json, stats)
+        case None => () // unsupported layout or writer overflow: classic path
+      }
     }
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
@@ -2052,14 +2088,7 @@ object TxLog {
       s"partition column(s) ${partitionBy.mkString(", ")} carry NULL values — " +
         "a graft partition value must be non-null")
     // per-partition-column domain for the synthesized min=max=value stats
-    val partKinds: Map[String, String] = partitionBy.map { c =>
-      import org.apache.spark.sql.types._
-      c -> (schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => "long"
-        case FloatType | DoubleType => "double"
-        case _ => "string" // dates/strings compare correctly as strings
-      })
-    }.toMap
+    val partKinds = partKindsOf(schema, partitionBy)
     // Footer reads are independent per file and each costs a few ms of
     // open+parse; a 64-file commit paid ~0.5 s walking them serially on
     // the driver (measured sf0.1, round 13). Harvest in parallel on a
@@ -2088,6 +2117,46 @@ object TxLog {
       }.filter(_._2.nonEmpty).toMap
     } finally pool.shutdown()
   }
+
+  /** Comparison domain of each partition column's synthesized
+    * min=max=value stats — shared by the footer-harvest and direct-write
+    * paths so the two can never drift. */
+  private def partKindsOf(
+      schema: StructType, partitionBy: Seq[String]): Map[String, String] =
+    partitionBy.map { c =>
+      import org.apache.spark.sql.types._
+      c -> (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "long"
+        case FloatType | DoubleType => "double"
+        case _ => "string" // dates/strings compare correctly as strings
+      })
+    }.toMap
+
+  /** [[DirectParquet.writePartitioned]] with the overflow fallback: a
+    * high-cardinality layout that blows the per-task writer cap deletes
+    * the half-written commit dir and reports None so the caller retries
+    * on the classic sorted writer. */
+  private def directPartitioned(
+      df: DataFrame, dir: Path, partitionBy: Seq[String])
+      : Option[Seq[(String, Map[String, ColStats])]] =
+    try DirectParquet.writePartitioned(df, dir.toString, partitionBy)
+    catch {
+      case t: Throwable
+          if causeChain(t).exists(_.isInstanceOf[DirectParquet.TooManyOpenPartitions]) =>
+        deleteTree(dir)
+        None
+    }
+
+  private def causeChain(t: Throwable): List[Throwable] =
+    t :: Option(t.getCause).filter(_ ne t).map(causeChain).getOrElse(Nil)
+
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally s.close()
+    }
 
   /** Partition-column type whitelist (lossless, timezone-free path
     * round-trip) — shared by fresh writes and CONVERT so an adopted

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
+import scala.jdk.CollectionConverters._
 
 /** Pins the direct write-task parquet path against the classic
   * `df.write.parquet` + footer-harvest path it replaced on unpartitioned
@@ -98,6 +99,58 @@ class DirectParquetSpec extends AnyFunSuite {
     assert(DirectParquet.write(df, tmp()).isEmpty)
     val dec = Seq((1L, BigDecimal("1.23"))).toDF("k", "dec")
     assert(DirectParquet.write(dec, tmp()).isEmpty)
+  }
+
+  test("partitioned write matches the classic hive layout and round-trips") {
+    val df = Seq(
+      (1L, "O", 10.5, "a b"), (2L, "F", 20.0, "x=y"), (3L, "O", 7.25, "p%q"),
+      (4L, "P", 1.0, "plain")).toDF("k", "status", "price", "tag")
+      .repartition(2)
+    val a = tmp(); val b = tmp()
+    // classic path
+    df.write.partitionBy("status", "tag").parquet(s"$a/d")
+    val out = DirectParquet.writePartitioned(df, s"$b/d", Seq("status", "tag")).get
+    // identical directory structure (same escaped segments)
+    def dirs(root: String): Set[String] = {
+      val base = java.nio.file.Paths.get(root)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) && p != base)
+        .map(p => base.relativize(p).toString).toSet
+      finally s.close()
+    }
+    assert(dirs(s"$a/d") == dirs(s"$b/d"))
+    // identical rows and schema after read-back
+    val ra = spark.read.parquet(s"$a/d").select("k", "status", "price", "tag")
+    val rb = spark.read.parquet(s"$b/d").select("k", "status", "price", "tag")
+    assert(ra.exceptAll(rb).isEmpty && rb.exceptAll(ra).isEmpty)
+    // data files carry only the data columns' stats (+ rowcount)
+    out.foreach { case (rel, st) =>
+      assert(!st.contains("status") && !st.contains("tag"))
+      assert(st.contains(TxLog.RowCountKey))
+      val ft = TxLog.fileStats(java.nio.file.Paths.get(s"$b/d", rel))
+      assert(st == ft, s"stats diverge for $rel")
+    }
+  }
+
+  test("partitioned write refuses NULL partition values loudly") {
+    val df = Seq((1L, Option("O")), (2L, Option.empty[String]))
+      .toDF("k", "status").coalesce(1)
+    val e = intercept[Exception] {
+      DirectParquet.writePartitioned(df, tmp(), Seq("status"))
+    }
+    assert(e.getMessage != null || e.getCause != null) // job fails, never silent
+  }
+
+  test("writer-cap overflow surfaces TooManyOpenPartitions") {
+    val df = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS STRING) AS p")
+      .coalesce(1)
+    val e = intercept[Exception] {
+      DirectParquet.writePartitioned(df, tmp(), Seq("p"))
+    }
+    def chain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).filter(_ ne t).map(chain).getOrElse(Nil)
+    assert(chain(e).exists(_.isInstanceOf[DirectParquet.TooManyOpenPartitions]))
   }
 
   test("empty input still writes schema-only files (file-count parity)") {
