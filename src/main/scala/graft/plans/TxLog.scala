@@ -2145,6 +2145,18 @@ object TxLog {
           if causeChain(t).exists(_.isInstanceOf[DirectParquet.TooManyOpenPartitions]) =>
         deleteTree(dir)
         None
+      case t: Throwable =>
+        // the NULL-partition refusal surfaced as a driver-side
+        // IllegalArgumentException on the classic path (harvestStats'
+        // require) — keep that contract instead of a SparkException
+        // wrapper now that the check runs inside a task
+        deleteTree(dir)
+        causeChain(t).collectFirst {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("partition value must be non-null") => e
+        }.foreach(e => throw e)
+        throw t
     }
 
   private def causeChain(t: Throwable): List[Throwable] =
